@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated corpus (TESTDATA.md): one parquet per
+  * table under `sfDir`. All queries go through here so scan-level concerns
+  * (nanosecond timestamps, column pruning) are handled in one place.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    name match {
+      case "events" => events(spark, sfDir)
+      case n        => spark.read.parquet(s"$sfDir/$n.parquet")
+    }
+
+  /** `events.parquet` carries TIMESTAMP(NANOS) which Spark 4 rejects
+    * natively; read nanos as long and truncate to a microsecond timestamp.
+    * Truncation (not rounding) matches DuckDB's `CAST(ts AS TIMESTAMP)`
+    * on the same file, keeping the oracle comparable.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+      .parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+}

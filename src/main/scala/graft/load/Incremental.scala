@@ -1,0 +1,79 @@
+package graft.load
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Incremental, idempotent loading — the reference's high-water-mark +
+  * `ON CONFLICT DO NOTHING` semantics (SURVEY.md §2 A7/B1/B4/B6),
+  * re-expressed as set operations so they are order-independent and
+  * shuffle-parallel:
+  *
+  *   - watermark: ONE hash aggregate over the target computes
+  *     `MAX(ts) per key` for all keys (vs. the reference's one SELECT
+  *     round-trip per symbol, `main_parallel.py:206-218`);
+  *   - the watermark frame is broadcast when small (key cardinality ~
+  *     symbols), so the incoming fact stream is filtered map-side with
+  *     no shuffle;
+  *   - cross-batch dedup: left-anti join on the PK — at scale this is
+  *     the only correct general idempotent append (the target's PK set
+  *     can be arbitrarily large), and AQE picks broadcast vs. shuffled
+  *     anti join by runtime size.
+  *
+  * The order-dependent early-break variant (A8, `main.py:137-140`) is
+  * deliberately NOT reproduced — SURVEY.md §7.1 decision 2.
+  */
+object Incremental {
+
+  /** B1: per-key high-water marks, one aggregate for all keys. */
+  def highWaterMarks(target: DataFrame, keyCol: String, tsCol: String): DataFrame =
+    target.groupBy(col(keyCol)).agg(max(col(tsCol)).as("__hwm"))
+
+  /** A7 (order-independent): keep incoming rows strictly newer than the
+    * target's watermark for their key; keys unseen in the target pass.
+    */
+  def newerThanWatermark(
+      incoming: DataFrame,
+      target: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      broadcastWatermark: Boolean = true): DataFrame = {
+    val hwm0 = highWaterMarks(target, keyCol, tsCol)
+    val hwm = if (broadcastWatermark) broadcast(hwm0) else hwm0
+    incoming
+      .join(hwm, Seq(keyCol), "left")
+      .where(col("__hwm").isNull || col(tsCol) > col("__hwm"))
+      .drop("__hwm")
+  }
+
+  /** B6 within-batch + B4 cross-batch: at-most-once on the PK. */
+  def notInTarget(incoming: DataFrame, target: DataFrame, pk: Seq[String]): DataFrame =
+    incoming
+      .dropDuplicates(pk)
+      .join(target.select(pk.map(col): _*), pk, "left_anti")
+
+  /** Idempotent append of `incoming` into the parquet table at `path`
+    * (creating it with `schema` if absent). Returns rows inserted —
+    * re-running with the same batch inserts 0 (the reference's observed
+    * behavior on its second run, BASELINE.md).
+    *
+    * Single-writer assumption, like the reference's read-then-insert
+    * (SURVEY.md §7.5.1).
+    */
+  def appendIdempotent(
+      spark: SparkSession,
+      path: String,
+      incoming: DataFrame,
+      pk: Seq[String],
+      schema: StructType): Long = {
+    val target = Catalog.readOrEmpty(spark, path, schema)
+    val fresh = notInTarget(incoming, target, pk)
+      .select(schema.fieldNames.map(col): _*)
+      .cache()
+    try {
+      val n = fresh.count()
+      if (n > 0) fresh.write.mode("append").parquet(path)
+      n
+    } finally fresh.unpersist()
+  }
+}
