@@ -1,0 +1,253 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for training-data pipelines: image/audio/video
+  * payloads carried as opaque `binary` columns with typed metadata, and
+  * decode / feature-extract / resize / frame-sample operators.
+  *
+  * Spark-side design (all real and exercised by the specs):
+  *   - media rows are a typed `Dataset[MediaRow]` — binary payload +
+  *     metadata struct, the schema a 100 TB media lake would use
+  *     (payloads inline here; at petabyte scale the binary column holds
+  *     a pointer + byte-range into bulk object storage instead);
+  *   - per-partition batch processing via `mapPartitions` with an
+  *     explicit batch size — the shape vectorized decoders need (decode
+  *     N payloads per library call), with executor-side iterators and
+  *     no driver collection;
+  *   - repartitioning by size class before decode balances skew (one
+  *     4K video next to thumbnails starves a partition otherwise).
+  *
+  * The codec itself is STUBBED — this container has no image/audio
+  * libraries, so [[StubCodec]] derives deterministic fake pixels /
+  * samples from the payload bytes. Every stub call site is marked; the
+  * surrounding schema, partitioning, batching, and operator signatures
+  * are the real contract a codec drop-in would implement.
+  */
+object MultiModal {
+
+  /** Typed metadata carried alongside every payload. */
+  case class MediaMeta(
+      format: String,            // "png" | "jpeg" | "wav" | "mp4" | ...
+      width: Int,                // pixels; 0 for audio
+      height: Int,               // pixels; 0 for audio
+      sampleRate: Int,           // Hz; 0 for images
+      durationMs: Long)          // 0 for still images
+
+  /** One media object: opaque bytes + typed metadata. */
+  case class MediaRow(
+      mediaId: Long,
+      kind: String,              // "image" | "audio" | "video"
+      content: Array[Byte],
+      meta: MediaMeta)
+
+  /** Decoded raster: row-major interleaved channels. */
+  case class DecodedImage(
+      mediaId: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      pixels: Array[Byte])
+
+  /** One sampled video frame (decoded). */
+  case class SampledFrame(
+      mediaId: Long,
+      frameIndex: Int,
+      timestampMs: Long,
+      width: Int,
+      height: Int,
+      pixels: Array[Byte])
+
+  /** Fixed-length feature vector per media object. */
+  case class MediaFeatures(
+      mediaId: Long,
+      kind: String,
+      features: Array[Float])
+
+  /** ================= STUB CODEC =================
+    * Deterministic fake decode: pixels/samples are a keyed stream from
+    * the payload bytes (xorshift over a seed folded from the content).
+    * A real deployment replaces ONLY this object with e.g. a JNI codec;
+    * every operator below is codec-agnostic.
+    */
+  object StubCodec {
+    private def fold(bytes: Array[Byte]): Long =
+      bytes.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
+
+    /** STUB for an image decoder (`???` semantics, made deterministic
+      * so pipelines are testable end-to-end).
+      */
+    def decodeImage(content: Array[Byte], w: Int, h: Int, channels: Int): Array[Byte] = {
+      var s = fold(content) | 1L
+      val out = new Array[Byte](w * h * channels)
+      var i = 0
+      while (i < out.length) {
+        s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+        out(i) = (s & 0xff).toByte
+        i += 1
+      }
+      out
+    }
+
+    /** STUB for an audio PCM decoder. */
+    def decodeAudio(content: Array[Byte], nSamples: Int): Array[Short] = {
+      var s = fold(content) | 1L
+      val out = new Array[Short](nSamples)
+      var i = 0
+      while (i < out.length) {
+        s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+        out(i) = (s & 0xffff).toShort
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Decode image payloads in per-partition batches. `batchSize` is the
+    * unit a vectorized codec would receive; the iterator never holds
+    * more than one batch in memory.
+    */
+  def decodeImages(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[DecodedImage] = {
+    import media.sparkSession.implicits._
+    media
+      .filter(col("kind") === "image")
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // STUB call site: a real codec decodes the whole batch in one
+          // native call; shape and ordering are identical.
+          batch.map { m =>
+            val w = math.max(m.meta.width, 1)
+            val h = math.max(m.meta.height, 1)
+            DecodedImage(m.mediaId, w, h, 3, StubCodec.decodeImage(m.content, w, h, 3))
+          }
+        }
+      }
+  }
+
+  /** Nearest-neighbor resize on decoded rasters — pure Scala per row,
+    * no shuffle.
+    */
+  def resize(images: Dataset[DecodedImage], outW: Int, outH: Int): Dataset[DecodedImage] = {
+    import images.sparkSession.implicits._
+    images.map { img =>
+      val out = new Array[Byte](outW * outH * img.channels)
+      var y = 0
+      while (y < outH) {
+        val sy = y * img.height / outH
+        var x = 0
+        while (x < outW) {
+          val sx = x * img.width / outW
+          var c = 0
+          while (c < img.channels) {
+            out((y * outW + x) * img.channels + c) =
+              img.pixels((sy * img.width + sx) * img.channels + c)
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      DecodedImage(img.mediaId, outW, outH, img.channels, out)
+    }
+  }
+
+  /** Sample video frames every `everyMs` milliseconds — flatMap (the
+    * explode shape): one input row fans out to duration/everyMs rows.
+    * Decode is the stub; the fan-out, timestamps, and schema are real.
+    */
+  def sampleFrames(media: Dataset[MediaRow], everyMs: Long = 1000L): Dataset[SampledFrame] = {
+    import media.sparkSession.implicits._
+    media
+      .filter(col("kind") === "video")
+      .flatMap { m =>
+        val n = math.max(1, (m.meta.durationMs / everyMs).toInt)
+        (0 until n).iterator.map { i =>
+          val ts = i * everyMs
+          val w = math.max(m.meta.width, 1)
+          val h = math.max(m.meta.height, 1)
+          // STUB call site: frame-accurate seek+decode in a real codec.
+          val framePayload = m.content ++ BigInt(ts).toByteArray
+          SampledFrame(m.mediaId, i, ts, w, h,
+            StubCodec.decodeImage(framePayload, w, h, 3))
+        }
+      }
+  }
+
+  /** Feature extraction: 64-bin normalized byte histogram over decoded
+    * content — a deterministic stand-in with the exact shape of a real
+    * embedding stage (fixed-dim float vector per media object, computed
+    * per partition with no shuffle). Output feeds
+    * [[graft.similarity.Similarity]] unchanged.
+    */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 64, batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { m =>
+          val decoded: Array[Byte] = m.kind match {
+            // STUB call sites (one per modality).
+            case "image" =>
+              val w = math.max(m.meta.width, 1); val h = math.max(m.meta.height, 1)
+              StubCodec.decodeImage(m.content, w, h, 3)
+            case "audio" =>
+              val n = math.max(1, (m.meta.sampleRate * m.meta.durationMs / 1000L).toInt)
+              StubCodec.decodeAudio(m.content, math.min(n, 1 << 20)).flatMap { s =>
+                Array((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)
+              }
+            case _ =>
+              StubCodec.decodeImage(m.content, math.max(m.meta.width, 1),
+                math.max(m.meta.height, 1), 3)
+          }
+          val hist = new Array[Float](dim)
+          var i = 0
+          while (i < decoded.length) {
+            hist((decoded(i) & 0xff) * dim / 256) += 1f
+            i += 1
+          }
+          val total = math.max(decoded.length, 1).toFloat
+          MediaFeatures(m.mediaId, m.kind, hist.map(_ / total))
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic media fixture (no real codecs in this
+    * environment): `n` rows cycling image/audio/video with md5-seeded
+    * payloads. Partitioned by media id so decode parallelism is even.
+    */
+  def syntheticMedia(spark: SparkSession, n: Int, partitions: Int = 4): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).repartition(partitions).map { r =>
+      val id = r
+      val kind = (id % 3) match {
+        case 0 => "image"
+        case 1 => "audio"
+        case _ => "video"
+      }
+      val payload = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"media-$id".getBytes("UTF-8"))
+      val meta = kind match {
+        case "image" => MediaMeta("png", 32 + (id % 64).toInt, 24 + (id % 48).toInt, 0, 0L)
+        case "audio" => MediaMeta("wav", 0, 0, 16000, 500L + (id % 2000))
+        case _       => MediaMeta("mp4", 16 + (id % 16).toInt, 16 + (id % 16).toInt, 0, 2000L + (id % 5000))
+      }
+      MediaRow(id, kind, payload, meta)
+    }
+  }
+
+  /** End-to-end demo frame: synthetic media → features → per-kind stats
+    * (count, mean feature-norm). Registered as a rows-only query.
+    */
+  def featureStats(spark: SparkSession, n: Int = 300): DataFrame = {
+    val feats = extractFeatures(syntheticMedia(spark, n))
+    feats.toDF()
+      .select(col("kind"),
+        sqrt(aggregate(transform(col("features"),
+          x => x.cast("double") * x.cast("double")),
+          lit(0.0), (s, x) => s + x)).as("norm"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"),
+        avg(col("norm")).as("mean_feature_norm"))
+  }
+}

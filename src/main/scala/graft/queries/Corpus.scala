@@ -1,0 +1,312 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+
+/** The training-data-pipeline surface over the `documents` and
+  * `embeddings` corpus tables: text analysis, deduplication, and
+  * similarity search. Every deterministic operator carries a DuckDB
+  * oracle that mirrors the exact formula (md5-based hashing keeps even
+  * MinHash/SimHash engine-independent); only the seeded-random LSH-ANN
+  * variant is rows-only.
+  *
+  * Numeric discipline: ratios are single divisions of exact integers
+  * (bit-identical across engines); cosine similarities are sequential
+  * double sums rounded to 6 decimals on output in both engines.
+  */
+object Corpus {
+
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // DuckDB oracle fragment: the same normalized token stream
+  // TextAnalysis.tokens produces.
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  // ------------------------------------------------------------- text
+
+  /** Token statistics per document: whitespace tokens, BPE-ish subword
+    * proxy count, mean token length, stopword and punctuation ratios.
+    * One narrow codegen'd projection — no shuffle at any scale.
+    */
+  val t01_token_stats: Q = (s, dir) => {
+    val txt = col("text")
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(txt).cast("long").as("n_tokens"),
+      TextAnalysis.bpeishTokenCount(txt).cast("long").as("n_bpeish_tokens"),
+      TextAnalysis.meanTokenLength(txt).as("mean_token_len"),
+      TextAnalysis.stopwordRatio(txt).as("stopword_ratio"),
+      TextAnalysis.punctRatio(txt).as("punct_ratio"))
+  }
+
+  val t01_sql: String =
+    s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
+       |SELECT doc_id,
+       | len(toks) AS n_tokens,
+       | len(regexp_extract_all(text, '${TextAnalysis.bpeishPattern}')) AS n_bpeish_tokens,
+       | CASE WHEN len(toks) = 0 THEN 0.0
+       |      ELSE list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) END AS mean_token_len,
+       | CASE WHEN len(toks) = 0 THEN 0.0
+       |      ELSE len(list_filter(toks, x -> list_contains(${sqlList(TextAnalysis.englishStopwords)}, x)))::DOUBLE / len(toks) END AS stopword_ratio,
+       | CASE WHEN length(text) = 0 THEN 0.0
+       |      ELSE len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]'))::DOUBLE / length(text) END AS punct_ratio
+       |FROM t""".stripMargin
+
+  /** Composite quality score per document (C4/Gopher-style heuristics),
+    * aggregated into a score histogram.
+    */
+  val t02_quality_score: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(TextAnalysis.qualityScore(col("text")).as("quality_score"))
+      .groupBy(col("quality_score"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  val t02_sql: String = {
+    val stops = sqlList(TextAnalysis.englishStopwords)
+    s"""WITH t AS (SELECT text, $toksSql AS toks FROM documents),
+       |m AS (SELECT
+       |  len(toks) AS n,
+       |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) END AS mtl,
+       |  CASE WHEN length(text) = 0 THEN 0.0 ELSE len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]'))::DOUBLE / length(text) END AS pr,
+       |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> list_contains($stops, x)))::DOUBLE / len(toks) END AS sr
+       | FROM t),
+       |q AS (SELECT
+       |  (CASE WHEN n >= 5 AND n <= 100000 THEN 0.25 ELSE 0.0 END
+       | + CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 0.25 ELSE 0.0 END
+       | + CASE WHEN pr <= 0.2 THEN 0.25 ELSE 0.0 END
+       | + CASE WHEN sr > 0.0 AND sr <= 0.6 THEN 0.25 ELSE 0.0 END)::DOUBLE AS quality_score
+       | FROM m)
+       |SELECT quality_score, COUNT(*) AS n_docs FROM q GROUP BY quality_score""".stripMargin
+  }
+
+  /** Language-ID over the corpus: predicted language × document count.
+    * (The corpus's `lang` labels are synthetic and uncorrelated with the
+    * text, so the contract is the deterministic argmax formula, mirrored
+    * exactly by the oracle.)
+    */
+  val t03_lang_id: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(TextAnalysis.langId(col("text")).as("predicted_lang"))
+      .groupBy(col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  val t03_sql: String = {
+    val scoreCols = TextAnalysis.langMarkers.map { case (l, ms) =>
+      s"len(list_filter(toks, x -> list_contains(${sqlList(ms)}, x))) AS s_$l"
+    }.mkString(",\n  ")
+    val langs = TextAnalysis.langMarkers.map(_._1)
+    val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString("\n  ")
+    s"""WITH t AS (SELECT text, $toksSql AS toks FROM documents),
+       |s AS (SELECT text,
+       |  $scoreCols,
+       |  len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk
+       | FROM t),
+       |b AS (SELECT *, $best AS best FROM s),
+       |p AS (SELECT CASE WHEN cjk > 0 AND cjk * 2 >= length(text) THEN 'zh'
+       |  $cases
+       |  ELSE 'und' END AS predicted_lang FROM b)
+       |SELECT predicted_lang, COUNT(*) AS n_docs FROM p GROUP BY predicted_lang""".stripMargin
+  }
+
+  /** Content fingerprint (min-md5 over word 8-gram shingles) per doc —
+    * the winnowing-style signature used for fast copy detection.
+    */
+  val t04_fingerprint: Q = (s, dir) =>
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text"), k = 8).as("fingerprint"))
+
+  val t04_sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+       |       ELSE list_transform(generate_series(1, len(toks) - 7),
+       |                           i -> array_to_string(toks[i:i+7], ' ')) END AS sh
+       | FROM t)
+       |SELECT doc_id, list_min(list_transform(sh, x -> md5(x))) AS fingerprint FROM sh""".stripMargin
+
+  // ------------------------------------------------------------ dedup
+
+  /** Exact dedup: content hash over the normalized token stream, group
+    * size, deterministic canonical flag. One shuffle on the hash.
+    */
+  val d01_exact_dedup: Q = (s, dir) =>
+    Dedup.exactDedup(t(s, dir, "documents"), "text", "doc_id")
+      .select(col("doc_id"), col("content_hash"), col("group_size"),
+        col("is_canonical"))
+
+  val d01_sql: String =
+    s"""WITH t AS (SELECT doc_id, md5(array_to_string($toksSql, ' ')) AS content_hash
+       | FROM documents)
+       |SELECT doc_id, content_hash,
+       | COUNT(*) OVER (PARTITION BY content_hash) AS group_size,
+       | doc_id = MIN(doc_id) OVER (PARTITION BY content_hash) AS is_canonical
+       |FROM t""".stripMargin
+
+  /** MinHash+LSH near-duplicate pairs (5-gram shingles, 16 hashes, 4
+    * bands), exact-Jaccard ≥ 0.5 verified. The oracle replays the whole
+    * pipeline — the md5 hash family makes every stage engine-exact.
+    */
+  val d02_minhash_neardups: Q = (s, dir) =>
+    Dedup.minhashNearDups(t(s, dir, "documents"), "text", "doc_id",
+      k = 5, numHashes = 16, bands = 4, threshold = 0.5)
+
+  val d02_sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+       |       ELSE list_transform(generate_series(1, len(toks) - 4),
+       |                           i -> array_to_string(toks[i:i+4], ' ')) END AS sh
+       | FROM t),
+       |sig AS (SELECT doc_id, sh,
+       |  list_transform(generate_series(0, 15),
+       |                 i -> list_min(list_transform(sh, x -> md5(i::VARCHAR || '|' || x)))) AS sig
+       | FROM sh),
+       |banded AS (SELECT doc_id, sh,
+       |  unnest(list_transform(generate_series(0, 3),
+       |                        b -> md5(b::VARCHAR || ':' || array_to_string(sig[b*4+1:b*4+4], ',')))) AS band
+       | FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |                a.sh AS sh_a, b.sh AS sh_b
+       | FROM banded a JOIN banded b USING (band) WHERE a.doc_id < b.doc_id),
+       |j AS (SELECT id_a, id_b, list_distinct(sh_a) AS sa, list_distinct(sh_b) AS sb FROM cand),
+       |jj AS (SELECT id_a, id_b,
+       |  CASE WHEN len(sa) = 0 AND len(sb) = 0 THEN 1.0
+       |       WHEN len(sa) = 0 OR len(sb) = 0 THEN 0.0
+       |       ELSE len(list_filter(sa, x -> list_contains(sb, x)))::DOUBLE
+       |            / (len(sa) + len(sb) - len(list_filter(sa, x -> list_contains(sb, x)))) END AS jaccard
+       | FROM j)
+       |SELECT id_a, id_b, jaccard FROM jj WHERE jaccard >= 0.5""".stripMargin
+
+  /** SimHash near-duplicate pairs: 48-bit md5-derived SimHash, Manku
+    * block-and-verify, Hamming distance ≤ 3.
+    */
+  val d03_simhash_neardups: Q = (s, dir) =>
+    Dedup.simhashNearDups(t(s, dir, "documents"), "text", "doc_id",
+      maxDist = 3, bits = 48)
+
+  val d03_sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |h AS (SELECT doc_id,
+       |  list_transform(toks, x -> ('0x' || substr(md5(x), 1, 12))::BIGINT) AS hs
+       | FROM t),
+       |s AS (SELECT doc_id,
+       |  list_transform(generate_series(0, 47),
+       |    j -> coalesce(list_sum(list_transform(hs,
+       |           v -> CASE WHEN (v >> j) & 1 = 1 THEN 1 ELSE -1 END)), 0)) AS sums
+       | FROM h),
+       |sh AS (SELECT doc_id,
+       |  coalesce(list_sum(list_transform(generate_series(0, 47),
+       |    j -> CASE WHEN sums[j+1] > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)), 0)::BIGINT AS sh
+       | FROM s),
+       |blocked AS (SELECT doc_id, sh,
+       |  unnest(list_transform(generate_series(0, 3),
+       |    i -> i::VARCHAR || ':' || ((sh >> (i*12)) & 4095)::VARCHAR)) AS block
+       | FROM sh),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |                a.sh AS sh_a, b.sh AS sh_b
+       | FROM blocked a JOIN blocked b USING (block) WHERE a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
+       |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin
+
+  /** Embedding-cosine near-duplicate pairs (exhaustive variant so the
+    * oracle can replay it; the LSH-bucketed variant is the scale path,
+    * exercised in s02).
+    */
+  val d04_embedding_neardups: Q = (s, dir) =>
+    Dedup.embeddingNearDups(t(s, dir, "embeddings"), "embedding", "vec_id",
+      threshold = 0.5, bruteForce = true)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+
+  private val cosSql =
+    """list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) /
+      | (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+      |  * sqrt(list_sum(list_transform(b.v, x -> x * x))))""".stripMargin
+
+  val d04_sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cosSql AS cos
+       | FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, ROUND(cos, 6) AS cosine FROM p WHERE cos >= 0.5""".stripMargin
+
+  // ------------------------------------------------------- similarity
+
+  /** Exact cosine top-10 neighbors for a small probe set (vec_id < 5):
+    * broadcast the probes, stream the corpus, rank per query.
+    */
+  val s01_cosine_topk: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(
+      e.where(col("vec_id") < 5), e,
+      "vec_id", "embedding", "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  val s01_sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sc AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosSql AS cos
+       | FROM e a JOIN e b ON b.vec_id <> a.vec_id WHERE a.vec_id < 5),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       | FROM sc)
+       |SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rank
+       |FROM r WHERE rank <= 10""".stripMargin
+
+  /** Approximate top-10 via random-hyperplane LSH (seeded planes) — the
+    * 100 TB path: bucket join instead of the queries × corpus product.
+    * Seeded driver-side randomness isn't SQL-reproducible → rows-only.
+    */
+  val s02_lsh_ann_topk: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    Similarity.lshTopK(
+      e.where(col("vec_id") < 5), e,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 10, dim = 64, planes = 8, tables = 8)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Multimodal plumbing demo (stub codec, real Spark dataflow):
+    * synthetic media → batched decode → feature extraction → per-kind
+    * stats. Not SQL-expressible (typed mapPartitions) → rows-only.
+    */
+  val m01_multimodal_features: Q = (s, _) =>
+    graft.multimodal.MultiModal.featureStats(s, n = 300)
+
+  val queries: Map[String, Q] = Map(
+    "m01_multimodal_features" -> m01_multimodal_features,
+    "t01_token_stats"       -> t01_token_stats,
+    "t02_quality_score"     -> t02_quality_score,
+    "t03_lang_id"           -> t03_lang_id,
+    "t04_fingerprint"       -> t04_fingerprint,
+    "d01_exact_dedup"       -> d01_exact_dedup,
+    "d02_minhash_neardups"  -> d02_minhash_neardups,
+    "d03_simhash_neardups"  -> d03_simhash_neardups,
+    "d04_embedding_neardups" -> d04_embedding_neardups,
+    "s01_cosine_topk"       -> s01_cosine_topk,
+    "s02_lsh_ann_topk"      -> s02_lsh_ann_topk)
+
+  val oracles: Map[String, String] = Map(
+    "t01_token_stats"       -> t01_sql,
+    "t02_quality_score"     -> t02_sql,
+    "t03_lang_id"           -> t03_sql,
+    "t04_fingerprint"       -> t04_sql,
+    "d01_exact_dedup"       -> d01_sql,
+    "d02_minhash_neardups"  -> d02_sql,
+    "d03_simhash_neardups"  -> d03_sql,
+    "d04_embedding_neardups" -> d04_sql,
+    "s01_cosine_topk"       -> s01_sql)
+}

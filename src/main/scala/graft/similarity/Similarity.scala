@@ -1,0 +1,132 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and random-hyperplane
+  * LSH bucketing as the approximate scale path.
+  *
+  * Scale design: brute-force is queries × corpus — correct whenever the
+  * query set is small enough to broadcast (the common "probe a handful"
+  * case: the corpus streams, never shuffles). The LSH path replaces the
+  * product with a shuffle on bucket keys, the standard SimHash-style
+  * ANN layout; recall is tuned by (planes, tables). All vector math is
+  * `zip_with`/`aggregate` column expressions over doubles — no UDFs.
+  */
+object Similarity {
+
+  /** Cosine similarity of two numeric arrays (as doubles; 0.0 when
+    * either norm is 0). Sequential left-to-right double sums — the same
+    * order any engine's scalar loop uses, so results are reproducible.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    val na = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), (s, x) => s + x))
+    val nb = sqrt(aggregate(transform(bd, x => x * x), lit(0.0), (s, x) => s + x))
+    when(na === 0 || nb === 0, lit(0.0)).otherwise(dot / (na * nb))
+  }
+
+  /** Dot product (doubles, sequential sum). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0), (s, x) => s + x)
+
+  /** Exact top-k cosine neighbors for every query vector.
+    *
+    * `queries` must be small (it is broadcast): the corpus side then
+    * never shuffles for the join — each corpus partition streams past
+    * the in-memory query set, and the per-query top-k is a
+    * rank-window on (query id) whose shuffle carries only
+    * (queryId, corpusId, score) triples, not vectors.
+    */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      corpusIdCol: String,
+      corpusVecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv")))
+    val c = corpus.select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv"))
+    val scored = q.crossJoin(c)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Fixed random hyperplanes: `tables` independent sets of `planes`
+    * unit-less Gaussian directions, seeded deterministically — the same
+    * planes on every executor and every run. Materialized once as a
+    * literal (tables × planes × dim doubles ≈ a few KB for dim 64).
+    */
+  def hyperplanes(dim: Int, planes: Int, tables: Int, seed: Long = 42L): Seq[Seq[Seq[Double]]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(tables, planes, dim)(rng.nextGaussian())
+  }
+
+  /** One LSH bucket key per table for a vector: table index + the sign
+    * bit of the dot product against each of that table's hyperplanes.
+    * Two vectors share a bucket in table t iff all `planes` sign bits
+    * agree — P[collide] = (1 - θ/π)^planes for angle θ.
+    */
+  def hyperplaneBuckets(
+      vec: Column,
+      dim: Int,
+      planes: Int,
+      tables: Int,
+      seed: Long = 42L): Column = {
+    val hp = hyperplanes(dim, planes, tables, seed)
+    val perTable = hp.zipWithIndex.map { case (tablePlanes, t) =>
+      val bits = tablePlanes.map { plane =>
+        when(dot(vec, typedLit(plane)) >= 0, lit("1")).otherwise(lit("0"))
+      }
+      concat(lit(s"$t:") +: bits: _*)
+    }
+    array(perTable: _*)
+  }
+
+  /** Approximate top-k via hyperplane LSH: candidates are corpus
+    * vectors sharing ≥1 bucket with the query in any table; exact
+    * cosine then ranks the candidates. Shuffles on bucket keys only.
+    * Recall < 1 by construction; raise `tables` (more candidates) or
+    * lower `planes` (wider buckets) to trade cost for recall.
+    */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      corpusIdCol: String,
+      corpusVecCol: String,
+      k: Int,
+      dim: Int = 64,
+      planes: Int = 10,
+      tables: Int = 8): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"))
+      .withColumn("bucket", explode(hyperplaneBuckets(col("__qv"), dim, planes, tables)))
+    val c = corpus.select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv"))
+      .withColumn("bucket", explode(hyperplaneBuckets(col("__cv"), dim, planes, tables)))
+    val candidates = q.join(c, Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("__qv"), col("neighbor_id"), col("__cv"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    candidates
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.ingest.{Normalize, PayloadReader}
+
+/** The reference's incremental ingest (SURVEY.md §2 A7/B4) re-expressed
+  * as Structured Streaming — the additive streaming demo of §7.5.5; the
+  * batch anti-join in [[graft.load.Incremental]] remains the contract.
+  *
+  * Semantics note (why batch stays canonical): streaming dedup state is
+  * bounded by the watermark — a bar older than the watermark horizon
+  * re-entering the stream would NOT be deduplicated, whereas the batch
+  * anti-join never expires keys. With the 14-day horizon below and
+  * newest-first API payloads the two agree on every reference workload.
+  */
+object StreamingIngest {
+
+  /** Payload JSON files appearing under `payloadDir` → normalized daily
+    * bars → watermarked PK dedup → parquet append. `Trigger.AvailableNow`
+    * drains everything present, then stops — the streaming twin of one
+    * batch ingest run, with exactly-once sink semantics from the
+    * checkpoint.
+    */
+  def dailyIngestStream(
+      spark: SparkSession,
+      payloadDir: String,
+      targetPath: String,
+      checkpointDir: String): StreamingQuery = {
+    val payloads = spark.readStream
+      .schema(PayloadReader.payloadSchema)
+      .option("multiLine", true)
+      .json(payloadDir)
+    val rows = Normalize.daily(payloads)
+      // The bar date is the event time; 1:1 with the PK's date column,
+      // so dedup state expires with the watermark while still keying
+      // exactly on the (symbol, date) PK.
+      .withColumn("event_ts", col("date").cast("timestamp"))
+      .withWatermark("event_ts", "14 days")
+      .dropDuplicates("company_symbol", "event_ts")
+      .drop("event_ts")
+    rows.writeStream
+      .format("parquet")
+      .option("path", targetPath)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Tumbling event-time window aggregate over an intraday bar stream:
+    * per (symbol, window) OHLCV rollup with late data bounded by the
+    * watermark — the standard streaming-window shape (§2.C streaming).
+    */
+  def windowedOhlcv(intraday: DataFrame, window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    intraday
+      .withWatermark("date_time", watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("date_time"), window)
+          .as("w"),
+        col("company_symbol"))
+      .agg(
+        min(col("low_price")).as("low_price"),
+        max(col("high_price")).as("high_price"),
+        sum(col("volume")).as("volume"),
+        count(lit(1)).as("n_bars"))
+      .select(col("company_symbol"), col("w.start").as("window_start"),
+        col("low_price"), col("high_price"), col("volume"), col("n_bars"))
+
+  // ---- custom state: streaming SMA via flatMapGroupsWithState ----
+
+  case class Bar(company_symbol: String, ts: java.sql.Timestamp, close: Double)
+  case class SmaState(recent: List[(Long, Double)])
+  case class SmaOut(company_symbol: String, ts: java.sql.Timestamp, sma: Double)
+
+  /** Per-symbol running n-bar SMA with explicit keyed state
+    * (`flatMapGroupsWithState`) — the custom-state shape for operators
+    * the built-in windows can't express (here: emit-on-arrival rolling
+    * aggregates over a count-based, not time-based, window).
+    *
+    * State per key is the last n (ts, close) pairs — O(n) per symbol,
+    * partitioned by symbol across executors like any keyed state store.
+    */
+  def streamingSma(bars: org.apache.spark.sql.Dataset[Bar], n: Int)
+      : org.apache.spark.sql.Dataset[SmaOut] = {
+    import bars.sparkSession.implicits._
+    bars
+      .groupByKey(_.company_symbol)
+      .flatMapGroupsWithState[SmaState, SmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (symbol: String, in: Iterator[Bar], state: GroupState[SmaState]) =>
+          var recent = state.getOption.map(_.recent).getOrElse(Nil)
+          val out = in.toSeq.sortBy(_.ts.getTime).flatMap { b =>
+            recent = ((b.ts.getTime, b.close) :: recent).take(n)
+            if (recent.length == n)
+              Some(SmaOut(symbol, b.ts, recent.map(_._2).sum / n))
+            else None
+          }
+          state.update(SmaState(recent))
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,143 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language identification, and document
+  * fingerprinting.
+  *
+  * Everything here is a pure `Column` expression over built-in Catalyst
+  * functions (split/regexp/array lambdas/md5) — whole-stage codegen'd,
+  * no UDFs, no driver-side state — so each operator is a single
+  * narrow-dependency projection that scales linearly with input splits
+  * and never shuffles. (The reference pipeline has no text analytics;
+  * this is the training-data extension surface required by the build
+  * brief, designed Spark-first.)
+  */
+object TextAnalysis {
+
+  /** Lowercased whitespace tokens, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: runs of letters, single digits, or single
+    * non-alphanumeric marks — a deterministic proxy for subword tokenizer
+    * cost (GPT-2-style pre-tokenization without the merges table).
+    */
+  val bpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeishPattern), lit(0)))
+
+  /** English stopword list used by the quality heuristics (fixed, small —
+    * inlined into the generated code as an array literal).
+    */
+  val englishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "from", "this")
+
+  /** Fraction of tokens that are stopwords (0 for empty docs). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val stops = array(englishStopwords.map(lit): _*)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(
+        size(filter(toks, t => array_contains(stops, t))).cast("double")
+          / size(toks))
+  }
+
+  /** Fraction of characters that are punctuation marks. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(
+        size(regexp_extract_all(text, lit("[!-/:-@\\[-`{-~]"), lit(0)))
+          .cast("double") / length(text))
+
+  /** Mean token length in characters (0 for empty docs). */
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+          / size(toks))
+  }
+
+  /** Composite quality score in [0,1] — the standard pretraining-corpus
+    * heuristics (C4/Gopher-style): enough tokens, sane mean word length,
+    * not punctuation-soup, some (but not all) stopwords.
+    *
+    *   0.25 · [5 ≤ n_tokens ≤ 100k]
+    * + 0.25 · [2 ≤ mean_token_len ≤ 12]
+    * + 0.25 · [punct_ratio ≤ 0.2]
+    * + 0.25 · [0 < stopword_ratio ≤ 0.6]
+    */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text)
+    val mtl = meanTokenLength(text)
+    val pr = punctRatio(text)
+    val sr = stopwordRatio(text)
+    val b = (c: Column) => when(c, lit(0.25)).otherwise(lit(0.0))
+    b(n >= 5 && n <= 100000) +
+      b(mtl >= 2.0 && mtl <= 12.0) +
+      b(pr <= 0.2) +
+      b(sr > 0.0 && sr <= 0.6)
+  }
+
+  /** Marker stopwords per language for the n-gram-free lang-ID heuristic.
+    * Deliberately tiny and disjoint: the operator's contract is the
+    * argmax formula, not lexicon completeness.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "for", "with"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "une", "dans"),
+    "es" -> Seq("el", "los", "que", "y", "es", "no", "una", "para"))
+
+  /** Per-language marker-token hit count. */
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val m = array(markers.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(m, t)))
+  }
+
+  /** Language ID: CJK-character ratio short-circuits to `zh`; otherwise
+    * the marker-count argmax over {en,de,fr,es}, `und` (undetermined)
+    * when no marker hits. Ties break in declaration order (en first).
+    */
+  def langId(text: Column): Column = {
+    val cjk = size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+    val scores = langMarkers.map { case (l, ms) => (l, langScore(text, ms)) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val argmax = scores.reverse.foldLeft(lit("und")) {
+      case (acc, (l, s)) => when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+    when(cjk > 0 && cjk * 2 >= length(text), lit("zh")).otherwise(argmax)
+  }
+
+  /** Word k-gram shingles of the token stream. Documents shorter than k
+    * tokens get a single shingle holding the whole token stream, so
+    * set-similarity on shingles degrades to exact match for short docs
+    * (never an empty set, which would make all short docs mutually
+    * "identical").
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(toks) - (k - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(k)))))
+  }
+
+  /** Document fingerprint: the minimum md5 over word k-gram shingles —
+    * a deterministic rolling-hash content signature (winnowing with one
+    * window spanning the document). Documents sharing any near-identical
+    * prefix/suffix k-grams collide with probability proportional to
+    * overlap; identical documents always collide. Docs shorter than k
+    * tokens hash their whole token stream (the singleton shingle).
+    */
+  def fingerprint(text: Column, k: Int = 8): Column =
+    array_min(transform(shingles(text, k), s => md5(s)))
+}

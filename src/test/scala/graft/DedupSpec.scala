@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the old river bank every single morning"),
+    (2L, "THE quick  brown fox jumps over the lazy dog near the old river bank every single morning"), // = 1 normalized
+    (3L, "the quick brown fox jumps over the lazy dog near the old river bank every single evening"),  // near-dup of 1
+    (4L, "spark executes declarative plans with whole stage codegen and adaptive query execution enabled"),
+    (5L, "completely unrelated text about cooking pasta with tomatoes garlic basil and olive oil tonight")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup: normalized-identical docs share a group; min id is canonical") {
+    val out = Dedup.exactDedup(docs, "text", "doc_id")
+      .select("doc_id", "group_size", "is_canonical")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out.contains((1L, 2L, true)))
+    assert(out.contains((2L, 2L, false)))
+    assert(out.contains((4L, 1L, true)))
+  }
+
+  test("minhash LSH finds the exact pair and the near-dup pair, nothing else") {
+    val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
+      k = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
+  }
+
+  test("simhash: normalized-identical texts hash equal; near-dups are close; unrelated far") {
+    val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(5L)))
+  }
+
+  test("simhashNearDups blocks catch identical docs at distance 0") {
+    val pairs = Dedup.simhashNearDups(docs, "text", "doc_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists { case (a, b, d) => a == 1L && b == 2L && d == 0L })
+  }
+
+  test("embedding near-dups: brute force and LSH both find the planted duplicate") {
+    val base = Array.tabulate(8)(i => math.sin(i + 1).toFloat)
+    val shifted = base.map(x => x * 1.001f)                    // cosine ~ 1
+    val opposite = base.map(x => -x)
+    val rng = new scala.util.Random(7)
+    val noise = Array.fill(8)(rng.nextGaussian().toFloat)
+    val vecs = Seq((0L, base), (1L, shifted), (2L, opposite), (3L, noise))
+      .toDF("vec_id", "embedding")
+
+    val bf = Dedup.embeddingNearDups(vecs, "embedding", "vec_id",
+      threshold = 0.99, bruteForce = true)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bf == Set((0L, 1L)))
+
+    val lsh = Dedup.embeddingNearDups(vecs, "embedding", "vec_id",
+      threshold = 0.99, dim = 8, planes = 4, tables = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == Set((0L, 1L)))   // identical-direction vectors always share every bucket
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.load.{Catalog, Incremental}
+
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("sym", StringType),
+    StructField("d", IntegerType),
+    StructField("v", DoubleType)))
+
+  test("newerThanWatermark keeps strictly-newer rows and passes unseen keys") {
+    val target = Seq(("A", 3, 1.0), ("A", 5, 1.0), ("B", 2, 1.0)).toDF("sym", "d", "v")
+    val incoming = Seq(
+      ("A", 5, 2.0), ("A", 6, 2.0),     // 5 = watermark -> dropped; 6 kept
+      ("B", 1, 2.0),                     // older -> dropped
+      ("C", 1, 2.0)                      // unseen key -> kept
+    ).toDF("sym", "d", "v")
+    val out = Incremental.newerThanWatermark(incoming, target, "sym", "d")
+      .select("sym", "d").collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(out == Set(("A", 6), ("C", 1)))
+  }
+
+  test("appendIdempotent: re-running the same batch inserts zero; order-shuffled input is equivalent") {
+    val base = Files.createTempDirectory("graft_inc_spec").toString + "/t"
+    val batch = Seq(("A", 1, 1.0), ("A", 2, 2.0), ("A", 2, 99.0), ("B", 1, 3.0))
+      .toDF("sym", "d", "v")
+    val n1 = Incremental.appendIdempotent(spark, base, batch, Seq("sym", "d"), schema)
+    assert(n1 == 3)  // in-batch dup (A,2) collapsed
+    val n2 = Incremental.appendIdempotent(spark, base,
+      batch.orderBy(col("d").desc), Seq("sym", "d"), schema)
+    assert(n2 == 0)  // fully idempotent re-run
+    val n3 = Incremental.appendIdempotent(spark, base,
+      Seq(("A", 3, 4.0)).toDF("sym", "d", "v"), Seq("sym", "d"), schema)
+    assert(n3 == 1)
+    assert(spark.read.schema(schema).parquet(base).count() == 4)
+  }
+
+  test("ensureCompanies appends only unseen symbols") {
+    val base = Files.createTempDirectory("graft_cat_spec").toString
+    val n1 = Catalog.ensureCompanies(spark, base, Seq("AAPL", "MSFT", "AAPL").toDF("s"))
+    assert(n1 == 2)
+    val n2 = Catalog.ensureCompanies(spark, base, Seq("AAPL", "GOOG").toDF("s"))
+    assert(n2 == 1)
+  }
+}

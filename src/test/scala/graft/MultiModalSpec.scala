@@ -1,0 +1,57 @@
+package graft
+
+import graft.multimodal.MultiModal
+
+class MultiModalSpec extends SparkSpec {
+
+  test("decodeImages: only images, correct raster size, deterministic") {
+    val media = MultiModal.syntheticMedia(spark, 30)
+    val d1 = MultiModal.decodeImages(media, batchSize = 4).collect()
+    assert(d1.nonEmpty)
+    d1.foreach { img =>
+      assert(img.pixels.length == img.width * img.height * img.channels)
+    }
+    val d2 = MultiModal.decodeImages(media, batchSize = 7).collect()
+    assert(d1.map(i => (i.mediaId, i.pixels.toSeq)).toSet
+      == d2.map(i => (i.mediaId, i.pixels.toSeq)).toSet)  // batch size never changes results
+  }
+
+  test("resize produces the requested dimensions") {
+    val media = MultiModal.syntheticMedia(spark, 12)
+    val resized = MultiModal.resize(MultiModal.decodeImages(media), 8, 6).collect()
+    resized.foreach { img =>
+      assert(img.width == 8 && img.height == 6)
+      assert(img.pixels.length == 8 * 6 * img.channels)
+    }
+  }
+
+  test("sampleFrames fans out one row per sampling interval with timestamps") {
+    val media = MultiModal.syntheticMedia(spark, 30)
+    val frames = MultiModal.sampleFrames(media, everyMs = 1000L).collect()
+    assert(frames.nonEmpty)
+    val byId = frames.groupBy(_.mediaId)
+    val durations = media.collect().map(m => m.mediaId -> m.meta.durationMs).toMap
+    byId.foreach { case (id, fs) =>
+      assert(fs.length == math.max(1, (durations(id) / 1000L).toInt))
+      assert(fs.map(_.timestampMs).sorted.toSeq
+        == fs.indices.map(_ * 1000L).toSeq)
+    }
+  }
+
+  test("extractFeatures: fixed-dim normalized histograms for every modality") {
+    val media = MultiModal.syntheticMedia(spark, 30)
+    val feats = MultiModal.extractFeatures(media, dim = 64).collect()
+    assert(feats.length == 30)
+    assert(feats.map(_.kind).toSet == Set("image", "audio", "video"))
+    feats.foreach { f =>
+      assert(f.features.length == 64)
+      assert(math.abs(f.features.sum - 1.0f) < 1e-3)  // normalized histogram
+    }
+  }
+
+  test("featureStats aggregates per kind") {
+    val stats = MultiModal.featureStats(spark, n = 30).collect()
+    assert(stats.map(_.getString(0)).toSet == Set("image", "audio", "video"))
+    assert(stats.map(_.getLong(1)).sum == 30)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: identity 1, orthogonal 0, opposite -1, zero-norm 0") {
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f), 1.0),
+      (Array(1f, 0f), Array(0f, 1f), 0.0),
+      (Array(1f, 0f), Array(-1f, 0f), -1.0),
+      (Array(0f, 0f), Array(1f, 1f), 0.0)
+    ).toDF("a", "b", "expected")
+    val bad = df
+      .select(Similarity.cosine(col("a"), col("b")).as("c"), col("expected"))
+      .where(abs(col("c") - col("expected")) > 1e-12)
+    assert(bad.count() == 0)
+  }
+
+  test("bruteForceTopK ranks by cosine desc with id tiebreak and excludes self") {
+    val corpus = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f)),
+      (2L, Array(0f, 1f, 0f)),
+      (3L, Array(-1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(
+      corpus.where(col("vec_id") === 0), corpus,
+      "vec_id", "embedding", "vec_id", "embedding", k = 3)
+      .orderBy(col("rank"))
+      .select("neighbor_id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 2L, 3L))
+  }
+
+  test("lshTopK candidates are a subset of brute-force with exact scores, and same-direction vectors are always found") {
+    val rng = new scala.util.Random(11)
+    val corpus = (0L until 50L).map { i =>
+      (i, Array.fill(16)(rng.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 2)
+
+    val bf = Similarity.bruteForceTopK(queries, corpus,
+      "vec_id", "embedding", "vec_id", "embedding", k = 50)
+      .select("query_id", "neighbor_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    val approx = Similarity.lshTopK(queries, corpus,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 10, dim = 16, planes = 4, tables = 6)
+      .select("query_id", "neighbor_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+
+    assert(approx.nonEmpty)
+    approx.foreach { case (pair, c) =>
+      assert(bf.contains(pair) && math.abs(bf(pair) - c) < 1e-12)
+    }
+  }
+}

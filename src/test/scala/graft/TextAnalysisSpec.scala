@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any =
+    Seq(text).toDF("text").select(c.as("v")).collect()(0).get(0)
+
+  test("tokens: lowercases, splits on runs of whitespace, drops empties") {
+    assert(one(TextAnalysis.tokens(col("text")), "  The  QUICK\tfox ")
+      == Seq("the", "quick", "fox"))
+  }
+
+  test("tokenCount and bpeish token count") {
+    assert(one(TextAnalysis.tokenCount(col("text")), "a b c") == 3)
+    // "don't stop, 42" -> [don]['][t][stop][,][4][2] = 7
+    assert(one(TextAnalysis.bpeishTokenCount(col("text")), "don't stop, 42") == 7)
+  }
+
+  test("stopword ratio and punct ratio, empty-doc safe") {
+    assert(one(TextAnalysis.stopwordRatio(col("text")), "the cat and the hat") == 0.6)
+    assert(one(TextAnalysis.stopwordRatio(col("text")), "") == 0.0)
+    assert(one(TextAnalysis.punctRatio(col("text")), "ab,.") == 0.5)
+    assert(one(TextAnalysis.punctRatio(col("text")), "") == 0.0)
+  }
+
+  test("quality score rewards plain prose, penalizes degenerate docs") {
+    val good = "the quick brown fox jumps over the lazy dog and runs far away home"
+    assert(one(TextAnalysis.qualityScore(col("text")), good) == 1.0)
+    // punctuation soup: fails punct + stopword + token-length legs
+    val bad = "!!! ??? ;;; ,,,"
+    assert(one(TextAnalysis.qualityScore(col("text")), bad)
+      .asInstanceOf[Double] <= 0.5)
+  }
+
+  test("langId identifies real multilingual samples and falls back to und") {
+    val samples = Seq(
+      ("the cat is on the mat and it is happy", "en"),
+      ("der hund ist nicht zu hause und die katze schläft", "de"),
+      ("le chat est dans la maison et il est content", "fr"),
+      ("el perro es grande y no es una mascota para todos", "es"),
+      ("你好世界 这是一个测试", "zh"),
+      ("zzz qqq xxx", "und"))
+    val out = samples.map(_._1).toDF("text")
+      .select(TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == samples.map(_._2))
+  }
+
+  test("shingles: k-grams when long enough, singleton token stream when short") {
+    assert(one(TextAnalysis.shingles(col("text"), 2), "a b c")
+      == Seq("a b", "b c"))
+    assert(one(TextAnalysis.shingles(col("text"), 5), "a b c")
+      == Seq("a b c"))
+  }
+
+  test("fingerprint: identical normalized content collides, different content does not") {
+    val df = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog today"),
+      (2L, "the QUICK brown fox jumps over the lazy dog today"),
+      (3L, "a completely different document about spark engines here")
+    ).toDF("id", "text")
+      .select(col("id"), TextAnalysis.fingerprint(col("text"), 8).as("fp"))
+    val fps = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+}
