@@ -42,18 +42,22 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** MinHash signature of the word k-gram shingle set: element i is
+  /** MinHash signature over a shingle array column: element i is
     * `min(md5(i || "|" || shingle))` — `numHashes` independent
     * permutation approximations from one md5 family. String mins are
     * as collision-sound as integer mins and reproducible in any engine
     * with md5.
     */
-  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
-    val sh = TextAnalysis.shingles(text, k)
+  def minhashOfShingles(shingleArr: Column, numHashes: Int): Column =
     transform(
       sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s => md5(concat(i, lit("|"), s)))))
-  }
+      i => array_min(transform(shingleArr, s => md5(concat(i, lit("|"), s)))))
+
+  /** MinHash signature straight from text (convenience; pipelines should
+    * stage the shingle column once — see [[minhashNearDups]]).
+    */
+  def minhashSignature(text: Column, k: Int, numHashes: Int): Column =
+    minhashOfShingles(TextAnalysis.shingles(text, k), numHashes)
 
   /** LSH band keys from a MinHash signature: `bands` groups of
     * `rowsPerBand` consecutive signature elements, each folded to one
@@ -66,18 +70,21 @@ object Dedup {
       b => md5(concat(b, lit(":"),
         concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))))
 
-  /** Exact Jaccard similarity of the two documents' distinct shingle
-    * sets (the verification step after LSH candidate generation).
+  /** Exact Jaccard similarity of two distinct-shingle-set columns (the
+    * verification step after LSH candidate generation).
     */
-  def jaccardShingles(a: Column, b: Column, k: Int): Column = {
-    val sa = array_distinct(TextAnalysis.shingles(a, k))
-    val sb = array_distinct(TextAnalysis.shingles(b, k))
+  def jaccardSets(sa: Column, sb: Column): Column =
     when(size(sa) === 0 && size(sb) === 0, lit(1.0))
       .when(size(sa) === 0 || size(sb) === 0, lit(0.0))
       .otherwise(
         size(array_intersect(sa, sb)).cast("double")
           / size(array_union(sa, sb)))
-  }
+
+  /** Exact Jaccard straight from two text columns. */
+  def jaccardShingles(a: Column, b: Column, k: Int): Column =
+    jaccardSets(
+      array_distinct(TextAnalysis.shingles(a, k)),
+      array_distinct(TextAnalysis.shingles(b, k)))
 
   /** MinHash+LSH near-duplicate pairs, exact-Jaccard verified.
     *
@@ -99,17 +106,37 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val sig = minhashSignature(col(textCol), k, numHashes)
-    val banded = df
-      .select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("band", explode(lshBandKeys(sig, bands, rowsPerBand)))
-    val a = banded.select(col("band"), col("id").as("id_a"), col("text").as("text_a"))
-    val b = banded.select(col("band"), col("id").as("id_b"), col("text").as("text_b"))
-    a.join(b, Seq("band"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("text_a"), col("text_b"))
+    // Decouple compute parallelism from input file layout: the signature
+    // stage does ~shingles × numHashes md5 calls per document, and a
+    // small corpus parquet is often a single (unsplittable) row group —
+    // without this round-robin exchange the whole hash stage runs on one
+    // core. The exchange also gets reused (ReusedExchange) by both sides
+    // of the band self-join, so signatures aren't recomputed per side.
+    val input = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // Stage each expensive expression as its own column so it is
+    // computed once per document (CollapseProject keeps multi-referenced
+    // non-cheap projections apart; inlining the signature into all
+    // `bands` band keys would re-evaluate the whole shingle+md5 tree per
+    // band and blow up planning/codegen).
+    val sets = input
+      .select(col("id"),
+        array_distinct(TextAnalysis.shingles(col("text"), k)).as("sh_set"))
+    val banded = sets
+      .withColumn("sig", minhashOfShingles(col("sh_set"), numHashes))
+      .withColumn("band", explode(lshBandKeys(col("sig"), bands, rowsPerBand)))
+      .select(col("band"), col("id"))
+    // Candidate pairs carry ids only (the band self-join shuffles 16
+    // bytes per row, not document content); shingle sets re-attach by id
+    // for the verify step.
+    val cand = banded.as("a").join(banded.as("b"), Seq("band"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-      .withColumn("jaccard", jaccardShingles(col("text_a"), col("text_b"), k))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh_set").as("__sa")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh_set").as("__sb")), Seq("id_b"))
+      .withColumn("jaccard", jaccardSets(col("__sa"), col("__sb")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -126,21 +153,13 @@ object Dedup {
     */
   def simhash(text: Column, bits: Int = 48): Column = {
     require(bits % 4 == 0 && bits <= 60, s"bits must be a multiple of 4 <= 60, got $bits")
-    val powers = typedLit((0 until bits).map(1L << _))
     val toks = TextAnalysis.tokens(text)
     val hashes = transform(toks,
       t => conv(substring(md5(t), 1, bits / 4), 16, 10).cast("long"))
-    // One pass over the token hashes, accumulating all `bits` signed
-    // counts as an array (bit j tested via AND with 2^j — no
-    // shift-by-column needed, and md5 runs once per token).
-    val bitSums = aggregate(
-      hashes,
-      typedLit(Seq.fill(bits)(0L)),
-      (acc, h) => zip_with(acc, powers,
-        (a, p) => a + when(h.bitwiseAND(p) =!= 0, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(bitSums, powers, (s, p) => when(s > 0, p).otherwise(0L)),
-      lit(0L), (acc, v) => acc + v)
+    // Native codegen fold (two tight loops) — the column-expression
+    // equivalent (aggregate + bits-wide zip_with per token) runs
+    // interpreted and dominates the scan at corpus scale.
+    graft.functions.SimHashFold(hashes, bits)
   }
 
   /** Hamming distance between two SimHash values. */
@@ -162,7 +181,11 @@ object Dedup {
       bits: Int = 48): DataFrame = {
     val nBlocks = maxDist + 1
     val blockBits = bits / nBlocks
-    val hashed = df.select(col(idCol).as("id"), simhash(col(textCol), bits).as("sh"))
+    // Round-robin exchange first: md5-per-token hashing must parallelize
+    // regardless of the input's row-group layout (see minhashNearDups).
+    val hashed = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id"), simhash(col("text"), bits).as("sh"))
     val blocked = hashed.withColumn(
       "block",
       explode(array((0 until nBlocks).map { i =>
@@ -199,7 +222,10 @@ object Dedup {
       tables: Int = 4,
       bruteForce: Boolean = false): DataFrame = {
     import graft.similarity.Similarity
+    // Round-robin exchange: the pair join's streamed side must spread
+    // across cores even when the corpus is one parquet row group.
     val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val pairs =
       if (bruteForce) {
         val a = base.select(col("id").as("id_a"), col("v").as("v_a"))

@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.SparkSession
+
+/** Native Catalyst expressions for the vector math on the similarity
+  * hot path. Spark's higher-order functions (`zip_with` + `aggregate`)
+  * are evaluated interpreted — fine for one row, ruinous for the
+  * pair-join inner loop of near-dup detection at 100 TB. These
+  * expressions generate a tight Java loop over the underlying
+  * `ArrayData` (no per-element closure dispatch, no boxing), staying
+  * inside whole-stage codegen.
+  *
+  * Summation is sequential left-to-right, matching both the
+  * higher-order-function formulation and any scalar engine's loop —
+  * results are bit-identical to the DuckDB oracle.
+  */
+object VectorExpressions {
+
+  /** Sums are accumulated exactly like the codegen below. */
+  private def sums(a: ArrayData, b: ArrayData): (Double, Double, Double) = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    (dot, na, nb)
+  }
+
+  abstract class VectorBinary extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    // Inputs must already be array<double> (the Column wrappers below
+    // insert the cast; SQL users cast explicitly).
+    override def checkInputDataTypes(): TypeCheckResult = {
+      def ok(t: DataType) = t match {
+        case ArrayType(DoubleType, _) => true
+        case _ => false
+      }
+      if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<double> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+  }
+
+  /** cosine(a, b) = dot/(‖a‖·‖b‖); 0.0 when either norm is 0. */
+  case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinary {
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val (dot, na, nb) = sums(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+      if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val x = ctx.freshName("x"); val y = ctx.freshName("y")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $x = $a.getDouble($i);
+           |  double $y = $b.getDouble($i);
+           |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+           |}
+           |${ev.value} = ($na == 0.0 || $nb == 0.0)
+           |  ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+
+    override def prettyName: String = "graft_cosine"
+  }
+
+  /** dot(a, b) — sequential sum of elementwise products. */
+  case class DotProduct(left: Expression, right: Expression) extends VectorBinary {
+
+    override def nullSafeEval(l: Any, r: Any): Any =
+      sums(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])._1
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $dot += $a.getDouble($i) * $b.getDouble($i);
+           |}
+           |${ev.value} = $dot;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+
+    override def prettyName: String = "graft_dot"
+  }
+
+  /** Column-API entry points (no session/registration needed). */
+  def cosine(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarity(
+      Bridge.expression(a.cast("array<double>")),
+      Bridge.expression(b.cast("array<double>"))))
+
+  def dot(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(
+      Bridge.expression(a.cast("array<double>")),
+      Bridge.expression(b.cast("array<double>"))))
+
+  /** SQL registration (`graft_cosine`, `graft_dot`) for `spark.sql`
+    * users; idempotent per session.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
+    reg.registerFunction(
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+  }
+}
+
+/** `SparkSessionExtensions` hook: enable with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` to get the
+  * SQL functions in every session without explicit registration.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[VectorExpressions.CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) => VectorExpressions.CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[VectorExpressions.DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => VectorExpressions.DotProduct(children(0), children(1))))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.load
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale utilities: explicit skew mitigation and storage co-location.
+  * AQE handles moderate runtime skew (split oversized shuffle
+  * partitions); these are for the cases it can't — extreme single-key
+  * skew known in advance, and avoiding the shuffle altogether via
+  * bucketed storage.
+  */
+object Scale {
+
+  /** Salted equi-join for a skewed big side: the big side scatters each
+    * key across `salt` sub-keys; the small side replicates `salt` ways
+    * (explode), so one hot key's rows spread over `salt` reducers
+    * instead of one. Inner/left joins only (replication breaks
+    * right/full semantics). Salt is deterministic (hash of the whole
+    * row, not `rand()`) so re-runs produce identical partitioning.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      salt: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1, got $salt")
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      s"salted join supports inner/left joins, got $joinType")
+    val bigSalted = big.withColumn(
+      "__salt", pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salt)).cast("int"))
+    val smallSalted = small.withColumn(
+      "__salt", explode(sequence(lit(0), lit(salt - 1))))
+    bigSalted.join(smallSalted, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Per-key top-N without a single-reducer sort: local top-N within
+    * each input partition first (narrow), then final top-N after the
+    * key shuffle — the rank-window analogue of partial aggregation.
+    * Equivalent to `row_number().over(partitionBy(key).orderBy(ord)) <= n`
+    * but each shuffle partition receives at most `n × input-partitions`
+    * rows per key instead of all of them (the hot-key fix for ranking).
+    */
+  def topNPerKey(df: DataFrame, key: String, ord: Column, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val local = Window.partitionBy(spark_partition_id(), col(key)).orderBy(ord)
+    val global = Window.partitionBy(col(key)).orderBy(ord)
+    df.withColumn("__lr", row_number().over(local))
+      .where(col("__lr") <= n)
+      .drop("__lr")
+      .withColumn("__r", row_number().over(global))
+      .where(col("__r") <= n)
+      .drop("__r")
+  }
+
+  /** Write `df` as a bucketed+sorted table (hive-style layout in the
+    * session warehouse): joins and aggregations on `key` against
+    * another table bucketed the same way need NO shuffle — the
+    * co-location the reference gets implicitly from DBMS indexes,
+    * expressed as Spark storage layout. At 100 TB this converts every
+    * recurring fact-fact join on the key into a zero-exchange
+    * sort-merge join.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .saveAsTable(table)
+}

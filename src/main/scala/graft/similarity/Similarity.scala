@@ -18,23 +18,21 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity of two numeric arrays (as doubles; 0.0 when
-    * either norm is 0). Sequential left-to-right double sums — the same
-    * order any engine's scalar loop uses, so results are reproducible.
+    * either norm is 0). Backed by the native codegen expression
+    * [[graft.functions.VectorExpressions.CosineSimilarity]] — a tight
+    * Java loop over ArrayData inside whole-stage codegen (the
+    * higher-order-function formulation evaluates interpreted, which
+    * dominates the pair-join inner loop at scale). Sequential
+    * left-to-right double sums, so results are engine-reproducible.
     */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = a.cast("array<double>")
-    val bd = b.cast("array<double>")
-    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (s, x) => s + x)
-    val na = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), (s, x) => s + x))
-    val nb = sqrt(aggregate(transform(bd, x => x * x), lit(0.0), (s, x) => s + x))
-    when(na === 0 || nb === 0, lit(0.0)).otherwise(dot / (na * nb))
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosine(
+      a.cast("array<double>"), b.cast("array<double>"))
 
-  /** Dot product (doubles, sequential sum). */
+  /** Dot product (doubles, sequential sum; native codegen expression). */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
-      lit(0.0), (s, x) => s + x)
+    graft.functions.VectorExpressions.dot(
+      a.cast("array<double>"), b.cast("array<double>"))
 
   /** Exact top-k cosine neighbors for every query vector.
     *
@@ -54,7 +52,10 @@ object Similarity {
       k: Int): DataFrame = {
     val q = broadcast(queries.select(
       col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv")))
+    // Round-robin exchange so the corpus streams across all cores even
+    // from a single-row-group parquet file.
     val c = corpus.select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     val scored = q.crossJoin(c)
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
