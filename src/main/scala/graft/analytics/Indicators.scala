@@ -95,6 +95,63 @@ object Indicators {
   def latestN(df: DataFrame, keyCol: String, key: String, orderCol: String, n: Int): DataFrame =
     df.where(col(keyCol) === lit(key)).orderBy(col(orderCol).desc).limit(n)
 
+  /** Bollinger bands: n-bar SMA ± k·σ, full windows only. The variance
+    * comes from exact decimal SUM/SUM-of-squares over the window
+    * ((Σx² − (Σx)²/n)/(n−1)) rather than a streaming estimator, so the
+    * result is bit-reproducible in any engine with decimal arithmetic
+    * (the driver's DuckDB oracle replays it exactly).
+    * `valueCol` must be a DecimalType column.
+    */
+  def bollinger(
+      df: DataFrame,
+      partitionCol: String,
+      orderCols: Seq[String],
+      valueCol: String,
+      n: Int,
+      k: Double = 2.0): DataFrame = {
+    val w = Window
+      .partitionBy(col(partitionCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(n - 1), 0)
+    val v = col(valueCol)
+    val s1 = sum(v).over(w).cast("double")
+    val s2 = sum(v * v).over(w).cast("double")
+    val mid = s1 / n
+    val variance = (s2 - (s1 * s1) / n) / (n - 1)
+    val sd = sqrt(greatest(variance, lit(0.0)))
+    df.withColumn("bb_mid", mid)
+      .withColumn("bb_upper", mid + lit(k) * sd)
+      .withColumn("bb_lower", mid - lit(k) * sd)
+      .withColumn("__n", count(lit(1)).over(w))
+      .where(col("__n") === n)
+      .drop("__n")
+  }
+
+  /** RSI (simple n-bar average of gains/losses over the previous-value
+    * deltas; 100 when there are no losses). Decimal delta sums → exact
+    * cross-engine reproduction. Emitted only once n deltas exist.
+    */
+  def rsi(
+      df: DataFrame,
+      partitionCol: String,
+      orderCols: Seq[String],
+      valueCol: String,
+      n: Int = 14): DataFrame = {
+    val ordered = Window.partitionBy(col(partitionCol)).orderBy(orderCols.map(col): _*)
+    val frame = ordered.rowsBetween(-(n - 1), 0)
+    val diff = col(valueCol) - lag(col(valueCol), 1).over(ordered)
+    val withDiff = df.withColumn("__diff", diff)
+    val gains = sum(when(col("__diff") > 0, col("__diff")).otherwise(lit(0))).over(frame).cast("double")
+    val losses = sum(when(col("__diff") < 0, -col("__diff")).otherwise(lit(0))).over(frame).cast("double")
+    withDiff
+      .withColumn("__nd", count(col("__diff")).over(frame))
+      .withColumn("rsi",
+        when(losses === 0, lit(100.0))
+          .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + gains / losses)))
+      .where(col("__nd") === n)
+      .drop("__diff", "__nd")
+  }
+
   /** Rolling min/max/volatility over an n-bar window (full windows only). */
   def rollingStats(
       df: DataFrame,

@@ -230,11 +230,18 @@ object Relational {
     * full windows only — the reference's SMA semantics computed natively.
     * Pre-aggregation makes the window ordering key unique, so results
     * are deterministic across engines.
+    *
+    * Partitioning reuse: one explicit hash exchange on `l_suppkey`
+    * satisfies BOTH the (suppkey, day) aggregation's clustering (subset
+    * rule) and the window's partitioning — the plan has a single
+    * shuffle where the naive form pays two.
     */
   val q11_window_sma: Q = (s, dir) => {
     val daily = t(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_shipdate"), dec(col("l_extendedprice")).as("__p"))
+      .repartition(col("l_suppkey"))
       .groupBy(col("l_suppkey"), col("l_shipdate"))
-      .agg(sum(dec(col("l_extendedprice"))).as("day_price"))
+      .agg(sum(col("__p")).as("day_price"))
     val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
       .rowsBetween(-9, 0)
     daily
@@ -427,6 +434,73 @@ object Relational {
       |WHERE r_name = 'ASIA'
       |GROUP BY n_name""".stripMargin
 
+  /** Shared series for the indicator queries: per-(supplier, day)
+    * revenue as DECIMAL(18,2), pre-partitioned by supplier so the agg
+    * and every downstream window share one exchange.
+    */
+  private def supplierDaily(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_shipdate"), dec(col("l_extendedprice")).as("__p"))
+      .repartition(col("l_suppkey"))
+      .groupBy(col("l_suppkey"), col("l_shipdate"))
+      .agg(sum(col("__p")).cast(D).as("day_price"))
+
+  private val supplierDailySql: String =
+    """SELECT l_suppkey, l_shipdate,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS day_price
+      |FROM lineitem GROUP BY l_suppkey, l_shipdate""".stripMargin
+
+  /** Bollinger bands over supplier daily revenue (20-bar, k=2) — the
+    * variance from exact decimal window sums, so both engines produce
+    * identical doubles.
+    */
+  val q19_bollinger: Q = (s, dir) =>
+    graft.analytics.Indicators.bollinger(
+      supplierDaily(s, dir), "l_suppkey", Seq("l_shipdate"), "day_price",
+      n = 20, k = 2.0)
+      .select(col("l_suppkey"), col("l_shipdate"),
+        col("bb_mid"), col("bb_upper"), col("bb_lower"))
+
+  val q19_sql: String =
+    s"""WITH daily AS ($supplierDailySql),
+       |w AS (SELECT l_suppkey, l_shipdate,
+       |  CAST(SUM(day_price) OVER win AS DOUBLE) AS s1,
+       |  CAST(SUM(day_price * day_price) OVER win AS DOUBLE) AS s2,
+       |  COUNT(*) OVER win AS n
+       | FROM daily
+       | WINDOW win AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+       |                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+       |b AS (SELECT l_suppkey, l_shipdate, n,
+       |  s1 / 20 AS mid,
+       |  sqrt(greatest((s2 - (s1 * s1) / 20) / 19, 0.0)) AS sd
+       | FROM w)
+       |SELECT l_suppkey, l_shipdate, mid AS bb_mid,
+       |       mid + 2.0 * sd AS bb_upper, mid - 2.0 * sd AS bb_lower
+       |FROM b WHERE n = 20""".stripMargin
+
+  /** RSI-14 (simple averages) over supplier daily revenue. */
+  val q20_rsi: Q = (s, dir) =>
+    graft.analytics.Indicators.rsi(
+      supplierDaily(s, dir), "l_suppkey", Seq("l_shipdate"), "day_price", n = 14)
+      .select(col("l_suppkey"), col("l_shipdate"), col("rsi"))
+
+  val q20_sql: String =
+    s"""WITH daily AS ($supplierDailySql),
+       |d AS (SELECT l_suppkey, l_shipdate,
+       |  day_price - LAG(day_price, 1) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate) AS diff
+       | FROM daily),
+       |w AS (SELECT l_suppkey, l_shipdate,
+       |  CAST(SUM(CASE WHEN diff > 0 THEN diff ELSE 0 END) OVER win AS DOUBLE) AS gains,
+       |  CAST(SUM(CASE WHEN diff < 0 THEN -diff ELSE 0 END) OVER win AS DOUBLE) AS losses,
+       |  COUNT(diff) OVER win AS nd
+       | FROM d
+       | WINDOW win AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+       |                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+       |SELECT l_suppkey, l_shipdate,
+       |  CASE WHEN losses = 0 THEN 100.0
+       |       ELSE 100.0 - 100.0 / (1.0 + gains / losses) END AS rsi
+       |FROM w WHERE nd = 14""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01_pricing_summary,
     "q02_filter_pushdown" -> q02_filter_pushdown,
@@ -445,7 +519,9 @@ object Relational {
     "q15_rollup"          -> q15_rollup,
     "q16_event_buckets"   -> q16_event_buckets,
     "q17_json_extract"    -> q17_json_extract,
-    "q18_multi_join"      -> q18_multi_join)
+    "q18_multi_join"      -> q18_multi_join,
+    "q19_bollinger"       -> q19_bollinger,
+    "q20_rsi"             -> q20_rsi)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01_sql,
@@ -465,5 +541,7 @@ object Relational {
     "q15_rollup"          -> q15_sql,
     "q16_event_buckets"   -> q16_sql,
     "q17_json_extract"    -> q17_sql,
-    "q18_multi_join"      -> q18_sql)
+    "q18_multi_join"      -> q18_sql,
+    "q19_bollinger"       -> q19_sql,
+    "q20_rsi"             -> q20_sql)
 }

@@ -44,6 +44,42 @@ class IndicatorsSpec extends SparkSpec {
     assert(math.abs(out(2).getDouble(0) - (-0.1)) < 1e-12)
   }
 
+  test("bollinger: mid/upper/lower match brute-force mean ± 2·stddev") {
+    val xs = Seq(10.0, 12.0, 11.0, 13.0, 15.0, 14.0)
+    val df = xs.zipWithIndex.map { case (x, i) =>
+      ("A", i, BigDecimal(x).setScale(2))
+    }.toDF("sym", "t", "x")
+      .select(col("sym"), col("t"), col("x").cast("decimal(18,2)").as("x"))
+    val out = Indicators.bollinger(df, "sym", Seq("t"), "x", n = 3, k = 2.0)
+      .orderBy("t").select("t", "bb_mid", "bb_upper", "bb_lower")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length == 4)   // t = 2..5
+    out.foreach { case (ti, mid, up, lo) =>
+      val window = xs.slice(ti - 2, ti + 1)
+      val m = window.sum / 3
+      val sd = math.sqrt(window.map(x => (x - m) * (x - m)).sum / 2)
+      assert(math.abs(mid - m) < 1e-9)
+      assert(math.abs(up - (m + 2 * sd)) < 1e-9)
+      assert(math.abs(lo - (m - 2 * sd)) < 1e-9)
+    }
+  }
+
+  test("rsi: all-gains series is 100; alternating series matches brute force") {
+    def mk(xs: Seq[Double]) = xs.zipWithIndex.map { case (x, i) =>
+      ("A", i, BigDecimal(x).setScale(2))
+    }.toDF("sym", "t", "x")
+      .select(col("sym"), col("t"), col("x").cast("decimal(18,2)").as("x"))
+    val up = Indicators.rsi(mk((1 to 10).map(_.toDouble)), "sym", Seq("t"), "x", n = 3)
+      .select("rsi").collect().map(_.getDouble(0))
+    assert(up.nonEmpty && up.forall(_ == 100.0))
+
+    val alt = Seq(10.0, 12.0, 11.0, 14.0, 12.0)  // diffs: +2, -1, +3, -2
+    val out = Indicators.rsi(mk(alt), "sym", Seq("t"), "x", n = 4)
+      .select("rsi").collect().map(_.getDouble(0))
+    // gains=5, losses=3 → rsi = 100 - 100/(1 + 5/3) = 62.5
+    assert(out.length == 1 && math.abs(out.head - 62.5) < 1e-9)
+  }
+
   test("rollingStats emits min/max/stddev on full windows only") {
     val df = (1 to 5).map(i => ("A", i, i.toDouble)).toDF("sym", "t", "x")
     val out = Indicators.rollingStats(df, "sym", Seq("t"), "x", n = 3)

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Properties, Test => ScTest}
+
+import graft.analytics.Indicators
+import graft.load.Incremental
+
+/** Property-based checks (SURVEY.md §5): load idempotency, HWM ≡
+  * anti-join on duplicate-free histories, SMA ≡ brute force. Spark jobs
+  * per case are slow, so the per-property case count is small; the
+  * generators still cover empty/duplicate/out-of-order shapes.
+  */
+object LoadProperties extends Properties("graft.load") {
+
+  override def overrideParameters(p: ScTest.Parameters): ScTest.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("sym", StringType),
+    StructField("d", IntegerType),
+    StructField("v", DoubleType)))
+
+  private val genRows: Gen[List[(String, Int, Double)]] =
+    Gen.listOfN(30, for {
+      s <- Gen.oneOf("A", "B", "C")
+      d <- Gen.choose(1, 15)
+      v <- Gen.choose(0, 1000).map(_ / 10.0)
+    } yield (s, d, v))
+
+  property("appendIdempotent: re-running any batch inserts zero") =
+    Prop.forAll(genRows) { rows =>
+      val path = Files.createTempDirectory("graft_prop").toString + "/t"
+      val batch = rows.toDF("sym", "d", "v")
+      val n1 = Incremental.appendIdempotent(spark, path, batch, Seq("sym", "d"), schema)
+      val n2 = Incremental.appendIdempotent(spark, path, batch, Seq("sym", "d"), schema)
+      val distinctPk = rows.map(r => (r._1, r._2)).distinct.size
+      n1 == distinctPk && n2 == 0
+    }
+
+  property("HWM filter ≡ PK anti-join when histories are duplicate-free") =
+    Prop.forAll(genRows, genRows) { (t0, i0 ) =>
+      val target = t0.distinctBy(r => (r._1, r._2)).toDF("sym", "d", "v")
+      val incoming = i0.distinctBy(r => (r._1, r._2)).toDF("sym", "d", "v")
+      // HWM semantics: strictly newer than the target's max per key.
+      val viaHwm = Incremental.newerThanWatermark(incoming, target, "sym", "d")
+        .select("sym", "d").collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      // anti-join keeps new PKs even when older than the watermark — the
+      // two agree exactly on the rows above every key's watermark.
+      val maxPerKey = t0.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).max }
+      val expected = i0.distinctBy(r => (r._1, r._2))
+        .filter(r => maxPerKey.get(r._1).forall(r._2 > _))
+        .map(r => (r._1, r._2)).toSet
+      viaHwm == expected
+    }
+
+  property("SMA window ≡ brute-force average, gated on full windows") =
+    Prop.forAll(Gen.listOfN(25, Gen.choose(0, 500).map(_ / 10.0)), Gen.choose(1, 6)) {
+      (xs, n) =>
+        val df = xs.zipWithIndex.map { case (x, i) => ("A", i, x) }.toDF("sym", "t", "x")
+        val got = Indicators.sma(df, "sym", Seq("t"), "x", n)
+          .orderBy("t").select("sma_value").collect().map(_.getDouble(0)).toSeq
+        val want = xs.indices.drop(n - 1)
+          .map(i => xs.slice(i - n + 1, i + 1).sum / n)
+        got.size == want.size &&
+          got.zip(want).forall { case (a, b) => math.abs(a - b) < 1e-9 }
+    }
+}
