@@ -42,16 +42,41 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** MinHash signature over a shingle array column: element i is
-    * `min(md5(i || "|" || shingle))` — `numHashes` independent
-    * permutation approximations from one md5 family. String mins are
-    * as collision-sound as integer mins and reproducible in any engine
-    * with md5.
+  /** The MinHash permutation family: base value v = 28 bits of the
+    * shingle's md5 (one digest per shingle), permutation i is the
+    * universal hash (aᵢ·v + bᵢ) mod p with p = 2³¹−1 (Carter–Wegman).
+    * One md5 + numHashes multiplications per shingle instead of
+    * numHashes digests — and every constant is engine-portable, so the
+    * DuckDB oracle replays the family exactly (`Queries.Corpus` builds
+    * its SQL from these same constants).
     */
+  val minhashP: Long = (1L << 31) - 1
+  def minhashCoeffs(numHashes: Int): Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(20260812L)
+    Seq.fill(numHashes)(
+      (rng.nextInt((minhashP - 1).toInt).toLong + 1, // a ∈ [1, p-1]
+        rng.nextInt(minhashP.toInt).toLong))          // b ∈ [0, p-1]
+  }
+
+  /** 28-bit integer base hash per shingle (md5-derived → portable). */
+  def shingleBaseHashes(shingleArr: Column): Column =
+    transform(shingleArr,
+      s => conv(substring(md5(s), 1, 7), 16, 10).cast("long"))
+
+  /** MinHash signature over a *base-hash* array column (stage
+    * [[shingleBaseHashes]] first so each md5 runs once): element i is
+    * min over shingles of (aᵢ·v + bᵢ) mod p.
+    */
+  def minhashOfHashes(baseHashes: Column, numHashes: Int): Column = {
+    val coeffs = minhashCoeffs(numHashes)
+    array(coeffs.map { case (a, b) =>
+      array_min(transform(baseHashes, v => pmod(v * a + b, lit(minhashP))))
+    }: _*)
+  }
+
+  /** MinHash signature over a shingle array column. */
   def minhashOfShingles(shingleArr: Column, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingleArr, s => md5(concat(i, lit("|"), s)))))
+    minhashOfHashes(shingleBaseHashes(shingleArr), numHashes)
 
   /** MinHash signature straight from text (convenience; pipelines should
     * stage the shingle column once — see [[minhashNearDups]]).
@@ -123,7 +148,8 @@ object Dedup {
       .select(col("id"),
         array_distinct(TextAnalysis.shingles(col("text"), k)).as("sh_set"))
     val banded = sets
-      .withColumn("sig", minhashOfShingles(col("sh_set"), numHashes))
+      .withColumn("__bh", shingleBaseHashes(col("sh_set")))
+      .withColumn("sig", minhashOfHashes(col("__bh"), numHashes))
       .withColumn("band", explode(lshBandKeys(col("sig"), bands, rowsPerBand)))
       .select(col("band"), col("id"))
     // Candidate pairs carry ids only (the band self-join shuffles 16

@@ -163,17 +163,24 @@ object Corpus {
     Dedup.minhashNearDups(t(s, dir, "documents"), "text", "doc_id",
       k = 5, numHashes = 16, bands = 4, threshold = 0.5)
 
-  val d02_sql: String =
+  val d02_sql: String = {
+    // Replays Dedup's universal-hash MinHash family with the same
+    // constants ((a·v + b) mod p over the 28-bit md5 base hash).
+    val sigExprs = Dedup.minhashCoeffs(16).map { case (a, b) =>
+      s"list_min(list_transform(bh, v -> (v * $a + $b) % ${Dedup.minhashP}))"
+    }.mkString("[", ",\n    ", "]")
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |sh AS (SELECT doc_id,
        |  CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
        |       ELSE list_transform(generate_series(1, len(toks) - 4),
        |                           i -> array_to_string(toks[i:i+4], ' ')) END AS sh
        | FROM t),
-       |sig AS (SELECT doc_id, sh,
-       |  list_transform(generate_series(0, 15),
-       |                 i -> list_min(list_transform(sh, x -> md5(i::VARCHAR || '|' || x)))) AS sig
+       |bh AS (SELECT doc_id, sh,
+       |  list_transform(sh, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS bh
        | FROM sh),
+       |sig AS (SELECT doc_id, sh,
+       |  $sigExprs AS sig
+       | FROM bh),
        |banded AS (SELECT doc_id, sh,
        |  unnest(list_transform(generate_series(0, 3),
        |                        b -> md5(b::VARCHAR || ':' || array_to_string(sig[b*4+1:b*4+4], ',')))) AS band
@@ -189,6 +196,7 @@ object Corpus {
        |            / (len(sa) + len(sb) - len(list_filter(sa, x -> list_contains(sb, x)))) END AS jaccard
        | FROM j)
        |SELECT id_a, id_b, jaccard FROM jj WHERE jaccard >= 0.5""".stripMargin
+  }
 
   /** SimHash near-duplicate pairs: 48-bit md5-derived SimHash, Manku
     * block-and-verify, Hamming distance ≤ 3.

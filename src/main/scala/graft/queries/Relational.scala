@@ -501,6 +501,33 @@ object Relational {
        |       ELSE 100.0 - 100.0 / (1.0 + gains / losses) END AS rsi
        |FROM w WHERE nd = 14""".stripMargin
 
+  /** Set ops §2.C: INTERSECT/EXCEPT (distinct) between two filtered
+    * projections — planned as left-semi/left-anti aggregates, no row
+    * multiplication.
+    */
+  val q21_setops: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val highValue = o.where(col("o_totalprice") > 200000)
+      .select(col("o_custkey"))
+    val urgent = o.where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    highValue.intersect(urgent)
+      .withColumn("relation", lit("both"))
+      .unionByName(
+        highValue.except(urgent).withColumn("relation", lit("high_value_only")))
+  }
+
+  val q21_sql: String =
+    """SELECT o_custkey, 'both' AS relation FROM (
+      |  SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |UNION ALL
+      |SELECT o_custkey, 'high_value_only' AS relation FROM (
+      |  SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01_pricing_summary,
     "q02_filter_pushdown" -> q02_filter_pushdown,
@@ -521,7 +548,8 @@ object Relational {
     "q17_json_extract"    -> q17_json_extract,
     "q18_multi_join"      -> q18_multi_join,
     "q19_bollinger"       -> q19_bollinger,
-    "q20_rsi"             -> q20_rsi)
+    "q20_rsi"             -> q20_rsi,
+    "q21_setops"          -> q21_setops)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01_sql,
@@ -543,5 +571,6 @@ object Relational {
     "q17_json_extract"    -> q17_sql,
     "q18_multi_join"      -> q18_sql,
     "q19_bollinger"       -> q19_sql,
-    "q20_rsi"             -> q20_sql)
+    "q20_rsi"             -> q20_sql,
+    "q21_setops"          -> q21_sql)
 }
