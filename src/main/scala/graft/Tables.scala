@@ -29,4 +29,13 @@ object Tables {
       .parquet(s"$sfDir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
+
+  /** B9 as a SQL surface: register every corpus table as a temp view and
+    * the graft SQL functions (`graft_cosine`, `graft_dot`), so the whole
+    * engine is reachable from `spark.sql(...)`.
+    */
+  def registerViews(spark: SparkSession, sfDir: String): Unit = {
+    all.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+    graft.functions.VectorExpressions.register(spark)
+  }
 }

@@ -1,0 +1,30 @@
+package graft
+
+class SqlSurfaceSpec extends SparkSpec {
+
+  test("registerViews exposes the corpus and the graft SQL functions to spark.sql") {
+    Tables.registerViews(spark, "/root/testdata/sf0.001")
+    val n = spark.sql("SELECT COUNT(*) FROM lineitem WHERE l_quantity < 10")
+      .collect()(0).getLong(0)
+    assert(n > 0)
+
+    val joined = spark.sql(
+      """SELECT r_name, COUNT(*) AS c FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin).collect()
+    assert(joined.length == 5)
+
+    val cos = spark.sql(
+      """SELECT a.vec_id, graft_cosine(CAST(a.embedding AS ARRAY<DOUBLE>),
+        |                              CAST(a.embedding AS ARRAY<DOUBLE>)) AS self_cos
+        |FROM embeddings a LIMIT 5""".stripMargin)
+      .collect().map(_.getDouble(1))
+    assert(cos.forall(c => math.abs(c - 1.0) < 1e-12))
+
+    val dot = spark.sql(
+      "SELECT graft_dot(CAST(ARRAY(1.0, 2.0) AS ARRAY<DOUBLE>), CAST(ARRAY(3.0, 4.0) AS ARRAY<DOUBLE>)) AS d")
+      .collect()(0).getDouble(0)
+    assert(dot == 11.0)
+  }
+}

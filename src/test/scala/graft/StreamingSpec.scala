@@ -29,6 +29,30 @@ class StreamingSpec extends SparkSpec {
     assert(rows.distinct.length == 10)            // and no PK duplicates
   }
 
+  test("windowedOhlcv aggregates tumbling event-time windows with watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, java.sql.Timestamp, Double, Double, Long)]
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2025-12-09 $h%02d:$m%02d:00")
+    stream.addData(
+      ("AAPL", ts(10, 5), 276.5, 276.1, 1000L),
+      ("AAPL", ts(10, 55), 277.2, 276.8, 2000L),
+      ("AAPL", ts(11, 10), 278.0, 277.5, 1500L),
+      ("MSFT", ts(10, 30), 448.0, 447.0, 900L))
+    val bars = stream.toDS().toDF("company_symbol", "date_time", "high_price", "low_price", "volume")
+    val q = StreamingIngest.windowedOhlcv(bars)
+      .writeStream.format("memory").queryName("ohlcv_out")
+      .outputMode("append").start()
+    stream.addData(("AAPL", ts(14, 0), 279.0, 278.5, 100L)) // advances watermark past 10-11h
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql(
+      "SELECT company_symbol, hour(window_start), volume, n_bars FROM ohlcv_out")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out.contains(("AAPL", 10, 3000L, 2L)))   // two bars in the 10:00 window
+    assert(out.contains(("MSFT", 10, 900L, 1L)))
+  }
+
   test("streamingSma maintains count-based windows per key in arbitrary arrival order") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
