@@ -22,6 +22,12 @@ object Tables {
     * natively; read nanos as long and truncate to a microsecond timestamp.
     * Truncation (not rounding) matches DuckDB's `CAST(ts AS TIMESTAMP)`
     * on the same file, keeping the oracle comparable.
+    *
+    * Note: `nanosAsLong` is session-wide and stays set (restoring it
+    * immediately would race the lazy scan). Without it Spark ERRORS on
+    * any TIMESTAMP(NANOS) parquet, so the observable change for other
+    * reads in the session is nanos-columns-as-BIGINT instead of a hard
+    * failure — acceptable for this engine's sessions, documented here.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -35,9 +35,16 @@ object PayloadReader {
   def fromJsonStrings(spark: SparkSession, payloads: Dataset[String]): DataFrame =
     spark.read.schema(payloadSchema).json(payloads)
 
-  /** Directory/glob of payload files (one JSON document per file or per line). */
+  /** Directory/glob of payload files, one (possibly pretty-printed)
+    * JSON document per FILE. For JSONL (one document per line) use
+    * [[fromJsonLines]] — multiLine mode would swallow lines 2..n.
+    */
   def fromFiles(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(payloadSchema).option("multiLine", true).json(path)
+
+  /** JSONL payload files: one JSON document per line. */
+  def fromJsonLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(payloadSchema).json(path)
 
   /** A14: drop API error / rate-limit envelopes before normalization. */
   def valid(payloads: DataFrame): DataFrame =

@@ -46,9 +46,17 @@ object Incremental {
       .drop("__hwm")
   }
 
-  /** B6 within-batch + B4 cross-batch: at-most-once on the PK. */
+  /** B6 within-batch + B4 cross-batch: at-most-once on the PK.
+    *
+    * Rows with a NULL in any PK column are rejected outright: a real
+    * primary key forbids NULLs (the reference's Postgres INSERT would
+    * error), and equality anti-joins never match NULL keys — keeping
+    * such rows would re-insert them on every run, silently breaking
+    * idempotency.
+    */
   def notInTarget(incoming: DataFrame, target: DataFrame, pk: Seq[String]): DataFrame =
     incoming
+      .where(pk.map(col(_).isNotNull).reduce(_ && _))
       .dropDuplicates(pk)
       .join(target.select(pk.map(col): _*), pk, "left_anti")
 

@@ -34,12 +34,15 @@ object Scale {
     bigSalted.join(smallSalted, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
-  /** Per-key top-N without a single-reducer sort: local top-N within
-    * each input partition first (narrow), then final top-N after the
-    * key shuffle — the rank-window analogue of partial aggregation.
-    * Equivalent to `row_number().over(partitionBy(key).orderBy(ord)) <= n`
-    * but each shuffle partition receives at most `n × input-partitions`
-    * rows per key instead of all of them (the hot-key fix for ranking).
+  /** Per-key top-N without a hot-key reducer: stage 1 ranks within
+    * (input partition, key) — that shuffle spreads a hot key's rows
+    * across as many reducers as there are input partitions, so no
+    * single task ever sorts all of a hot key — and stage 2 ranks the
+    * survivors, at most `n × input-partitions` rows per key.
+    * Equivalent results to `row_number().over(partitionBy(key)
+    * .orderBy(ord)) <= n`; costs one extra (skew-spread) shuffle, so
+    * use it when a hot key would otherwise pin the rank window to one
+    * reducer, not as a general replacement.
     */
   def topNPerKey(df: DataFrame, key: String, ord: Column, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -238,10 +238,14 @@ object Corpus {
       threshold = 0.5, bruteForce = true)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
 
+  // Zero-norm guard mirrors graft_cosine's (0.0, not NaN) — a latent
+  // mismatch otherwise if the corpus ever contains an all-zero vector.
   private val cosSql =
-    """list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) /
-      | (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-      |  * sqrt(list_sum(list_transform(b.v, x -> x * x))))""".stripMargin
+    """CASE WHEN list_sum(list_transform(a.v, x -> x * x)) = 0
+      |       OR list_sum(list_transform(b.v, x -> x * x)) = 0 THEN 0.0
+      |     ELSE list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) /
+      |          (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+      |           * sqrt(list_sum(list_transform(b.v, x -> x * x)))) END""".stripMargin
 
   val d04_sql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

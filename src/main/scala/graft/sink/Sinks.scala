@@ -58,11 +58,19 @@ final class JdbcSink(
     properties: java.util.Properties = new java.util.Properties(),
     batchSize: Int = 1000) extends Sink {
 
-  private def existing(): DataFrame =
-    spark.read.jdbc(url, table, properties)
+  /** Only the PK columns leave the DBMS (server-side projection via a
+    * dbtable subquery) — the anti-join never needs the payload columns.
+    * Still a single-connection read; for very large targets prefer the
+    * staging-table + MERGE route documented above, or bound the read
+    * with the batch's key range.
+    */
+  private def existingPks(): DataFrame =
+    spark.read.jdbc(
+      url, s"(SELECT ${pk.mkString(", ")} FROM $table) AS graft_pk_scan",
+      properties)
 
   def appendIdempotent(rows: DataFrame): Long = {
-    val fresh = Incremental.notInTarget(rows, existing(), pk).cache()
+    val fresh = Incremental.notInTarget(rows, existingPks(), pk).cache()
     try {
       val n = fresh.count()
       if (n > 0) append(fresh)

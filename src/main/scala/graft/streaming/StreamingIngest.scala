@@ -51,8 +51,10 @@ object StreamingIngest {
   }
 
   /** Tumbling event-time window aggregate over an intraday bar stream:
-    * per (symbol, window) OHLCV rollup with late data bounded by the
-    * watermark — the standard streaming-window shape (§2.C streaming).
+    * per (symbol, window) OHLCV candle — open/close from the earliest/
+    * latest bar in the window (min_by/max_by on event time), high/low/
+    * volume as plain aggregates — with late data bounded by the
+    * watermark (§2.C streaming).
     */
   def windowedOhlcv(intraday: DataFrame, window: String = "1 hour",
       watermark: String = "2 hours"): DataFrame =
@@ -63,12 +65,15 @@ object StreamingIngest {
           .as("w"),
         col("company_symbol"))
       .agg(
-        min(col("low_price")).as("low_price"),
+        min_by(col("open_price"), col("date_time")).as("open_price"),
         max(col("high_price")).as("high_price"),
+        min(col("low_price")).as("low_price"),
+        max_by(col("close_price"), col("date_time")).as("close_price"),
         sum(col("volume")).as("volume"),
         count(lit(1)).as("n_bars"))
       .select(col("company_symbol"), col("w.start").as("window_start"),
-        col("low_price"), col("high_price"), col("volume"), col("n_bars"))
+        col("open_price"), col("high_price"), col("low_price"),
+        col("close_price"), col("volume"), col("n_bars"))
 
   // ---- custom state: streaming SMA via flatMapGroupsWithState ----
 
@@ -83,6 +88,11 @@ object StreamingIngest {
     *
     * State per key is the last n (ts, close) pairs — O(n) per symbol,
     * partitioned by symbol across executors like any keyed state store.
+    * Bars at-or-before the newest already-processed timestamp (late
+    * cross-batch arrivals and duplicates) are dropped — the streaming
+    * analogue of the batch high-water-mark filter (A7); emitting
+    * retroactive corrections would require Update-mode re-emission,
+    * which count-based SMA semantics don't define.
     */
   def streamingSma(bars: org.apache.spark.sql.Dataset[Bar], n: Int)
       : org.apache.spark.sql.Dataset[SmaOut] = {
@@ -94,10 +104,14 @@ object StreamingIngest {
         (symbol: String, in: Iterator[Bar], state: GroupState[SmaState]) =>
           var recent = state.getOption.map(_.recent).getOrElse(Nil)
           val out = in.toSeq.sortBy(_.ts.getTime).flatMap { b =>
-            recent = ((b.ts.getTime, b.close) :: recent).take(n)
-            if (recent.length == n)
-              Some(SmaOut(symbol, b.ts, recent.map(_._2).sum / n))
-            else None
+            val hwm = recent.headOption.map(_._1)
+            if (hwm.exists(b.ts.getTime <= _)) None  // late or duplicate bar
+            else {
+              recent = ((b.ts.getTime, b.close) :: recent).take(n)
+              if (recent.length == n)
+                Some(SmaOut(symbol, b.ts, recent.map(_._2).sum / n))
+              else None
+            }
           }
           state.update(SmaState(recent))
           out.iterator

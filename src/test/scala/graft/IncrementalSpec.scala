@@ -42,6 +42,16 @@ class IncrementalSpec extends SparkSpec {
     assert(spark.read.schema(schema).parquet(base).count() == 4)
   }
 
+  test("appendIdempotent rejects NULL-PK rows instead of re-inserting them forever") {
+    val base = Files.createTempDirectory("graft_nullpk_spec").toString + "/t"
+    val batch = Seq(("A", Some(1), 1.0), ("B", None, 2.0))
+      .toDF("sym", "d", "v")
+    val n1 = Incremental.appendIdempotent(spark, base, batch, Seq("sym", "d"), schema)
+    val n2 = Incremental.appendIdempotent(spark, base, batch, Seq("sym", "d"), schema)
+    assert(n1 == 1 && n2 == 0)   // null-d row never lands, never re-inserts
+    assert(spark.read.schema(schema).parquet(base).count() == 1)
+  }
+
   test("ensureCompanies appends only unseen symbols") {
     val base = Files.createTempDirectory("graft_cat_spec").toString
     val n1 = Catalog.ensureCompanies(spark, base, Seq("AAPL", "MSFT", "AAPL").toDF("s"))

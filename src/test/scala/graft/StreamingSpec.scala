@@ -32,25 +32,29 @@ class StreamingSpec extends SparkSpec {
   test("windowedOhlcv aggregates tumbling event-time windows with watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
-    val stream = MemoryStream[(String, java.sql.Timestamp, Double, Double, Long)]
+    val stream = MemoryStream[(String, java.sql.Timestamp, Double, Double, Double, Double, Long)]
     def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2025-12-09 $h%02d:$m%02d:00")
     stream.addData(
-      ("AAPL", ts(10, 5), 276.5, 276.1, 1000L),
-      ("AAPL", ts(10, 55), 277.2, 276.8, 2000L),
-      ("AAPL", ts(11, 10), 278.0, 277.5, 1500L),
-      ("MSFT", ts(10, 30), 448.0, 447.0, 900L))
-    val bars = stream.toDS().toDF("company_symbol", "date_time", "high_price", "low_price", "volume")
+      ("AAPL", ts(10, 55), 277.0, 277.2, 276.8, 277.1, 2000L),  // latest in window → close
+      ("AAPL", ts(10, 5), 276.2, 276.5, 276.1, 276.4, 1000L),   // earliest → open
+      ("AAPL", ts(11, 10), 277.6, 278.0, 277.5, 277.9, 1500L),
+      ("MSFT", ts(10, 30), 447.5, 448.0, 447.0, 447.8, 900L))
+    val bars = stream.toDS().toDF("company_symbol", "date_time",
+      "open_price", "high_price", "low_price", "close_price", "volume")
     val q = StreamingIngest.windowedOhlcv(bars)
       .writeStream.format("memory").queryName("ohlcv_out")
       .outputMode("append").start()
-    stream.addData(("AAPL", ts(14, 0), 279.0, 278.5, 100L)) // advances watermark past 10-11h
+    stream.addData(("AAPL", ts(14, 0), 278.6, 279.0, 278.5, 278.9, 100L)) // advances watermark past 10-11h
     q.processAllAvailable()
     q.stop()
     val out = spark.sql(
-      "SELECT company_symbol, hour(window_start), volume, n_bars FROM ohlcv_out")
-      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
-    assert(out.contains(("AAPL", 10, 3000L, 2L)))   // two bars in the 10:00 window
-    assert(out.contains(("MSFT", 10, 900L, 1L)))
+      """SELECT company_symbol, hour(window_start), open_price, high_price,
+        |       low_price, close_price, volume, n_bars FROM ohlcv_out""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6), r.getLong(7))).toSet
+    // candle: open from 10:05 bar, close from 10:55 bar, hi/lo across both
+    assert(out.contains(("AAPL", 10, 276.2, 277.2, 276.1, 277.1, 3000L, 2L)))
+    assert(out.contains(("MSFT", 10, 447.5, 448.0, 447.0, 447.8, 900L, 1L)))
   }
 
   test("streamingSma maintains count-based windows per key in arbitrary arrival order") {
@@ -71,5 +75,27 @@ class StreamingSpec extends SparkSpec {
     val out = spark.sql("SELECT company_symbol, sma FROM sma_out")
       .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
     assert(out == Seq(("A", 2.0)))   // only A reaches 3 bars: (1+2+3)/3
+  }
+
+  test("streamingSma drops late cross-batch bars instead of corrupting the window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StreamingIngest.Bar]
+    def ts(i: Int) = new java.sql.Timestamp(i * 60000L)
+    val q = StreamingIngest.streamingSma(stream.toDS(), n = 2)
+      .writeStream.format("memory").queryName("sma_late_out")
+      .outputMode("append").start()
+    stream.addData(
+      StreamingIngest.Bar("A", ts(3), 3.0),
+      StreamingIngest.Bar("A", ts(4), 4.0))
+    q.processAllAvailable()
+    stream.addData(
+      StreamingIngest.Bar("A", ts(2), 99.0),   // late: before the t=4 watermark
+      StreamingIngest.Bar("A", ts(5), 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT sma FROM sma_late_out ORDER BY ts")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(out == Seq(3.5, 4.5))   // (3+4)/2 then (4+5)/2 — the 99.0 bar ignored
   }
 }
