@@ -298,8 +298,27 @@ object Corpus {
   val m01_multimodal_features: Q = (s, _) =>
     graft.multimodal.MultiModal.featureStats(s, n = 300)
 
+  /** IVF-ANN top-10 (k-means inverted lists, 4-probe) — the second ANN
+    * scale path next to s02's hyperplane LSH. The index is built once
+    * per corpus and reused (real serving shape: construction amortizes
+    * across query batches). Seeded-random fit → rows-only.
+    */
+  private val ivfIndexes =
+    scala.collection.concurrent.TrieMap[String, Similarity.IvfIndex]()
+
+  val s03_ivf_topk: Q = (s, dir) => {
+    val idx = ivfIndexes.getOrElseUpdate(dir,
+      Similarity.IvfIndex.build(t(s, dir, "embeddings"), "vec_id", "embedding",
+        nLists = 16))
+    idx.search(t(s, dir, "embeddings").where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "m01_multimodal_features" -> m01_multimodal_features,
+    "s03_ivf_topk"          -> s03_ivf_topk,
     "t01_token_stats"       -> t01_token_stats,
     "t02_quality_score"     -> t02_quality_score,
     "t03_lang_id"           -> t03_lang_id,

@@ -97,6 +97,113 @@ object Similarity {
     array(perTable: _*)
   }
 
+  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    * (MLlib, seeded, fit on a corpus sample) partitions the corpus into
+    * `nLists` inverted lists; each query probes its `nProbe` nearest
+    * centroids and ranks only those lists with exact cosine.
+    *
+    * Scale shape: the fit touches a bounded sample; assignment is one
+    * narrow pass (centroid table is a literal); the probe join shuffles
+    * on the list id — queries × (corpus/nLists × nProbe) work instead
+    * of queries × corpus. Store the corpus partitioned by `ivf_list`
+    * and the probe join prunes partitions too.
+    */
+  /** A built IVF index: the coarse centroids plus the list-assigned
+    * (and cached) corpus. Build once, serve many queries — index
+    * construction is the amortized cost, exactly like any ANN index.
+    */
+  final case class IvfIndex(
+      centroids: Seq[Seq[Double]],
+      listed: DataFrame) {
+
+    // nearest-centroid ranking as a column expression over the literal
+    // centroid table: sort (distance, index) structs — linear-size
+    // expression tree (a pairwise argmin reduce would duplicate the
+    // accumulated struct per level and blow up exponentially)
+    private[similarity] def rankedLists(v: Column): Column =
+      array_sort(array(centroids.zipWithIndex.map { case (ctr, i) =>
+        struct(IvfIndex.sqDist(v, ctr).as("d"), lit(i).as("i"))
+      }: _*)).getField("i")
+
+    /** Probe the `nProbe` nearest lists per query, rank candidates by
+      * exact cosine. Shuffles on the list id only.
+      */
+    def search(
+        queries: DataFrame,
+        queryIdCol: String,
+        queryVecCol: String,
+        k: Int,
+        nProbe: Int = 4): DataFrame = {
+      val q = queries.select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).cast("array<double>").as("__qv"))
+      val probed = q.withColumn("ivf_list",
+        explode(slice(rankedLists(col("__qv")), 1, nProbe)))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      probed.join(listed, Seq("ivf_list"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("__qv"), col("__cv")).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+    }
+  }
+
+  object IvfIndex {
+    private[similarity] def sqDist(v: Column, ctr: Seq[Double]): Column = {
+      val lit2 = typedLit(ctr)
+      dot(v, v) - lit(2.0) * dot(v, lit2) + lit(ctr.map(x => x * x).sum)
+    }
+
+    /** Fit the coarse quantizer (MLlib k-means, seeded; at real scale
+      * pass a small `fitSampleFraction`) and materialize the inverted
+      * lists. The assigned corpus is cached — the in-memory residency
+      * of a serving index. At 100 TB, persist `listed` partitioned by
+      * `ivf_list` instead, so probes prune storage partitions.
+      */
+    def build(
+        corpus: DataFrame,
+        corpusIdCol: String,
+        corpusVecCol: String,
+        nLists: Int = 16,
+        fitSampleFraction: Double = 1.0,
+        seed: Long = 42L): IvfIndex = {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val c = corpus.select(col(corpusIdCol).as("neighbor_id"),
+        col(corpusVecCol).cast("array<double>").as("__cv"))
+      val fitInput = (if (fitSampleFraction < 1.0) c.sample(fitSampleFraction, seed) else c)
+        .withColumn("features", array_to_vector(col("__cv")))
+      val model = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("features")
+        .fit(fitInput)
+      val centroids: Seq[Seq[Double]] = model.clusterCenters.map(_.toArray.toSeq).toSeq
+      val idx = IvfIndex(centroids, listed = null)
+      val listed = c
+        .withColumn("ivf_list", element_at(idx.rankedLists(col("__cv")), 1))
+        .cache()
+      listed.count() // materialize the lists eagerly
+      idx.copy(listed = listed)
+    }
+  }
+
+  /** One-shot IVF top-k (builds a throwaway index; prefer
+    * [[IvfIndex.build]] + `search` when serving many query batches).
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      corpusIdCol: String,
+      corpusVecCol: String,
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      fitSampleFraction: Double = 1.0,
+      seed: Long = 42L): DataFrame =
+    IvfIndex.build(corpus, corpusIdCol, corpusVecCol, nLists, fitSampleFraction, seed)
+      .search(queries, queryIdCol, queryVecCol, k, nProbe)
+
   /** Approximate top-k via hyperplane LSH: candidates are corpus
     * vectors sharing ≥1 bucket with the query in any table; exact
     * cosine then ranks the candidates. Shuffles on bucket keys only.

@@ -35,6 +35,33 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq(1L, 2L, 3L))
   }
 
+  test("ivfTopK: scores exact on probed lists; identical vectors share a list and are found") {
+    val rng = new scala.util.Random(23)
+    val base = (0L until 60L).map { i =>
+      (i, Array.fill(16)(rng.nextGaussian().toFloat))
+    }
+    // vec 60 duplicates vec 0 → same nearest centroid, must be found
+    val corpus = (base :+ (60L, base.head._2.clone())).toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") === 0)
+
+    val bf = Similarity.bruteForceTopK(queries, corpus,
+      "vec_id", "embedding", "vec_id", "embedding", k = 61)
+      .select("query_id", "neighbor_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    val ivf = Similarity.ivfTopK(queries, corpus,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 10, nLists = 8, nProbe = 2)
+      .select("query_id", "neighbor_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (pair, c) =>
+      assert(bf.contains(pair) && math.abs(bf(pair) - c) < 1e-12)
+    }
+    assert(ivf.exists { case ((_, n), c) => n == 60L && math.abs(c - 1.0) < 1e-9 })
+  }
+
   test("lshTopK candidates are a subset of brute-force with exact scores, and same-direction vectors are always found") {
     val rng = new scala.util.Random(11)
     val corpus = (0L until 50L).map { i =>
