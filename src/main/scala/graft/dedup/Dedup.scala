@@ -230,6 +230,54 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  // --------------------------------------------------- group formation
+
+  /** Consolidate near-duplicate PAIRS into duplicate GROUPS: connected
+    * components by iterative min-label propagation. Each round, every
+    * node adopts the smallest label among itself and its neighbors;
+    * convergence takes O(component diameter) rounds (near-dup clusters
+    * are shallow — chains longer than a few hops are rare), checked by
+    * an exact changed-label count per round and capped by `maxIters`.
+    *
+    * Input: (id_a, id_b) pair frame. Output: (id, group_id) for every
+    * id appearing in a pair, where group_id is the component's minimum
+    * id — the deterministic canonical representative.
+    *
+    * Scale shape: each round is one shuffle join on the node id + one
+    * aggregate; nothing materializes the transitive closure.
+    */
+  def duplicateGroups(
+      pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("label", "nlabel"), Seq("dst"))
+        .select(col("src").as("id"), col("nlabel"))
+      val next = labels
+        .unionByName(neighborLabels.withColumnRenamed("nlabel", "label"))
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .where(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("group_id"))
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-duplicate pairs: all pairs with cosine ≥

@@ -229,6 +229,27 @@ object Corpus {
        |SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
        |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3""".stripMargin
 
+  /** Near-dup pairs consolidated into duplicate groups: connected
+    * components over the d02 pair graph via min-label propagation; the
+    * oracle replays it with a recursive transitive-closure CTE (small
+    * pair graphs — the Spark side never materializes the closure).
+    */
+  val d05_dup_groups: Q = (s, dir) =>
+    Dedup.duplicateGroups(
+      Dedup.minhashNearDups(t(s, dir, "documents"), "text", "doc_id",
+        k = 5, numHashes = 16, bands = 4, threshold = 0.5))
+
+  val d05_sql: String =
+    s"""WITH RECURSIVE pairs AS ($d02_sql),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT src AS id, LEAST(src, MIN(dst)) AS group_id
+       |FROM reach GROUP BY src""".stripMargin
+
   /** Embedding-cosine near-duplicate pairs (exhaustive variant so the
     * oracle can replay it; the LSH-bucketed variant is the scale path,
     * exercised in s02).
@@ -327,6 +348,7 @@ object Corpus {
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
     "d04_embedding_neardups" -> d04_embedding_neardups,
+    "d05_dup_groups"        -> d05_dup_groups,
     "s01_cosine_topk"       -> s01_cosine_topk,
     "s02_lsh_ann_topk"      -> s02_lsh_ann_topk)
 
@@ -339,5 +361,6 @@ object Corpus {
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,
     "d04_embedding_neardups" -> d04_sql,
+    "d05_dup_groups"        -> d05_sql,
     "s01_cosine_topk"       -> s01_sql)
 }

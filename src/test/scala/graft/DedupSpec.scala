@@ -47,6 +47,14 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, d) => a == 1L && b == 2L && d == 0L })
   }
 
+  test("duplicateGroups: chains collapse to min-id components") {
+    // components: {1,2,3,7} (chain 1-2, 2-3, 3-7), {5,6}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (5L, 6L)).toDF("id_a", "id_b")
+    val groups = Dedup.duplicateGroups(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("embedding near-dups: brute force and LSH both find the planted duplicate") {
     val base = Array.tabulate(8)(i => math.sin(i + 1).toFloat)
     val shifted = base.map(x => x * 1.001f)                    // cosine ~ 1
