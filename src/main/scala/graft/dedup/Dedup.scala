@@ -248,11 +248,45 @@ object Dedup {
     */
   def duplicateGroups(
       pairs: DataFrame,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20,
+      driverThreshold: Long = 1L << 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .cache()
+    // Near-dup pair graphs are tiny relative to the corpus; below the
+    // threshold a driver-side union-find beats rounds of driver-
+    // synchronized tiny-data jobs (the iterative path below remains
+    // the scale route for billion-edge graphs).
+    val integralIds = pairs.schema("id_a").dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    val nEdges = edges.count()
+    if (integralIds && nEdges <= driverThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      edges.unpersist()
+      return parent.keys.toSeq.sorted
+        .map(id => (id, find(id))).toDF("id", "group_id")
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .cache()

@@ -47,12 +47,16 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, d) => a == 1L && b == 2L && d == 0L })
   }
 
-  test("duplicateGroups: chains collapse to min-id components") {
+  test("duplicateGroups: chains collapse to min-id components (both paths agree)") {
     // components: {1,2,3,7} (chain 1-2, 2-3, 3-7), {5,6}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (5L, 6L)).toDF("id_a", "id_b")
-    val groups = Dedup.duplicateGroups(pairs)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 5L -> 5L, 6L -> 5L)
+    val driverPath = Dedup.duplicateGroups(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 5L -> 5L, 6L -> 5L))
+    val iterativePath = Dedup.duplicateGroups(pairs, driverThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driverPath == expected)
+    assert(iterativePath == expected)
   }
 
   test("embedding near-dups: brute force and LSH both find the planted duplicate") {
