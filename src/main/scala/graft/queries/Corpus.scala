@@ -97,6 +97,7 @@ object Corpus {
     */
   val t03_lang_id: Q = (s, dir) =>
     t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism) // regex-heavy scan off a 1-row-group file
       .select(TextAnalysis.langId(col("text")).as("predicted_lang"))
       .groupBy(col("predicted_lang"))
       .agg(count(lit(1)).as("n_docs"))
@@ -136,6 +137,64 @@ object Corpus {
        |                           i -> array_to_string(toks[i:i+7], ' ')) END AS sh
        | FROM t)
        |SELECT doc_id, list_min(list_transform(sh, x -> md5(x))) AS fingerprint FROM sh""".stripMargin
+
+  /** Capstone curation pipeline — the end-to-end shape of a training-
+    * data filter stage: exact-dedup survivors with quality ≥ 0.75,
+    * rolled up per predicted language with token budgets. Composes the
+    * text and dedup operators in one plan (dedup window + quality
+    * projection + lang argmax + final aggregate, two shuffles total).
+    */
+  val c01_curation: Q = (s, dir) => {
+    val curated = Dedup.exactDedup(
+      t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism),
+      "text", "doc_id")
+      .where(col("is_canonical"))
+      .withColumn("quality_score", TextAnalysis.qualityScore(col("text")))
+      .where(col("quality_score") >= 0.75)
+      .withColumn("predicted_lang", TextAnalysis.langId(col("text")))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+    curated.groupBy(col("predicted_lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (sum(col("quality_score")) / count(lit(1))).as("avg_quality"))
+  }
+
+  val c01_sql: String = {
+    val stops = sqlList(TextAnalysis.englishStopwords)
+    val scoreCols = TextAnalysis.langMarkers.map { case (l, ms) =>
+      s"len(list_filter(toks, x -> list_contains(${sqlList(ms)}, x))) AS s_$l"
+    }.mkString(",\n  ")
+    val langs = TextAnalysis.langMarkers.map(_._1)
+    val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString("\n  ")
+    s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |dd AS (SELECT *, doc_id = MIN(doc_id) OVER (
+       |         PARTITION BY md5(array_to_string(toks, ' '))) AS is_canonical FROM t),
+       |m AS (SELECT doc_id, text, toks,
+       |  len(toks) AS n,
+       |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) END AS mtl,
+       |  CASE WHEN length(text) = 0 THEN 0.0 ELSE len(regexp_extract_all(text, '[!-/:-@\\[-`{-~]'))::DOUBLE / length(text) END AS pr,
+       |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, x -> list_contains($stops, x)))::DOUBLE / len(toks) END AS sr
+       | FROM dd WHERE is_canonical),
+       |q AS (SELECT doc_id, text, toks, n,
+       |  (CASE WHEN n >= 5 AND n <= 100000 THEN 0.25 ELSE 0.0 END
+       | + CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 0.25 ELSE 0.0 END
+       | + CASE WHEN pr <= 0.2 THEN 0.25 ELSE 0.0 END
+       | + CASE WHEN sr > 0.0 AND sr <= 0.6 THEN 0.25 ELSE 0.0 END)::DOUBLE AS quality_score
+       | FROM m),
+       |f AS (SELECT *, $scoreCols,
+       |  len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk
+       | FROM q WHERE quality_score >= 0.75),
+       |b AS (SELECT *, $best AS best FROM f),
+       |p AS (SELECT quality_score, n, CASE WHEN cjk > 0 AND cjk * 2 >= length(text) THEN 'zh'
+       |  $cases
+       |  ELSE 'und' END AS predicted_lang FROM b)
+       |SELECT predicted_lang, COUNT(*) AS n_docs, SUM(n) AS total_tokens,
+       |       SUM(quality_score) / COUNT(*) AS avg_quality
+       |FROM p GROUP BY predicted_lang""".stripMargin
+  }
 
   // ------------------------------------------------------------ dedup
 
@@ -340,6 +399,7 @@ object Corpus {
   val queries: Map[String, Q] = Map(
     "m01_multimodal_features" -> m01_multimodal_features,
     "s03_ivf_topk"          -> s03_ivf_topk,
+    "c01_curation"          -> c01_curation,
     "t01_token_stats"       -> t01_token_stats,
     "t02_quality_score"     -> t02_quality_score,
     "t03_lang_id"           -> t03_lang_id,
@@ -353,6 +413,7 @@ object Corpus {
     "s02_lsh_ann_topk"      -> s02_lsh_ann_topk)
 
   val oracles: Map[String, String] = Map(
+    "c01_curation"          -> c01_sql,
     "t01_token_stats"       -> t01_sql,
     "t02_quality_score"     -> t02_sql,
     "t03_lang_id"           -> t03_sql,
