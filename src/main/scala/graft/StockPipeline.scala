@@ -52,7 +52,8 @@ object StockPipeline {
         Catalog.tablePath(basePath, table),
         rows,
         StockSchemas.primaryKeys(table),
-        StockSchemas.tables(table))
+        StockSchemas.tables(table),
+        StockSchemas.partitioning(table))
 
     val inserted = Seq(
       ("companies", nCompanies),

@@ -35,9 +35,12 @@ object Catalog {
       val path = tablePath(basePath, name)
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p))
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-          .write.mode("overwrite").parquet(path)
+      if (!fs.exists(p)) {
+        val w = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+          .write.mode("overwrite")
+        val parts = StockSchemas.partitioning(name)
+        (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(path)
+      }
     }
 
   /** A13: insert-if-absent into `companies` — distinct incoming symbols

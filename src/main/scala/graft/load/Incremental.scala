@@ -65,6 +65,11 @@ object Incremental {
     * re-running with the same batch inserts 0 (the reference's observed
     * behavior on its second run, BASELINE.md).
     *
+    * `partitionBy` columns produce hive-style directory partitioning:
+    * point/range predicates on them (the reference's
+    * `WHERE company_symbol = ?` access pattern, B2) prune whole
+    * partitions at planning time instead of scanning the table.
+    *
     * Single-writer assumption, like the reference's read-then-insert
     * (SURVEY.md §7.5.1).
     */
@@ -73,14 +78,19 @@ object Incremental {
       path: String,
       incoming: DataFrame,
       pk: Seq[String],
-      schema: StructType): Long = {
+      schema: StructType,
+      partitionBy: Seq[String] = Nil): Long = {
     val target = Catalog.readOrEmpty(spark, path, schema)
     val fresh = notInTarget(incoming, target, pk)
       .select(schema.fieldNames.map(col): _*)
       .cache()
     try {
       val n = fresh.count()
-      if (n > 0) fresh.write.mode("append").parquet(path)
+      if (n > 0) {
+        val w = fresh.write.mode("append")
+        (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+          .parquet(path)
+      }
       n
     } finally fresh.unpersist()
   }

@@ -54,4 +54,15 @@ object StockSchemas {
     "daily_stock_prices"    -> dailyStockPrices,
     "intraday_stock_prices" -> intradayStockPrices,
     "sma_indicators"        -> smaIndicators)
+
+  /** Storage partitioning: the fact tables partition by symbol so the
+    * reference's `WHERE company_symbol = ?` reads (B2/B8) prune
+    * partitions at planning time. `companies` is a single-column dim —
+    * no data columns would remain under partition dirs.
+    */
+  val partitioning: Map[String, Seq[String]] = Map(
+    "companies"             -> Nil,
+    "daily_stock_prices"    -> Seq("company_symbol"),
+    "intraday_stock_prices" -> Seq("company_symbol"),
+    "sma_indicators"        -> Seq("company_symbol"))
 }

@@ -52,6 +52,26 @@ class IncrementalSpec extends SparkSpec {
     assert(spark.read.schema(schema).parquet(base).count() == 1)
   }
 
+  test("symbol-partitioned append: point reads prune partitions at plan time") {
+    val base = Files.createTempDirectory("graft_part_spec").toString + "/t"
+    val batch = Seq(("AAPL", 1, 1.0), ("AAPL", 2, 2.0), ("MSFT", 1, 3.0))
+      .toDF("sym", "d", "v")
+    val n = Incremental.appendIdempotent(spark, base, batch, Seq("sym", "d"),
+      schema, partitionBy = Seq("sym"))
+    assert(n == 3)
+    // layout: one directory per symbol
+    assert(new java.io.File(base + "/sym=AAPL").exists())
+    val read = spark.read.schema(schema).parquet(base)
+      .where(org.apache.spark.sql.functions.col("sym") === "AAPL")
+    assert(read.count() == 2)
+    val scan = read.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("isnotnull(sym"),
+      s"expected partition pruning in scan:\n$scan")
+    // re-run stays idempotent across the partitioned layout
+    assert(Incremental.appendIdempotent(spark, base, batch, Seq("sym", "d"),
+      schema, partitionBy = Seq("sym")) == 0)
+  }
+
   test("ensureCompanies appends only unseen symbols") {
     val base = Files.createTempDirectory("graft_cat_spec").toString
     val n1 = Catalog.ensureCompanies(spark, base, Seq("AAPL", "MSFT", "AAPL").toDF("s"))
