@@ -57,6 +57,29 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         ok = True
+        # The driver's hash compare is TYPE-sensitive: DuckDB SUM(int) ->
+        # HUGEINT vs Spark BIGINT fails it even when values stringify the
+        # same. Compare dtypes per column and fail on numeric-width diffs.
+        try:
+            spark_types = dict(zip(
+                con.sql(f"DESCRIBE SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()["column_name"],
+                con.sql(f"DESCRIBE SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()["column_type"]))
+            duck_types = dict(zip(
+                con.sql(f"DESCRIBE ({sql})").fetchdf()["column_name"],
+                con.sql(f"DESCRIBE ({sql})").fetchdf()["column_type"]))
+            numeric = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+                       "FLOAT", "DOUBLE"}
+            for c in spark_cols:
+                st, dt = spark_types.get(c), duck_types.get(c)
+                if st != dt and (st in numeric or dt in numeric
+                                 or (st or "").startswith("DECIMAL")
+                                 or (dt or "").startswith("DECIMAL")):
+                    print(f"FAIL {name}: type mismatch on '{c}': spark={st} duck={dt}")
+                    ok = False
+                elif st != dt:
+                    print(f"WARN {name}: type diff on '{c}': spark={st} duck={dt}")
+        except Exception as e:
+            print(f"WARN {name}: type check errored: {e}")
         if spark_cols != duck_cols:
             print(f"FAIL {name}: columns spark={spark_cols} duck={duck_cols}")
             ok = False

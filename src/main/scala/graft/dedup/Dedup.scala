@@ -144,9 +144,14 @@ object Dedup {
     // non-cheap projections apart; inlining the signature into all
     // `bands` band keys would re-evaluate the whole shingle+md5 tree per
     // band and blow up planning/codegen).
+    // `sets` feeds three subtrees (band stage + both verify-join
+    // attachments); persist so the shingle+md5 work runs once per
+    // document instead of ~3x. Unpersisted below once the verified
+    // pairs are materialized.
     val sets = input
       .select(col("id"),
         array_distinct(TextAnalysis.shingles(col("text"), k)).as("sh_set"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sets
       .withColumn("__bh", shingleBaseHashes(col("sh_set")))
       .withColumn("sig", minhashOfHashes(col("__bh"), numHashes))
@@ -159,12 +164,22 @@ object Dedup {
       .where(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    cand
+    val verified = cand
       .join(sets.select(col("id").as("id_a"), col("sh_set").as("__sa")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh_set").as("__sb")), Seq("id_b"))
       .withColumn("jaccard", jaccardSets(col("__sa"), col("__sb")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    // Materialize the verified pairs once and truncate lineage: the pair
+    // frame is minuscule next to its compute (ids + one double per
+    // near-dup pair), and downstream consumers routinely reference it
+    // more than once (duplicateGroups builds src→dst ∪ dst→src), which
+    // without truncation re-runs the entire shingle/signature pipeline
+    // per reference. At cluster scale this is the same call — pairs for
+    // a 100 TB corpus are GBs, not TBs.
+    val out = verified.localCheckpoint(true)
+    sets.unpersist(false)
+    out
   }
 
   // -------------------------------------------------------------- simhash
@@ -250,8 +265,13 @@ object Dedup {
       pairs: DataFrame,
       maxIters: Int = 20,
       driverThreshold: Long = 1L << 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // `pairs` is referenced twice (src→dst ∪ dst→src); persist it so an
+    // expensive upstream lineage (e.g. a full MinHash pipeline) runs at
+    // most once, and release it as soon as `edges` is materialized by
+    // the count below.
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .cache()
     // Near-dup pair graphs are tiny relative to the corpus; below the
@@ -264,7 +284,8 @@ object Dedup {
            org.apache.spark.sql.types.ShortType => true
       case _ => false
     }
-    val nEdges = edges.count()
+    val nEdges = edges.count() // materializes the edges cache
+    p.unpersist(false)
     if (integralIds && nEdges <= driverThreshold) {
       val spark = pairs.sparkSession
       import spark.implicits._
@@ -308,8 +329,14 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
-    labels.select(col("id"), col("label").as("group_id"))
+    // Labels are already cached+materialized by the convergence counts;
+    // checkpoint the (tiny) result so both caches can be dropped without
+    // re-exposing the full upstream lineage to later consumers.
+    val out = labels.select(col("id"), col("label").as("group_id"))
+      .localCheckpoint(true)
+    labels.unpersist(false)
+    edges.unpersist(false)
+    out
   }
 
   // ------------------------------------------------- embedding near-dup

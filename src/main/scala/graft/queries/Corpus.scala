@@ -191,7 +191,7 @@ object Corpus {
        |p AS (SELECT quality_score, n, CASE WHEN cjk > 0 AND cjk * 2 >= length(text) THEN 'zh'
        |  $cases
        |  ELSE 'und' END AS predicted_lang FROM b)
-       |SELECT predicted_lang, COUNT(*) AS n_docs, SUM(n) AS total_tokens,
+       |SELECT predicted_lang, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens,
        |       SUM(quality_score) / COUNT(*) AS avg_quality
        |FROM p GROUP BY predicted_lang""".stripMargin
   }

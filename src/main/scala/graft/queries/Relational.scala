@@ -282,7 +282,7 @@ object Relational {
   val q12_sql: String =
     """SELECT o_custkey, o_orderkey, o_totalprice, rn, prev_price FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice,
-      |    ROW_NUMBER() OVER w AS rn,
+      |    CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
       |    LAG(o_totalprice, 1) OVER w AS prev_price
       |  FROM orders
       |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
@@ -310,14 +310,14 @@ object Relational {
 
   val q13_sql: String =
     """SELECT o_orderkey,
-      | EXTRACT(year FROM o_orderdate) AS yr,
-      | EXTRACT(month FROM o_orderdate) AS mo,
-      | EXTRACT(day FROM o_orderdate) AS dom,
+      | CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+      | CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mo,
+      | CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS dom,
       | strftime(o_orderdate, '%Y-%m') AS ym,
       | CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
       | UPPER(o_orderpriority) AS prio_upper,
       | SUBSTRING(o_orderpriority, 1, 1) AS prio_code,
-      | LENGTH(o_orderstatus) AS status_len,
+      | CAST(LENGTH(o_orderstatus) AS INTEGER) AS status_len,
       | CONCAT_WS('#', o_orderstatus, o_orderpriority) AS tag,
       | CAST(ABS(CAST(o_totalprice AS DECIMAL(18,2)) - 250000) AS DOUBLE) AS dist_from_250k,
       | CAST(ROUND(o_totalprice / 1000, 0) AS DOUBLE) AS price_k
@@ -337,10 +337,10 @@ object Relational {
   }
 
   val q14_sql: String =
-    """SELECT EXTRACT(year FROM o_orderdate) AS yr,
-      | SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-      | SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-      | SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+      | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      | CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      | CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
       | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS f_totalprice,
       | COUNT(*) AS n_orders
       |FROM orders GROUP BY EXTRACT(year FROM o_orderdate)""".stripMargin
