@@ -22,5 +22,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
+    graft.queries.Stock.oracles ++
     graft.queries.Corpus.oracles
 }

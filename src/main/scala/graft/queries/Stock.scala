@@ -1,57 +1,80 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.StockPipeline
 import graft.analytics.Indicators
-import graft.ingest.{Fixtures, Normalize}
+import graft.ingest.{Fixtures, FixtureTables, Normalize}
 
 /** The stock-pipeline surface (SURVEY.md §2.A) demonstrated on the
-  * embedded Alpha-Vantage-shaped fixtures. These don't read `sfDir`, so
-  * they carry no DuckDB oracle — the driver records rows-only checks;
-  * exact-value coverage lives in the ScalaTest specs.
+  * embedded Alpha-Vantage-shaped fixtures.
+  *
+  * Each query first dumps the raw (pre-cast, string-valued) exploded
+  * bars via [[FixtureTables.ensure]], and its oracle SQL replays the
+  * normalize / dedup / window semantics from those dumps — so the
+  * reference's core parse-and-load behavior gets the same hash-level
+  * DuckDB proof as the rest of the query surface.
   */
 object Stock {
 
   type Q = (SparkSession, String) => DataFrame
 
   /** A2-A6: payload JSON → normalized daily rows (edge rows dropped). */
-  val stock_daily_normalize: Q = (s, _) =>
+  val stock_daily_normalize: Q = (s, _) => {
+    FixtureTables.ensure(s)
     Normalize.daily(Fixtures.dailyPayloads(s))
+  }
 
   /** A5 strict single-format timestamps on the 5-min series. */
-  val stock_intraday_normalize: Q = (s, _) =>
+  val stock_intraday_normalize: Q = (s, _) => {
+    FixtureTables.ensure(s)
     Normalize.intraday(Fixtures.intradayPayloads(s))
+  }
 
   /** A5 dual-format keys: date-only → midnight; `HH:mm` keys dropped. */
-  val stock_sma_normalize: Q = (s, _) =>
+  val stock_sma_normalize: Q = (s, _) => {
+    FixtureTables.ensure(s)
     Normalize.sma(Fixtures.smaPayloads(s))
+  }
 
   /** A7/B1/B4/B6/A13/B9: full idempotent two-run load; returns the loaded
     * daily table (second run inserted only genuinely-new bars).
     */
-  val stock_incremental_load: Q = (s, _) => StockPipeline.demo(s)
+  val stock_incremental_load: Q = (s, _) => {
+    FixtureTables.ensure(s)
+    StockPipeline.demo(s)
+  }
 
-  /** B10 computed natively: 3-bar SMA over the fixture intraday closes. */
-  val stock_sma_native: Q = (s, _) =>
-    Indicators.sma(
-      Normalize.intraday(Fixtures.intradayPayloads(s)),
-      partitionCol = "company_symbol",
-      orderCols = Seq("date_time"),
-      valueCol = "close_price",
-      n = 3)
+  /** B10 computed natively: 3-bar SMA over the fixture intraday closes,
+    * full windows only. Uses the cross-engine-exact formulation (decimal
+    * window SUM → one double cast → divide; same recipe as q11) so the
+    * oracle reproduces it bit-for-bit.
+    */
+  val stock_sma_native: Q = (s, _) => {
+    FixtureTables.ensure(s)
+    val w = Window.partitionBy(col("company_symbol")).orderBy(col("date_time"))
+      .rowsBetween(-2, 0)
+    Normalize.intraday(Fixtures.intradayPayloads(s))
+      .withColumn("sma_value",
+        sum(col("close_price")).over(w).cast("double") / lit(3))
+      .withColumn("__n", count(lit(1)).over(w))
+      .where(col("__n") === 3)
       .select(col("company_symbol"), col("date_time"), col("sma_value"))
+  }
 
   /** B8: the reference's exemplar user query (`README_duckdb.md:78-84`)
     * over the fixture-loaded table.
     */
-  val stock_latest_bars: Q = (s, _) =>
+  val stock_latest_bars: Q = (s, _) => {
+    FixtureTables.ensure(s)
     Indicators.latestN(
       Normalize.daily(Fixtures.dailyPayloads(s)),
       keyCol = "company_symbol", key = "AAPL",
       orderCol = "date", n = 10)
       .select(col("company_symbol"), col("date"), col("close_price"))
+  }
 
   val queries: Map[String, Q] = Map(
     "stock_daily_normalize"    -> stock_daily_normalize,
@@ -60,4 +83,94 @@ object Stock {
     "stock_incremental_load"   -> stock_incremental_load,
     "stock_sma_native"         -> stock_sma_native,
     "stock_latest_bars"        -> stock_latest_bars)
+
+  // ------------------------------------------------------------- oracles
+
+  private def r = FixtureTables.root
+
+  /** Normalize CTE over a raw daily dump — DuckDB replay of
+    * `Normalize.daily`: strict `yyyy-MM-dd` keys, DECIMAL(15,4) prices,
+    * BIGINT volume, any-NULL row drop.
+    */
+  private def dailyNormSql(src: String): String =
+    s"""SELECT * FROM (
+       |  SELECT company_symbol,
+       |         CAST(try_strptime(k, '%Y-%m-%d') AS DATE) AS date,
+       |         try_cast(open_s  AS DECIMAL(15,4)) AS open_price,
+       |         try_cast(high_s  AS DECIMAL(15,4)) AS high_price,
+       |         try_cast(low_s   AS DECIMAL(15,4)) AS low_price,
+       |         try_cast(close_s AS DECIMAL(15,4)) AS close_price,
+       |         try_cast(volume_s AS BIGINT) AS volume
+       |  FROM $src)
+       |WHERE company_symbol IS NOT NULL AND date IS NOT NULL
+       |  AND open_price IS NOT NULL AND high_price IS NOT NULL
+       |  AND low_price IS NOT NULL AND close_price IS NOT NULL
+       |  AND volume IS NOT NULL""".stripMargin
+
+  private def intradayNormSql: String =
+    s"""SELECT * FROM (
+       |  SELECT company_symbol,
+       |         try_strptime(k, '%Y-%m-%d %H:%M:%S') AS date_time,
+       |         try_cast(open_s  AS DECIMAL(15,4)) AS open_price,
+       |         try_cast(high_s  AS DECIMAL(15,4)) AS high_price,
+       |         try_cast(low_s   AS DECIMAL(15,4)) AS low_price,
+       |         try_cast(close_s AS DECIMAL(15,4)) AS close_price,
+       |         try_cast(volume_s AS BIGINT) AS volume
+       |  FROM read_parquet('$r/intraday_raw.parquet/*.parquet'))
+       |WHERE company_symbol IS NOT NULL AND date_time IS NOT NULL
+       |  AND open_price IS NOT NULL AND high_price IS NOT NULL
+       |  AND low_price IS NOT NULL AND close_price IS NOT NULL
+       |  AND volume IS NOT NULL""".stripMargin
+
+  def stock_daily_normalize_sql: String =
+    dailyNormSql(s"read_parquet('$r/daily_raw.parquet/*.parquet')")
+
+  def stock_intraday_normalize_sql: String = intradayNormSql
+
+  /** Dual-format SMA keys: full timestamp, else date-only → midnight,
+    * else dropped (the reference's 402 skipped `HH:mm` rows).
+    */
+  def stock_sma_normalize_sql: String =
+    s"""SELECT * FROM (
+       |  SELECT company_symbol,
+       |         COALESCE(try_strptime(k, '%Y-%m-%d %H:%M:%S'),
+       |                  try_strptime(k, '%Y-%m-%d')) AS date_time,
+       |         try_cast(sma_s AS DECIMAL(15,4)) AS sma_value
+       |  FROM read_parquet('$r/sma_raw.parquet/*.parquet'))
+       |WHERE company_symbol IS NOT NULL AND date_time IS NOT NULL
+       |  AND sma_value IS NOT NULL""".stripMargin
+
+  /** Two-run idempotent load: normalize both runs' raw bars, then PK
+    * dedup — duplicate (symbol, date) bars carry identical values, so
+    * DISTINCT reproduces the anti-join append exactly.
+    */
+  def stock_incremental_load_sql: String =
+    s"""WITH raw AS (
+       |  SELECT * FROM read_parquet('$r/daily_raw.parquet/*.parquet')
+       |  UNION ALL
+       |  SELECT * FROM read_parquet('$r/daily_raw2.parquet/*.parquet'))
+       |SELECT DISTINCT * FROM (${dailyNormSql("raw")})""".stripMargin
+
+  def stock_sma_native_sql: String =
+    s"""WITH bars AS ($intradayNormSql)
+       |SELECT company_symbol, date_time,
+       |       CAST(SUM(close_price) OVER w AS DOUBLE) / 3 AS sma_value
+       |FROM bars
+       |WINDOW w AS (PARTITION BY company_symbol ORDER BY date_time
+       |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+       |QUALIFY COUNT(*) OVER w = 3""".stripMargin
+
+  def stock_latest_bars_sql: String =
+    s"""WITH c AS (${dailyNormSql(s"read_parquet('$r/daily_raw.parquet/*.parquet')")})
+       |SELECT company_symbol, date, close_price FROM c
+       |WHERE company_symbol = 'AAPL'
+       |ORDER BY date DESC LIMIT 10""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "stock_daily_normalize"    -> stock_daily_normalize_sql,
+    "stock_intraday_normalize" -> stock_intraday_normalize_sql,
+    "stock_sma_normalize"      -> stock_sma_normalize_sql,
+    "stock_incremental_load"   -> stock_incremental_load_sql,
+    "stock_sma_native"         -> stock_sma_native_sql,
+    "stock_latest_bars"        -> stock_latest_bars_sql)
 }
