@@ -63,17 +63,36 @@ object Indicators {
     // weight per element = a*(1-a)^dist, except the oldest in-window
     // element takes the whole tail mass (1-a)^dist so weights sum to 1:
     // exact EMA while the window is unsaturated, truncation-approx after.
-    df.withColumn("__vals", collect_list(col(valueCol).cast("double")).over(w))
+    //
+    // Every weight is a precomputed LITERAL (not power() at runtime):
+    // the body weights feed the codegen'd graft_dot over the
+    // newest-first value array (graft_dot's min-length semantics slice
+    // the 64-element weight array automatically), and the oldest
+    // element's tail-mass correction (1-a)^len is a literal lookup by
+    // window length. No interpreted higher-order functions anywhere,
+    // and an external engine replaying the same constants reproduces
+    // the result bit-for-bit.
+    val bodyW = array((0 until cap).map(d => lit(a * math.pow(1.0 - a, d))): _*)
+    val tailW = array((1 to cap).map(d => lit(math.pow(1.0 - a, d))): _*)
+    val len = size(col("__vals"))
+    df.withColumn("__vals",
+        reverse(collect_list(col(valueCol).cast("double")).over(w)))
       .withColumn(
         out,
-        expr(
-          s"""aggregate(
-             |  zip_with(__vals, sequence(size(__vals) - 1, 0, -1),
-             |           (v, d) -> v * CASE WHEN d = size(__vals) - 1
-             |                              THEN power(1.0 - $a, d)
-             |                              ELSE $a * power(1.0 - $a, d) END),
-             |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin))
+        graft.functions.VectorExpressions.dot(col("__vals"), bodyW)
+          // dot already weighted the oldest element by a*(1-a)^(len-1);
+          // adding (1-a)^len * oldest tops it up to the full (1-a)^(len-1)
+          + element_at(tailW, len) * element_at(col("__vals"), len))
       .drop("__vals")
+  }
+
+  /** The EMA weight constants for period `n`, exposed so a differential
+    * oracle can interpolate the exact same literals into its SQL.
+    */
+  def emaWeights(n: Int, cap: Int = 64): (Seq[Double], Seq[Double]) = {
+    val a = 2.0 / (n + 1)
+    ((0 until cap).map(d => a * math.pow(1.0 - a, d)),
+      (1 to cap).map(d => math.pow(1.0 - a, d)))
   }
 
   /** Per-symbol period-over-period returns: (close - prev) / prev. */

@@ -528,6 +528,47 @@ object Relational {
       |  EXCEPT
       |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin
 
+  /** EMA (n=10) over per-supplier daily revenue — exercises the
+    * codegen'd literal-weight EMA in [[Indicators.ema]]. Output rounded
+    * to 6 dp on both sides: the weight constants are interpolated into
+    * the oracle verbatim, so the only cross-engine freedom is sub-ulp
+    * summation noise, which the rounding removes.
+    */
+  val q22_ema: Q = (s, dir) => {
+    val daily = t(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_shipdate"), dec(col("l_extendedprice")).as("__p"))
+      .repartition(col("l_suppkey"))
+      .groupBy(col("l_suppkey"), col("l_shipdate"))
+      .agg(sum(col("__p")).as("day_price"))
+    graft.analytics.Indicators.ema(
+      daily, "l_suppkey", Seq("l_shipdate"), "day_price", n = 10)
+      .select(col("l_suppkey"), col("l_shipdate"),
+        round(col("ema_value"), 6).as("ema10"))
+  }
+
+  val q22_sql: String = {
+    val (bodyW, tailW) = graft.analytics.Indicators.emaWeights(10)
+    val bw = bodyW.mkString("[", ",", "]")
+    val tw = tailW.mkString("[", ",", "]")
+    s"""WITH daily AS (
+       |  SELECT l_suppkey, l_shipdate,
+       |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS day_price
+       |  FROM lineitem GROUP BY l_suppkey, l_shipdate),
+       |lists AS (
+       |  SELECT l_suppkey, l_shipdate,
+       |    list_reverse(list(CAST(day_price AS DOUBLE))
+       |      OVER (PARTITION BY l_suppkey ORDER BY l_shipdate
+       |            ROWS BETWEEN 63 PRECEDING AND CURRENT ROW)) AS vals
+       |  FROM daily)
+       |SELECT l_suppkey, l_shipdate,
+       |  round(
+       |    list_sum(list_transform(
+       |      list_zip(vals, CAST($bw AS DOUBLE[])), z -> z[1] * z[2]))
+       |    + (CAST($tw AS DOUBLE[]))[len(vals)] * vals[len(vals)],
+       |    6) AS ema10
+       |FROM lists""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01_pricing_summary,
     "q02_filter_pushdown" -> q02_filter_pushdown,
@@ -549,7 +590,8 @@ object Relational {
     "q18_multi_join"      -> q18_multi_join,
     "q19_bollinger"       -> q19_bollinger,
     "q20_rsi"             -> q20_rsi,
-    "q21_setops"          -> q21_setops)
+    "q21_setops"          -> q21_setops,
+    "q22_ema"             -> q22_ema)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01_sql,
@@ -572,5 +614,6 @@ object Relational {
     "q18_multi_join"      -> q18_sql,
     "q19_bollinger"       -> q19_sql,
     "q20_rsi"             -> q20_sql,
-    "q21_setops"          -> q21_sql)
+    "q21_setops"          -> q21_sql,
+    "q22_ema"             -> q22_sql)
 }
