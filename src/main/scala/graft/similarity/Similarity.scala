@@ -210,6 +210,28 @@ object Similarity {
     * Recall < 1 by construction; raise `tables` (more candidates) or
     * lower `planes` (wider buckets) to trade cost for recall.
     */
+  /** Mean per-query recall of an approximate top-k result against the
+    * exact ground truth: |approx ∩ exact| / |exact|, averaged over the
+    * queries present in `exact`. Both frames use the (query_id,
+    * neighbor_id) shape every top-k function here emits. Queries the
+    * approximate path missed entirely count as recall 0, not holes.
+    *
+    * An ANN configuration without a measured recall is not a finished
+    * component — this is the measurement.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame): Double = {
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val hits = e.join(approx.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hit"))
+    val row = e.groupBy(col("query_id")).agg(count(lit(1)).as("n"))
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("hit"))
+      .agg(avg(col("hit").cast("double") / col("n")).as("recall"))
+      .collect()(0)
+    if (row.isNullAt(0)) 1.0 else row.getDouble(0)
+  }
+
   def lshTopK(
       queries: DataFrame,
       corpus: DataFrame,

@@ -85,4 +85,28 @@ class SimilaritySpec extends SparkSpec {
       assert(bf.contains(pair) && math.abs(bf(pair) - c) < 1e-12)
     }
   }
+
+  test("ANN recall@10 against exact ground truth on the sf0.01 corpus") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val probes = e.where(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(
+      probes, e, "vec_id", "embedding", "vec_id", "embedding", k = 10)
+
+    // the exact configurations the s02/s03 queries ship with
+    val lsh = Similarity.lshTopK(
+      probes, e, "vec_id", "embedding", "vec_id", "embedding",
+      k = 10, dim = 64, planes = 4, tables = 16)
+    val ivf = Similarity.ivfTopK(
+      probes, e, "vec_id", "embedding", "vec_id", "embedding",
+      k = 10, nLists = 16, nProbe = 8)
+
+    val lshRecall = Similarity.recallAtK(exact, lsh)
+    val ivfRecall = Similarity.recallAtK(exact, ivf)
+    info(f"recall@10 lsh(planes=4,tables=16)=$lshRecall%.3f ivf(nLists=16,nProbe=8)=$ivfRecall%.3f")
+    println(f"[recall] lsh=$lshRecall%.3f ivf=$ivfRecall%.3f")
+    assert(ivfRecall >= 0.9, f"IVF recall regressed: $ivfRecall%.3f < 0.9")
+    assert(lshRecall >= 0.85, f"LSH recall regressed: $lshRecall%.3f < 0.85")
+  }
 }
