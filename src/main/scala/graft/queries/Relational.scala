@@ -569,6 +569,63 @@ object Relational {
        |FROM lists""".stripMargin
   }
 
+  /** Bucketed copies of orders/lineitem (8 buckets on the order key,
+    * sorted within buckets), written once per corpus directory into the
+    * session warehouse. The one-time write is the amortized cost that
+    * buys every subsequent fact-fact join on the key a zero-exchange
+    * sort-merge plan — the storage co-location a 100 TB deployment
+    * maintains for its recurring join spine.
+    */
+  private def bucketedFacts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val (ot, lt) = (s"graft_bkt_orders_$h", s"graft_bkt_lineitem_$h")
+    Relational.synchronized {
+      if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(lt)) {
+        // a previous JVM may have left the managed locations behind (the
+        // in-memory catalog is per-session, the warehouse dir is not) —
+        // remove them so saveAsTable can recreate
+        Seq(ot, lt).foreach { tbl =>
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir") + s"/$tbl")
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        // repartition to the bucket count on the bucket key first, so
+        // each task owns exactly one bucket → one file per bucket and
+        // the sortBy metadata lets SMJ skip its sorts
+        graft.load.Scale.writeBucketed(
+          t(s, dir, "orders").repartition(8, col("o_orderkey")),
+          ot, "o_orderkey", 8)
+        graft.load.Scale.writeBucketed(
+          t(s, dir, "lineitem").repartition(8, col("l_orderkey")),
+          lt, "l_orderkey", 8)
+      }
+    }
+    (s.table(ot), s.table(lt))
+  }
+
+  /** Fact-fact join on pre-bucketed storage: both sides are bucketed on
+    * the order key, so the sort-merge join (and the per-order aggregate,
+    * by the subset rule) runs with ZERO exchanges — asserted by
+    * `ScaleSpec`. The merge hint keeps the demo on the sort-merge path
+    * even where the small-SF side would broadcast.
+    */
+  val q23_bucketed_join: Q = (s, dir) => {
+    val (o, l) = bucketedFacts(s, dir)
+    o.hint("merge").join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+  }
+
+  val q23_sql: String =
+    """SELECT o_orderkey, o_orderpriority, COUNT(*) AS n_lines,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderkey, o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01_pricing_summary,
     "q02_filter_pushdown" -> q02_filter_pushdown,
@@ -591,7 +648,8 @@ object Relational {
     "q19_bollinger"       -> q19_bollinger,
     "q20_rsi"             -> q20_rsi,
     "q21_setops"          -> q21_setops,
-    "q22_ema"             -> q22_ema)
+    "q22_ema"             -> q22_ema,
+    "q23_bucketed_join"   -> q23_bucketed_join)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01_sql,
@@ -615,5 +673,6 @@ object Relational {
     "q19_bollinger"       -> q19_sql,
     "q20_rsi"             -> q20_sql,
     "q21_setops"          -> q21_sql,
-    "q22_ema"             -> q22_sql)
+    "q22_ema"             -> q22_sql,
+    "q23_bucketed_join"   -> q23_sql)
 }
