@@ -224,9 +224,13 @@ object Dedup {
     val blockBits = bits / nBlocks
     // Round-robin exchange first: md5-per-token hashing must parallelize
     // regardless of the input's row-group layout (see minhashNearDups).
+    // (id, sh) is 16 bytes/row — persist it so the md5-per-token SimHash
+    // fold runs once, not once per self-join side. Released after the
+    // verified pairs materialize below.
     val hashed = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("id"), simhash(col("text"), bits).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocked = hashed.withColumn(
       "block",
       explode(array((0 until nBlocks).map { i =>
@@ -236,13 +240,18 @@ object Dedup {
       }: _*)))
     val a = blocked.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = blocked.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("block"))
+    val verified = a.join(b, Seq("block"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
       .distinct()
       .withColumn("hamming", hammingDistance(col("sh_a"), col("sh_b")).cast("long"))
       .where(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
+    // materialize the (tiny) pair frame, truncate lineage, release the
+    // hash cache — same lifetime discipline as minhashNearDups
+    val out = verified.localCheckpoint(true)
+    hashed.unpersist(false)
+    out
   }
 
   // --------------------------------------------------- group formation
@@ -361,26 +370,34 @@ object Dedup {
     // across cores even when the corpus is one parquet row group.
     val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
-    val pairs =
-      if (bruteForce) {
-        val a = base.select(col("id").as("id_a"), col("v").as("v_a"))
-        val b = base.select(col("id").as("id_b"), col("v").as("v_b"))
-        a.join(b, col("id_a") < col("id_b"))
-      } else {
-        val sigs = base.withColumn(
-          "bucket",
-          explode(Similarity.hyperplaneBuckets(col("v"), dim = dim,
-            planes = planes, tables = tables)))
-        val a = sigs.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-        val b = sigs.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-        a.join(b, Seq("bucket"))
-          .where(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("v_a"), col("id_b"), col("v_b"))
-          .distinct()
-      }
-    pairs
-      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
-      .where(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+    if (bruteForce) {
+      val a = base.select(col("id").as("id_a"), col("v").as("v_a"))
+      val b = base.select(col("id").as("id_b"), col("v").as("v_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+        .where(col("cosine") >= threshold)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+    } else {
+      // persist the bucketed vectors so the planes×tables hyperplane dot
+      // products run once, not once per self-join side; released after
+      // the verified pairs materialize
+      val sigs = base.withColumn(
+        "bucket",
+        explode(Similarity.hyperplaneBuckets(col("v"), dim = dim,
+          planes = planes, tables = tables)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val a = sigs.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+      val b = sigs.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+      val verified = a.join(b, Seq("bucket"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("v_a"), col("id_b"), col("v_b"))
+        .distinct()
+        .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+        .where(col("cosine") >= threshold)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+      val out = verified.localCheckpoint(true)
+      sigs.unpersist(false)
+      out
+    }
   }
 }
