@@ -139,5 +139,15 @@ object TextAnalysis {
     * tokens hash their whole token stream (the singleton shingle).
     */
   def fingerprint(text: Column, k: Int = 8): Column =
+    // native codegen shingle+md5+min loop — value-identical to
+    // array_min(transform(shingles(text, k), md5)) (spec-asserted), but
+    // with no interpreted higher-order functions and no intermediate
+    // shingle/digest arrays
+    graft.functions.FingerprintMinMd5(tokens(text), k)
+
+  /** The interpreted column formulation of [[fingerprint]], kept as the
+    * differential witness for the native expression.
+    */
+  def fingerprintHof(text: Column, k: Int = 8): Column =
     array_min(transform(shingles(text, k), s => md5(s)))
 }

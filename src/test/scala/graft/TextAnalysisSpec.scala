@@ -69,4 +69,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(1L) == fps(2L))
     assert(fps(1L) != fps(3L))
   }
+
+  test("native fingerprint equals the interpreted HOF formulation on real docs") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bad = docs.select(
+        TextAnalysis.fingerprint(col("text"), 8).as("native"),
+        TextAnalysis.fingerprintHof(col("text"), 8).as("hof"))
+      .where(col("native") =!= col("hof") || col("native").isNull =!= col("hof").isNull)
+    assert(bad.count() == 0)
+    // edge shapes: empty text, single token, exactly k, k+1 tokens
+    import spark.implicits._
+    val edges = Seq("", "one", "a b c d e f g h", "a b c d e f g h i").toDF("text")
+    val badEdges = edges.select(
+        TextAnalysis.fingerprint(col("text"), 8).as("native"),
+        TextAnalysis.fingerprintHof(col("text"), 8).as("hof"))
+      .where(col("native") =!= col("hof"))
+    assert(badEdges.count() == 0)
+  }
 }
