@@ -55,11 +55,21 @@ object StockPipeline {
         StockSchemas.tables(table),
         StockSchemas.partitioning(table))
 
-    val inserted = Seq(
-      ("companies", nCompanies),
-      ("daily_stock_prices", load("daily_stock_prices", dailyRows)),
-      ("intraday_stock_prices", load("intraday_stock_prices", intradayRows)),
-      ("sma_indicators", load("sma_indicators", smaRows)))
+    // The three fact loads are independent (distinct target paths) —
+    // submit them as concurrent Spark jobs, the engine-side equivalent
+    // of the reference's thread-pool fan-out (`main_parallel.py:460+`).
+    // Each load is several small driver-synchronized actions; running
+    // them sequentially would pay that latency 3x.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val factLoads = Seq(
+      "daily_stock_prices" -> dailyRows,
+      "intraday_stock_prices" -> intradayRows,
+      "sma_indicators" -> smaRows
+    ).map { case (table, rows) => Future(table -> load(table, rows)) }
+    val inserted = ("companies", nCompanies) +:
+      factLoads.map(Await.result(_, Duration.Inf))
 
     inserted.toDF("table", "rows_inserted")
   }
