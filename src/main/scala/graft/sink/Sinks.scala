@@ -58,16 +58,17 @@ final class JdbcSink(
     properties: java.util.Properties = new java.util.Properties(),
     batchSize: Int = 1000) extends Sink {
 
-  /** Only the PK columns leave the DBMS (server-side projection via a
-    * dbtable subquery) — the anti-join never needs the payload columns.
-    * Still a single-connection read; for very large targets prefer the
-    * staging-table + MERGE route documented above, or bound the read
-    * with the batch's key range.
+  /** Only the PK columns leave the DBMS — the `.select` prunes at the
+    * JDBC scan (the reader compiles a projection using the column names
+    * from the target's own metadata, so reserved words and identifier
+    * case-folding quote correctly on any DBMS); the anti-join never
+    * needs the payload columns. Still a single-connection read; for
+    * very large targets prefer the staging-table + MERGE route
+    * documented above, or bound the read with the batch's key range.
     */
   private def existingPks(): DataFrame =
-    spark.read.jdbc(
-      url, s"(SELECT ${pk.mkString(", ")} FROM $table) AS graft_pk_scan",
-      properties)
+    spark.read.jdbc(url, table, properties)
+      .select(pk.map(p => org.apache.spark.sql.functions.col(p).as(p)): _*)
 
   def appendIdempotent(rows: DataFrame): Long = {
     val fresh = Incremental.notInTarget(rows, existingPks(), pk).cache()

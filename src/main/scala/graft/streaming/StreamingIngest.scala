@@ -50,6 +50,46 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming ingest into a JDBC target: the same normalize + watermark
+    * dedup as [[dailyIngestStream]], delivered per micro-batch through
+    * [[graft.sink.JdbcSink.appendIdempotent]] via `foreachBatch` — the
+    * streaming twin of the reference's continuous Postgres mode.
+    *
+    * Delivery contract: the checkpoint gives at-least-once batch
+    * delivery; the PK anti-join inside the sink turns a replayed batch
+    * into 0 inserts, so the DBMS sees exactly-once per PK — the same
+    * `ON CONFLICT DO NOTHING` effect the reference relies on, without
+    * requiring an idempotent streaming sink from Spark itself.
+    */
+  def dailyIngestStreamToJdbc(
+      spark: SparkSession,
+      payloadDir: String,
+      url: String,
+      table: String,
+      pk: Seq[String],
+      properties: java.util.Properties,
+      checkpointDir: String): StreamingQuery = {
+    val payloads = spark.readStream
+      .schema(PayloadReader.payloadSchema)
+      .option("multiLine", true)
+      .json(payloadDir)
+    val rows = Normalize.daily(payloads)
+      .withColumn("event_ts", col("date").cast("timestamp"))
+      .withWatermark("event_ts", "14 days")
+      .dropDuplicates("company_symbol", "event_ts")
+      .drop("event_ts")
+    rows.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        new graft.sink.JdbcSink(spark, url, table, pk, properties)
+          .appendIdempotent(batch.toDF())
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Tumbling event-time window aggregate over an intraday bar stream:
     * per (symbol, window) OHLCV candle — open/close from the earliest/
     * latest bar in the window (min_by/max_by on event time), high/low/

@@ -59,6 +59,37 @@ class JdbcSinkSpec extends SparkSpec {
     }
   }
 
+  test("streaming ingest to Derby: redelivered batches insert zero (foreachBatch + PK guard)") {
+    withTable(
+      """CREATE TABLE daily_bars (
+        | company_symbol VARCHAR(16) NOT NULL, "date" DATE NOT NULL,
+        | open_price DECIMAL(15,4), high_price DECIMAL(15,4),
+        | low_price DECIMAL(15,4), close_price DECIMAL(15,4),
+        | volume BIGINT, PRIMARY KEY (company_symbol, "date"))""".stripMargin,
+      "daily_bars") {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_jdbc")
+      java.nio.file.Files.writeString(dir.resolve("aapl.json"), graft.ingest.Fixtures.dailyAapl)
+      java.nio.file.Files.writeString(dir.resolve("msft.json"), graft.ingest.Fixtures.dailyMsft)
+
+      def runOnce(): Unit = {
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+        val q = graft.streaming.StreamingIngest.dailyIngestStreamToJdbc(
+          spark, dir.toString, url, "daily_bars",
+          Seq("company_symbol", "date"), props, ckpt.toString)
+        q.awaitTermination()
+      }
+
+      runOnce()
+      val n1 = spark.read.jdbc(url, "daily_bars", props).count()
+      assert(n1 == 8L) // 5 valid AAPL bars + 3 MSFT bars
+
+      // a FRESH checkpoint replays every payload — the reference's
+      // "re-run the whole ingest" case; the PK guard must insert zero
+      runOnce()
+      assert(spark.read.jdbc(url, "daily_bars", props).count() == 8L)
+    }
+  }
+
   test("append without the guard hits the DB primary key on duplicates") {
     withTable(
       "CREATE TABLE raw_bars (sym VARCHAR(8) NOT NULL, d INT NOT NULL, v DOUBLE, PRIMARY KEY (sym, d))",
