@@ -27,10 +27,17 @@ object Dedup {
     * `is_canonical` (true for the minimum `idCol` of each group — the
     * deterministic survivor).
     */
-  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val h = md5(concat_ws(" ", TextAnalysis.tokens(col(textCol))))
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    exactDedupOn(df,
+      md5(concat_ws(" ", TextAnalysis.tokens(col(textCol)))), idCol)
+
+  /** [[exactDedup]] with a caller-supplied content-key expression — for
+    * pipelines that already staged a token/normalized-content column and
+    * shouldn't pay a second tokenization.
+    */
+  def exactDedupOn(df: DataFrame, contentKey: Column, idCol: String): DataFrame = {
     val w = Window.partitionBy(col("content_hash"))
-    df.withColumn("content_hash", h)
+    df.withColumn("content_hash", contentKey)
       .withColumn("group_size", count(lit(1)).over(w))
       .withColumn("is_canonical", col(idCol) === min(col(idCol)).over(w))
   }

@@ -41,13 +41,15 @@ object Corpus {
     */
   val t01_token_stats: Q = (s, dir) => {
     val txt = col("text")
-    t(s, dir, "documents").select(
-      col("doc_id"),
-      TextAnalysis.tokenCount(txt).cast("long").as("n_tokens"),
-      TextAnalysis.bpeishTokenCount(txt).cast("long").as("n_bpeish_tokens"),
-      TextAnalysis.meanTokenLength(txt).as("mean_token_len"),
-      TextAnalysis.stopwordRatio(txt).as("stopword_ratio"),
-      TextAnalysis.punctRatio(txt).as("punct_ratio"))
+    t(s, dir, "documents")
+      .withColumn("__toks", TextAnalysis.tokens(txt)) // tokenize once
+      .select(
+        col("doc_id"),
+        TextAnalysis.tokenCountOf(col("__toks")).cast("long").as("n_tokens"),
+        TextAnalysis.bpeishTokenCount(txt).cast("long").as("n_bpeish_tokens"),
+        TextAnalysis.meanTokenLengthOf(col("__toks")).as("mean_token_len"),
+        TextAnalysis.stopwordRatioOf(col("__toks")).as("stopword_ratio"),
+        TextAnalysis.punctRatio(txt).as("punct_ratio"))
   }
 
   val t01_sql: String =
@@ -68,7 +70,9 @@ object Corpus {
     */
   val t02_quality_score: Q = (s, dir) =>
     t(s, dir, "documents")
-      .select(TextAnalysis.qualityScore(col("text")).as("quality_score"))
+      .withColumn("__toks", TextAnalysis.tokens(col("text"))) // tokenize once
+      .select(TextAnalysis.qualityScoreOf(col("text"), col("__toks"))
+        .as("quality_score"))
       .groupBy(col("quality_score"))
       .agg(count(lit(1)).as("n_docs"))
 
@@ -98,7 +102,9 @@ object Corpus {
   val t03_lang_id: Q = (s, dir) =>
     t(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism) // regex-heavy scan off a 1-row-group file
-      .select(TextAnalysis.langId(col("text")).as("predicted_lang"))
+      .withColumn("__toks", TextAnalysis.tokens(col("text"))) // tokenize once
+      .select(TextAnalysis.langIdOf(col("text"), col("__toks"))
+        .as("predicted_lang"))
       .groupBy(col("predicted_lang"))
       .agg(count(lit(1)).as("n_docs"))
 
@@ -145,15 +151,22 @@ object Corpus {
     * projection + lang argmax + final aggregate, two shuffles total).
     */
   val c01_curation: Q = (s, dir) => {
-    val curated = Dedup.exactDedup(
-      t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism),
-      "text", "doc_id")
+    // tokenize ONCE; every downstream metric (dedup hash, quality,
+    // lang-ID, token budget) reads the staged array instead of
+    // re-running split/lower per metric (~8x on the text-only forms)
+    val staged = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+    val curated = Dedup.exactDedupOn(
+      staged, md5(concat_ws(" ", col("__toks"))), "doc_id")
       .where(col("is_canonical"))
-      .withColumn("quality_score", TextAnalysis.qualityScore(col("text")))
+      .withColumn("quality_score",
+        TextAnalysis.qualityScoreOf(col("text"), col("__toks")))
       .where(col("quality_score") >= 0.75)
-      .withColumn("predicted_lang", TextAnalysis.langId(col("text")))
-      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      .withColumn("predicted_lang",
+        TextAnalysis.langIdOf(col("text"), col("__toks")))
+      .withColumn("n_tokens",
+        TextAnalysis.tokenCountOf(col("__toks")).cast("long"))
     curated.groupBy(col("predicted_lang"))
       .agg(
         count(lit(1)).as("n_docs"),

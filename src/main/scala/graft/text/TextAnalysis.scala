@@ -22,7 +22,15 @@ object TextAnalysis {
     filter(split(lower(text), "\\s+"), t => t =!= "")
 
   /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  def tokenCount(text: Column): Column = tokenCountOf(tokens(text))
+
+  /** Token count over a pre-staged token array. The `*Of` variants let a
+    * composed pipeline (e.g. the curation query) stage `tokens(text)` as
+    * ONE column and feed every metric from it — the text-only forms
+    * inline a fresh tokenization per use, which multiplies the dominant
+    * split/lower cost by the number of metrics.
+    */
+  def tokenCountOf(toks: Column): Column = size(toks)
 
   /** BPE-ish token count: runs of letters, single digits, or single
     * non-alphanumeric marks — a deterministic proxy for subword tokenizer
@@ -40,8 +48,9 @@ object TextAnalysis {
     "that", "for", "on", "with", "as", "at", "by", "from", "this")
 
   /** Fraction of tokens that are stopwords (0 for empty docs). */
-  def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
+  def stopwordRatio(text: Column): Column = stopwordRatioOf(tokens(text))
+
+  def stopwordRatioOf(toks: Column): Column = {
     val stops = array(englishStopwords.map(lit): _*)
     when(size(toks) === 0, lit(0.0))
       .otherwise(
@@ -57,13 +66,13 @@ object TextAnalysis {
           .cast("double") / length(text))
 
   /** Mean token length in characters (0 for empty docs). */
-  def meanTokenLength(text: Column): Column = {
-    val toks = tokens(text)
+  def meanTokenLength(text: Column): Column = meanTokenLengthOf(tokens(text))
+
+  def meanTokenLengthOf(toks: Column): Column =
     when(size(toks) === 0, lit(0.0))
       .otherwise(
         aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
           / size(toks))
-  }
 
   /** Composite quality score in [0,1] — the standard pretraining-corpus
     * heuristics (C4/Gopher-style): enough tokens, sane mean word length,
@@ -74,11 +83,17 @@ object TextAnalysis {
     * + 0.25 · [punct_ratio ≤ 0.2]
     * + 0.25 · [0 < stopword_ratio ≤ 0.6]
     */
-  def qualityScore(text: Column): Column = {
-    val n = tokenCount(text)
-    val mtl = meanTokenLength(text)
+  def qualityScore(text: Column): Column =
+    qualityScoreOf(text, tokens(text))
+
+  /** [[qualityScore]] over a pre-staged token array (punctuation ratio
+    * still reads the raw text).
+    */
+  def qualityScoreOf(text: Column, toks: Column): Column = {
+    val n = tokenCountOf(toks)
+    val mtl = meanTokenLengthOf(toks)
     val pr = punctRatio(text)
-    val sr = stopwordRatio(text)
+    val sr = stopwordRatioOf(toks)
     val b = (c: Column) => when(c, lit(0.25)).otherwise(lit(0.0))
     b(n >= 5 && n <= 100000) +
       b(mtl >= 2.0 && mtl <= 12.0) +
@@ -97,18 +112,26 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "que", "y", "es", "no", "una", "para"))
 
   /** Per-language marker-token hit count. */
-  def langScore(text: Column, markers: Seq[String]): Column = {
+  def langScore(text: Column, markers: Seq[String]): Column =
+    langScoreOf(tokens(text), markers)
+
+  def langScoreOf(toks: Column, markers: Seq[String]): Column = {
     val m = array(markers.map(lit): _*)
-    size(filter(tokens(text), t => array_contains(m, t)))
+    size(filter(toks, t => array_contains(m, t)))
   }
 
   /** Language ID: CJK-character ratio short-circuits to `zh`; otherwise
     * the marker-count argmax over {en,de,fr,es}, `und` (undetermined)
     * when no marker hits. Ties break in declaration order (en first).
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = langIdOf(text, tokens(text))
+
+  /** [[langId]] over a pre-staged token array (CJK ratio still reads the
+    * raw text).
+    */
+  def langIdOf(text: Column, toks: Column): Column = {
     val cjk = size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
-    val scores = langMarkers.map { case (l, ms) => (l, langScore(text, ms)) }
+    val scores = langMarkers.map { case (l, ms) => (l, langScoreOf(toks, ms)) }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     val argmax = scores.reverse.foldLeft(lit("und")) {
       case (acc, (l, s)) => when(s === best && best > 0, lit(l)).otherwise(acc)
