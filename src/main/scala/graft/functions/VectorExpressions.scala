@@ -127,8 +127,18 @@ object VectorExpressions {
       Bridge.expression(a.cast("array<double>")),
       Bridge.expression(b.cast("array<double>"))))
 
-  /** SQL registration (`graft_cosine`, `graft_dot`) for `spark.sql`
-    * users; idempotent per session.
+  /** Second argument of the SQL forms of graft_fingerprint /
+    * graft_simhash_fold must be a literal int (it parameterizes the
+    * generated code, like a window frame size).
+    */
+  private[functions] def intLit(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn requires a literal integer argument, got $other")
+  }
+
+  /** SQL registration (`graft_cosine`, `graft_dot`, `graft_fingerprint`,
+    * `graft_simhash_fold`) for `spark.sql` users; idempotent per session.
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -140,6 +150,16 @@ object VectorExpressions {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+    reg.registerFunction(
+      FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[FingerprintMinMd5].getName, "graft_fingerprint"),
+      (children: Seq[Expression]) =>
+        FingerprintMinMd5(children(0), intLit(children(1), "graft_fingerprint")))
+    reg.registerFunction(
+      FunctionIdentifier("graft_simhash_fold"),
+      new ExpressionInfo(classOf[SimHashFold].getName, "graft_simhash_fold"),
+      (children: Seq[Expression]) =>
+        SimHashFold(children(0), intLit(children(1), "graft_simhash_fold")))
   }
 }
 
@@ -157,5 +177,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[VectorExpressions.DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => VectorExpressions.DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[FingerprintMinMd5].getName, "graft_fingerprint"),
+      (children: Seq[Expression]) => FingerprintMinMd5(
+        children(0), VectorExpressions.intLit(children(1), "graft_fingerprint"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash_fold"),
+      new ExpressionInfo(classOf[SimHashFold].getName, "graft_simhash_fold"),
+      (children: Seq[Expression]) => SimHashFold(
+        children(0), VectorExpressions.intLit(children(1), "graft_simhash_fold"))))
   }
 }

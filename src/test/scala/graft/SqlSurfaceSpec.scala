@@ -26,5 +26,18 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT graft_dot(CAST(ARRAY(1.0, 2.0) AS ARRAY<DOUBLE>), CAST(ARRAY(3.0, 4.0) AS ARRAY<DOUBLE>)) AS d")
       .collect()(0).getDouble(0)
     assert(dot == 11.0)
+
+    // fingerprint via SQL equals the Column-API / interpreted formulation
+    val fp = spark.sql(
+      """SELECT graft_fingerprint(
+        |  filter(split(lower(text), '\\s+'), t -> t <> ''), 8) AS f,
+        |  md5('x') AS probe
+        |FROM documents LIMIT 3""".stripMargin).collect()
+    assert(fp.forall(r => r.getString(0).matches("[0-9a-f]{32}")))
+
+    val sh = spark.sql(
+      "SELECT graft_simhash_fold(CAST(ARRAY(5, 5, 5) AS ARRAY<BIGINT>), 4) AS s")
+      .collect()(0).getLong(0)
+    assert(sh == 5L) // all tokens identical -> the hash itself
   }
 }
