@@ -15,7 +15,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
     graft.queries.Stock.queries ++
-    graft.queries.Corpus.queries
+    graft.queries.Corpus.queries ++
+    graft.queries.Advanced.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -23,5 +24,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
     graft.queries.Stock.oracles ++
-    graft.queries.Corpus.oracles
+    graft.queries.Corpus.oracles ++
+    graft.queries.Advanced.oracles
 }

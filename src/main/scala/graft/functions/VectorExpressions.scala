@@ -160,6 +160,13 @@ object VectorExpressions {
       new ExpressionInfo(classOf[SimHashFold].getName, "graft_simhash_fold"),
       (children: Seq[Expression]) =>
         SimHashFold(children(0), intLit(children(1), "graft_simhash_fold")))
+    // aggregate: the analyzer wraps a bare AggregateFunction returned
+    // from the registry into an AggregateExpression during resolution
+    reg.registerFunction(
+      FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[KmvDistinct].getName, "graft_kmv"),
+      (children: Seq[Expression]) =>
+        KmvDistinct(children(0), intLit(children(1), "graft_kmv")))
   }
 }
 

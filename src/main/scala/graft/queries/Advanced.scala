@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.KmvSketch
+import graft.operators.Joins
+
+/** Round-3 query surface: temporal joins (as-of, band), sketch
+  * aggregates, and exact percentiles — operators a production analytics
+  * engine needs beyond the reference's own workload, each with a
+  * bit-exact DuckDB oracle.
+  */
+object Advanced {
+
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** As-of join: each purchase event picks up the latest prior (or
+    * simultaneous) click by the same user — the point-in-time join of
+    * trade-vs-quote shape. Spark side is [[Joins.asofJoin]] (union +
+    * one keyed sort + running window, no range product); the oracle is
+    * DuckDB's native ASOF LEFT JOIN, an independent implementation of
+    * the same semantics.
+    */
+  val q24_asof_join: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("value").as("purchase_value"))
+    // dedupe clicks on (user, ts) so the as-of pick is deterministic
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("click_value"))
+      .select(col("user_id"), col("ts").as("click_ts"), col("click_value"))
+    Joins.asofJoin(purchases, clicks, Seq("user_id"), "ts", "click_ts")
+  }
+
+  val q24_sql: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value AS purchase_value
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts, MAX(value) AS click_value
+      |  FROM events WHERE event_type = 'click'
+      |  GROUP BY user_id, CAST(ts AS TIMESTAMP))
+      |SELECT p.event_id, p.user_id, p.ts, p.purchase_value, c.click_ts, c.click_value
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts""".stripMargin
+
+  /** Band (range) join: view→purchase conversions by the same user
+    * within 2 hours, exclusive of the view instant. Spark side is
+    * [[Joins.rangeJoin]]'s bin-bucketed plan (each pair meets in
+    * exactly one time bin — Σ|bin|² work, never |views|×|purchases|);
+    * the oracle states the inequality join directly.
+    */
+  val q25_range_join: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val views = ev.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    Joins.rangeJoin(views, purchases, Seq("user_id"), "view_ts", "purchase_ts",
+        lowerMicros = 1L, upperMicros = 7200L * 1000 * 1000)
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
+          .as("micros_between"))
+  }
+
+  val q25_sql: String =
+    """WITH v AS (
+      |  SELECT event_id AS view_id, user_id, CAST(ts AS TIMESTAMP) AS view_ts
+      |  FROM events WHERE event_type = 'view'),
+      |p AS (
+      |  SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS purchase_ts
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT v.user_id, view_id, purchase_id,
+      |       epoch_us(purchase_ts) - epoch_us(view_ts) AS micros_between
+      |FROM v JOIN p ON v.user_id = p.user_id
+      |WHERE epoch_us(purchase_ts) - epoch_us(view_ts) BETWEEN 1 AND 7200000000""".stripMargin
+
+  /** KMV distinct-count sketch vs the exact count, per group: the
+    * mergeable-sketch path a 100 TB engine takes when COUNT(DISTINCT)'s
+    * full shuffle is too expensive. The custom TypedImperativeAggregate
+    * keeps the 256 smallest md5-hashes per group; the oracle replays
+    * the identical hash + k-smallest + closed-form estimate in SQL, so
+    * even the *approximation* is bit-checked.
+    */
+  val q26_kmv_distinct: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_partkey"),
+        KmvSketch.hash64(col("l_partkey")).as("__h"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_exact"),
+        KmvSketch.kmv(col("__h"), k = 256).as("n_kmv"))
+
+  val q26_sql: String =
+    """WITH h AS (
+      |  SELECT DISTINCT l_returnflag,
+      |         ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT l_returnflag, hv,
+      |         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
+      |  FROM h),
+      |s AS (
+      |  SELECT l_returnflag, COUNT(*) AS nk, MAX(hv) AS mx
+      |  FROM r WHERE rn <= 256 GROUP BY l_returnflag),
+      |x AS (
+      |  SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT x.l_returnflag, x.n_exact,
+      |  CASE WHEN s.nk < 256 THEN s.nk
+      |       ELSE CAST(floor(((256 - 1) * 1152921504606846976.0) / s.mx) AS BIGINT)
+      |  END AS n_kmv
+      |FROM x JOIN s USING (l_returnflag)""".stripMargin
+
+  /** Exact interpolated percentiles (quartiles of order value per
+    * priority) — Spark's `percentile` vs DuckDB's `quantile_cont`, two
+    * independent implementations of the same continuous-quantile
+    * definition; rounded to 4 dp to absorb sub-ulp interpolation
+    * differences.
+    */
+  val q27_percentiles: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.50)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"))
+
+  val q27_sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      | round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+      | round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+      | round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q24_asof_join"     -> q24_asof_join,
+    "q25_range_join"    -> q25_range_join,
+    "q26_kmv_distinct"  -> q26_kmv_distinct,
+    "q27_percentiles"   -> q27_percentiles)
+
+  val oracles: Map[String, String] = Map(
+    "q24_asof_join"     -> q24_sql,
+    "q25_range_join"    -> q25_sql,
+    "q26_kmv_distinct"  -> q26_sql,
+    "q27_percentiles"   -> q27_sql)
+}

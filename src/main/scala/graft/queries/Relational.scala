@@ -22,6 +22,18 @@ object Relational {
   private val D = DecimalType(18, 2)
   private def dec(c: Column): Column = c.cast(D)
 
+  /** Render a double so DuckDB parses it to the IDENTICAL bits. A bare
+    * decimal literal (`0.18181818181818182`) is typed DECIMAL(18,17)
+    * first and DuckDB's decimal→double conversion is not correctly
+    * rounded (measured 11/128 literals land 1 ulp off); an exponent
+    * forces the native DOUBLE parser, which is exact for shortest-repr
+    * strings.
+    */
+  private[queries] def sqlDouble(d: Double): String = {
+    val s = d.toString
+    if (s.contains('E') || s.contains('e')) s else s + "e0"
+  }
+
   type Q = (SparkSession, String) => DataFrame
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
@@ -529,10 +541,13 @@ object Relational {
       |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin
 
   /** EMA (n=10) over per-supplier daily revenue — exercises the
-    * codegen'd literal-weight EMA in [[Indicators.ema]]. Output rounded
-    * to 6 dp on both sides: the weight constants are interpolated into
-    * the oracle verbatim, so the only cross-engine freedom is sub-ulp
-    * summation noise, which the rounding removes.
+    * codegen'd literal-weight EMA in [[Indicators.ema]]. Compared RAW
+    * (no rounding): the weight constants are interpolated into the
+    * oracle verbatim and both engines fold strictly left-to-right, so
+    * the doubles are bit-identical. (round(x, 6) is NOT cross-engine
+    * stable — DuckDB rounds via x·10⁶ whose double rounding can flip a
+    * boundary value the exact-value rounding of Spark keeps down; one
+    * row in 52k at sf0.01 hit exactly that.)
     */
   val q22_ema: Q = (s, dir) => {
     val daily = t(s, dir, "lineitem")
@@ -543,13 +558,13 @@ object Relational {
     graft.analytics.Indicators.ema(
       daily, "l_suppkey", Seq("l_shipdate"), "day_price", n = 10)
       .select(col("l_suppkey"), col("l_shipdate"),
-        round(col("ema_value"), 6).as("ema10"))
+        col("ema_value").as("ema10"))
   }
 
   val q22_sql: String = {
     val (bodyW, tailW) = graft.analytics.Indicators.emaWeights(10)
-    val bw = bodyW.mkString("[", ",", "]")
-    val tw = tailW.mkString("[", ",", "]")
+    val bw = bodyW.map(sqlDouble).mkString("[", ",", "]")
+    val tw = tailW.map(sqlDouble).mkString("[", ",", "]")
     s"""WITH daily AS (
        |  SELECT l_suppkey, l_shipdate,
        |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS day_price
@@ -561,11 +576,14 @@ object Relational {
        |            ROWS BETWEEN 63 PRECEDING AND CURRENT ROW)) AS vals
        |  FROM daily)
        |SELECT l_suppkey, l_shipdate,
-       |  round(
-       |    list_sum(list_transform(
-       |      list_zip(vals, CAST($bw AS DOUBLE[])), z -> z[1] * z[2]))
-       |    + (CAST($tw AS DOUBLE[]))[len(vals)] * vals[len(vals)],
-       |    6) AS ema10
+       |  -- strict left-to-right fold matching graft_dot's accumulation
+       |  -- order; list_zip pads the short list with NULL and coalesce
+       |  -- maps those products to +0.0, an exact no-op — the raw doubles
+       |  -- are then bit-identical to Spark's, no rounding needed
+       |  list_reduce(list_transform(
+       |    list_zip(vals, CAST($bw AS DOUBLE[])), z -> coalesce(z[1] * z[2], 0.0)),
+       |    (acc, x) -> acc + x)
+       |  + (CAST($tw AS DOUBLE[]))[len(vals)] * vals[len(vals)] AS ema10
        |FROM lists""".stripMargin
   }
 
