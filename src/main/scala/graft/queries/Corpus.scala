@@ -372,13 +372,15 @@ object Corpus {
 
   /** Approximate top-10 via random-hyperplane LSH (seeded planes) — the
     * 100 TB path: bucket join instead of the queries × corpus product.
-    * Seeded driver-side randomness isn't SQL-reproducible → rows-only;
-    * quality is pinned instead by the SimilaritySpec recall gate:
-    * recall@10 = 0.92 vs exact ground truth at this configuration
-    * (floor 0.85). On an isotropic corpus P[table collision] ≈
-    * (1/2)^planes, so recall is bought with tables × 2^-planes —
-    * planes must grow with corpus density, tables with the recall
-    * target.
+    * The planes are a pure function of the seed, so the oracle
+    * interpolates the exact same 64×64 double literals and replays the
+    * whole pipeline — bucket bits, candidate join, exact-cosine rank —
+    * making even this approximate path hash-checked. Recall quality is
+    * additionally pinned by the SimilaritySpec recall gate: recall@10 =
+    * 0.92 vs exact ground truth at this configuration (floor 0.85). On
+    * an isotropic corpus P[table collision] ≈ (1/2)^planes, so recall
+    * is bought with tables × 2^-planes — planes must grow with corpus
+    * density, tables with the recall target.
     */
   val s02_lsh_ann_topk: Q = (s, dir) => {
     val e = t(s, dir, "embeddings")
@@ -388,6 +390,38 @@ object Corpus {
       k = 10, dim = 64, planes = 4, tables = 16)
       .select(col("query_id"), col("neighbor_id"),
         round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  val s02_sql: String = {
+    // the same seeded planes the Spark query materializes as literals,
+    // emitted with Relational.sqlDouble so DuckDB parses identical bits
+    val hp = Similarity.hyperplanes(dim = 64, planes = 4, tables = 16)
+    val planeRows = for {
+      (tablePlanes, tIdx) <- hp.zipWithIndex
+      (plane, pIdx)       <- tablePlanes.zipWithIndex
+    } yield s"($tIdx, $pIdx, [${plane.map(Relational.sqlDouble).mkString(",")}]::DOUBLE[])"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |planes(t, p, vec) AS (VALUES
+       |  ${planeRows.mkString(",\n  ")}),
+       |pb AS (SELECT e.vec_id, pl.t, pl.p,
+       |  -- sign bit of the sequential dot against each plane (same
+       |  -- accumulation order as graft_dot)
+       |  CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+       |         i -> e.v[i] * pl.vec[i]), (a, b) -> a + b) >= 0
+       |       THEN '1' ELSE '0' END AS bit
+       | FROM e CROSS JOIN planes pl),
+       |bk AS (SELECT vec_id, t::VARCHAR || ':' || string_agg(bit, '' ORDER BY p) AS bucket
+       | FROM pb GROUP BY vec_id, t),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       | FROM bk q JOIN bk c USING (bucket)
+       | WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+       |sc AS (SELECT query_id, neighbor_id, $cosSql AS cos
+       | FROM cand JOIN e a ON a.vec_id = query_id JOIN e b ON b.vec_id = neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       | FROM sc)
+       |SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rank
+       |FROM r WHERE rank <= 10""".stripMargin
   }
 
   /** Multimodal plumbing demo (stub codec, real Spark dataflow):
@@ -444,5 +478,6 @@ object Corpus {
     "d03_simhash_neardups"  -> d03_sql,
     "d04_embedding_neardups" -> d04_sql,
     "d05_dup_groups"        -> d05_sql,
-    "s01_cosine_topk"       -> s01_sql)
+    "s01_cosine_topk"       -> s01_sql,
+    "s02_lsh_ann_topk"      -> s02_sql)
 }
