@@ -1,7 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.functions.KmvSketch
@@ -17,6 +18,10 @@ object Advanced {
   type Q = (SparkSession, String) => DataFrame
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
+
+  // same money-parity discipline as Relational: exact decimal sums,
+  // final cast back to double
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
   /** As-of join: each purchase event picks up the latest prior (or
     * simultaneous) click by the same user — the point-in-time join of
@@ -141,15 +146,79 @@ object Advanced {
       | round(quantile_cont(o_totalprice, 0.75), 4) AS p75
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  /** Gap-based sessionization (30-minute inactivity gap) rolled up to
+    * one row per session — session numbering via [[graft.operators.Sessionize]]
+    * (one shuffle, two windows over one sort), then a per-session
+    * aggregate that reuses the same partitioning. The oracle replays
+    * the identical lag → flag → running-sum formulation.
+    */
+  val q28_sessionize: Q = (s, dir) => {
+    val gapMicros = 30L * 60 * 1000 * 1000
+    graft.operators.Sessionize(
+        t(s, dir, "events").select(col("user_id"), col("ts"), col("value")),
+        Seq("user_id"), "ts", gapMicros)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .as("duration_micros"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+  }
+
+  val q28_sql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1)
+      |           OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+      |         OR LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         THEN 1 ELSE 0 END AS is_start
+      |  FROM e),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |    CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_micros,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM sess GROUP BY user_id, session_id""".stripMargin
+
+  /** CUBE over return flag × line status — all four grouping levels in
+    * one pass (completes the grouping-sets family next to q15's
+    * ROLLUP). Both engines emit NULL for rolled-up dimensions.
+    */
+  val q29_cube: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
+
+  val q29_sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_lines,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q24_asof_join"     -> q24_asof_join,
     "q25_range_join"    -> q25_range_join,
     "q26_kmv_distinct"  -> q26_kmv_distinct,
-    "q27_percentiles"   -> q27_percentiles)
+    "q27_percentiles"   -> q27_percentiles,
+    "q28_sessionize"    -> q28_sessionize,
+    "q29_cube"          -> q29_cube)
 
   val oracles: Map[String, String] = Map(
     "q24_asof_join"     -> q24_sql,
     "q25_range_join"    -> q25_sql,
     "q26_kmv_distinct"  -> q26_sql,
-    "q27_percentiles"   -> q27_sql)
+    "q27_percentiles"   -> q27_sql,
+    "q28_sessionize"    -> q28_sql,
+    "q29_cube"          -> q29_sql)
 }

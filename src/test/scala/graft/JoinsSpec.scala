@@ -138,6 +138,27 @@ class JoinsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("sessionize numbers gap-separated sessions per key") {
+    import spark.implicits._
+    val ev = Seq(
+      ("u1", ts("2024-01-01 10:00:00")),
+      ("u1", ts("2024-01-01 10:10:00")), // same session (gap 10m < 30m)
+      ("u1", ts("2024-01-01 11:00:00")), // new session (gap 50m)
+      ("u1", ts("2024-01-01 11:29:59")), // same (gap < 30m)
+      ("u2", ts("2024-01-01 10:00:00"))  // separate key
+    ).toDF("user_id", "ts")
+    val got = graft.operators.Sessionize(ev, Seq("user_id"), "ts", 30L * 60 * 1000 * 1000)
+      .collect()
+      .map(r => (r.getAs[String]("user_id"), r.getAs[Timestamp]("ts").toString, r.getAs[Long]("session_id")))
+      .toSet
+    assert(got === Set(
+      ("u1", "2024-01-01 10:00:00.0", 1L),
+      ("u1", "2024-01-01 10:10:00.0", 1L),
+      ("u1", "2024-01-01 11:00:00.0", 2L),
+      ("u1", "2024-01-01 11:29:59.0", 2L),
+      ("u2", "2024-01-01 10:00:00.0", 1L)))
+  }
+
   test("graft_kmv is callable from SQL") {
     import spark.implicits._
     graft.functions.VectorExpressions.register(spark)
