@@ -160,8 +160,11 @@ object Dedup {
         array_distinct(TextAnalysis.shingles(col("text"), k)).as("sh_set"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sets
-      .withColumn("__bh", shingleBaseHashes(col("sh_set")))
-      .withColumn("sig", minhashOfHashes(col("__bh"), numHashes))
+      // native one-loop signature (md5 + all permutations fused); the
+      // staged-HOF formulation (shingleBaseHashes → minhashOfHashes)
+      // computes the same bits interpreted — equivalence is spec-gated
+      .withColumn("sig", graft.functions.MinHashSignature(
+        col("sh_set"), minhashCoeffs(numHashes), minhashP))
       .withColumn("band", explode(lshBandKeys(col("sig"), bands, rowsPerBand)))
       .select(col("band"), col("id"))
     // Candidate pairs carry ids only (the band self-join shuffles 16

@@ -206,7 +206,30 @@ object Advanced {
       | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
 
+  /** Fact-dim join routed through [[graft.load.Scale.saltedJoin]] (salt
+    * 8): the explicit skew mitigation for a hot key AQE can't fix —
+    * each big-side key scatters across 8 sub-keys, the dim replicates 8
+    * ways. The oracle is the PLAIN join: salting must be semantically
+    * invisible, and the hash gate proves it row-for-row.
+    */
+  val q30_skew_join: Q = (s, dir) => {
+    val dim = t(s, dir, "supplier")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    graft.load.Scale.saltedJoin(t(s, dir, "lineitem"), dim, "l_suppkey", salt = 8)
+      .groupBy(col("s_name"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("total_price"))
+  }
+
+  val q30_sql: String =
+    """SELECT s_name, COUNT(*) AS n_lines,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q30_skew_join"     -> q30_skew_join,
     "q24_asof_join"     -> q24_asof_join,
     "q25_range_join"    -> q25_range_join,
     "q26_kmv_distinct"  -> q26_kmv_distinct,
@@ -215,6 +238,7 @@ object Advanced {
     "q29_cube"          -> q29_cube)
 
   val oracles: Map[String, String] = Map(
+    "q30_skew_join"     -> q30_sql,
     "q24_asof_join"     -> q24_sql,
     "q25_range_join"    -> q25_sql,
     "q26_kmv_distinct"  -> q26_sql,

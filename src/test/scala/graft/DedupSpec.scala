@@ -24,6 +24,20 @@ class DedupSpec extends SparkSpec {
     assert(out.contains((4L, 1L, true)))
   }
 
+  test("native MinHashSignature equals the staged-HOF formulation bit-for-bit") {
+    val shSets = docs.select(col("doc_id"),
+      array_distinct(graft.text.TextAnalysis.shingles(col("text"), 3)).as("sh"))
+    val coeffs = Dedup.minhashCoeffs(16)
+    val both = shSets.select(
+      col("doc_id"),
+      graft.functions.MinHashSignature(col("sh"), coeffs, Dedup.minhashP).as("native"),
+      Dedup.minhashOfHashes(Dedup.shingleBaseHashes(col("sh")), 16).as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("minhash LSH finds the exact pair and the near-dup pair, nothing else") {
     val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
       k = 3, numHashes = 16, bands = 8, threshold = 0.5)
