@@ -228,7 +228,73 @@ object Advanced {
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_name""".stripMargin
 
+  /** Time-RANGE window frame: 7-day rolling revenue per supplier —
+    * unlike q11's ROWS frame this is gap-correct (a supplier with no
+    * sales for a week contributes an honest window, not "the last 7
+    * rows"). Spark plans RANGE frames in the same single window
+    * exchange; ordering key is epoch seconds so the frame bound is a
+    * plain long interval in both engines.
+    */
+  val q31_range_window: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_shipdate"), dec(col("l_extendedprice")).as("__p"))
+      .repartition(col("l_suppkey"))
+      .groupBy(col("l_suppkey"), col("l_shipdate"))
+      .agg(sum(col("__p")).as("day_price"))
+      // l_shipdate is TIMESTAMP_NTZ; session tz is UTC so the cast is a
+      // pure reinterpretation (unix_micros only accepts TIMESTAMP)
+      .withColumn("__epoch",
+        expr("unix_micros(cast(l_shipdate as timestamp)) div 1000000"))
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("__epoch"))
+      .rangeBetween(-6L * 86400, 0)
+    daily.select(col("l_suppkey"), col("l_shipdate"),
+      sum(col("day_price")).over(w).cast("double").as("rev_7d"),
+      count(lit(1)).over(w).as("n_days_7d"))
+  }
+
+  val q31_sql: String =
+    """WITH daily AS (
+      |  SELECT l_suppkey, l_shipdate,
+      |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS day_price,
+      |         epoch_us(l_shipdate) // 1000000 AS ep
+      |  FROM lineitem GROUP BY l_suppkey, l_shipdate)
+      |SELECT l_suppkey, l_shipdate,
+      |  CAST(SUM(day_price) OVER win AS DOUBLE) AS rev_7d,
+      |  COUNT(*) OVER win AS n_days_7d
+      |FROM daily
+      |WINDOW win AS (PARTITION BY l_suppkey ORDER BY ep
+      |               RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Explicit GROUPING SETS with grouping_id — the third member of the
+    * grouping family next to q15's ROLLUP and q29's CUBE: two chosen
+    * levels only (priority totals and status totals), not the full
+    * lattice, disambiguated by GROUPING().
+    */
+  val q32_grouping_sets: Q = (s, dir) => {
+    Tables.registerViews(s, dir)
+    s.sql(
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_pri,
+        |  CAST(grouping(o_orderstatus)  AS BIGINT) AS g_st,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))""".stripMargin)
+  }
+
+  val q32_sql: String =
+    """SELECT o_orderpriority, o_orderstatus,
+      | CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+      | CAST(GROUPING(o_orderstatus)  AS BIGINT) AS g_st,
+      | COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q31_range_window"  -> q31_range_window,
+    "q32_grouping_sets" -> q32_grouping_sets,
     "q30_skew_join"     -> q30_skew_join,
     "q24_asof_join"     -> q24_asof_join,
     "q25_range_join"    -> q25_range_join,
@@ -238,6 +304,8 @@ object Advanced {
     "q29_cube"          -> q29_cube)
 
   val oracles: Map[String, String] = Map(
+    "q31_range_window"  -> q31_sql,
+    "q32_grouping_sets" -> q32_sql,
     "q30_skew_join"     -> q30_sql,
     "q24_asof_join"     -> q24_sql,
     "q25_range_join"    -> q25_sql,
