@@ -244,16 +244,29 @@ object Similarity {
       planes: Int = 10,
       tables: Int = 8): DataFrame = {
     val q = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"))
-      .withColumn("bucket", explode(hyperplaneBuckets(col("__qv"), dim, planes, tables)))
     val c = corpus.select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv"))
+    // Bucket join and candidate dedup carry IDS ONLY (the same
+    // discipline as the MinHash band join): a vector that collides in
+    // several tables would otherwise drag its 64 doubles through the
+    // bucket shuffle AND the distinct — per-pair payload drops from
+    // ~1 KB to 16 bytes. Vectors re-attach afterwards: the query side
+    // broadcasts (probe sets are small by contract), the corpus side is
+    // one equi-join shuffling only the deduped candidate ids.
+    val qb = q
+      .withColumn("bucket", explode(hyperplaneBuckets(col("__qv"), dim, planes, tables)))
+      .select(col("bucket"), col("query_id"))
+    val cb = c
       .withColumn("bucket", explode(hyperplaneBuckets(col("__cv"), dim, planes, tables)))
-    val candidates = q.join(c, Seq("bucket"))
+      .select(col("bucket"), col("neighbor_id"))
+    val candidates = qb.join(cb, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("__qv"), col("neighbor_id"), col("__cv"))
+      .select(col("query_id"), col("neighbor_id"))
       .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     candidates
+      .join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("__qv"), col("__cv")).as("cosine"))
       .withColumn("rank", row_number().over(w))
