@@ -232,6 +232,71 @@ object Similarity {
     if (row.isNullAt(0)) 1.0 else row.getDouble(0)
   }
 
+  /** A built hyperplane-LSH index: the corpus's (bucket, id) pairs and
+    * its (id, vector) projection, both cached — like [[IvfIndex]], the
+    * bucket construction (64 dots + 16 bucket keys per vector here) is
+    * the amortized build cost of a serving index, paid once per corpus
+    * rather than per query batch. At 100 TB, persist `buckets`
+    * partitioned by bucket prefix instead of caching.
+    */
+  final case class LshIndex(
+      dim: Int, planes: Int, tables: Int, seed: Long,
+      buckets: DataFrame,
+      corpus: DataFrame) {
+
+    /** Approximate top-k for a (small, broadcastable) probe set against
+      * the indexed corpus — identical semantics to [[lshTopK]]: bucket
+      * collision in any table → candidate, exact cosine ranks. Id-only
+      * payloads through the join and dedup; vectors re-attach after.
+      */
+    def search(
+        queries: DataFrame,
+        queryIdCol: String,
+        queryVecCol: String,
+        k: Int): DataFrame = {
+      val q = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"))
+      val qb = q
+        .withColumn("bucket", explode(hyperplaneBuckets(col("__qv"), dim, planes, tables, seed)))
+        .select(col("bucket"), col("query_id"))
+      val candidates = qb.join(buckets, Seq("bucket"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"))
+        .distinct()
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      candidates
+        .join(broadcast(q), Seq("query_id"))
+        .join(corpus, Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("__qv"), col("__cv")).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+    }
+  }
+
+  object LshIndex {
+    /** Materialize the corpus buckets once (cached eagerly — the
+      * index-build step every ANN serving system amortizes).
+      */
+    def build(
+        corpus: DataFrame,
+        corpusIdCol: String,
+        corpusVecCol: String,
+        dim: Int = 64,
+        planes: Int = 10,
+        tables: Int = 8,
+        seed: Long = 42L): LshIndex = {
+      val c = corpus.select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv"))
+        .cache()
+      val b = c
+        .withColumn("bucket", explode(hyperplaneBuckets(col("__cv"), dim, planes, tables, seed)))
+        .select(col("bucket"), col("neighbor_id"))
+        .cache()
+      b.count() // build eagerly
+      LshIndex(dim, planes, tables, seed, b, c)
+    }
+  }
+
   def lshTopK(
       queries: DataFrame,
       corpus: DataFrame,

@@ -86,6 +86,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("LshIndex.search returns exactly the one-shot lshTopK result") {
+    val rng = new scala.util.Random(13)
+    val corpus = (0L until 60L).map { i =>
+      (i, Array.fill(16)(rng.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 3)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cosine", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val oneShot = canon(Similarity.lshTopK(queries, corpus,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 10, dim = 16, planes = 4, tables = 6))
+    val idx = Similarity.LshIndex.build(corpus, "vec_id", "embedding",
+      dim = 16, planes = 4, tables = 6)
+    try assert(canon(idx.search(queries, "vec_id", "embedding", k = 10)) === oneShot)
+    finally { idx.buckets.unpersist(false); idx.corpus.unpersist(false); () }
+  }
+
   test("ANN recall@10 against exact ground truth on the sf0.01 corpus") {
     val dir = "/root/testdata/sf0.01"
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
