@@ -188,17 +188,27 @@ object Advanced {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM sess GROUP BY user_id, session_id""".stripMargin
 
-  /** CUBE over return flag × line status — all four grouping levels in
-    * one pass (completes the grouping-sets family next to q15's
-    * ROLLUP). Both engines emit NULL for rolled-up dimensions.
+  /** CUBE over return flag × line status — all four grouping levels.
+    * Not `.cube` (whose Expand duplicates every input row once per
+    * grouping set BEFORE the partial aggregate — 4× the rows through
+    * the hash agg): [[graft.operators.Rollups.cubeFromBase]] aggregates
+    * the fact table once at the finest grain and re-aggregates the
+    * 6-row base per level. Identical output (no NULL dimension values
+    * exist in this data), proven by the oracle's native CUBE.
     */
-  val q29_cube: Q = (s, dir) =>
-    t(s, dir, "lineitem")
-      .cube(col("l_returnflag"), col("l_linestatus"))
+  val q29_cube: Q = (s, dir) => {
+    val base = t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         count(lit(1)).as("n_lines"),
-        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
+        sum(dec(col("l_quantity"))).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).as("sum_price"))
+    graft.operators.Rollups.cubeFromBase(base,
+        Seq("l_returnflag", "l_linestatus"), Seq("n_lines", "sum_qty", "sum_price"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("n_lines"),
+        col("sum_qty").cast("double").as("sum_qty"),
+        col("sum_price").cast("double").as("sum_price"))
+  }
 
   val q29_sql: String =
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_lines,

@@ -159,6 +159,24 @@ class JoinsSpec extends SparkSpec {
       ("u2", "2024-01-01 10:00:00.0", 1L)))
   }
 
+  test("cubeFromBase equals native .cube for algebraic aggregates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val df = (1 to 500).map(_ =>
+      (s"a${rnd.nextInt(3)}", s"b${rnd.nextInt(4)}", rnd.nextInt(100).toLong)).toDF("d1", "d2", "v")
+    def canon(x: org.apache.spark.sql.DataFrame) =
+      x.collect().map(r => (Option(r.get(0)), Option(r.get(1)), r.getLong(2), r.getLong(3))).toSet
+    val native = canon(df.cube(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .select("d1", "d2", "n", "sv"))
+    val base = df.groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val twoPhase = canon(graft.operators.Rollups
+      .cubeFromBase(base, Seq("d1", "d2"), Seq("n", "sv"))
+      .select("d1", "d2", "n", "sv"))
+    assert(twoPhase === native)
+  }
+
   test("graft_kmv is callable from SQL") {
     import spark.implicits._
     graft.functions.VectorExpressions.register(spark)
