@@ -209,6 +209,45 @@ object Corpus {
        |FROM p GROUP BY predicted_lang""".stripMargin
   }
 
+  /** Second capstone: curation with NEAR-dup (not just exact) removal —
+    * MinHash pairs → connected-component groups → keep each group's
+    * min-id canonical plus every ungrouped doc, then per-source
+    * kept/dropped counts and the surviving token budget. Composes the
+    * heaviest dedup machinery end-to-end; the oracle replays everything
+    * including the transitive closure (recursive CTE).
+    */
+  val c02_neardup_curation: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+    val groups = Dedup.duplicateGroups(
+      Dedup.minhashNearDups(docs, "text", "doc_id",
+        k = 5, numHashes = 16, bands = 4, threshold = 0.5))
+    val flagged = docs
+      .join(groups, docs("doc_id") === groups("id"), "left")
+      .withColumn("__kept", col("id").isNull || col("doc_id") === col("group_id"))
+    flagged.groupBy(col("source")).agg(
+      sum(when(col("__kept"), 1L).otherwise(0L)).as("n_docs_kept"),
+      sum(when(col("__kept"), 0L).otherwise(1L)).as("n_docs_dropped"),
+      sum(when(col("__kept"), TextAnalysis.tokenCountOf(col("__toks")).cast("long"))
+        .otherwise(0L)).as("total_tokens"))
+  }
+
+  // lazy: textually precedes the dedup-section vals it interpolates
+  // (dupGroupCtes/d02_sql) — an eager val would capture them as null
+  lazy val c02_sql: String =
+    s"""WITH RECURSIVE $dupGroupCtes,
+       |tt AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+       |flagged AS (
+       |  SELECT source, len(toks) AS n,
+       |    CASE WHEN g.id IS NULL OR tt.doc_id = g.group_id THEN 1 ELSE 0 END AS kept
+       |  FROM tt LEFT JOIN groups g ON tt.doc_id = g.id)
+       |SELECT source,
+       |  CAST(SUM(kept) AS BIGINT) AS n_docs_kept,
+       |  CAST(SUM(1 - kept) AS BIGINT) AS n_docs_dropped,
+       |  CAST(SUM(CASE WHEN kept = 1 THEN n ELSE 0 END) AS BIGINT) AS total_tokens
+       |FROM flagged GROUP BY source""".stripMargin
+
   // ------------------------------------------------------------ dedup
 
   /** Exact dedup: content hash over the normalized token stream, group
@@ -311,16 +350,23 @@ object Corpus {
       Dedup.minhashNearDups(t(s, dir, "documents"), "text", "doc_id",
         k = 5, numHashes = 16, bands = 4, threshold = 0.5))
 
-  val d05_sql: String =
-    s"""WITH RECURSIVE pairs AS ($d02_sql),
+  // the transitive-closure CTE chain shared by d05 and c02: near-dup
+  // pairs → undirected edges → reachability → (id, group_id)
+  private val dupGroupCtes: String =
+    s"""pairs AS ($d02_sql),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
        |          UNION SELECT id_b AS src, id_a AS dst FROM pairs),
        |reach AS (
        |  SELECT src, dst FROM edges
        |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-       |SELECT src AS id, LEAST(src, MIN(dst)) AS group_id
-       |FROM reach GROUP BY src""".stripMargin
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |groups AS (
+       |  SELECT src AS id, LEAST(src, MIN(dst)) AS group_id
+       |  FROM reach GROUP BY src)""".stripMargin
+
+  val d05_sql: String =
+    s"""WITH RECURSIVE $dupGroupCtes
+       |SELECT id, group_id FROM groups""".stripMargin
 
   /** Embedding-cosine near-duplicate pairs (exhaustive variant so the
     * oracle can replay it; the LSH-bucketed variant is the scale path,
@@ -460,6 +506,7 @@ object Corpus {
     "m01_multimodal_features" -> m01_multimodal_features,
     "s03_ivf_topk"          -> s03_ivf_topk,
     "c01_curation"          -> c01_curation,
+    "c02_neardup_curation"  -> c02_neardup_curation,
     "t01_token_stats"       -> t01_token_stats,
     "t02_quality_score"     -> t02_quality_score,
     "t03_lang_id"           -> t03_lang_id,
@@ -474,6 +521,7 @@ object Corpus {
 
   val oracles: Map[String, String] = Map(
     "c01_curation"          -> c01_sql,
+    "c02_neardup_curation"  -> c02_sql,
     "t01_token_stats"       -> t01_sql,
     "t02_quality_score"     -> t02_sql,
     "t03_lang_id"           -> t03_sql,
