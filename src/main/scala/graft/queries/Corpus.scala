@@ -209,6 +209,38 @@ object Corpus {
        |FROM p GROUP BY predicted_lang""".stripMargin
   }
 
+  /** Deterministic train/valid/test split (80/10/10) by hash bucket of
+    * the document id — the reproducible alternative to `rand()`-based
+    * sampling a 100 TB pipeline needs (same document lands in the same
+    * split on every run, every retry, every executor), with per-
+    * (source, split) document and token budgets. Pure projection +
+    * one aggregate; the md5-derived bucket replays exactly in SQL.
+    */
+  val t05_split_sample: Q = (s, dir) => {
+    val bucket = pmod(graft.functions.KmvSketch.hash64(col("doc_id")), lit(100L))
+    val split = when(bucket < 80, "train")
+      .when(bucket < 90, "valid").otherwise("test")
+    t(s, dir, "documents")
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .select(col("source"), split.as("split"),
+        TextAnalysis.tokenCountOf(col("__toks")).cast("long").as("__n"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("total_tokens"))
+  }
+
+  val t05_sql: String =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b,
+       |    len($toksSql) AS n
+       |  FROM documents)
+       |SELECT source,
+       |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n) AS BIGINT) AS total_tokens
+       |FROM d GROUP BY 1, 2""".stripMargin
+
   /** Second capstone: curation with NEAR-dup (not just exact) removal —
     * MinHash pairs → connected-component groups → keep each group's
     * min-id canonical plus every ungrouped doc, then per-source
@@ -511,6 +543,7 @@ object Corpus {
     "t02_quality_score"     -> t02_quality_score,
     "t03_lang_id"           -> t03_lang_id,
     "t04_fingerprint"       -> t04_fingerprint,
+    "t05_split_sample"      -> t05_split_sample,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -526,6 +559,7 @@ object Corpus {
     "t02_quality_score"     -> t02_sql,
     "t03_lang_id"           -> t03_sql,
     "t04_fingerprint"       -> t04_sql,
+    "t05_split_sample"      -> t05_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,
