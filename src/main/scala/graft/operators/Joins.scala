@@ -116,13 +116,16 @@ object Joins {
       s"right payload columns collide with left columns: ${clash.mkString(", ")}")
     val binW = math.max(upperMicros - lowerMicros, 1L)
 
+    // cast("timestamp") is a no-op for TIMESTAMP and a pure
+    // reinterpretation for TIMESTAMP_NTZ under a UTC session —
+    // unix_micros itself rejects NTZ input
     val l = left
-      .withColumn("__lts", unix_micros(col(leftTs)))
+      .withColumn("__lts", unix_micros(col(leftTs).cast("timestamp")))
       .withColumn("__bin", explode(array_distinct(array(
         floor((col("__lts") + lit(lowerMicros)) / lit(binW.toDouble)).cast("long"),
         floor((col("__lts") + lit(upperMicros)) / lit(binW.toDouble)).cast("long")))))
     val r = right
-      .withColumn("__rts", unix_micros(col(rightTs)))
+      .withColumn("__rts", unix_micros(col(rightTs).cast("timestamp")))
       .withColumn("__bin", floor(col("__rts") / lit(binW.toDouble)).cast("long"))
 
     l.join(r, keys :+ "__bin")

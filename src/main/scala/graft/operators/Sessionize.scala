@@ -31,9 +31,12 @@ object Sessionize {
       out: String = "session_id"): DataFrame = {
     require(keys.nonEmpty, "sessionize requires at least one key")
     val byKey = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol).asc)
-    val prev = lag(unix_micros(col(tsCol)), 1).over(byKey)
+    // cast("timestamp"): no-op for TIMESTAMP, reinterpretation for
+    // TIMESTAMP_NTZ under a UTC session (unix_micros rejects NTZ)
+    val micros = unix_micros(col(tsCol).cast("timestamp"))
+    val prev = lag(micros, 1).over(byKey)
     val isStart = when(
-      prev.isNull || (unix_micros(col(tsCol)) - prev) > gapMicros, 1L).otherwise(0L)
+      prev.isNull || (micros - prev) > gapMicros, 1L).otherwise(0L)
     df.withColumn(out,
       sum(isStart).over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
