@@ -302,7 +302,29 @@ object Advanced {
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))""".stripMargin
 
+  /** Pivot: per-user event counts reshaped to one column per event
+    * type (explicit value list — at scale you never let pivot infer
+    * values with an extra pass). Plans as a single hash aggregate with
+    * conditional counters, which is exactly what the oracle states.
+    */
+  val q33_pivot: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))
+
+  val q33_sql: String =
+    """SELECT user_id,
+      | CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      | CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view,
+      | CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      | CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      | CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error
+      |FROM events GROUP BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q33_pivot"         -> q33_pivot,
     "q31_range_window"  -> q31_range_window,
     "q32_grouping_sets" -> q32_grouping_sets,
     "q30_skew_join"     -> q30_skew_join,
@@ -314,6 +336,7 @@ object Advanced {
     "q29_cube"          -> q29_cube)
 
   val oracles: Map[String, String] = Map(
+    "q33_pivot"         -> q33_sql,
     "q31_range_window"  -> q31_sql,
     "q32_grouping_sets" -> q32_sql,
     "q30_skew_join"     -> q30_sql,
