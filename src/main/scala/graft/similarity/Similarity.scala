@@ -80,8 +80,26 @@ object Similarity {
     * bit of the dot product against each of that table's hyperplanes.
     * Two vectors share a bucket in table t iff all `planes` sign bits
     * agree — P[collide] = (1 - θ/π)^planes for angle θ.
+    *
+    * Backed by the fused native expression
+    * [[graft.functions.HyperplaneBuckets]] (one tables × planes × dim
+    * loop); [[hyperplaneBucketsColumns]] is the staged-column
+    * formulation it is spec-gated bit-identical to.
     */
   def hyperplaneBuckets(
+      vec: Column,
+      dim: Int,
+      planes: Int,
+      tables: Int,
+      seed: Long = 42L): Column =
+    graft.functions.HyperplaneBuckets(
+      vec.cast("array<double>"), hyperplanes(dim, planes, tables, seed))
+
+  /** The per-plane column formulation (tables × planes `graft_dot`
+    * calls + concat) — kept as the independent reference the native
+    * expression is tested against.
+    */
+  private[graft] def hyperplaneBucketsColumns(
       vec: Column,
       dim: Int,
       planes: Int,

@@ -86,6 +86,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("native HyperplaneBuckets equals the staged-column formulation bit-for-bit") {
+    val rng = new scala.util.Random(17)
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.fill(16)(rng.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val both = vecs.select(
+      Similarity.hyperplaneBuckets(col("embedding"), dim = 16, planes = 5, tables = 4)
+        .as("native"),
+      Similarity.hyperplaneBucketsColumns(col("embedding"), dim = 16, planes = 5, tables = 4)
+        .as("cols"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1))
+    }
+  }
+
   test("LshIndex.search returns exactly the one-shot lshTopK result") {
     val rng = new scala.util.Random(13)
     val corpus = (0L until 60L).map { i =>
