@@ -282,7 +282,9 @@ object Advanced {
     * lattice, disambiguated by GROUPING().
     */
   val q32_grouping_sets: Q = (s, dir) => {
-    Tables.registerViews(s, dir)
+    // register only the view this query reads — full registerViews
+    // re-opens all ten table footers per invocation
+    t(s, dir, "orders").createOrReplaceTempView("orders")
     s.sql(
       """SELECT o_orderpriority, o_orderstatus,
         |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_pri,
