@@ -157,4 +157,65 @@ object StreamingIngest {
           out.iterator
       }
   }
+
+  // ---- custom state: streaming sessionization (emit-on-close) ----
+
+  case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
+  case class SessionState(sessionId: Long, startMicros: Long, lastMicros: Long, n: Long)
+  case class ClosedSession(
+      user_id: Long, session_id: Long, n_events: Long,
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp)
+
+  private def micros(t: java.sql.Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+
+  private def fromMicros(m: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(m, 1000L))
+    t.setNanos((Math.floorMod(m, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Streaming twin of the batch [[graft.operators.Sessionize]]: keyed
+    * state holds the one open session per user; an event whose gap to
+    * the previous exceeds `gapMicros` CLOSES it (emitting one row with
+    * the same 1-based numbering the batch operator assigns) and opens
+    * the next. Events at-or-before the open session's last timestamp
+    * are dropped — the same late-data rule as [[streamingSma]].
+    *
+    * Emit-on-close keeps the operator deterministic under any batch
+    * boundary placement; the final open session emits when a later
+    * event closes it. A production deployment that must flush idle
+    * sessions adds `GroupStateTimeout.EventTimeTimeout` + a watermark
+    * and emits the open session in the timeout branch — same state,
+    * same output row.
+    */
+  def streamingSessions(
+      events: org.apache.spark.sql.Dataset[SessEvent],
+      gapMicros: Long): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, in: Iterator[SessEvent], state: GroupState[SessionState]) =>
+          var st = state.getOption.orNull
+          val closed = scala.collection.mutable.ListBuffer[ClosedSession]()
+          in.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+            val m = micros(e.ts)
+            if (st == null) {
+              st = SessionState(1L, m, m, 1L)
+            } else if (m <= st.lastMicros) {
+              () // late or duplicate event — drop
+            } else if (m - st.lastMicros > gapMicros) {
+              closed += ClosedSession(user, st.sessionId, st.n,
+                fromMicros(st.startMicros), fromMicros(st.lastMicros))
+              st = SessionState(st.sessionId + 1, m, m, 1L)
+            } else {
+              st = st.copy(lastMicros = m, n = st.n + 1)
+            }
+          }
+          if (st != null) state.update(st)
+          closed.iterator
+      }
+  }
 }

@@ -77,6 +77,49 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq(("A", 2.0)))   // only A reaches 3 bars: (1+2+3)/3
   }
 
+  test("streamingSessions closes sessions across batch boundaries, matching the batch operator") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, count, lit, min, max}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 30L * 60 * 1000 * 1000 // 30 min
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val evs = Seq(
+      (1L, ts(0)), (1L, ts(10)),          // session 1 of user 1
+      (1L, ts(60)), (1L, ts(70)),         // session 2
+      (2L, ts(5)),                        // session 1 of user 2
+      (1L, ts(180)), (2L, ts(180))        // flush events (close the above)
+    )
+    val stream = MemoryStream[StreamingIngest.SessEvent]
+    val q = StreamingIngest.streamingSessions(stream.toDS(), gap)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    // split across two micro-batches mid-session to prove boundary independence
+    stream.addData(evs.take(3).map(e => StreamingIngest.SessEvent(e._1, e._2)): _*)
+    q.processAllAvailable()
+    stream.addData(evs.drop(3).map(e => StreamingIngest.SessEvent(e._1, e._2)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+      "SELECT user_id, session_id, n_events, session_start, session_end FROM sess_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4))).toSet
+    // batch reference on the same rows, keeping only sessions a later
+    // event closed (the flush events open session 3 / 2, never closed)
+    val batch = graft.operators.Sessionize(
+        evs.toDF("user_id", "ts"), Seq("user_id"), "ts", gap)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4)))
+      .filter { case (u, sid, _, _, _) =>
+        !(u == 1L && sid == 3L) && !(u == 2L && sid == 2L) }
+      .toSet
+    assert(streamed === batch)
+    assert(streamed.map(s => (s._1, s._2)) === Set((1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+
   test("streamingSma drops late cross-batch bars instead of corrupting the window") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
