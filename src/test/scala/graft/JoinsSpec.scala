@@ -159,6 +159,22 @@ class JoinsSpec extends SparkSpec {
       ("u2", "2024-01-01 10:00:00.0", 1L)))
   }
 
+  test("sessionize + per-session rollup share ONE exchange (subset rule)") {
+    import spark.implicits._
+    val ev = (1 to 100).map(i => (s"u${i % 5}", ts("2024-01-01 10:00:00"))).toDF("user_id", "ts")
+    val sessions = graft.operators.Sessionize(ev, Seq("user_id"), "ts", 60L * 1000 * 1000)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"))
+    sessions.collect()
+    // AdaptiveSparkPlan.toString prints Final AND Initial plans — count
+    // exchanges only in the executed (final) section
+    val plan = sessions.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1,
+      s"expected the windows and the rollup to reuse one user_id exchange, got $exchanges:\n$plan")
+  }
+
   test("cubeFromBase equals native .cube for algebraic aggregates") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
