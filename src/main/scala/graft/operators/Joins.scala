@@ -49,12 +49,19 @@ object Joins {
     * `last(ignoreNulls)` would, whenever a payload field is legitimately
     * null).
     */
+  /** Optional `toleranceMicros`: a match older than the tolerance
+    * (leftTs − rightTs > tolerance) is discarded — the left row keeps
+    * null payloads, the bounded-staleness rule of pandas `merge_asof`
+    * tolerance / kdb `wj`. Applied as a post-window projection, so the
+    * plan shape is unchanged.
+    */
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
       keys: Seq[String],
       leftTs: String,
-      rightTs: String): DataFrame = {
+      rightTs: String,
+      toleranceMicros: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "asofJoin requires at least one equi-key")
     val lCols = left.columns.toSeq
     val lOnly = lCols.filterNot(keys.contains)
@@ -82,10 +89,18 @@ object Joins {
       .orderBy(col("__ats").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    lTagged.unionByName(rTagged)
+    val matched = lTagged.unionByName(rTagged)
       .withColumn("__m", last(col("__rp"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .select(lCols.map(col) ++ rPay.map(c => col("__m").getField(c).as(c)): _*)
+    val bounded = toleranceMicros match {
+      case Some(tol) => matched.withColumn("__m",
+        when(
+          unix_micros(col("__ats").cast("timestamp"))
+            - unix_micros(col("__m").getField(rightTs).cast("timestamp")) <= tol,
+          col("__m")))
+      case None => matched
+    }
+    bounded.select(lCols.map(col) ++ rPay.map(c => col("__m").getField(c).as(c)): _*)
   }
 
   /** Equi-key band join: all (left, right) pairs with equal `keys` and

@@ -325,7 +325,43 @@ object Advanced {
       | CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** As-of join with a one-hour staleness bound: same shape as q24 but
+    * a matched click older than an hour is discarded (null payload) —
+    * the tolerance rule of pandas merge_asof / kdb wj. The oracle keeps
+    * DuckDB's native ASOF LEFT JOIN and nulls stale matches in the
+    * projection.
+    */
+  val q34_asof_tolerance: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("value").as("purchase_value"))
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("click_value"))
+      .select(col("user_id"), col("ts").as("click_ts"), col("click_value"))
+    Joins.asofJoin(purchases, clicks, Seq("user_id"), "ts", "click_ts",
+      toleranceMicros = Some(3600L * 1000 * 1000))
+  }
+
+  val q34_sql: String =
+    """WITH p AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value AS purchase_value
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts, MAX(value) AS click_value
+      |  FROM events WHERE event_type = 'click'
+      |  GROUP BY user_id, CAST(ts AS TIMESTAMP)),
+      |j AS (
+      |  SELECT p.event_id, p.user_id, p.ts, p.purchase_value, c.click_ts, c.click_value
+      |  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.click_ts)
+      |SELECT event_id, user_id, ts, purchase_value,
+      |  CASE WHEN epoch_us(ts) - epoch_us(click_ts) <= 3600000000 THEN click_ts END AS click_ts,
+      |  CASE WHEN epoch_us(ts) - epoch_us(click_ts) <= 3600000000 THEN click_value END AS click_value
+      |FROM j""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q34_asof_tolerance" -> q34_asof_tolerance,
     "q33_pivot"         -> q33_pivot,
     "q31_range_window"  -> q31_range_window,
     "q32_grouping_sets" -> q32_grouping_sets,
@@ -338,6 +374,7 @@ object Advanced {
     "q29_cube"          -> q29_cube)
 
   val oracles: Map[String, String] = Map(
+    "q34_asof_tolerance" -> q34_sql,
     "q33_pivot"         -> q33_sql,
     "q31_range_window"  -> q31_sql,
     "q32_grouping_sets" -> q32_sql,

@@ -48,6 +48,19 @@ class JoinsSpec extends SparkSpec {
       5L -> Some(200.5))) // exact-tie quote at 10:01 matches
   }
 
+  test("asofJoin tolerance nulls stale matches but keeps the left row") {
+    val got = Joins.asofJoin(trades, quotes, Seq("symbol"), "ts", "quote_ts",
+        toleranceMicros = Some(90L * 1000 * 1000)) // 90 s
+      .select("trade_id", "quote_px")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got === Map(
+      1L -> Some(99.5),   // 60 s stale — inside tolerance
+      2L -> None,         // 120 s stale — outside → nulled, row kept
+      3L -> None,         // no quote at all
+      4L -> Some(199.5),  // 30 s
+      5L -> Some(200.5))) // exact tie, staleness 0
+  }
+
   test("asofJoin keeps all left columns and carries the full right payload atomically") {
     val row = Joins.asofJoin(trades, quotes, Seq("symbol"), "ts", "quote_ts")
       .where(col("trade_id") === 2L).collect().head
