@@ -360,7 +360,33 @@ object Advanced {
       |  CASE WHEN epoch_us(ts) - epoch_us(click_ts) <= 3600000000 THEN click_value END AS click_value
       |FROM j""".stripMargin
 
+  /** The remaining ranking-window family: quartile bucket, percent
+    * rank, and cumulative distribution of customers by account balance
+    * within each nation — deterministic (balance ties broken by key in
+    * the ORDER BY) and exact (integer-ratio doubles are bit-identical
+    * across engines).
+    */
+  val q35_window_funcs: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    t(s, dir, "customer")
+      .select(col("c_nationkey"), col("c_custkey"),
+        ntile(4).over(w).cast("long").as("balance_quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+  }
+
+  val q35_sql: String =
+    """SELECT c_nationkey, c_custkey,
+      | CAST(NTILE(4) OVER win AS BIGINT) AS balance_quartile,
+      | PERCENT_RANK() OVER win AS pct_rank,
+      | CUME_DIST() OVER win AS cume
+      |FROM customer
+      |WINDOW win AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q35_window_funcs"  -> q35_window_funcs,
     "q34_asof_tolerance" -> q34_asof_tolerance,
     "q33_pivot"         -> q33_pivot,
     "q31_range_window"  -> q31_range_window,
@@ -374,6 +400,7 @@ object Advanced {
     "q29_cube"          -> q29_cube)
 
   val oracles: Map[String, String] = Map(
+    "q35_window_funcs"  -> q35_sql,
     "q34_asof_tolerance" -> q34_sql,
     "q33_pivot"         -> q33_sql,
     "q31_range_window"  -> q31_sql,
