@@ -49,11 +49,16 @@ object Joins {
     * `last(ignoreNulls)` would, whenever a payload field is legitimately
     * null).
     */
-  /** Optional `toleranceMicros`: a match older than the tolerance
-    * (leftTs − rightTs > tolerance) is discarded — the left row keeps
-    * null payloads, the bounded-staleness rule of pandas `merge_asof`
-    * tolerance / kdb `wj`. Applied as a post-window projection, so the
-    * plan shape is unchanged.
+  /** Optional `toleranceMicros`: a match farther away in time than the
+    * tolerance is discarded — the left row keeps null payloads, the
+    * bounded-staleness rule of pandas `merge_asof` tolerance / kdb
+    * `wj`. Applied as a post-window projection, so the plan shape is
+    * unchanged.
+    *
+    * `direction`: "backward" (default) matches the latest right row at
+    * or before the left row; "forward" matches the earliest right row
+    * at or after it (the order→next-fill shape) — same one-shuffle
+    * plan, the partition sort just runs descending.
     */
   def asofJoin(
       left: DataFrame,
@@ -61,7 +66,10 @@ object Joins {
       keys: Seq[String],
       leftTs: String,
       rightTs: String,
-      toleranceMicros: Option[Long] = None): DataFrame = {
+      toleranceMicros: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
+    require(Seq("backward", "forward").contains(direction),
+      s"direction must be backward or forward, got $direction")
     require(keys.nonEmpty, "asofJoin requires at least one equi-key")
     val lCols = left.columns.toSeq
     val lOnly = lCols.filterNot(keys.contains)
@@ -84,20 +92,24 @@ object Joins {
 
     // Right rows sort before left rows at the same timestamp (__side
     // 0 < 1), so an exact-tie right row is visible to the left row.
+    // Forward direction scans time descending: "last right at or above
+    // in scan order" = earliest right timestamp >= the left row's.
+    val ordered =
+      if (direction == "backward") col("__ats").asc else col("__ats").desc
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col("__ats").asc, col("__side").asc)
+      .orderBy(ordered, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = lTagged.unionByName(rTagged)
       .withColumn("__m", last(col("__rp"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
     val bounded = toleranceMicros match {
-      case Some(tol) => matched.withColumn("__m",
-        when(
-          unix_micros(col("__ats").cast("timestamp"))
-            - unix_micros(col("__m").getField(rightTs).cast("timestamp")) <= tol,
-          col("__m")))
+      case Some(tol) =>
+        val lm = unix_micros(col("__ats").cast("timestamp"))
+        val rm = unix_micros(col("__m").getField(rightTs).cast("timestamp"))
+        val staleness = if (direction == "backward") lm - rm else rm - lm
+        matched.withColumn("__m", when(staleness <= tol, col("__m")))
       case None => matched
     }
     bounded.select(lCols.map(col) ++ rPay.map(c => col("__m").getField(c).as(c)): _*)

@@ -385,7 +385,37 @@ object Advanced {
       |FROM customer
       |WINDOW win AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)""".stripMargin
 
+  /** Forward as-of join: each click picks up the EARLIEST purchase by
+    * the same user at or after it (the order→next-fill shape) — same
+    * one-shuffle union+window plan as q24, scanning time descending.
+    * DuckDB's ASOF JOIN with `<=` is the independent oracle.
+    */
+  val q36_asof_forward: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("value").as("click_value"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("purchase_value"))
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("purchase_value"))
+    Joins.asofJoin(clicks, purchases, Seq("user_id"), "ts", "purchase_ts",
+      direction = "forward")
+  }
+
+  val q36_sql: String =
+    """WITH c AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value AS click_value
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts, MAX(value) AS purchase_value
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY user_id, CAST(ts AS TIMESTAMP))
+      |SELECT c.event_id, c.user_id, c.ts, c.click_value, p.purchase_ts, p.purchase_value
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.purchase_ts""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q36_asof_forward"  -> q36_asof_forward,
     "q35_window_funcs"  -> q35_window_funcs,
     "q34_asof_tolerance" -> q34_asof_tolerance,
     "q33_pivot"         -> q33_pivot,
@@ -400,6 +430,7 @@ object Advanced {
     "q29_cube"          -> q29_cube)
 
   val oracles: Map[String, String] = Map(
+    "q36_asof_forward"  -> q36_sql,
     "q35_window_funcs"  -> q35_sql,
     "q34_asof_tolerance" -> q34_sql,
     "q33_pivot"         -> q33_sql,

@@ -61,6 +61,19 @@ class JoinsSpec extends SparkSpec {
       5L -> Some(200.5))) // exact tie, staleness 0
   }
 
+  test("asofJoin forward picks the earliest quote at or after each trade") {
+    val got = Joins.asofJoin(trades, quotes, Seq("symbol"), "ts", "quote_ts",
+        direction = "forward")
+      .select("trade_id", "quote_px")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got === Map(
+      1L -> Some(100.5),  // next AAPL quote at 10:03
+      2L -> None,         // nothing after 10:05
+      3L -> Some(99.5),   // 09:00 trade → first quote 09:59
+      4L -> Some(200.5),  // next MSFT quote at 10:01
+      5L -> Some(200.5))) // exact tie matches
+  }
+
   test("asofJoin keeps all left columns and carries the full right payload atomically") {
     val row = Joins.asofJoin(trades, quotes, Seq("symbol"), "ts", "quote_ts")
       .where(col("trade_id") === 2L).collect().head
