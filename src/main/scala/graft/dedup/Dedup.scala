@@ -388,25 +388,29 @@ object Dedup {
         .where(col("cosine") >= threshold)
         .select(col("id_a"), col("id_b"), col("cosine"))
     } else {
-      // persist the bucketed vectors so the planes×tables hyperplane dot
-      // products run once, not once per self-join side; released after
-      // the verified pairs materialize
-      val sigs = base.withColumn(
-        "bucket",
+      // Id-only discipline (same as the MinHash band join and lshTopK):
+      // the bucket self-join and candidate dedup shuffle 16-byte id
+      // pairs, never the vectors; vectors re-attach from the persisted
+      // base afterwards. The bucket stage appears on both join sides
+      // with an identical plan, so its exchange is computed once and
+      // reused.
+      val b0 = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val buckets = b0.select(
         explode(Similarity.hyperplaneBuckets(col("v"), dim = dim,
-          planes = planes, tables = tables)))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val a = sigs.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-      val b = sigs.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-      val verified = a.join(b, Seq("bucket"))
-        .where(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("v_a"), col("id_b"), col("v_b"))
+          planes = planes, tables = tables)).as("bucket"),
+        col("id"))
+      val cand = buckets.as("a").join(buckets.as("b"), Seq("bucket"))
+        .where(col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
         .distinct()
+      val verified = cand
+        .join(b0.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+        .join(b0.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
         .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
         .where(col("cosine") >= threshold)
         .select(col("id_a"), col("id_b"), col("cosine"))
       val out = verified.localCheckpoint(true)
-      sigs.unpersist(false)
+      b0.unpersist(false)
       out
     }
   }
