@@ -71,7 +71,10 @@ object TextAnalysis {
   def meanTokenLengthOf(toks: Column): Column =
     when(size(toks) === 0, lit(0.0))
       .otherwise(
-        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        // Σ length(tok) ≡ length of the separator-less concatenation —
+        // native codegen'd string ops instead of an interpreted
+        // higher-order aggregate over every token
+        length(array_join(toks, "")).cast("long").cast("double")
           / size(toks))
 
   /** Composite quality score in [0,1] — the standard pretraining-corpus
