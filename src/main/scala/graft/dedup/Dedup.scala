@@ -205,11 +205,11 @@ object Dedup {
   def simhash(text: Column, bits: Int = 48): Column = {
     require(bits % 4 == 0 && bits <= 60, s"bits must be a multiple of 4 <= 60, got $bits")
     val toks = TextAnalysis.tokens(text)
-    val hashes = transform(toks,
-      t => conv(substring(md5(t), 1, bits / 4), 16, 10).cast("long"))
-    // Native codegen fold (two tight loops) — the column-expression
-    // equivalent (aggregate + bits-wide zip_with per token) runs
-    // interpreted and dominates the scan at corpus scale.
+    // Both stages native: md5-prefix hashes in one loop, then the
+    // codegen fold — the column-expression equivalents (a transform per
+    // token plus aggregate + bits-wide zip_with) run interpreted and
+    // dominate the scan at corpus scale.
+    val hashes = graft.functions.Md5PrefixLongs(toks, bits / 4)
     graft.functions.SimHashFold(hashes, bits)
   }
 

@@ -81,9 +81,71 @@ case class MinHashSignature(child: Expression, coeffs: Seq[(Long, Long)], p: Lon
 
 object MinHashSignature {
 
-  private val mdLocal: ThreadLocal[MessageDigest] =
+  private[functions] val mdLocal: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
   def apply(shingleSet: Column, coeffs: Seq[(Long, Long)], p: Long): Column =
     Bridge.column(MinHashSignature(Bridge.expression(shingleSet), coeffs, p))
+}
+
+/** `transform(arr, s => conv(substring(md5(s), 1, hexChars), 16, 10))`
+  * as one native loop — the md5-prefix hash array that feeds SimHash
+  * (and the spec form of MinHash). The interpreted transform pays
+  * per-element lambda dispatch on every token of every document.
+  * `hexChars` ≤ 15 keeps the value inside a positive BIGINT.
+  */
+case class Md5PrefixLongs(child: Expression, hexChars: Int)
+    extends UnaryExpression {
+
+  require(hexChars >= 1 && hexChars <= 15,
+    s"hexChars must be in [1, 15], got $hexChars")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.simpleString}")
+  }
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    val md = MinHashSignature.mdLocal.get()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      // first hexChars hex digits = the top 4·hexChars bits of the digest
+      var v = 0L
+      var nib = 0
+      while (nib < hexChars) {
+        val b = d(nib / 2) & 0xff
+        v = (v << 4) | (if (nib % 2 == 0) b >>> 4 else b & 0xf)
+        nib += 1
+      }
+      out(i) = v
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("md5prefix", this, classOf[Md5PrefixLongs].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_md5_prefix_longs"
+}
+
+object Md5PrefixLongs {
+  def apply(arr: Column, hexChars: Int): Column =
+    Bridge.column(Md5PrefixLongs(Bridge.expression(arr), hexChars))
 }

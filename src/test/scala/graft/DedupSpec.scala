@@ -38,6 +38,18 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("native Md5PrefixLongs equals the transform formulation for odd and even widths") {
+    val toks = docs.select(graft.text.TextAnalysis.tokens(col("text")).as("toks"))
+    Seq(7, 12).foreach { hexChars =>
+      val both = toks.select(
+        graft.functions.Md5PrefixLongs(col("toks"), hexChars).as("native"),
+        transform(col("toks"),
+          t => conv(substring(md5(t), 1, hexChars), 16, 10).cast("long")).as("hof"))
+        .collect()
+      both.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"hexChars=$hexChars"))
+    }
+  }
+
   test("minhash LSH finds the exact pair and the near-dup pair, nothing else") {
     val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
       k = 3, numHashes = 16, bands = 8, threshold = 0.5)
