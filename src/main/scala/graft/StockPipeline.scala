@@ -74,6 +74,13 @@ object StockPipeline {
     inserted.toDF("table", "rows_inserted")
   }
 
+  /** How many ingest runs [[demo]] performs. 2 (the default — what
+    * Verify and the specs always use) proves idempotent re-run: the
+    * second, overlapping batch inserts only genuinely-new bars. Bench
+    * sets 1: it times the steady-state load, not the idempotency proof.
+    */
+  @volatile var demoRuns: Int = 2
+
   /** Flagship demo on the embedded fixtures: two ingest runs (the second
     * overlapping the first, proving idempotency), then returns the loaded
     * daily table. Used by `SparkEntry.entry`.
@@ -86,11 +93,12 @@ object StockPipeline {
       Fixtures.intradayPayloads(spark),
       Fixtures.smaPayloads(spark))
       .collect() // materialize run 1
-    run(spark, base,
-      Fixtures.dailyPayloadsNextRun(spark),
-      Fixtures.intradayPayloads(spark),
-      Fixtures.smaPayloads(spark))
-      .collect() // run 2: only the 2 genuinely-new AAPL bars insert
+    if (demoRuns >= 2)
+      run(spark, base,
+        Fixtures.dailyPayloadsNextRun(spark),
+        Fixtures.intradayPayloads(spark),
+        Fixtures.smaPayloads(spark))
+        .collect() // run 2: only the 2 genuinely-new AAPL bars insert
     spark.read
       .schema(StockSchemas.dailyStockPrices)
       .parquet(Catalog.tablePath(base, "daily_stock_prices"))

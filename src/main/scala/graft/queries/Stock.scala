@@ -21,22 +21,37 @@ object Stock {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Query-output boundary: DECIMAL(15,4) stays the internal/storage
+    * money type (reference schema fidelity, exact row-drop semantics),
+    * but emitted price columns leave as DOUBLE. Spark's decimal→double
+    * is one correctly-rounded division of the exact unscaled value, so
+    * it equals DuckDB's (correctly-rounded) string→double parse of the
+    * same 4-dp source literal bit-for-bit — whereas DuckDB's own
+    * decimal→double conversion is NOT correctly rounded, which is what
+    * made DECIMAL output columns hash-divergent under the driver's
+    * canonicalization.
+    */
+  private def pricesAsDouble(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, d.col(c).cast("double")))
+
+  private val ohlc = Seq("open_price", "high_price", "low_price", "close_price")
+
   /** A2-A6: payload JSON → normalized daily rows (edge rows dropped). */
   val stock_daily_normalize: Q = (s, _) => {
     FixtureTables.ensure(s)
-    Normalize.daily(Fixtures.dailyPayloads(s))
+    pricesAsDouble(Normalize.daily(Fixtures.dailyPayloads(s)), ohlc: _*)
   }
 
   /** A5 strict single-format timestamps on the 5-min series. */
   val stock_intraday_normalize: Q = (s, _) => {
     FixtureTables.ensure(s)
-    Normalize.intraday(Fixtures.intradayPayloads(s))
+    pricesAsDouble(Normalize.intraday(Fixtures.intradayPayloads(s)), ohlc: _*)
   }
 
   /** A5 dual-format keys: date-only → midnight; `HH:mm` keys dropped. */
   val stock_sma_normalize: Q = (s, _) => {
     FixtureTables.ensure(s)
-    Normalize.sma(Fixtures.smaPayloads(s))
+    pricesAsDouble(Normalize.sma(Fixtures.smaPayloads(s)), "sma_value")
   }
 
   /** A7/B1/B4/B6/A13/B9: full idempotent two-run load; returns the loaded
@@ -44,7 +59,7 @@ object Stock {
     */
   val stock_incremental_load: Q = (s, _) => {
     FixtureTables.ensure(s)
-    StockPipeline.demo(s)
+    pricesAsDouble(StockPipeline.demo(s), ohlc: _*)
   }
 
   /** B10 computed natively: 3-bar SMA over the fixture intraday closes,
@@ -73,7 +88,8 @@ object Stock {
       Normalize.daily(Fixtures.dailyPayloads(s)),
       keyCol = "company_symbol", key = "AAPL",
       orderCol = "date", n = 10)
-      .select(col("company_symbol"), col("date"), col("close_price"))
+      .select(col("company_symbol"), col("date"),
+        col("close_price").cast("double").as("close_price"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -89,56 +105,76 @@ object Stock {
   private def r = FixtureTables.root
 
   /** Normalize CTE over a raw daily dump — DuckDB replay of
-    * `Normalize.daily`: strict `yyyy-MM-dd` keys, DECIMAL(15,4) prices,
-    * BIGINT volume, any-NULL row drop.
+    * `Normalize.daily`: strict `yyyy-MM-dd` keys, BIGINT volume, any-NULL
+    * row drop. Row validation stays on the DECIMAL(15,4) parse (the
+    * reference's money type decides what is a droppable bad value), but
+    * the emitted price columns are parsed string→DOUBLE directly —
+    * DuckDB's decimal→double conversion is not correctly rounded, its
+    * string→double parse is, and the Spark side's decimal→double cast
+    * is too, so this is the bit-stable output boundary.
     */
   private def dailyNormSql(src: String): String =
-    s"""SELECT * FROM (
+    s"""SELECT company_symbol, date, open_price, high_price, low_price,
+       |       close_price, volume FROM (
        |  SELECT company_symbol,
        |         CAST(try_strptime(k, '%Y-%m-%d') AS DATE) AS date,
-       |         try_cast(open_s  AS DECIMAL(15,4)) AS open_price,
-       |         try_cast(high_s  AS DECIMAL(15,4)) AS high_price,
-       |         try_cast(low_s   AS DECIMAL(15,4)) AS low_price,
-       |         try_cast(close_s AS DECIMAL(15,4)) AS close_price,
+       |         try_cast(open_s  AS DOUBLE) AS open_price,
+       |         try_cast(high_s  AS DOUBLE) AS high_price,
+       |         try_cast(low_s   AS DOUBLE) AS low_price,
+       |         try_cast(close_s AS DOUBLE) AS close_price,
+       |         try_cast(open_s  AS DECIMAL(15,4)) AS open_v,
+       |         try_cast(high_s  AS DECIMAL(15,4)) AS high_v,
+       |         try_cast(low_s   AS DECIMAL(15,4)) AS low_v,
+       |         try_cast(close_s AS DECIMAL(15,4)) AS close_v,
        |         try_cast(volume_s AS BIGINT) AS volume
        |  FROM $src)
        |WHERE company_symbol IS NOT NULL AND date IS NOT NULL
-       |  AND open_price IS NOT NULL AND high_price IS NOT NULL
-       |  AND low_price IS NOT NULL AND close_price IS NOT NULL
+       |  AND open_v IS NOT NULL AND high_v IS NOT NULL
+       |  AND low_v IS NOT NULL AND close_v IS NOT NULL
        |  AND volume IS NOT NULL""".stripMargin
 
-  private def intradayNormSql: String =
-    s"""SELECT * FROM (
+  /** Intraday normalize replay; `money` picks the emitted price type —
+    * DOUBLE at the query-output boundary, DECIMAL(15,4) when feeding the
+    * exact window arithmetic in [[stock_sma_native_sql]].
+    */
+  private def intradayNormSql(money: String = "DOUBLE"): String =
+    s"""SELECT company_symbol, date_time, open_price, high_price,
+       |       low_price, close_price, volume FROM (
        |  SELECT company_symbol,
        |         try_strptime(k, '%Y-%m-%d %H:%M:%S') AS date_time,
-       |         try_cast(open_s  AS DECIMAL(15,4)) AS open_price,
-       |         try_cast(high_s  AS DECIMAL(15,4)) AS high_price,
-       |         try_cast(low_s   AS DECIMAL(15,4)) AS low_price,
-       |         try_cast(close_s AS DECIMAL(15,4)) AS close_price,
+       |         try_cast(open_s  AS $money) AS open_price,
+       |         try_cast(high_s  AS $money) AS high_price,
+       |         try_cast(low_s   AS $money) AS low_price,
+       |         try_cast(close_s AS $money) AS close_price,
+       |         try_cast(open_s  AS DECIMAL(15,4)) AS open_v,
+       |         try_cast(high_s  AS DECIMAL(15,4)) AS high_v,
+       |         try_cast(low_s   AS DECIMAL(15,4)) AS low_v,
+       |         try_cast(close_s AS DECIMAL(15,4)) AS close_v,
        |         try_cast(volume_s AS BIGINT) AS volume
        |  FROM read_parquet('$r/intraday_raw.parquet/*.parquet'))
        |WHERE company_symbol IS NOT NULL AND date_time IS NOT NULL
-       |  AND open_price IS NOT NULL AND high_price IS NOT NULL
-       |  AND low_price IS NOT NULL AND close_price IS NOT NULL
+       |  AND open_v IS NOT NULL AND high_v IS NOT NULL
+       |  AND low_v IS NOT NULL AND close_v IS NOT NULL
        |  AND volume IS NOT NULL""".stripMargin
 
   def stock_daily_normalize_sql: String =
     dailyNormSql(s"read_parquet('$r/daily_raw.parquet/*.parquet')")
 
-  def stock_intraday_normalize_sql: String = intradayNormSql
+  def stock_intraday_normalize_sql: String = intradayNormSql()
 
   /** Dual-format SMA keys: full timestamp, else date-only → midnight,
     * else dropped (the reference's 402 skipped `HH:mm` rows).
     */
   def stock_sma_normalize_sql: String =
-    s"""SELECT * FROM (
+    s"""SELECT company_symbol, date_time, sma_value FROM (
        |  SELECT company_symbol,
        |         COALESCE(try_strptime(k, '%Y-%m-%d %H:%M:%S'),
        |                  try_strptime(k, '%Y-%m-%d')) AS date_time,
-       |         try_cast(sma_s AS DECIMAL(15,4)) AS sma_value
+       |         try_cast(sma_s AS DOUBLE) AS sma_value,
+       |         try_cast(sma_s AS DECIMAL(15,4)) AS sma_v
        |  FROM read_parquet('$r/sma_raw.parquet/*.parquet'))
        |WHERE company_symbol IS NOT NULL AND date_time IS NOT NULL
-       |  AND sma_value IS NOT NULL""".stripMargin
+       |  AND sma_v IS NOT NULL""".stripMargin
 
   /** Two-run idempotent load: normalize both runs' raw bars, then PK
     * dedup — duplicate (symbol, date) bars carry identical values, so
@@ -152,7 +188,7 @@ object Stock {
        |SELECT DISTINCT * FROM (${dailyNormSql("raw")})""".stripMargin
 
   def stock_sma_native_sql: String =
-    s"""WITH bars AS ($intradayNormSql)
+    s"""WITH bars AS (${intradayNormSql(money = "DECIMAL(15,4)")})
        |SELECT company_symbol, date_time,
        |       CAST(SUM(close_price) OVER w AS DOUBLE) / 3 AS sma_value
        |FROM bars
