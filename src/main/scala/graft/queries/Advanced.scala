@@ -188,6 +188,57 @@ object Advanced {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM sess GROUP BY user_id, session_id""".stripMargin
 
+  /** Emit-on-close sessionization — the batch-replayable twin of
+    * [[graft.streaming.StreamingIngest.streamingSessions]]'s late-data
+    * surface. The streaming operator emits a session only when a later
+    * event closes it (each user's final session stays open in state);
+    * replayed over a bounded table that is exactly "every session except
+    * the per-user last one". StreamingSpec proves the streaming operator
+    * produces these identical rows across arbitrary micro-batch
+    * boundaries on the same events table; this entry gives those session
+    * boundaries a DuckDB hash check. Plan: the session windows, the
+    * per-session aggregate, and the open-session filter window all reuse
+    * the single user_id exchange (subset rule) — one shuffle end-to-end.
+    */
+  val q37_closed_sessions: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val gapMicros = 30L * 60 * 1000 * 1000
+    graft.operators.Sessionize(
+        t(s, dir, "events").select(col("user_id"), col("ts")),
+        Seq("user_id"), "ts", gapMicros)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .withColumn("__open",
+        max(col("session_id")).over(Window.partitionBy(col("user_id"))))
+      .where(col("session_id") < col("__open"))
+      .drop("__open")
+  }
+
+  val q37_sql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1)
+      |           OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+      |         OR LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         THEN 1 ELSE 0 END AS is_start
+      |  FROM e),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged),
+      |agg AS (
+      |  SELECT user_id, session_id, COUNT(*) AS n_events,
+      |    MIN(ts) AS session_start, MAX(ts) AS session_end
+      |  FROM sess GROUP BY user_id, session_id)
+      |SELECT user_id, session_id, n_events, session_start, session_end
+      |FROM agg
+      |QUALIFY session_id < MAX(session_id) OVER (PARTITION BY user_id)""".stripMargin
+
   /** CUBE over return flag × line status — all four grouping levels.
     * Not `.cube` (whose Expand duplicates every input row once per
     * grouping set BEFORE the partial aggregate — 4× the rows through
@@ -427,7 +478,8 @@ object Advanced {
     "q26_kmv_distinct"  -> q26_kmv_distinct,
     "q27_percentiles"   -> q27_percentiles,
     "q28_sessionize"    -> q28_sessionize,
-    "q29_cube"          -> q29_cube)
+    "q29_cube"          -> q29_cube,
+    "q37_closed_sessions" -> q37_closed_sessions)
 
   val oracles: Map[String, String] = Map(
     "q36_asof_forward"  -> q36_sql,
@@ -442,5 +494,6 @@ object Advanced {
     "q26_kmv_distinct"  -> q26_sql,
     "q27_percentiles"   -> q27_sql,
     "q28_sessionize"    -> q28_sql,
-    "q29_cube"          -> q29_sql)
+    "q29_cube"          -> q29_sql,
+    "q37_closed_sessions" -> q37_sql)
 }

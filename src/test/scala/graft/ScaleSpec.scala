@@ -33,6 +33,50 @@ class ScaleSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("AQE splits a runtime-skewed sort-merge join (and matches saltedJoin)") {
+    // One key carries ~75% of the big side: exactly the shape AQE's
+    // skew-join rule handles at runtime without manual salting. Lower
+    // the detection thresholds so the sf-test-sized shuffle qualifies,
+    // force the sort-merge path, run, and assert the finalized adaptive
+    // plan actually took the skew split — SortMergeJoin prints
+    // `(skew=true)` only when OptimizeSkewedJoin rewrote it.
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // md5 payload: incompressible, so the hot reducer partition's
+      // shuffle bytes genuinely exceed the detection threshold
+      val big = spark.range(0, 60000).select(
+        when(col("id") < 45000, lit("hot"))
+          .otherwise(concat(lit("k"), col("id"))).as("k"),
+        md5(col("id").cast("string")).as("pad"))
+      val small = Seq(("hot", 1), ("k45001", 2), ("k45002", 3)).toDF("k", "w")
+      val joined = big.join(small, Seq("k")).select("k", "pad", "w")
+      // collect() executes THIS DataFrame's queryExecution — count()
+      // would plan a separate aggregate query and leave this adaptive
+      // plan unfinalized (isFinalPlan=false, no skew rewrite to see)
+      assert(joined.collect().length == 45002)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected OptimizeSkewedJoin to split the hot partition, got:\n$plan")
+      // same answer as the explicit mitigation for known-in-advance skew
+      val salted = Scale.saltedJoin(big, small, "k", salt = 8)
+        .select("k", "pad", "w")
+      assert(salted.exceptAll(joined).isEmpty && joined.exceptAll(salted).isEmpty)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS bkt_a")
     spark.sql("DROP TABLE IF EXISTS bkt_b")

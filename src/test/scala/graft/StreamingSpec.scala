@@ -120,6 +120,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(s => (s._1, s._2)) === Set((1L, 1L), (1L, 2L), (2L, 1L)))
   }
 
+  test("streamingSessions over the real events table matches oracle-checked q37") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val gap = 30L * 60 * 1000 * 1000
+    // Global ts sort before chunking: per-user arrival stays monotonic
+    // across micro-batches (the no-late-arrivals contract under which
+    // streaming ≡ batch exactly); order within a batch is irrelevant —
+    // the operator sorts each batch's group internally.
+    val evs = graft.Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts")).orderBy(col("ts"))
+      .collect()
+      .map(r => StreamingIngest.SessEvent(r.getLong(0), r.getTimestamp(1)))
+    val stream = MemoryStream[StreamingIngest.SessEvent]
+    val q = StreamingIngest.streamingSessions(stream.toDS(), gap)
+      .writeStream.format("memory").queryName("sess_real_out")
+      .outputMode("append").start()
+    evs.grouped(math.max(evs.length / 3, 1)).foreach { chunk =>
+      stream.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.sql(
+      "SELECT user_id, session_id, n_events, session_start, session_end FROM sess_real_out")
+      .collect().map(_.toSeq).toSet
+    // the DuckDB-hash-checked closed-session query on the same table
+    val batch = graft.queries.Advanced.queries("q37_closed_sessions")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streamingSma drops late cross-batch bars instead of corrupting the window") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
