@@ -144,6 +144,175 @@ object Corpus {
        | FROM t)
        |SELECT doc_id, list_min(list_transform(sh, x -> md5(x))) AS fingerprint FROM sh""".stripMargin
 
+  /** Within-document repetition signals (Gopher/CCNet filter family):
+    * duplicate-line fraction plus the most frequent word bigram and the
+    * share of bigram positions it occupies. The top-bigram mode is NOT
+    * a per-row lambda over the bigram array (that formulation is O(n²)
+    * interpreted per document): bigrams explode once and aggregate as
+    * (doc, bigram) counts — partial map-side combine, then a doc-keyed
+    * rank — the same two-exchange shape at 100 TB. Ties break (count
+    * desc, bigram asc) identically in both engines.
+    */
+  val t06_repetition: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .select(
+        col("doc_id"),
+        TextAnalysis.dupLineFraction(col("text")).as("dup_line_frac"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        TextAnalysis.bigramsOf(col("__toks")).as("__bg"))
+    val counts = perDoc
+      .select(col("doc_id"), explode(col("__bg")).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("bg_count"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("bg_count").desc, col("bigram").asc)
+    val top = counts.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("doc_id"), col("bigram").as("top_bigram"),
+        col("bg_count").as("top_bigram_count"))
+    perDoc.drop("__bg")
+      .join(top, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("dup_line_frac"), col("n_tokens"),
+        coalesce(col("top_bigram"), lit("")).as("top_bigram"),
+        coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"),
+        when(col("n_tokens") < 2, lit(0.0))
+          .otherwise(coalesce(col("top_bigram_count"), lit(0L)).cast("double")
+            / (col("n_tokens") - 1))
+          .as("top_bigram_frac"))
+  }
+
+  val t06_sql: String =
+    s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |d AS (SELECT doc_id,
+       |  list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+       |              x -> x <> '') AS ls,
+       |  toks
+       | FROM t),
+       |perdoc AS (SELECT doc_id,
+       |  CASE WHEN len(ls) = 0 THEN 0.0
+       |       ELSE (len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls) END AS dup_line_frac,
+       |  len(toks) AS n_tokens, toks
+       | FROM d),
+       |bg AS (SELECT doc_id, unnest(
+       |  CASE WHEN len(toks) < 2 THEN []
+       |       ELSE list_transform(generate_series(1, len(toks) - 1),
+       |                           i -> toks[i] || ' ' || toks[i + 1]) END) AS bigram
+       | FROM perdoc),
+       |bc AS (SELECT doc_id, bigram, COUNT(*) AS bg_count FROM bg GROUP BY 1, 2),
+       |top AS (SELECT doc_id, bigram AS top_bigram, bg_count AS top_bigram_count
+       | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |                 ORDER BY bg_count DESC, bigram ASC) AS rn FROM bc)
+       | WHERE rn = 1)
+       |SELECT p.doc_id, p.dup_line_frac, p.n_tokens,
+       |  COALESCE(top_bigram, '') AS top_bigram,
+       |  COALESCE(top_bigram_count, 0) AS top_bigram_count,
+       |  CASE WHEN p.n_tokens < 2 THEN 0.0
+       |       ELSE COALESCE(top_bigram_count, 0)::DOUBLE / (p.n_tokens - 1) END AS top_bigram_frac
+       |FROM perdoc p LEFT JOIN top ON p.doc_id = top.doc_id""".stripMargin
+
+  /** Sequence packing (GPT-style concat-and-chunk) of the corpus into
+    * 2048-token context windows, sharded by language and ordered by
+    * doc_id — then a per-pack utilization summary. Pure integer window
+    * arithmetic via [[graft.operators.Pack.concatChunk]]: the pack
+    * layout is bit-identical across engines and re-runs. The window and
+    * the (lang, pack_id) aggregate share the lang exchange (subset
+    * rule): one shuffle end-to-end.
+    */
+  val t07_sequence_pack: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("lang"), col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    graft.operators.Pack.concatChunk(
+        docs, Seq("lang"), "doc_id", "n_tokens", capacity = 2048L)
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs_starting"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("pack_offset")).as("first_offset"))
+  }
+
+  val t07_sql: String =
+    s"""WITH t AS (SELECT lang, doc_id, len($toksSql) AS n_tokens
+       |           FROM documents),
+       |o AS (SELECT lang, doc_id, n_tokens,
+       |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+       | FROM t),
+       |p AS (SELECT lang, n_tokens,
+       |  CAST(start_offset // 2048 AS BIGINT) AS pack_id,
+       |  CAST(start_offset % 2048 AS BIGINT) AS pack_offset
+       | FROM o)
+       |SELECT lang, pack_id, COUNT(*) AS n_docs_starting,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       |  MIN(pack_offset) AS first_offset
+       |FROM p GROUP BY lang, pack_id""".stripMargin
+
+  /** Cross-corpus boilerplate-line removal (CCNet-style): any trimmed
+    * non-empty line appearing in ≥ 3 distinct documents is boilerplate
+    * (navigation chrome, legal footers, templates); documents are
+    * re-emitted with those lines struck, original line order preserved.
+    * Shape at scale: explode once, one line-keyed count-distinct (the
+    * partial-aggregate shuffle carries (line, doc) pairs), an anti-join
+    * back on the line key, and a doc-keyed re-assembly — no step holds a
+    * whole shard in memory, and the line-key shuffles are exactly the
+    * dedup-bucket discipline the MinHash path uses.
+    */
+  val t08_boilerplate: Q = (s, dir) => {
+    val boilerplateMinDocs = 3
+    val docs = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        TextAnalysis.lines(col("text")).as("__lines"))
+    val lines = docs.select(col("doc_id"),
+      posexplode(col("__lines")).as(Seq("idx", "line")))
+    val boiler = lines.groupBy(col("line"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+      .where(col("n_docs") >= boilerplateMinDocs)
+      .select(col("line"))
+    val keptAgg = lines.join(boiler, Seq("line"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("idx"), col("line")))),
+            x => x.getField("line")),
+          "\n").as("cleaned_text"))
+    docs.select(col("doc_id"), size(col("__lines")).cast("long").as("__n"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        (col("__n") - coalesce(col("n_lines_kept"), lit(0L))).as("n_lines_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
+  val t08_sql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |  list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+       |              x -> x <> '') AS ls
+       | FROM documents),
+       |ix AS (SELECT doc_id, ls,
+       |  unnest(generate_series(1, len(ls))) AS idx FROM d),
+       |l AS (SELECT doc_id, idx, ls[idx] AS line FROM ix),
+       |boiler AS (SELECT line FROM l GROUP BY line
+       |           HAVING COUNT(DISTINCT doc_id) >= 3),
+       |kept AS (SELECT doc_id, idx, line FROM l
+       |         ANTI JOIN boiler USING (line)),
+       |ka AS (SELECT doc_id, COUNT(*) AS n_lines_kept,
+       |  string_agg(line, chr(10) ORDER BY idx) AS cleaned_text
+       | FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(n_lines_kept, 0) AS n_lines_kept,
+       |  len(d.ls) - COALESCE(n_lines_kept, 0) AS n_lines_removed,
+       |  COALESCE(cleaned_text, '') AS cleaned_text
+       |FROM d LEFT JOIN ka ON d.doc_id = ka.doc_id""".stripMargin
+
   /** Capstone curation pipeline — the end-to-end shape of a training-
     * data filter stage: exact-dedup survivors with quality ≥ 0.75,
     * rolled up per predicted language with token budgets. Composes the
@@ -601,6 +770,9 @@ object Corpus {
     "t03_lang_id"           -> t03_lang_id,
     "t04_fingerprint"       -> t04_fingerprint,
     "t05_split_sample"      -> t05_split_sample,
+    "t06_repetition"        -> t06_repetition,
+    "t07_sequence_pack"     -> t07_sequence_pack,
+    "t08_boilerplate"       -> t08_boilerplate,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -617,6 +789,9 @@ object Corpus {
     "t03_lang_id"           -> t03_sql,
     "t04_fingerprint"       -> t04_sql,
     "t05_split_sample"      -> t05_sql,
+    "t06_repetition"        -> t06_sql,
+    "t07_sequence_pack"     -> t07_sql,
+    "t08_boilerplate"       -> t08_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,

@@ -142,6 +142,29 @@ object TextAnalysis {
     when(cjk > 0 && cjk * 2 >= length(text), lit("zh")).otherwise(argmax)
   }
 
+  /** Non-empty trimmed lines of a document. */
+  def lines(text: Column): Column =
+    filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
+
+  /** Fraction of lines that duplicate an earlier line of the same
+    * document (0 for empty docs) — the CCNet/Gopher within-document
+    * repetition signal: boilerplate-heavy and template-generated pages
+    * score high and get filtered before training.
+    */
+  def dupLineFraction(text: Column): Column = {
+    val ls = lines(text)
+    when(size(ls) === 0, lit(0.0))
+      .otherwise(
+        (size(ls) - size(array_distinct(ls))).cast("double") / size(ls))
+  }
+
+  /** Word bigrams of a staged token array (empty below 2 tokens). */
+  def bigramsOf(toks: Column): Column =
+    when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))
+
   /** Word k-gram shingles of the token stream. Documents shorter than k
     * tokens get a single shingle holding the whole token stream, so
     * set-similarity on shingles degrades to exact match for short docs

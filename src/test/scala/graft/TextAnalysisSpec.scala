@@ -70,6 +70,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(1L) != fps(3L))
   }
 
+  test("repetition signals: duplicate-line fraction and bigrams") {
+    val df = Seq(
+      (1L, "nav\nbody text here\nnav\nfooter\nnav"),  // 3x "nav" in 5 lines
+      (2L, "all\nunique\nlines"),
+      (3L, ""),
+      (4L, "  \n\n  ")                                // whitespace-only lines drop
+    ).toDF("id", "text")
+      .select(col("id"), TextAnalysis.dupLineFraction(col("text")).as("f"))
+    val f = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(f(1L) == 2.0 / 5)   // 5 lines, 3 distinct -> 2 duplicates
+    assert(f(2L) == 0.0 && f(3L) == 0.0 && f(4L) == 0.0)
+    val bg = Seq("a b a b a").toDF("text")
+      .select(TextAnalysis.bigramsOf(TextAnalysis.tokens(col("text"))).as("bg"))
+      .collect()(0).getSeq[String](0)
+    assert(bg == Seq("a b", "b a", "a b", "b a"))
+    val short = Seq("solo", "").toDF("text")
+      .select(TextAnalysis.bigramsOf(TextAnalysis.tokens(col("text"))).as("bg"))
+      .collect().map(_.getSeq[String](0))
+    assert(short.forall(_.isEmpty))
+  }
+
+  test("concatChunk packs shards deterministically with integer offsets") {
+    val docs = Seq(
+      ("en", 1L, 1000L), ("en", 2L, 1500L), ("en", 3L, 600L), ("en", 4L, 100L),
+      ("de", 1L, 2048L), ("de", 2L, 1L)
+    ).toDF("lang", "doc_id", "n_tokens")
+    val packed = graft.operators.Pack
+      .concatChunk(docs, Seq("lang"), "doc_id", "n_tokens", capacity = 2048L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // en: offsets 0,1000,2500,3100 -> packs 0,0,1,1
+    assert(packed(("en", 1L)) == (0L, 0L, 0L))
+    assert(packed(("en", 2L)) == (1000L, 0L, 1000L))
+    assert(packed(("en", 3L)) == (2500L, 1L, 452L))
+    assert(packed(("en", 4L)) == (3100L, 1L, 1052L))
+    // de: second doc starts exactly at the capacity boundary -> pack 1
+    assert(packed(("de", 1L)) == (0L, 0L, 0L))
+    assert(packed(("de", 2L)) == (2048L, 1L, 0L))
+  }
+
   test("native fingerprint equals the interpreted HOF formulation on real docs") {
     val dir = "/root/testdata/sf0.01"
     assume(new java.io.File(s"$dir/documents.parquet").exists())
