@@ -465,6 +465,119 @@ object Advanced {
       |SELECT c.event_id, c.user_id, c.ts, c.click_value, p.purchase_ts, p.purchase_value
       |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.purchase_ts""".stripMargin
 
+  /** Event-time OHLC candles over hourly buckets — the batch twin of
+    * the streaming [[graft.streaming.StreamingIngest.windowedOhlcv]]
+    * aggregate, with deterministic first/last-in-group semantics: open
+    * and close come from rank-1 rows under explicit (ts, value)
+    * tie-break orders (min_by/max_by leave ties engine-defined, which
+    * an exact differential can't tolerate). Both rank windows and the
+    * final aggregate share one (event_type, bucket) exchange.
+    */
+  val q38_ohlc_candles: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), col("ts"), col("value"))
+      .withColumn("bucket", date_trunc("hour", col("ts")))
+    val asc = Window.partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("ts").asc, col("value").asc)
+    val desc = Window.partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("ts").desc, col("value").desc)
+    ev.withColumn("__ra", row_number().over(asc))
+      .withColumn("__rd", row_number().over(desc))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(
+        max(when(col("__ra") === 1, col("value"))).as("open_value"),
+        max(col("value")).as("high_value"),
+        min(col("value")).as("low_value"),
+        max(when(col("__rd") === 1, col("value"))).as("close_value"),
+        sum(dec(col("value"))).cast("double").as("total_value"),
+        count(lit(1)).as("n_events"))
+  }
+
+  val q38_sql: String =
+    """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |b AS (SELECT event_type, date_trunc('hour', ts) AS bucket, ts, value FROM e),
+      |r AS (SELECT *,
+      |  ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+      |                     ORDER BY ts ASC, value ASC) AS ra,
+      |  ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+      |                     ORDER BY ts DESC, value DESC) AS rd
+      | FROM b)
+      |SELECT event_type, bucket,
+      |  MAX(CASE WHEN ra = 1 THEN value END) AS open_value,
+      |  MAX(value) AS high_value,
+      |  MIN(value) AS low_value,
+      |  MAX(CASE WHEN rd = 1 THEN value END) AS close_value,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  COUNT(*) AS n_events
+      |FROM r GROUP BY event_type, bucket""".stripMargin
+
+  /** HyperLogLog distinct-count per group, built from composable
+    * aggregates only (no custom aggregate needed — preference (a) of
+    * the operator ladder; [[KmvSketch]] already demonstrates the custom
+    * TypedImperativeAggregate route): md5-derived 60-bit hash → 8-bit
+    * bucket + 52-bit remainder → per-bucket max leading-zero rank
+    * (map-side combinable) → the HLL estimator. The indicator sum is
+    * computed in INTEGER space (Σ 2^(53-ρ) fits a BIGINT exactly), so
+    * the only floating-point steps are one BIGINT→DOUBLE cast and one
+    * division — deterministic in any engine, unlike a float Σ2^-ρ whose
+    * value depends on aggregation order. No small-range correction by
+    * definition (the estimator contract is the raw HLL formula; the KMV
+    * sketch covers the small-cardinality regime).
+    */
+  val q39_hll_distinct: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_partkey"))
+    val perBucket = li
+      .withColumn("__h", KmvSketch.hash64(col("l_partkey")))
+      .select(col("l_returnflag"),
+        (col("__h") % 256).cast("int").as("__bucket"),
+        expr("__h div 256").as("__rest"))
+      .withColumn("__rho",
+        when(col("__rest") === 0, lit(53))
+          .otherwise(lit(53) - length(bin(col("__rest")))))
+      .groupBy(col("l_returnflag"), col("__bucket"))
+      .agg(max(col("__rho")).as("m_b"))
+    val hll = perBucket.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_buckets_used"),
+        sum(expr("shiftleft(cast(1 as bigint), 53 - m_b)")).as("__z"))
+      .select(col("l_returnflag"), col("n_buckets_used"),
+        (lit(Hll.alphaM2S) /
+          (col("__z") + (lit(256L) - col("n_buckets_used")) * lit(Hll.scale))
+            .cast("double")).as("hll_estimate"))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(count_distinct(col("l_partkey")).as("exact_distinct"))
+    hll.join(exact, Seq("l_returnflag"))
+  }
+
+  private object Hll {
+    val scale: Long = 1L << 53
+    // alpha_256 * m^2 * 2^53 — the whole numerator folded into one
+    // double literal so each engine performs exactly one division
+    val alphaM2S: Double = 0.7213 / (1 + 1.079 / 256) * 256.0 * 256.0 * (1L << 53).toDouble
+  }
+
+  val q39_sql: String =
+    s"""WITH h AS (SELECT l_returnflag,
+       |  ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+       | FROM lineitem),
+       |r AS (SELECT l_returnflag, h % 256 AS bucket, h // 256 AS rest FROM h),
+       |rho AS (SELECT l_returnflag, bucket,
+       |  CASE WHEN rest = 0 THEN 53 ELSE 53 - length(bin(rest)) END AS rho
+       | FROM r),
+       |mb AS (SELECT l_returnflag, bucket, MAX(rho) AS m_b FROM rho GROUP BY 1, 2),
+       |z AS (SELECT l_returnflag, COUNT(*) AS n_buckets_used,
+       |  CAST(SUM(1::BIGINT << (53 - m_b)) AS BIGINT) AS zsum
+       | FROM mb GROUP BY 1),
+       |x AS (SELECT l_returnflag,
+       |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+       | FROM lineitem GROUP BY 1)
+       |SELECT z.l_returnflag, n_buckets_used,
+       |  ${Relational.sqlDouble(Hll.alphaM2S)} /
+       |    CAST(zsum + (256 - n_buckets_used) * ${Hll.scale} AS DOUBLE) AS hll_estimate,
+       |  exact_distinct
+       |FROM z JOIN x ON z.l_returnflag = x.l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q36_asof_forward"  -> q36_asof_forward,
     "q35_window_funcs"  -> q35_window_funcs,
@@ -479,7 +592,9 @@ object Advanced {
     "q27_percentiles"   -> q27_percentiles,
     "q28_sessionize"    -> q28_sessionize,
     "q29_cube"          -> q29_cube,
-    "q37_closed_sessions" -> q37_closed_sessions)
+    "q37_closed_sessions" -> q37_closed_sessions,
+    "q38_ohlc_candles"  -> q38_ohlc_candles,
+    "q39_hll_distinct"  -> q39_hll_distinct)
 
   val oracles: Map[String, String] = Map(
     "q36_asof_forward"  -> q36_sql,
@@ -495,5 +610,7 @@ object Advanced {
     "q27_percentiles"   -> q27_sql,
     "q28_sessionize"    -> q28_sql,
     "q29_cube"          -> q29_sql,
-    "q37_closed_sessions" -> q37_sql)
+    "q37_closed_sessions" -> q37_sql,
+    "q38_ohlc_candles"  -> q38_sql,
+    "q39_hll_distinct"  -> q39_sql)
 }
