@@ -165,7 +165,12 @@ object Dedup {
       // computes the same bits interpreted — equivalence is spec-gated
       .withColumn("sig", graft.functions.MinHashSignature(
         col("sh_set"), minhashCoeffs(numHashes), minhashP))
-      .withColumn("band", explode(lshBandKeys(col("sig"), bands, rowsPerBand)))
+      // explode_outer: a plain explode makes the optimizer infer a
+      // size/notnull filter whose pushdown re-evaluates the whole
+      // signature expression a second time per row (band keys are never
+      // empty, so outer ≡ inner here)
+      .withColumn("band", explode_outer(lshBandKeys(col("sig"), bands, rowsPerBand)))
+      .where(col("band").isNotNull)
       .select(col("band"), col("id"))
     // Candidate pairs carry ids only (the band self-join shuffles 16
     // bytes per row, not document content); shingle sets re-attach by id
@@ -395,10 +400,13 @@ object Dedup {
       // with an identical plan, so its exchange is computed once and
       // reused.
       val b0 = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // explode_outer for the same reason as the MinHash band stage: no
+      // inferred filter, so the native bucket loop runs once per row
       val buckets = b0.select(
-        explode(Similarity.hyperplaneBuckets(col("v"), dim = dim,
-          planes = planes, tables = tables)).as("bucket"),
-        col("id"))
+          explode_outer(Similarity.hyperplaneBuckets(col("v"), dim = dim,
+            planes = planes, tables = tables)).as("bucket"),
+          col("id"))
+        .where(col("bucket").isNotNull)
       val cand = buckets.as("a").join(buckets.as("b"), Seq("bucket"))
         .where(col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

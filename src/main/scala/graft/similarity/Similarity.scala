@@ -154,8 +154,14 @@ object Similarity {
         nProbe: Int = 4): DataFrame = {
       val q = queries.select(col(queryIdCol).as("query_id"),
         col(queryVecCol).cast("array<double>").as("__qv"))
+      // explode_outer throughout this file: a non-outer explode of a
+      // computed array makes the optimizer infer a size/notnull filter
+      // that re-evaluates the (native, per-row-expensive) bucket/rank
+      // expression a second time; these arrays are never empty, so
+      // outer + an isNotNull guard is semantics-identical
       val probed = q.withColumn("ivf_list",
-        explode(slice(rankedLists(col("__qv")), 1, nProbe)))
+          explode_outer(slice(rankedLists(col("__qv")), 1, nProbe)))
+        .where(col("ivf_list").isNotNull)
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("neighbor_id").asc)
       probed.join(listed, Seq("ivf_list"))
@@ -274,7 +280,8 @@ object Similarity {
         k: Int): DataFrame = {
       val q = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"))
       val qb = q
-        .withColumn("bucket", explode(hyperplaneBuckets(col("__qv"), dim, planes, tables, seed)))
+        .withColumn("bucket", explode_outer(hyperplaneBuckets(col("__qv"), dim, planes, tables, seed)))
+        .where(col("bucket").isNotNull)
         .select(col("bucket"), col("query_id"))
       val candidates = qb.join(buckets, Seq("bucket"))
         .where(col("query_id") =!= col("neighbor_id"))
@@ -307,7 +314,8 @@ object Similarity {
       val c = corpus.select(col(corpusIdCol).as("neighbor_id"), col(corpusVecCol).as("__cv"))
         .cache()
       val b = c
-        .withColumn("bucket", explode(hyperplaneBuckets(col("__cv"), dim, planes, tables, seed)))
+        .withColumn("bucket", explode_outer(hyperplaneBuckets(col("__cv"), dim, planes, tables, seed)))
+        .where(col("bucket").isNotNull)
         .select(col("bucket"), col("neighbor_id"))
         .cache()
       b.count() // build eagerly
@@ -336,10 +344,12 @@ object Similarity {
     // broadcasts (probe sets are small by contract), the corpus side is
     // one equi-join shuffling only the deduped candidate ids.
     val qb = q
-      .withColumn("bucket", explode(hyperplaneBuckets(col("__qv"), dim, planes, tables)))
+      .withColumn("bucket", explode_outer(hyperplaneBuckets(col("__qv"), dim, planes, tables)))
+      .where(col("bucket").isNotNull)
       .select(col("bucket"), col("query_id"))
     val cb = c
-      .withColumn("bucket", explode(hyperplaneBuckets(col("__cv"), dim, planes, tables)))
+      .withColumn("bucket", explode_outer(hyperplaneBuckets(col("__cv"), dim, planes, tables)))
+      .where(col("bucket").isNotNull)
       .select(col("bucket"), col("neighbor_id"))
     val candidates = qb.join(cb, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
