@@ -578,6 +578,65 @@ object Advanced {
        |  exact_distinct
        |FROM z JOIN x ON z.l_returnflag = x.l_returnflag""".stripMargin
 
+  /** Correlated EXISTS (TPC-H Q4 shape, adapted to this schema's
+    * columns): orders in a date window having at least one line item
+    * shipped more than 60 days after the order date. Exercises
+    * Catalyst's subquery decorrelation — the EXISTS rewrites to a
+    * left-semi hash join on l_orderkey, not a per-row subquery — while
+    * DuckDB plans its own decorrelation independently.
+    */
+  val q41_exists_subquery: Q = (s, dir) => {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin)
+  }
+
+  val q41_sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** Correlated scalar subquery (TPC-H Q17 shape): line items whose
+    * quantity is below 20% of their part's mean quantity. The mean is
+    * an exact-decimal sum with ONE double division (`avg()` would be
+    * engine-implementation-dependent at the ulp level, and this
+    * threshold feeds a comparison); Catalyst decorrelates the scalar
+    * subquery into an aggregate + join.
+    */
+  val q42_scalar_subquery: Q = (s, dir) => {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM lineitem l
+        |WHERE l_quantity <
+        |  (SELECT 0.2e0 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |                   / COUNT(*))
+        |   FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+  }
+
+  val q42_sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM lineitem l
+      |WHERE l_quantity <
+      |  (SELECT 0.2e0 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |                   / COUNT(*))
+      |   FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q36_asof_forward"  -> q36_asof_forward,
     "q35_window_funcs"  -> q35_window_funcs,
@@ -594,7 +653,9 @@ object Advanced {
     "q29_cube"          -> q29_cube,
     "q37_closed_sessions" -> q37_closed_sessions,
     "q38_ohlc_candles"  -> q38_ohlc_candles,
-    "q39_hll_distinct"  -> q39_hll_distinct)
+    "q39_hll_distinct"  -> q39_hll_distinct,
+    "q41_exists_subquery" -> q41_exists_subquery,
+    "q42_scalar_subquery" -> q42_scalar_subquery)
 
   val oracles: Map[String, String] = Map(
     "q36_asof_forward"  -> q36_sql,
@@ -612,5 +673,7 @@ object Advanced {
     "q29_cube"          -> q29_sql,
     "q37_closed_sessions" -> q37_sql,
     "q38_ohlc_candles"  -> q38_sql,
-    "q39_hll_distinct"  -> q39_sql)
+    "q39_hll_distinct"  -> q39_sql,
+    "q41_exists_subquery" -> q41_sql,
+    "q42_scalar_subquery" -> q42_sql)
 }

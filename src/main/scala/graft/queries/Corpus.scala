@@ -425,6 +425,38 @@ object Corpus {
        |  CAST(SUM(n) AS BIGINT) AS total_tokens
        |FROM d GROUP BY 1, 2""".stripMargin
 
+  /** Stratified (per-language) deterministic downsampling — the corpus
+    * rebalancing step of a training-data mix: the over-represented
+    * language keeps 50% (zh 80%, rest 100%) via the same md5-bucket
+    * rule as [[t05_split_sample]], so membership is stable across runs
+    * and engines (no `rand()`), and the sample composes with the split
+    * assignment. Pure projection + filter + one aggregate.
+    */
+  val t09_stratified_sample: Q = (s, dir) => {
+    val bp = pmod(graft.functions.KmvSketch.hash64(col("doc_id")), lit(10000L))
+    val keepBelow = when(col("lang") === "en", lit(5000L))
+      .when(col("lang") === "zh", lit(8000L))
+      .otherwise(lit(10000L))
+    val kept = t(s, dir, "documents")
+      .where(bp < keepBelow)
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+    kept.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCountOf(col("__toks")).cast("long")).as("total_tokens"))
+  }
+
+  val t09_sql: String =
+    s"""WITH d AS (
+       |  SELECT lang,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS b,
+       |    len($toksSql) AS n
+       |  FROM documents)
+       |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens
+       |FROM d
+       |WHERE b < CASE WHEN lang = 'en' THEN 5000
+       |               WHEN lang = 'zh' THEN 8000 ELSE 10000 END
+       |GROUP BY lang""".stripMargin
+
   /** Second capstone: curation with NEAR-dup (not just exact) removal —
     * MinHash pairs → connected-component groups → keep each group's
     * min-id canonical plus every ungrouped doc, then per-source
@@ -788,6 +820,7 @@ object Corpus {
     "t06_repetition"        -> t06_repetition,
     "t07_sequence_pack"     -> t07_sequence_pack,
     "t08_boilerplate"       -> t08_boilerplate,
+    "t09_stratified_sample" -> t09_stratified_sample,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -807,6 +840,7 @@ object Corpus {
     "t06_repetition"        -> t06_sql,
     "t07_sequence_pack"     -> t07_sql,
     "t08_boilerplate"       -> t08_sql,
+    "t09_stratified_sample" -> t09_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,

@@ -92,13 +92,26 @@ object Stock {
         col("close_price").cast("double").as("close_price"))
   }
 
+  /** CDC between the two ingest runs' normalized daily snapshots —
+    * which (symbol, date) bars the second fetch added, dropped, or
+    * changed ([[graft.load.SnapshotDiff]]: one full-outer PK join).
+    */
+  val stock_snapshot_diff: Q = (s, _) => {
+    FixtureTables.ensure(s)
+    graft.load.SnapshotDiff(
+      Normalize.daily(Fixtures.dailyPayloads(s)),
+      Normalize.daily(Fixtures.dailyPayloadsNextRun(s)),
+      pk = Seq("company_symbol", "date"))
+  }
+
   val queries: Map[String, Q] = Map(
     "stock_daily_normalize"    -> stock_daily_normalize,
     "stock_intraday_normalize" -> stock_intraday_normalize,
     "stock_sma_normalize"      -> stock_sma_normalize,
     "stock_incremental_load"   -> stock_incremental_load,
     "stock_sma_native"         -> stock_sma_native,
-    "stock_latest_bars"        -> stock_latest_bars)
+    "stock_latest_bars"        -> stock_latest_bars,
+    "stock_snapshot_diff"      -> stock_snapshot_diff)
 
   // ------------------------------------------------------------- oracles
 
@@ -202,11 +215,32 @@ object Stock {
        |WHERE company_symbol = 'AAPL'
        |ORDER BY date DESC LIMIT 10""".stripMargin
 
+  def stock_snapshot_diff_sql: String =
+    s"""WITH o AS (${dailyNormSql(s"read_parquet('$r/daily_raw.parquet/*.parquet')")}),
+       |n AS (${dailyNormSql(s"read_parquet('$r/daily_raw2.parquet/*.parquet')")}),
+       |j AS (
+       |  SELECT COALESCE(o.company_symbol, n.company_symbol) AS company_symbol,
+       |         COALESCE(o.date, n.date) AS date,
+       |         CASE WHEN o.company_symbol IS NULL THEN 'insert'
+       |              WHEN n.company_symbol IS NULL THEN 'delete'
+       |              WHEN (o.open_price  IS DISTINCT FROM n.open_price)
+       |                OR (o.high_price  IS DISTINCT FROM n.high_price)
+       |                OR (o.low_price   IS DISTINCT FROM n.low_price)
+       |                OR (o.close_price IS DISTINCT FROM n.close_price)
+       |                OR (o.volume      IS DISTINCT FROM n.volume)
+       |                THEN 'update'
+       |              ELSE 'unchanged' END AS change_type
+       |  FROM o FULL OUTER JOIN n
+       |    ON o.company_symbol = n.company_symbol AND o.date = n.date)
+       |SELECT company_symbol, date, change_type
+       |FROM j WHERE change_type <> 'unchanged'""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "stock_daily_normalize"    -> stock_daily_normalize_sql,
     "stock_intraday_normalize" -> stock_intraday_normalize_sql,
     "stock_sma_normalize"      -> stock_sma_normalize_sql,
     "stock_incremental_load"   -> stock_incremental_load_sql,
     "stock_sma_native"         -> stock_sma_native_sql,
-    "stock_latest_bars"        -> stock_latest_bars_sql)
+    "stock_latest_bars"        -> stock_latest_bars_sql,
+    "stock_snapshot_diff"      -> stock_snapshot_diff_sql)
 }

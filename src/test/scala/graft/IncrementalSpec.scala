@@ -72,6 +72,22 @@ class IncrementalSpec extends SparkSpec {
       schema, partitionBy = Seq("sym")) == 0)
   }
 
+  test("snapshotDiff classifies inserts, deletes, and updates") {
+    val old = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "v")
+    val neu = Seq((2L, "b", 20.0), (3L, "c", 31.0), (4L, "d", 40.0))
+      .toDF("id", "name", "v")
+    val got = graft.load.SnapshotDiff(old, neu, Seq("id")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "delete", 3L -> "update", 4L -> "insert"))
+    // null-safe value compare: null -> value and value -> null are updates
+    val o2 = Seq((1L, Option.empty[String]), (2L, Option("x"))).toDF("id", "s")
+    val n2 = Seq((1L, Option("y")), (2L, Option.empty[String])).toDF("id", "s")
+    val g2 = graft.load.SnapshotDiff(o2, n2, Seq("id")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(g2 == Map(1L -> "update", 2L -> "update"))
+  }
+
   test("ensureCompanies appends only unseen symbols") {
     val base = Files.createTempDirectory("graft_cat_spec").toString
     val n1 = Catalog.ensureCompanies(spark, base, Seq("AAPL", "MSFT", "AAPL").toDF("s"))
