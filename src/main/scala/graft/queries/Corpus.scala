@@ -730,6 +730,40 @@ object Corpus {
   val m01_multimodal_features: Q = (s, _) =>
     graft.multimodal.MultiModal.featureStats(s, n = 300)
 
+  /** Frame-sampling manifest over the synthetic video corpus — the
+    * SQL-checkable half of the multimodal surface. The pixel decode is
+    * honestly stubbed (no codecs in this container; m01 stays
+    * rows-only), but the typed `flatMap` fan-out that drives it — how
+    * many frames each video yields, their timestamps, the raster dims —
+    * is pure arithmetic over the media metadata, so DuckDB replays it
+    * from `generate_series` and hash-checks the plumbing a real codec
+    * would slot into.
+    */
+  val m02_frame_manifest: Q = (s, _) =>
+    graft.multimodal.MultiModal
+      .sampleFrames(graft.multimodal.MultiModal.syntheticMedia(s, n = 300))
+      .toDF()
+      .select(
+        col("mediaId").as("media_id"),
+        col("frameIndex").cast("long").as("frame_index"),
+        col("timestampMs").as("timestamp_ms"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
+
+  val m02_sql: String =
+    """WITH ids AS (SELECT unnest(generate_series(0, 299)) AS id),
+      |v AS (SELECT id,
+      |  CAST(16 + id % 16 AS BIGINT) AS w,
+      |  CAST(16 + id % 16 AS BIGINT) AS h,
+      |  2000 + id % 5000 AS dur
+      | FROM ids WHERE id % 3 = 2),
+      |f AS (SELECT id, w, h,
+      |  unnest(generate_series(0, CAST(greatest(1, dur // 1000) AS BIGINT) - 1)) AS i
+      | FROM v)
+      |SELECT id AS media_id, CAST(i AS BIGINT) AS frame_index,
+      |  CAST(i * 1000 AS BIGINT) AS timestamp_ms, w AS width, h AS height
+      |FROM f""".stripMargin
+
   /** IVF-ANN top-10 (k-means inverted lists, 8-probe) — the second ANN
     * scale path next to s02's hyperplane LSH. The index is built once
     * per corpus and reused (real serving shape: construction amortizes
@@ -809,6 +843,7 @@ object Corpus {
 
   val queries: Map[String, Q] = Map(
     "m01_multimodal_features" -> m01_multimodal_features,
+    "m02_frame_manifest"    -> m02_frame_manifest,
     "s03_ivf_topk"          -> s03_ivf_topk,
     "c01_curation"          -> c01_curation,
     "c02_neardup_curation"  -> c02_neardup_curation,
@@ -830,6 +865,7 @@ object Corpus {
     "s02_lsh_ann_topk"      -> s02_lsh_ann_topk)
 
   val oracles: Map[String, String] = Map(
+    "m02_frame_manifest"    -> m02_sql,
     "c01_curation"          -> c01_sql,
     "c02_neardup_curation"  -> c02_sql,
     "t01_token_stats"       -> t01_sql,
