@@ -26,7 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the bench evaluates ~70 queries × 2 in one JVM; at 8g
+  // the accumulated shuffle/broadcast refs put G1 under enough pressure
+  // that late queries were timed 2-3× slow inside collection cycles
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // System.gc() (Bench hygiene + spark.cleaner.periodicGC) as a
   // concurrent G1 cycle, never a stop-the-world full collection that
   // could land inside a timed query
