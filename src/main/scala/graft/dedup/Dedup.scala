@@ -197,6 +197,78 @@ object Dedup {
     out
   }
 
+  // ----------------------------------------- exact n-gram Jaccard join
+
+  /** Exact n-gram Jaccard near-duplicate pairs by prefix filtering
+    * (the AllPairs/PPJoin family: Chaudhuri et al. ICDE'06, Bayardo et
+    * al. WWW'07). Unlike MinHash ([[minhashNearDups]]) this is
+    * LOSSLESS — it returns exactly the pairs with Jaccard ≥ threshold,
+    * no probabilistic recall — at the cost of one extra aggregate over
+    * the token stream.
+    *
+    * Theory: Jaccard(a,b) ≥ t ⟹ |a∩b| ≥ t·|a| (because |a∪b| ≥ |a|).
+    * Fix one global total order on tokens (rarest-first by corpus
+    * document frequency, ties by token — the order that minimizes
+    * candidate buckets) and keep each set's first |s| − ⌈t·|s|⌉ + 1
+    * tokens under that order; any qualifying pair must share at least
+    * one PREFIX token (pigeonhole: a pair sharing none can overlap in
+    * at most ⌈t·|s|⌉ − 1 < t·|s| tokens of either set). An equi-join
+    * on prefix tokens is therefore a complete candidate generator.
+    *
+    * Plan shape at 100 TB: tokenize (narrow) → document-frequency
+    * aggregate (shuffle on token, map-side combined) → per-doc rank
+    * window (shuffle on id) → prefix self-join (shuffle on token;
+    * rarest-first ordering keeps bucket sizes near 1) → length-ratio
+    * filter + distinct id pairs → exact-Jaccard verify by id
+    * re-attach. Every shuffle is key-bounded; nothing is n².
+    */
+  def ngramJaccardNearDups(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 5,
+      threshold: Double = 0.5): DataFrame = {
+    // Round-robin exchange first, same reason as minhashNearDups: the
+    // shingle stage must parallelize regardless of input file layout.
+    val input = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // Shingle sets feed three subtrees (prefix stage + both verify
+    // attachments); persist so shingling runs once per document.
+    val sets = input
+      .select(col("id"),
+        array_distinct(TextAnalysis.shingles(col("text"), k)).as("sh_set"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = sets.select(col("id"), size(col("sh_set")).as("n"),
+      explode(col("sh_set")).as("tok"))
+    // Corpus document frequency per shingle — the global token order.
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // Rank each document's tokens rarest-first and keep the prefix.
+    // row_number is one shuffle on id; the prefix bound |s|−⌈t·|s|⌉+1
+    // comes straight from the overlap lemma above.
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))
+    val prefix = toks.join(freq, Seq("tok"))
+      .withColumn("r", row_number().over(w))
+      .where(col("r") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("tok"), col("id"), col("n"))
+    val cand = prefix.as("a").join(prefix.as("b"), Seq("tok"))
+      .where(col("a.id") < col("b.id")
+        // length-ratio filter: Jaccard ≥ t bounds t·|a| ≤ |b| ≤ |a|/t
+        && col("b.n") >= ceil(lit(threshold) * col("a.n"))
+        && col("a.n") >= ceil(lit(threshold) * col("b.n")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val verified = cand
+      .join(sets.select(col("id").as("id_a"), col("sh_set").as("__sa")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh_set").as("__sb")), Seq("id_b"))
+      .withColumn("jaccard", jaccardSets(col("__sa"), col("__sb")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    // Same pair-frame lifetime discipline as minhashNearDups.
+    val out = verified.localCheckpoint(true)
+    sets.unpersist(false)
+    out
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 48-bit SimHash over whitespace tokens (Charikar '02, as used by

@@ -616,6 +616,32 @@ object Corpus {
     s"""WITH RECURSIVE $dupGroupCtes
        |SELECT id, group_id FROM groups""".stripMargin
 
+  /** Exact n-gram Jaccard near-duplicate pairs via prefix filtering —
+    * the LOSSLESS counterpart to d02's MinHash: same 5-gram shingles,
+    * same threshold, but guaranteed-complete output. Because the
+    * algorithm is exact, the oracle is the brute-force GROUND TRUTH
+    * (token-granularity overlap join — no candidate replay), so this
+    * check also proves the prefix filter loses nothing at sf scale.
+    */
+  val d06_jaccard_neardups: Q = (s, dir) =>
+    Dedup.ngramJaccardNearDups(t(s, dir, "documents"), "text", "doc_id",
+      k = 5, threshold = 0.5)
+
+  val d06_sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |  list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+       |       ELSE list_transform(generate_series(1, len(toks) - 4),
+       |                           i -> array_to_string(toks[i:i+4], ' ')) END) AS sh
+       | FROM t),
+       |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS tok FROM sh),
+       |ov AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |        MIN(a.n) AS na, MIN(b.n) AS nb, COUNT(*) AS isect
+       | FROM ex a JOIN ex b USING (tok) WHERE a.doc_id < b.doc_id
+       | GROUP BY a.doc_id, b.doc_id)
+       |SELECT id_a, id_b, isect::DOUBLE / (na + nb - isect) AS jaccard
+       |FROM ov WHERE isect::DOUBLE / (na + nb - isect) >= 0.5""".stripMargin
+
   /** Embedding-cosine near-duplicate pairs (exhaustive variant so the
     * oracle can replay it; the LSH-bucketed variant is the scale path,
     * exercised in s02).
@@ -861,6 +887,7 @@ object Corpus {
     "d03_simhash_neardups"  -> d03_simhash_neardups,
     "d04_embedding_neardups" -> d04_embedding_neardups,
     "d05_dup_groups"        -> d05_dup_groups,
+    "d06_jaccard_neardups"  -> d06_jaccard_neardups,
     "s01_cosine_topk"       -> s01_cosine_topk,
     "s02_lsh_ann_topk"      -> s02_lsh_ann_topk)
 
@@ -882,6 +909,7 @@ object Corpus {
     "d03_simhash_neardups"  -> d03_sql,
     "d04_embedding_neardups" -> d04_sql,
     "d05_dup_groups"        -> d05_sql,
+    "d06_jaccard_neardups"  -> d06_sql,
     "s01_cosine_topk"       -> s01_sql,
     "s02_lsh_ann_topk"      -> s02_sql,
     "s03_ivf_topk"          -> s03_sql)

@@ -59,6 +59,33 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
   }
 
+  test("ngramJaccardNearDups is lossless: equals brute-force exact Jaccard on real docs") {
+    // Prefix filtering claims completeness — verify against the n²
+    // ground truth on a real corpus slice (sf0.001 documents).
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val pf = Dedup.ngramJaccardNearDups(corpus, "text", "doc_id",
+      k = 5, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Ground truth via a token-granularity overlap join (shingles each
+    // doc ONCE — a per-pair jaccardShingles filter re-tokenizes both
+    // texts inside the nested-loop condition, n² times): |a∩b| is the
+    // count of shared distinct shingles, |a∪b| = na + nb − |a∩b|.
+    val sets = corpus.select(col("doc_id"),
+      array_distinct(graft.text.TextAnalysis.shingles(col("text"), 5)).as("sh"))
+    val ex = sets.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("tok"))
+    val brute = ex.as("a").join(ex.as("b"), Seq("tok"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(min(col("a.n")).as("na"), min(col("b.n")).as("nb"),
+        count(lit(1)).as("i"))
+      .where(col("i").cast("double") / (col("na") + col("nb") - col("i")) >= 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pf === brute)
+    assert(brute.nonEmpty, "corpus should contain planted near-dups")
+  }
+
   test("simhash: normalized-identical texts hash equal; near-dups are close; unrelated far") {
     val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
