@@ -637,6 +637,153 @@ object Advanced {
       |                   / COUNT(*))
       |   FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin
 
+  // shared per-(supplier, day) revenue series for the indicator-family
+  // queries below (the q19-q22 shape: exact decimal day sums,
+  // pre-partitioned by supplier so the agg and every downstream window
+  // share one exchange)
+  private def supplierDaily(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_shipdate"),
+        dec(col("l_extendedprice")).as("__p"))
+      .repartition(col("l_suppkey"))
+      .groupBy(col("l_suppkey"), col("l_shipdate"))
+      .agg(sum(col("__p")).as("day_price"))
+
+  private val supplierDailySql: String =
+    """SELECT l_suppkey, l_shipdate,
+      |       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS day_price
+      |FROM lineitem GROUP BY l_suppkey, l_shipdate""".stripMargin
+
+  // The literal-weight EMA fold (q22's proven recipe) as a reusable
+  // oracle fragment: strict left-to-right double fold over the
+  // newest-first value list with Indicators.emaWeights(n) interpolated
+  // verbatim — bit-identical to the codegen'd graft_dot on the Spark
+  // side, so MACD chains compare RAW with no rounding.
+  private def emaFoldSql(vals: String, n: Int): String = {
+    val (bodyW, tailW) = graft.analytics.Indicators.emaWeights(n)
+    val bw = bodyW.map(Relational.sqlDouble).mkString("[", ",", "]")
+    val tw = tailW.map(Relational.sqlDouble).mkString("[", ",", "]")
+    s"""list_reduce(list_transform(
+       |    list_zip($vals, CAST($bw AS DOUBLE[])), z -> coalesce(z[1] * z[2], 0.0)),
+       |    (acc, x) -> acc + x)
+       |  + (CAST($tw AS DOUBLE[]))[len($vals)] * $vals[len($vals)]""".stripMargin
+  }
+
+  /** MACD (12/26/9) over supplier daily revenue: a three-stage EMA
+    * composition — macd = EMA12 − EMA26, signal = EMA9 *of the macd
+    * series*, histogram = macd − signal. All four windows share one
+    * (supplier, date) partitioning+sort, so the whole indicator stack
+    * costs a single exchange; the signal stage demonstrates windowing
+    * over a derived (not stored) column.
+    */
+  val q43_macd: Q = (s, dir) => {
+    import graft.analytics.Indicators
+    val daily = supplierDaily(s, dir)
+    val emas = Indicators.ema(
+      Indicators.ema(daily, "l_suppkey", Seq("l_shipdate"), "day_price",
+        n = 12, out = "__e12"),
+      "l_suppkey", Seq("l_shipdate"), "day_price", n = 26, out = "__e26")
+      .withColumn("macd", col("__e12") - col("__e26"))
+    Indicators.ema(emas, "l_suppkey", Seq("l_shipdate"), "macd",
+      n = 9, out = "signal")
+      .select(col("l_suppkey"), col("l_shipdate"), col("macd"),
+        col("signal"), (col("macd") - col("signal")).as("histogram"))
+  }
+
+  val q43_sql: String =
+    s"""WITH daily AS ($supplierDailySql),
+       |lists AS (
+       |  SELECT l_suppkey, l_shipdate,
+       |    list_reverse(list(CAST(day_price AS DOUBLE))
+       |      OVER (PARTITION BY l_suppkey ORDER BY l_shipdate
+       |            ROWS BETWEEN 63 PRECEDING AND CURRENT ROW)) AS vals
+       |  FROM daily),
+       |m AS (
+       |  SELECT l_suppkey, l_shipdate,
+       |    (${emaFoldSql("vals", 12)})
+       |    - (${emaFoldSql("vals", 26)}) AS macd
+       |  FROM lists),
+       |ml AS (
+       |  SELECT l_suppkey, l_shipdate, macd,
+       |    list_reverse(list(macd)
+       |      OVER (PARTITION BY l_suppkey ORDER BY l_shipdate
+       |            ROWS BETWEEN 63 PRECEDING AND CURRENT ROW)) AS mvals
+       |  FROM m),
+       |sig AS (
+       |  SELECT l_suppkey, l_shipdate, macd,
+       |    (${emaFoldSql("mvals", 9)}) AS signal
+       |  FROM ml)
+       |SELECT l_suppkey, l_shipdate, macd, signal,
+       |       macd - signal AS histogram
+       |FROM sig""".stripMargin
+
+  /** Cumulative VWAP per supplier: running Σ(notional)/Σ(quantity) over
+    * the date-ordered history — the intraday running-VWAP shape. Both
+    * running sums are exact decimals sharing one window frame; the only
+    * floating-point step is the final cast+divide (cross-engine exact,
+    * the q19 discipline).
+    */
+  val q44_vwap: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_shipdate"),
+        dec(col("l_extendedprice")).as("__n"), dec(col("l_quantity")).as("__q"))
+      .repartition(col("l_suppkey"))
+      .groupBy(col("l_suppkey"), col("l_shipdate"))
+      .agg(sum(col("__n")).as("__dn"), sum(col("__q")).as("__dq"))
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.select(col("l_suppkey"), col("l_shipdate"),
+      (sum(col("__dn")).over(w).cast("double")
+        / sum(col("__dq")).over(w).cast("double")).as("cum_vwap"))
+  }
+
+  val q44_sql: String =
+    """WITH daily AS (
+      |  SELECT l_suppkey, l_shipdate,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS dn,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS dq
+      |  FROM lineitem GROUP BY l_suppkey, l_shipdate)
+      |SELECT l_suppkey, l_shipdate,
+      |  CAST(SUM(dn) OVER win AS DOUBLE) / CAST(SUM(dq) OVER win AS DOUBLE)
+      |    AS cum_vwap
+      |FROM daily
+      |WINDOW win AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Maximum drawdown per supplier: running peak of the daily-revenue
+    * series (unbounded-preceding MAX — an O(1)-per-row running
+    * aggregate, not a re-scan), drawdown = price/peak − 1, then one
+    * per-supplier MIN. Two window passes and the final aggregate all
+    * share the supplier partitioning — one exchange total.
+    */
+  val q45_drawdown: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val running = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    supplierDaily(s, dir)
+      .withColumn("__peak", max(col("day_price")).over(running))
+      .withColumn("__dd",
+        col("day_price").cast("double") / col("__peak").cast("double") - 1)
+      .groupBy(col("l_suppkey"))
+      .agg(min(col("__dd")).as("max_drawdown"),
+        max(col("day_price")).cast("double").as("peak_revenue"))
+  }
+
+  val q45_sql: String =
+    s"""WITH daily AS ($supplierDailySql),
+       |dd AS (
+       |  SELECT l_suppkey,
+       |    CAST(day_price AS DOUBLE)
+       |      / CAST(MAX(day_price) OVER win AS DOUBLE) - 1 AS dd,
+       |    day_price
+       |  FROM daily
+       |  WINDOW win AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT l_suppkey, MIN(dd) AS max_drawdown,
+       |       CAST(MAX(day_price) AS DOUBLE) AS peak_revenue
+       |FROM dd GROUP BY l_suppkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q36_asof_forward"  -> q36_asof_forward,
     "q35_window_funcs"  -> q35_window_funcs,
@@ -655,7 +802,10 @@ object Advanced {
     "q38_ohlc_candles"  -> q38_ohlc_candles,
     "q39_hll_distinct"  -> q39_hll_distinct,
     "q41_exists_subquery" -> q41_exists_subquery,
-    "q42_scalar_subquery" -> q42_scalar_subquery)
+    "q42_scalar_subquery" -> q42_scalar_subquery,
+    "q43_macd"          -> q43_macd,
+    "q44_vwap"          -> q44_vwap,
+    "q45_drawdown"      -> q45_drawdown)
 
   val oracles: Map[String, String] = Map(
     "q36_asof_forward"  -> q36_sql,
@@ -675,5 +825,8 @@ object Advanced {
     "q38_ohlc_candles"  -> q38_sql,
     "q39_hll_distinct"  -> q39_sql,
     "q41_exists_subquery" -> q41_sql,
-    "q42_scalar_subquery" -> q42_sql)
+    "q42_scalar_subquery" -> q42_sql,
+    "q43_macd"          -> q43_sql,
+    "q44_vwap"          -> q44_sql,
+    "q45_drawdown"      -> q45_sql)
 }
