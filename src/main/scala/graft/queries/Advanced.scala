@@ -637,6 +637,41 @@ object Advanced {
       |                   / COUNT(*))
       |   FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin
 
+  /** Interval join (batch twin of the stream-stream
+    * [[graft.streaming.StreamingIngest.intervalJoin]]): each purchase
+    * picks up every click by the same user in the 30 minutes before it.
+    * Plans as an equi-join on user_id with the time range as a join
+    * filter — per-user histories are the join buckets, so cost is
+    * Σ|user|² within the window, never a time-range cross product.
+    */
+  val q46_attribution: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("__c_user"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+    purchases.join(clicks,
+      col("__c_user") === col("user_id")
+        && col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 minutes")
+        && col("click_ts") <= col("purchase_ts"))
+      .select(col("user_id"), col("purchase_ts"), col("purchase_value"),
+        col("click_ts"), col("click_value"))
+  }
+
+  val q46_sql: String =
+    """WITH p AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts, value AS purchase_value
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts, value AS click_value
+      |  FROM events WHERE event_type = 'click')
+      |SELECT p.user_id, p.purchase_ts, p.purchase_value, c.click_ts, c.click_value
+      |FROM p JOIN c ON p.user_id = c.user_id
+      | AND c.click_ts >= p.purchase_ts - INTERVAL 30 MINUTE
+      | AND c.click_ts <= p.purchase_ts""".stripMargin
+
   // shared per-(supplier, day) revenue series for the indicator-family
   // queries below (the q19-q22 shape: exact decimal day sums,
   // pre-partitioned by supplier so the agg and every downstream window
@@ -805,7 +840,8 @@ object Advanced {
     "q42_scalar_subquery" -> q42_scalar_subquery,
     "q43_macd"          -> q43_macd,
     "q44_vwap"          -> q44_vwap,
-    "q45_drawdown"      -> q45_drawdown)
+    "q45_drawdown"      -> q45_drawdown,
+    "q46_attribution"   -> q46_attribution)
 
   val oracles: Map[String, String] = Map(
     "q36_asof_forward"  -> q36_sql,
@@ -828,5 +864,6 @@ object Advanced {
     "q42_scalar_subquery" -> q42_sql,
     "q43_macd"          -> q43_sql,
     "q44_vwap"          -> q44_sql,
-    "q45_drawdown"      -> q45_sql)
+    "q45_drawdown"      -> q45_sql,
+    "q46_attribution"   -> q46_sql)
 }

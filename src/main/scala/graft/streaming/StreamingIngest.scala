@@ -115,6 +115,38 @@ object StreamingIngest {
         col("open_price"), col("high_price"), col("low_price"),
         col("close_price"), col("volume"), col("n_bars"))
 
+  // ---- stream-stream interval join ----
+
+  /** Stream-stream interval join (the click-attribution shape): each
+    * purchase matches every click by the same user within
+    * [purchase_ts − lookback, purchase_ts]. Both sides carry event-time
+    * watermarks, and the interval condition is what lets Spark EXPIRE
+    * join state: a buffered click older than (watermark − lookback) can
+    * never match a future purchase and is evicted, so state stays
+    * bounded by the time window instead of growing with the stream.
+    * Inner-join matches emit as soon as both rows have arrived; the
+    * watermark only bounds buffering, not emission latency.
+    *
+    * Batch twin: `Advanced.q46_attribution` (DuckDB-checked) — the
+    * spec drives this operator over the same events and asserts
+    * identical output.
+    */
+  def intervalJoin(
+      clicks: DataFrame,     // user_id, click_ts, click_value
+      purchases: DataFrame,  // user_id, purchase_ts, purchase_value
+      lookback: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("click_ts", watermark)
+      .select(col("user_id").as("__c_user"), col("click_ts"), col("click_value"))
+    val p = purchases.withWatermark("purchase_ts", watermark)
+    p.join(c,
+      col("__c_user") === col("user_id")
+        && col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookback")
+        && col("click_ts") <= col("purchase_ts"))
+      .select(col("user_id"), col("purchase_ts"), col("purchase_value"),
+        col("click_ts"), col("click_value"))
+  }
+
   // ---- custom state: streaming SMA via flatMapGroupsWithState ----
 
   case class Bar(company_symbol: String, ts: java.sql.Timestamp, close: Double)

@@ -154,6 +154,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("intervalJoin: stream-stream matches the oracle-checked batch twin q46") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    // Feed both sides globally ts-sorted in lockstep chunks: each new
+    // chunk's timestamps are ≥ the previous max, so the 1h watermark
+    // never drops a row and streaming must equal batch exactly.
+    val ev = graft.Tables(spark, dir, "events")
+      .select(col("event_type"), col("user_id"), col("ts"), col("value"))
+      .orderBy(col("ts")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2), r.getDouble(3)))
+    val clickStream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val purchStream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val joined = StreamingIngest.intervalJoin(
+      clickStream.toDS().toDF("user_id", "click_ts", "click_value"),
+      purchStream.toDS().toDF("user_id", "purchase_ts", "purchase_value"))
+    val q = joined.writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    ev.grouped(math.max(ev.length / 3, 1)).foreach { chunk =>
+      clickStream.addData(chunk.collect {
+        case ("click", u, t, v) => (u, t, v) }.toSeq: _*)
+      purchStream.addData(chunk.collect {
+        case ("purchase", u, t, v) => (u, t, v) }.toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.sql(
+      "SELECT user_id, purchase_ts, purchase_value, click_ts, click_value FROM attr_out")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.queries.Advanced.queries("q46_attribution")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streamingSma drops late cross-batch bars instead of corrupting the window") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
