@@ -56,6 +56,23 @@ object Scale {
       .drop("__r")
   }
 
+  /** Write `df` hive-partitioned by `partCols` — the other half of the
+    * storage-layout toolkit next to [[writeBucketed]]: bucketing
+    * co-locates JOIN keys, directory partitioning prunes SCANS. An
+    * equality/range predicate on a partition column eliminates whole
+    * directories at planning time (the scan's `PartitionFilters`),
+    * so a day query over a 100 TB date-partitioned corpus reads one
+    * day's files, never touching the rest — asserted by `ScaleSpec`.
+    * Choose low-cardinality columns (date, region); high-cardinality
+    * partitioning degenerates into millions of tiny files.
+    */
+  def writePartitioned(df: DataFrame, path: String, partCols: String*): Unit =
+    df.write
+      .format("parquet")
+      .partitionBy(partCols: _*)
+      .mode("overwrite")
+      .save(path)
+
   /** Write `df` as a bucketed+sorted table (hive-style layout in the
     * session warehouse): joins and aggregations on `key` against
     * another table bucketed the same way need NO shuffle — the

@@ -682,11 +682,14 @@ object Advanced {
         dec(col("l_extendedprice")).as("__p"))
       .repartition(col("l_suppkey"))
       .groupBy(col("l_suppkey"), col("l_shipdate"))
-      .agg(sum(col("__p")).as("day_price"))
+      // re-narrow the sum to DECIMAL(18,2): downstream decimal PRODUCTS
+      // (q47's Σxy/Σx²) stay inside both engines' 38-digit budget —
+      // (18,2)×(18,2) is exact everywhere, sum-widened operands are not
+      .agg(sum(col("__p")).cast(DecimalType(18, 2)).as("day_price"))
 
   private val supplierDailySql: String =
     """SELECT l_suppkey, l_shipdate,
-      |       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS day_price
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS day_price
       |FROM lineitem GROUP BY l_suppkey, l_shipdate""".stripMargin
 
   // The literal-weight EMA fold (q22's proven recipe) as a reusable
@@ -819,6 +822,68 @@ object Advanced {
        |       CAST(MAX(day_price) AS DOUBLE) AS peak_revenue
        |FROM dd GROUP BY l_suppkey""".stripMargin
 
+  /** Per-supplier correlation and beta of daily revenue against the
+    * market (all-supplier daily total) — the cross-series analytic of
+    * the pairs-trading / factor-model family. Built from exact decimal
+    * sums (Σx, Σy, Σxy, Σx², Σy², n) so the Pearson formula is pure
+    * double arithmetic on identical inputs in both engines — `corr()`
+    * itself is a streaming estimator whose result depends on
+    * accumulation order, which a distributed engine can't replay
+    * bit-exactly. The market series is one tiny aggregate broadcast
+    * back to the supplier series; the stats are one shuffle on
+    * supplier.
+    */
+  val q47_beta: Q = (s, dir) => {
+    val daily = supplierDaily(s, dir)
+    val market = daily.groupBy(col("l_shipdate"))
+      .agg(sum(col("day_price")).cast(DecimalType(18, 2)).as("mkt_price"))
+    val joined = daily.join(broadcast(market), Seq("l_shipdate"))
+    // The moment sums exceed 2^53 in scaled-integer terms, where a
+    // direct decimal→double cast is no longer cross-engine exact
+    // (DuckDB converts the int128 to double FIRST, double-rounding).
+    // Route through a string: decimal→string is exact everywhere and
+    // string→double is correctly rounded everywhere — the same
+    // string-parity recipe the stock queries use for raw prices.
+    def d(c: Column): Column = c.cast("string").cast("double")
+    val stats = joined.groupBy(col("l_suppkey")).agg(
+      count(lit(1)).cast("double").as("__n"),
+      d(sum(col("day_price"))).as("__sx"),
+      d(sum(col("mkt_price"))).as("__sy"),
+      d(sum(col("day_price") * col("mkt_price"))).as("__sxy"),
+      d(sum(col("day_price") * col("day_price"))).as("__sxx"),
+      d(sum(col("mkt_price") * col("mkt_price"))).as("__syy"))
+    val cov = col("__n") * col("__sxy") - col("__sx") * col("__sy")
+    val varX = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val varY = col("__n") * col("__syy") - col("__sy") * col("__sy")
+    stats.select(col("l_suppkey"),
+      when(varX <= 0 || varY <= 0, lit(null).cast("double"))
+        .otherwise(cov / sqrt(varX * varY)).as("mkt_corr"),
+      when(varY <= 0, lit(null).cast("double"))
+        .otherwise(cov / varY).as("beta"))
+  }
+
+  val q47_sql: String =
+    s"""WITH daily AS ($supplierDailySql),
+       |mkt AS (SELECT l_shipdate, CAST(SUM(day_price) AS DECIMAL(18,2)) AS mkt_price
+       |        FROM daily GROUP BY l_shipdate),
+       |st AS (
+       |  SELECT l_suppkey,
+       |    CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(CAST(SUM(day_price) AS VARCHAR) AS DOUBLE) AS sx,
+       |    CAST(CAST(SUM(mkt_price) AS VARCHAR) AS DOUBLE) AS sy,
+       |    CAST(CAST(SUM(day_price * mkt_price) AS VARCHAR) AS DOUBLE) AS sxy,
+       |    CAST(CAST(SUM(day_price * day_price) AS VARCHAR) AS DOUBLE) AS sxx,
+       |    CAST(CAST(SUM(mkt_price * mkt_price) AS VARCHAR) AS DOUBLE) AS syy
+       |  FROM daily JOIN mkt USING (l_shipdate)
+       |  GROUP BY l_suppkey)
+       |SELECT l_suppkey,
+       |  CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0 THEN NULL
+       |       ELSE (n * sxy - sx * sy)
+       |            / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS mkt_corr,
+       |  CASE WHEN n * syy - sy * sy <= 0 THEN NULL
+       |       ELSE (n * sxy - sx * sy) / (n * syy - sy * sy) END AS beta
+       |FROM st""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q36_asof_forward"  -> q36_asof_forward,
     "q35_window_funcs"  -> q35_window_funcs,
@@ -841,7 +906,8 @@ object Advanced {
     "q43_macd"          -> q43_macd,
     "q44_vwap"          -> q44_vwap,
     "q45_drawdown"      -> q45_drawdown,
-    "q46_attribution"   -> q46_attribution)
+    "q46_attribution"   -> q46_attribution,
+    "q47_beta"          -> q47_beta)
 
   val oracles: Map[String, String] = Map(
     "q36_asof_forward"  -> q36_sql,
@@ -865,5 +931,6 @@ object Advanced {
     "q43_macd"          -> q43_sql,
     "q44_vwap"          -> q44_sql,
     "q45_drawdown"      -> q45_sql,
-    "q46_attribution"   -> q46_sql)
+    "q46_attribution"   -> q46_sql,
+    "q47_beta"          -> q47_sql)
 }

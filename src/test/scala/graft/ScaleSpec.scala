@@ -104,6 +104,41 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("writePartitioned: a partition-column predicate prunes to one directory") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val path = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val ev = graft.Tables(spark, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+    Scale.writePartitioned(ev, path, "event_date")
+    val all = spark.read.parquet(path)
+    val nDates = all.select("event_date").distinct().count()
+    assert(nDates > 1, "need multiple partitions for pruning to mean anything")
+    val oneDay = all.where(col("event_date") === "2024-01-02")
+    val rows = oneDay.collect()
+    // planning-time pruning: the predicate lands in the scan's
+    // PartitionFilters (not a post-scan data filter), and the executed
+    // scan's metrics show it opened exactly ONE partition directory —
+    // df.inputFiles can't show this (it lists the unpruned FileIndex)
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("event_date"),
+      s"expected a partition filter in the scan, got:\n$plan")
+    val scan = {
+      var found: Option[org.apache.spark.sql.execution.FileSourceScanExec] = None
+      oneDay.queryExecution.executedPlan.foreach {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => found = Some(f)
+        case _ =>
+      }
+      found.get
+    }
+    assert(scan.metrics("numPartitions").value === 1,
+      s"scan read ${scan.metrics("numPartitions").value} partitions, expected 1")
+    assert(scan.metrics("numFiles").value < all.inputFiles.length)
+    // pruned read returns exactly the matching rows
+    assert(rows.length.toLong ===
+      ev.where(col("event_date") === "2024-01-02").count())
+  }
+
   test("q23_bucketed_join plans with zero exchanges end-to-end") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/orders.parquet").exists())
