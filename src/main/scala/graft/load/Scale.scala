@@ -56,6 +56,46 @@ object Scale {
       .drop("__r")
   }
 
+  /** Bloom-filter semi-join reduction — the scan-side pre-filter a
+    * 100 TB fact join wants: build a Bloom filter over the (small) key
+    * side with one aggregate, ship it to the fact scan as a literal,
+    * and drop non-joining fact rows BEFORE they reach the join's
+    * shuffle. False positives only let extra rows through — the real
+    * join still decides membership — so composing this under any
+    * equi-join/semi-join is semantically transparent; what it buys is
+    * shuffle volume proportional to matching rows instead of the whole
+    * fact table. This is the manual form of Spark's own
+    * `InjectRuntimeFilter` rewrite, for when the key side is computed
+    * (not a join branch the optimizer can see) or the filter should be
+    * reused across many queries. Uses the engine's native
+    * `BloomFilterAggregate` / `BloomFilterMightContain` expressions
+    * over xxhash64 keys.
+    *
+    * Returns the filtered fact frame. `expectedItems` sizes the filter
+    * (~1.2 bytes/item at the default FPP); the one-row aggregate
+    * collect is the broadcast, not a data move.
+    */
+  def bloomPreFilter(
+      fact: DataFrame,
+      factKey: Column,
+      keys: DataFrame,
+      keyCol: String,
+      expectedItems: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    val aggExpr = Bridge.column(
+      new BloomFilterAggregate(
+        new XxHash64(Seq(Bridge.expression(col(keyCol)))), expectedItems)
+        .toAggregateExpression())
+    val bloom = keys.select(aggExpr.as("bf")).head.getAs[Array[Byte]]("bf")
+    fact.where(Bridge.column(
+      BloomFilterMightContain(
+        Literal(bloom, BinaryType),
+        new XxHash64(Seq(Bridge.expression(factKey))))))
+  }
+
   /** Write `df` hive-partitioned by `partCols` — the other half of the
     * storage-layout toolkit next to [[writeBucketed]]: bucketing
     * co-locates JOIN keys, directory partitioning prunes SCANS. An

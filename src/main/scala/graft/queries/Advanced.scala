@@ -884,6 +884,36 @@ object Advanced {
        |       ELSE (n * sxy - sx * sy) / (n * syy - sy * sy) END AS beta
        |FROM st""".stripMargin
 
+  /** Bloom-filtered fact aggregation: revenue per supplier for ONE
+    * nation's suppliers, with [[graft.load.Scale.bloomPreFilter]]
+    * dropping ~96% of lineitem rows before the semi-join shuffle. The
+    * oracle is the plain semi-join aggregate — the Bloom stage must be
+    * semantically invisible (false positives are re-checked by the real
+    * join), which is exactly what the hash check proves.
+    */
+  val q48_bloom_join: Q = (s, dir) => {
+    val sup = t(s, dir, "supplier")
+      .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .where(col("n_name") === "NATION_7")
+      .select(col("s_suppkey"))
+    val pre = graft.load.Scale.bloomPreFilter(
+      t(s, dir, "lineitem"), col("l_suppkey"), sup, "s_suppkey",
+      expectedItems = 10000L)
+    pre.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
+  }
+
+  val q48_sql: String =
+    """SELECT l_suppkey, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_suppkey IN (
+      |  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_7')
+      |GROUP BY l_suppkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q36_asof_forward"  -> q36_asof_forward,
     "q35_window_funcs"  -> q35_window_funcs,
@@ -907,7 +937,8 @@ object Advanced {
     "q44_vwap"          -> q44_vwap,
     "q45_drawdown"      -> q45_drawdown,
     "q46_attribution"   -> q46_attribution,
-    "q47_beta"          -> q47_beta)
+    "q47_beta"          -> q47_beta,
+    "q48_bloom_join"    -> q48_bloom_join)
 
   val oracles: Map[String, String] = Map(
     "q36_asof_forward"  -> q36_sql,
@@ -932,5 +963,6 @@ object Advanced {
     "q44_vwap"          -> q44_sql,
     "q45_drawdown"      -> q45_sql,
     "q46_attribution"   -> q46_sql,
-    "q47_beta"          -> q47_sql)
+    "q47_beta"          -> q47_sql,
+    "q48_bloom_join"    -> q48_sql)
 }

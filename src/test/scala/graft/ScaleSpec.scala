@@ -139,6 +139,24 @@ class ScaleSpec extends SparkSpec {
       ev.where(col("event_date") === "2024-01-02").count())
   }
 
+  test("bloomPreFilter keeps every joining row and prunes most others") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists())
+    val li = graft.Tables(spark, dir, "lineitem")
+    val keys = graft.Tables(spark, dir, "supplier")
+      .where(col("s_suppkey") % 25 === 7).select(col("s_suppkey"))
+    val filtered = Scale.bloomPreFilter(li, col("l_suppkey"), keys, "s_suppkey",
+      expectedItems = 1000L)
+    val trueMatches = li.join(keys, col("l_suppkey") === col("s_suppkey"), "left_semi")
+    // no false negatives: the pre-filter is a superset of the semi-join
+    assert(filtered.join(keys, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .count() === trueMatches.count())
+    assert(filtered.count() >= trueMatches.count())
+    // and it actually prunes: 1-in-25 keys should cut the fact hard
+    assert(filtered.count() < li.count() / 2,
+      s"bloom filter pruned nothing: ${filtered.count()} of ${li.count()}")
+  }
+
   test("q23_bucketed_join plans with zero exchanges end-to-end") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/orders.parquet").exists())
