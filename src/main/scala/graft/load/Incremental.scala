@@ -60,6 +60,28 @@ object Incremental {
       .dropDuplicates(pk)
       .join(target.select(pk.map(col): _*), pk, "left_anti")
 
+  /** Incremental aggregate maintenance: merge partial aggregate STATES
+    * instead of recomputing from raw history — the materialized-view
+    * refresh pattern. Each input frame holds per-key additive buffers
+    * (counts, exact decimal sums — anything where merge(a,b) = a + b;
+    * avg is kept as sum+count, never a stored ratio); the merge is one
+    * union + re-aggregate on the keys. At 100 TB this is the difference
+    * between touching one new partition's partials and rescanning the
+    * table: cost is O(|new data| + |distinct keys|), independent of
+    * history size. Exactness is oracle-proven (merged state ≡ full
+    * recompute, q49).
+    */
+  def mergeAggregates(
+      parts: Seq[DataFrame],
+      keys: Seq[String],
+      buffers: Seq[String]): DataFrame = {
+    require(parts.nonEmpty, "need at least one partial-state frame")
+    val aggs = buffers.map(b => sum(col(b)).as(b))
+    parts.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Idempotent append of `incoming` into the parquet table at `path`
     * (creating it with `schema` if absent). Returns rows inserted —
     * re-running with the same batch inserts 0 (the reference's observed

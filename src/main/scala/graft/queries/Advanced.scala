@@ -914,6 +914,37 @@ object Advanced {
       |  WHERE n_name = 'NATION_7')
       |GROUP BY l_suppkey""".stripMargin
 
+  /** Incremental aggregate maintenance: a standing monthly materialized
+    * view (orders before 1997) merged with a late batch's partial
+    * aggregates via [[graft.load.Incremental.mergeAggregates]] — no
+    * rescan of history. The oracle recomputes the aggregate from ALL
+    * raw orders; the hash match proves merge-of-states ≡ recompute.
+    */
+  val q49_incremental_agg: Q = (s, dir) => {
+    val o = t(s, dir, "orders").select(col("o_orderpriority"),
+      date_trunc("month", col("o_orderdate")).as("month"),
+      dec(col("o_totalprice")).as("__p"))
+    def state(df: DataFrame): DataFrame =
+      df.groupBy(col("o_orderpriority"), col("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("__p")).cast(DecimalType(18, 2)).as("__sum"))
+    val stored = state(o.where(col("month") < "1997-01-01"))
+    val late = state(o.where(col("month") >= "1997-01-01"))
+    graft.load.Incremental.mergeAggregates(
+      Seq(stored, late), Seq("o_orderpriority", "month"),
+      Seq("n_orders", "__sum"))
+      .select(col("o_orderpriority"), col("month"), col("n_orders"),
+        col("__sum").cast("string").cast("double").as("total_price"))
+  }
+
+  val q49_sql: String =
+    """SELECT o_orderpriority,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+      |  COUNT(*) AS n_orders,
+      |  CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+      |       AS VARCHAR) AS DOUBLE) AS total_price
+      |FROM orders GROUP BY o_orderpriority, date_trunc('month', o_orderdate)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q36_asof_forward"  -> q36_asof_forward,
     "q35_window_funcs"  -> q35_window_funcs,
@@ -938,7 +969,8 @@ object Advanced {
     "q45_drawdown"      -> q45_drawdown,
     "q46_attribution"   -> q46_attribution,
     "q47_beta"          -> q47_beta,
-    "q48_bloom_join"    -> q48_bloom_join)
+    "q48_bloom_join"    -> q48_bloom_join,
+    "q49_incremental_agg" -> q49_incremental_agg)
 
   val oracles: Map[String, String] = Map(
     "q36_asof_forward"  -> q36_sql,
@@ -964,5 +996,6 @@ object Advanced {
     "q45_drawdown"      -> q45_sql,
     "q46_attribution"   -> q46_sql,
     "q47_beta"          -> q47_sql,
-    "q48_bloom_join"    -> q48_sql)
+    "q48_bloom_join"    -> q48_sql,
+    "q49_incremental_agg" -> q49_sql)
 }

@@ -88,6 +88,22 @@ class IncrementalSpec extends SparkSpec {
     assert(g2 == Map(1L -> "update", 2L -> "update"))
   }
 
+  test("mergeAggregates: three partial states merge to the full recompute") {
+    val rows = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 3L, 30L),
+      ("a", 4L, 40L), ("c", 5L, 50L), ("b", 6L, 60L))
+    def state(xs: Seq[(String, Long, Long)]) =
+      xs.toDF("k", "id", "v").groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"))
+    val merged = Incremental.mergeAggregates(
+      Seq(state(rows.take(2)), state(rows.slice(2, 4)), state(rows.drop(4))),
+      Seq("k"), Seq("n", "s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val full = state(rows)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged === full)
+    assert(merged === Set(("a", 3L, 70L), ("b", 2L, 90L), ("c", 1L, 50L)))
+  }
+
   test("ensureCompanies appends only unseen symbols") {
     val base = Files.createTempDirectory("graft_cat_spec").toString
     val n1 = Catalog.ensureCompanies(spark, base, Seq("AAPL", "MSFT", "AAPL").toDF("s"))
