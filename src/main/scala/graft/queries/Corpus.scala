@@ -616,6 +616,50 @@ object Corpus {
     s"""WITH RECURSIVE $dupGroupCtes
        |SELECT id, group_id FROM groups""".stripMargin
 
+  /** Edit-distance verification over fingerprint-bucketed candidates:
+    * documents sharing a min-hash fingerprint (t04's operator) are
+    * near-dup candidates; each pair gets its exact Levenshtein distance
+    * and a length-normalized similarity. Candidates come from one
+    * equi-join on the fingerprint — id-only discipline, texts re-attach
+    * by id — so the DP-quadratic edit distance runs on candidate pairs,
+    * never on the corpus product.
+    */
+  val t10_edit_distance: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val fp = docs.select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text"), k = 8).as("__fp"))
+    val cand = fp.as("a").join(fp.as("b"), Seq("__fp"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val staged = cand
+      .join(docs.select(col("doc_id").as("id_a"), col("text").as("__ta")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("__tb")), Seq("id_b"))
+      .withColumn("edit_distance", levenshtein(col("__ta"), col("__tb")).cast("long"))
+    staged.select(col("id_a"), col("id_b"), col("edit_distance"),
+      (lit(1.0) - col("edit_distance").cast("double")
+        / greatest(length(col("__ta")), length(col("__tb"))))
+        .as("edit_similarity"))
+  }
+
+  val t10_sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+       |       ELSE list_transform(generate_series(1, len(toks) - 7),
+       |                           i -> array_to_string(toks[i:i+7], ' ')) END AS sh
+       | FROM t),
+       |fp AS (SELECT doc_id, list_min(list_transform(sh, x -> md5(x))) AS fp FROM sh),
+       |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM fp a JOIN fp b USING (fp) WHERE a.doc_id < b.doc_id),
+       |j AS (SELECT id_a, id_b,
+       |  levenshtein(da.text, db.text) AS edit_distance,
+       |  greatest(length(da.text), length(db.text)) AS mx
+       | FROM cand JOIN documents da ON da.doc_id = id_a
+       |           JOIN documents db ON db.doc_id = id_b)
+       |SELECT id_a, id_b, edit_distance,
+       |  1.0 - edit_distance::DOUBLE / mx AS edit_similarity
+       |FROM j""".stripMargin
+
   /** Exact n-gram Jaccard near-duplicate pairs via prefix filtering —
     * the LOSSLESS counterpart to d02's MinHash: same 5-gram shingles,
     * same threshold, but guaranteed-complete output. Because the
@@ -882,6 +926,7 @@ object Corpus {
     "t07_sequence_pack"     -> t07_sequence_pack,
     "t08_boilerplate"       -> t08_boilerplate,
     "t09_stratified_sample" -> t09_stratified_sample,
+    "t10_edit_distance"     -> t10_edit_distance,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -904,6 +949,7 @@ object Corpus {
     "t07_sequence_pack"     -> t07_sql,
     "t08_boilerplate"       -> t08_sql,
     "t09_stratified_sample" -> t09_sql,
+    "t10_edit_distance"     -> t10_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,
