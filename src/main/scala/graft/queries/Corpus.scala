@@ -616,6 +616,77 @@ object Corpus {
     s"""WITH RECURSIVE $dupGroupCtes
        |SELECT id, group_id FROM groups""".stripMargin
 
+  /** Sliding-window document chunking — the context-length splitter of
+    * an LLM training pipeline: each document becomes ⌈(n−size)/stride⌉+1
+    * overlapping chunks of `size` tokens with `overlap` carried between
+    * neighbors (size 16 / overlap 4 here, scaled to the corpus's short
+    * docs; a production 512/64 is the same plan). Pure narrow compute —
+    * tokenize once, explode a computed chunk-index range, slice — no
+    * shuffle at any scale.
+    */
+  val t11_chunking: Q = (s, dir) => {
+    val size = 16
+    val stride = 12 // size - overlap
+    val staged = t(s, dir, "documents")
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .withColumn("__n", size_(col("__toks")))
+      .where(col("__n") > 0)
+      .withColumn("__nchunks",
+        when(col("__n") <= size, lit(1L))
+          .otherwise(
+            floor((col("__n") - size + stride - 1) / lit(stride)).cast("long") + 1))
+    staged
+      .withColumn("chunk_id",
+        explode_outer(sequence(lit(0L), col("__nchunks") - 1)))
+      .withColumn("__chunk",
+        slice(col("__toks"), (col("chunk_id") * stride + 1).cast("int"), lit(size)))
+      .select(col("doc_id"), col("chunk_id"),
+        size_(col("__chunk")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"))
+  }
+
+  // size() shadowed by the local `size` val above
+  private def size_(c: org.apache.spark.sql.Column) = size(c)
+
+  val t11_sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+       |c AS (SELECT doc_id, toks,
+       |  unnest(generate_series(0,
+       |    CASE WHEN n <= 16 THEN 0 ELSE (n - 16 + 11) // 12 END)) AS chunk_id
+       | FROM n)
+       |SELECT doc_id, chunk_id,
+       |  len(toks[chunk_id*12 + 1 : chunk_id*12 + 16]) AS n_tokens,
+       |  array_to_string(toks[chunk_id*12 + 1 : chunk_id*12 + 16], ' ') AS chunk_text
+       |FROM c""".stripMargin
+
+  /** Vocabulary build: corpus-wide token frequencies with document
+    * frequency and a deterministic rank (count desc, token asc) — the
+    * tokenizer-training precursor. One explode + one aggregate; the
+    * top-K cut is a TakeOrdered, not a global sort.
+    */
+  val t12_vocab: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+    tok.groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .withColumn("rank",
+        row_number().over(
+          Window.orderBy(col("n_occurrences").desc, col("token").asc)).cast("long"))
+      .where(col("rank") <= 100)
+  }
+
+  val t12_sql: String =
+    s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+       |v AS (SELECT token, COUNT(*) AS n_occurrences,
+       |             COUNT(DISTINCT doc_id) AS n_docs
+       |      FROM t GROUP BY token)
+       |SELECT token, n_occurrences, n_docs,
+       |  ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token ASC) AS rank
+       |FROM v QUALIFY rank <= 100""".stripMargin
+
   /** Edit-distance verification over fingerprint-bucketed candidates:
     * documents sharing a min-hash fingerprint (t04's operator) are
     * near-dup candidates; each pair gets its exact Levenshtein distance
@@ -927,6 +998,8 @@ object Corpus {
     "t08_boilerplate"       -> t08_boilerplate,
     "t09_stratified_sample" -> t09_stratified_sample,
     "t10_edit_distance"     -> t10_edit_distance,
+    "t11_chunking"          -> t11_chunking,
+    "t12_vocab"             -> t12_vocab,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -950,6 +1023,8 @@ object Corpus {
     "t08_boilerplate"       -> t08_sql,
     "t09_stratified_sample" -> t09_sql,
     "t10_edit_distance"     -> t10_sql,
+    "t11_chunking"          -> t11_sql,
+    "t12_vocab"             -> t12_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,
