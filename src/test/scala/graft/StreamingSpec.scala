@@ -193,6 +193,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-static join: a streaming bar feed enriches against the companies dim") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // static dim (broadcast side — never shuffled per micro-batch)
+    val dim = Seq(("IBM", "International Business Machines", "tech"),
+      ("KO", "Coca-Cola", "consumer")).toDF("symbol", "name", "sector")
+    val stream = MemoryStream[(String, Double)]
+    val enriched = stream.toDS().toDF("symbol", "close")
+      .join(dim, Seq("symbol"), "left")
+    val q = enriched.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    stream.addData(("IBM", 120.0), ("XYZ", 1.0))
+    q.processAllAvailable()
+    stream.addData(("KO", 60.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT symbol, close, name, sector FROM enrich_out")
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSet
+    assert(out === Set(
+      ("IBM", 120.0, Some("International Business Machines"), Some("tech")),
+      ("XYZ", 1.0, None, None),
+      ("KO", 60.0, Some("Coca-Cola"), Some("consumer"))))
+  }
+
   test("streamingSma drops late cross-batch bars instead of corrupting the window") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
