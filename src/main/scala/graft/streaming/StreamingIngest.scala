@@ -135,14 +135,20 @@ object StreamingIngest {
       clicks: DataFrame,     // user_id, click_ts, click_value
       purchases: DataFrame,  // user_id, purchase_ts, purchase_value
       lookback: String = "30 minutes",
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     val c = clicks.withWatermark("click_ts", watermark)
       .select(col("user_id").as("__c_user"), col("click_ts"), col("click_value"))
     val p = purchases.withWatermark("purchase_ts", watermark)
+    // leftOuter: a purchase with no in-window click emits once with
+    // null click columns — but only after the CLICK watermark passes
+    // purchase_ts (before that a matching click could still arrive), so
+    // outer results trail the inner ones by up to the watermark delay.
     p.join(c,
       col("__c_user") === col("user_id")
         && col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookback")
-        && col("click_ts") <= col("purchase_ts"))
+        && col("click_ts") <= col("purchase_ts"),
+      joinType)
       .select(col("user_id"), col("purchase_ts"), col("purchase_value"),
         col("click_ts"), col("click_value"))
   }

@@ -193,6 +193,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("intervalJoin leftOuter: unmatched purchases emit nulls only after the watermark passes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+    val clickStream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val purchStream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val joined = StreamingIngest.intervalJoin(
+      clickStream.toDS().toDF("user_id", "click_ts", "click_value"),
+      purchStream.toDS().toDF("user_id", "purchase_ts", "purchase_value"),
+      lookback = "30 minutes", watermark = "10 minutes", joinType = "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("outer_attr")
+      .outputMode("append").start()
+    // user 1 purchase with a matching click; user 2 purchase with none
+    clickStream.addData((1L, ts(55), 2.0))
+    purchStream.addData((1L, ts(60), 10.0), (2L, ts(60), 20.0))
+    q.processAllAvailable()
+    val early = spark.sql("SELECT user_id FROM outer_attr WHERE click_ts IS NULL").count()
+    assert(early === 0, "outer result must NOT emit while a match could still arrive")
+    // advance both watermarks well past t=60, then run the extra cycle
+    // that finalizes outer results
+    clickStream.addData((9L, ts(120), 0.0))
+    purchStream.addData((9L, ts(120), 0.0))
+    q.processAllAvailable()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql(
+      "SELECT user_id, click_ts IS NULL FROM outer_attr WHERE purchase_ts = TIMESTAMP '1970-01-01 01:00:00'")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    assert(out === Set((1L, false), (2L, true)),
+      s"expected matched user 1 and null-emitted user 2, got $out")
+  }
+
   test("stream-static join: a streaming bar feed enriches against the companies dim") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
