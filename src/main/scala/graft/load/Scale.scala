@@ -56,6 +56,34 @@ object Scale {
       .drop("__r")
   }
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ⌈totalBytes / targetFileBytes⌉ files. Streaming appends and
+    * per-batch idempotent loads accrete small files; at scale the
+    * resulting per-file open/footer overhead dominates scan time long
+    * before data volume does (a 100 TB table in 1 MB files is 100M
+    * opens). Writes to a NEW path — Spark cannot overwrite a directory
+    * it is reading, and a swap (rename) keeps the operation atomic for
+    * readers. Returns (filesBefore, filesAfter).
+    */
+  def compactTo(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String,
+      dstPath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(src).filter(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.getLen).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(srcPath)
+      .repartition(n)
+      .write.mode("overwrite").parquet(dstPath)
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(dstPath))
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (files.length, after)
+  }
+
   /** Bloom-filter semi-join reduction — the scan-side pre-filter a
     * 100 TB fact join wants: build a Bloom filter over the (small) key
     * side with one aggregate, ship it to the fact scan as a literal,

@@ -139,6 +139,21 @@ class ScaleSpec extends SparkSpec {
       ev.where(col("event_date") === "2024-01-02").count())
   }
 
+  test("compactTo rewrites a fragmented table into few files, preserving rows") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val src = java.nio.file.Files.createTempDirectory("graft_frag").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/out"
+    val ev = graft.Tables(spark, dir, "events")
+    ev.repartition(40).write.mode("overwrite").parquet(src)
+    val (before, after) = Scale.compactTo(spark, src, dst, targetFileBytes = 1L << 30)
+    assert(before === 40)
+    assert(after === 1)
+    val a = spark.read.parquet(src).collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(dst).collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
   test("bloomPreFilter keeps every joining row and prunes most others") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/lineitem.parquet").exists())
