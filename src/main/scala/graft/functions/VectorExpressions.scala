@@ -194,5 +194,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[SimHashFold].getName, "graft_simhash_fold"),
       (children: Seq[Expression]) => SimHashFold(
         children(0), VectorExpressions.intLit(children(1), "graft_simhash_fold"))))
+    // config-gated COUNT(DISTINCT) → KMV sketch rewrite (no-op unless
+    // spark.graft.approxDistinct.enabled=true)
+    ext.injectOptimizerRule(_ => ApproxDistinctRewrite)
   }
 }

@@ -2,6 +2,39 @@ package graft
 
 class SqlSurfaceSpec extends SparkSpec {
 
+  test("ApproxDistinctRewrite: COUNT(DISTINCT) becomes the KMV sketch only when enabled") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (i % 3, s"v${i % 1000}")).toDF("g", "x")
+    df.createOrReplaceTempView("approx_t")
+    val prior = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prior :+ graft.functions.ApproxDistinctRewrite
+    try {
+      val q = "SELECT g, COUNT(DISTINCT x) AS d FROM approx_t GROUP BY g"
+      // flag off: exact result, no sketch in the plan
+      spark.conf.set("spark.graft.approxDistinct.enabled", "false")
+      val exact = spark.sql(q)
+      assert(!exact.queryExecution.optimizedPlan.toString.contains("graft_kmv"))
+      assert(exact.collect().map(r => (r.getInt(0), r.getLong(1))).toSet ===
+        Set((0, 1000L), (1, 1000L), (2, 1000L)))
+      // flag on: plan carries the sketch aggregate, result equals the
+      // direct KmvSketch.kmvDistinct value (bit-for-bit same estimator)
+      spark.conf.set("spark.graft.approxDistinct.enabled", "true")
+      val approx = spark.sql(q)
+      assert(approx.queryExecution.optimizedPlan.toString.contains("graft_kmv"))
+      val got = approx.collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      val direct = df.groupBy("g")
+        .agg(graft.functions.KmvSketch.kmvDistinct(col("x")).as("d"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      assert(got === direct)
+      // k=256 on 1000 distinct → an estimate within the ~6% error bound
+      got.values.foreach(v => assert(math.abs(v - 1000.0) / 1000.0 < 0.2, s"estimate $v"))
+    } finally {
+      spark.conf.set("spark.graft.approxDistinct.enabled", "false")
+      spark.experimental.extraOptimizations = prior
+    }
+  }
+
   test("registerViews exposes the corpus and the graft SQL functions to spark.sql") {
     Tables.registerViews(spark, "/root/testdata/sf0.001")
     val n = spark.sql("SELECT COUNT(*) FROM lineitem WHERE l_quantity < 10")
