@@ -945,6 +945,27 @@ object Advanced {
       |       AS VARCHAR) AS DOUBLE) AS total_price
       |FROM orders GROUP BY o_orderpriority, date_trunc('month', o_orderdate)""".stripMargin
 
+  /** Per-key top-k through the custom whole-operator path (logical
+    * node + strategy + physical exec, [[graft.plans.TopKPerKey]]):
+    * map-side bounded heaps forward at most k rows per key per input
+    * partition, so the exchange carries candidates, not the table —
+    * the shape the rank-window formulation can't plan. The oracle is
+    * that rank-window formulation in DuckDB.
+    */
+  val q50_topk_custom: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").select(col("l_suppkey"), col("l_orderkey"),
+      col("l_linenumber"), col("l_extendedprice"))
+    graft.plans.TopKPerKey(li, Seq("l_suppkey"),
+      Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc), k = 2)
+  }
+
+  val q50_sql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY l_suppkey
+      |  ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) <= 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q36_asof_forward"  -> q36_asof_forward,
     "q35_window_funcs"  -> q35_window_funcs,
@@ -970,7 +991,8 @@ object Advanced {
     "q46_attribution"   -> q46_attribution,
     "q47_beta"          -> q47_beta,
     "q48_bloom_join"    -> q48_bloom_join,
-    "q49_incremental_agg" -> q49_incremental_agg)
+    "q49_incremental_agg" -> q49_incremental_agg,
+    "q50_topk_custom"   -> q50_topk_custom)
 
   val oracles: Map[String, String] = Map(
     "q36_asof_forward"  -> q36_sql,
@@ -997,5 +1019,6 @@ object Advanced {
     "q46_attribution"   -> q46_sql,
     "q47_beta"          -> q47_sql,
     "q48_bloom_join"    -> q48_sql,
-    "q49_incremental_agg" -> q49_sql)
+    "q49_incremental_agg" -> q49_sql,
+    "q50_topk_custom"   -> q50_sql)
 }

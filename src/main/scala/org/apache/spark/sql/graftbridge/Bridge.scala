@@ -18,6 +18,26 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DataFrame from a raw LogicalPlan (`Dataset.ofRows` is
+    * `private[sql]` in Spark 4) — needed by custom logical operators
+    * (e.g. `graft.plans.TopKPerKey`) to hand their plan node back to
+    * the session.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The analyzed LogicalPlan behind a DataFrame (also `private[sql]`).
+    * Analyzed, not raw: callers splice these plans under custom nodes,
+    * so every Column-API internal node must already be converted to
+    * resolved catalyst expressions.
+    */
+  def logicalPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
   /** A reusable JSON-document → InternalRow parser for the given (possibly
     * column-pruned) schema — the same `JacksonParser` + permissive
     * `FailureSafeParser` stack `spark.read.json` uses internally, exposed
