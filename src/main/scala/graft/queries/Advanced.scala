@@ -966,6 +966,68 @@ object Advanced {
       |QUALIFY ROW_NUMBER() OVER (PARTITION BY l_suppkey
       |  ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) <= 2""".stripMargin
 
+  /** Sessionization through Spark's BUILT-IN `session_window` aggregate
+    * — the engine-native twin of the compositional `q28`. Boundary
+    * semantics differ by one epsilon (session_window merges events
+    * strictly closer than the gap; the lag-flag operator merges at
+    * exactly the gap too), so the oracle replays the strict rule.
+    * window.end is last-event + gap by definition.
+    */
+  val q51_session_window: Q = (s, dir) =>
+    t(s, dir, "events").select(col("user_id"), col("ts"), col("value"))
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("total_value"))
+
+  val q51_sql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+      |         OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM sess GROUP BY user_id, sid""".stripMargin
+
+  /** Forward-fill gap filling (`last` with ignoreNulls over a running
+    * frame): every event carries the most recent purchase value its
+    * user has produced — the time-series imputation primitive. One
+    * window on the user exchange; the (ts, event_id) order is total so
+    * the fill is deterministic.
+    */
+  val q52_gap_fill: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "purchase", col("value")).as("__pv"))
+      .withColumn("last_purchase_value",
+        last(col("__pv"), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("last_purchase_value"))
+  }
+
+  val q52_sql: String =
+    """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |  LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS last_purchase_value
+      |FROM events""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q36_asof_forward"  -> q36_asof_forward,
     "q35_window_funcs"  -> q35_window_funcs,
@@ -992,7 +1054,9 @@ object Advanced {
     "q47_beta"          -> q47_beta,
     "q48_bloom_join"    -> q48_bloom_join,
     "q49_incremental_agg" -> q49_incremental_agg,
-    "q50_topk_custom"   -> q50_topk_custom)
+    "q50_topk_custom"   -> q50_topk_custom,
+    "q51_session_window" -> q51_session_window,
+    "q52_gap_fill"      -> q52_gap_fill)
 
   val oracles: Map[String, String] = Map(
     "q36_asof_forward"  -> q36_sql,
@@ -1020,5 +1084,7 @@ object Advanced {
     "q47_beta"          -> q47_sql,
     "q48_bloom_join"    -> q48_sql,
     "q49_incremental_agg" -> q49_sql,
-    "q50_topk_custom"   -> q50_sql)
+    "q50_topk_custom"   -> q50_sql,
+    "q51_session_window" -> q51_sql,
+    "q52_gap_fill"      -> q52_sql)
 }
