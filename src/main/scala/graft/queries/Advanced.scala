@@ -1028,6 +1028,66 @@ object Advanced {
       |    AS last_purchase_value
       |FROM events""".stripMargin
 
+  /** Multiset (ALL) set operations — the multiplicity-preserving
+    * complements of q21's DISTINCT set ops: EXCEPT ALL subtracts
+    * per-row counts, INTERSECT ALL keeps the minimum count. Planned as
+    * count-compare aggregates (no row explosion beyond the surviving
+    * multiplicity).
+    */
+  val q53_multiset_ops: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    // two overlapping multisets of ship modes per order-priority bucket
+    val a = li.where(col("l_quantity") <= 25).select(col("l_returnflag"))
+    val b = li.where(col("l_quantity") >= 20).select(col("l_returnflag"))
+    a.exceptAll(b).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      .unionByName(
+        a.intersectAll(b).groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all")))
+  }
+
+  val q53_sql: String =
+    """WITH a AS (SELECT l_returnflag FROM lineitem WHERE l_quantity <= 25),
+      |b AS (SELECT l_returnflag FROM lineitem WHERE l_quantity >= 20)
+      |SELECT l_returnflag, COUNT(*) AS n, 'except_all' AS op
+      |FROM (SELECT l_returnflag FROM a EXCEPT ALL SELECT l_returnflag FROM b)
+      |GROUP BY l_returnflag
+      |UNION ALL
+      |SELECT l_returnflag, COUNT(*) AS n, 'intersect_all' AS op
+      |FROM (SELECT l_returnflag FROM a INTERSECT ALL SELECT l_returnflag FROM b)
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** One-pass column profiling — the data-quality sweep a pipeline runs
+    * before training: null count and exact distinct count per column,
+    * computed in ONE scan via per-column aggregates and unpivoted to
+    * (column, n_nulls, n_distinct) rows.
+    */
+  val q54_profile: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"))
+    }
+    val one = o.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      one.select(lit(c).as("column_name"),
+        col(s"__nn_$c").as("n_nulls"), col(s"__nd_$c").as("n_distinct"))
+    }
+    stacked.reduce(_.unionByName(_))
+  }
+
+  val q54_sql: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    cols.map { c =>
+      s"""SELECT '$c' AS column_name,
+         |  CAST(COALESCE(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_nulls,
+         |  COUNT(DISTINCT $c) AS n_distinct FROM orders""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
   val queries: Map[String, Q] = Map(
     "q36_asof_forward"  -> q36_asof_forward,
     "q35_window_funcs"  -> q35_window_funcs,
@@ -1056,7 +1116,9 @@ object Advanced {
     "q49_incremental_agg" -> q49_incremental_agg,
     "q50_topk_custom"   -> q50_topk_custom,
     "q51_session_window" -> q51_session_window,
-    "q52_gap_fill"      -> q52_gap_fill)
+    "q52_gap_fill"      -> q52_gap_fill,
+    "q53_multiset_ops"  -> q53_multiset_ops,
+    "q54_profile"       -> q54_profile)
 
   val oracles: Map[String, String] = Map(
     "q36_asof_forward"  -> q36_sql,
@@ -1086,5 +1148,7 @@ object Advanced {
     "q49_incremental_agg" -> q49_sql,
     "q50_topk_custom"   -> q50_sql,
     "q51_session_window" -> q51_sql,
-    "q52_gap_fill"      -> q52_sql)
+    "q52_gap_fill"      -> q52_sql,
+    "q53_multiset_ops"  -> q53_sql,
+    "q54_profile"       -> q54_sql)
 }
