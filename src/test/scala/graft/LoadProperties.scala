@@ -60,6 +60,42 @@ object LoadProperties extends Properties("graft.load") {
       viaHwm == expected
     }
 
+  property("TopKPerKey ≡ rank window on arbitrary keyed data") =
+    Prop.forAll(genRows, Gen.choose(1, 4)) { (rows, k) =>
+      val df = rows.toDF("sym", "d", "v").repartition(3)
+      val custom = graft.plans.TopKPerKey(df, Seq("sym"),
+        Seq(col("v").desc, col("d").asc), k)
+        .collect().map(_.toSeq).toSet
+      // (v desc, d asc) ties only between IDENTICAL rows, so the
+      // multiset of emitted values is unique and a value-set compare
+      // against the rank window is exact
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("sym")).orderBy(col("v").desc, col("d").asc)
+      val win = df.withColumn("__r", row_number().over(w)).where(col("__r") <= k)
+        .drop("__r").collect().map(_.toSeq).toSet
+      custom == win
+    }
+
+  property("mergeAggregates over any 3-way split ≡ one-shot aggregation") =
+    Prop.forAll(genRows, Gen.choose(1, 28), Gen.choose(2, 29)) { (rows, c1, c2 ) =>
+      val Seq(lo, hi) = Seq(c1, c2).sorted
+      def state(xs: List[(String, Int, Double)]) =
+        xs.toDF("sym", "d", "v").groupBy("sym")
+          .agg(count(lit(1)).as("n"),
+            sum(col("v").cast(DecimalType(18, 2))).as("s"))
+      val parts = Seq(rows.take(lo), rows.slice(lo, hi), rows.drop(hi))
+        .filter(_.nonEmpty).map(state)
+      parts.isEmpty || {
+        val merged = Incremental.mergeAggregates(parts, Seq("sym"), Seq("n", "s"))
+          .select(col("sym"), col("n"), col("s").cast(DecimalType(18, 2)))
+          .collect().map(_.toSeq).toSet
+        val full = state(rows)
+          .select(col("sym"), col("n"), col("s").cast(DecimalType(18, 2)))
+          .collect().map(_.toSeq).toSet
+        merged == full
+      }
+    }
+
   property("SMA window ≡ brute-force average, gated on full windows") =
     Prop.forAll(Gen.listOfN(25, Gen.choose(0, 500).map(_ / 10.0)), Gen.choose(1, 6)) {
       (xs, n) =>
