@@ -174,6 +174,41 @@ object MultiModal {
       }
   }
 
+  /** One image patch reference (geometry only — the pointer a patch
+    * loader dereferences; no pixels move until then).
+    */
+  case class PatchRef(
+      mediaId: Long,
+      patchId: Int,
+      x0: Int,
+      y0: Int,
+      width: Int,
+      height: Int)
+
+  /** Tile each image into a `patch`×`patch` grid — the ViT patchify
+    * shape: ⌈w/p⌉×⌈h/p⌉ patches in row-major order, edge patches
+    * clamped to the image bounds. Pure metadata arithmetic (narrow, no
+    * decode, no shuffle): the manifest is what a 100 TB vision pipeline
+    * materializes and joins against embeddings; pixel extraction stays
+    * deferred behind the patch references.
+    */
+  def tilePatches(media: Dataset[MediaRow], patch: Int = 16): Dataset[PatchRef] = {
+    import media.sparkSession.implicits._
+    require(patch >= 1, s"patch size must be >= 1, got $patch")
+    media
+      .filter(col("kind") === "image")
+      .flatMap { m =>
+        val (w, h) = (m.meta.width, m.meta.height)
+        val nx = (w + patch - 1) / patch
+        val ny = (h + patch - 1) / patch
+        (0 until nx * ny).iterator.map { pid =>
+          val (i, j) = (pid % nx, pid / nx)
+          PatchRef(m.mediaId, pid, i * patch, j * patch,
+            math.min(patch, w - i * patch), math.min(patch, h - j * patch))
+        }
+      }
+  }
+
   /** Feature extraction: 64-bin normalized byte histogram over decoded
     * content — a deterministic stand-in with the exact shape of a real
     * embedding stage (fixed-dim float vector per media object, computed

@@ -905,6 +905,38 @@ object Corpus {
       |  CAST(i * 1000 AS BIGINT) AS timestamp_ms, w AS width, h AS height
       |FROM f""".stripMargin
 
+  /** Image patch manifest (ViT patchify): each synthetic image tiles
+    * into a 16×16 grid with edge clamping — like m02, the geometry is
+    * pure arithmetic over the media metadata, so DuckDB replays and
+    * hash-checks the manifest a real patch loader would dereference.
+    */
+  val m03_patch_manifest: Q = (s, _) =>
+    graft.multimodal.MultiModal
+      .tilePatches(graft.multimodal.MultiModal.syntheticMedia(s, n = 300))
+      .toDF()
+      .select(
+        col("mediaId").as("media_id"),
+        col("patchId").cast("long").as("patch_id"),
+        col("x0").cast("long").as("x0"),
+        col("y0").cast("long").as("y0"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
+
+  val m03_sql: String =
+    """WITH ids AS (SELECT unnest(generate_series(0, 299)) AS id),
+      |img AS (SELECT id, 32 + id % 64 AS w, 24 + id % 48 AS h
+      |        FROM ids WHERE id % 3 = 0),
+      |g AS (SELECT id, w, h,
+      |  (w + 15) // 16 AS nx, (h + 15) // 16 AS ny FROM img),
+      |p AS (SELECT id, w, h, nx,
+      |  unnest(generate_series(0, nx * ny - 1)) AS pid FROM g)
+      |SELECT id AS media_id, CAST(pid AS BIGINT) AS patch_id,
+      |  CAST((pid % nx) * 16 AS BIGINT) AS x0,
+      |  CAST((pid // nx) * 16 AS BIGINT) AS y0,
+      |  CAST(least(16, w - (pid % nx) * 16) AS BIGINT) AS width,
+      |  CAST(least(16, h - (pid // nx) * 16) AS BIGINT) AS height
+      |FROM p""".stripMargin
+
   /** IVF-ANN top-10 (k-means inverted lists, 8-probe) — the second ANN
     * scale path next to s02's hyperplane LSH. The index is built once
     * per corpus and reused (real serving shape: construction amortizes
@@ -985,6 +1017,7 @@ object Corpus {
   val queries: Map[String, Q] = Map(
     "m01_multimodal_features" -> m01_multimodal_features,
     "m02_frame_manifest"    -> m02_frame_manifest,
+    "m03_patch_manifest"    -> m03_patch_manifest,
     "s03_ivf_topk"          -> s03_ivf_topk,
     "c01_curation"          -> c01_curation,
     "c02_neardup_curation"  -> c02_neardup_curation,
@@ -1011,6 +1044,7 @@ object Corpus {
 
   val oracles: Map[String, String] = Map(
     "m02_frame_manifest"    -> m02_sql,
+    "m03_patch_manifest"    -> m03_sql,
     "c01_curation"          -> c01_sql,
     "c02_neardup_curation"  -> c02_sql,
     "t01_token_stats"       -> t01_sql,

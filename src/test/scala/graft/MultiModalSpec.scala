@@ -54,4 +54,30 @@ class MultiModalSpec extends SparkSpec {
     assert(stats.map(_.getString(0)).toSet == Set("image", "audio", "video"))
     assert(stats.map(_.getLong(1)).sum == 30)
   }
+
+  test("tilePatches partitions each image exactly: areas sum to w*h, no overlap") {
+    val media = MultiModal.syntheticMedia(spark, n = 60)
+    val patches = MultiModal.tilePatches(media, patch = 16).collect()
+    val images = media.collect().filter(_.kind == "image")
+    assert(images.nonEmpty && patches.nonEmpty)
+    val byMedia = patches.groupBy(_.mediaId)
+    images.foreach { m =>
+      val ps = byMedia(m.mediaId)
+      // exact cover: patch areas sum to the image area
+      assert(ps.map(p => p.width.toLong * p.height).sum ===
+        m.meta.width.toLong * m.meta.height)
+      // in bounds, non-degenerate, distinct ids
+      ps.foreach { p =>
+        assert(p.width > 0 && p.height > 0)
+        assert(p.x0 + p.width <= m.meta.width && p.y0 + p.height <= m.meta.height)
+      }
+      assert(ps.map(_.patchId).distinct.length === ps.length)
+      // no overlap: pairwise disjoint rectangles (small n, direct check)
+      for (a <- ps; b <- ps if a.patchId < b.patchId) {
+        val overlap = a.x0 < b.x0 + b.width && b.x0 < a.x0 + a.width &&
+          a.y0 < b.y0 + b.height && b.y0 < a.y0 + a.height
+        assert(!overlap, s"patches ${a.patchId} and ${b.patchId} overlap")
+      }
+    }
+  }
 }
