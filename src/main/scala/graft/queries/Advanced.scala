@@ -1088,6 +1088,79 @@ object Advanced {
     }.mkString("\nUNION ALL\n")
   }
 
+  /** Rolling 60-day beta: q47's exact-moment recipe over a sliding
+    * window — supplier daily revenue regressed on the market within
+    * each trailing 60-row window. The sliding sums are computed as
+    * CUMULATIVE sums minus their 60-lagged values (exact in decimal):
+    * a plain `ROWS BETWEEN 59 PRECEDING` decimal SUM re-aggregates the
+    * whole frame per row (O(frame) each — measured 3.2s at sf0.1),
+    * while the running total is O(1) incremental and the difference
+    * reproduces the frame sum bit-exactly — 5 sliding sums for two
+    * Window passes over ONE exchange. The >2⁵³ sums cross to double
+    * via the string cast.
+    */
+  val q55_rolling_beta: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = supplierDaily(s, dir)
+    val market = daily.groupBy(col("l_shipdate"))
+      .agg(sum(col("day_price")).cast(DecimalType(18, 2)).as("mkt_price"))
+    val joined = daily.join(broadcast(market), Seq("l_shipdate"))
+    val cum = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ord = Window.partitionBy(col("l_suppkey")).orderBy(col("l_shipdate"))
+    val cums = joined.select(col("l_suppkey"), col("l_shipdate"),
+      row_number().over(ord).as("__rn"),
+      sum(col("day_price")).over(cum).as("__cx"),
+      sum(col("mkt_price")).over(cum).as("__cy"),
+      sum(col("day_price") * col("mkt_price")).over(cum).as("__cxy"),
+      sum(col("mkt_price") * col("mkt_price")).over(cum).as("__cyy"))
+    // frame sum over rows (t-59 .. t) = C_t − C_(t-60); at rn = 60
+    // exactly, there is no lagged row and the frame sum IS C_t
+    def slide(c: String): Column =
+      coalesce(col(c) - lag(col(c), 60).over(ord), col(c))
+        .cast("string").cast("double")
+    val staged = cums.select(col("l_suppkey"), col("l_shipdate"), col("__rn"),
+      slide("__cx").as("__sx"), slide("__cy").as("__sy"),
+      slide("__cxy").as("__sxy"), slide("__cyy").as("__syy"))
+    val n = lit(60.0)
+    val cov = n * col("__sxy") - col("__sx") * col("__sy")
+    val varY = n * col("__syy") - col("__sy") * col("__sy")
+    staged
+      .where(col("__rn") >= 60)
+      .select(col("l_suppkey"), col("l_shipdate"),
+        when(varY <= 0, lit(null).cast("double"))
+          .otherwise(cov / varY).as("beta60"))
+  }
+
+  val q55_sql: String =
+    s"""WITH daily AS ($supplierDailySql),
+       |mkt AS (SELECT l_shipdate, CAST(SUM(day_price) AS DECIMAL(18,2)) AS mkt_price
+       |        FROM daily GROUP BY l_shipdate),
+       |j AS (SELECT * FROM daily JOIN mkt USING (l_shipdate)),
+       |cums AS (
+       |  SELECT l_suppkey, l_shipdate,
+       |    ROW_NUMBER() OVER ord AS rn,
+       |    SUM(day_price) OVER cum AS cx,
+       |    SUM(mkt_price) OVER cum AS cy,
+       |    SUM(day_price * mkt_price) OVER cum AS cxy,
+       |    SUM(mkt_price * mkt_price) OVER cum AS cyy
+       |  FROM j
+       |  WINDOW ord AS (PARTITION BY l_suppkey ORDER BY l_shipdate),
+       |         cum AS (PARTITION BY l_suppkey ORDER BY l_shipdate
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |st AS (
+       |  SELECT l_suppkey, l_shipdate, rn,
+       |    CAST(CAST(coalesce(cx - LAG(cx, 60) OVER ord, cx) AS VARCHAR) AS DOUBLE) AS sx,
+       |    CAST(CAST(coalesce(cy - LAG(cy, 60) OVER ord, cy) AS VARCHAR) AS DOUBLE) AS sy,
+       |    CAST(CAST(coalesce(cxy - LAG(cxy, 60) OVER ord, cxy) AS VARCHAR) AS DOUBLE) AS sxy,
+       |    CAST(CAST(coalesce(cyy - LAG(cyy, 60) OVER ord, cyy) AS VARCHAR) AS DOUBLE) AS syy
+       |  FROM cums
+       |  WINDOW ord AS (PARTITION BY l_suppkey ORDER BY l_shipdate))
+       |SELECT l_suppkey, l_shipdate,
+       |  CASE WHEN 60 * syy - sy * sy <= 0 THEN NULL
+       |       ELSE (60 * sxy - sx * sy) / (60 * syy - sy * sy) END AS beta60
+       |FROM st WHERE rn >= 60""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q36_asof_forward"  -> q36_asof_forward,
     "q35_window_funcs"  -> q35_window_funcs,
@@ -1118,7 +1191,8 @@ object Advanced {
     "q51_session_window" -> q51_session_window,
     "q52_gap_fill"      -> q52_gap_fill,
     "q53_multiset_ops"  -> q53_multiset_ops,
-    "q54_profile"       -> q54_profile)
+    "q54_profile"       -> q54_profile,
+    "q55_rolling_beta"  -> q55_rolling_beta)
 
   val oracles: Map[String, String] = Map(
     "q36_asof_forward"  -> q36_sql,
@@ -1150,5 +1224,6 @@ object Advanced {
     "q51_session_window" -> q51_sql,
     "q52_gap_fill"      -> q52_sql,
     "q53_multiset_ops"  -> q53_sql,
-    "q54_profile"       -> q54_sql)
+    "q54_profile"       -> q54_sql,
+    "q55_rolling_beta"  -> q55_sql)
 }
