@@ -687,6 +687,47 @@ object Corpus {
        |  ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token ASC) AS rank
        |FROM v QUALIFY rank <= 100""".stripMargin
 
+  /** Corpus-wide bigram frequencies with document frequency and a
+    * deterministic rank — t12's vocabulary build at the n-gram level
+    * (collocation mining / tokenizer-merge statistics). The bigram
+    * explode is narrow; one aggregate + top-K.
+    */
+  val t13_ngram_freq: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+      .where(size(col("__toks")) >= 2)
+    // bigrams straight off the staged token array (shingles(text, 2)
+    // would re-tokenize), exploded OUTER so the optimizer doesn't infer
+    // a size filter whose pushdown re-evaluates the whole expression
+    // (the q-series Generate lesson) — measured 5.1s → sub-second
+    val bigrams = toks.select(col("doc_id"),
+      explode_outer(transform(sequence(lit(1), size(col("__toks")) - 1),
+        i => concat_ws(" ", slice(col("__toks"), i, lit(2))))).as("bigram"))
+      .where(col("bigram").isNotNull)
+    bigrams.groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .withColumn("rank",
+        row_number().over(
+          Window.orderBy(col("n_occurrences").desc, col("bigram").asc)).cast("long"))
+      .where(col("rank") <= 50)
+  }
+
+  val t13_sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+       |bg AS (SELECT doc_id,
+       |  unnest(list_transform(generate_series(1, len(toks) - 1),
+       |                        i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+       | FROM f),
+       |v AS (SELECT bigram, COUNT(*) AS n_occurrences,
+       |             COUNT(DISTINCT doc_id) AS n_docs
+       |      FROM bg GROUP BY bigram)
+       |SELECT bigram, n_occurrences, n_docs,
+       |  ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, bigram ASC) AS rank
+       |FROM v QUALIFY rank <= 50""".stripMargin
+
   /** Edit-distance verification over fingerprint-bucketed candidates:
     * documents sharing a min-hash fingerprint (t04's operator) are
     * near-dup candidates; each pair gets its exact Levenshtein distance
@@ -1033,6 +1074,7 @@ object Corpus {
     "t10_edit_distance"     -> t10_edit_distance,
     "t11_chunking"          -> t11_chunking,
     "t12_vocab"             -> t12_vocab,
+    "t13_ngram_freq"        -> t13_ngram_freq,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -1059,6 +1101,7 @@ object Corpus {
     "t10_edit_distance"     -> t10_sql,
     "t11_chunking"          -> t11_sql,
     "t12_vocab"             -> t12_sql,
+    "t13_ngram_freq"        -> t13_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,
