@@ -256,4 +256,57 @@ object StreamingIngest {
           closed.iterator
       }
   }
+
+  /** [[streamingSessions]] with idle-session flushing: the caller's
+    * stream must carry a watermark on `ts`; a session whose user goes
+    * quiet emits once the event-time watermark passes its last event
+    * plus the gap — the `EventTimeTimeout` branch the emit-on-close
+    * variant documents. Same state, same output rows; the only
+    * difference is that trailing sessions don't wait for a later event
+    * to close them. Timeout rows lag real time by the watermark delay,
+    * like every watermark-finalized result in Structured Streaming.
+    */
+  def streamingSessionsWithTimeout(
+      events: org.apache.spark.sql.Dataset[SessEvent],
+      gapMicros: Long): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, in: Iterator[SessEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last-event + gap: the open session can
+            // never be extended — flush it
+            val st = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user, st.sessionId, st.n,
+              fromMicros(st.startMicros), fromMicros(st.lastMicros)))
+          } else {
+            var st = state.getOption.orNull
+            val closed = scala.collection.mutable.ListBuffer[ClosedSession]()
+            in.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+              val m = micros(e.ts)
+              if (st == null) {
+                st = SessionState(1L, m, m, 1L)
+              } else if (m <= st.lastMicros) {
+                () // late or duplicate event — drop
+              } else if (m - st.lastMicros > gapMicros) {
+                closed += ClosedSession(user, st.sessionId, st.n,
+                  fromMicros(st.startMicros), fromMicros(st.lastMicros))
+                st = SessionState(st.sessionId + 1, m, m, 1L)
+              } else {
+                st = st.copy(lastMicros = m, n = st.n + 1)
+              }
+            }
+            if (st != null) {
+              state.update(st)
+              // fires when the event-time watermark passes this instant
+              state.setTimeoutTimestamp(
+                Math.floorDiv(st.lastMicros, 1000L) + gapMicros / 1000L)
+            }
+            closed.iterator
+          }
+      }
+  }
 }

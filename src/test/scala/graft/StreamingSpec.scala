@@ -193,6 +193,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streamingSessionsWithTimeout flushes idle sessions once the watermark passes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 30L * 60 * 1000 * 1000 // 30 min
+    // offset from epoch 0: the initial watermark is 0, and an event AT
+    // the watermark is dropped as late by the stateful operator
+    def ts(min: Int) = new java.sql.Timestamp((1000 + min) * 60000L)
+    val stream = MemoryStream[StreamingIngest.SessEvent]
+    // watermark BEFORE the stateful operator; zero delay so the
+    // watermark tracks max event time directly
+    val events = stream.toDS()
+      .withWatermark("ts", "0 seconds").as[StreamingIngest.SessEvent]
+    val q = StreamingIngest.streamingSessionsWithTimeout(events, gap)
+      .writeStream.format("memory").queryName("sess_timeout_out")
+      .outputMode("append").start()
+    // user 1: two events, then silence — no closing event ever arrives
+    stream.addData(StreamingIngest.SessEvent(1L, ts(0)),
+      StreamingIngest.SessEvent(1L, ts(10)))
+    q.processAllAvailable()
+    assert(spark.sql("SELECT * FROM sess_timeout_out").count() === 0,
+      "session must stay open while the watermark is within the gap")
+    // another user's much later event advances the watermark past
+    // user 1's last event + gap → the idle session times out and emits
+    stream.addData(StreamingIngest.SessEvent(2L, ts(120)))
+    q.processAllAvailable()
+    q.processAllAvailable() // timeout fires on the cycle after the watermark moves
+    q.stop()
+    val out = spark.sql(
+      "SELECT user_id, session_id, n_events, session_start, session_end FROM sess_timeout_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4))).toSet
+    assert(out === Set((1L, 1L, 2L, ts(0), ts(10))),
+      s"expected user 1's idle session flushed, got $out")
+  }
+
   test("intervalJoin leftOuter: unmatched purchases emit nulls only after the watermark passes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
