@@ -269,6 +269,50 @@ object Dedup {
     out
   }
 
+  // ------------------------------------------------- decontamination
+
+  /** Test-set decontamination: for every (training doc, benchmark doc)
+    * pair sharing at least one k-gram, the count of shared distinct
+    * shingles and the fraction of the BENCHMARK's shingles they cover —
+    * the standard n-gram contamination check run before training
+    * (GPT-3 appx. C / PaLM / Llama decontamination). Pairs at or above
+    * `minOverlap` coverage are contamination candidates.
+    *
+    * Shape: both sides shingle narrowly, then ONE inverted-index
+    * equi-join on the shingle (shuffle carries ids + 16-byte tokens)
+    * and a pair-count aggregate — never a doc×doc product. At 100 TB
+    * train × small benchmark, the benchmark side broadcasts and the
+    * train side never shuffles at all.
+    */
+  def crossCorpusOverlap(
+      train: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 5,
+      minOverlap: Double = 0.5): DataFrame = {
+    def exploded(df: DataFrame, side: String): DataFrame =
+      df.select(col(idCol).as(s"${side}_id"), col(textCol).as("__text"))
+        // round-robin exchange first (the minhashNearDups pattern): the
+        // shingle stage must parallelize regardless of file layout
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(col(s"${side}_id"),
+          array_distinct(TextAnalysis.shingles(col("__text"), k)).as("__sh"))
+        .select(col(s"${side}_id"), size(col("__sh")).as(s"${side}_n"),
+          explode_outer(col("__sh")).as("tok"))
+        .where(col("tok").isNotNull)
+    val t = exploded(train, "train")
+    val b = exploded(bench, "bench")
+    t.join(b, Seq("tok"))
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(min(col("bench_n")).as("__bn"), count(lit(1)).as("shared_ngrams"))
+      .withColumn("bench_coverage",
+        col("shared_ngrams").cast("double") / col("__bn"))
+      .where(col("bench_coverage") >= minOverlap)
+      .select(col("train_id"), col("bench_id"),
+        col("shared_ngrams"), col("bench_coverage"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 48-bit SimHash over whitespace tokens (Charikar '02, as used by

@@ -798,6 +798,38 @@ object Corpus {
        |SELECT id_a, id_b, isect::DOUBLE / (na + nb - isect) AS jaccard
        |FROM ov WHERE isect::DOUBLE / (na + nb - isect) >= 0.5""".stripMargin
 
+  /** Test-set decontamination: treat sources src0-src15 as the training
+    * corpus and src16-src19 as the held-out benchmark; flag train docs
+    * covering ≥ 50% of a benchmark doc's distinct 5-grams. One
+    * inverted-index join on the shingle — the pre-training
+    * contamination sweep at corpus scale.
+    */
+  val d07_decontamination: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val isBench = col("source").isin("src16", "src17", "src18", "src19")
+    Dedup.crossCorpusOverlap(
+      docs.where(!isBench), docs.where(isBench),
+      "text", "doc_id", k = 5, minOverlap = 0.5)
+  }
+
+  val d07_sql: String =
+    s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, source,
+       |  list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+       |       ELSE list_transform(generate_series(1, len(toks) - 4),
+       |                           i -> array_to_string(toks[i:i+4], ' ')) END) AS sh
+       | FROM t),
+       |ex AS (SELECT doc_id, source, len(sh) AS n, unnest(sh) AS tok FROM sh),
+       |tr AS (SELECT doc_id AS train_id, tok FROM ex
+       |       WHERE source NOT IN ('src16', 'src17', 'src18', 'src19')),
+       |be AS (SELECT doc_id AS bench_id, n AS bn, tok FROM ex
+       |       WHERE source IN ('src16', 'src17', 'src18', 'src19')),
+       |ov AS (SELECT train_id, bench_id, MIN(bn) AS bn, COUNT(*) AS shared_ngrams
+       |       FROM tr JOIN be USING (tok) GROUP BY train_id, bench_id)
+       |SELECT train_id, bench_id, shared_ngrams,
+       |  shared_ngrams::DOUBLE / bn AS bench_coverage
+       |FROM ov WHERE shared_ngrams::DOUBLE / bn >= 0.5""".stripMargin
+
   /** Embedding-cosine near-duplicate pairs (exhaustive variant so the
     * oracle can replay it; the LSH-bucketed variant is the scale path,
     * exercised in s02).
@@ -1081,6 +1113,7 @@ object Corpus {
     "d04_embedding_neardups" -> d04_embedding_neardups,
     "d05_dup_groups"        -> d05_dup_groups,
     "d06_jaccard_neardups"  -> d06_jaccard_neardups,
+    "d07_decontamination"   -> d07_decontamination,
     "s01_cosine_topk"       -> s01_cosine_topk,
     "s02_lsh_ann_topk"      -> s02_lsh_ann_topk)
 
@@ -1108,6 +1141,7 @@ object Corpus {
     "d04_embedding_neardups" -> d04_sql,
     "d05_dup_groups"        -> d05_sql,
     "d06_jaccard_neardups"  -> d06_sql,
+    "d07_decontamination"   -> d07_sql,
     "s01_cosine_topk"       -> s01_sql,
     "s02_lsh_ann_topk"      -> s02_sql,
     "s03_ivf_topk"          -> s03_sql)
