@@ -1161,6 +1161,34 @@ object Advanced {
        |       ELSE (60 * sxy - sx * sy) / (60 * syy - sy * sy) END AS beta60
        |FROM st WHERE rn >= 60""".stripMargin
 
+  /** Native UNPIVOT (melt): four measure columns become (metric, value)
+    * rows via one Expand over a SINGLE scan — the oracle's UNION-ALL
+    * formulation reads the table four times, which is exactly the plan
+    * difference that matters at 100 TB. Decimal values keep the sums
+    * exact; one double cast at the boundary.
+    */
+  val q56_unpivot: Q = (s, dir) => {
+    val src = t(s, dir, "lineitem").select(col("l_orderkey"),
+      dec(col("l_quantity")).as("quantity"),
+      dec(col("l_extendedprice")).as("extendedprice"),
+      dec(col("l_discount")).as("discount"),
+      dec(col("l_tax")).as("tax"))
+    src.unpivot(
+        Array(col("l_orderkey")),
+        Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+        "metric", "value")
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).cast("double").as("total"))
+  }
+
+  val q56_sql: String =
+    """SELECT metric, COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS total FROM (
+      |  SELECT 'quantity' AS metric, CAST(l_quantity AS DECIMAL(18,2)) AS v FROM lineitem
+      |  UNION ALL SELECT 'extendedprice', CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+      |  UNION ALL SELECT 'discount', CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+      |  UNION ALL SELECT 'tax', CAST(l_tax AS DECIMAL(18,2)) FROM lineitem)
+      |GROUP BY metric""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q36_asof_forward"  -> q36_asof_forward,
     "q35_window_funcs"  -> q35_window_funcs,
@@ -1192,7 +1220,8 @@ object Advanced {
     "q52_gap_fill"      -> q52_gap_fill,
     "q53_multiset_ops"  -> q53_multiset_ops,
     "q54_profile"       -> q54_profile,
-    "q55_rolling_beta"  -> q55_rolling_beta)
+    "q55_rolling_beta"  -> q55_rolling_beta,
+    "q56_unpivot"       -> q56_unpivot)
 
   val oracles: Map[String, String] = Map(
     "q36_asof_forward"  -> q36_sql,
@@ -1225,5 +1254,6 @@ object Advanced {
     "q52_gap_fill"      -> q52_sql,
     "q53_multiset_ops"  -> q53_sql,
     "q54_profile"       -> q54_sql,
-    "q55_rolling_beta"  -> q55_sql)
+    "q55_rolling_beta"  -> q55_sql,
+    "q56_unpivot"       -> q56_sql)
 }
