@@ -91,6 +91,10 @@ object Bench {
     val total = if (repaired.nonEmpty) repaired.map(_._2).sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // The per-query line above can exceed the driver's tail-capture
+    // window (~70 entries); repeat the total on a FINAL compact line —
+    // no per-query map — so a machine-readable number always survives.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -249,12 +249,24 @@ object Dedup {
     val prefix = toks.join(freq, Seq("tok"))
       .withColumn("r", row_number().over(w))
       .where(col("r") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col("tok"), col("id"), col("n"))
+      .select(col("tok"), col("id"), col("n"), col("r"))
+    // PPJoin positional filter (Xiao et al. WWW'08): Jaccard ≥ t needs
+    // overlap O ≥ ⌈t·(|a|+|b|)/(1+t)⌉; a join row matching at prefix
+    // positions (ra, rb) bounds O ≤ 1 + min(|a|−ra, |b|−rb) for the
+    // pair's FIRST shared token (both prefixes sorted by the same
+    // global order, so every common token sits at-or-after the first
+    // match in both sets). Rows failing the bound drop before the
+    // distinct — the first-match row of a qualifying pair always
+    // survives, so the candidate set stays complete; the ε guards the
+    // double-rounding edge at exact-integer thresholds (keeps a spare
+    // candidate rather than losing a true pair — verify is exact).
     val cand = prefix.as("a").join(prefix.as("b"), Seq("tok"))
       .where(col("a.id") < col("b.id")
         // length-ratio filter: Jaccard ≥ t bounds t·|a| ≤ |b| ≤ |a|/t
         && col("b.n") >= ceil(lit(threshold) * col("a.n"))
-        && col("a.n") >= ceil(lit(threshold) * col("b.n")))
+        && col("a.n") >= ceil(lit(threshold) * col("b.n"))
+        && lit(1) + least(col("a.n") - col("a.r"), col("b.n") - col("b.r"))
+          >= ceil(lit(threshold / (1.0 + threshold)) * (col("a.n") + col("b.n")) - lit(1e-9)))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val verified = cand

@@ -2,9 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, Literal, Md5, Substring}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
+import org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DoubleType, FloatType, LongType, StringType}
 
 /** Opt-in Catalyst optimizer rule: rewrite exact `COUNT(DISTINCT x)`
   * into the mergeable [[KmvDistinct]] sketch estimate — the
@@ -48,14 +49,27 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
     Cast(
       Conv(
         Substring(
-          Md5(Cast(Cast(child, StringType), BinaryType)),
+          Md5(Cast(Cast(normalized(child), StringType), BinaryType)),
           Literal(1), Literal(15)),
         Literal(16), Literal(10)),
       LongType)
 
+  // String hashing would split -0.0 from 0.0 ("−0.0" vs "0.0") — one
+  // distinct value to Spark's exact COUNT(DISTINCT) — so normalize
+  // floating zeros (and NaN bit patterns) BEFORE the cast, with the
+  // engine's own normalizer expression. Top-level float/double only:
+  // the rewrite's sub-k exactness contract is per scalar column;
+  // arrays/structs of floats keep the raw cast.
+  private def normalized(child: Expression): Expression = child.dataType match {
+    case FloatType | DoubleType => NormalizeNaNAndZero(child)
+    case _ => child
+  }
+
+  // transformUpWithSubqueries: the rewrite must reach Aggregates inside
+  // scalar/EXISTS subqueries too, not just the outer plan
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
-    else plan.transformUp {
+    else plan.transformUpWithSubqueries {
       case agg: Aggregate =>
         agg.transformExpressions {
           case AggregateExpression(c: Count, _, true, None, _)

@@ -61,26 +61,38 @@ object Scale {
     * per-batch idempotent loads accrete small files; at scale the
     * resulting per-file open/footer overhead dominates scan time long
     * before data volume does (a 100 TB table in 1 MB files is 100M
-    * opens). Writes to a NEW path — Spark cannot overwrite a directory
-    * it is reading, and a swap (rename) keeps the operation atomic for
-    * readers. Returns (filesBefore, filesAfter).
+    * opens). Sizing walks the source RECURSIVELY, so hive-partitioned
+    * layouts (files nested under `col=value/` directories) size
+    * correctly; the destination is written flat, with any partition
+    * values preserved as ordinary columns — re-establishing a
+    * directory layout is the caller's choice via [[writePartitioned]].
+    * Writes to a NEW path (Spark cannot overwrite a directory it is
+    * reading); the caller then repoints readers — or renames dst over
+    * src where the filesystem makes that atomic. Returns
+    * (filesBefore, filesAfter).
     */
   def compactTo(
       spark: org.apache.spark.sql.SparkSession,
       srcPath: String,
       dstPath: String,
       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val src = new org.apache.hadoop.fs.Path(srcPath)
-    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(src).filter(f =>
-      f.isFile && f.getPath.getName.endsWith(".parquet"))
+    def parquetFiles(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true) // recursive: descend partition dirs
+      val buf = scala.collection.mutable.ListBuffer[org.apache.hadoop.fs.LocatedFileStatus]()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) buf += f
+      }
+      buf.toSeq
+    }
+    val files = parquetFiles(new org.apache.hadoop.fs.Path(srcPath))
     val totalBytes = files.map(_.getLen).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     spark.read.parquet(srcPath)
       .repartition(n)
       .write.mode("overwrite").parquet(dstPath)
-    val after = fs.listStatus(new org.apache.hadoop.fs.Path(dstPath))
-      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val after = parquetFiles(new org.apache.hadoop.fs.Path(dstPath)).length
     (files.length, after)
   }
 

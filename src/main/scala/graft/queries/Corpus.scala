@@ -666,16 +666,28 @@ object Corpus {
     * top-K cut is a TakeOrdered, not a global sort.
     */
   val t12_vocab: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
     val tok = t(s, dir, "documents")
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+    // Top-K FIRST via orderBy().limit() — a TakeOrderedAndProject with
+    // per-partition bounded heaps, never a global sort. (count, token)
+    // is a strict total order (token is unique post-aggregate), so
+    // limit(K) keeps exactly the rows an unpartitioned rank <= K
+    // would. The rank then comes from the K COLLECTED rows' sort
+    // position — a bounded 100-row driver hop, not a window (any
+    // window ranking all rows needs an empty partition spec, which is
+    // exactly the single-partition WindowExec this shape exists to
+    // avoid; at 100 TB the aggregate is 10⁸⁺ tokens).
     tok.groupBy(col("token"))
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("doc_id")).as("n_docs"))
-      .withColumn("rank",
-        row_number().over(
-          Window.orderBy(col("n_occurrences").desc, col("token").asc)).cast("long"))
-      .where(col("rank") <= 100)
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(100)
+      .collect().toSeq.zipWithIndex
+      .map { case (r, i) =>
+        (r.getString(0), r.getLong(1), r.getLong(2), (i + 1).toLong)
+      }
+      .toDF("token", "n_occurrences", "n_docs", "rank")
   }
 
   val t12_sql: String =
@@ -693,7 +705,7 @@ object Corpus {
     * explode is narrow; one aggregate + top-K.
     */
   val t13_ngram_freq: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
       .where(size(col("__toks")) >= 2)
@@ -705,13 +717,18 @@ object Corpus {
       explode_outer(transform(sequence(lit(1), size(col("__toks")) - 1),
         i => concat_ws(" ", slice(col("__toks"), i, lit(2))))).as("bigram"))
       .where(col("bigram").isNotNull)
+    // same top-K-then-rank shape as t12: TakeOrderedAndProject cuts to
+    // 50 rows, rank from the collected rows' sort position
     bigrams.groupBy(col("bigram"))
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("doc_id")).as("n_docs"))
-      .withColumn("rank",
-        row_number().over(
-          Window.orderBy(col("n_occurrences").desc, col("bigram").asc)).cast("long"))
-      .where(col("rank") <= 50)
+      .orderBy(col("n_occurrences").desc, col("bigram").asc)
+      .limit(50)
+      .collect().toSeq.zipWithIndex
+      .map { case (r, i) =>
+        (r.getString(0), r.getLong(1), r.getLong(2), (i + 1).toLong)
+      }
+      .toDF("bigram", "n_occurrences", "n_docs", "rank")
   }
 
   val t13_sql: String =
@@ -937,12 +954,52 @@ object Corpus {
        |FROM r WHERE rank <= 10""".stripMargin
   }
 
+  private def m01FeaturePath: String =
+    s"${graft.ingest.FixtureTables.root}/m01_features.parquet"
+
   /** Multimodal plumbing demo (stub codec, real Spark dataflow):
     * synthetic media → batched decode → feature extraction → per-kind
-    * stats. Not SQL-expressible (typed mapPartitions) → rows-only.
+    * stats. The stub decode is the one non-SQL-replayable stage (the
+    * s03 k-means-fit analog), so — the s03 centroid-dump recipe — the
+    * query dumps the extracted per-media feature vectors to a fixture
+    * parquet and the static oracle replays everything downstream of the
+    * decode: the L2 norm in graft's exact left-to-right accumulation
+    * order and the per-kind aggregate. Decimal sums keep the aggregate
+    * bit-exact regardless of partition merge order.
     */
-  val m01_multimodal_features: Q = (s, _) =>
-    graft.multimodal.MultiModal.featureStats(s, n = 300)
+  val m01_multimodal_features: Q = (s, _) => {
+    val feats = graft.multimodal.MultiModal
+      .extractFeatures(graft.multimodal.MultiModal.syntheticMedia(s, n = 300))
+      .toDF()
+      .select(col("mediaId").as("media_id"), col("kind"), col("features"))
+    feats.coalesce(1).write.mode("overwrite").parquet(m01FeaturePath)
+    s.read.parquet(m01FeaturePath)
+      .select(col("kind"),
+        sqrt(aggregate(transform(col("features"),
+          x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x)).as("norm"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(round(col("norm"), 6).cast("decimal(18,6)"))
+          .cast("decimal(38,6)").as("sum_feature_norm"))
+  }
+
+  /** DuckDB replay downstream of the stub decode (see
+    * [[m01_multimodal_features]]): list_reduce over list_transform is
+    * the same sequential left-to-right double accumulation as Spark's
+    * `aggregate(transform(...))`, so the rounded per-media norms are
+    * bit-identical and the decimal sum is order-independent-exact.
+    */
+  val m01_sql: String =
+    s"""WITH f AS (SELECT media_id, kind, features::DOUBLE[] AS v
+       |           FROM read_parquet('$m01FeaturePath/*.parquet')),
+       |n AS (SELECT kind,
+       |  sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS norm
+       | FROM f)
+       |SELECT kind, COUNT(*) AS n_media,
+       |  CAST(SUM(CAST(ROUND(norm, 6) AS DECIMAL(18,6))) AS DECIMAL(38,6))
+       |    AS sum_feature_norm
+       |FROM n GROUP BY kind""".stripMargin
 
   /** Frame-sampling manifest over the synthetic video corpus — the
     * SQL-checkable half of the multimodal surface. The pixel decode is
@@ -1118,6 +1175,7 @@ object Corpus {
     "s02_lsh_ann_topk"      -> s02_lsh_ann_topk)
 
   val oracles: Map[String, String] = Map(
+    "m01_multimodal_features" -> m01_sql,
     "m02_frame_manifest"    -> m02_sql,
     "m03_patch_manifest"    -> m03_sql,
     "c01_curation"          -> c01_sql,

@@ -179,10 +179,19 @@ object Similarity {
       dot(v, v) - lit(2.0) * dot(v, lit2) + lit(ctr.map(x => x * x).sum)
     }
 
-    /** Fit the coarse quantizer (MLlib k-means, seeded; at real scale
-      * pass a small `fitSampleFraction`) and materialize the inverted
-      * lists. The assigned corpus is cached — the in-memory residency
-      * of a serving index. At 100 TB, persist `listed` partitioned by
+    /** Fit the coarse quantizer (MLlib k-means, seeded) and materialize
+      * the inverted lists. The fit input is BOUNDED by default: at most
+      * ~`maxFitVectors` rows (a uniform sample whose fraction is
+      * computed from the corpus count), so index construction costs the
+      * same at 100 TB as at 100 GB — a full-corpus k-means fit is the
+      * one step that would not survive a 100× scale-up. A k-means
+      * quantizer estimates nLists cluster centers; a bounded uniform
+      * sample ≫ nLists estimates the same centers (recall is
+      * spec-gated at the sampled fit in SimilaritySpec).
+      * `fitSampleFraction` < 1 further tightens the sample manually.
+      *
+      * The assigned corpus is cached — the in-memory residency of a
+      * serving index. At 100 TB, persist `listed` partitioned by
       * `ivf_list` instead, so probes prune storage partitions.
       */
     def build(
@@ -191,12 +200,19 @@ object Similarity {
         corpusVecCol: String,
         nLists: Int = 16,
         fitSampleFraction: Double = 1.0,
-        seed: Long = 42L): IvfIndex = {
+        seed: Long = 42L,
+        maxFitVectors: Long = 1L << 16): IvfIndex = {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val c = corpus.select(col(corpusIdCol).as("neighbor_id"),
         col(corpusVecCol).cast("array<double>").as("__cv"))
-      val fitInput = (if (fitSampleFraction < 1.0) c.sample(fitSampleFraction, seed) else c)
+      // one count() job at build time (amortized across every query the
+      // index serves) buys a scale-independent fit
+      val total = c.count()
+      val capFraction =
+        if (total > maxFitVectors) maxFitVectors.toDouble / total else 1.0
+      val fraction = math.min(fitSampleFraction, capFraction)
+      val fitInput = (if (fraction < 1.0) c.sample(fraction, seed) else c)
         .withColumn("features", array_to_vector(col("__cv")))
       val model = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("features")
         .fit(fitInput)
@@ -224,8 +240,10 @@ object Similarity {
       nLists: Int = 16,
       nProbe: Int = 4,
       fitSampleFraction: Double = 1.0,
-      seed: Long = 42L): DataFrame =
-    IvfIndex.build(corpus, corpusIdCol, corpusVecCol, nLists, fitSampleFraction, seed)
+      seed: Long = 42L,
+      maxFitVectors: Long = 1L << 16): DataFrame =
+    IvfIndex.build(corpus, corpusIdCol, corpusVecCol, nLists, fitSampleFraction,
+        seed, maxFitVectors)
       .search(queries, queryIdCol, queryVecCol, k, nProbe)
 
   /** Approximate top-k via hyperplane LSH: candidates are corpus

@@ -199,6 +199,14 @@ object StreamingIngest {
   // ---- custom state: streaming sessionization (emit-on-close) ----
 
   case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
+  /** Keyed session state. `n > 0`: an open session. `n == 0`: a sentinel
+    * left behind by an idle-timeout flush — no session is open, but
+    * `sessionId` carries the NEXT session number to assign and
+    * `lastMicros` the flushed session's last event (for the late-event
+    * rule), so numbering stays monotonic across flushes. The sentinel
+    * sets no timeout, so it persists exactly as long as the open-session
+    * state the no-timeout variant keeps for an idle user.
+    */
   case class SessionState(sessionId: Long, startMicros: Long, lastMicros: Long, n: Long)
   case class ClosedSession(
       user_id: Long, session_id: Long, n_events: Long,
@@ -277,11 +285,21 @@ object StreamingIngest {
         (user: Long, in: Iterator[SessEvent], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             // watermark passed last-event + gap: the open session can
-            // never be extended — flush it
+            // never be extended — flush it, but KEEP a sentinel carrying
+            // the next session number so a user who resumes later
+            // continues the monotonic numbering instead of restarting at
+            // 1 (which would duplicate (user_id, session_id) keys).
             val st = state.get
-            state.remove()
-            Iterator.single(ClosedSession(user, st.sessionId, st.n,
-              fromMicros(st.startMicros), fromMicros(st.lastMicros)))
+            if (st.n > 0) {
+              state.update(SessionState(st.sessionId + 1, st.lastMicros,
+                st.lastMicros, 0L)) // sentinel: no timeout set → persists
+              Iterator.single(ClosedSession(user, st.sessionId, st.n,
+                fromMicros(st.startMicros), fromMicros(st.lastMicros)))
+            } else {
+              // a sentinel can only time out via a stale timestamp from
+              // a superseded open session; nothing to emit
+              Iterator.empty
+            }
           } else {
             var st = state.getOption.orNull
             val closed = scala.collection.mutable.ListBuffer[ClosedSession]()
@@ -291,6 +309,10 @@ object StreamingIngest {
                 st = SessionState(1L, m, m, 1L)
               } else if (m <= st.lastMicros) {
                 () // late or duplicate event — drop
+              } else if (st.n == 0L) {
+                // resuming after an idle flush: open the next session
+                // under the sentinel's carried number
+                st = SessionState(st.sessionId, m, m, 1L)
               } else if (m - st.lastMicros > gapMicros) {
                 closed += ClosedSession(user, st.sessionId, st.n,
                   fromMicros(st.startMicros), fromMicros(st.lastMicros))
@@ -301,9 +323,14 @@ object StreamingIngest {
             }
             if (st != null) {
               state.update(st)
-              // fires when the event-time watermark passes this instant
-              state.setTimeoutTimestamp(
-                Math.floorDiv(st.lastMicros, 1000L) + gapMicros / 1000L)
+              if (st.n > 0)
+                // fires when the event-time watermark passes last + gap;
+                // round the micros→ms conversion UP so the timeout can
+                // never fire before the full gap has elapsed (a
+                // floor-rounded timestamp can be ~1 ms early and split a
+                // session whose next event lands inside that sliver)
+                state.setTimeoutTimestamp(
+                  Math.floorDiv(st.lastMicros + gapMicros + 999L, 1000L))
             }
             closed.iterator
           }

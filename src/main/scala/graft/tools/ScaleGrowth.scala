@@ -1,0 +1,84 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-growth measurement for the dedup family (d02 MinHash+LSH,
+  * d06 exact Jaccard prefix join, d07 decontamination): times each
+  * operator on the sf0.1 documents corpus and on a 10× replicated
+  * corpus, and prints the per-operator scaling exponent
+  * log10(t_10x / t_1x) — ~1.0 is linear growth, the bucketed designs'
+  * claim; >1.3 would flag a quadratic term hiding in a candidate join.
+  *
+  * The 10× corpus is 10 salted replicas: every 4th token of each copy
+  * is replaced by a replica+doc-unique salt token, so no shingle
+  * survives between a document and its replicas — replicas are
+  * UNRELATED documents to every 5-gram operator, keeping the near-dup
+  * pair density per replica identical to the base corpus (a plain 10×
+  * copy would instead add ~45 cross-replica pairs per document and
+  * measure output explosion, not input scaling).
+  *
+  * Run: sbt "runMain graft.tools.ScaleGrowth" (SPARK_GRAFT_SF_DIR to
+  * override the base corpus; min-of-2 timing after one warm-up).
+  */
+object ScaleGrowth {
+
+  private def salted(docs: DataFrame, replicas: Int): DataFrame = {
+    // insert a per-(replica, doc) salt token after every 4 source
+    // tokens: group-1 backref keeps the original tokens, the salt
+    // breaks every 5-gram window crossing it
+    val rep = explode(sequence(lit(0), lit(replicas - 1)))
+    docs.withColumn("rep", rep)
+      .withColumn("text",
+        regexp_replace(col("text"), lit("(\\S+\\s+\\S+\\s+\\S+\\s+\\S+)\\s+"),
+          concat(lit("$1 zq"), col("rep"), lit("x"), col("doc_id"), lit(" "))))
+      .withColumn("doc_id", col("doc_id") * 16 + col("rep"))
+      .drop("rep")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = java.nio.file.Files.createTempDirectory("graft_scale_growth").toString
+    val docs = graft.Tables(spark, sfDir, "documents")
+    // both corpora go through the same salting path so 1× vs 10× is a
+    // pure input-size contrast, not a salted-vs-raw text contrast
+    salted(docs, 1).write.mode("overwrite").parquet(s"$base/x1/documents.parquet")
+    salted(docs, 10).write.mode("overwrite").parquet(s"$base/x10/documents.parquet")
+
+    val queries = Seq("d02_minhash_neardups", "d06_jaccard_neardups",
+      "d07_decontamination")
+    def time(name: String, dir: String): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.queries.Corpus.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm-up
+      math.min(once(), once())
+    }
+
+    val rows = queries.map { q =>
+      val t1 = time(q, s"$base/x1")
+      val t10 = time(q, s"$base/x10")
+      val exponent = math.log(t10 / t1) / math.log(10.0)
+      println(f"[scale-growth] $q%-22s t_1x=$t1%6.2fs t_10x=$t10%6.2fs exponent=$exponent%.2f")
+      (q, t1, t10, exponent)
+    }
+    val js = rows.map { case (q, t1, t10, e) =>
+      f"""\"$q\":{\"t1\":$t1%.3f,\"t10\":$t10%.3f,\"exponent\":$e%.3f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_growth","sf":"$sfDir","results":$js}""")
+    spark.stop()
+  }
+}

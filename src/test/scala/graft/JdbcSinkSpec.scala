@@ -90,6 +90,46 @@ class JdbcSinkSpec extends SparkSpec {
     }
   }
 
+  test("appendIdempotentTxn: re-run inserts zero; two concurrent writers with overlapping batches lose no rows and duplicate none") {
+    withTable(
+      "CREATE TABLE txn_bars (sym VARCHAR(8) NOT NULL, d INT NOT NULL, v DOUBLE, PRIMARY KEY (sym, d))",
+      "txn_bars") {
+      val sink = new JdbcSink(spark, url, "txn_bars", Seq("sym", "d"), props)
+
+      // single-writer contract first: identical to appendIdempotent
+      val batch1 = Seq(("AAPL", 1, 10.0), ("AAPL", 2, 11.0), ("MSFT", 1, 20.0))
+        .toDF("sym", "d", "v")
+      assert(sink.appendIdempotentTxn(batch1) == 3L)
+      assert(sink.appendIdempotentTxn(batch1) == 0L)
+
+      // two writers, overlapping key ranges, appending CONCURRENTLY —
+      // the read-then-insert race appendIdempotent documents: both
+      // would see the overlap as absent and one would hit the PK.
+      // The txn path serializes on the table lock instead.
+      val writerA = Seq(("AAPL", 3, 12.0), ("AAPL", 4, 13.0), ("IBM", 1, 30.0))
+        .toDF("sym", "d", "v")
+      val writerB = Seq(("AAPL", 3, 12.0), ("AAPL", 4, 13.0), ("KO", 1, 40.0))
+        .toDF("sym", "d", "v")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fa = Future(sink.appendIdempotentTxn(writerA))
+      val fb = Future(new JdbcSink(spark, url, "txn_bars", Seq("sym", "d"), props)
+        .appendIdempotentTxn(writerB))
+      val na = Await.result(fa, 120.seconds)
+      val nb = Await.result(fb, 120.seconds)
+
+      // no lost rows: all 4 distinct new PKs landed; no duplicates: the
+      // 2 contested PKs counted by exactly one writer
+      assert(na + nb == 4L, s"writers inserted $na + $nb, expected 4 total")
+      val readBack = spark.read.jdbc(url, "txn_bars", props)
+      assert(readBack.count() == 7L)
+      assert(readBack.select("sym", "d").distinct().count() == 7L)
+      assert(readBack.where(col("sym") === "IBM").count() == 1L)
+      assert(readBack.where(col("sym") === "KO").count() == 1L)
+    }
+  }
+
   test("append without the guard hits the DB primary key on duplicates") {
     withTable(
       "CREATE TABLE raw_bars (sym VARCHAR(8) NOT NULL, d INT NOT NULL, v DOUBLE, PRIMARY KEY (sym, d))",

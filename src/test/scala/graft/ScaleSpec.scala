@@ -154,6 +154,45 @@ class ScaleSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("compactTo sizes a hive-partitioned source recursively and computes a real file count") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val src = java.nio.file.Files.createTempDirectory("graft_frag_part").toString + "/src"
+    val dst = java.nio.file.Files.createTempDirectory("graft_compact_part").toString + "/out"
+    val ev = graft.Tables(spark, dir, "events")
+      .withColumn("etype", col("event_type"))
+    // hive layout: files nested under etype=…/ — the non-recursive
+    // listStatus saw ZERO files here, sized the table to 0 bytes and
+    // collapsed it to one file regardless of targetFileBytes
+    ev.repartition(8).write.partitionBy("etype").mode("overwrite").parquet(src)
+    val bytes = {
+      val p = new org.apache.hadoop.fs.Path(src)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var t = 0L
+      while (it.hasNext) { val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) t += f.getLen }
+      t
+    }
+    assert(bytes > 0L)
+    // pick a target that demands >1 output file from the real size
+    val target = math.max(bytes / 4, 1L)
+    val expected = math.ceil(bytes.toDouble / target).toInt
+    val (before, after) = Scale.compactTo(spark, src, dst, targetFileBytes = target)
+    assert(before > 0, "recursive sizing must see the nested files")
+    assert(after === expected, s"expected $expected files, got $after")
+    assert(after > 1, "a >target-sized table must not collapse to one file")
+    // rows preserved, partition values surviving as ordinary columns
+    // (project both in the same column order — hive reads put partition
+    // columns last, the flat rewrite keeps them wherever the read did)
+    val cols = spark.read.parquet(src).columns.sorted.toSeq
+    val a = spark.read.parquet(src).select(cols.head, cols.tail: _*)
+      .collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(dst).select(cols.head, cols.tail: _*)
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
   test("bloomPreFilter keeps every joining row and prunes most others") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/lineitem.parquet").exists())

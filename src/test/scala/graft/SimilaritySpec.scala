@@ -136,11 +136,20 @@ class SimilaritySpec extends SparkSpec {
       probes, e, "vec_id", "embedding", "vec_id", "embedding",
       k = 10, nLists = 16, nProbe = 8)
 
+    // the 100 TB shape: the quantizer fit on a bounded sample, not the
+    // full corpus — recall must hold at the sampled fit too
+    val ivfSampled = Similarity.ivfTopK(
+      probes, e, "vec_id", "embedding", "vec_id", "embedding",
+      k = 10, nLists = 16, nProbe = 8, fitSampleFraction = 0.5)
+
     val lshRecall = Similarity.recallAtK(exact, lsh)
     val ivfRecall = Similarity.recallAtK(exact, ivf)
-    info(f"recall@10 lsh(planes=4,tables=16)=$lshRecall%.3f ivf(nLists=16,nProbe=8)=$ivfRecall%.3f")
-    println(f"[recall] lsh=$lshRecall%.3f ivf=$ivfRecall%.3f")
+    val ivfSampledRecall = Similarity.recallAtK(exact, ivfSampled)
+    info(f"recall@10 lsh(planes=4,tables=16)=$lshRecall%.3f ivf(nLists=16,nProbe=8)=$ivfRecall%.3f ivf(fit=0.5)=$ivfSampledRecall%.3f")
+    println(f"[recall] lsh=$lshRecall%.3f ivf=$ivfRecall%.3f ivf_sampled=$ivfSampledRecall%.3f")
     assert(ivfRecall >= 0.9, f"IVF recall regressed: $ivfRecall%.3f < 0.9")
+    assert(ivfSampledRecall >= 0.9,
+      f"IVF recall at the half-sample fit regressed: $ivfSampledRecall%.3f < 0.9")
     assert(lshRecall >= 0.85, f"LSH recall regressed: $lshRecall%.3f < 0.85")
   }
 }

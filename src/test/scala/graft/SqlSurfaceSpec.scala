@@ -35,6 +35,34 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("ApproxDistinctRewrite: ±0.0 hash to one value and subquery aggregates are rewritten") {
+    import spark.implicits._
+    // 10 distinct doubles < k=256 → the sketch must be EXACT; with the
+    // raw string hash, -0.0 and 0.0 split and the count comes back 11
+    val vals = Seq(-0.0, 0.0) ++ (1 to 9).map(_.toDouble)
+    val df = (vals ++ vals).toDF("x") // duplicated so DISTINCT matters
+    df.createOrReplaceTempView("approx_zero_t")
+    val prior = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prior :+ graft.functions.ApproxDistinctRewrite
+    try {
+      spark.conf.set("spark.graft.approxDistinct.enabled", "true")
+      val q = spark.sql("SELECT COUNT(DISTINCT x) AS d FROM approx_zero_t")
+      assert(q.queryExecution.optimizedPlan.toString.contains("graft_kmv"))
+      assert(q.collect()(0).getLong(0) === 10L,
+        "-0.0 and 0.0 are one distinct value to exact COUNT(DISTINCT)")
+      // the rewrite must also descend into subquery plans
+      val sub = spark.sql(
+        """SELECT x FROM approx_zero_t
+          |WHERE x >= (SELECT COUNT(DISTINCT x) FROM approx_zero_t) - 1""".stripMargin)
+      assert(sub.queryExecution.optimizedPlan.toString.contains("graft_kmv"),
+        "scalar-subquery COUNT(DISTINCT) must be rewritten too")
+      assert(sub.collect().map(_.getDouble(0)).toSet === Set(9.0))
+    } finally {
+      spark.conf.set("spark.graft.approxDistinct.enabled", "false")
+      spark.experimental.extraOptimizations = prior
+    }
+  }
+
   test("registerViews exposes the corpus and the graft SQL functions to spark.sql") {
     Tables.registerViews(spark, "/root/testdata/sf0.001")
     val n = spark.sql("SELECT COUNT(*) FROM lineitem WHERE l_quantity < 10")

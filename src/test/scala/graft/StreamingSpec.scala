@@ -230,6 +230,70 @@ class StreamingSpec extends SparkSpec {
       s"expected user 1's idle session flushed, got $out")
   }
 
+  test("streamingSessionsWithTimeout keeps numbering monotonic when a user resumes after an idle flush") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 30L * 60 * 1000 * 1000 // 30 min
+    def ts(min: Int) = new java.sql.Timestamp((1000 + min) * 60000L)
+    val stream = MemoryStream[StreamingIngest.SessEvent]
+    val events = stream.toDS()
+      .withWatermark("ts", "0 seconds").as[StreamingIngest.SessEvent]
+    val q = StreamingIngest.streamingSessionsWithTimeout(events, gap)
+      .writeStream.format("memory").queryName("sess_resume_out")
+      .outputMode("append").start()
+    // user 1 session 1, then silence
+    stream.addData(StreamingIngest.SessEvent(1L, ts(0)),
+      StreamingIngest.SessEvent(1L, ts(10)))
+    q.processAllAvailable()
+    // user 2 advances the watermark past ts(10)+gap → idle-flush of session 1
+    stream.addData(StreamingIngest.SessEvent(2L, ts(120)))
+    q.processAllAvailable()
+    q.processAllAvailable() // timeout fires the cycle after the watermark moves
+    // user 1 RESUMES after the flush — must continue as session 2, not restart at 1
+    stream.addData(StreamingIngest.SessEvent(1L, ts(200)),
+      StreamingIngest.SessEvent(1L, ts(205)))
+    q.processAllAvailable()
+    // user 2's far-future event closes its own session 1 in-band AND
+    // advances the watermark past user 1's resumed session → timeout flush
+    stream.addData(StreamingIngest.SessEvent(2L, ts(400)))
+    q.processAllAvailable()
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql(
+      "SELECT user_id, session_id, n_events, session_start, session_end FROM sess_resume_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4))).toSet
+    assert(out === Set(
+      (1L, 1L, 2L, ts(0), ts(10)),     // idle-flushed
+      (1L, 2L, 2L, ts(200), ts(205)),  // resumed AFTER the flush: numbered 2
+      (2L, 1L, 1L, ts(120), ts(120))), // closed in-band by ts(400)
+      s"got $out")
+    // the invariant the bug violated: (user_id, session_id) unique
+    val keys = out.toSeq.map(s => (s._1, s._2))
+    assert(keys.distinct.length === keys.length)
+    // and numbering matches the no-timeout operator on the same events
+    // (its trailing open sessions never emit; compare the closed ones)
+    val stream2 = MemoryStream[StreamingIngest.SessEvent]
+    val q2 = StreamingIngest.streamingSessions(stream2.toDS(), gap)
+      .writeStream.format("memory").queryName("sess_resume_ref")
+      .outputMode("append").start()
+    stream2.addData(
+      StreamingIngest.SessEvent(1L, ts(0)), StreamingIngest.SessEvent(1L, ts(10)),
+      StreamingIngest.SessEvent(2L, ts(120)),
+      StreamingIngest.SessEvent(1L, ts(200)), StreamingIngest.SessEvent(1L, ts(205)),
+      StreamingIngest.SessEvent(2L, ts(400)),
+      // closing events so the no-timeout variant emits everything above
+      StreamingIngest.SessEvent(1L, ts(400)))
+    q2.processAllAvailable()
+    q2.stop()
+    val ref = spark.sql(
+      "SELECT user_id, session_id, n_events, session_start, session_end FROM sess_resume_ref")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4))).toSet
+    assert(ref === out, s"timeout variant diverges from streamingSessions: $ref vs $out")
+  }
+
   test("intervalJoin leftOuter: unmatched purchases emit nulls only after the watermark passes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
