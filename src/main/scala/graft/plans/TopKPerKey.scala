@@ -64,6 +64,19 @@ case class TopKPerKeyExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val (keyExprs, ordExprs, childOutput, limit) = (keys, order, child.output, k)
+    // Memory bound: the heap map grows with the distinct keys seen in a
+    // partition — unbounded for hyper-cardinality keys. The PARTIAL
+    // pass flushes its map whenever it reaches maxPartialKeys: flushed
+    // rows are a superset of the per-key top-k (the final pass enforces
+    // the exact k), so correctness is unaffected and pruning merely
+    // degrades toward a plain exchange as key cardinality explodes.
+    // The FINAL pass never flushes (it must see every row of its key
+    // group); its residency is keys-per-reducer × k rows — the same
+    // order as a hash aggregate over the same grouping.
+    val maxKeys =
+      if (partial)
+        conf.getConfString("spark.graft.topk.maxPartialKeys", "65536").toInt
+      else Int.MaxValue
     child.execute().mapPartitions { rows =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // copy rows out of the iterator's reused buffer before buffering
@@ -72,8 +85,7 @@ case class TopKPerKeyExec(
       // max-heap per key under the total order: head is the WORST kept
       // row; a new row replaces it only if strictly better
       val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]()
-      while (rows.hasNext) {
-        val row = rows.next()
+      def insert(row: InternalRow): Unit = {
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
@@ -87,8 +99,27 @@ case class TopKPerKeyExec(
           heap.enqueue(rowCopy(row).copy())
         }
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator)
+      def drain(): Iterator[UnsafeRow] = {
+        import scala.jdk.CollectionConverters._
+        val kept = heaps.values().asScala.toVector
+        heaps.clear()
+        kept.iterator.flatMap(_.iterator)
+      }
+      new Iterator[InternalRow] {
+        private var out: Iterator[UnsafeRow] = Iterator.empty
+        override def hasNext: Boolean = {
+          while (!out.hasNext && rows.hasNext) {
+            insert(rows.next())
+            if (heaps.size() >= maxKeys) out = drain()
+          }
+          if (!out.hasNext && !heaps.isEmpty) out = drain()
+          out.hasNext
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("empty iterator")
+          out.next()
+        }
+      }
     }
   }
 

@@ -15,20 +15,35 @@ import graft.ingest.{Fixtures, PayloadReader}
 
 /** DataSource V2 `TableProvider` over the Alpha-Vantage payload schema
   * (`PayloadReader.payloadSchema`) — the "real engine" source surface for
-  * the reference's A1 HTTP ingest, kept offline-by-design (SURVEY §7:
-  * the reference's own fetch is a driver-side `requests.get` loop;
-  * sandbox fixtures replace the network).
+  * the reference's A1 HTTP ingest (SURVEY §7: the reference's own fetch
+  * is a driver-side `requests.get` loop; here the fetch — when enabled —
+  * runs per-partition on the EXECUTORS).
   *
   *   spark.read.format("graft-payloads").load("/dir/of/payload/json")
   *   spark.read.format("graft-payloads").option("endpoint", "daily").load()
+  *   spark.read.format("graft-payloads")
+  *     .option("urlTemplate", "https://host/query?symbol={symbol}")
+  *     .option("symbols", "AAPL,MSFT").load()
   *
   * Source semantics:
   *   - `path`: a directory of payload files, ONE (possibly
   *     pretty-printed) JSON document per file — exactly the shape the
   *     reference persists per symbol×endpoint fetch. One input partition
   *     per file: a 10 000-payload directory scans on 10 000 tasks.
-  *   - no `path`: the embedded fixture payloads; `endpoint` picks the
-  *     `daily` / `daily2` (second-run) / `intraday` / `sma` set.
+  *   - `urlTemplate` + `symbols`: the LIVE mode — one input partition
+  *     per symbol; each task fetches `urlTemplate` with `{symbol}`
+  *     substituted, on the executor (the reference's
+  *     `main_parallel.py:230-251` fetch loop, distributed). Any scheme
+  *     `java.net.URL` opens works — `https://` against a real API,
+  *     `file://` in this zero-egress sandbox (how the spec drives it).
+  *     `fetchTimeoutMs` (default 30000) bounds connect+read;
+  *     `onError=fail` (default) lets the task fail and retry, while
+  *     `onError=envelope` degrades a failed fetch to an A14 error
+  *     envelope (`{"Error Message": …}`) so downstream dispatch treats
+  *     network failures exactly like API error payloads.
+  *   - no `path`/`urlTemplate`: the embedded fixture payloads;
+  *     `endpoint` picks the `daily` / `daily2` (second-run) /
+  *     `intraday` / `sma` set.
   *   - Column pruning IS pushed down ([[SupportsPushDownRequiredColumns]]):
   *     a query touching only the error-envelope columns parses only
   *     those two fields per document — at 100 TB of payloads the Jackson
@@ -51,14 +66,40 @@ class PayloadSource extends TableProvider with DataSourceRegister {
       properties: JMap[String, String]): Table =
     new PayloadTable(
       Option(properties.get("path")),
-      Option(properties.get("endpoint")).getOrElse("daily"))
+      Option(properties.get("endpoint")).getOrElse("daily"),
+      FetchConfig.from(properties))
 }
 
-final class PayloadTable(path: Option[String], endpoint: String)
+/** Live-fetch configuration (None when the source is offline). */
+final case class FetchConfig(
+    urlTemplate: String,
+    symbols: Seq[String],
+    timeoutMs: Int,
+    envelopeOnError: Boolean)
+
+object FetchConfig {
+  def from(properties: JMap[String, String]): Option[FetchConfig] = {
+    // getTable receives the case-SENSITIVE option map; normalize
+    val opts = new CaseInsensitiveStringMap(properties)
+    Option(opts.get("urlTemplate")).map { tpl =>
+      val symbols = Option(opts.get("symbols")).getOrElse(
+        throw new IllegalArgumentException(
+          "graft-payloads: urlTemplate requires a comma-separated 'symbols' option"))
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      FetchConfig(tpl, symbols,
+        Option(opts.get("fetchTimeoutMs")).map(_.toInt).getOrElse(30000),
+        Option(opts.get("onError")).contains("envelope"))
+    }
+  }
+}
+
+final class PayloadTable(
+    path: Option[String], endpoint: String, fetch: Option[FetchConfig])
     extends Table with SupportsRead {
 
   override def name(): String =
-    s"graft_payloads(${path.getOrElse(s"fixtures:$endpoint")})"
+    s"graft_payloads(${fetch.map(f => s"fetch:${f.symbols.mkString("|")}")
+      .orElse(path).getOrElse(s"fixtures:$endpoint")})"
 
   override def schema(): StructType = PayloadReader.payloadSchema
 
@@ -66,10 +107,11 @@ final class PayloadTable(path: Option[String], endpoint: String)
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PayloadScanBuilder(path, endpoint)
+    new PayloadScanBuilder(path, endpoint, fetch)
 }
 
-final class PayloadScanBuilder(path: Option[String], endpoint: String)
+final class PayloadScanBuilder(
+    path: Option[String], endpoint: String, fetch: Option[FetchConfig])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = PayloadReader.payloadSchema
@@ -77,7 +119,7 @@ final class PayloadScanBuilder(path: Option[String], endpoint: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new PayloadScan(path, endpoint, required)
+  override def build(): Scan = new PayloadScan(path, endpoint, fetch, required)
 }
 
 /** One partition per payload document (fixture mode) or per payload file
@@ -85,7 +127,8 @@ final class PayloadScanBuilder(path: Option[String], endpoint: String)
   * read on the driver beyond the file listing.
   */
 final class PayloadScan(
-    path: Option[String], endpoint: String, required: StructType)
+    path: Option[String], endpoint: String, fetch: Option[FetchConfig],
+    required: StructType)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -95,14 +138,20 @@ final class PayloadScan(
 
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = path match {
-    case Some(dir) =>
+  override def planInputPartitions(): Array[InputPartition] = (fetch, path) match {
+    case (Some(f), _) =>
+      // live mode: one fetch task per symbol — the driver plans only
+      // the symbol list; every byte moves executor-side
+      f.symbols.map(sym => PayloadUrlPartition(
+        f.urlTemplate.replace("{symbol}", sym), f.timeoutMs, f.envelopeOnError)
+          : InputPartition).toArray
+    case (None, Some(dir)) =>
       val files = new java.io.File(dir).listFiles()
       require(files != null, s"not a readable payload directory: $dir")
       files.filter(f => f.isFile && f.getName.endsWith(".json"))
         .sortBy(_.getName)
         .map(f => PayloadFilePartition(f.getAbsolutePath): InputPartition)
-    case None =>
+    case (None, None) =>
       val docs = endpoint match {
         case "daily" =>
           Seq(Fixtures.dailyAapl, Fixtures.dailyMsft,
@@ -122,9 +171,32 @@ final class PayloadScan(
 
 final case class PayloadDocPartition(doc: String) extends InputPartition
 final case class PayloadFilePartition(file: String) extends InputPartition
+final case class PayloadUrlPartition(
+    url: String, timeoutMs: Int, envelopeOnError: Boolean) extends InputPartition
 
 final class PayloadReaderFactory(required: StructType)
     extends PartitionReaderFactory {
+
+  /** Executor-side fetch: any `java.net.URL`-openable scheme (https in
+    * production, file:// under test). Bounded by connect+read timeouts;
+    * a failure either propagates (task retry semantics — the default)
+    * or degrades to the A14 error envelope.
+    */
+  private def fetched(p: PayloadUrlPartition): String =
+    try {
+      val conn = java.net.URI.create(p.url).toURL.openConnection()
+      conn.setConnectTimeout(p.timeoutMs)
+      conn.setReadTimeout(p.timeoutMs)
+      val in = conn.getInputStream
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    } catch {
+      case e: Exception if p.envelopeOnError =>
+        // JSON-escape the message into the reference's error envelope
+        val msg = s"fetch failed: ${e.toString}"
+          .replace("\\", "\\\\").replace("\"", "\\\"")
+        s"""{"Error Message": "$msg"}"""
+    }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val doc = p match {
@@ -133,6 +205,7 @@ final class PayloadReaderFactory(required: StructType)
         new String(
           java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)),
           java.nio.charset.StandardCharsets.UTF_8)
+      case u: PayloadUrlPartition => fetched(u)
       case other =>
         throw new IllegalArgumentException(s"unexpected partition: $other")
     }

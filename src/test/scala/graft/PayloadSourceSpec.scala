@@ -31,6 +31,49 @@ class PayloadSourceSpec extends SparkSpec {
     assert(normalizedSet(v2) === normalizedSet(Fixtures.dailyPayloads(spark)))
   }
 
+  test("fetch mode pulls one URL per symbol partition on the executor (file:// transport)") {
+    val dir = Files.createTempDirectory("graft_payload_fetch")
+    Seq("AAPL" -> Fixtures.dailyAapl, "MSFT" -> Fixtures.dailyMsft)
+      .foreach { case (sym, doc) =>
+        Files.write(dir.resolve(s"$sym.json"), doc.getBytes(StandardCharsets.UTF_8))
+      }
+    // the live-mode surface with the sandbox transport: {symbol} in the
+    // template expands per partition, the fetch runs executor-side
+    val v2 = spark.read.format("graft-payloads")
+      .option("urlTemplate", s"file://$dir/{symbol}.json")
+      .option("symbols", "AAPL, MSFT")
+      .load()
+    assert(v2.rdd.getNumPartitions === 2)
+    assert(normalizedSet(v2) === normalizedSet(
+      Fixtures.dailyPayloads(spark).where(
+        org.apache.spark.sql.functions.col("Error Message").isNull
+          && org.apache.spark.sql.functions.col("Note").isNull)))
+  }
+
+  test("fetch mode onError=envelope degrades a failed fetch to the A14 error envelope") {
+    val dir = Files.createTempDirectory("graft_payload_fetch_err")
+    Files.write(dir.resolve("AAPL.json"),
+      Fixtures.dailyAapl.getBytes(StandardCharsets.UTF_8))
+    val v2 = spark.read.format("graft-payloads")
+      .option("urlTemplate", s"file://$dir/{symbol}.json")
+      .option("symbols", "AAPL,MISSING")
+      .option("onError", "envelope")
+      .load()
+    // good symbol parses; missing one contributes exactly one envelope
+    // row that downstream dispatch (A14) routes like an API error —
+    // and zero normalized bars (same rows as the path-mode read of the
+    // same directory, which holds only AAPL)
+    assert(v2.where(v2("Error Message").isNotNull).count() === 1)
+    assert(normalizedSet(v2) === normalizedSet(
+      spark.read.format("graft-payloads").load(dir.toString)))
+    // default onError=fail: the task must raise instead
+    val failing = spark.read.format("graft-payloads")
+      .option("urlTemplate", s"file://$dir/{symbol}.json")
+      .option("symbols", "MISSING")
+      .load()
+    intercept[org.apache.spark.SparkException] { failing.count() }
+  }
+
   test("column pruning is pushed into the payload scan") {
     val pruned = spark.read.format("graft-payloads").load()
       .select("Error Message")

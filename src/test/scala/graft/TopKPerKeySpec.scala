@@ -50,6 +50,32 @@ class TopKPerKeySpec extends SparkSpec {
     assert(finalIdx < partialIdx, "final must sit above partial in the tree")
   }
 
+  test("partial-pass key-map flush keeps results exact at a tiny key bound") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists())
+    val li = graft.Tables(spark, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+    val ord = Seq(col("l_extendedprice").desc,
+      col("l_orderkey").asc, col("l_linenumber").asc)
+    val window = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(ord: _*)
+      li.withColumn("__r", row_number().over(w)).where(col("__r") <= 3)
+        .drop("__r").collect().map(_.toSeq).toSet
+    }
+    // maxPartialKeys=2 forces constant flushing of the partial heap map
+    // (hundreds of supplier keys per partition) — the hyper-cardinality
+    // memory-bound path; results must not change
+    spark.conf.set("spark.graft.topk.maxPartialKeys", "2")
+    try {
+      val flushed = TopKPerKey(li, Seq("l_suppkey"), ord, k = 3)
+        .collect().map(_.toSeq).toSet
+      assert(flushed === window)
+      assert(flushed.nonEmpty)
+    } finally spark.conf.unset("spark.graft.topk.maxPartialKeys")
+  }
+
   test("partial pass bounds what crosses the exchange") {
     // 1000 rows, ONE key, k=2, 4 input partitions: the final stage must
     // see at most 4 partitions x 2 rows = 8 rows, not 1000
