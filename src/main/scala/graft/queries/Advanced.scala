@@ -1189,7 +1189,52 @@ object Advanced {
       |  UNION ALL SELECT 'tax', CAST(l_tax AS DECIMAL(18,2)) FROM lineitem)
       |GROUP BY metric""".stripMargin
 
+  /** Conversion funnel over the event stream: per user, the first view,
+    * the first click strictly after that view, and the first purchase
+    * strictly after that click — the ordered-sequence match every
+    * product-analytics engine ships. Expressed as three keyed
+    * aggregates chained by keyed joins: no per-user sort, no window —
+    * each stage is one map-side-combined MIN aggregate plus an
+    * equi-join on user_id, so the shape survives any user cardinality
+    * (the rank-window formulation would sort every user's full event
+    * history instead).
+    */
+  val q57_funnel: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val views = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .join(views, Seq("user_id"))
+      .where(col("ts") > col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .join(clicks, Seq("user_id"))
+      .where(col("ts") > col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    views
+      .join(clicks, Seq("user_id"), "left")
+      .join(purchases, Seq("user_id"), "left")
+      .agg(count(col("v_ts")).as("n_viewed"),
+        count(col("c_ts")).as("n_clicked_after_view"),
+        count(col("p_ts")).as("n_purchased_after_click"))
+  }
+
+  val q57_sql: String =
+    """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |v AS (SELECT user_id, MIN(ts) AS v_ts FROM e
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(e.ts) AS c_ts FROM e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(e.ts) AS p_ts FROM e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id)
+      |SELECT COUNT(v.v_ts) AS n_viewed, COUNT(c.c_ts) AS n_clicked_after_view,
+      |       COUNT(p.p_ts) AS n_purchased_after_click
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q57_funnel"        -> q57_funnel,
     "q36_asof_forward"  -> q36_asof_forward,
     "q35_window_funcs"  -> q35_window_funcs,
     "q34_asof_tolerance" -> q34_asof_tolerance,
@@ -1224,6 +1269,7 @@ object Advanced {
     "q56_unpivot"       -> q56_unpivot)
 
   val oracles: Map[String, String] = Map(
+    "q57_funnel"        -> q57_sql,
     "q36_asof_forward"  -> q36_sql,
     "q35_window_funcs"  -> q35_sql,
     "q34_asof_tolerance" -> q34_sql,

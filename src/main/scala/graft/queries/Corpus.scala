@@ -954,6 +954,77 @@ object Corpus {
        |FROM r WHERE rank <= 10""".stripMargin
   }
 
+  /** TF-IDF top terms per document — the keyword-extraction /
+    * relevance-weighting stage of a curation pipeline. tf and df are
+    * exact integer aggregates; the idf log runs on identical doubles in
+    * both engines and ranking orders by the ROUNDED score (ties broken
+    * by token), so rank is engine-stable. Shape: explode (narrow) →
+    * (doc, token) aggregate → token aggregate → token-keyed join →
+    * per-doc rank window — every shuffle keyed, the N scalar broadcast.
+    */
+  val t14_tfidf_terms: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val n = docs.agg(countDistinct(col("doc_id")).as("__N"))
+    val tok = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("__N") / col("df")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("tfidf"), col("rank"))
+  }
+
+  val t14_sql: String =
+    s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY doc_id, token),
+       |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+       |n AS (SELECT COUNT(DISTINCT doc_id) AS N FROM documents),
+       |x AS (SELECT doc_id, token, tf, df,
+       |  ROUND(tf * ln(N::DOUBLE / df), 6) AS tfidf
+       | FROM tf JOIN df USING (token) CROSS JOIN n),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |  ORDER BY tfidf DESC, token ASC) AS rank FROM x)
+       |SELECT doc_id, token, tf, df, tfidf, rank FROM r WHERE rank <= 3""".stripMargin
+
+  /** Corpus mixture weights: per (source, lang) slice, a
+    * temperature-scaled sampling weight w ∝ n_docs^0.5 (τ=2 in the
+    * multilingual-sampling convention) — how a training pipeline
+    * up-weights small slices without drowning in the big ones. The
+    * per-slice sqrt is correctly-rounded IEEE in any engine; quantizing
+    * it to DECIMAL(18,6) before the denominator sum makes the total
+    * order-independent-exact, so the final division is bit-stable.
+    * One aggregate over the corpus + one broadcast scalar.
+    */
+  val t15_mixture_weights: Q = (s, dir) => {
+    val g = t(s, dir, "documents")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("__sq",
+        round(sqrt(col("n_docs")), 6).cast("decimal(18,6)"))
+    val tot = g.agg(sum(col("__sq")).cast("decimal(38,6)").as("__tot"))
+    g.crossJoin(broadcast(tot))
+      .withColumn("weight",
+        round(col("__sq").cast("double") / col("__tot").cast("double"), 6))
+      .select(col("source"), col("lang"), col("n_docs"), col("weight"))
+  }
+
+  val t15_sql: String =
+    """WITH g AS (SELECT source, lang, COUNT(*) AS n_docs,
+      |  CAST(ROUND(sqrt(COUNT(*)::DOUBLE), 6) AS DECIMAL(18,6)) AS sq
+      | FROM documents GROUP BY source, lang),
+      |tot AS (SELECT CAST(SUM(sq) AS DECIMAL(38,6)) AS tot FROM g)
+      |SELECT source, lang, n_docs,
+      |  ROUND(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS weight
+      |FROM g CROSS JOIN tot""".stripMargin
+
   private def m01FeaturePath: String =
     s"${graft.ingest.FixtureTables.root}/m01_features.parquet"
 
@@ -1164,6 +1235,8 @@ object Corpus {
     "t11_chunking"          -> t11_chunking,
     "t12_vocab"             -> t12_vocab,
     "t13_ngram_freq"        -> t13_ngram_freq,
+    "t14_tfidf_terms"       -> t14_tfidf_terms,
+    "t15_mixture_weights"   -> t15_mixture_weights,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -1193,6 +1266,8 @@ object Corpus {
     "t11_chunking"          -> t11_sql,
     "t12_vocab"             -> t12_sql,
     "t13_ngram_freq"        -> t13_sql,
+    "t14_tfidf_terms"       -> t14_sql,
+    "t15_mixture_weights"   -> t15_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,
