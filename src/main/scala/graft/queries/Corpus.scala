@@ -970,10 +970,14 @@ object Corpus {
       explode(TextAnalysis.tokens(col("text"))).as("token"))
     val tf = tok.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // df as a COUNT over a token-partitioned window on the tf rows: one
+    // keyed shuffle, and the corpus is tokenized exactly once — the
+    // self-join formulation (tf ⋈ tf.groupBy(token)) re-derives the tf
+    // subtree and tokenizes every document a second time
+    val wDf = Window.partitionBy(col("token"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("token").asc)
-    tf.join(dfreq, Seq("token"))
+    tf.withColumn("df", count(lit(1)).over(wDf))
       .crossJoin(broadcast(n))
       .withColumn("tfidf", round(col("tf") * log(col("__N") / col("df")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
