@@ -1233,7 +1233,41 @@ object Advanced {
       |FROM v LEFT JOIN c ON v.user_id = c.user_id
       |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin
 
+  /** Retention cohorts: users grouped by signup week, counted in every
+    * later activity week by offset — the other canonical
+    * product-analytics shape next to q57's funnel. Two keyed aggregates
+    * and one user_id join; week truncation is Monday-based in both
+    * engines, and the offset is exact integer day arithmetic (trunc
+    * deltas are multiples of 7, so the division is exact).
+    */
+  val q58_retention: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val cohorts = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    ev.join(cohorts, Seq("user_id"))
+      .withColumn("week_offset",
+        (datediff(date_trunc("week", col("ts")), col("cohort_week")) / lit(7))
+          .cast("long"))
+      .where(col("week_offset") >= 0)
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val q58_sql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      |c AS (SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+      |      FROM e WHERE event_type = 'signup' GROUP BY user_id),
+      |a AS (SELECT e.user_id, c.cohort_week,
+      |  date_diff('day', CAST(c.cohort_week AS DATE),
+      |            CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS week_offset
+      | FROM e JOIN c ON e.user_id = c.user_id)
+      |SELECT cohort_week, week_offset, COUNT(DISTINCT user_id) AS n_users
+      |FROM a WHERE week_offset >= 0 GROUP BY cohort_week, week_offset""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q58_retention"     -> q58_retention,
     "q57_funnel"        -> q57_funnel,
     "q36_asof_forward"  -> q36_asof_forward,
     "q35_window_funcs"  -> q35_window_funcs,
@@ -1269,6 +1303,7 @@ object Advanced {
     "q56_unpivot"       -> q56_unpivot)
 
   val oracles: Map[String, String] = Map(
+    "q58_retention"     -> q58_sql,
     "q57_funnel"        -> q57_sql,
     "q36_asof_forward"  -> q36_sql,
     "q35_window_funcs"  -> q35_sql,

@@ -1029,6 +1029,35 @@ object Corpus {
       |  ROUND(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS weight
       |FROM g CROSS JOIN tot""".stripMargin
 
+  /** Per-label embedding centroids (class prototypes — the mean-pooling
+    * stage of prototype classifiers / dataset cartography), emitted as
+    * (label, pos, value) rows. posexplode fans each vector into 64
+    * keyed rows and ONE map-side-combined aggregate does the rest — at
+    * 100 TB the shuffle carries (labels × dim) partial sums, never
+    * vectors. Element sums quantize the (exact) float→double values to
+    * DECIMAL(18,9) so the mean is order-independent-exact.
+    */
+  val s04_label_centroids: Q = (s, dir) =>
+    t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("v").cast("double").cast("decimal(18,9)")).as("__sum"))
+      .withColumn("centroid_val",
+        round(col("__sum").cast("double") / col("n_vectors"), 6))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        col("n_vectors"), col("centroid_val"))
+
+  val s04_sql: String =
+    """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+      |u AS (SELECT label, v, unnest(generate_series(1, len(v))) AS i FROM e),
+      |g AS (SELECT label, CAST(i - 1 AS BIGINT) AS pos, COUNT(*) AS n_vectors,
+      |  SUM(CAST(v[i] AS DECIMAL(18,9))) AS s
+      | FROM u GROUP BY label, i)
+      |SELECT label, pos, n_vectors,
+      |  ROUND(CAST(s AS DOUBLE) / n_vectors, 6) AS centroid_val
+      |FROM g""".stripMargin
+
   private def m01FeaturePath: String =
     s"${graft.ingest.FixtureTables.root}/m01_features.parquet"
 
@@ -1249,7 +1278,8 @@ object Corpus {
     "d06_jaccard_neardups"  -> d06_jaccard_neardups,
     "d07_decontamination"   -> d07_decontamination,
     "s01_cosine_topk"       -> s01_cosine_topk,
-    "s02_lsh_ann_topk"      -> s02_lsh_ann_topk)
+    "s02_lsh_ann_topk"      -> s02_lsh_ann_topk,
+    "s04_label_centroids"   -> s04_label_centroids)
 
   val oracles: Map[String, String] = Map(
     "m01_multimodal_features" -> m01_sql,
@@ -1281,5 +1311,6 @@ object Corpus {
     "d07_decontamination"   -> d07_sql,
     "s01_cosine_topk"       -> s01_sql,
     "s02_lsh_ann_topk"      -> s02_sql,
-    "s03_ivf_topk"          -> s03_sql)
+    "s03_ivf_topk"          -> s03_sql,
+    "s04_label_centroids"   -> s04_sql)
 }
