@@ -954,6 +954,43 @@ object Corpus {
        |FROM r WHERE rank <= 10""".stripMargin
   }
 
+  /** Cross-document repeated-span sweep (the memorization-risk audit a
+    * pre-training pipeline runs; the span-level view of exact substring
+    * dedup, Lee et al. '22 "Deduplicating Training Data Makes Language
+    * Models Better"): every 20-token span occurring in ≥ 2 documents,
+    * with document and occurrence counts. The span md5-hashes BEFORE
+    * the aggregate, so the shuffle carries 32-byte keys instead of
+    * ~150-byte span strings — at 100 TB the explode is ~1 row/token and
+    * that key width is the difference between a feasible and an
+    * impossible exchange. One narrow explode + one combined aggregate.
+    */
+  val d08_repeated_spans: Q = (s, dir) => {
+    val k = 20
+    t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode_outer(TextAnalysis.shingles(col("text"), k)).as("span"))
+      .where(col("span").isNotNull)
+      .select(col("doc_id"), md5(col("span")).as("span_hash"))
+      .groupBy(col("span_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_total"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .where(col("n_docs") >= 2)
+  }
+
+  val d08_sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |  unnest(CASE WHEN len(toks) < 20 THEN [array_to_string(toks, ' ')]
+       |       ELSE list_transform(generate_series(1, len(toks) - 19),
+       |                           i -> array_to_string(toks[i:i+19], ' ')) END) AS span
+       | FROM t)
+       |SELECT md5(span) AS span_hash, COUNT(DISTINCT doc_id) AS n_docs,
+       |  COUNT(*) AS n_total, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       |FROM sh GROUP BY md5(span) HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin
+
   /** TF-IDF top terms per document — the keyword-extraction /
     * relevance-weighting stage of a curation pipeline. tf and df are
     * exact integer aggregates; the idf log runs on identical doubles in
@@ -1277,6 +1314,7 @@ object Corpus {
     "d05_dup_groups"        -> d05_dup_groups,
     "d06_jaccard_neardups"  -> d06_jaccard_neardups,
     "d07_decontamination"   -> d07_decontamination,
+    "d08_repeated_spans"    -> d08_repeated_spans,
     "s01_cosine_topk"       -> s01_cosine_topk,
     "s02_lsh_ann_topk"      -> s02_lsh_ann_topk,
     "s04_label_centroids"   -> s04_label_centroids)
@@ -1309,6 +1347,7 @@ object Corpus {
     "d05_dup_groups"        -> d05_sql,
     "d06_jaccard_neardups"  -> d06_sql,
     "d07_decontamination"   -> d07_sql,
+    "d08_repeated_spans"    -> d08_sql,
     "s01_cosine_topk"       -> s01_sql,
     "s02_lsh_ann_topk"      -> s02_sql,
     "s03_ivf_topk"          -> s03_sql,
