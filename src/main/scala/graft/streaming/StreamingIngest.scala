@@ -265,6 +265,52 @@ object StreamingIngest {
       }
   }
 
+  // ---- custom state: streaming funnel (emit-on-stage-completion) ----
+
+  case class FunnelEvent(user_id: Long, event_type: String, ts: java.sql.Timestamp)
+  /** Per-user funnel progress; -1L = stage not reached. */
+  case class FunnelState(vMicros: Long, cMicros: Long, pMicros: Long)
+  case class StageReached(user_id: Long, stage: String, ts: java.sql.Timestamp)
+
+  /** Streaming twin of the batch funnel (`Advanced.q57_funnel`): keyed
+    * state tracks each user's first view, first click after that view,
+    * and first purchase after that click; a row emits the moment a
+    * stage is newly reached. Under per-user in-timestamp-order delivery
+    * (the same no-late-arrivals contract the sessionization twin
+    * documents) the greedy first-match recurrence computes exactly the
+    * batch MIN-chain, so distinct users per stage equal q57's counts —
+    * spec-asserted against the oracle-checked batch query.
+    */
+  def streamingFunnel(events: org.apache.spark.sql.Dataset[FunnelEvent])
+      : org.apache.spark.sql.Dataset[StageReached] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StageReached](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, in: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = scala.collection.mutable.ListBuffer[StageReached]()
+          in.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
+            val m = micros(e.ts)
+            e.event_type match {
+              case "view" if st.vMicros < 0 =>
+                st = st.copy(vMicros = m)
+                out += StageReached(user, "view", e.ts)
+              case "click" if st.cMicros < 0 && st.vMicros >= 0 && m > st.vMicros =>
+                st = st.copy(cMicros = m)
+                out += StageReached(user, "click_after_view", e.ts)
+              case "purchase" if st.pMicros < 0 && st.cMicros >= 0 && m > st.cMicros =>
+                st = st.copy(pMicros = m)
+                out += StageReached(user, "purchase_after_click", e.ts)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** [[streamingSessions]] with idle-session flushing: the caller's
     * stream must carry a watermark on `ts`; a session whose user goes
     * quiet emits once the event-time watermark passes its last event

@@ -193,6 +193,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streamingFunnel over the real events table matches oracle-checked q57 stage counts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    // global ts sort before chunking — the same per-user in-order
+    // contract as the sessionization twin
+    val evs = graft.Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts")).orderBy(col("ts"))
+      .collect()
+      .map(r => StreamingIngest.FunnelEvent(r.getLong(0), r.getString(1), r.getTimestamp(2)))
+    val stream = MemoryStream[StreamingIngest.FunnelEvent]
+    val q = StreamingIngest.streamingFunnel(stream.toDS())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    evs.grouped(math.max(evs.length / 3, 1)).foreach { chunk =>
+      stream.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val counts = spark.sql(
+      "SELECT stage, COUNT(DISTINCT user_id) FROM funnel_out GROUP BY stage")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val batch = graft.queries.Advanced.queries("q57_funnel")(spark, dir).collect()(0)
+    assert(counts.getOrElse("view", 0L) === batch.getLong(0))
+    assert(counts.getOrElse("click_after_view", 0L) === batch.getLong(1))
+    assert(counts.getOrElse("purchase_after_click", 0L) === batch.getLong(2))
+    assert(counts.values.sum > 0)
+  }
+
   test("streamingSessionsWithTimeout flushes idle sessions once the watermark passes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
