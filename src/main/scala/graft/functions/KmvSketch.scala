@@ -125,8 +125,9 @@ object KmvSketch {
     * Float caveat: the string cast renders `-0.0` and `0.0` distinctly,
     * while exact COUNT(DISTINCT) treats them as one value — callers
     * hashing FLOAT/DOUBLE columns where negative zero can occur should
-    * normalize first (`when(c === 0.0, 0.0)`); [[ApproxDistinctRewrite]]
-    * does this automatically with the engine's own float normalizer.
+    * normalize first (`when(c === 0.0, lit(0.0)).otherwise(c)`);
+    * [[ApproxDistinctRewrite]] does this automatically with the
+    * engine's own float normalizer.
     */
   def hash64(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")

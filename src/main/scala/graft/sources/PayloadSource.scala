@@ -63,11 +63,15 @@ class PayloadSource extends TableProvider with DataSourceRegister {
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
-    new PayloadTable(
-      Option(properties.get("path")),
-      Option(properties.get("endpoint")).getOrElse("daily"),
-      FetchConfig.from(properties))
+      properties: JMap[String, String]): Table = {
+    val path = Option(properties.get("path"))
+    val fetch = FetchConfig.from(properties)
+    require(path.isEmpty || fetch.isEmpty,
+      "graft-payloads: 'urlTemplate' and a load path are mutually exclusive — " +
+        "fetch mode would silently ignore the path")
+    new PayloadTable(path,
+      Option(properties.get("endpoint")).getOrElse("daily"), fetch)
+  }
 }
 
 /** Live-fetch configuration (None when the source is offline). */
@@ -192,9 +196,18 @@ final class PayloadReaderFactory(required: StructType)
       finally in.close()
     } catch {
       case e: Exception if p.envelopeOnError =>
-        // JSON-escape the message into the reference's error envelope
-        val msg = s"fetch failed: ${e.toString}"
-          .replace("\\", "\\\\").replace("\"", "\\\"")
+        // JSON-escape the message into the reference's error envelope —
+        // including control characters (multi-line exception messages
+        // would otherwise make the envelope itself unparseable)
+        val msg = s"fetch failed: ${e.toString}".flatMap {
+          case '"'          => "\\\""
+          case '\\'         => "\\\\"
+          case '\n'         => "\\n"
+          case '\r'         => "\\r"
+          case '\t'         => "\\t"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c            => c.toString
+        }
         s"""{"Error Message": "$msg"}"""
     }
 

@@ -203,9 +203,10 @@ object StreamingIngest {
     * left behind by an idle-timeout flush — no session is open, but
     * `sessionId` carries the NEXT session number to assign and
     * `lastMicros` the flushed session's last event (for the late-event
-    * rule), so numbering stays monotonic across flushes. The sentinel
-    * sets no timeout, so it persists exactly as long as the open-session
-    * state the no-timeout variant keeps for an idle user.
+    * rule), so numbering stays monotonic across flushes. By default the
+    * sentinel sets no timeout and persists exactly as long as the
+    * open-session state the no-timeout variant keeps for an idle user;
+    * an optional sentinel TTL bounds state under unbounded user churn.
     */
   case class SessionState(sessionId: Long, startMicros: Long, lastMicros: Long, n: Long)
   case class ClosedSession(
@@ -319,10 +320,20 @@ object StreamingIngest {
     * difference is that trailing sessions don't wait for a later event
     * to close them. Timeout rows lag real time by the watermark delay,
     * like every watermark-finalized result in Structured Streaming.
+    *
+    * State lifetime: flushing leaves a numbering sentinel per user so
+    * a resumed user continues monotonically. By default the sentinel
+    * persists — the SAME total-state footprint as [[streamingSessions]]
+    * (which keeps every idle user's open session forever). Under
+    * unbounded user churn pass `sentinelTtlMicros`: a sentinel idle
+    * past the TTL is evicted, bounding state to recently-active users
+    * at the documented cost that a user silent for gap + TTL restarts
+    * numbering at 1.
     */
   def streamingSessionsWithTimeout(
       events: org.apache.spark.sql.Dataset[SessEvent],
-      gapMicros: Long): org.apache.spark.sql.Dataset[ClosedSession] = {
+      gapMicros: Long,
+      sentinelTtlMicros: Option[Long] = None): org.apache.spark.sql.Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
@@ -338,12 +349,23 @@ object StreamingIngest {
             val st = state.get
             if (st.n > 0) {
               state.update(SessionState(st.sessionId + 1, st.lastMicros,
-                st.lastMicros, 0L)) // sentinel: no timeout set → persists
+                st.lastMicros, 0L))
+              // default: no timeout on the sentinel → persists (exact
+              // numbering forever); with a TTL the sentinel itself
+              // times out and is evicted below, bounding state
+              sentinelTtlMicros.foreach { ttl =>
+                // clamp: a deadline already behind the watermark (tiny
+                // TTLs) must still be settable — fire next cycle
+                state.setTimeoutTimestamp(math.max(
+                  Math.floorDiv(st.lastMicros + gapMicros + ttl + 999L, 1000L),
+                  state.getCurrentWatermarkMs() + 1))
+              }
               Iterator.single(ClosedSession(user, st.sessionId, st.n,
                 fromMicros(st.startMicros), fromMicros(st.lastMicros)))
             } else {
-              // a sentinel can only time out via a stale timestamp from
-              // a superseded open session; nothing to emit
+              // sentinel TTL expired — evict; the user's numbering
+              // restarts at 1 if they ever return (documented tradeoff)
+              state.remove()
               Iterator.empty
             }
           } else {
@@ -374,9 +396,12 @@ object StreamingIngest {
                 // round the micros→ms conversion UP so the timeout can
                 // never fire before the full gap has elapsed (a
                 // floor-rounded timestamp can be ~1 ms early and split a
-                // session whose next event lands inside that sliver)
-                state.setTimeoutTimestamp(
-                  Math.floorDiv(st.lastMicros + gapMicros + 999L, 1000L))
+                // session whose next event lands inside that sliver);
+                // clamped — a watermark-late event's deadline may
+                // already be behind the watermark, which Spark rejects
+                state.setTimeoutTimestamp(math.max(
+                  Math.floorDiv(st.lastMicros + gapMicros + 999L, 1000L),
+                  state.getCurrentWatermarkMs() + 1))
             }
             closed.iterator
           }

@@ -10,13 +10,16 @@ import org.apache.spark.sql.functions._
   * log10(t_10x / t_1x) — ~1.0 is linear growth, the bucketed designs'
   * claim; >1.3 would flag a quadratic term hiding in a candidate join.
   *
-  * The 10× corpus is 10 salted replicas: every 4th token of each copy
-  * is replaced by a replica+doc-unique salt token, so no shingle
-  * survives between a document and its replicas — replicas are
-  * UNRELATED documents to every 5-gram operator, keeping the near-dup
-  * pair density per replica identical to the base corpus (a plain 10×
-  * copy would instead add ~45 cross-replica pairs per document and
-  * measure output explosion, not input scaling).
+  * The 10× corpus is 10 salted replicas: a REPLICA-wide salt token is
+  * inserted after every 4 source tokens, so every 5-gram window
+  * contains a salt — shingles differ across replicas (cross-replica
+  * pairs break: a plain 10× copy would instead add ~45 cross-replica
+  * pairs per document and measure output explosion, not input scaling)
+  * while WITHIN a replica two documents share salts and keep their
+  * real near-dup overlap. The 1× corpus goes through the same salting,
+  * so 1× vs 10× is a pure input-size contrast at matched per-replica
+  * pair density. (A doc-unique salt would break ALL cross-document
+  * overlap and time the operators over empty candidate sets.)
   *
   * Run: sbt "runMain graft.tools.ScaleGrowth" (SPARK_GRAFT_SF_DIR to
   * override the base corpus; min-of-2 timing after one warm-up).
@@ -24,14 +27,15 @@ import org.apache.spark.sql.functions._
 object ScaleGrowth {
 
   private def salted(docs: DataFrame, replicas: Int): DataFrame = {
-    // insert a per-(replica, doc) salt token after every 4 source
-    // tokens: group-1 backref keeps the original tokens, the salt
-    // breaks every 5-gram window crossing it
+    // insert a per-REPLICA salt token after every 4 source tokens:
+    // group-1 backref keeps the original tokens; the salt breaks every
+    // 5-gram crossing replica boundaries but is shared by all docs of
+    // one replica, preserving within-replica near-dup overlap
     val rep = explode(sequence(lit(0), lit(replicas - 1)))
     docs.withColumn("rep", rep)
       .withColumn("text",
         regexp_replace(col("text"), lit("(\\S+\\s+\\S+\\s+\\S+\\s+\\S+)\\s+"),
-          concat(lit("$1 zq"), col("rep"), lit("x"), col("doc_id"), lit(" "))))
+          concat(lit("$1 zq"), col("rep"), lit(" "))))
       .withColumn("doc_id", col("doc_id") * 16 + col("rep"))
       .drop("rep")
   }

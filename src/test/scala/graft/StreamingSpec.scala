@@ -325,6 +325,46 @@ class StreamingSpec extends SparkSpec {
     assert(ref === out, s"timeout variant diverges from streamingSessions: $ref vs $out")
   }
 
+  test("streamingSessionsWithTimeout sentinel TTL evicts idle numbering state; a late return restarts at 1") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 30L * 60 * 1000 * 1000 // 30 min
+    val ttl = 60L * 60 * 1000 * 1000 // 60 min sentinel TTL
+    def ts(min: Int) = new java.sql.Timestamp((1000 + min) * 60000L)
+    val stream = MemoryStream[StreamingIngest.SessEvent]
+    val events = stream.toDS()
+      .withWatermark("ts", "0 seconds").as[StreamingIngest.SessEvent]
+    val q = StreamingIngest.streamingSessionsWithTimeout(events, gap, Some(ttl))
+      .writeStream.format("memory").queryName("sess_ttl_out")
+      .outputMode("append").start()
+    stream.addData(StreamingIngest.SessEvent(1L, ts(0)), StreamingIngest.SessEvent(1L, ts(10)))
+    q.processAllAvailable()
+    // watermark to 120 → flush session 1 AND pass the sentinel's
+    // TTL deadline (10 + 30 + 60 = 100) → sentinel evicted next cycle
+    stream.addData(StreamingIngest.SessEvent(2L, ts(120)))
+    q.processAllAvailable()
+    q.processAllAvailable() // flush fires; sentinel deadline now behind wm
+    // a later event advances the watermark past the sentinel's clamped
+    // deadline — the TTL eviction needs a subsequent watermark move
+    stream.addData(StreamingIngest.SessEvent(2L, ts(150)))
+    q.processAllAvailable()
+    q.processAllAvailable() // sentinel TTL fires → state evicted
+    // user 1 returns AFTER eviction: numbering restarts at 1 — the
+    // documented bounded-state tradeoff
+    stream.addData(StreamingIngest.SessEvent(1L, ts(200)))
+    q.processAllAvailable()
+    stream.addData(StreamingIngest.SessEvent(2L, ts(400))) // wm past 200+gap
+    q.processAllAvailable()
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.sql(
+      "SELECT session_id, session_start FROM sess_ttl_out WHERE user_id = 1 ORDER BY session_start")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSeq
+    assert(u1 === Seq((1L, ts(0)), (1L, ts(200))),
+      s"expected numbering restart after TTL eviction, got $u1")
+  }
+
   test("intervalJoin leftOuter: unmatched purchases emit nulls only after the watermark passes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
