@@ -16,7 +16,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
     graft.queries.Stock.queries ++
     graft.queries.Corpus.queries ++
-    graft.queries.Advanced.queries
+    graft.queries.Advanced.queries ++
+    graft.queries.Extensions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -25,5 +26,6 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
     graft.queries.Stock.oracles ++
     graft.queries.Corpus.oracles ++
-    graft.queries.Advanced.oracles
+    graft.queries.Advanced.oracles ++
+    graft.queries.Extensions.oracles
 }

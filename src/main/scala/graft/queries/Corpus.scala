@@ -1066,6 +1066,48 @@ object Corpus {
       |  ROUND(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS weight
       |FROM g CROSS JOIN tot""".stripMargin
 
+  /** Corpus position index: each document's global start offset in the
+    * concatenated token stream (the byte/token-offset manifest a
+    * packing or random-access loader needs). A global running sum is
+    * the textbook single-partition window trap, so this computes a
+    * scale-safe two-level prefix sum instead: per-bucket subtotals
+    * (one tiny aggregate), an exclusive prefix over the ~N/8192
+    * bucket rows (the only unpartitioned window — thousands of rows at
+    * 100 TB, never documents), then a within-bucket running sum
+    * partitioned by bucket. The oracle states the naive global window
+    * directly — same numbers, independent plan.
+    */
+  val t16_corpus_positions: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val bucketSize = 8192L // docs per bucket; prefix table = N/8192 rows
+    val counts = t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCountOf(TextAnalysis.tokens(col("text")))
+          .cast("long").as("n_tokens"))
+      .withColumn("__bucket", floor(col("doc_id") / bucketSize))
+    val wBuckets = Window.orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = counts.groupBy(col("__bucket"))
+      .agg(sum(col("n_tokens")).as("__btot"))
+      .select(col("__bucket"),
+        coalesce(sum(col("__btot")).over(wBuckets), lit(0L)).as("__bstart"))
+    val wInBucket = Window.partitionBy(col("__bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counts.join(broadcast(prefixes), "__bucket")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("__bstart") +
+          coalesce(sum(col("n_tokens")).over(wInBucket), lit(0L)))
+          .as("start_offset"))
+  }
+
+  val t16_sql: String =
+    s"""WITH t AS (SELECT doc_id, len($toksSql) AS n_tokens FROM documents)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS start_offset
+       |FROM t""".stripMargin
+
   /** Per-label embedding centroids (class prototypes — the mean-pooling
     * stage of prototype classifiers / dataset cartography), emitted as
     * (label, pos, value) rows. posexplode fans each vector into 64
@@ -1307,6 +1349,7 @@ object Corpus {
     "t13_ngram_freq"        -> t13_ngram_freq,
     "t14_tfidf_terms"       -> t14_tfidf_terms,
     "t15_mixture_weights"   -> t15_mixture_weights,
+    "t16_corpus_positions"  -> t16_corpus_positions,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -1340,6 +1383,7 @@ object Corpus {
     "t13_ngram_freq"        -> t13_sql,
     "t14_tfidf_terms"       -> t14_sql,
     "t15_mixture_weights"   -> t15_sql,
+    "t16_corpus_positions"  -> t16_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,

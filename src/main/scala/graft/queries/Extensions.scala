@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Round-5 SQL-surface extensions: correlated LATERAL joins, recursive
+  * CTEs (Spark 4's `WITH RECURSIVE` / `UnionLoop`), and higher-order
+  * array functions — surfaces a DBMS-backed pipeline like the
+  * reference's gets for free from Postgres/DuckDB and a Spark-native
+  * engine must provide explicitly. Each carries a bit-exact DuckDB
+  * oracle that reaches the same result by an independent mechanism.
+  */
+object Extensions {
+
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private val dec2 = DecimalType(18, 2)
+
+  /** Correlated LATERAL join: the two most recent orders per customer
+    * of one nation (reference workload shape: "latest rows per key",
+    * cf. README_duckdb.md:78-84, which the reference writes as a
+    * window). The LATERAL subquery carries a correlated ORDER BY +
+    * LIMIT, which Catalyst decorrelates into a ranked window over a
+    * single keyed shuffle — same plan family as q05/q50, reached from
+    * the SQL-apply surface instead. DuckDB runs the identical
+    * statement as the oracle.
+    */
+  val q59_lateral: Q = (s, dir) => {
+    t(s, dir, "customer").createOrReplaceTempView("g_q59_customer")
+    t(s, dir, "orders").createOrReplaceTempView("g_q59_orders")
+    s.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        |FROM g_q59_customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+        |         o_totalprice
+        |  FROM g_q59_orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC
+        |  LIMIT 2) o
+        |WHERE c.c_nationkey = 5""".stripMargin)
+  }
+
+  val q59_sql: String =
+    """SELECT c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+      |FROM customer c,
+      |LATERAL (
+      |  SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+      |         o_totalprice
+      |  FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_orderdate DESC, o_orderkey DESC
+      |  LIMIT 2) o
+      |WHERE c.c_nationkey = 5""".stripMargin
+
+  /** Recursive-CTE month spine with zero-filled gaps: one row per
+    * calendar month from the first to the last order month, left-joined
+    * to the monthly order aggregate (the date-dimension pattern a SQL
+    * warehouse builds with WITH RECURSIVE). The recursion carries its
+    * own stop bound in the working row, so the recursive term needs no
+    * subquery; depth = #months (~10²), far under the level limit, and
+    * the spine is tiny at any corpus scale — the only full-table work
+    * is the ordinary monthly aggregate. The oracle reaches the same
+    * spine via DuckDB's generate_series, an independent mechanism.
+    */
+  val q60_month_spine: Q = (s, dir) => {
+    t(s, dir, "orders").createOrReplaceTempView("g_q60_orders")
+    s.sql(
+      """WITH RECURSIVE spine(month_start, last_month) AS (
+        |  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS TIMESTAMP),
+        |         CAST(date_trunc('month', MAX(o_orderdate)) AS TIMESTAMP)
+        |  FROM g_q60_orders
+        |  UNION ALL
+        |  SELECT month_start + INTERVAL '1' MONTH, last_month
+        |  FROM spine WHERE month_start < last_month
+        |),
+        |m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |         COUNT(*) AS n_orders,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |  FROM g_q60_orders GROUP BY 1
+        |)
+        |SELECT s.month_start, COALESCE(m.n_orders, 0) AS n_orders,
+        |       COALESCE(m.total_price, CAST(0.0 AS DOUBLE)) AS total_price
+        |FROM spine s LEFT JOIN m ON s.month_start = m.month_start""".stripMargin)
+  }
+
+  val q60_sql: String =
+    """WITH b AS (
+      |  SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+      |         date_trunc('month', MAX(o_orderdate)) AS hi
+      |  FROM orders),
+      |spine AS (
+      |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS TIMESTAMP)
+      |    AS month_start FROM b),
+      |m AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      |         COUNT(*) AS n_orders,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |  FROM orders GROUP BY 1)
+      |SELECT s.month_start, COALESCE(m.n_orders, 0) AS n_orders,
+      |       COALESCE(m.total_price, 0.0) AS total_price
+      |FROM spine s LEFT JOIN m ON s.month_start = m.month_start""".stripMargin
+
+  /** Higher-order array functions over per-key order histories:
+    * collect each customer's order totals into a sorted array, then
+    * stay inside the array — `aggregate` folds the exact decimal sum,
+    * `filter` with a lambda counts above-average orders, `transform`
+    * normalizes to shares. One shuffle (the groupBy); every lambda is
+    * codegen'd array work, no explode-regroup round trip — at corpus
+    * scale the array stage costs nothing beyond the aggregate that
+    * built it. The oracle is DuckDB's independent list-lambda engine
+    * (list_aggregate / list_filter / list_transform).
+    *
+    * Numeric discipline: the fold accumulates DECIMAL(38,2) exactly;
+    * ratios are single double divisions of exact values (bit-identical
+    * across engines).
+    */
+  val q61_array_hof: Q = (s, dir) => {
+    val wide = DecimalType(38, 2)
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(col("o_totalprice").cast(dec2))).as("totals"))
+      .withColumn("order_total",
+        aggregate(col("totals"), lit(0).cast(wide), (acc, x) => acc + x))
+      .select(
+        col("o_custkey"),
+        size(col("totals")).cast("long").as("n_orders"),
+        col("order_total").cast("double").as("order_total"),
+        size(filter(col("totals"), x =>
+          x.cast("double") > col("order_total").cast("double") /
+            size(col("totals")))).cast("long").as("n_above_avg"),
+        element_at(
+          transform(col("totals"), x =>
+            x.cast("double") / col("order_total").cast("double")), -1)
+          .as("top_share"))
+  }
+
+  val q61_sql: String =
+    """WITH a AS (
+      |  SELECT o_custkey,
+      |         list(CAST(o_totalprice AS DECIMAL(18,2)) ORDER BY CAST(o_totalprice AS DECIMAL(18,2))) AS totals
+      |  FROM orders GROUP BY o_custkey),
+      |b AS (
+      |  SELECT o_custkey, totals,
+      |         CAST(list_aggregate(totals, 'sum') AS DECIMAL(38,2)) AS order_total
+      |  FROM a)
+      |SELECT o_custkey,
+      |       len(totals) AS n_orders,
+      |       CAST(order_total AS DOUBLE) AS order_total,
+      |       len(list_filter(totals, x ->
+      |         CAST(x AS DOUBLE) > CAST(order_total AS DOUBLE) / len(totals))) AS n_above_avg,
+      |       CAST(totals[-1] AS DOUBLE) / CAST(order_total AS DOUBLE) AS top_share
+      |FROM b""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q59_lateral"     -> q59_lateral,
+    "q60_month_spine" -> q60_month_spine,
+    "q61_array_hof"   -> q61_array_hof)
+
+  val oracles: Map[String, String] = Map(
+    "q59_lateral"     -> q59_sql,
+    "q60_month_spine" -> q60_sql,
+    "q61_array_hof"   -> q61_sql)
+}

@@ -101,4 +101,82 @@ class SqlSurfaceSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(sh == 5L) // all tokens identical -> the hash itself
   }
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("q59_lateral: correlated LATERAL LIMIT equals the rank-window top-2 per customer") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.Extensions.q59_lateral(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val custs = Tables(spark, sfDir, "customer")
+      .where(col("c_nationkey") === 5).select(col("c_custkey"))
+    val ref = Tables(spark, sfDir, "orders")
+      .join(custs, col("o_custkey") === col("c_custkey"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= 2)
+      .collect().map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("o_orderkey"))).toSet
+    assert(got === ref)
+    assert(got.groupBy(_._1).values.forall(_.size <= 2))
+  }
+
+  test("q60_month_spine: recursive CTE spans min..max contiguously and zero-fills gap months") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.Extensions.q60_month_spine(spark, sfDir)
+      .orderBy("month_start").collect()
+    val months = rows.map(_.getTimestamp(0))
+    // contiguous: every consecutive pair is exactly one calendar month apart
+    months.sliding(2).foreach { case Array(a, b) =>
+      val c = java.util.Calendar.getInstance(java.util.TimeZone.getTimeZone("UTC"))
+      c.setTime(a); c.add(java.util.Calendar.MONTH, 1)
+      assert(c.getTime.getTime === b.getTime, s"gap between $a and $b")
+    case _ => ()
+    }
+    // order counts conserve: spine sums to the table's row count
+    val totalOrders = Tables(spark, sfDir, "orders").count()
+    assert(rows.map(_.getLong(1)).sum === totalOrders)
+    // the spine exists precisely because some months have zero orders
+    // at this scale factor; zero-filled rows carry 0.0 totals
+    rows.filter(_.getLong(1) == 0).foreach(r => assert(r.getDouble(2) === 0.0))
+  }
+
+  test("q61_array_hof: array fold/filter agree with the explode formulation") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.Extensions.q61_array_hof(spark, sfDir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    val base = Tables(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_totalprice").cast("decimal(18,2)").as("p"))
+    val totals = base.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), sum(col("p")).cast("double").as("tot"))
+    val above = base.join(totals, "o_custkey")
+      .where(col("p").cast("double") > col("tot") / col("n"))
+      .groupBy("o_custkey").agg(count(lit(1)).as("na"))
+    val ref2 = totals.join(above, Seq("o_custkey"), "left")
+      .na.fill(0L, Seq("na"))
+      .collect().map(r => (r.getAs[Long]("o_custkey"),
+        (r.getAs[Long]("n"), r.getAs[Double]("tot"), r.getAs[Long]("na")))).toMap
+    assert(got === ref2)
+  }
+
+  test("t16_corpus_positions: two-level prefix sum equals the naive global running sum") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.Corpus.t16_corpus_positions(spark, sfDir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val w = Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+    val ref = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.text.TextAnalysis.tokenCountOf(
+          graft.text.TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(w), lit(0L)))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got === ref)
+    // offsets start at zero and concatenate exactly
+    val first = got.minBy(_._1)._2
+    assert(first._2 === 0L)
+    assert(got.values.map(_._1).sum ===
+      got.maxBy(_._1)._2._1 + got.maxBy(_._1)._2._2)
+  }
 }
