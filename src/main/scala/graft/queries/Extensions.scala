@@ -158,13 +158,77 @@ object Extensions {
       |       CAST(totals[-1] AS DOUBLE) / CAST(order_total AS DOUBLE) AS top_share
       |FROM b""".stripMargin
 
+  /** Multiple DISTINCT aggregates in one grouped aggregation — Catalyst
+    * plans this with an Expand (one replicated row-set per distinct
+    * group), not N self-joins, so it stays a single two-exchange
+    * aggregate at any scale. Mixing in a plain SUM exercises the
+    * regular-aggregate path through the same Expand. Exact decimal sum,
+    * final cast to double (the repo-wide money discipline).
+    */
+  val q62_multi_distinct: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(date_trunc("month", col("o_orderdate"))).as("n_months"),
+        sum(col("o_totalprice").cast(dec2)).cast("double").as("total_price"),
+        count(lit(1)).as("n_orders"))
+
+  val q62_sql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(DISTINCT o_custkey) AS n_customers,
+      |  COUNT(DISTINCT date_trunc('month', o_orderdate)) AS n_months,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  /** Null-aware anti join: `NOT IN (subquery)` under three-valued
+    * logic — an outer row with a NULL key is never returned (unknown ≠
+    * known-absent), which is exactly where NOT IN diverges from q07's
+    * NOT EXISTS / left-anti. One market segment's keys are mapped to
+    * NULL to exercise that rule on real rows. Spark plans this as a
+    * null-aware anti join (broadcast; falls back to nested-loop only
+    * when the build side is large AND nullable — here the subquery is
+    * a pruned key list, broadcastable at any corpus scale). DuckDB
+    * evaluates the same statement under the same SQL semantics.
+    */
+  val q63_not_in: Q = (s, dir) => {
+    t(s, dir, "customer").createOrReplaceTempView("g_q63_customer")
+    t(s, dir, "orders").createOrReplaceTempView("g_q63_orders")
+    s.sql(
+      """WITH c AS (
+        |  SELECT CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN NULL
+        |              ELSE c_custkey END AS k,
+        |         c_name, c_mktsegment
+        |  FROM g_q63_customer)
+        |SELECT k, c_name, c_mktsegment
+        |FROM c
+        |WHERE k NOT IN (SELECT o_custkey FROM g_q63_orders
+        |                WHERE o_orderpriority = '1-URGENT')""".stripMargin)
+  }
+
+  val q63_sql: String =
+    """WITH c AS (
+      |  SELECT CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN NULL
+      |              ELSE c_custkey END AS k,
+      |         c_name, c_mktsegment
+      |  FROM customer)
+      |SELECT k, c_name, c_mktsegment
+      |FROM c
+      |WHERE k NOT IN (SELECT o_custkey FROM orders
+      |                WHERE o_orderpriority = '1-URGENT')""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "q59_lateral"     -> q59_lateral,
-    "q60_month_spine" -> q60_month_spine,
-    "q61_array_hof"   -> q61_array_hof)
+    "q59_lateral"        -> q59_lateral,
+    "q60_month_spine"    -> q60_month_spine,
+    "q61_array_hof"      -> q61_array_hof,
+    "q62_multi_distinct" -> q62_multi_distinct,
+    "q63_not_in"         -> q63_not_in)
 
   val oracles: Map[String, String] = Map(
-    "q59_lateral"     -> q59_sql,
-    "q60_month_spine" -> q60_sql,
-    "q61_array_hof"   -> q61_sql)
+    "q59_lateral"        -> q59_sql,
+    "q60_month_spine"    -> q60_sql,
+    "q61_array_hof"      -> q61_sql,
+    "q62_multi_distinct" -> q62_sql,
+    "q63_not_in"         -> q63_sql)
 }

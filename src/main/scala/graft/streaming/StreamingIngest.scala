@@ -405,6 +405,32 @@ object StreamingIngest {
             }
             closed.iterator
           }
-      }
+        }
   }
+
+  // ---- streaming exact dedup ----
+
+  case class DocArrival(doc_id: Long, content_hash: String,
+      ts: java.sql.Timestamp)
+
+  /** Streaming exact deduplication — the streaming face of
+    * [[graft.dedup.Dedup.exactDedup]] (d01): keep the FIRST arrival of
+    * each content hash, drop every later duplicate that lands within
+    * the watermark horizon. `dropDuplicatesWithinWatermark` keys state
+    * by hash and evicts an entry once the watermark passes its event
+    * time plus the delay, so state is bounded by the dedup horizon
+    * instead of growing with the stream — at corpus scale the state
+    * store holds one hash per distinct document seen in the last
+    * `watermark`, not the whole corpus. A stream can only promise
+    * uniqueness within that horizon; corpus-wide exactness is the
+    * batch operator's contract, and a re-arrival after eviction is
+    * re-emitted (the documented tradeoff, spec-asserted).
+    */
+  def streamingExactDedup(
+      arrivals: org.apache.spark.sql.Dataset[DocArrival],
+      watermark: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[DocArrival] =
+    arrivals
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
 }

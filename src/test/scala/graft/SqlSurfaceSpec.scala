@@ -160,6 +160,30 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(got === ref2)
   }
 
+  test("q62/q63: multi-distinct plans via Expand; NOT IN drops NULL-key rows NOT EXISTS would keep") {
+    import org.apache.spark.sql.functions._
+    // q62: two DISTINCT aggregates + plain aggregates in ONE pass —
+    // the plan must carry an Expand, not a self-join per distinct set
+    val q62 = graft.queries.Extensions.q62_multi_distinct(spark, sfDir)
+    assert(q62.queryExecution.executedPlan.toString.contains("Expand"),
+      "multiple DISTINCT aggregates should plan through Expand")
+    val row = q62.where(col("o_orderpriority") === "1-URGENT").collect()(0)
+    val ref = Tables(spark, sfDir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT")
+      .agg(countDistinct(col("o_custkey")).as("n"), count(lit(1)).as("c"))
+      .collect()(0)
+    assert(row.getLong(1) === ref.getLong(0) &&
+      row.getLong(4) === ref.getLong(1))
+    // q63: every AUTOMOBILE customer has a NULL key, and NOT IN's
+    // three-valued logic must exclude ALL of them — exactly where it
+    // diverges from q07's NOT EXISTS, which would keep such rows
+    val q63 = graft.queries.Extensions.q63_not_in(spark, sfDir).collect()
+    assert(q63.nonEmpty)
+    assert(!q63.exists(_.getString(2) == "AUTOMOBILE"),
+      "NULL-key rows must not survive NOT IN")
+    assert(q63.forall(r => !r.isNullAt(0)))
+  }
+
   test("t16_corpus_positions: two-level prefix sum equals the naive global running sum") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

@@ -365,6 +365,41 @@ class StreamingSpec extends SparkSpec {
       s"expected numbering restart after TTL eviction, got $u1")
   }
 
+  test("streamingExactDedup keeps first arrivals, drops in-horizon dups, re-admits after eviction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp((1000 + min) * 60000L)
+    def ev(id: Long, h: String, min: Int) =
+      StreamingIngest.DocArrival(id, h, ts(min))
+    val stream = MemoryStream[StreamingIngest.DocArrival]
+    val q = StreamingIngest.streamingExactDedup(stream.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    // first arrivals kept, an in-horizon duplicate hash dropped —
+    // including a duplicate arriving in a LATER batch while state lives
+    stream.addData(ev(1, "hA", 0), ev(2, "hB", 1), ev(3, "hA", 2))
+    q.processAllAvailable()
+    stream.addData(ev(4, "hA", 3))
+    q.processAllAvailable()
+    val kept1 = spark.sql("SELECT doc_id FROM dedup_out ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept1 === Seq(1L, 2L),
+      s"expected first arrivals of hA/hB only, got $kept1")
+    // advance the watermark far past hA's expiry (ts 2 + 10 min), then
+    // re-send hA: state was evicted, so the re-arrival is re-admitted —
+    // the documented horizon tradeoff
+    stream.addData(ev(5, "hC", 60))
+    q.processAllAvailable() // watermark → 50, hA/hB state evicted
+    stream.addData(ev(6, "hA", 61))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.sql("SELECT doc_id FROM dedup_out ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(all === Seq(1L, 2L, 5L, 6L),
+      s"expected hA re-admitted after state eviction, got $all")
+  }
+
   test("intervalJoin leftOuter: unmatched purchases emit nulls only after the watermark passes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
