@@ -1085,7 +1085,11 @@ object Corpus {
         TextAnalysis.tokenCountOf(TextAnalysis.tokens(col("text")))
           .cast("long").as("n_tokens"))
       .withColumn("__bucket", floor(col("doc_id") / bucketSize))
-    val wBuckets = Window.orderBy(col("__bucket"))
+    // partitionBy(lit) = ONE deliberate partition of ~N/8192 bucket
+    // rows (thousands at 100 TB) — same execution as an unpartitioned
+    // window but stated explicitly, so it doesn't trip the "No
+    // Partition Defined" scale lint the t12/t13 fix eliminated
+    val wBuckets = Window.partitionBy(lit(0)).orderBy(col("__bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val prefixes = counts.groupBy(col("__bucket"))
       .agg(sum(col("n_tokens")).as("__btot"))

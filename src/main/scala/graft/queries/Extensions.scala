@@ -218,17 +218,48 @@ object Extensions {
       |WHERE k NOT IN (SELECT o_custkey FROM orders
       |                WHERE o_orderpriority = '1-URGENT')""".stripMargin
 
+  /** Semi-structured VARIANT path (Spark 4's binary-encoded variant
+    * type, the engine-native answer to JSON-string columns): build a
+    * nested variant per event ({"u": user_id, "p": {"k": ...}}), then
+    * extract through nested paths with typed `variant_get` — parse
+    * once, access many, no per-access string re-parse (the q17
+    * get_json_object shape re-parses per extraction). The aggregate
+    * stays one map-side-combined shuffle on exact integers. The oracle
+    * never sees the variant: it reaches the same numbers from the raw
+    * columns, so the check proves the variant round-trip is lossless.
+    */
+  val q64_variant: Q = (s, dir) =>
+    t(s, dir, "events")
+      .select(col("event_type"),
+        parse_json(concat(lit("{\"u\":"), col("user_id"),
+          lit(",\"p\":"), col("props"), lit("}"))).as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.u', 'bigint')").as("u"),
+        expr("variant_get(v, '$.p.k', 'int')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("u")).as("n_users"),
+        sum(col("k")).cast("long").as("sum_k"))
+
+  val q64_sql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+      |FROM events GROUP BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q59_lateral"        -> q59_lateral,
     "q60_month_spine"    -> q60_month_spine,
     "q61_array_hof"      -> q61_array_hof,
     "q62_multi_distinct" -> q62_multi_distinct,
-    "q63_not_in"         -> q63_not_in)
+    "q63_not_in"         -> q63_not_in,
+    "q64_variant"        -> q64_variant)
 
   val oracles: Map[String, String] = Map(
     "q59_lateral"        -> q59_sql,
     "q60_month_spine"    -> q60_sql,
     "q61_array_hof"      -> q61_sql,
     "q62_multi_distinct" -> q62_sql,
-    "q63_not_in"         -> q63_sql)
+    "q63_not_in"         -> q63_sql,
+    "q64_variant"        -> q64_sql)
 }
