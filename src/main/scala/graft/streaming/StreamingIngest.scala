@@ -433,4 +433,38 @@ object StreamingIngest {
     arrivals
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  // ---- streaming top-k per key ----
+
+  case class RankEvent(key: Long, item: Long, score: Double)
+  case class TopK(key: Long, items: Seq[Long], scores: Seq[Double])
+
+  /** Streaming top-k per key (the leaderboard shape) — the streaming
+    * face of the custom batch operator [[graft.plans.TopKPerKey]]:
+    * keyed state holds a BOUNDED k-element list per key (never the
+    * event history), each trigger folds new events into it and emits
+    * the key's refreshed top-k in Update mode. State is k rows per
+    * distinct key — the same bound the batch operator's map-side heaps
+    * enforce — so a 100 TB keyspace costs k·|keys| state, independent
+    * of stream length. Ties break deterministically on (score desc,
+    * item asc), matching the batch operator's ordering.
+    */
+  def streamingTopKPerKey(
+      events: org.apache.spark.sql.Dataset[RankEvent],
+      k: Int): org.apache.spark.sql.Dataset[TopK] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .mapGroupsWithState[List[(Double, Long)], TopK](
+        GroupStateTimeout.NoTimeout) {
+        (key: Long, in: Iterator[RankEvent],
+            state: GroupState[List[(Double, Long)]]) =>
+          val merged = (state.getOption.getOrElse(Nil) ++
+              in.map(e => (e.score, e.item)))
+            .sortBy { case (s, i) => (-s, i) }
+            .take(k)
+          state.update(merged)
+          TopK(key, merged.map(_._2), merged.map(_._1))
+      }
+  }
 }

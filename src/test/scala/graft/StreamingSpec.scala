@@ -400,6 +400,52 @@ class StreamingSpec extends SparkSpec {
       s"expected hA re-admitted after state eviction, got $all")
   }
 
+  test("streamingTopKPerKey: bounded keyed state converges to the batch top-k over all batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StreamingIngest.RankEvent]
+    val q = StreamingIngest.streamingTopKPerKey(stream.toDS(), k = 3)
+      .writeStream.format("memory").queryName("topk_out")
+      .outputMode("update").start()
+    // two batches; the second displaces batch-1 entries and adds a key
+    val batch1 = Seq(
+      StreamingIngest.RankEvent(1L, 10L, 5.0), StreamingIngest.RankEvent(1L, 11L, 3.0),
+      StreamingIngest.RankEvent(1L, 12L, 4.0), StreamingIngest.RankEvent(1L, 13L, 1.0),
+      StreamingIngest.RankEvent(2L, 20L, 2.0))
+    val batch2 = Seq(
+      StreamingIngest.RankEvent(1L, 14L, 9.0), StreamingIngest.RankEvent(1L, 15L, 3.0),
+      StreamingIngest.RankEvent(2L, 21L, 2.0), // tie with 20 → item asc wins
+      StreamingIngest.RankEvent(3L, 30L, 7.0))
+    stream.addData(batch1: _*); q.processAllAvailable()
+    stream.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+    // update mode re-emits refreshed keys; the LAST row per key is the
+    // converged state — it must equal the batch rank over ALL events
+    val latest = spark.sql(
+      """SELECT key, items, scores FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY mono DESC) AS rn
+        |  FROM (SELECT *, monotonically_increasing_id() AS mono FROM topk_out))
+        |WHERE rn = 1""".stripMargin)
+      .collect().map(r => (r.getLong(0),
+        (r.getSeq[Long](1).toList, r.getSeq[Double](2).toList))).toMap
+    val all = (batch1 ++ batch2).toDS()
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val ref = all
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("score").desc, col("item").asc)))
+      .where(col("rn") <= 3).orderBy(col("key"), col("rn"))
+      .collect().map(r => (r.getAs[Long]("key"),
+        (r.getAs[Long]("item"), r.getAs[Double]("score"))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toList).toMap
+    assert(latest.keySet === ref.keySet)
+    ref.foreach { case (key, expected) =>
+      assert(latest(key)._1 === expected.map(_._1), s"items for key $key")
+      assert(latest(key)._2 === expected.map(_._2), s"scores for key $key")
+    }
+  }
+
   test("intervalJoin leftOuter: unmatched purchases emit nulls only after the watermark passes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
