@@ -209,6 +209,44 @@ object MultiModal {
       }
   }
 
+  /** One strided audio analysis window (geometry only — the reference a
+    * feature extractor dereferences; no samples move until then).
+    */
+  case class AudioWindow(
+      mediaId: Long,
+      windowIndex: Long,
+      startSample: Long,
+      nSamples: Int,
+      startMs: Long)
+
+  /** Frame audio into strided analysis windows — the STFT/mel framing
+    * shape: windows of `windowSamples` every `hopSamples`, full windows
+    * only. Pure metadata arithmetic over (sampleRate, durationMs) —
+    * narrow, no decode, no shuffle — so at 100 TB the manifest
+    * materializes and joins against features while PCM extraction stays
+    * deferred behind the window references, exactly like
+    * [[tilePatches]] for images.
+    */
+  def windowAudio(media: Dataset[MediaRow], windowSamples: Int = 400,
+      hopSamples: Int = 160): Dataset[AudioWindow] = {
+    import media.sparkSession.implicits._
+    require(windowSamples >= 1 && hopSamples >= 1,
+      s"window/hop must be >= 1, got $windowSamples/$hopSamples")
+    media
+      .filter(col("kind") === "audio")
+      .flatMap { m =>
+        val nTotal = m.meta.sampleRate.toLong * m.meta.durationMs / 1000L
+        val nWin =
+          if (nTotal < windowSamples) 0L
+          else (nTotal - windowSamples) / hopSamples + 1
+        (0L until nWin).iterator.map { i =>
+          val start = i * hopSamples
+          AudioWindow(m.mediaId, i, start, windowSamples,
+            start * 1000L / m.meta.sampleRate)
+        }
+      }
+  }
+
   /** Feature extraction: 64-bin normalized byte histogram over decoded
     * content — a deterministic stand-in with the exact shape of a real
     * embedding stage (fixed-dim float vector per media object, computed

@@ -1254,6 +1254,37 @@ object Corpus {
       |  CAST(least(16, h - (pid // nx) * 16) AS BIGINT) AS height
       |FROM p""".stripMargin
 
+  /** Strided audio-window manifest (STFT/mel framing geometry) over the
+    * synthetic audio corpus — [[m02_frame_manifest]]'s recipe for the
+    * audio modality: the window fan-out is pure metadata arithmetic
+    * (400-sample windows every 160 samples at 16 kHz), so DuckDB
+    * replays it from generate_series and hash-checks the plumbing a
+    * real PCM feature extractor would slot into.
+    */
+  val m04_audio_windows: Q = (s, _) =>
+    graft.multimodal.MultiModal
+      .windowAudio(graft.multimodal.MultiModal.syntheticMedia(s, n = 300))
+      .toDF()
+      .select(
+        col("mediaId").as("media_id"),
+        col("windowIndex").as("window_index"),
+        col("startSample").as("start_sample"),
+        col("nSamples").cast("long").as("n_samples"),
+        col("startMs").as("start_ms"))
+
+  val m04_sql: String =
+    """WITH ids AS (SELECT unnest(generate_series(0, 299)) AS id),
+      |a AS (SELECT id, 16000 * (500 + id % 2000) // 1000 AS n_total
+      |      FROM ids WHERE id % 3 = 1),
+      |w AS (SELECT id,
+      |  unnest(generate_series(0, (n_total - 400) // 160)) AS i
+      | FROM a WHERE n_total >= 400)
+      |SELECT id AS media_id, CAST(i AS BIGINT) AS window_index,
+      |  CAST(i * 160 AS BIGINT) AS start_sample,
+      |  CAST(400 AS BIGINT) AS n_samples,
+      |  CAST(i * 160 * 1000 // 16000 AS BIGINT) AS start_ms
+      |FROM w""".stripMargin
+
   /** IVF-ANN top-10 (k-means inverted lists, 8-probe) — the second ANN
     * scale path next to s02's hyperplane LSH. The index is built once
     * per corpus and reused (real serving shape: construction amortizes
@@ -1335,6 +1366,7 @@ object Corpus {
     "m01_multimodal_features" -> m01_multimodal_features,
     "m02_frame_manifest"    -> m02_frame_manifest,
     "m03_patch_manifest"    -> m03_patch_manifest,
+    "m04_audio_windows"     -> m04_audio_windows,
     "s03_ivf_topk"          -> s03_ivf_topk,
     "c01_curation"          -> c01_curation,
     "c02_neardup_curation"  -> c02_neardup_curation,
@@ -1370,6 +1402,7 @@ object Corpus {
     "m01_multimodal_features" -> m01_sql,
     "m02_frame_manifest"    -> m02_sql,
     "m03_patch_manifest"    -> m03_sql,
+    "m04_audio_windows"     -> m04_sql,
     "c01_curation"          -> c01_sql,
     "c02_neardup_curation"  -> c02_sql,
     "t01_token_stats"       -> t01_sql,

@@ -80,4 +80,33 @@ class MultiModalSpec extends SparkSpec {
       }
     }
   }
+
+  test("windowAudio frames strided full windows inside the sample count; short clips yield none") {
+    val media = MultiModal.syntheticMedia(spark, n = 60)
+    val wins = MultiModal.windowAudio(media, windowSamples = 400,
+      hopSamples = 160).collect()
+    val audio = media.collect().filter(_.kind == "audio")
+    assert(audio.nonEmpty && wins.nonEmpty)
+    val byMedia = wins.groupBy(_.mediaId).withDefaultValue(Array.empty)
+    audio.foreach { m =>
+      val nTotal = m.meta.sampleRate.toLong * m.meta.durationMs / 1000L
+      val ws = byMedia(m.mediaId).sortBy(_.windowIndex)
+      val expected =
+        if (nTotal < 400) 0L else (nTotal - 400) / 160 + 1
+      assert(ws.length.toLong === expected, s"media ${m.mediaId}")
+      ws.foreach { w =>
+        // every window lies fully inside the clip, on the hop grid
+        assert(w.startSample === w.windowIndex * 160)
+        assert(w.startSample + w.nSamples <= nTotal)
+        assert(w.startMs === w.startSample * 1000 / m.meta.sampleRate)
+      }
+      // the NEXT window would overrun — coverage is maximal
+      if (expected > 0) assert(ws.last.startSample + 160 + 400 > nTotal)
+    }
+    // a sub-window clip yields zero windows, not a partial one
+    import spark.implicits._
+    val short = Seq(MultiModal.MediaRow(999L, "audio", Array[Byte](1),
+      MultiModal.MediaMeta("wav", 0, 0, 16000, 20L))).toDS()
+    assert(MultiModal.windowAudio(short, 400, 160).count() === 0L)
+  }
 }
