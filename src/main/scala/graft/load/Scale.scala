@@ -34,6 +34,60 @@ object Scale {
     bigSalted.join(smallSalted, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** Z-value (Morton code) of `cols`: min/max-normalize each column to
+    * a `bits`-bit integer rank, then interleave the bits (bit i of
+    * column j lands at position i·N + j), so range-partitioning and
+    * sorting on the single z column co-locates rows that are close in
+    * EVERY dimension at once. The whole thing is a static expression
+    * tree of shifts/masks — codegen'd, no UDF. Min/max bounds come in
+    * as parameters (one tiny aggregate at the call site): linear
+    * scaling is skew-sensitive — for heavy-tailed columns feed
+    * pre-ranked values instead.
+    */
+  def zvalue(cols: Seq[(Column, Double, Double)], bits: Int = 16): Column = {
+    require(cols.nonEmpty && bits * cols.size <= 63,
+      s"need 1+ cols and bits*ncols <= 63, got $bits x ${cols.size}")
+    val maxRank = (1L << bits) - 1
+    val ranks = cols.map { case (c, lo, hi) =>
+      val span = math.max(hi - lo, java.lang.Double.MIN_VALUE)
+      least(greatest(
+        floor((c.cast("double") - lit(lo)) / lit(span) * maxRank)
+          .cast("long"), lit(0L)), lit(maxRank))
+    }
+    (0 until bits).flatMap { i =>
+      ranks.zipWithIndex.map { case (r, j) =>
+        shiftleft(r.bitwiseAND(lit(1L << i)), i * (cols.size - 1) + j)
+      }
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-order clustering: lay `df` out by the interleaved z-value of
+    * `zCols` — range-partition into `partitions` files-to-be, sort
+    * within each. After a parquet write, row-group min/max stats are
+    * narrow on EVERY z column simultaneously, so scans filtering on
+    * any of them skip most of the data — the multi-column data-skipping
+    * layout a single-column sort can't give (sorting by x alone leaves
+    * every file spanning y's full range). The bounds aggregate is one
+    * scan-reduce; the layout cost is the one range exchange any
+    * clustered write pays. Works for the write-side of a 100 TB table
+    * unchanged: partitions scale with input size, nothing is
+    * collected but 2·N scalars.
+    */
+  def zorderBy(df: DataFrame, zCols: Seq[String], partitions: Int): DataFrame = {
+    require(zCols.nonEmpty, "zorderBy needs at least one column")
+    require(partitions >= 1, s"partitions must be >= 1, got $partitions")
+    val aggs = zCols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val specs = zCols.zipWithIndex.map { case (c, i) =>
+      (col(c), row.getDouble(2 * i), row.getDouble(2 * i + 1))
+    }
+    df.withColumn("__z", zvalue(specs))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+
   /** Per-key top-N without a hot-key reducer: stage 1 ranks within
     * (input partition, key) — that shuffle spreads a hot key's rows
     * across as many reducers as there are input partitions, so no

@@ -193,6 +193,40 @@ class ScaleSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("zvalue interleaves bits exactly; zorderBy narrows per-partition spread on BOTH dimensions") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // exact Morton codes on a 2-bit 2-D grid: bit i of x → position 2i,
+    // bit i of y → position 2i+1
+    val grid = Seq((0, 0, 0L), (3, 0, 5L), (0, 3, 10L), (3, 3, 15L), (2, 1, 6L))
+      .toDF("x", "y", "expected")
+    val z = grid.withColumn("z", graft.load.Scale.zvalue(
+      Seq((col("x"), 0.0, 3.0), (col("y"), 0.0, 3.0)), bits = 2))
+    z.collect().foreach(r =>
+      assert(r.getAs[Long]("z") === r.getAs[Long]("expected"),
+        s"(${r.getInt(0)},${r.getInt(1)})"))
+
+    // layout property: uniform 2-D points, 16 partitions
+    val n = 20000
+    val pts = spark.range(n).select(
+      (pmod(xxhash64(col("id")), lit(10000)) / 10000.0).as("x"),
+      (pmod(xxhash64(col("id") + 1000000), lit(10000)) / 10000.0).as("y"))
+    def spreads(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val s = df.withColumn("p", spark_partition_id())
+        .groupBy("p")
+        .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+        .agg(avg("sx"), avg("sy")).collect()(0)
+      (s.getDouble(0), s.getDouble(1))
+    }
+    val (zx, zy) = spreads(graft.load.Scale.zorderBy(pts, Seq("x", "y"), 16))
+    val (sx, sy) = spreads(pts.repartitionByRange(16, col("x")))
+    // x-only sort: x narrow but y spans nearly the full range
+    assert(sx < 0.2 && sy > 0.8, s"x-sort baseline unexpected: $sx/$sy")
+    // z-order: BOTH dimensions narrow — each partition is ~a quadrant
+    assert(zx < 0.6 && zy < 0.6, s"z-order spreads too wide: $zx/$zy")
+    assert(zy < sy / 2, "z-order must at least halve the y spread")
+  }
+
   test("bloomPreFilter keeps every joining row and prunes most others") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/lineitem.parquet").exists())
