@@ -1085,6 +1085,14 @@ object Corpus {
         TextAnalysis.tokenCountOf(TextAnalysis.tokens(col("text")))
           .cast("long").as("n_tokens"))
       .withColumn("__bucket", floor(col("doc_id") / bucketSize))
+    // Two branches over `counts`: the prefix branch partial-aggregates
+    // per bucket BEFORE its exchange, so its shuffle carries only
+    // ~buckets×partitions partial sums — the corpus itself shuffles
+    // once (the window branch). The tokenize projection runs once per
+    // branch (column pruning makes the subtrees differ, so exchange
+    // reuse can't kick in): a constant 2× scan factor, not a scale
+    // term — a production pipeline materializes (doc_id, n_tokens)
+    // once and feeds both from it.
     // partitionBy(lit) = ONE deliberate partition of ~N/8192 bucket
     // rows (thousands at 100 TB) — same execution as an unpartitioned
     // window but stated explicitly, so it doesn't trip the "No
