@@ -1122,6 +1122,59 @@ object Corpus {
        |    AS start_offset
        |FROM t""".stripMargin
 
+  /** Sketch-guided exact heavy hitters over corpus bigrams — the
+    * one-pass answer to "frequent n-grams" when the key domain is too
+    * large for a full groupBy: a SpaceSaving summary
+    * ([[graft.functions.FreqSketch]], k=2048 counters per partition,
+    * merged map-side) nominates candidates, and an exact recount over
+    * JUST those (broadcast semi-join, ≤ k keys) makes the answer
+    * exact. The overestimate guarantee means the candidate cut can
+    * never drop a true heavy hitter as long as the threshold exceeds
+    * N/k (here N/800 > N/2048). Two passes over the bigram stream
+    * total; the shuffle carries k counters + candidate keys, never the
+    * bigram domain. The oracle is the direct exact aggregate — no
+    * sketch — so the hash check proves the pipeline loses nothing.
+    * Threshold compare is pure integer arithmetic (n·800 > N),
+    * engine-exact.
+    */
+  val t17_heavy_hitters: Q = (s, dir) => {
+    def bigrams = {
+      val toks = t(s, dir, "documents")
+        .select(TextAnalysis.tokens(col("text")).as("__toks"))
+        .where(size(col("__toks")) >= 2)
+      toks.select(
+        explode_outer(transform(sequence(lit(1), size(col("__toks")) - 1),
+          i => concat_ws(" ", slice(col("__toks"), i, lit(2))))).as("bigram"))
+        .where(col("bigram").isNotNull)
+    }
+    val summary = bigrams.agg(
+      graft.functions.FreqSketch.spaceSavingTopK(col("bigram"), 2048)
+        .as("__summary"),
+      count(lit(1)).as("__n"))
+    val candidates = summary
+      .select(col("__n"), explode(col("__summary")).as("__e"))
+      .where(col("__e.est") * 800 > col("__n"))
+      .select(col("__e.item").as("bigram"), col("__n"))
+    bigrams
+      .join(broadcast(candidates.select(col("bigram"))), Seq("bigram"), "left_semi")
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .join(broadcast(candidates), Seq("bigram"))
+      .where(col("n_occurrences") * 800 > col("__n"))
+      .select(col("bigram"), col("n_occurrences"))
+  }
+
+  val t17_sql: String =
+    s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+       |f AS (SELECT toks FROM t WHERE len(toks) >= 2),
+       |bg AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+       |                     i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+       |       FROM f),
+       |n AS (SELECT COUNT(*) AS n FROM bg),
+       |c AS (SELECT bigram, COUNT(*) AS n_occurrences FROM bg GROUP BY bigram)
+       |SELECT bigram, n_occurrences
+       |FROM c, n WHERE n_occurrences * 800 > n""".stripMargin
+
   /** Per-label embedding centroids (class prototypes — the mean-pooling
     * stage of prototype classifiers / dataset cartography), emitted as
     * (label, pos, value) rows. posexplode fans each vector into 64
@@ -1396,6 +1449,7 @@ object Corpus {
     "t14_tfidf_terms"       -> t14_tfidf_terms,
     "t15_mixture_weights"   -> t15_mixture_weights,
     "t16_corpus_positions"  -> t16_corpus_positions,
+    "t17_heavy_hitters"     -> t17_heavy_hitters,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -1431,6 +1485,7 @@ object Corpus {
     "t14_tfidf_terms"       -> t14_sql,
     "t15_mixture_weights"   -> t15_sql,
     "t16_corpus_positions"  -> t16_sql,
+    "t17_heavy_hitters"     -> t17_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,
