@@ -167,6 +167,11 @@ object VectorExpressions {
       new ExpressionInfo(classOf[KmvDistinct].getName, "graft_kmv"),
       (children: Seq[Expression]) =>
         KmvDistinct(children(0), intLit(children(1), "graft_kmv")))
+    reg.registerFunction(
+      FunctionIdentifier("graft_spacesaving"),
+      new ExpressionInfo(classOf[SpaceSavingTopK].getName, "graft_spacesaving"),
+      (children: Seq[Expression]) =>
+        SpaceSavingTopK(children(0), intLit(children(1), "graft_spacesaving")))
   }
 }
 
@@ -194,6 +199,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[SimHashFold].getName, "graft_simhash_fold"),
       (children: Seq[Expression]) => SimHashFold(
         children(0), VectorExpressions.intLit(children(1), "graft_simhash_fold"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_spacesaving"),
+      new ExpressionInfo(classOf[SpaceSavingTopK].getName, "graft_spacesaving"),
+      (children: Seq[Expression]) => SpaceSavingTopK(
+        children(0), VectorExpressions.intLit(children(1), "graft_spacesaving"))))
     // config-gated COUNT(DISTINCT) → KMV sketch rewrite (no-op unless
     // spark.graft.approxDistinct.enabled=true)
     ext.injectOptimizerRule(_ => ApproxDistinctRewrite)

@@ -100,6 +100,14 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT graft_simhash_fold(CAST(ARRAY(5, 5, 5) AS ARRAY<BIGINT>), 4) AS s")
       .collect()(0).getLong(0)
     assert(sh == 5L) // all tokens identical -> the hash itself
+
+    // SpaceSaving summary from SQL: exact in the unsaturated regime
+    val ss = spark.sql(
+      """SELECT graft_spacesaving(x, 8) AS s FROM (
+        |  SELECT explode(array('a','a','a','b','b','c')) AS x)""".stripMargin)
+      .selectExpr("inline(s)")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(ss.toSeq === Seq(("a", 3L, 0L), ("b", 2L, 0L), ("c", 1L, 0L)))
   }
 
   private val sfDir = "/root/testdata/sf0.001"
