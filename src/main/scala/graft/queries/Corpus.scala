@@ -1175,6 +1175,57 @@ object Corpus {
        |SELECT bigram, n_occurrences
        |FROM c, n WHERE n_occurrences * 800 > n""".stripMargin
 
+  /** Grouped sketch-guided heavy hitters — [[t17_heavy_hitters]]
+    * through `groupBy(lang)`: one SpaceSaving summary PER GROUP,
+    * partials combining map-side like any hash aggregate, then the
+    * per-group exact recount keyed on (lang, bigram). The shuffle
+    * carries |langs|·k counters + candidate keys — at 100 TB the
+    * grouped summary costs the same as the global one times the group
+    * count, never the key domain. Per-group thresholds (n·400 > N_lang
+    * > N_lang/2048·400 ⇒ guarantee holds per group).
+    */
+  val t18_heavy_hitters_by_lang: Q = (s, dir) => {
+    def bigrams = {
+      val toks = t(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.tokens(col("text")).as("__toks"))
+        .where(size(col("__toks")) >= 2)
+      toks.select(col("lang"),
+        explode_outer(transform(sequence(lit(1), size(col("__toks")) - 1),
+          i => concat_ws(" ", slice(col("__toks"), i, lit(2))))).as("bigram"))
+        .where(col("bigram").isNotNull)
+    }
+    val summaries = bigrams.groupBy(col("lang")).agg(
+      graft.functions.FreqSketch.spaceSavingTopK(col("bigram"), 2048)
+        .as("__summary"),
+      count(lit(1)).as("__n"))
+    val candidates = summaries
+      .select(col("lang"), col("__n"), explode(col("__summary")).as("__e"))
+      .where(col("__e.est") * 400 > col("__n"))
+      .select(col("lang"), col("__e.item").as("bigram"), col("__n"))
+    bigrams
+      .join(broadcast(candidates.select(col("lang"), col("bigram"))),
+        Seq("lang", "bigram"), "left_semi")
+      .groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .join(broadcast(candidates), Seq("lang", "bigram"))
+      .where(col("n_occurrences") * 400 > col("__n"))
+      .select(col("lang"), col("bigram"), col("n_occurrences"))
+  }
+
+  val t18_sql: String =
+    s"""WITH t AS (SELECT lang, $toksSql AS toks FROM documents),
+       |f AS (SELECT lang, toks FROM t WHERE len(toks) >= 2),
+       |bg AS (SELECT lang,
+       |  unnest(list_transform(generate_series(1, len(toks) - 1),
+       |                        i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+       |       FROM f),
+       |n AS (SELECT lang, COUNT(*) AS n FROM bg GROUP BY lang),
+       |c AS (SELECT lang, bigram, COUNT(*) AS n_occurrences
+       |      FROM bg GROUP BY lang, bigram)
+       |SELECT c.lang, c.bigram, c.n_occurrences
+       |FROM c JOIN n ON c.lang = n.lang
+       |WHERE c.n_occurrences * 400 > n.n""".stripMargin
+
   /** Per-label embedding centroids (class prototypes — the mean-pooling
     * stage of prototype classifiers / dataset cartography), emitted as
     * (label, pos, value) rows. posexplode fans each vector into 64
@@ -1450,6 +1501,7 @@ object Corpus {
     "t15_mixture_weights"   -> t15_mixture_weights,
     "t16_corpus_positions"  -> t16_corpus_positions,
     "t17_heavy_hitters"     -> t17_heavy_hitters,
+    "t18_heavy_hitters_by_lang" -> t18_heavy_hitters_by_lang,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -1486,6 +1538,7 @@ object Corpus {
     "t15_mixture_weights"   -> t15_sql,
     "t16_corpus_positions"  -> t16_sql,
     "t17_heavy_hitters"     -> t17_sql,
+    "t18_heavy_hitters_by_lang" -> t18_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,
