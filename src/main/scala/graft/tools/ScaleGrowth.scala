@@ -59,8 +59,12 @@ object ScaleGrowth {
     salted(docs, 1).write.mode("overwrite").parquet(s"$base/x1/documents.parquet")
     salted(docs, 10).write.mode("overwrite").parquet(s"$base/x10/documents.parquet")
 
+    // t17 joins the dedup family here: the sketch-guided heavy-hitter
+    // pipeline should be near-linear too (two bigram passes + k-bounded
+    // summaries; the salted corpus keeps bigram vocabulary ~1.6k < k,
+    // so the per-group guarantee regime matches the real corpus)
     val queries = Seq("d02_minhash_neardups", "d06_jaccard_neardups",
-      "d07_decontamination")
+      "d07_decontamination", "t17_heavy_hitters")
     def time(name: String, dir: String): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
