@@ -110,6 +110,63 @@ case class KmvDistinct(
     copy(child = newChildren.head)
 }
 
+/** The sketch CONTENTS instead of the estimate: the k smallest distinct
+  * hashes as a sorted ARRAY<BIGINT>. This is what makes KMV a set
+  * ALGEBRA, not just a counter — union sketches merge by
+  * sort-distinct-take-k on the arrays, intersection estimates follow by
+  * inclusion–exclusion, all closed-form arithmetic a SQL oracle replays
+  * bit-for-bit (`q65_kmv_setops`). Shares [[KmvDistinct]]'s buffer and
+  * serialization.
+  */
+case class KmvHashes(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  private val inner = KmvDistinct(child, k)
+
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult = inner.checkInputDataTypes()
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_kmv_hashes"
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    inner.createAggregationBuffer()
+  override def update(
+      buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] =
+    inner.update(buf, input)
+  override def merge(
+      buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] =
+    inner.merge(buf, other)
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] =
+    inner.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] =
+    inner.deserialize(bytes)
+
+  /** Ascending k-min hashes (TreeSet iteration order). */
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Any](buf.size())
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvHashes =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvHashes =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 object KmvSketch {
 
   /** 2^60 — exactly representable as a double, like every product
@@ -140,4 +197,10 @@ object KmvSketch {
 
   /** Convenience: hash + sketch in one call for any input column. */
   def kmvDistinct(c: Column, k: Int = 256): Column = kmv(hash64(c), k)
+
+  /** Aggregate Column: the sorted k-min hash ARRAY itself (set-algebra
+    * form — see [[KmvHashes]]).
+    */
+  def kmvHashes(hashed: Column, k: Int = 256): Column =
+    Bridge.column(KmvHashes(Bridge.expression(hashed), k).toAggregateExpression())
 }

@@ -1266,7 +1266,72 @@ object Advanced {
       |SELECT cohort_week, week_offset, COUNT(DISTINCT user_id) AS n_users
       |FROM a WHERE week_offset >= 0 GROUP BY cohort_week, week_offset""".stripMargin
 
+  /** KMV set algebra: pairwise distinct-user overlap across event
+    * types, estimated from the k-min hash SKETCHES alone — union by
+    * sort-distinct-take-k on two 256-element arrays, intersection by
+    * inclusion–exclusion, never touching the raw sets again. This is
+    * the sketch workflow a 100 TB engine runs for audience overlap:
+    * one pass builds a few-KB sketch per segment, every pairwise
+    * estimate after that is array arithmetic on the driver-sized
+    * sketch table. The 3-row sketch join is the deliberate tiny
+    * nested-loop the plan lint allow-lists. md5-derived hashes make
+    * every stage — the k-min arrays AND the closed-form estimators —
+    * bit-replayable by the DuckDB oracle from the raw table.
+    */
+  val q65_kmv_setops: Q = (s, dir) => {
+    val k = 256
+    val sketches = t(s, dir, "events")
+      .select(col("event_type"), KmvSketch.hash64(col("user_id")).as("__h"))
+      .groupBy(col("event_type"))
+      .agg(KmvSketch.kmvHashes(col("__h"), k).as("__hs"))
+    def est(c: Column): Column =
+      when(size(c) < k, size(c).cast("long"))
+        .otherwise(floor(
+          lit((k - 1).toDouble * KmvSketch.TwoPow60) /
+            element_at(c, k).cast("double")).cast("long"))
+    val a = sketches.select(col("event_type").as("type_a"), col("__hs").as("__ha"))
+    val b = sketches.select(col("event_type").as("type_b"), col("__hs").as("__hb"))
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .withColumn("__hu",
+        slice(array_sort(array_distinct(concat(col("__ha"), col("__hb")))), 1, k))
+      .select(
+        col("type_a"), col("type_b"),
+        est(col("__ha")).as("est_a"),
+        est(col("__hb")).as("est_b"),
+        est(col("__hu")).as("est_union"),
+        greatest(lit(0L),
+          est(col("__ha")) + est(col("__hb")) - est(col("__hu")))
+          .as("est_intersection"))
+  }
+
+  val q65_sql: String =
+    """WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM events),
+      |s AS (
+      |  SELECT event_type, list_slice(list_sort(list(h)), 1, 256) AS hs
+      |  FROM h GROUP BY event_type),
+      |p AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |         a.hs AS ha, b.hs AS hb,
+      |         list_slice(list_sort(list_distinct(list_concat(a.hs, b.hs))), 1, 256) AS hu
+      |  FROM s a JOIN s b ON a.event_type < b.event_type),
+      |e AS (
+      |  SELECT type_a, type_b,
+      |    CASE WHEN len(ha) < 256 THEN len(ha)
+      |         ELSE CAST(FLOOR(255.0 * 1152921504606846976.0 / ha[256]) AS BIGINT) END AS est_a,
+      |    CASE WHEN len(hb) < 256 THEN len(hb)
+      |         ELSE CAST(FLOOR(255.0 * 1152921504606846976.0 / hb[256]) AS BIGINT) END AS est_b,
+      |    CASE WHEN len(hu) < 256 THEN len(hu)
+      |         ELSE CAST(FLOOR(255.0 * 1152921504606846976.0 / hu[256]) AS BIGINT) END AS est_union
+      |  FROM p)
+      |SELECT type_a, type_b, est_a, est_b, est_union,
+      |  GREATEST(0, est_a + est_b - est_union) AS est_intersection
+      |FROM e""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q65_kmv_setops"    -> q65_kmv_setops,
     "q58_retention"     -> q58_retention,
     "q57_funnel"        -> q57_funnel,
     "q36_asof_forward"  -> q36_asof_forward,
@@ -1303,6 +1368,7 @@ object Advanced {
     "q56_unpivot"       -> q56_unpivot)
 
   val oracles: Map[String, String] = Map(
+    "q65_kmv_setops"    -> q65_sql,
     "q58_retention"     -> q58_sql,
     "q57_funnel"        -> q57_sql,
     "q36_asof_forward"  -> q36_sql,

@@ -25,9 +25,12 @@ class PlanLintSpec extends SparkSpec {
   // t14 cross-join a ONE-ROW broadcast denominator; d04 is the
   // documented brute-force exhaustive variant whose oracle replays it
   // (s02's LSH buckets are the scale path).
+  // q65 joins a |event_types|-row sketch table to itself on an
+  // inequality — deliberately tiny at any corpus scale.
   private val allowNestedLoop =
     Set("s01_cosine_topk", "s02_lsh_ann_topk", "s03_ivf_topk",
-      "t15_mixture_weights", "t14_tfidf_terms", "d04_embedding_neardups")
+      "t15_mixture_weights", "t14_tfidf_terms", "d04_embedding_neardups",
+      "q65_kmv_setops")
 
   test("no query plans an unpartitioned window or an unjustified cartesian join") {
     val failures = scala.collection.mutable.ListBuffer[String]()

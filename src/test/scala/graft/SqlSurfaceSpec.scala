@@ -192,6 +192,27 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(q63.forall(r => !r.isNullAt(0)))
   }
 
+  test("q65_kmv_setops: sketch set-algebra estimates land within KMV error of exact overlaps") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.Advanced.q65_kmv_setops(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val exactU = (ev(a) | ev(b)).size.toDouble
+      val exactI = (ev(a) & ev(b)).size.toDouble
+      // k=256 → ~1/√254 ≈ 6.3% relative error per estimate; the
+      // inclusion–exclusion intersection compounds three of them
+      assert(math.abs(r.getLong(4) - exactU) / exactU < 0.25,
+        s"$a∪$b: est ${r.getLong(4)} vs exact $exactU")
+      assert(math.abs(r.getLong(5) - exactI) <= 0.35 * exactU,
+        s"$a∩$b: est ${r.getLong(5)} vs exact $exactI")
+    }
+  }
+
   test("t16_corpus_positions: two-level prefix sum equals the naive global running sum") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
