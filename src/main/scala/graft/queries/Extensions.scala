@@ -247,13 +247,97 @@ object Extensions {
       |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Data-quality validation report — the expectations/dbt-test shape a
+    * production pipeline runs before publishing a table: one row per
+    * rule with its violation count and the row count it checked.
+    * Row-level rules (positivity, NOT NULL) share ONE conditional
+    * aggregate per table; the uniqueness rule is count−distinct; the
+    * referential rule is a broadcast anti-join count. Inputs are
+    * deterministically corrupted in-query (seeded by key modulus) so
+    * the report detects a known, replayable violation set — the oracle
+    * applies the same corruption and must count the same rows.
+    * At 100 TB each rule family stays one aggregate/anti-join over the
+    * table; nothing is collected but the per-rule counters.
+    */
+  val q66_data_quality: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+      .withColumn("l_quantity",
+        when(pmod(col("l_orderkey"), lit(997)) === 0, -col("l_quantity"))
+          .otherwise(col("l_quantity")))
+      .withColumn("l_shipdate",
+        when(pmod(col("l_orderkey"), lit(991)) === 0, lit(null))
+          .otherwise(col("l_shipdate")))
+    val ord = t(s, dir, "orders")
+      .withColumn("o_custkey",
+        when(pmod(col("o_orderkey"), lit(499)) === 0,
+          col("o_custkey") + 10000000L).otherwise(col("o_custkey")))
+    val cust = t(s, dir, "customer")
+
+    val rowRules = li.agg(
+      sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("v_qty"),
+      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("v_ship"),
+      count(lit(1)).as("n"))
+      .select(explode(array(
+        struct(lit("lineitem.quantity_positive").as("rule"),
+          col("v_qty").as("n_violations"), col("n").as("n_rows_checked")),
+        struct(lit("lineitem.shipdate_not_null").as("rule"),
+          col("v_ship").as("n_violations"), col("n").as("n_rows_checked"))))
+        .as("r"))
+      .select(col("r.*"))
+    val pkRule = ord.agg(
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_violations"),
+      count(lit(1)).as("n_rows_checked"))
+      .select(lit("orders.pk_unique").as("rule"),
+        col("n_violations"), col("n_rows_checked"))
+    val fkViol = ord.join(broadcast(cust),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+    val fkRule = fkViol.crossJoin(
+        ord.agg(count(lit(1)).as("n_rows_checked")))
+      .select(lit("orders.fk_customer").as("rule"),
+        col("n_violations"), col("n_rows_checked"))
+    rowRules.unionByName(pkRule).unionByName(fkRule)
+  }
+
+  val q66_sql: String =
+    """WITH li AS (
+      |  SELECT CASE WHEN l_orderkey % 997 = 0 THEN -l_quantity
+      |              ELSE l_quantity END AS l_quantity,
+      |         CASE WHEN l_orderkey % 991 = 0 THEN NULL
+      |              ELSE l_shipdate END AS l_shipdate
+      |  FROM lineitem),
+      |ord AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 499 = 0 THEN o_custkey + 10000000
+      |              ELSE o_custkey END AS o_custkey
+      |  FROM orders)
+      |SELECT 'lineitem.quantity_positive' AS rule,
+      |  COUNT(*) FILTER (WHERE l_quantity <= 0) AS n_violations,
+      |  COUNT(*) AS n_rows_checked
+      |FROM li
+      |UNION ALL
+      |SELECT 'lineitem.shipdate_not_null',
+      |  COUNT(*) FILTER (WHERE l_shipdate IS NULL), COUNT(*)
+      |FROM li
+      |UNION ALL
+      |SELECT 'orders.pk_unique',
+      |  COUNT(*) - COUNT(DISTINCT o_orderkey), COUNT(*)
+      |FROM ord
+      |UNION ALL
+      |SELECT 'orders.fk_customer',
+      |  COUNT(*) FILTER (WHERE NOT EXISTS
+      |    (SELECT 1 FROM customer WHERE c_custkey = o_custkey)),
+      |  COUNT(*)
+      |FROM ord""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q59_lateral"        -> q59_lateral,
     "q60_month_spine"    -> q60_month_spine,
     "q61_array_hof"      -> q61_array_hof,
     "q62_multi_distinct" -> q62_multi_distinct,
     "q63_not_in"         -> q63_not_in,
-    "q64_variant"        -> q64_variant)
+    "q64_variant"        -> q64_variant,
+    "q66_data_quality"   -> q66_data_quality)
 
   val oracles: Map[String, String] = Map(
     "q59_lateral"        -> q59_sql,
@@ -261,5 +345,6 @@ object Extensions {
     "q61_array_hof"      -> q61_sql,
     "q62_multi_distinct" -> q62_sql,
     "q63_not_in"         -> q63_sql,
-    "q64_variant"        -> q64_sql)
+    "q64_variant"        -> q64_sql,
+    "q66_data_quality"   -> q66_sql)
 }
