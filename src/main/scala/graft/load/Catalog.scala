@@ -26,6 +26,17 @@ object Catalog {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
   }
 
+  /** Schema-evolution read: union the schemas of every file footer in
+    * the table (`mergeSchema`), null-filling columns a given file
+    * predates — the ALTER TABLE ADD COLUMN story for a parquet-backed
+    * catalog: writers simply start emitting the new column; no rewrite
+    * of historical files. Footer merging scans metadata, not data, so
+    * the cost at 100 TB is per-FILE, and readers that pin an explicit
+    * schema ([[readOrEmpty]]) keep pruning the new column for free.
+    */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** B9: materialize empty parquet tables for any of the four stock
     * tables missing under `basePath` (idempotent, like
     * `CREATE TABLE IF NOT EXISTS`).

@@ -111,4 +111,32 @@ class IncrementalSpec extends SparkSpec {
     val n2 = Catalog.ensureCompanies(spark, base, Seq("AAPL", "GOOG").toDF("s"))
     assert(n2 == 1)
   }
+
+  test("readEvolved merges an added column across file generations; pinned readers prune it") {
+    import org.apache.spark.sql.functions._
+    val path = Files.createTempDirectory("graft_evolve").toString + "/t"
+    // generation 1: two columns
+    Seq(("AAPL", 10.0), ("MSFT", 20.0)).toDF("sym", "px")
+      .write.mode("append").parquet(path)
+    // generation 2: a writer starts emitting a new column — no rewrite
+    Seq(("GOOG", 30.0, 7L)).toDF("sym", "px", "volume")
+      .write.mode("append").parquet(path)
+    val merged = Catalog.readEvolved(spark, path)
+    assert(merged.columns.toSet === Set("sym", "px", "volume"))
+    val rows = merged.orderBy("sym")
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(rows.toSeq === Seq(("AAPL", 10.0, None), ("MSFT", 20.0, None),
+      ("GOOG", 30.0, Some(7L))).sortBy(_._1))
+    // a reader pinning the v1 schema still works and prunes the new column
+    val pinned = Catalog.readOrEmpty(spark, path,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("sym",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("px",
+          org.apache.spark.sql.types.DoubleType))))
+    assert(pinned.columns.toSet === Set("sym", "px"))
+    assert(pinned.count() === 3L)
+    assert(pinned.agg(sum(col("px"))).collect()(0).getDouble(0) === 60.0)
+  }
 }
