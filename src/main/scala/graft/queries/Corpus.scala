@@ -496,6 +496,78 @@ object Corpus {
        |  CAST(SUM(CASE WHEN kept = 1 THEN n ELSE 0 END) AS BIGINT) AS total_tokens
        |FROM flagged GROUP BY source""".stripMargin
 
+  /** Third capstone — the dataset-release QA manifest: the per-source
+    * accounting a release pipeline publishes alongside the data. Each
+    * non-benchmark document is classified with a fixed precedence —
+    * exact duplicate (non-canonical content hash) first, then
+    * benchmark-contaminated (≥50% 5-gram coverage of any held-out doc,
+    * the d07 inverted-index join), else kept — and sources report
+    * kept/dup/contaminated counts plus the surviving token budget.
+    * Composes the d01 + d07 machinery end-to-end: one content-hash
+    * shuffle, one shingle equi-join (benchmark side broadcastable at
+    * scale), one final per-source aggregate. The oracle replays the
+    * whole chain including the precedence rule.
+    */
+  val c03_release_qa: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val isBench = col("source").isin("src16", "src17", "src18", "src19")
+    val staged = docs.where(!isBench)
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+    val dd = Dedup.exactDedupOn(
+      staged, md5(concat_ws(" ", col("__toks"))), "doc_id")
+    val contaminated = Dedup.crossCorpusOverlap(
+        docs.where(!isBench), docs.where(isBench),
+        "text", "doc_id", k = 5, minOverlap = 0.5)
+      .select(col("train_id").as("doc_id")).distinct()
+      .withColumn("__cont", lit(true))
+    dd.join(broadcast(contaminated), Seq("doc_id"), "left")
+      .withColumn("__status",
+        when(!col("is_canonical"), "dup")
+          .when(col("__cont"), "contaminated")
+          .otherwise("kept"))
+      .withColumn("__n", TextAnalysis.tokenCountOf(col("__toks")).cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("__status") === "kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__status") === "dup", 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("__status") === "contaminated", 1L).otherwise(0L))
+          .as("n_contaminated"),
+        sum(when(col("__status") === "kept", col("__n")).otherwise(0L))
+          .as("tokens_kept"))
+  }
+
+  val c03_sql: String =
+    s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+       |tr AS (SELECT * FROM t WHERE source NOT IN ('src16','src17','src18','src19')),
+       |dd AS (SELECT *, doc_id = MIN(doc_id) OVER (
+       |         PARTITION BY md5(array_to_string(toks, ' '))) AS canon FROM tr),
+       |sh AS (SELECT doc_id, source,
+       |  list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+       |       ELSE list_transform(generate_series(1, len(toks) - 4),
+       |                           i -> array_to_string(toks[i:i+4], ' ')) END) AS sh
+       | FROM t),
+       |ex AS (SELECT doc_id, source, len(sh) AS n, unnest(sh) AS tok FROM sh),
+       |trx AS (SELECT doc_id AS train_id, tok FROM ex
+       |        WHERE source NOT IN ('src16','src17','src18','src19')),
+       |be AS (SELECT doc_id AS bench_id, n AS bn, tok FROM ex
+       |       WHERE source IN ('src16','src17','src18','src19')),
+       |ov AS (SELECT train_id, MIN(bn) AS bn, COUNT(*) AS shared, bench_id
+       |       FROM trx JOIN be USING (tok) GROUP BY train_id, bench_id),
+       |cont AS (SELECT DISTINCT train_id FROM ov
+       |         WHERE shared::DOUBLE / bn >= 0.5),
+       |f AS (SELECT source, len(toks) AS n,
+       |  CASE WHEN NOT canon THEN 'dup'
+       |       WHEN doc_id IN (SELECT train_id FROM cont) THEN 'contaminated'
+       |       ELSE 'kept' END AS st
+       | FROM dd)
+       |SELECT source,
+       |  CAST(SUM(CASE WHEN st = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN st = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  CAST(SUM(CASE WHEN st = 'contaminated' THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       |  CAST(SUM(CASE WHEN st = 'kept' THEN n ELSE 0 END) AS BIGINT) AS tokens_kept
+       |FROM f GROUP BY source""".stripMargin
+
   // ------------------------------------------------------------ dedup
 
   /** Exact dedup: content hash over the normalized token stream, group
@@ -1484,6 +1556,7 @@ object Corpus {
     "s03_ivf_topk"          -> s03_ivf_topk,
     "c01_curation"          -> c01_curation,
     "c02_neardup_curation"  -> c02_neardup_curation,
+    "c03_release_qa"        -> c03_release_qa,
     "t01_token_stats"       -> t01_token_stats,
     "t02_quality_score"     -> t02_quality_score,
     "t03_lang_id"           -> t03_lang_id,
@@ -1521,6 +1594,7 @@ object Corpus {
     "m04_audio_windows"     -> m04_sql,
     "c01_curation"          -> c01_sql,
     "c02_neardup_curation"  -> c02_sql,
+    "c03_release_qa"        -> c03_sql,
     "t01_token_stats"       -> t01_sql,
     "t02_quality_score"     -> t02_sql,
     "t03_lang_id"           -> t03_sql,

@@ -289,11 +289,14 @@ object Extensions {
       count(lit(1)).as("n_rows_checked"))
       .select(lit("orders.pk_unique").as("rule"),
         col("n_violations"), col("n_rows_checked"))
-    val fkViol = ord.join(broadcast(cust),
-        col("o_custkey") === col("c_custkey"), "left_anti")
-      .agg(count(lit(1)).as("n_violations"))
-    val fkRule = fkViol.crossJoin(
-        ord.agg(count(lit(1)).as("n_rows_checked")))
+    // violations and checked-rows in ONE pass: broadcast left join
+    // against the (unique-keyed) dim, count the null probes — no
+    // cross-join of two scalar aggregates
+    val fkRule = ord.join(broadcast(cust.select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_violations"),
+        count(lit(1)).as("n_rows_checked"))
       .select(lit("orders.fk_customer").as("rule"),
         col("n_violations"), col("n_rows_checked"))
     rowRules.unionByName(pkRule).unionByName(fkRule)
