@@ -333,6 +333,38 @@ object Extensions {
       |  COUNT(*)
       |FROM ord""".stripMargin
 
+  /** MAP-typed columns end to end: build a per-customer status→count
+    * map with `map_from_entries` over a collected struct array, then
+    * consume it with the map surface — `size`, typed `element_at`
+    * lookups, and a lambda fold over `map_values`. Outputs are scalar
+    * so map iteration order never matters, and the oracle reaches the
+    * same numbers from plain conditional aggregates — proving the map
+    * round-trip is lossless. Two exchanges (status rollup, then
+    * per-customer collect), both map-side combined.
+    */
+  val q67_map_ops: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col("o_custkey"))
+      .agg(map_from_entries(
+        collect_list(struct(col("o_orderstatus"), col("__cnt")))).as("__m"))
+      .select(
+        col("o_custkey"),
+        size(col("__m")).cast("long").as("n_statuses"),
+        coalesce(element_at(col("__m"), "O"), lit(0L)).as("n_open"),
+        coalesce(element_at(col("__m"), "F"), lit(0L)).as("n_fulfilled"),
+        aggregate(map_values(col("__m")), lit(0L), (acc, x) => acc + x)
+          .as("n_orders"))
+
+  val q67_sql: String =
+    """SELECT o_custkey,
+      |  COUNT(DISTINCT o_orderstatus) AS n_statuses,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_fulfilled,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q59_lateral"        -> q59_lateral,
     "q60_month_spine"    -> q60_month_spine,
@@ -340,7 +372,8 @@ object Extensions {
     "q62_multi_distinct" -> q62_multi_distinct,
     "q63_not_in"         -> q63_not_in,
     "q64_variant"        -> q64_variant,
-    "q66_data_quality"   -> q66_data_quality)
+    "q66_data_quality"   -> q66_data_quality,
+    "q67_map_ops"        -> q67_map_ops)
 
   val oracles: Map[String, String] = Map(
     "q59_lateral"        -> q59_sql,
@@ -349,5 +382,6 @@ object Extensions {
     "q62_multi_distinct" -> q62_sql,
     "q63_not_in"         -> q63_sql,
     "q64_variant"        -> q64_sql,
-    "q66_data_quality"   -> q66_sql)
+    "q66_data_quality"   -> q66_sql,
+    "q67_map_ops"        -> q67_sql)
 }
