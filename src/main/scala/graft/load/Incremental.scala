@@ -1,6 +1,6 @@
 package graft.load
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -80,6 +80,64 @@ object Incremental {
     parts.reduce(_.unionByName(_))
       .groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** SCD Type-2 merge: apply one batch of attribute changes to a
+    * versioned dimension, preserving full history — the
+    * slowly-changing-dimension semantics a warehouse load (the
+    * reference's `companies` upsert, `main.py:254-272`, is the
+    * degenerate type-1 case) needs once attributes can change.
+    *
+    * `dim` rows are (key, attr, validFrom, validTo) with
+    * `validTo IS NULL` marking the current version; `updates` rows are
+    * (key, attr, ts) — at most one per key (the caller collapses a
+    * multi-change batch to its latest, or applies batches in order).
+    * Semantics per key:
+    *
+    *   - update with a different attr → the current row closes at `ts`
+    *     and a new open version starts at `ts`;
+    *   - update with an identical attr (null-safe compare) → no-op;
+    *   - update for a key absent from `dim` → new open version;
+    *   - no update → current row unchanged. Closed history rows always
+    *     pass through untouched.
+    *
+    * Shape: ONE full-outer keyed join of the current slice against the
+    * batch, then a per-row explode over the 1-or-2 output versions — no
+    * branch re-reads the join, so the dimension is scanned exactly
+    * once. At 100 TB the batch side is typically broadcastable and the
+    * history pass-through is a pure scan; nothing here is a global
+    * sort.
+    */
+  def scdMerge(
+      dim: DataFrame,
+      updates: DataFrame,
+      key: String,
+      attr: String,
+      ts: String,
+      validFrom: String = "valid_from",
+      validTo: String = "valid_to"): DataFrame = {
+    val u = updates.select(
+      col(key), col(attr).as("__new"), col(ts).as("__ts"))
+    val cur = dim.where(col(validTo).isNull)
+    val hist = dim.where(col(validTo).isNotNull)
+    val j = cur.join(u, Seq(key), "full_outer")
+    val isNewKey = col(validFrom).isNull // right-only: no current row
+    val changed = col("__ts").isNotNull && !(col(attr) <=> col("__new"))
+    def v(a: Column, from: Column, to: Column) =
+      struct(a.as(attr), from.as(validFrom), to.as(validTo))
+    val nullTs = lit(null).cast(j.schema(validFrom).dataType)
+    val merged = j
+      .select(col(key), explode(
+        when(isNewKey, array(v(col("__new"), col("__ts"), nullTs)))
+          .when(changed, array(
+            v(col(attr), col(validFrom), col("__ts")),
+            v(col("__new"), col("__ts"), nullTs)))
+          .otherwise(array(
+            v(col(attr), col(validFrom), col(validTo))))).as("__v"))
+      .select(col(key), col("__v." + attr), col("__v." + validFrom),
+        col("__v." + validTo))
+    hist.select(col(key), col(attr), col(validFrom), col(validTo))
+      .unionByName(merged)
   }
 
   /** Idempotent append of `incoming` into the parquet table at `path`

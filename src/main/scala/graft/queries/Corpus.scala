@@ -1327,6 +1327,127 @@ object Corpus {
       |  ROUND(CAST(s AS DOUBLE) / n_vectors, 6) AS centroid_val
       |FROM g""".stripMargin
 
+  /** BM25 retrieval (Okapi, k1=1.2, b=0.75): rank documents against a
+    * fixed query-term set — the lexical-retrieval counterpart of the
+    * embedding top-k family (s01–s03) and the scoring stage quality
+    * filtering / hard-negative mining pipelines run at corpus scale.
+    * tf/df/dl/N are exact integer aggregates; avgdl is one rounded
+    * double division; each per-term score is quantized to
+    * DECIMAL(18,6) before the per-document sum, so the total is
+    * order-independent-exact and the final ranking engine-stable
+    * (ties broken by doc_id). Shape: tokenize once, filter to the
+    * query terms BEFORE any shuffle (the exploded stream shrinks to
+    * ~|terms|·N rows), df via a token-partitioned window on the tf
+    * rows (the t14 recipe — no second tokenize pass), top-20 as a
+    * TakeOrdered. The corpus-length branch is one count/sum aggregate.
+    */
+  val t19_bm25: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val qTerms = Seq("spark", "vector", "window")
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+      .withColumn("dl", size(col("__toks")).cast("long"))
+    val stats = toks.agg(count(lit(1)).as("__N"), sum(col("dl")).as("__sd"))
+      .withColumn("__avgdl",
+        round(col("__sd").cast("double") / col("__N"), 6))
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("token"))
+      .where(col("token").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("token"))))
+    val idf = log(lit(1.0) +
+      (col("__N") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val den = col("tf") +
+      lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("__avgdl"))
+    withDf.crossJoin(broadcast(stats))
+      .withColumn("__term",
+        round(idf * col("tf") * lit(2.2) / den, 6).cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum(col("__term")).cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  val t19_sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
+       |st AS (SELECT COUNT(*) AS N,
+       |  ROUND(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl FROM l),
+       |x AS (SELECT doc_id, dl, unnest(toks) AS token FROM l),
+       |tf AS (SELECT doc_id, dl, token, COUNT(*) AS tf FROM x
+       |  WHERE token IN ('spark', 'vector', 'window')
+       |  GROUP BY doc_id, dl, token),
+       |d AS (SELECT *, COUNT(*) OVER (PARTITION BY token) AS df FROM tf),
+       |sc AS (SELECT doc_id,
+       |  CAST(ROUND(ln(1.0 + (N - df + 0.5) / (df + 0.5))
+       |    * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
+       |    AS DECIMAL(18,6)) AS term
+       |  FROM d CROSS JOIN st)
+       |SELECT doc_id, COUNT(*) AS n_terms,
+       |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS score
+       |FROM sc GROUP BY doc_id
+       |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+
+  /** Per-vector symmetric int8 quantization manifest — the compression
+    * step that makes a 100 TB float32 embedding store servable (4×
+    * smaller, SIMD-friendly int dot products; the IVF/LSH ANN paths
+    * would probe quantized codes and re-rank survivors in float).
+    * scale = max|v|/127; codes are round-clamped ints. Outputs per
+    * vector: the scale, exact integer code checksums (sum/min/max —
+    * any engine disagreement in a single code flips them), and the
+    * reconstruction error Σ(v−q·scale)², per-element quantized to
+    * DECIMAL(28,12) so the sum is order-independent-exact. Zero
+    * vectors (scale 0) are excluded up front — division semantics
+    * under NULL/0 differ across engines. Shape: one narrow projection,
+    * explode, ONE keyed aggregate on vec_id.
+    */
+  val s05_int8_quant: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        (array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+          / lit(127)).as("__sc"),
+        col("embedding"))
+      .where(col("__sc") > 0)
+    val v = col("v").cast("double")
+    val qi = least(lit(127.0), greatest(lit(-127.0), round(v / col("__sc"), 0)))
+      .cast("int")
+    e.select(col("vec_id"), col("label"), col("n_dims"), col("__sc"),
+        explode(col("embedding")).as("v"))
+      .withColumn("__q", qi)
+      .groupBy(col("vec_id"), col("label"), col("n_dims"), col("__sc"))
+      .agg(sum(col("__q")).as("sum_q"),
+        min(col("__q")).as("min_q"), max(col("__q")).as("max_q"),
+        sum(round((v - col("__q") * col("__sc"))
+            * (v - col("__q") * col("__sc")), 12).cast("decimal(28,12)"))
+          .as("__err"))
+      .select(col("vec_id"), col("label"), col("n_dims"),
+        round(col("__sc"), 6).as("scale"),
+        col("sum_q"), col("min_q"), col("max_q"),
+        round(col("__err").cast("double"), 6).as("sq_err"))
+  }
+
+  val s05_sql: String =
+    """WITH e AS (SELECT vec_id, label,
+      |    CAST(len(embedding) AS BIGINT) AS n_dims,
+      |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+      |      / 127 AS sc,
+      |    embedding
+      |  FROM embeddings),
+      |u AS (SELECT vec_id, label, n_dims, sc,
+      |    CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM e WHERE sc > 0),
+      |q AS (SELECT *, CAST(LEAST(127.0, GREATEST(-127.0, ROUND(v / sc, 0)))
+      |    AS INT) AS qi FROM u)
+      |SELECT vec_id, label, n_dims, ROUND(sc, 6) AS scale,
+      |  CAST(SUM(qi) AS BIGINT) AS sum_q, MIN(qi) AS min_q, MAX(qi) AS max_q,
+      |  ROUND(CAST(SUM(CAST(ROUND((v - qi * sc) * (v - qi * sc), 12)
+      |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS sq_err
+      |FROM q GROUP BY vec_id, label, n_dims, sc""".stripMargin
+
   private def m01FeaturePath: String =
     s"${graft.ingest.FixtureTables.root}/m01_features.parquet"
 
@@ -1575,6 +1696,7 @@ object Corpus {
     "t16_corpus_positions"  -> t16_corpus_positions,
     "t17_heavy_hitters"     -> t17_heavy_hitters,
     "t18_heavy_hitters_by_lang" -> t18_heavy_hitters_by_lang,
+    "t19_bm25"              -> t19_bm25,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -1585,7 +1707,8 @@ object Corpus {
     "d08_repeated_spans"    -> d08_repeated_spans,
     "s01_cosine_topk"       -> s01_cosine_topk,
     "s02_lsh_ann_topk"      -> s02_lsh_ann_topk,
-    "s04_label_centroids"   -> s04_label_centroids)
+    "s04_label_centroids"   -> s04_label_centroids,
+    "s05_int8_quant"        -> s05_int8_quant)
 
   val oracles: Map[String, String] = Map(
     "m01_multimodal_features" -> m01_sql,
@@ -1613,6 +1736,7 @@ object Corpus {
     "t16_corpus_positions"  -> t16_sql,
     "t17_heavy_hitters"     -> t17_sql,
     "t18_heavy_hitters_by_lang" -> t18_sql,
+    "t19_bm25"              -> t19_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,
@@ -1624,5 +1748,6 @@ object Corpus {
     "s01_cosine_topk"       -> s01_sql,
     "s02_lsh_ann_topk"      -> s02_sql,
     "s03_ivf_topk"          -> s03_sql,
-    "s04_label_centroids"   -> s04_sql)
+    "s04_label_centroids"   -> s04_sql,
+    "s05_int8_quant"        -> s05_sql)
 }

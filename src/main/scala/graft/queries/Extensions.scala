@@ -365,6 +365,74 @@ object Extensions {
       |  COUNT(*) AS n_orders
       |FROM orders GROUP BY o_custkey""".stripMargin
 
+  /** SCD Type-2 dimension merge (`Incremental.scdMerge`): the customer
+    * dimension versioned by market segment, with one change batch
+    * derived deterministically from orders — customers with an odd
+    * order count move to a tier segment effective at their latest
+    * order date (even counts re-assert the current segment → no-op
+    * path), customers with no orders are untouched, and one synthetic
+    * key exercises the new-key insert path. The oracle replays the
+    * merge as explicit UNION ALL branches over the same full-outer
+    * join — an independent formulation of the versioning rule.
+    */
+  val q68_scd2_merge: Q = (s, dir) => {
+    val dim = t(s, dir, "customer").select(
+      col("c_custkey"),
+      col("c_mktsegment").as("segment"),
+      lit("1992-01-01 00:00:00").cast("timestamp").as("valid_from"),
+      lit(null).cast("timestamp").as("valid_to"))
+    val fromOrders = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("__n"), max(col("o_orderdate")).as("change_ts"))
+      .join(t(s, dir, "customer"), Seq("c_custkey"))
+      .select(
+        col("c_custkey"),
+        when(col("__n") % 2 === 0, col("c_mktsegment"))
+          .otherwise(concat(lit("TIER"), (col("__n") % 3).cast("string")))
+          .as("segment"),
+        col("change_ts").cast("timestamp"))
+    val updates = fromOrders.unionByName(
+      s.range(1).select(
+        lit(900001L).as("c_custkey"), lit("FRESH").as("segment"),
+        lit("1998-06-01 00:00:00").cast("timestamp").as("change_ts")))
+    graft.load.Incremental
+      .scdMerge(dim, updates, "c_custkey", "segment", "change_ts")
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  val q68_sql: String =
+    """WITH cur AS (SELECT c_custkey, c_mktsegment AS segment,
+      |    TIMESTAMP '1992-01-01' AS valid_from,
+      |    CAST(NULL AS TIMESTAMP) AS valid_to FROM customer),
+      |u0 AS (SELECT o_custkey AS c_custkey, COUNT(*) AS n,
+      |    MAX(o_orderdate) AS ts FROM orders GROUP BY o_custkey),
+      |u AS (SELECT u0.c_custkey,
+      |    CASE WHEN n % 2 = 0 THEN c.c_mktsegment
+      |         ELSE 'TIER' || CAST(n % 3 AS VARCHAR) END AS new_seg,
+      |    CAST(ts AS TIMESTAMP) AS ts
+      |  FROM u0 JOIN customer c ON u0.c_custkey = c.c_custkey
+      |  UNION ALL
+      |  SELECT 900001, 'FRESH', TIMESTAMP '1998-06-01'),
+      |j AS (SELECT COALESCE(cur.c_custkey, u.c_custkey) AS c_custkey,
+      |    cur.segment, cur.valid_from, cur.valid_to, u.new_seg, u.ts,
+      |    cur.c_custkey IS NULL AS is_new,
+      |    u.c_custkey IS NOT NULL
+      |      AND cur.segment IS DISTINCT FROM u.new_seg AS changed
+      |  FROM cur FULL OUTER JOIN u ON cur.c_custkey = u.c_custkey),
+      |out AS (
+      |  SELECT c_custkey, new_seg AS segment, ts AS valid_from,
+      |    CAST(NULL AS TIMESTAMP) AS valid_to FROM j WHERE is_new
+      |  UNION ALL
+      |  SELECT c_custkey, segment, valid_from, ts FROM j
+      |  WHERE NOT is_new AND changed
+      |  UNION ALL
+      |  SELECT c_custkey, new_seg, ts, CAST(NULL AS TIMESTAMP) FROM j
+      |  WHERE NOT is_new AND changed
+      |  UNION ALL
+      |  SELECT c_custkey, segment, valid_from, valid_to FROM j
+      |  WHERE NOT is_new AND NOT changed)
+      |SELECT *, valid_to IS NULL AS is_current FROM out""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q59_lateral"        -> q59_lateral,
     "q60_month_spine"    -> q60_month_spine,
@@ -373,7 +441,8 @@ object Extensions {
     "q63_not_in"         -> q63_not_in,
     "q64_variant"        -> q64_variant,
     "q66_data_quality"   -> q66_data_quality,
-    "q67_map_ops"        -> q67_map_ops)
+    "q67_map_ops"        -> q67_map_ops,
+    "q68_scd2_merge"     -> q68_scd2_merge)
 
   val oracles: Map[String, String] = Map(
     "q59_lateral"        -> q59_sql,
@@ -383,5 +452,6 @@ object Extensions {
     "q63_not_in"         -> q63_sql,
     "q64_variant"        -> q64_sql,
     "q66_data_quality"   -> q66_sql,
-    "q67_map_ops"        -> q67_sql)
+    "q67_map_ops"        -> q67_sql,
+    "q68_scd2_merge"     -> q68_sql)
 }

@@ -139,4 +139,35 @@ class IncrementalSpec extends SparkSpec {
     assert(pinned.count() === 3L)
     assert(pinned.agg(sum(col("px"))).collect()(0).getDouble(0) === 60.0)
   }
+
+  test("scdMerge: change closes + reopens, no-op keeps, new key inserts, history passes through") {
+    val dim = Seq(
+      (1L, "OLD1", Some(10), Some(20)), // closed history row
+      (1L, "CUR1", Some(20), None),     // current, will change
+      (2L, "CUR2", Some(15), None),     // current, update re-asserts value
+      (3L, "CUR3", Some(12), None)      // current, no update
+    ).toDF("k", "attr", "valid_from", "valid_to")
+    val updates = Seq(
+      (1L, "NEW1", 30), // changed
+      (2L, "CUR2", 31), // identical -> no-op
+      (9L, "NEW9", 32)  // key absent from dim -> insert
+    ).toDF("k", "attr", "ts")
+    val out = Incremental.scdMerge(dim, updates, "k", "attr", "ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Int]),
+        Option(r.get(3)).map(_.asInstanceOf[Int]))).toSet
+    assert(out === Set(
+      (1L, "OLD1", Some(10), Some(20)), // history untouched
+      (1L, "CUR1", Some(20), Some(30)), // closed at change ts
+      (1L, "NEW1", Some(30), None),     // new open version
+      (2L, "CUR2", Some(15), None),     // no-op: original valid_from kept
+      (3L, "CUR3", Some(12), None),     // unchanged
+      (9L, "NEW9", Some(32), None)))    // fresh key
+    // exactly one current version per key
+    val cur = Incremental.scdMerge(dim, updates, "k", "attr", "ts")
+      .where(col("valid_to").isNull).groupBy(col("k")).count()
+      .where(col("count") > 1).count()
+    assert(cur === 0L)
+  }
 }

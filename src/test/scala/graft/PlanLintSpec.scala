@@ -26,11 +26,12 @@ class PlanLintSpec extends SparkSpec {
   // documented brute-force exhaustive variant whose oracle replays it
   // (s02's LSH buckets are the scale path).
   // q65 joins a |event_types|-row sketch table to itself on an
-  // inequality — deliberately tiny at any corpus scale.
+  // inequality — deliberately tiny at any corpus scale. t19 crosses a
+  // ONE-ROW broadcast (N, avgdl) stats frame like t14/t15.
   private val allowNestedLoop =
     Set("s01_cosine_topk", "s02_lsh_ann_topk", "s03_ivf_topk",
       "t15_mixture_weights", "t14_tfidf_terms", "d04_embedding_neardups",
-      "q65_kmv_setops")
+      "q65_kmv_setops", "t19_bm25")
 
   test("no query plans an unpartitioned window or an unjustified cartesian join") {
     val failures = scala.collection.mutable.ListBuffer[String]()
