@@ -1391,6 +1391,51 @@ object Corpus {
        |FROM sc GROUP BY doc_id
        |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
 
+  /** PII redaction sweep — the privacy-scrubbing stage every released
+    * training corpus runs: detect and mask email addresses and phone
+    * numbers, reporting per-document hit counts and a digest of the
+    * scrubbed text. The corpus is synthetic, so (the q66 recipe) the
+    * query plants deterministic PII in a known subset of documents
+    * in-query — detection and masking are then fully oracle-replayable.
+    * Patterns stay in the regex subset Java and RE2 evaluate
+    * identically (char classes + bounded repetition, no lookaround);
+    * the digest compares md5(redacted) so no text crosses the result.
+    * One narrow codegen'd projection — no shuffle at any scale.
+    */
+  val t20_pii_redaction: Q = (s, dir) => {
+    val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phonePat = "\\d{3}-\\d{4}"
+    val planted = concat(col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    t(s, dir, "documents")
+      .select(col("doc_id"), planted.as("__t"))
+      .select(col("doc_id"),
+        regexp_count(col("__t"), lit(emailPat)).cast("long").as("n_emails"),
+        regexp_count(col("__t"), lit(phonePat)).cast("long").as("n_phones"),
+        md5(regexp_replace(
+          regexp_replace(col("__t"), emailPat, "<EMAIL>"),
+          phonePat, "<PHONE>")).as("redacted_md5"))
+  }
+
+  val t20_sql: String =
+    """WITH p AS (SELECT doc_id, text || CASE WHEN doc_id % 7 = 0
+      |    THEN ' contact user' || CAST(doc_id AS VARCHAR)
+      |      || '@example.com or 555-'
+      |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |    ELSE '' END AS t FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t,
+      |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(t, '\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+      |  md5(regexp_replace(regexp_replace(t,
+      |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |    '\d{3}-\d{4}', '<PHONE>', 'g')) AS redacted_md5
+      |FROM p""".stripMargin
+
   /** Per-vector symmetric int8 quantization manifest — the compression
     * step that makes a 100 TB float32 embedding store servable (4×
     * smaller, SIMD-friendly int dot products; the IVF/LSH ANN paths
@@ -1697,6 +1742,7 @@ object Corpus {
     "t17_heavy_hitters"     -> t17_heavy_hitters,
     "t18_heavy_hitters_by_lang" -> t18_heavy_hitters_by_lang,
     "t19_bm25"              -> t19_bm25,
+    "t20_pii_redaction"     -> t20_pii_redaction,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -1737,6 +1783,7 @@ object Corpus {
     "t17_heavy_hitters"     -> t17_sql,
     "t18_heavy_hitters_by_lang" -> t18_sql,
     "t19_bm25"              -> t19_sql,
+    "t20_pii_redaction"     -> t20_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,

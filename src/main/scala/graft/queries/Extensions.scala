@@ -433,6 +433,44 @@ object Extensions {
       |  WHERE NOT is_new AND NOT changed)
       |SELECT *, valid_to IS NULL AS is_current FROM out""".stripMargin
 
+  /** Incremental join maintenance (`Incremental.deltaJoin`): the
+    * orders⋈customer materialized view refreshed by the three-term
+    * delta rule instead of a recompute — orders split old/new at a
+    * date boundary, customers split old/new on a key residue, so all
+    * three delta terms are non-empty. The query aggregates
+    * (old join ∪ delta); the oracle aggregates the FULL join computed
+    * directly — hash equality IS the proof that the delta rule
+    * reconstructs the view exactly. Sums quantize to DECIMAL(18,2)
+    * so both plans are order-independent-exact.
+    */
+  val q69_delta_join: Q = (s, dir) => {
+    val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    val cut = lit("1997-01-01").cast("timestamp")
+    val (aOld, aNew) = (
+      t(s, dir, "orders").where(col("o_orderdate") < cut),
+      t(s, dir, "orders").where(col("o_orderdate") >= cut))
+    def proj(df: DataFrame) = df.select(
+      col("o_custkey").as("c_custkey"),
+      year(col("o_orderdate")).as("o_year"), col("o_totalprice"))
+    val (bOld, bNew) = (
+      cust.where(col("c_custkey") % 10 =!= 0),
+      cust.where(col("c_custkey") % 10 === 0))
+    val keys = Seq("c_custkey")
+    proj(aOld).join(bOld, keys)
+      .unionByName(graft.load.Incremental
+        .deltaJoin(proj(aOld), proj(aNew), bOld, bNew, keys))
+      .groupBy(col("c_mktsegment"), col("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(dec2)).cast("double").as("total_price"))
+  }
+
+  val q69_sql: String =
+    """SELECT c_mktsegment, CAST(year(o_orderdate) AS INT) AS o_year,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q59_lateral"        -> q59_lateral,
     "q60_month_spine"    -> q60_month_spine,
@@ -442,7 +480,8 @@ object Extensions {
     "q64_variant"        -> q64_variant,
     "q66_data_quality"   -> q66_data_quality,
     "q67_map_ops"        -> q67_map_ops,
-    "q68_scd2_merge"     -> q68_scd2_merge)
+    "q68_scd2_merge"     -> q68_scd2_merge,
+    "q69_delta_join"     -> q69_delta_join)
 
   val oracles: Map[String, String] = Map(
     "q59_lateral"        -> q59_sql,
@@ -453,5 +492,6 @@ object Extensions {
     "q64_variant"        -> q64_sql,
     "q66_data_quality"   -> q66_sql,
     "q67_map_ops"        -> q67_sql,
-    "q68_scd2_merge"     -> q68_sql)
+    "q68_scd2_merge"     -> q68_sql,
+    "q69_delta_join"     -> q69_sql)
 }

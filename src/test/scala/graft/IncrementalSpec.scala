@@ -140,6 +140,20 @@ class IncrementalSpec extends SparkSpec {
     assert(pinned.agg(sum(col("px"))).collect()(0).getDouble(0) === 60.0)
   }
 
+  test("deltaJoin: old join + three-term delta equals full recompute when both sides grow") {
+    val aOld = Seq((1, "a1"), (2, "a2")).toDF("k", "a")
+    val aNew = Seq((2, "a2b"), (3, "a3")).toDF("k", "a")
+    val bOld = Seq((1, "b1"), (3, "b3")).toDF("k", "b")
+    val bNew = Seq((2, "b2"), (3, "b3b")).toDF("k", "b")
+    val incremental = aOld.join(bOld, Seq("k"))
+      .unionByName(Incremental.deltaJoin(aOld, aNew, bOld, bNew, Seq("k")))
+    val full = aOld.unionByName(aNew).join(bOld.unionByName(bNew), Seq("k"))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getInt(0), r.getString(1), r.getString(2))
+    assert(incremental.collect().map(key).sorted.toSeq ===
+      full.collect().map(key).sorted.toSeq)
+  }
+
   test("scdMerge: change closes + reopens, no-op keeps, new key inserts, history passes through") {
     val dim = Seq(
       (1L, "OLD1", Some(10), Some(20)), // closed history row
