@@ -1493,6 +1493,95 @@ object Corpus {
       |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS sq_err
       |FROM q GROUP BY vec_id, label, n_dims, sc""".stripMargin
 
+  /** Quantized-scan ANN with float re-rank — the serving path the s05
+    * manifest exists for: candidate generation scores int8 code pairs
+    * (exact integer dot × the two per-vector scales; 4× less memory
+    * traffic than a float scan, and the arithmetic SIMD-friendly
+    * int ops), keeps the top-40 per probe, then re-ranks ONLY those
+    * survivors with the exact float cosine. At 100 TB the quantized
+    * scan composes with the IVF/LSH bucket paths (s02/s03) — this
+    * query isolates the quantize→score→re-rank contract. Fully
+    * deterministic (integer dot, tie-breaks on id), so even the
+    * approximate candidate cut is hash-checked; the re-rank joins
+    * carry only (query, neighbor, score) triples plus the ≤40×probes
+    * survivor vectors.
+    */
+  val s06_quant_ann: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val nCand = 40
+    val base = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        (array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+          / lit(127)).as("__sc"))
+      .where(col("__sc") > 0)
+      .withColumn("__q", transform(col("embedding"),
+        x => least(lit(127.0), greatest(lit(-127.0),
+          round(x.cast("double") / col("__sc"), 0))).cast("int")))
+    val probes = broadcast(base.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        col("__q").as("__qp"), col("__sc").as("__scp")))
+    val corpus = base
+      .select(col("vec_id").as("neighbor_id"),
+        col("__q").as("__qc"), col("__sc").as("__scc"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val dot = aggregate(
+      zip_with(col("__qp"), col("__qc"), (a, b) => (a * b).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id").asc)
+    val candidates = probes.crossJoin(corpus)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot.cast("double") * col("__scp") * col("__scc")).as("approx"))
+      .withColumn("__r", row_number().over(wc))
+      .where(col("__r") <= nCand)
+      .select(col("query_id"), col("neighbor_id"), col("approx"))
+    val e = t(s, dir, "embeddings")
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    candidates
+      .join(e.select(col("vec_id").as("query_id"),
+        col("embedding").as("__pv")), Seq("query_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("__cv")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("approx"),
+        Similarity.cosine(col("__pv"), col("__cv")).as("cosine"))
+      .withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= 10)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("approx"), 6).as("approx"),
+        round(col("cosine"), 6).as("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  val s06_sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |qz AS (SELECT vec_id, v,
+       |  list_max(list_transform(v, x -> abs(x))) / 127 AS sc FROM e),
+       |q AS (SELECT vec_id, v, sc,
+       |    list_transform(generate_series(1, 64),
+       |      i -> CAST(LEAST(127.0, GREATEST(-127.0, ROUND(v[i] / sc, 0)))
+       |        AS INT)) AS qc
+       |  FROM qz WHERE sc > 0),
+       |sc0 AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(generate_series(1, 64),
+       |      i -> CAST(a.qc[i] * b.qc[i] AS BIGINT))) AS DOUBLE)
+       |      * a.sc * b.sc AS approx
+       |  FROM q a JOIN q b ON b.vec_id <> a.vec_id WHERE a.vec_id < 5),
+       |cnd AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY approx DESC, neighbor_id ASC) AS r FROM sc0),
+       |rr AS (SELECT c.query_id, c.neighbor_id, c.approx, $cosSql AS cos
+       |  FROM cnd c
+       |  JOIN e a ON a.vec_id = c.query_id
+       |  JOIN e b ON b.vec_id = c.neighbor_id
+       |  WHERE c.r <= 40),
+       |rk AS (SELECT query_id, neighbor_id, approx, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS rank FROM rr)
+       |SELECT query_id, neighbor_id, ROUND(approx, 6) AS approx,
+       |  ROUND(cos, 6) AS cosine, rank
+       |FROM rk WHERE rank <= 10""".stripMargin
+
   private def m01FeaturePath: String =
     s"${graft.ingest.FixtureTables.root}/m01_features.parquet"
 
@@ -1754,7 +1843,8 @@ object Corpus {
     "s01_cosine_topk"       -> s01_cosine_topk,
     "s02_lsh_ann_topk"      -> s02_lsh_ann_topk,
     "s04_label_centroids"   -> s04_label_centroids,
-    "s05_int8_quant"        -> s05_int8_quant)
+    "s05_int8_quant"        -> s05_int8_quant,
+    "s06_quant_ann"         -> s06_quant_ann)
 
   val oracles: Map[String, String] = Map(
     "m01_multimodal_features" -> m01_sql,
@@ -1796,5 +1886,6 @@ object Corpus {
     "s02_lsh_ann_topk"      -> s02_sql,
     "s03_ivf_topk"          -> s03_sql,
     "s04_label_centroids"   -> s04_sql,
-    "s05_int8_quant"        -> s05_sql)
+    "s05_int8_quant"        -> s05_sql,
+    "s06_quant_ann"         -> s06_sql)
 }

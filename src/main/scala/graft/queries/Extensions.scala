@@ -471,6 +471,73 @@ object Extensions {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1, 2""".stripMargin
 
+  /** Native ROLLUP (hierarchical subtotals year → priority → grand
+    * total) from the DataFrame surface — the `.cube`/GROUPING SETS
+    * family's third member (q29/q32 cover the other two from the SQL
+    * surface). Plans as ONE Expand + hash aggregate, not one scan per
+    * grouping level. grouping_id bit order (first rollup column most
+    * significant) is restated arithmetically in the oracle.
+    */
+  val q70_rollup: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .rollup(year(col("o_orderdate")).as("o_year"), col("o_orderpriority"))
+      .agg(grouping_id().cast("long").as("g_id"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(dec2)).cast("double").as("total_price"))
+
+  val q70_sql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderpriority,
+      |  CAST(GROUPING(year(o_orderdate)) * 2
+      |    + GROUPING(o_orderpriority) AS BIGINT) AS g_id,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)""".stripMargin
+
+  /** Snapshot reconciliation (`Reconcile.tableDiff`): diff the orders
+    * table against a deterministically perturbed copy of itself —
+    * every 97th key dropped (removed), every 89th surviving key's
+    * price bumped (changed), three synthetic negative keys appended
+    * (added) — and report row counts per status. The oracle replays
+    * the perturbation and classifies via the same null-safe
+    * comparisons, independently formulated as CASE over IS [NOT]
+    * DISTINCT FROM.
+    */
+  val q71_table_diff: Q = (s, dir) => {
+    val a = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val b = t(s, dir, "orders")
+      .where(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        when(col("o_orderkey") % 89 === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+      .unionByName(s.range(3).select(
+        (col("id") * -1 - 1).as("o_orderkey"),
+        lit("X").as("o_orderstatus"), lit(0.0).as("o_totalprice")))
+    graft.load.Reconcile
+      .tableDiff(a, b, Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n_rows"))
+  }
+
+  val q71_sql: String =
+    """WITH a AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      |b AS (SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT CAST(-1 - i AS BIGINT), 'X', 0.0
+      |  FROM generate_series(0, 2) AS t(i)),
+      |j AS (SELECT a.o_orderkey IS NOT NULL AS ina,
+      |    b.o_orderkey IS NOT NULL AS inb,
+      |    a.o_orderstatus IS NOT DISTINCT FROM b.o_orderstatus
+      |      AND a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice AS same
+      |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+      |SELECT CASE WHEN NOT inb THEN 'removed' WHEN NOT ina THEN 'added'
+      |            WHEN same THEN 'same' ELSE 'changed' END AS status,
+      |  COUNT(*) AS n_rows
+      |FROM j GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q59_lateral"        -> q59_lateral,
     "q60_month_spine"    -> q60_month_spine,
@@ -481,7 +548,9 @@ object Extensions {
     "q66_data_quality"   -> q66_data_quality,
     "q67_map_ops"        -> q67_map_ops,
     "q68_scd2_merge"     -> q68_scd2_merge,
-    "q69_delta_join"     -> q69_delta_join)
+    "q69_delta_join"     -> q69_delta_join,
+    "q70_rollup"         -> q70_rollup,
+    "q71_table_diff"     -> q71_table_diff)
 
   val oracles: Map[String, String] = Map(
     "q59_lateral"        -> q59_sql,
@@ -493,5 +562,7 @@ object Extensions {
     "q66_data_quality"   -> q66_sql,
     "q67_map_ops"        -> q67_sql,
     "q68_scd2_merge"     -> q68_sql,
-    "q69_delta_join"     -> q69_sql)
+    "q69_delta_join"     -> q69_sql,
+    "q70_rollup"         -> q70_sql,
+    "q71_table_diff"     -> q71_sql)
 }

@@ -140,6 +140,19 @@ class IncrementalSpec extends SparkSpec {
     assert(pinned.agg(sum(col("px"))).collect()(0).getDouble(0) === 60.0)
   }
 
+  test("tableDiff classifies added/removed/changed/same; NULL attribute values compare null-safe") {
+    val a = Seq((1, Some("x")), (2, Some("y")), (3, None: Option[String]), (4, Some("z")))
+      .toDF("k", "v")
+    val b = Seq((1, Some("x")), (2, Some("Y")), (3, None: Option[String]), (5, Some("w")))
+      .toDF("k", "v")
+    val out = graft.load.Reconcile.tableDiff(a, b, Seq("k"), Seq("v"))
+      .select("k", "status").collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    assert(out === Map(
+      1 -> "same", 2 -> "changed",
+      3 -> "same",      // NULL <=> NULL is true, not unknown
+      4 -> "removed", 5 -> "added"))
+  }
+
   test("deltaJoin: old join + three-term delta equals full recompute when both sides grow") {
     val aOld = Seq((1, "a1"), (2, "a2")).toDF("k", "a")
     val aNew = Seq((2, "a2b"), (3, "a3")).toDF("k", "a")

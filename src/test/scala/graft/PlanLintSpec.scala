@@ -31,7 +31,7 @@ class PlanLintSpec extends SparkSpec {
   private val allowNestedLoop =
     Set("s01_cosine_topk", "s02_lsh_ann_topk", "s03_ivf_topk",
       "t15_mixture_weights", "t14_tfidf_terms", "d04_embedding_neardups",
-      "q65_kmv_setops", "t19_bm25")
+      "q65_kmv_setops", "t19_bm25", "s06_quant_ann")
 
   test("no query plans an unpartitioned window or an unjustified cartesian join") {
     val failures = scala.collection.mutable.ListBuffer[String]()
