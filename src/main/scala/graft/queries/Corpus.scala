@@ -1436,6 +1436,42 @@ object Corpus {
       |    '\d{3}-\d{4}', '<PHONE>', 'g')) AS redacted_md5
       |FROM p""".stripMargin
 
+  /** Vocabulary coverage / OOV rate — the tokenizer-fit diagnostic run
+    * before committing a vocab: build the top-100 token vocabulary
+    * (deterministic (freq desc, token asc) cut, the t12 ranking rule)
+    * and report each document's out-of-vocabulary token count and
+    * rate. The vocab side is a 100-row broadcast; the per-doc side is
+    * one keyed aggregate over the exploded stream, with OOV decided by
+    * a broadcast left join — no shuffle carries tokens twice. The two
+    * branches re-tokenize the corpus (the documented t16 diamond
+    * cost); the vocab branch's aggregate is tiny next to it.
+    */
+  val t21_oov_rate: Q = (s, dir) => {
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("token").asc).limit(100)
+      .select(col("token"), lit(1).as("__v"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+  }
+
+  val t21_sql: String =
+    s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+       |v AS (SELECT token FROM (SELECT token, COUNT(*) AS n FROM t
+       |    GROUP BY token ORDER BY n DESC, token ASC LIMIT 100)),
+       |j AS (SELECT t.doc_id, t.token, v.token IS NOT NULL AS in_vocab
+       |  FROM t LEFT JOIN v ON t.token = v.token)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+       |  ROUND(CAST(SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS oov_rate
+       |FROM j GROUP BY doc_id""".stripMargin
+
   /** Per-vector symmetric int8 quantization manifest — the compression
     * step that makes a 100 TB float32 embedding store servable (4×
     * smaller, SIMD-friendly int dot products; the IVF/LSH ANN paths
@@ -1832,6 +1868,7 @@ object Corpus {
     "t18_heavy_hitters_by_lang" -> t18_heavy_hitters_by_lang,
     "t19_bm25"              -> t19_bm25,
     "t20_pii_redaction"     -> t20_pii_redaction,
+    "t21_oov_rate"          -> t21_oov_rate,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -1874,6 +1911,7 @@ object Corpus {
     "t18_heavy_hitters_by_lang" -> t18_sql,
     "t19_bm25"              -> t19_sql,
     "t20_pii_redaction"     -> t20_sql,
+    "t21_oov_rate"          -> t21_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,

@@ -449,6 +449,82 @@ object StreamingIngest {
     * of stream length. Ties break deterministically on (score desc,
     * item asc), matching the batch operator's ordering.
     */
+  // ---- streaming SCD Type-2 apply (CDC dimension sink) ----
+
+  /** CDC apply stream: fold each micro-batch of attribute changes into
+    * a parquet-backed SCD Type-2 dimension with
+    * [[graft.load.Incremental.scdMerge]]. Each batch first collapses to
+    * its latest change per key (deterministic (ts, attr) max), so one
+    * trigger = one SCD batch — changes superseded inside a single
+    * micro-batch coarsen to their final value, the standard micro-batch
+    * CDC contract.
+    *
+    * The dimension lives in generation directories `gen-<batchId>`
+    * under `dimRoot`: a batch reads the newest generation with id
+    * STRICTLY BELOW its own and writes `gen-<its id>`, so read and
+    * write never touch the same files. Crash/replay safety: a replayed
+    * batch resolves the same parent generation (ids below its own are
+    * immutable by construction) and overwrites its own half- or
+    * fully-written output — same parent + same collapsed changes =
+    * same result, and re-merging already-applied changes is a no-op by
+    * scdMerge's null-safe compare. Durable state is the dimension
+    * itself, never executor memory; each trigger costs scdMerge's one
+    * keyed join, so a 100 TB dimension streams through exactly like
+    * its batch counterpart.
+    */
+  def scdApplyStream(
+      changes: DataFrame,
+      dimRoot: String,
+      key: String,
+      attr: String,
+      ts: String,
+      checkpointDir: String): StreamingQuery =
+    changes.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          val spark = batch.sparkSession
+          val latest = batch.toDF()
+            .groupBy(col(key))
+            .agg(max_by(col(attr), struct(col(ts), col(attr))).as(attr),
+              max(col(ts)).as(ts))
+          val empty = latest
+            .select(col(key), col(attr), col(ts).as("valid_from"),
+              lit(null).cast(batch.schema(ts).dataType).as("valid_to"))
+            .limit(0)
+          val dim = priorGeneration(spark, dimRoot, batchId)
+            .map(p => spark.read.parquet(p))
+            .getOrElse(empty)
+          graft.load.Incremental.scdMerge(dim, latest, key, attr, ts)
+            .write.mode("overwrite").parquet(s"$dimRoot/gen-$batchId")
+          ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+
+  /** Newest committed dimension generation under `dimRoot` (the frame
+    * consumers read), or None before the first batch lands.
+    */
+  def currentScdDimension(
+      spark: SparkSession, dimRoot: String): Option[DataFrame] =
+    priorGeneration(spark, dimRoot, Long.MaxValue)
+      .map(p => spark.read.parquet(p))
+
+  private def priorGeneration(
+      spark: SparkSession, dimRoot: String, below: Long): Option[String] = {
+    val root = new org.apache.hadoop.fs.Path(dimRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
+      .flatMap(s => s.getPath.getName.stripPrefix("gen-").toLongOption
+        .map(id => (id, s.getPath.toString)))
+      .filter(_._1 < below)
+      .sortBy(_._1)
+      .lastOption.map(_._2)
+  }
+
   def streamingTopKPerKey(
       events: org.apache.spark.sql.Dataset[RankEvent],
       k: Int): org.apache.spark.sql.Dataset[TopK] = {

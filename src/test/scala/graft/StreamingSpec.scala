@@ -611,4 +611,39 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getDouble(0)).toSeq
     assert(out == Seq(3.5, 4.5))   // (3+4)/2 then (4+5)/2 — the 99.0 bar ignored
   }
+
+  test("scdApplyStream: CDC batches fold into a dimension equal to sequential batch scdMerge") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.load.Incremental
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_scd_stream").toString
+    val root = s"$base/dim"; val ckpt = s"$base/ckpt"
+    val stream = MemoryStream[(Long, String, Int)]
+    val q = StreamingIngest.scdApplyStream(
+      stream.toDF().toDF("k", "attr", "ts"), root, "k", "attr", "ts", ckpt)
+    val batches = Seq(
+      Seq((1L, "A", 10), (2L, "B", 10), (1L, "A0", 9)), // in-batch supersede: (1,A,10) wins
+      Seq((1L, "A2", 20), (3L, "C", 20)),               // change + new key
+      Seq((1L, "A2", 30), (2L, "B2", 30)))              // no-op re-assert + change
+    batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    def collapse(rows: Seq[(Long, String, Int)]) = rows.toDF("k", "attr", "ts")
+      .groupBy(col("k"))
+      .agg(max_by(col("attr"), struct(col("ts"), col("attr"))).as("attr"),
+        max(col("ts")).as("ts"))
+    val empty = Seq.empty[(Long, String, Option[Int], Option[Int])]
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val expected = batches.foldLeft(empty)((dim, b) =>
+      Incremental.scdMerge(dim, collapse(b), "k", "attr", "ts"))
+    val toSet = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)), Option(r.get(3)))).toSet
+    val got = StreamingIngest.currentScdDimension(spark, root).get
+    assert(toSet(got) === toSet(expected))
+    // sanity on the history itself: 1 closed at 20, exactly one current row per key
+    assert(toSet(got).contains((1L, "A", Some(10), Some(20))))
+    assert(got.where(col("valid_to").isNull).count() === 3L)
+  }
 }
