@@ -1330,8 +1330,70 @@ object Advanced {
       |  GREATEST(0, est_a + est_b - est_union) AS est_intersection
       |FROM e""".stripMargin
 
+  /** Sliding-window distinct users from MERGED daily KMV sketches —
+    * the pre-aggregated sketch-store pattern: one pass builds a few-KB
+    * sketch per day; any trailing-range distinct estimate after that
+    * merges sketches (flatten → distinct → sort → take-k), never
+    * re-touching raw events. An exact trailing COUNT(DISTINCT) over
+    * 100 TB re-scans the window per day; the sketch store answers from
+    * |days| × k longs. The merge window runs over the DAILY table —
+    * thousands of rows at any corpus scale — so it gets the deliberate
+    * single tiny partition (the t16 recipe, non-foldable pmod so the
+    * optimizer can't erase it); the RANGE frame on an integer day
+    * number handles calendar gaps. md5-derived hashes make daily
+    * sketches AND merged estimates bit-replayable by the oracle.
+    */
+  val q72_sliding_distinct: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val k = 256
+    val daily = t(s, dir, "events")
+      .select(date_trunc("day", col("ts")).as("day"),
+        KmvSketch.hash64(col("user_id")).as("__h"))
+      .groupBy(col("day"))
+      .agg(KmvSketch.kmvHashes(col("__h"), k).as("__hs"))
+      .withColumn("__dn",
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    def est(c: Column): Column =
+      when(size(c) < k, size(c).cast("long"))
+        .otherwise(floor(
+          lit((k - 1).toDouble * KmvSketch.TwoPow60) /
+            element_at(c, k).cast("double")).cast("long"))
+    val w = Window.partitionBy(pmod(col("__dn"), lit(1)))
+      .orderBy(col("__dn")).rangeBetween(-6, 0)
+    daily
+      .withColumn("__merged", slice(array_sort(array_distinct(
+        flatten(collect_list(col("__hs")).over(w)))), 1, k))
+      .select(col("day"),
+        est(col("__hs")).as("est_users_1d"),
+        est(col("__merged")).as("est_users_7d"))
+  }
+
+  val q72_sql: String =
+    """WITH h AS (
+      |  SELECT DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM events),
+      |d AS (
+      |  SELECT day,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(day AS DATE)) AS BIGINT) AS dn,
+      |    list_slice(list_sort(list(h)), 1, 256) AS hs
+      |  FROM h GROUP BY day),
+      |m AS (
+      |  SELECT day, hs,
+      |    list_slice(list_sort(list_distinct(flatten(
+      |      list(hs) OVER (ORDER BY dn RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |    ))), 1, 256) AS hu
+      |  FROM d)
+      |SELECT day,
+      |  CASE WHEN len(hs) < 256 THEN len(hs)
+      |       ELSE CAST(FLOOR(255.0 * 1152921504606846976.0 / hs[256]) AS BIGINT) END AS est_users_1d,
+      |  CASE WHEN len(hu) < 256 THEN len(hu)
+      |       ELSE CAST(FLOOR(255.0 * 1152921504606846976.0 / hu[256]) AS BIGINT) END AS est_users_7d
+      |FROM m""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q65_kmv_setops"    -> q65_kmv_setops,
+    "q72_sliding_distinct" -> q72_sliding_distinct,
     "q58_retention"     -> q58_retention,
     "q57_funnel"        -> q57_funnel,
     "q36_asof_forward"  -> q36_asof_forward,
@@ -1369,6 +1431,7 @@ object Advanced {
 
   val oracles: Map[String, String] = Map(
     "q65_kmv_setops"    -> q65_sql,
+    "q72_sliding_distinct" -> q72_sql,
     "q58_retention"     -> q58_sql,
     "q57_funnel"        -> q57_sql,
     "q36_asof_forward"  -> q36_sql,
