@@ -1391,9 +1391,51 @@ object Advanced {
       |       ELSE CAST(FLOOR(255.0 * 1152921504606846976.0 / hu[256]) AS BIGINT) END AS est_users_7d
       |FROM m""".stripMargin
 
+  /** Approximate quantiles from a DETERMINISTIC bottom-k-by-hash
+    * sample — the mergeable-quantile-summary workflow without a custom
+    * sketch: ranking each group's rows by a stable md5-derived hash
+    * and keeping the k smallest is a uniform sample that (a) merges
+    * exactly like KMV (min-k of a union = min-k of the min-k's), so
+    * per-partition / per-day summaries combine losslessly, and (b) is
+    * a pure function of the data — no RNG — so the estimate is
+    * bit-replayable by the oracle. Exact interpolated percentiles over
+    * the k-row sample approximate the true quantiles with standard
+    * order-statistic error; the accuracy spec pins the observed error
+    * against the exact q27-style truth. The rank shuffle carries
+    * (group, hash, value) triples; everything after runs on k rows per
+    * group.
+    */
+  val q73_sampled_quantiles: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val k = 256
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("__h").asc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        KmvSketch.hash64(col("o_orderkey")).as("__h"))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= k)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_sample"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50_est"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_est"))
+  }
+
+  val q73_sql: String =
+    """WITH h AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM orders),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |    ORDER BY h, o_orderkey) AS rn FROM h)
+      |SELECT o_orderpriority, COUNT(*) AS n_sample,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50_est,
+      |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90_est
+      |FROM r WHERE rn <= 256 GROUP BY o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q65_kmv_setops"    -> q65_kmv_setops,
     "q72_sliding_distinct" -> q72_sliding_distinct,
+    "q73_sampled_quantiles" -> q73_sampled_quantiles,
     "q58_retention"     -> q58_retention,
     "q57_funnel"        -> q57_funnel,
     "q36_asof_forward"  -> q36_asof_forward,
@@ -1432,6 +1474,7 @@ object Advanced {
   val oracles: Map[String, String] = Map(
     "q65_kmv_setops"    -> q65_sql,
     "q72_sliding_distinct" -> q72_sql,
+    "q73_sampled_quantiles" -> q73_sql,
     "q58_retention"     -> q58_sql,
     "q57_funnel"        -> q57_sql,
     "q36_asof_forward"  -> q36_sql,

@@ -213,6 +213,27 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("q73_sampled_quantiles: bottom-k-hash sample quantiles land near the exact quantiles") {
+    import org.apache.spark.sql.functions._
+    val est = graft.queries.Advanced.q73_sampled_quantiles(spark, sfDir)
+      .collect().map(r => (r.getString(0), (r.getDouble(2), r.getDouble(3)))).toMap
+    val exact = Tables(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    assert(est.keySet === exact.keySet)
+    est.foreach { case (g, (p50, p90)) =>
+      // 256-row order statistics: sampled quantile of a heavy-group
+      // distribution sits within ~1/√k of the true rank; prices span
+      // ~[1k, 500k], so allow 15% relative error per group
+      assert(math.abs(p50 - exact(g)._1) / exact(g)._1 < 0.15,
+        s"$g p50: est $p50 vs exact ${exact(g)._1}")
+      assert(math.abs(p90 - exact(g)._2) / exact(g)._2 < 0.15,
+        s"$g p90: est $p90 vs exact ${exact(g)._2}")
+    }
+  }
+
   test("t16_corpus_positions: two-level prefix sum equals the naive global running sum") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
