@@ -543,4 +543,62 @@ object StreamingIngest {
           TopK(key, merged.map(_._2), merged.map(_._1))
       }
   }
+
+  // ---- streaming sampled quantiles (mergeable bottom-k-hash state) ----
+
+  case class QuantEvent(group: String, id: Long, value: Double)
+  case class QuantEstimate(group: String, nSample: Int, p50: Double, p90: Double)
+
+  /** Scala-side twin of `KmvSketch.hash64` (first 15 hex chars of the
+    * md5 parsed base-16) so streaming state ranks rows by the SAME
+    * stable hash the batch sample (q73) and the DuckDB oracle use.
+    */
+  def md5Hash64(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  /** Linear-interpolated percentile over a sorted sample — the exact
+    * `percentile`/`quantile_cont` formula (rank p·(n−1), interpolate).
+    */
+  def interpPercentile(sorted: IndexedSeq[Double], p: Double): Double = {
+    val r = p * (sorted.length - 1)
+    val lo = math.floor(r).toInt
+    val hi = math.ceil(r).toInt
+    if (lo == hi) sorted(lo)
+    else sorted(lo) + (r - lo) * (sorted(hi) - sorted(lo))
+  }
+
+  /** Streaming approximate quantiles — the q73 bottom-k-hash summary
+    * held as keyed state: each group's state is the k events with the
+    * smallest (md5-hash, id) rank seen so far. Min-k is mergeable in
+    * any arrival order (min-k of a union = min-k of the min-k's), so
+    * after any batch split the state equals the batch sample over the
+    * same events — the spec pins that — and each trigger re-emits the
+    * group's refreshed interpolated percentiles in Update mode. State
+    * is bounded at k triples per group regardless of stream length; no
+    * RNG anywhere, so results are replay-deterministic.
+    */
+  def streamingSampledQuantiles(
+      events: org.apache.spark.sql.Dataset[QuantEvent],
+      k: Int): org.apache.spark.sql.Dataset[QuantEstimate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.group)
+      .mapGroupsWithState[List[(Long, Long, Double)], QuantEstimate](
+        GroupStateTimeout.NoTimeout) {
+        (group: String, in: Iterator[QuantEvent],
+            state: GroupState[List[(Long, Long, Double)]]) =>
+          val merged = (state.getOption.getOrElse(Nil) ++
+              in.map(e => (md5Hash64(e.id.toString), e.id, e.value)))
+            .sortBy { case (h, id, _) => (h, id) }
+            .take(k)
+          state.update(merged)
+          val vals = merged.map(_._3).sorted.toIndexedSeq
+          QuantEstimate(group, vals.length,
+            interpPercentile(vals, 0.5), interpPercentile(vals, 0.9))
+      }
+  }
 }

@@ -63,8 +63,12 @@ object ScaleGrowth {
     // pipeline should be near-linear too (two bigram passes + k-bounded
     // summaries; the salted corpus keeps bigram vocabulary ~1.6k < k,
     // so the per-group guarantee regime matches the real corpus)
+    // t19/t21 join in round 5: BM25's df-window + stats cross and the
+    // OOV broadcast join are the new shapes where a hidden quadratic
+    // could lurk; both should stay near-linear like the rest
     val queries = Seq("d02_minhash_neardups", "d06_jaccard_neardups",
-      "d07_decontamination", "t17_heavy_hitters")
+      "d07_decontamination", "t17_heavy_hitters", "t19_bm25",
+      "t21_oov_rate")
     def time(name: String, dir: String): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()

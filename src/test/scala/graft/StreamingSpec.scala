@@ -612,6 +612,42 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq(3.5, 4.5))   // (3+4)/2 then (4+5)/2 — the 99.0 bar ignored
   }
 
+  test("streamingSampledQuantiles: min-k hash state equals the batch bottom-k sample estimate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val k = 16
+    // 2 groups × 120 deterministic values, streamed in 3 interleaved batches
+    val events = (0 until 240).map { i =>
+      StreamingIngest.QuantEvent(if (i % 2 == 0) "a" else "b", i.toLong,
+        (i * 37 % 240) + 0.5)
+    }
+    val stream = MemoryStream[StreamingIngest.QuantEvent]
+    val q = StreamingIngest.streamingSampledQuantiles(stream.toDS(), k)
+      .writeStream.format("memory").queryName("squant_out")
+      .outputMode("update").start()
+    events.grouped(80).foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val latest = spark.sql(
+      """SELECT `group`, nSample, p50, p90 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY `group` ORDER BY mono DESC) AS rn
+        |  FROM (SELECT *, monotonically_increasing_id() AS mono FROM squant_out))
+        |WHERE rn = 1""".stripMargin)
+      .collect().map(r => (r.getString(0), (r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // batch reference: the q73 pipeline (hash64 rank, bottom-k, percentile)
+    val w = Window.partitionBy(col("group")).orderBy(col("__h").asc, col("id").asc)
+    val ref = events.toDS().toDF()
+      .withColumn("__h", graft.functions.KmvSketch.hash64(col("id")))
+      .withColumn("__r", row_number().over(w)).where(col("__r") <= k)
+      .groupBy(col("group"))
+      .agg(count(lit(1)).cast("int").as("n"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"))
+      .collect().map(r => (r.getString(0), (r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(latest === ref)   // same sample, same interpolation, to the bit
+  }
+
   test("scdApplyStream: CDC batches fold into a dimension equal to sequential batch scdMerge") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
