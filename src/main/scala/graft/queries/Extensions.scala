@@ -538,6 +538,83 @@ object Extensions {
       |  COUNT(*) AS n_rows
       |FROM j GROUP BY 1""".stripMargin
 
+  /** Point-in-time SCD2 lookup — the consumption side of q68: resolve
+    * each order against the segment version in effect AT its order
+    * date (`valid_from <= d < valid_to`, open version unbounded), then
+    * roll up. Half-open intervals make the boundary order resolve to
+    * the version it opened — every order matches exactly one version,
+    * which the n_orders total proves (it must equal the plain
+    * orders⋈customer count). Plan: one equi-join on the key with the
+    * range predicate as a residual filter — never an inequality-only
+    * join — since a key holds ≤2 versions here (and O(few) in any real
+    * dimension). The oracle nests the full q68 merge as a derived
+    * table and applies the same interval rule.
+    */
+  val q74_scd_asof: Q = (s, dir) => {
+    val dim = q68_scd2_merge(s, dir)
+      .select(col("c_custkey"), col("segment"),
+        col("valid_from"), col("valid_to"))
+    t(s, dir, "orders")
+      .select(col("o_custkey").as("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").as("d"))
+      .join(dim, Seq("c_custkey"))
+      .where(col("valid_from") <= col("d") &&
+        (col("valid_to").isNull || col("d") < col("valid_to")))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"),
+        sum(col("o_orderkey")).as("orderkey_sum"))
+  }
+
+  val q74_sql: String =
+    s"""WITH dim AS ($q68_sql),
+       |o AS (SELECT o_custkey AS c_custkey, o_orderkey,
+       |    CAST(o_orderdate AS TIMESTAMP) AS d FROM orders)
+       |SELECT segment, COUNT(*) AS n_orders,
+       |  COUNT(DISTINCT c_custkey) AS n_customers,
+       |  CAST(SUM(o_orderkey) AS BIGINT) AS orderkey_sum
+       |FROM o JOIN dim USING (c_custkey)
+       |WHERE valid_from <= d AND (valid_to IS NULL OR d < valid_to)
+       |GROUP BY segment""".stripMargin
+
+  /** Schema-drift union — multi-source ingestion where generations of
+    * the same feed carry different column sets: `unionByName` with
+    * missing-column null-fill aligns by NAME (a positional UNION would
+    * silently misalign), then one aggregate profiles per-column
+    * presence. The oracle states the null-fill explicitly. Narrow
+    * scans + one aggregate; column pruning still reaches each branch.
+    */
+  val q75_schema_drift_union: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val v1 = o.where(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val v2 = o.where(col("o_orderkey") % 3 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    val v3 = o.where(col("o_orderkey") % 3 === 2)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .unionByName(v3, allowMissingColumns = true)
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_totalprice")).as("n_price"),
+        count(col("o_orderpriority")).as("n_priority"),
+        sum(col("o_totalprice").cast(dec2)).cast("double").as("total_price"))
+  }
+
+  val q75_sql: String =
+    """WITH u AS (
+      |  SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 3 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderpriority
+      |  FROM orders WHERE o_orderkey % 3 = 2)
+      |SELECT COUNT(*) AS n_rows, COUNT(o_totalprice) AS n_price,
+      |  COUNT(o_orderpriority) AS n_priority,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM u""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q59_lateral"        -> q59_lateral,
     "q60_month_spine"    -> q60_month_spine,
@@ -550,7 +627,9 @@ object Extensions {
     "q68_scd2_merge"     -> q68_scd2_merge,
     "q69_delta_join"     -> q69_delta_join,
     "q70_rollup"         -> q70_rollup,
-    "q71_table_diff"     -> q71_table_diff)
+    "q71_table_diff"     -> q71_table_diff,
+    "q74_scd_asof"       -> q74_scd_asof,
+    "q75_schema_drift_union" -> q75_schema_drift_union)
 
   val oracles: Map[String, String] = Map(
     "q59_lateral"        -> q59_sql,
@@ -564,5 +643,7 @@ object Extensions {
     "q68_scd2_merge"     -> q68_sql,
     "q69_delta_join"     -> q69_sql,
     "q70_rollup"         -> q70_sql,
-    "q71_table_diff"     -> q71_sql)
+    "q71_table_diff"     -> q71_sql,
+    "q74_scd_asof"       -> q74_sql,
+    "q75_schema_drift_union" -> q75_sql)
 }
