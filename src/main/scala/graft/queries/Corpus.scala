@@ -1472,6 +1472,42 @@ object Corpus {
        |    / COUNT(*), 6) AS oov_rate
        |FROM j GROUP BY doc_id""".stripMargin
 
+  /** Token-distribution entropy per document — the lexical-diversity
+    * quality signal (low entropy ⇒ repetitive/boilerplate text, high ⇒
+    * diverse vocabulary) used alongside t02's surface ratios and t06's
+    * repetition fractions in corpus filtering. Computed by the
+    * algebraic identity H = ln(n) − (Σ c·ln c)/n over per-document
+    * token counts, with each c·ln c term rounded and quantized to
+    * DECIMAL before the sum — order-independent-exact, so the double
+    * math is bit-replayable. One (doc, token) aggregate then one doc
+    * aggregate; both keyed, nothing global.
+    */
+  val t22_token_entropy: Q = (s, dir) => {
+    val c = t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("__c"))
+    c.groupBy(col("doc_id"))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(round(col("__c") * log(col("__c")), 9).cast("decimal(28,9)"))
+          .as("__s"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(log(col("n_tokens")) -
+          col("__s").cast("double") / col("n_tokens"), 6).as("entropy"))
+  }
+
+  val t22_sql: String =
+    s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+       |c AS (SELECT doc_id, token, COUNT(*) AS c FROM t GROUP BY doc_id, token),
+       |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |    COUNT(*) AS n_distinct,
+       |    SUM(CAST(ROUND(c * ln(c), 9) AS DECIMAL(28,9))) AS s
+       |  FROM c GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, n_distinct,
+       |  ROUND(ln(n_tokens) - CAST(s AS DOUBLE) / n_tokens, 6) AS entropy
+       |FROM a""".stripMargin
+
   /** Per-vector symmetric int8 quantization manifest — the compression
     * step that makes a 100 TB float32 embedding store servable (4×
     * smaller, SIMD-friendly int dot products; the IVF/LSH ANN paths
@@ -1869,6 +1905,7 @@ object Corpus {
     "t19_bm25"              -> t19_bm25,
     "t20_pii_redaction"     -> t20_pii_redaction,
     "t21_oov_rate"          -> t21_oov_rate,
+    "t22_token_entropy"     -> t22_token_entropy,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -1912,6 +1949,7 @@ object Corpus {
     "t19_bm25"              -> t19_sql,
     "t20_pii_redaction"     -> t20_sql,
     "t21_oov_rate"          -> t21_sql,
+    "t22_token_entropy"     -> t22_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,

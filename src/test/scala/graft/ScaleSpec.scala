@@ -104,6 +104,46 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val path = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val ev = graft.Tables(spark, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+    Scale.writePartitioned(ev, path, "event_date")
+    val fact = spark.read.parquet(path)
+    // the selective predicate lives ONLY on the dim side — static
+    // pruning can't see it; DPP must push a runtime subquery filter
+    // into the fact scan's partition filters
+    val dim = ev.select(col("event_date")).distinct()
+      .where(col("event_date") === "2024-01-02")
+    val joined = fact.join(dim, Seq("event_date"))
+    // collect() (not count()) so THIS plan executes and owns the metrics
+    val n = joined.collect().length.toLong
+    assert(n === ev.where(col("event_date") === "2024-01-02").count())
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruning partition filter in the fact scan, got:\n$plan")
+    // AQE wraps the final plan in adaptive/stage nodes — unwrap to
+    // reach the fact scan whose partitionFilters carry the DPP subquery
+    val scans = scala.collection.mutable.ListBuffer[
+      org.apache.spark.sql.execution.FileSourceScanExec]()
+    def go(n: org.apache.spark.sql.execution.SparkPlan): Unit = n match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        go(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        go(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => scans += f
+      case other => other.children.foreach(go)
+    }
+    go(joined.queryExecution.executedPlan)
+    val scan = scans
+      .find(_.partitionFilters.mkString.contains("dynamicpruning"))
+      .getOrElse(fail(s"no scan with a dynamicpruning partition filter in:\n$plan"))
+    assert(scan.metrics("numPartitions").value === 1,
+      s"DPP read ${scan.metrics("numPartitions").value} fact partitions, expected 1")
+  }
+
   test("writePartitioned: a partition-column predicate prunes to one directory") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/events.parquet").exists())
