@@ -1654,6 +1654,54 @@ object Corpus {
        |  ROUND(cos, 6) AS cosine, rank
        |FROM rk WHERE rank <= 10""".stripMargin
 
+  /** Contrastive image–text pair assembly — the dataset-construction
+    * step a multimodal (CLIP-style) training pipeline runs: each image
+    * pairs with its caption document and the caption's embedding by
+    * shared id, gated by a minimum-caption-length rule. Three keyed
+    * equi-joins (media→documents→embeddings), every output column
+    * exact integer/string arithmetic, so the whole assembly — synthetic
+    * media geometry included — is replayed by the oracle from
+    * generate_series plus the parquet tables. At 100 TB this is the
+    * same plan family as any fact-dim join chain; nothing collects.
+    */
+  val m05_pair_manifest: Q = (s, dir) => {
+    val media = graft.multimodal.MultiModal.syntheticMedia(s, n = 300).toDF()
+      .where(col("kind") === "image")
+      .select(col("mediaId").as("media_id"),
+        col("meta.width").cast("long").as("width"),
+        col("meta.height").cast("long").as("height"))
+    val captions = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCountOf(TextAnalysis.tokens(col("text")))
+          .cast("long").as("n_caption_tokens"))
+    val embs = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).cast("long").as("n_dims"))
+    media
+      .join(captions, col("media_id") === col("doc_id"))
+      .join(embs, col("media_id") === col("vec_id"))
+      .where(col("n_caption_tokens") >= 5)
+      .select(col("media_id"), col("width"), col("height"),
+        col("lang"), col("n_caption_tokens"), col("label"), col("n_dims"))
+  }
+
+  val m05_sql: String =
+    s"""WITH m AS (SELECT unnest(generate_series(0, 299)) AS media_id),
+       |img AS (SELECT media_id,
+       |    CAST(32 + media_id % 64 AS BIGINT) AS width,
+       |    CAST(24 + media_id % 48 AS BIGINT) AS height
+       |  FROM m WHERE media_id % 3 = 0),
+       |cap AS (SELECT doc_id, lang,
+       |    CAST(len($toksSql) AS BIGINT) AS n_caption_tokens
+       |  FROM documents),
+       |e AS (SELECT vec_id, label,
+       |    CAST(len(embedding) AS BIGINT) AS n_dims FROM embeddings)
+       |SELECT media_id, width, height, lang, n_caption_tokens, label, n_dims
+       |FROM img
+       |JOIN cap ON media_id = doc_id
+       |JOIN e ON media_id = vec_id
+       |WHERE n_caption_tokens >= 5""".stripMargin
+
   private def m01FeaturePath: String =
     s"${graft.ingest.FixtureTables.root}/m01_features.parquet"
 
@@ -1880,6 +1928,7 @@ object Corpus {
     "m02_frame_manifest"    -> m02_frame_manifest,
     "m03_patch_manifest"    -> m03_patch_manifest,
     "m04_audio_windows"     -> m04_audio_windows,
+    "m05_pair_manifest"     -> m05_pair_manifest,
     "s03_ivf_topk"          -> s03_ivf_topk,
     "c01_curation"          -> c01_curation,
     "c02_neardup_curation"  -> c02_neardup_curation,
@@ -1925,6 +1974,7 @@ object Corpus {
     "m02_frame_manifest"    -> m02_sql,
     "m03_patch_manifest"    -> m03_sql,
     "m04_audio_windows"     -> m04_sql,
+    "m05_pair_manifest"     -> m05_sql,
     "c01_curation"          -> c01_sql,
     "c02_neardup_curation"  -> c02_sql,
     "c03_release_qa"        -> c03_sql,
