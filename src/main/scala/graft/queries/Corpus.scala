@@ -1654,6 +1654,70 @@ object Corpus {
        |  ROUND(cos, 6) AS cosine, rank
        |FROM rk WHERE rank <= 10""".stripMargin
 
+  /** Zipf rank–frequency slope — the corpus-statistics diagnostic that
+    * flags synthetic/spammy text (natural language fits ln f ≈
+    * a + s·ln r with s ≈ −1; flat or cliff-shaped slopes betray
+    * template spam or truncated vocabularies). OLS of ln(freq) on
+    * ln(rank) over the top-200 tokens: rank is the deterministic t12
+    * cut ((freq desc, token asc) — engine-stable), the four OLS moment
+    * sums quantize each ln-term to DECIMAL(28,12) first (order-
+    * independent-exact), and the final slope/intercept are single
+    * double expressions over those exact moments. Everything after the
+    * one token aggregate runs on 200 rows.
+    */
+  val t23_zipf_slope: Q = (s, dir) => {
+    val k = 200
+    val ranked = t(s, dir, "documents")
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("__f"))
+      .orderBy(col("__f").desc, col("token").asc).limit(k)
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(pmod(col("__f"), lit(1)))  // deliberate: k collected rows
+          .orderBy(col("__f").desc, col("token").asc)))
+    def dec(c: org.apache.spark.sql.Column) =
+      round(c, 12).cast("decimal(28,12)")
+    val m = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(dec(log(col("__r")))).as("sx"),
+      sum(dec(log(col("__f")))).as("sy"),
+      sum(dec(log(col("__r")) * log(col("__r")))).as("sxx"),
+      sum(dec(log(col("__r")) * log(col("__f")))).as("sxy"))
+    m.select(col("n"),
+      round((col("n") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+        (col("n") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")), 6)
+        .as("zipf_slope"),
+      round((col("sy").cast("double") -
+          ((col("n") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double"))) *
+          col("sx").cast("double")) / col("n"), 6).as("intercept"))
+  }
+
+  val t23_sql: String =
+    s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents),
+       |f AS (SELECT token, COUNT(*) AS f FROM t GROUP BY token
+       |  ORDER BY f DESC, token ASC LIMIT 200),
+       |r AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, token ASC) AS r FROM f),
+       |m AS (SELECT COUNT(*) AS n,
+       |    SUM(CAST(ROUND(ln(r), 12) AS DECIMAL(28,12))) AS sx,
+       |    SUM(CAST(ROUND(ln(f), 12) AS DECIMAL(28,12))) AS sy,
+       |    SUM(CAST(ROUND(ln(r) * ln(r), 12) AS DECIMAL(28,12))) AS sxx,
+       |    SUM(CAST(ROUND(ln(r) * ln(f), 12) AS DECIMAL(28,12))) AS sxy
+       |  FROM r)
+       |SELECT n,
+       |  ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+       |    AS zipf_slope,
+       |  ROUND((CAST(sy AS DOUBLE)
+       |    - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |      / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+       |      * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+       |FROM m""".stripMargin
+
   /** Contrastive image–text pair assembly — the dataset-construction
     * step a multimodal (CLIP-style) training pipeline runs: each image
     * pairs with its caption document and the caption's embedding by
@@ -1955,6 +2019,7 @@ object Corpus {
     "t20_pii_redaction"     -> t20_pii_redaction,
     "t21_oov_rate"          -> t21_oov_rate,
     "t22_token_entropy"     -> t22_token_entropy,
+    "t23_zipf_slope"        -> t23_zipf_slope,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -2000,6 +2065,7 @@ object Corpus {
     "t20_pii_redaction"     -> t20_sql,
     "t21_oov_rate"          -> t21_sql,
     "t22_token_entropy"     -> t22_sql,
+    "t23_zipf_slope"        -> t23_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,

@@ -104,6 +104,32 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("corrupt-shard tolerance: ignoreCorruptFiles reads past a damaged file; default mode fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
+    spark.range(100).selectExpr("id", "id * 2 AS v")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    // plant a garbage shard where a 100 TB table WILL eventually have
+    // one (failed writer, bit rot); name it like a real part file so
+    // the reader can't skip it by pattern
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/part-99999-corrupt.snappy.parquet"),
+      "not a parquet file".getBytes("UTF-8"))
+    // default: the job must FAIL — silent row loss is never acceptable
+    intercept[org.apache.spark.SparkException] {
+      spark.read.parquet(dir).count()
+    }
+    // explicit opt-in: degrade by skipping the damaged shard, keeping
+    // every row from the healthy ones
+    val prev = spark.conf.getOption("spark.sql.files.ignoreCorruptFiles")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try {
+      assert(spark.read.parquet(dir).count() === 100L)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.ignoreCorruptFiles", v)
+      case None => spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+    }
+  }
+
   test("dynamic partition pruning: a dim-side filter prunes fact partitions at runtime") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/events.parquet").exists())
