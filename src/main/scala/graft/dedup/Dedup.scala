@@ -197,6 +197,60 @@ object Dedup {
     out
   }
 
+  /** Incremental (batch-vs-corpus) MinHash near-dup join — the
+    * admission filter a continuously-growing corpus runs on every
+    * ingest: band the small incoming batch and the big corpus with the
+    * same signature family, join corpus-banded against the BROADCAST
+    * batch bands, verify survivors with exact Jaccard. Corpus × corpus
+    * is never paired — per ingest the cost is O(|batch| × band
+    * fan-out) plus one corpus scan, independent of the corpus's own
+    * pair count, which is what makes continuous dedup affordable at
+    * 100 TB (the full self-join, [[minhashNearDups]], runs once at
+    * bootstrap; this maintains it). Same constants as d02, so the
+    * DuckDB oracle replays the whole family.
+    */
+  def incrementalNearDups(
+      corpus: DataFrame,
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 5,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    def stage(df: DataFrame, side: String) = {
+      val input = df.select(col(idCol).as(s"${side}_id"), col(textCol).as("text"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      val sets = input
+        .select(col(s"${side}_id"),
+          array_distinct(TextAnalysis.shingles(col("text"), k)).as(s"__s_$side"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val banded = sets
+        .withColumn("sig", graft.functions.MinHashSignature(
+          col(s"__s_$side"), minhashCoeffs(numHashes), minhashP))
+        .withColumn("band", explode_outer(lshBandKeys(col("sig"), bands, rowsPerBand)))
+        .where(col("band").isNotNull)
+        .select(col("band"), col(s"${side}_id"))
+      (sets, banded)
+    }
+    val (corpusSets, corpusBands) = stage(corpus, "corpus")
+    val (batchSets, batchBands) = stage(batch, "batch")
+    val cand = corpusBands.join(broadcast(batchBands), Seq("band"))
+      .select(col("corpus_id"), col("batch_id")).distinct()
+    val verified = cand
+      .join(corpusSets, Seq("corpus_id"))
+      .join(broadcast(batchSets), Seq("batch_id"))
+      .withColumn("jaccard", jaccardSets(col("__s_corpus"), col("__s_batch")))
+      .where(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+    val out = verified.localCheckpoint(true)
+    corpusSets.unpersist(false)
+    batchSets.unpersist(false)
+    out
+  }
+
   // ----------------------------------------- exact n-gram Jaccard join
 
   /** Exact n-gram Jaccard near-duplicate pairs by prefix filtering

@@ -1063,6 +1063,57 @@ object Corpus {
        |  COUNT(*) AS n_total, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
        |FROM sh GROUP BY md5(span) HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin
 
+  /** Incremental batch-vs-corpus near-dup admission: every tenth doc
+    * plays the incoming batch, the rest the standing corpus. Same
+    * signature family and constants as d02, so the oracle replays the
+    * whole pipeline; the operator only ever pairs corpus×batch — the
+    * corpus is never self-joined.
+    */
+  val d09_incremental_neardups: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val isBatch = pmod(col("doc_id"), lit(10)) === 0
+    Dedup.incrementalNearDups(
+      docs.where(!isBatch), docs.where(isBatch),
+      "text", "doc_id", k = 5, numHashes = 16, bands = 4, threshold = 0.5)
+  }
+
+  val d09_sql: String = {
+    // Same universal-hash MinHash replay as d02_sql; the only change is
+    // the candidate stage joining corpus-banded against batch-banded.
+    val sigExprs = Dedup.minhashCoeffs(16).map { case (a, b) =>
+      s"list_min(list_transform(bh, v -> (v * $a + $b) % ${Dedup.minhashP}))"
+    }.mkString("[", ",\n    ", "]")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+       |       ELSE list_transform(generate_series(1, len(toks) - 4),
+       |                           i -> array_to_string(toks[i:i+4], ' ')) END AS sh
+       | FROM t),
+       |bh AS (SELECT doc_id, sh,
+       |  list_transform(sh, s -> ('0x' || substr(md5(s), 1, 7))::BIGINT) AS bh
+       | FROM sh),
+       |sig AS (SELECT doc_id, sh,
+       |  $sigExprs AS sig
+       | FROM bh),
+       |banded AS (SELECT doc_id, sh,
+       |  unnest(list_transform(generate_series(0, 3),
+       |                        b -> md5(b::VARCHAR || ':' || array_to_string(sig[b*4+1:b*4+4], ',')))) AS band
+       | FROM sig),
+       |cand AS (SELECT DISTINCT c.doc_id AS corpus_id, b.doc_id AS batch_id,
+       |                c.sh AS sh_c, b.sh AS sh_b
+       | FROM banded c JOIN banded b USING (band)
+       | WHERE c.doc_id % 10 <> 0 AND b.doc_id % 10 = 0),
+       |j AS (SELECT batch_id, corpus_id,
+       |  list_distinct(sh_c) AS sc, list_distinct(sh_b) AS sb FROM cand),
+       |jj AS (SELECT batch_id, corpus_id,
+       |  CASE WHEN len(sc) = 0 AND len(sb) = 0 THEN 1.0
+       |       WHEN len(sc) = 0 OR len(sb) = 0 THEN 0.0
+       |       ELSE len(list_filter(sb, x -> list_contains(sc, x)))::DOUBLE
+       |            / (len(sb) + len(sc) - len(list_filter(sb, x -> list_contains(sc, x)))) END AS jaccard
+       | FROM j)
+       |SELECT batch_id, corpus_id, jaccard FROM jj WHERE jaccard >= 0.5""".stripMargin
+  }
+
   /** TF-IDF top terms per document — the keyword-extraction /
     * relevance-weighting stage of a curation pipeline. tf and df are
     * exact integer aggregates; the idf log runs on identical doubles in
@@ -2028,6 +2079,7 @@ object Corpus {
     "d06_jaccard_neardups"  -> d06_jaccard_neardups,
     "d07_decontamination"   -> d07_decontamination,
     "d08_repeated_spans"    -> d08_repeated_spans,
+    "d09_incremental_neardups" -> d09_incremental_neardups,
     "s01_cosine_topk"       -> s01_cosine_topk,
     "s02_lsh_ann_topk"      -> s02_lsh_ann_topk,
     "s04_label_centroids"   -> s04_label_centroids,
@@ -2074,6 +2126,7 @@ object Corpus {
     "d06_jaccard_neardups"  -> d06_sql,
     "d07_decontamination"   -> d07_sql,
     "d08_repeated_spans"    -> d08_sql,
+    "d09_incremental_neardups" -> d09_sql,
     "s01_cosine_topk"       -> s01_sql,
     "s02_lsh_ann_topk"      -> s02_sql,
     "s03_ivf_topk"          -> s03_sql,

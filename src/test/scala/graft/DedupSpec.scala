@@ -59,6 +59,28 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 5L || b == 5L })
   }
 
+  test("incrementalNearDups equals the full self-join restricted to corpus×batch pairs") {
+    // Same band family + threshold ⇒ the batch-vs-corpus join must
+    // reproduce exactly the cross-side subset of the full self-join
+    // (and never a corpus×corpus or batch×batch pair).
+    val batchIds = Set(2L, 5L)
+    val inc = Dedup.incrementalNearDups(
+      docs.where(!col("doc_id").isin(2L, 5L)), docs.where(col("doc_id").isin(2L, 5L)),
+      "text", "doc_id", k = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .select("batch_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhashNearDups(docs, "text", "doc_id",
+      k = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) =>
+        if (batchIds(a) && !batchIds(b)) Some((a, b))
+        else if (batchIds(b) && !batchIds(a)) Some((b, a))
+        else None
+      }.toSet
+    assert(inc === full)
+    assert(inc.contains((2L, 1L)), "exact dup of doc 1 must be admitted-filtered")
+  }
+
   test("ngramJaccardNearDups is lossless: equals brute-force exact Jaccard on real docs") {
     // Prefix filtering claims completeness — verify against the n²
     // ground truth on a real corpus slice (sf0.001 documents).
