@@ -335,6 +335,66 @@ object Dedup {
     out
   }
 
+  /** Containment (overlap-coefficient) near-dup pairs — the quote /
+    * embedded-document detector. A short document wholly contained in a
+    * long one has LOW Jaccard (union is dominated by the long side) so
+    * [[ngramJaccardNearDups]] misses it by design; the overlap
+    * coefficient |A∩B| / min(|A|,|B|) is 1.0 for exact containment
+    * regardless of the size gap.
+    *
+    * Prefix filtering adapts asymmetrically: for a pair ordered so A is
+    * the SMALLER shingle set, coefficient ≥ t needs overlap
+    * O ≥ ⌈t·|A|⌉, so A's (|A| − ⌈t·|A|⌉ + 1) rarest-first shingles
+    * must hit B somewhere (overlap lemma, probe side only). The probe
+    * prefix therefore joins the FULL inverted index — the index side
+    * takes no prefix because O gives no bound relative to |B|. Shuffle
+    * is token-keyed (d07's inverted-index shape); the df-rarest-first
+    * prefix keeps the probe fan-out per token small. Never n².
+    *
+    * Returns (id_a, id_b, shared, containment) with A the
+    * smaller-or-tied side, coefficient ≥ threshold.
+    */
+  def containmentNearDups(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 5,
+      threshold: Double = 0.8): DataFrame = {
+    val input = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val sets = input
+      .select(col("id"),
+        array_distinct(TextAnalysis.shingles(col("text"), k)).as("sh_set"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = sets.select(col("id"), size(col("sh_set")).as("n"),
+      explode(col("sh_set")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))
+    val prefix = toks.join(freq, Seq("tok"))
+      .withColumn("r", row_number().over(w))
+      .where(col("r") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("tok"), col("id"), col("n"))
+    // Probe smaller-side prefixes against the full index; the size
+    // ordering both fixes each pair's probe side and emits it once.
+    val cand = prefix.as("a").join(toks.as("b"), Seq("tok"))
+      .where(col("a.n") < col("b.n")
+        || (col("a.n") === col("b.n") && col("a.id") < col("b.id")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val verified = cand
+      .join(sets.select(col("id").as("id_a"), col("sh_set").as("__sa")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh_set").as("__sb")), Seq("id_b"))
+      .withColumn("shared",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .withColumn("containment", col("shared").cast("double") /
+        least(size(col("__sa")), size(col("__sb"))))
+      .where(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("shared"), col("containment"))
+    val out = verified.localCheckpoint(true)
+    sets.unpersist(false)
+    out
+  }
+
   // ------------------------------------------------- decontamination
 
   /** Test-set decontamination: for every (training doc, benchmark doc)

@@ -1114,6 +1114,33 @@ object Corpus {
        |SELECT batch_id, corpus_id, jaccard FROM jj WHERE jaccard >= 0.5""".stripMargin
   }
 
+  /** Containment near-dups (overlap coefficient ≥ 0.7): the embedded /
+    * quoted-document detector Jaccard misses. The oracle is the
+    * brute-force ground truth over every shingle-sharing pair, so the
+    * hash check doubles as a recall proof for the prefix filter.
+    */
+  val d10_containment_neardups: Q = (s, dir) =>
+    Dedup.containmentNearDups(t(s, dir, "documents"), "text", "doc_id",
+      k = 5, threshold = 0.7)
+
+  val d10_sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+       |       ELSE list_transform(generate_series(1, len(toks) - 4),
+       |                           i -> array_to_string(toks[i:i+4], ' ')) END AS sh
+       | FROM t),
+       |s AS (SELECT doc_id, list_distinct(sh) AS s, len(list_distinct(sh)) AS n FROM sh),
+       |ex AS (SELECT doc_id, n, unnest(s) AS tok FROM s),
+       |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |                MIN(a.n) AS na, MIN(b.n) AS nb, COUNT(*) AS i
+       | FROM ex a JOIN ex b USING (tok)
+       | WHERE a.n < b.n OR (a.n = b.n AND a.doc_id < b.doc_id)
+       | GROUP BY a.doc_id, b.doc_id)
+       |SELECT id_a, id_b, i::BIGINT AS shared,
+       |  i::DOUBLE / LEAST(na, nb) AS containment
+       |FROM cand WHERE i::DOUBLE / LEAST(na, nb) >= 0.7""".stripMargin
+
   /** TF-IDF top terms per document — the keyword-extraction /
     * relevance-weighting stage of a curation pipeline. tf and df are
     * exact integer aggregates; the idf log runs on identical doubles in
@@ -1769,6 +1796,51 @@ object Corpus {
        |      * CAST(sx AS DOUBLE)) / n, 6) AS intercept
        |FROM m""".stripMargin
 
+  /** BPE-training inner loop: adjacent character-pair frequencies over
+    * the token VOCABULARY weighted by token frequency — the statistic a
+    * byte-pair-encoding tokenizer trainer recomputes at every merge
+    * step. Aggregating to the vocabulary first is the scale move: pair
+    * extraction runs once per distinct token (10⁶-ish at any corpus
+    * size), not once per the 10¹¹ token occurrences of a 100 TB corpus;
+    * the occurrence weight rides along as an exact integer. Two keyed
+    * map-side-combined aggregates, then the t12/t13 top-K-then-rank cut
+    * (TakeOrderedAndProject, never an unpartitioned window).
+    */
+  val t24_bpe_pairs: Q = (s, dir) => {
+    import s.implicits._
+    val toks = t(s, dir, "documents")
+      .select(explode_outer(TextAnalysis.tokens(col("text"))).as("token"))
+      .where(col("token").isNotNull)
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .where(length(col("token")) >= 2)
+    val pairs = vocab.select(col("freq"),
+      explode_outer(transform(sequence(lit(1), length(col("token")) - 1),
+        i => col("token").substr(i, lit(2)))).as("pair"))
+      .where(col("pair").isNotNull)
+    pairs.groupBy(col("pair"))
+      .agg(sum(col("freq")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair").asc)
+      .limit(50)
+      .collect().toSeq.zipWithIndex
+      .map { case (r, i) => (r.getString(0), r.getLong(1), (i + 1).toLong) }
+      .toDF("pair", "n_occurrences", "rank")
+  }
+
+  val t24_sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tok AS (SELECT unnest(toks) AS token FROM t),
+       |v AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),
+       |f AS (SELECT token, freq FROM v WHERE length(token) >= 2),
+       |p AS (SELECT freq,
+       |  unnest(list_transform(generate_series(1, length(token) - 1),
+       |                        i -> substr(token, i, 2))) AS pair
+       | FROM f),
+       |agg AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+       |        FROM p GROUP BY pair)
+       |SELECT pair, n_occurrences,
+       |  ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pair ASC) AS rank
+       |FROM agg QUALIFY rank <= 50""".stripMargin
+
   /** Contrastive image–text pair assembly — the dataset-construction
     * step a multimodal (CLIP-style) training pipeline runs: each image
     * pairs with its caption document and the caption's embedding by
@@ -2071,6 +2143,7 @@ object Corpus {
     "t21_oov_rate"          -> t21_oov_rate,
     "t22_token_entropy"     -> t22_token_entropy,
     "t23_zipf_slope"        -> t23_zipf_slope,
+    "t24_bpe_pairs"         -> t24_bpe_pairs,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -2080,6 +2153,7 @@ object Corpus {
     "d07_decontamination"   -> d07_decontamination,
     "d08_repeated_spans"    -> d08_repeated_spans,
     "d09_incremental_neardups" -> d09_incremental_neardups,
+    "d10_containment_neardups" -> d10_containment_neardups,
     "s01_cosine_topk"       -> s01_cosine_topk,
     "s02_lsh_ann_topk"      -> s02_lsh_ann_topk,
     "s04_label_centroids"   -> s04_label_centroids,
@@ -2118,6 +2192,7 @@ object Corpus {
     "t21_oov_rate"          -> t21_sql,
     "t22_token_entropy"     -> t22_sql,
     "t23_zipf_slope"        -> t23_sql,
+    "t24_bpe_pairs"         -> t24_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,
@@ -2127,6 +2202,7 @@ object Corpus {
     "d07_decontamination"   -> d07_sql,
     "d08_repeated_spans"    -> d08_sql,
     "d09_incremental_neardups" -> d09_sql,
+    "d10_containment_neardups" -> d10_sql,
     "s01_cosine_topk"       -> s01_sql,
     "s02_lsh_ann_topk"      -> s02_sql,
     "s03_ivf_topk"          -> s03_sql,

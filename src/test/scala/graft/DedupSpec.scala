@@ -108,6 +108,42 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty, "corpus should contain planted near-dups")
   }
 
+  test("containmentNearDups catches an embedded quote that Jaccard misses") {
+    // doc 8 is a contiguous chunk of doc 1: containment 1.0, Jaccard
+    // well under 0.5 (union dominated by the long side).
+    val withQuote = docs.union(Seq(
+      (8L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text"))
+    val out = Dedup.containmentNearDups(withQuote, "text", "doc_id",
+      k = 3, threshold = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(out.get((8L, 1L)).contains(1.0), s"expected (8,1)=1.0 in $out")
+    val jac = Dedup.ngramJaccardNearDups(withQuote, "text", "doc_id",
+      k = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 8L)) && !jac.contains((8L, 1L)))
+  }
+
+  test("containmentNearDups is lossless: equals brute-force overlap coefficient on real docs") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val pf = Dedup.containmentNearDups(corpus, "text", "doc_id",
+      k = 5, threshold = 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = corpus.select(col("doc_id"),
+      array_distinct(graft.text.TextAnalysis.shingles(col("text"), 5)).as("sh"))
+    val ex = sets.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("tok"))
+    val brute = ex.as("a").join(ex.as("b"), Seq("tok"))
+      .where(col("a.n") < col("b.n")
+        || (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id")))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(min(col("a.n")).as("na"), count(lit(1)).as("i"))
+      .where(col("i").cast("double") / col("na") >= 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pf === brute)
+    assert(brute.nonEmpty, "corpus should contain high-containment pairs")
+  }
+
   test("simhash: normalized-identical texts hash equal; near-dups are close; unrelated far") {
     val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
