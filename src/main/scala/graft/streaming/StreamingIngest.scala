@@ -525,6 +525,82 @@ object StreamingIngest {
       .lastOption.map(_._2)
   }
 
+  /** Streaming near-dup admission — the continuous-dedup serving loop
+    * over [[graft.dedup.Dedup.incrementalNearDups]]: each micro-batch
+    * of (doc_id, text) is (1) self-deduped with the d02 band family
+    * (greedy: drop every doc that near-dups a smaller-id batch doc),
+    * (2) admission-filtered against the standing corpus — corpus ×
+    * corpus is never re-paired, so a batch costs O(|batch| × bands)
+    * plus one corpus scan — and (3) its ADMITTED docs land as an
+    * immutable generation dir `gen-<batchId>` under `corpusRoot`. The
+    * corpus is the union of generation dirs: a batch appends
+    * O(admitted) bytes and never rewrites history, which is what makes
+    * the loop affordable on a 100 TB corpus. Replay-safe: a re-run
+    * batch overwrites only its own generation with the same
+    * deterministic result (band family and verify are hash-exact).
+    * Seed a bootstrap corpus by writing it to `gen--1` before start.
+    */
+  def streamingNearDupAdmission(
+      incoming: DataFrame,
+      corpusRoot: String,
+      checkpointDir: String,
+      k: Int = 5,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.5): StreamingQuery =
+    incoming.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          val spark = batch.sparkSession
+          val b = batch.toDF().select(col("doc_id"), col("text"))
+          val selfDropped = graft.dedup.Dedup.minhashNearDups(
+            b, "text", "doc_id", k, numHashes, bands, threshold)
+            .select(col("id_b").as("doc_id")).distinct()
+          val survivors = b.join(selfDropped, Seq("doc_id"), "left_anti")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val gens = generations(spark, corpusRoot, batchId)
+          val admitted =
+            if (gens.isEmpty) survivors
+            else {
+              val corpus = spark.read.parquet(gens: _*)
+              val hit = graft.dedup.Dedup.incrementalNearDups(
+                corpus, survivors, "text", "doc_id",
+                k, numHashes, bands, threshold)
+                .select(col("batch_id").as("doc_id")).distinct()
+              survivors.join(hit, Seq("doc_id"), "left_anti")
+            }
+          admitted.write.mode("overwrite").parquet(s"$corpusRoot/gen-$batchId")
+          survivors.unpersist(false)
+          ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+
+  /** The admitted corpus across all committed generations, or None
+    * before any generation (including a `gen--1` seed) exists.
+    */
+  def admittedCorpus(
+      spark: SparkSession, corpusRoot: String): Option[DataFrame] = {
+    val gens = generations(spark, corpusRoot, Long.MaxValue)
+    if (gens.isEmpty) None else Some(spark.read.parquet(gens: _*))
+  }
+
+  private def generations(
+      spark: SparkSession, root: String, below: Long): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
+      .flatMap(s => s.getPath.getName.stripPrefix("gen-").toLongOption
+        .map(id => (id, s.getPath.toString)))
+      .filter(_._1 < below)
+      .sortBy(_._1)
+      .map(_._2)
+  }
+
   def streamingTopKPerKey(
       events: org.apache.spark.sql.Dataset[RankEvent],
       k: Int): org.apache.spark.sql.Dataset[TopK] = {

@@ -682,4 +682,38 @@ class StreamingSpec extends SparkSpec {
     assert(toSet(got).contains((1L, "A", Some(10), Some(20))))
     assert(got.where(col("valid_to").isNull).count() === 3L)
   }
+
+  test("streamingNearDupAdmission: self-dedup + corpus filter; admitted generations append") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_neardup_stream").toString
+    val root = s"$base/corpus"; val ckpt = s"$base/ckpt"
+    val seed1 = "the quick brown fox jumps over the lazy dog near the old river bank every single morning"
+    val seed4 = "spark executes declarative plans with whole stage codegen and adaptive query execution enabled"
+    val novel = "structured streaming maintains keyed state across micro batches with watermarks and timeouts"
+    val pasta = "completely unrelated text about cooking pasta with tomatoes garlic basil and olive oil tonight"
+    Seq((1L, seed1), (4L, seed4)).toDF("doc_id", "text")
+      .write.parquet(s"$root/gen--1")                  // bootstrap corpus
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingIngest.streamingNearDupAdmission(
+      stream.toDF().toDF("doc_id", "text"), root, ckpt,
+      k = 3, numHashes = 16, bands = 8, threshold = 0.5)
+    stream.addData(
+      (10L, seed1.toUpperCase),                        // dup of corpus doc 1 → reject
+      (11L, novel),                                    // new → admit
+      (12L, pasta),                                    // new → admit
+      (13L, pasta.replace("tonight", "today")))        // in-batch twin of 12 → reject
+    q.processAllAvailable()
+    stream.addData(
+      (20L, novel + " enabled"),                       // dup of batch-0 ADMITTED doc 11 → reject
+      (21L, "vector quantization compresses embeddings into eight bit codes with per vector scales"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = StreamingIngest.admittedCorpus(spark, root).get
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 4L, 11L, 12L, 21L))
+    // append-only corpus: each batch committed exactly its own generation
+    assert(new java.io.File(s"$root/gen-0").exists
+      && new java.io.File(s"$root/gen-1").exists)
+  }
 }
