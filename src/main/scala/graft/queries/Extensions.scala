@@ -615,6 +615,65 @@ object Extensions {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
       |FROM u""".stripMargin
 
+  /** Interval-concurrency sweep — peak number of simultaneously
+    * in-transit shipments per supplier ([ship, receipt) half-open, so
+    * a same-day ship+receive nets zero). The synthetic lineitem has no
+    * receipt date, so one is derived deterministically in-query
+    * (ship + quantity%30 + 1 days — the q66 recipe), keeping the whole
+    * sweep oracle-replayable. The classic "max concurrent sessions"
+    * shape done scale-safe: explode each interval to ±1 deltas,
+    * collapse per (key, date) — which also removes any same-date
+    * ordering ambiguity — then ONE keyed window for the running sum.
+    * Everything after the union is partitioned by supplier; the
+    * per-partition max reuses the same exchange. `peak_date` is the
+    * first date the peak is reached.
+    */
+  val q76_interval_concurrency: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val li = t(s, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_shipdate"),
+        date_add(col("l_shipdate"),
+          pmod(col("l_quantity").cast("int"), lit(30)) + 1)
+          .as("l_receiptdate"))
+    val deltas = li
+      .select(col("l_suppkey"), col("l_shipdate").as("d"), lit(1L).as("delta"))
+      .unionAll(li.select(col("l_suppkey"), col("l_receiptdate").as("d"),
+        lit(-1L).as("delta")))
+      .groupBy(col("l_suppkey"), col("d"))
+      .agg(sum(col("delta")).as("delta"))
+    val wRun = Window.partitionBy(col("l_suppkey")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("l_suppkey"))
+    deltas
+      .withColumn("open", sum(col("delta")).over(wRun))
+      .withColumn("mx", max(col("open")).over(wAll))
+      .groupBy(col("l_suppkey"))
+      .agg(max(col("open")).as("peak_in_transit"),
+        min(when(col("open") === col("mx"), col("d"))).as("peak_date"))
+  }
+
+  val q76_sql: String =
+    """WITH li AS (
+      |  SELECT l_suppkey, l_shipdate,
+      |    l_shipdate + to_days(CAST(CAST(l_quantity AS INTEGER) % 30 + 1 AS INTEGER))
+      |      AS l_receiptdate
+      |  FROM lineitem),
+      |deltas AS (
+      |  SELECT l_suppkey, d, CAST(SUM(delta) AS BIGINT) AS delta FROM (
+      |    SELECT l_suppkey, l_shipdate AS d, 1 AS delta FROM li
+      |    UNION ALL
+      |    SELECT l_suppkey, l_receiptdate AS d, -1 AS delta FROM li)
+      |  GROUP BY l_suppkey, d),
+      |run AS (SELECT l_suppkey, d,
+      |  CAST(SUM(delta) OVER (PARTITION BY l_suppkey ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open
+      | FROM deltas),
+      |m AS (SELECT l_suppkey, d, open,
+      |  MAX(open) OVER (PARTITION BY l_suppkey) AS mx FROM run)
+      |SELECT l_suppkey, CAST(MAX(open) AS BIGINT) AS peak_in_transit,
+      |  MIN(CASE WHEN open = mx THEN d END) AS peak_date
+      |FROM m GROUP BY l_suppkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q59_lateral"        -> q59_lateral,
     "q60_month_spine"    -> q60_month_spine,
@@ -629,7 +688,8 @@ object Extensions {
     "q70_rollup"         -> q70_rollup,
     "q71_table_diff"     -> q71_table_diff,
     "q74_scd_asof"       -> q74_scd_asof,
-    "q75_schema_drift_union" -> q75_schema_drift_union)
+    "q75_schema_drift_union" -> q75_schema_drift_union,
+    "q76_interval_concurrency" -> q76_interval_concurrency)
 
   val oracles: Map[String, String] = Map(
     "q59_lateral"        -> q59_sql,
@@ -645,5 +705,6 @@ object Extensions {
     "q70_rollup"         -> q70_sql,
     "q71_table_diff"     -> q71_sql,
     "q74_scd_asof"       -> q74_sql,
-    "q75_schema_drift_union" -> q75_sql)
+    "q75_schema_drift_union" -> q75_sql,
+    "q76_interval_concurrency" -> q76_sql)
 }
