@@ -1732,6 +1732,57 @@ object Corpus {
        |  ROUND(cos, 6) AS cosine, rank
        |FROM rk WHERE rank <= 10""".stripMargin
 
+  /** MMR diversified top-k re-rank: exact top-20 candidates per probe,
+    * then the greedy λ·relevance − μ·redundancy selection. The oracle
+    * replays the greedy as a recursive CTE picking one id per
+    * iteration — bit-equality holds because every cosine in both
+    * engines is the same sequential double fold.
+    */
+  val s07_mmr_rerank: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    Similarity.mmrRerank(e.where(col("vec_id") < 3), e,
+      "vec_id", "embedding", "vec_id", "embedding",
+      candidates = 20, k = 5, lambda = 0.7, mu = 0.3)
+  }
+
+  val s07_sql: String = {
+    val cos2 = cosSql.replace("a.v", "ea.v").replace("b.v", "eb.v")
+    s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sc AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, $cosSql AS cos
+       |  FROM e a JOIN e b ON b.vec_id <> a.vec_id WHERE a.vec_id < 3),
+       |cand AS (SELECT query_id, neighbor_id, cos FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS r
+       |  FROM sc) WHERE r <= 20),
+       |pair AS (SELECT c1.query_id, c1.neighbor_id AS id_a, c2.neighbor_id AS id_b,
+       |    $cos2 AS cos2
+       |  FROM cand c1 JOIN cand c2
+       |    ON c1.query_id = c2.query_id AND c1.neighbor_id <> c2.neighbor_id
+       |  JOIN e ea ON ea.vec_id = c1.neighbor_id
+       |  JOIN e eb ON eb.vec_id = c2.neighbor_id),
+       |step AS (
+       |  SELECT query_id, CAST([] AS BIGINT[]) AS sel,
+       |         CAST([] AS DOUBLE[]) AS scores, 0 AS n
+       |  FROM (SELECT DISTINCT query_id FROM cand)
+       |  UNION ALL
+       |  SELECT s.query_id, list_append(s.sel, pick.id),
+       |         list_append(s.scores, pick.score), s.n + 1
+       |  FROM step s, LATERAL (
+       |    SELECT c.neighbor_id AS id,
+       |      0.7 * c.cos - 0.3 * coalesce((
+       |        SELECT MAX(p.cos2) FROM pair p
+       |        WHERE p.query_id = s.query_id AND p.id_a = c.neighbor_id
+       |          AND list_contains(s.sel, p.id_b)), 0.0) AS score
+       |    FROM cand c
+       |    WHERE c.query_id = s.query_id AND NOT list_contains(s.sel, c.neighbor_id)
+       |    ORDER BY score DESC, c.neighbor_id ASC
+       |    LIMIT 1) pick
+       |  WHERE s.n < 5)
+       |SELECT query_id, unnest(sel) AS selected_id, unnest(scores) AS mmr_score,
+       |  unnest(generate_series(1, 5)) AS mmr_rank
+       |FROM step WHERE n = 5""".stripMargin
+  }
+
   /** Zipf rank–frequency slope — the corpus-statistics diagnostic that
     * flags synthetic/spammy text (natural language fits ln f ≈
     * a + s·ln r with s ≈ −1; flat or cliff-shaped slopes betray
@@ -2158,7 +2209,8 @@ object Corpus {
     "s02_lsh_ann_topk"      -> s02_lsh_ann_topk,
     "s04_label_centroids"   -> s04_label_centroids,
     "s05_int8_quant"        -> s05_int8_quant,
-    "s06_quant_ann"         -> s06_quant_ann)
+    "s06_quant_ann"         -> s06_quant_ann,
+    "s07_mmr_rerank"        -> s07_mmr_rerank)
 
   val oracles: Map[String, String] = Map(
     "m01_multimodal_features" -> m01_sql,
@@ -2208,5 +2260,6 @@ object Corpus {
     "s03_ivf_topk"          -> s03_sql,
     "s04_label_centroids"   -> s04_sql,
     "s05_int8_quant"        -> s05_sql,
-    "s06_quant_ann"         -> s06_sql)
+    "s06_quant_ann"         -> s06_sql,
+    "s07_mmr_rerank"        -> s07_sql)
 }

@@ -383,4 +383,111 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
+
+  // --------------------------------------------------------- MMR re-rank
+
+  /** Candidate row for the per-query MMR greedy. */
+  private[graft] case class MmrCand(
+      query_id: Long, neighbor_id: Long, cosine: Double, emb: Seq[Double])
+
+  /** One diversified pick. */
+  private[graft] case class MmrPick(
+      query_id: Long, selected_id: Long, mmr_score: Double, mmr_rank: Long)
+
+  /** Maximal-marginal-relevance diversified top-k re-rank (Carbonell &
+    * Goldstein, SIGIR'98): greedily select k of the exact top-N
+    * neighbors, each step maximizing
+    * λ·cos(query, d) − μ·max over selected s of cos(d, s)
+    * (ties → smaller id) — the serving-path step that keeps a
+    * retrieval slate from collapsing onto near-duplicates.
+    *
+    * Two stages, both scale-shaped: the candidate cut is the broadcast
+    * brute-force top-N (corpus streams, never shuffles; swap in the
+    * LSH/IVF candidate path for large probe sets), then ONE
+    * `flatMapGroups` over query_id runs the inherently-sequential
+    * greedy on its ≤N candidate rows — distributed across queries,
+    * per-query state is N rows, never the corpus. The in-group cosine
+    * replicates the codegen expression's sequential sums bit-for-bit,
+    * so the whole re-rank stays oracle-replayable (DuckDB reaches the
+    * same picks via a recursive CTE).
+    *
+    * μ is a separate parameter rather than 1−λ because `1.0 - 0.7` is
+    * 0.30000000000000004 in doubles — both engines must score with the
+    * same literal weights for bit-equality.
+    */
+  def mmrRerank(
+      queries: DataFrame,
+      corpus: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      corpusIdCol: String,
+      corpusVecCol: String,
+      candidates: Int = 20,
+      k: Int = 5,
+      lambda: Double = 0.7,
+      mu: Double = 0.3): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cand = bruteForceTopK(queries, corpus, queryIdCol, queryVecCol,
+      corpusIdCol, corpusVecCol, candidates)
+    val withEmb = cand.join(
+      corpus.select(col(corpusIdCol).as("neighbor_id"),
+        col(corpusVecCol).cast("array<double>").as("emb")),
+      Seq("neighbor_id"))
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("cosine"), col("emb"))
+      .as[MmrCand]
+    withEmb.groupByKey(_.query_id).flatMapGroups { (qid, it) =>
+      val cs = it.toArray
+      val picks = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+      val selEmb = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
+      val used = scala.collection.mutable.Set.empty[Long]
+      var step = 1
+      while (step <= k && used.size < cs.length) {
+        var best: MmrCand = null
+        var bestScore = Double.NegativeInfinity
+        cs.foreach { c =>
+          if (!used(c.neighbor_id)) {
+            // penalty = max sim to the selected set (may be negative);
+            // 0.0 before anything is selected — the oracle's
+            // coalesce(MAX(..), 0.0)
+            var maxSim = 0.0
+            var first = true
+            selEmb.foreach { e =>
+              val s = cosSeq(c.emb, e)
+              if (first || s > maxSim) { maxSim = s; first = false }
+            }
+            val score = lambda * c.cosine -
+              mu * (if (selEmb.isEmpty) 0.0 else maxSim)
+            if (score > bestScore || (score == bestScore
+                && (best == null || c.neighbor_id < best.neighbor_id))) {
+              best = c; bestScore = score
+            }
+          }
+        }
+        picks += MmrPick(qid, best.neighbor_id, bestScore, step.toLong)
+        selEmb += best.emb
+        used += best.neighbor_id
+        step += 1
+      }
+      picks.iterator
+    }.toDF()
+  }
+
+  /** In-group twin of the codegen cosine: same sequential sums, same
+    * zero-norm rule — bit-identical to
+    * [[graft.functions.VectorExpressions.CosineSimilarity]].
+    */
+  private def cosSeq(a: Seq[Double], b: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i); val y = b(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
 }

@@ -66,8 +66,14 @@ object ScaleGrowth {
     // t19/t21 join in round 5: BM25's df-window + stats cross and the
     // OOV broadcast join are the new shapes where a hidden quadratic
     // could lurk; both should stay near-linear like the rest
+    // d09/d10 join in late round 5: the incremental admission join
+    // (batch side fixed at every 10th doc, so its cost should grow
+    // with the corpus scan, not the pair count) and the asymmetric
+    // containment probe (full inverted index on the big side — the
+    // one dedup shape without an index-side prefix bound)
     val queries = Seq("d02_minhash_neardups", "d06_jaccard_neardups",
-      "d07_decontamination", "t17_heavy_hitters", "t19_bm25",
+      "d07_decontamination", "d09_incremental_neardups",
+      "d10_containment_neardups", "t17_heavy_hitters", "t19_bm25",
       "t21_oov_rate")
     def time(name: String, dir: String): Double = {
       def once(): Double = {

@@ -28,10 +28,12 @@ class PlanLintSpec extends SparkSpec {
   // q65 joins a |event_types|-row sketch table to itself on an
   // inequality — deliberately tiny at any corpus scale. t19 crosses a
   // ONE-ROW broadcast (N, avgdl) stats frame like t14/t15.
+  // s07 reuses the s01 broadcast-probe candidate stage before its
+  // per-query greedy, so it inherits the same justified shape.
   private val allowNestedLoop =
     Set("s01_cosine_topk", "s02_lsh_ann_topk", "s03_ivf_topk",
       "t15_mixture_weights", "t14_tfidf_terms", "d04_embedding_neardups",
-      "q65_kmv_setops", "t19_bm25", "s06_quant_ann")
+      "q65_kmv_setops", "t19_bm25", "s06_quant_ann", "s07_mmr_rerank")
 
   test("no query plans an unpartitioned window or an unjustified cartesian join") {
     val failures = scala.collection.mutable.ListBuffer[String]()

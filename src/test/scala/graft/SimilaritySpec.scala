@@ -152,4 +152,27 @@ class SimilaritySpec extends SparkSpec {
       f"IVF recall at the half-sample fit regressed: $ivfSampledRecall%.3f < 0.9")
     assert(lshRecall >= 0.85, f"LSH recall regressed: $lshRecall%.3f < 0.85")
   }
+
+  test("mmrRerank: diversification skips the near-duplicate of the first pick") {
+    // c1 is top-relevant; c2 is its near-twin (slightly less relevant);
+    // c3 is diverse at similar relevance. Plain cosine ranks the twin
+    // second; MMR (λ=μ=0.5) must rank the diverse pick second.
+    val emb = Seq(
+      (100L, Array(1f, 0f, 0f, 0f)),        // probe
+      (1L, Array(0.9f, 0.436f, 0f, 0f)),
+      (2L, Array(0.9f, 0.4361f, 0f, 0f)),   // twin of 1
+      (3L, Array(0.89f, -0.436f, 0f, 0f))   // diverse
+    ).toDF("vec_id", "embedding")
+    val probe = emb.where(col("vec_id") === 100L)
+    val corpus = emb.where(col("vec_id") < 100L)
+    val mmr = Similarity.mmrRerank(probe, corpus,
+      "vec_id", "embedding", "vec_id", "embedding",
+      candidates = 3, k = 2, lambda = 0.5, mu = 0.5)
+      .orderBy("mmr_rank").collect().map(_.getLong(1))
+    assert(mmr.toSeq === Seq(1L, 3L))
+    val cosOrder = Similarity.bruteForceTopK(probe, corpus,
+      "vec_id", "embedding", "vec_id", "embedding", 2)
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(cosOrder.toSeq === Seq(1L, 2L), "without MMR the twin ranks second")
+  }
 }
