@@ -1892,6 +1892,41 @@ object Corpus {
        |  ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pair ASC) AS rank
        |FROM agg QUALIFY rank <= 50""".stripMargin
 
+  /** Leakage-free train/valid split: near-duplicate GROUPS are assigned
+    * atomically — a doc's split is decided by the deterministic hash of
+    * its component anchor (the d05 min-id canonical; its own id when
+    * unpaired), so no near-dup pair ever straddles the boundary (the
+    * train→valid contamination a doc-keyed split like t05 cannot rule
+    * out). Shape: the d02/d05 pair machinery + one left join + a narrow
+    * hash projection; the split rule itself adds no shuffle.
+    */
+  val t25_leakage_split: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val groups = Dedup.duplicateGroups(
+      Dedup.minhashNearDups(docs, "text", "doc_id",
+        k = 5, numHashes = 16, bands = 4, threshold = 0.5))
+    val bucket = pmod(
+      graft.functions.KmvSketch.hash64(col("anchor_id")), lit(100L))
+    docs.select(col("doc_id"))
+      .join(groups.select(col("id").as("doc_id"), col("group_id")),
+        Seq("doc_id"), "left")
+      .withColumn("anchor_id", coalesce(col("group_id"), col("doc_id")))
+      .select(col("doc_id"), col("anchor_id"),
+        when(bucket < 90, "train").otherwise("valid").as("split"))
+  }
+
+  // lazy: references dupGroupCtes (the c02_sql init-order note applies)
+  lazy val t25_sql: String =
+    s"""WITH RECURSIVE $dupGroupCtes,
+       |a AS (SELECT d.doc_id, coalesce(g.group_id, d.doc_id) AS anchor_id
+       |      FROM documents d LEFT JOIN groups g ON d.doc_id = g.id),
+       |b AS (SELECT doc_id, anchor_id,
+       |  ('0x' || substr(md5(CAST(anchor_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bk
+       | FROM a)
+       |SELECT doc_id, anchor_id,
+       |  CASE WHEN bk < 90 THEN 'train' ELSE 'valid' END AS split
+       |FROM b""".stripMargin
+
   /** Contrastive image–text pair assembly — the dataset-construction
     * step a multimodal (CLIP-style) training pipeline runs: each image
     * pairs with its caption document and the caption's embedding by
@@ -2195,6 +2230,7 @@ object Corpus {
     "t22_token_entropy"     -> t22_token_entropy,
     "t23_zipf_slope"        -> t23_zipf_slope,
     "t24_bpe_pairs"         -> t24_bpe_pairs,
+    "t25_leakage_split"     -> t25_leakage_split,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -2245,6 +2281,7 @@ object Corpus {
     "t22_token_entropy"     -> t22_sql,
     "t23_zipf_slope"        -> t23_sql,
     "t24_bpe_pairs"         -> t24_sql,
+    "t25_leakage_split"     -> t25_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,

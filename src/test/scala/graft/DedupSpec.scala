@@ -144,6 +144,23 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty, "corpus should contain high-containment pairs")
   }
 
+  test("t25 leakage-free split never places a near-dup pair across the boundary") {
+    val dir = "/root/testdata/sf0.001"
+    val split = graft.queries.Corpus.t25_leakage_split(spark, dir)
+      .select(col("doc_id"), col("split"))
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.minhashNearDups(corpus, "text", "doc_id",
+      k = 5, numHashes = 16, bands = 4, threshold = 0.5)
+    val leaked = pairs
+      .join(split.select(col("doc_id").as("id_a"), col("split").as("sa")), Seq("id_a"))
+      .join(split.select(col("doc_id").as("id_b"), col("split").as("sb")), Seq("id_b"))
+      .where(col("sa") =!= col("sb")).count()
+    assert(leaked === 0L)
+    val splits = split.select("split").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(splits === Set("train", "valid"), "both splits must be populated")
+  }
+
   test("simhash: normalized-identical texts hash equal; near-dups are close; unrelated far") {
     val sh = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
