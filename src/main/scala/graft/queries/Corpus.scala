@@ -1927,6 +1927,47 @@ object Corpus {
        |  CASE WHEN bk < 90 THEN 'train' ELSE 'valid' END AS split
        |FROM b""".stripMargin
 
+  /** Per-source n-gram novelty — the inter-source diversity diagnostic
+    * a mixture designer reads next to t15's weights: for each source,
+    * the fraction of its distinct 5-gram shingles that appear in NO
+    * other source (high = genuinely novel material, low = the source
+    * restates the rest of the corpus). Shingles md5 to 32-byte keys
+    * before any shuffle (the d08 discipline); then one distinct, one
+    * per-shingle source count, one per-source aggregate — three keyed
+    * shuffles, all map-side combined, nothing ever n².
+    */
+  val t26_source_novelty: Q = (s, dir) => {
+    val sh = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("source"), explode_outer(array_distinct(
+        TextAnalysis.shingles(col("text"), 5))).as("__sh"))
+      .where(col("__sh").isNotNull)
+      .select(col("source"), md5(col("__sh")).as("__h"))
+      .distinct()
+    val spread = sh.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__ns")) // rows are distinct (source, h)
+    sh.join(spread, Seq("__h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__ns") === 1, 1L).otherwise(0L)).as("n_exclusive"))
+      .withColumn("novelty",
+        col("n_exclusive").cast("double") / col("n_shingles"))
+  }
+
+  val t26_sql: String =
+    s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+       |shl AS (SELECT source,
+       |  unnest(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+       |       ELSE list_transform(generate_series(1, len(toks) - 4),
+       |                           i -> array_to_string(toks[i:i+4], ' ')) END) AS sh
+       | FROM t),
+       |d AS (SELECT DISTINCT source, md5(sh) AS h FROM shl),
+       |c AS (SELECT h, COUNT(*) AS ns FROM d GROUP BY h)
+       |SELECT source, COUNT(*) AS n_shingles,
+       |  CAST(SUM(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exclusive,
+       |  CAST(SUM(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
+       |FROM d JOIN c USING (h) GROUP BY source""".stripMargin
+
   /** Contrastive image–text pair assembly — the dataset-construction
     * step a multimodal (CLIP-style) training pipeline runs: each image
     * pairs with its caption document and the caption's embedding by
@@ -2231,6 +2272,7 @@ object Corpus {
     "t23_zipf_slope"        -> t23_zipf_slope,
     "t24_bpe_pairs"         -> t24_bpe_pairs,
     "t25_leakage_split"     -> t25_leakage_split,
+    "t26_source_novelty"    -> t26_source_novelty,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -2282,6 +2324,7 @@ object Corpus {
     "t23_zipf_slope"        -> t23_sql,
     "t24_bpe_pairs"         -> t24_sql,
     "t25_leakage_split"     -> t25_sql,
+    "t26_source_novelty"    -> t26_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,
