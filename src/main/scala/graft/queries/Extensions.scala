@@ -674,6 +674,76 @@ object Extensions {
       |  MIN(CASE WHEN open = mx THEN d END) AS peak_date
       |FROM m GROUP BY l_suppkey""".stripMargin
 
+  /** Event-pattern matching over ordered per-user journeys — the
+    * MATCH_RECOGNIZE-style behavioral query: each user's events
+    * collapse to a journey string (event-type initials in (ts,
+    * event_id) order) and a funnel regex counts non-overlapping
+    * `view → click* → purchase` runs. ONE keyed aggregate builds the
+    * journey (array_sort inside the group — no window, no second
+    * shuffle); the regex is a narrow projection after it. The journey
+    * itself is md5-compressed in the output so the oracle hash-checks
+    * the exact sequence, not just its length. Ordering parity: the
+    * oracle sorts by the micros-cast timestamp (Spark's read already
+    * truncates nanos→micros) with the same event_id tie-break.
+    */
+  val q77_event_patterns: Q = (s, dir) => {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("ini"))
+    e.groupBy(col("user_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"), col("ini")))),
+        x => x.getField("ini")), "").as("__j"))
+      .select(col("user_id"),
+        length(col("__j")).cast("long").as("n_events"),
+        md5(col("__j")).as("journey_hash"),
+        regexp_count(col("__j"), lit("vc*p")).cast("long").as("n_funnels"))
+  }
+
+  val q77_sql: String =
+    """WITH j AS (
+      |  SELECT user_id,
+      |    string_agg(substr(event_type, 1, 1), ''
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS journey
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, CAST(length(journey) AS BIGINT) AS n_events,
+      |  md5(journey) AS journey_hash,
+      |  CAST(len(regexp_extract_all(journey, 'vc*p')) AS BIGINT) AS n_funnels
+      |FROM j""".stripMargin
+
+  /** Time-in-state accounting: for each (user, event_type), the total
+    * microseconds spent in that state before the next event — the
+    * duration-weighted behavioral profile (how long users sit on a
+    * view vs an error). One keyed lead window, one keyed aggregate;
+    * all-integer arithmetic (epoch micros), so no float-order hazards
+    * at any scale. The open-ended last event carries no duration and
+    * is excluded, stated identically in the oracle.
+    */
+  val q78_time_in_state: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("__dur",
+        unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+      .where(col("__dur").isNotNull)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(col("__dur")).as("total_micros"),
+        count(lit(1)).as("n_intervals"))
+  }
+
+  val q78_sql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |x AS (SELECT user_id, event_type,
+      |  epoch_us(LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      |    - epoch_us(ts) AS dur
+      | FROM e)
+      |SELECT user_id, event_type, CAST(SUM(dur) AS BIGINT) AS total_micros,
+      |  COUNT(*) AS n_intervals
+      |FROM x WHERE dur IS NOT NULL GROUP BY user_id, event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q59_lateral"        -> q59_lateral,
     "q60_month_spine"    -> q60_month_spine,
@@ -689,7 +759,9 @@ object Extensions {
     "q71_table_diff"     -> q71_table_diff,
     "q74_scd_asof"       -> q74_scd_asof,
     "q75_schema_drift_union" -> q75_schema_drift_union,
-    "q76_interval_concurrency" -> q76_interval_concurrency)
+    "q76_interval_concurrency" -> q76_interval_concurrency,
+    "q77_event_patterns" -> q77_event_patterns,
+    "q78_time_in_state"  -> q78_time_in_state)
 
   val oracles: Map[String, String] = Map(
     "q59_lateral"        -> q59_sql,
@@ -706,5 +778,7 @@ object Extensions {
     "q71_table_diff"     -> q71_sql,
     "q74_scd_asof"       -> q74_sql,
     "q75_schema_drift_union" -> q75_sql,
-    "q76_interval_concurrency" -> q76_sql)
+    "q76_interval_concurrency" -> q76_sql,
+    "q77_event_patterns" -> q77_sql,
+    "q78_time_in_state"  -> q78_sql)
 }
