@@ -744,6 +744,50 @@ object Extensions {
       |  COUNT(*) AS n_intervals
       |FROM x WHERE dur IS NOT NULL GROUP BY user_id, event_type""".stripMargin
 
+  /** Winsorization (p05/p95 outlier clipping per group) — the standard
+    * pre-training value-cleaning pass. Bounds are NEAREST-RANK order
+    * statistics (the value at rank ⌈p·n⌉), not interpolated quantiles:
+    * an actual data value is engine-exact where an interpolation
+    * formula's float ops might not replay — and with ties the rank-k
+    * value is well-defined no matter how row_number broke them. One
+    * keyed rank window → tiny per-group bounds (broadcast back) → one
+    * conditional aggregate; the clipped total runs through the
+    * DECIMAL(18,2) money discipline.
+    */
+  val q79_winsorize: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("grp"), col("o_totalprice").as("v"))
+    val ranked = o
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("v"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+    val bounds = ranked.groupBy(col("grp")).agg(
+      min(when(col("rn") >= ceil(col("n") * 0.05), col("v"))).as("lo"),
+      min(when(col("rn") >= ceil(col("n") * 0.95), col("v"))).as("hi"))
+    o.join(broadcast(bounds), Seq("grp"))
+      .withColumn("cv", least(greatest(col("v"), col("lo")), col("hi")))
+      .groupBy(col("grp")).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_clipped_low"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_clipped_high"),
+        sum(col("cv").cast(dec2)).cast("double").as("winsorized_total"))
+  }
+
+  val q79_sql: String =
+    """WITH o AS (SELECT o_orderpriority AS grp, o_totalprice AS v FROM orders),
+      |r AS (SELECT grp, v, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v) AS rn,
+      |        COUNT(*) OVER (PARTITION BY grp) AS n FROM o),
+      |b AS (SELECT grp, MIN(CASE WHEN rn >= ceil(n * 0.05) THEN v END) AS lo,
+      |             MIN(CASE WHEN rn >= ceil(n * 0.95) THEN v END) AS hi
+      |      FROM r GROUP BY grp)
+      |SELECT grp, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+      |  CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+      |  CAST(SUM(CAST(LEAST(GREATEST(v, lo), hi) AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS winsorized_total
+      |FROM o JOIN b USING (grp) GROUP BY grp""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q59_lateral"        -> q59_lateral,
     "q60_month_spine"    -> q60_month_spine,
@@ -761,7 +805,8 @@ object Extensions {
     "q75_schema_drift_union" -> q75_schema_drift_union,
     "q76_interval_concurrency" -> q76_interval_concurrency,
     "q77_event_patterns" -> q77_event_patterns,
-    "q78_time_in_state"  -> q78_time_in_state)
+    "q78_time_in_state"  -> q78_time_in_state,
+    "q79_winsorize"      -> q79_winsorize)
 
   val oracles: Map[String, String] = Map(
     "q59_lateral"        -> q59_sql,
@@ -780,5 +825,6 @@ object Extensions {
     "q75_schema_drift_union" -> q75_sql,
     "q76_interval_concurrency" -> q76_sql,
     "q77_event_patterns" -> q77_sql,
-    "q78_time_in_state"  -> q78_sql)
+    "q78_time_in_state"  -> q78_sql,
+    "q79_winsorize"      -> q79_sql)
 }
