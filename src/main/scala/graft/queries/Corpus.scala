@@ -2016,6 +2016,64 @@ object Corpus {
        |JOIN e ON media_id = vec_id
        |WHERE n_caption_tokens >= 5""".stripMargin
 
+  /** Multimodal context packing — the batch-construction step of a
+    * vision-language trainer: each (image, caption) sample costs
+    * caption tokens + ViT patch tokens (the m03 16×16 grid), and
+    * samples lay end-to-end into fixed 4096-token contexts via the same
+    * [[graft.operators.Pack.concatChunk]] layout t07 uses for text
+    * (per-language shards, one keyed window, pure integer arithmetic).
+    */
+  val m06_multimodal_pack: Q = (s, dir) => {
+    val media = graft.multimodal.MultiModal.syntheticMedia(s, n = 300).toDF()
+      .where(col("kind") === "image")
+      .select(col("mediaId").as("media_id"),
+        col("meta.width").cast("long").as("width"),
+        col("meta.height").cast("long").as("height"))
+    val captions = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCountOf(TextAnalysis.tokens(col("text")))
+          .cast("long").as("n_caption_tokens"))
+    val samples = media.join(captions, col("media_id") === col("doc_id"))
+      .withColumn("n_patches",
+        expr("((width + 15) div 16) * ((height + 15) div 16)").cast("long"))
+      .withColumn("cost", col("n_caption_tokens") + col("n_patches"))
+    graft.operators.Pack.concatChunk(
+        samples, Seq("lang"), "media_id", "cost", capacity = 4096L)
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(count(lit(1)).as("n_samples_starting"),
+        sum(col("n_caption_tokens")).as("sum_caption_tokens"),
+        sum(col("n_patches")).as("sum_patches"),
+        min(col("pack_offset")).as("first_offset"))
+  }
+
+  val m06_sql: String =
+    s"""WITH m AS (SELECT unnest(generate_series(0, 299)) AS media_id),
+       |img AS (SELECT media_id,
+       |    CAST(32 + media_id % 64 AS BIGINT) AS width,
+       |    CAST(24 + media_id % 48 AS BIGINT) AS height
+       |  FROM m WHERE media_id % 3 = 0),
+       |cap AS (SELECT doc_id, lang,
+       |    CAST(len($toksSql) AS BIGINT) AS n_caption_tokens
+       |  FROM documents),
+       |sm AS (SELECT lang, media_id, n_caption_tokens,
+       |    CAST(((width + 15) // 16) * ((height + 15) // 16) AS BIGINT) AS n_patches
+       |  FROM img JOIN cap ON media_id = doc_id),
+       |c AS (SELECT lang, media_id, n_caption_tokens, n_patches,
+       |    n_caption_tokens + n_patches AS cost FROM sm),
+       |o AS (SELECT lang, n_caption_tokens, n_patches, cost,
+       |  CAST(COALESCE(SUM(cost) OVER (PARTITION BY lang ORDER BY media_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+       | FROM c),
+       |p AS (SELECT lang, n_caption_tokens, n_patches,
+       |  CAST(start_offset // 4096 AS BIGINT) AS pack_id,
+       |  CAST(start_offset % 4096 AS BIGINT) AS pack_offset
+       | FROM o)
+       |SELECT lang, pack_id, COUNT(*) AS n_samples_starting,
+       |  CAST(SUM(n_caption_tokens) AS BIGINT) AS sum_caption_tokens,
+       |  CAST(SUM(n_patches) AS BIGINT) AS sum_patches,
+       |  MIN(pack_offset) AS first_offset
+       |FROM p GROUP BY lang, pack_id""".stripMargin
+
   private def m01FeaturePath: String =
     s"${graft.ingest.FixtureTables.root}/m01_features.parquet"
 
@@ -2243,6 +2301,7 @@ object Corpus {
     "m03_patch_manifest"    -> m03_patch_manifest,
     "m04_audio_windows"     -> m04_audio_windows,
     "m05_pair_manifest"     -> m05_pair_manifest,
+    "m06_multimodal_pack"   -> m06_multimodal_pack,
     "s03_ivf_topk"          -> s03_ivf_topk,
     "c01_curation"          -> c01_curation,
     "c02_neardup_curation"  -> c02_neardup_curation,
@@ -2296,6 +2355,7 @@ object Corpus {
     "m03_patch_manifest"    -> m03_sql,
     "m04_audio_windows"     -> m04_sql,
     "m05_pair_manifest"     -> m05_sql,
+    "m06_multimodal_pack"   -> m06_sql,
     "c01_curation"          -> c01_sql,
     "c02_neardup_curation"  -> c02_sql,
     "c03_release_qa"        -> c03_sql,
