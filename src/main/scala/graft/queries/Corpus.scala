@@ -1968,6 +1968,63 @@ object Corpus {
        |  CAST(SUM(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
        |FROM d JOIN c USING (h) GROUP BY source""".stripMargin
 
+  /** Stopword discovery by document-frequency ratio: tokens present in
+    * at least half the corpus documents — the data-driven stopword list
+    * a quality/BM25 pipeline derives instead of hardcoding. Integer
+    * threshold arithmetic (df·2 ≥ N, never a float ratio compare); the
+    * one-row corpus count broadcasts (the t14/t15 scalar pattern).
+    */
+  val t27_stopwords: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val pairs = docs.select(col("doc_id"), explode_outer(
+      array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
+      .where(col("token").isNotNull)
+    val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    pairs.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .where(col("df") * 2 >= col("n_docs"))
+      .select(col("token"), col("df"), col("n_docs"))
+  }
+
+  val t27_sql: String =
+    s"""WITH p AS (SELECT DISTINCT doc_id, unnest($toksSql) AS token FROM documents),
+       |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+       |d AS (SELECT token, COUNT(*) AS df FROM p GROUP BY token)
+       |SELECT token, df, n_docs FROM d, n WHERE df * 2 >= n_docs""".stripMargin
+
+  /** Embedding-space QA: per-label vector counts, dimension-consistency
+    * check, zero-vector count, and exact mean L2 norm — the health
+    * report run before any ANN index build (mixed dims or degenerate
+    * zero vectors silently poison cosine math). Norms quantize to
+    * DECIMAL(28,12) before the sum (the t22/t23 moment recipe) so the
+    * mean is order-independent-exact; one aggregate, no shuffle beyond
+    * it.
+    */
+  val s08_embedding_qa: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+      .select(col("label"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("sumsq",
+        aggregate(col("v"), lit(0.0), (a, x) => a + x * x))
+    e.groupBy(col("label")).agg(
+      count(lit(1)).as("n_vectors"),
+      countDistinct(size(col("v"))).as("n_dims_distinct"),
+      sum(when(col("sumsq") === 0.0, 1L).otherwise(0L)).as("n_zero_vectors"),
+      (sum(round(sqrt(col("sumsq")), 12).cast("decimal(28,12)"))
+        .cast("double") / count(lit(1))).as("mean_norm"))
+  }
+
+  val s08_sql: String =
+    """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+      |x AS (SELECT label, len(v) AS nd,
+      |  list_sum(list_transform(v, x -> x * x)) AS sumsq FROM e),
+      |y AS (SELECT label, nd, sumsq,
+      |  CAST(round(sqrt(sumsq), 12) AS DECIMAL(28,12)) AS qnorm FROM x)
+      |SELECT label, COUNT(*) AS n_vectors,
+      |  COUNT(DISTINCT nd) AS n_dims_distinct,
+      |  CAST(SUM(CASE WHEN sumsq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vectors,
+      |  CAST(SUM(qnorm) AS DOUBLE) / COUNT(*) AS mean_norm
+      |FROM y GROUP BY label""".stripMargin
+
   /** Contrastive image–text pair assembly — the dataset-construction
     * step a multimodal (CLIP-style) training pipeline runs: each image
     * pairs with its caption document and the caption's embedding by
@@ -2332,6 +2389,7 @@ object Corpus {
     "t24_bpe_pairs"         -> t24_bpe_pairs,
     "t25_leakage_split"     -> t25_leakage_split,
     "t26_source_novelty"    -> t26_source_novelty,
+    "t27_stopwords"         -> t27_stopwords,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -2347,7 +2405,8 @@ object Corpus {
     "s04_label_centroids"   -> s04_label_centroids,
     "s05_int8_quant"        -> s05_int8_quant,
     "s06_quant_ann"         -> s06_quant_ann,
-    "s07_mmr_rerank"        -> s07_mmr_rerank)
+    "s07_mmr_rerank"        -> s07_mmr_rerank,
+    "s08_embedding_qa"      -> s08_embedding_qa)
 
   val oracles: Map[String, String] = Map(
     "m01_multimodal_features" -> m01_sql,
@@ -2385,6 +2444,7 @@ object Corpus {
     "t24_bpe_pairs"         -> t24_sql,
     "t25_leakage_split"     -> t25_sql,
     "t26_source_novelty"    -> t26_sql,
+    "t27_stopwords"         -> t27_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,
@@ -2401,5 +2461,6 @@ object Corpus {
     "s04_label_centroids"   -> s04_sql,
     "s05_int8_quant"        -> s05_sql,
     "s06_quant_ann"         -> s06_sql,
-    "s07_mmr_rerank"        -> s07_sql)
+    "s07_mmr_rerank"        -> s07_sql,
+    "s08_embedding_qa"      -> s08_sql)
 }

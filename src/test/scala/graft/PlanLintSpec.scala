@@ -33,7 +33,8 @@ class PlanLintSpec extends SparkSpec {
   private val allowNestedLoop =
     Set("s01_cosine_topk", "s02_lsh_ann_topk", "s03_ivf_topk",
       "t15_mixture_weights", "t14_tfidf_terms", "d04_embedding_neardups",
-      "q65_kmv_setops", "t19_bm25", "s06_quant_ann", "s07_mmr_rerank")
+      "q65_kmv_setops", "t19_bm25", "s06_quant_ann", "s07_mmr_rerank",
+      "t27_stopwords")
 
   test("no query plans an unpartitioned window or an unjustified cartesian join") {
     val failures = scala.collection.mutable.ListBuffer[String]()
