@@ -2025,6 +2025,52 @@ object Corpus {
       |  CAST(SUM(qnorm) AS DOUBLE) / COUNT(*) AS mean_norm
       |FROM y GROUP BY label""".stripMargin
 
+  /** Weighted sampling without replacement, RNG-free and float-free:
+    * the top-20 docs by priority = max over w replica hashes of
+    * md5(doc_id:i), w = token count. max of w uniforms is distributed
+    * exactly as u^(1/w) — the Efraimidis–Spirakis priority — but
+    * computed in pure integer/md5 arithmetic, so both engines replay it
+    * bit-for-bit (a float pow/ln formulation would ride on libm
+    * parity). Cost is one explode of Σw rows — linear in corpus token
+    * count, the same order as any tokenize stage; at extreme weights a
+    * production variant switches to the float formula per doc. Two
+    * keyed map-side-combined stages + a TakeOrdered cut.
+    */
+  val t28_weighted_sample: Q = (s, dir) => {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCountOf(TextAnalysis.tokens(col("text")))
+          .cast("long").as("w"))
+      .where(col("w") > 0)
+    docs
+      .select(col("doc_id"), col("w"),
+        explode_outer(sequence(lit(1L), col("w"))).as("i"))
+      .where(col("i").isNotNull)
+      .select(col("doc_id"), col("w"),
+        graft.functions.KmvSketch.hash64(
+          concat_ws(":", col("doc_id"), col("i"))).as("h"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(max(col("h")).as("priority"))
+      .orderBy(col("priority").desc, col("doc_id").asc).limit(20)
+      .collect().toSeq.zipWithIndex
+      .map { case (r, i) =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), (i + 1).toLong) }
+      .toDF("doc_id", "w", "priority", "rank")
+  }
+
+  val t28_sql: String =
+    s"""WITH d AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS w
+       |           FROM documents WHERE len($toksSql) > 0),
+       |e AS (SELECT doc_id, w, unnest(generate_series(1, w)) AS i FROM d),
+       |h AS (SELECT doc_id, w,
+       |  ('0x' || substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT AS hv
+       | FROM e),
+       |p AS (SELECT doc_id, w, MAX(hv) AS priority FROM h GROUP BY doc_id, w)
+       |SELECT doc_id, w, priority,
+       |  ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id ASC) AS rank
+       |FROM p QUALIFY rank <= 20""".stripMargin
+
   /** Contrastive image–text pair assembly — the dataset-construction
     * step a multimodal (CLIP-style) training pipeline runs: each image
     * pairs with its caption document and the caption's embedding by
@@ -2390,6 +2436,7 @@ object Corpus {
     "t25_leakage_split"     -> t25_leakage_split,
     "t26_source_novelty"    -> t26_source_novelty,
     "t27_stopwords"         -> t27_stopwords,
+    "t28_weighted_sample"   -> t28_weighted_sample,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -2445,6 +2492,7 @@ object Corpus {
     "t25_leakage_split"     -> t25_sql,
     "t26_source_novelty"    -> t26_sql,
     "t27_stopwords"         -> t27_sql,
+    "t28_weighted_sample"   -> t28_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,
