@@ -788,6 +788,57 @@ object Extensions {
       |    AS winsorized_total
       |FROM o JOIN b USING (grp) GROUP BY grp""".stripMargin
 
+  /** Per-key OLS trend: the slope of daily shipped quantity over time
+    * for every supplier — grouped linear regression, the t23 Zipf
+    * recipe turned per-key. Here every moment (n, Σx, Σy, Σxy, Σx²) is
+    * an ALL-INTEGER sum (x = day index, y = integer quantity), all
+    * under 2⁵³, so the moments are exact longs and the slope/intercept
+    * are single double expressions over exact values — no decimal
+    * quantization needed at all. Two keyed map-side-combined
+    * aggregates; the regression itself adds no shuffle.
+    */
+  val q80_trend_slopes: Q = (s, dir) => {
+    val daily = t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"),
+        datediff(col("l_shipdate"), lit("1992-01-01").cast("date")).as("x"))
+      .agg(sum(col("l_quantity").cast("long")).as("y"))
+    daily.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x").cast("long")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x").cast("long") * col("y")).as("sxy"),
+        sum(col("x").cast("long") * col("x")).as("sxx"))
+      .where(col("n_days") >= 2)
+      .select(col("l_suppkey"), col("n_days"),
+        ((col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope"),
+        ((col("sy").cast("double")
+          - ((col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * col("sx").cast("double")) / col("n_days").cast("double"))
+          .as("intercept"))
+  }
+
+  val q80_sql: String =
+    """WITH daily AS (
+      |  SELECT l_suppkey,
+      |    date_diff('day', DATE '1992-01-01', l_shipdate) AS x,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y
+      |  FROM lineitem GROUP BY 1, 2),
+      |m AS (SELECT l_suppkey, COUNT(*) AS n_days,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM daily GROUP BY l_suppkey HAVING COUNT(*) >= 2)
+      |SELECT l_suppkey, n_days,
+      |  CAST(n_days * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n_days * sxx - sx * sx AS DOUBLE) AS slope,
+      |  (CAST(sy AS DOUBLE)
+      |    - (CAST(n_days * sxy - sx * sy AS DOUBLE)
+      |       / CAST(n_days * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+      |    / CAST(n_days AS DOUBLE) AS intercept
+      |FROM m""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q59_lateral"        -> q59_lateral,
     "q60_month_spine"    -> q60_month_spine,
@@ -806,7 +857,8 @@ object Extensions {
     "q76_interval_concurrency" -> q76_interval_concurrency,
     "q77_event_patterns" -> q77_event_patterns,
     "q78_time_in_state"  -> q78_time_in_state,
-    "q79_winsorize"      -> q79_winsorize)
+    "q79_winsorize"      -> q79_winsorize,
+    "q80_trend_slopes"   -> q80_trend_slopes)
 
   val oracles: Map[String, String] = Map(
     "q59_lateral"        -> q59_sql,
@@ -826,5 +878,6 @@ object Extensions {
     "q76_interval_concurrency" -> q76_sql,
     "q77_event_patterns" -> q77_sql,
     "q78_time_in_state"  -> q78_sql,
-    "q79_winsorize"      -> q79_sql)
+    "q79_winsorize"      -> q79_sql,
+    "q80_trend_slopes"   -> q80_sql)
 }
