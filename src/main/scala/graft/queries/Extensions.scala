@@ -678,38 +678,75 @@ object Extensions {
     * MATCH_RECOGNIZE-style behavioral query: each user's events
     * collapse to a journey string (event-type initials in (ts,
     * event_id) order) and a funnel regex counts non-overlapping
-    * `view → click* → purchase` runs. ONE keyed aggregate builds the
-    * journey (array_sort inside the group — no window, no second
-    * shuffle); the regex is a narrow projection after it. The journey
+    * `view → click* → purchase` runs. TWO keyed aggregates build the
+    * journey — per-(user, day) segments first, then a day-ordered
+    * concatenation — so no aggregation buffer holds an unbounded
+    * per-user event array (see [[journeyQuery]]); the regex is a
+    * narrow projection after them. The journey
     * itself is md5-compressed in the output so the oracle hash-checks
     * the exact sequence, not just its length. Ordering parity: the
     * oracle sorts by the micros-cast timestamp (Spark's read already
     * truncates nanos→micros) with the same event_id tie-break.
     */
-  val q77_event_patterns: Q = (s, dir) => {
+  val q77_event_patterns: Q = journeyQuery("vc*p")
+
+  /** Parameterized journey/funnel matcher behind [[q77_event_patterns]]
+    * (and [[q81_funnel_patterns]]): any regex over the initials
+    * alphabet counts non-overlapping runs. Per-user state is BOUNDED by
+    * two-level assembly: a first keyed aggregate builds per-(user, day)
+    * segment strings (sorting only one day's events per group — the hot
+    * key splits across its days), and a second concatenates the
+    * pre-sorted day strings in day order. day(ts) is monotone in ts, so
+    * the concatenation equals the global (ts, event_id) sort while no
+    * single aggregation buffer ever holds a power user's full history
+    * as 40-byte structs — worst-case state is one day's initials (1
+    * byte/event) plus ~#days day-strings.
+    */
+  private[graft] def journeyQuery(pattern: String): Q = (s, dir) => {
     val e = t(s, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"),
         substring(col("event_type"), 1, 1).as("ini"))
-    e.groupBy(col("user_id"))
+    val days = e
+      .withColumn("__d", to_date(col("ts")))
+      .groupBy(col("user_id"), col("__d"))
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("ts"), col("event_id"), col("ini")))),
-        x => x.getField("ini")), "").as("__j"))
+        x => x.getField("ini")), "").as("__s"))
+    days.groupBy(col("user_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__d"), col("__s")))),
+        x => x.getField("__s")), "").as("__j"))
       .select(col("user_id"),
         length(col("__j")).cast("long").as("n_events"),
         md5(col("__j")).as("journey_hash"),
-        regexp_count(col("__j"), lit("vc*p")).cast("long").as("n_funnels"))
+        regexp_count(col("__j"), lit(pattern)).cast("long").as("n_funnels"))
   }
 
-  val q77_sql: String =
-    """WITH j AS (
-      |  SELECT user_id,
-      |    string_agg(substr(event_type, 1, 1), ''
-      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS journey
-      |  FROM events GROUP BY user_id)
-      |SELECT user_id, CAST(length(journey) AS BIGINT) AS n_events,
-      |  md5(journey) AS journey_hash,
-      |  CAST(len(regexp_extract_all(journey, 'vc*p')) AS BIGINT) AS n_funnels
-      |FROM j""".stripMargin
+  /** Oracle template for [[journeyQuery]]: DuckDB assembles the SAME
+    * journey with a single ordered string_agg — the naive global
+    * mechanism the two-level Spark plan must replay byte-exactly.
+    */
+  private def journeySql(pattern: String): String =
+    s"""WITH j AS (
+       |  SELECT user_id,
+       |    string_agg(substr(event_type, 1, 1), ''
+       |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS journey
+       |  FROM events GROUP BY user_id)
+       |SELECT user_id, CAST(length(journey) AS BIGINT) AS n_events,
+       |  md5(journey) AS journey_hash,
+       |  CAST(len(regexp_extract_all(journey, '$pattern')) AS BIGINT) AS n_funnels
+       |FROM j""".stripMargin
+
+  val q77_sql: String = journeySql("vc*p")
+
+  /** A second funnel over the same parameterized journey matcher —
+    * `view+ → click+ → purchase` (all three stages required, repeats
+    * allowed) instead of q77's `view → click* → purchase`. Exercises
+    * [[journeyQuery]]'s pattern generality with its own oracle.
+    */
+  val q81_funnel_patterns: Q = journeyQuery("v+c+p")
+
+  val q81_sql: String = journeySql("v+c+p")
 
   /** Time-in-state accounting: for each (user, event_type), the total
     * microseconds spent in that state before the next event — the
@@ -749,22 +786,64 @@ object Extensions {
     * statistics (the value at rank ⌈p·n⌉), not interpolated quantiles:
     * an actual data value is engine-exact where an interpolation
     * formula's float ops might not replay — and with ties the rank-k
-    * value is well-defined no matter how row_number broke them. One
-    * keyed rank window → tiny per-group bounds (broadcast back) → one
-    * conditional aggregate; the clipped total runs through the
-    * DECIMAL(18,2) money discipline.
+    * value is well-defined no matter how ranks broke them.
+    *
+    * Scale shape — TWO-LEVEL nearest-rank selection (the t16 recipe),
+    * NOT a rank window partitioned by the 5-value group key (which
+    * would funnel ~20% of the table through one task's sort):
+    *   1. per-(group, value-bucket) counts — one keyed aggregate with
+    *      map-side combine; buckets quantize the value at width 1000,
+    *      so the bucket table is bounded by the VALUE RANGE (TPC-H
+    *      o_totalprice ∈ ~[1e3, 5e5] at every SF ⇒ ~500 buckets/group),
+    *      never by row count;
+    *   2. a bucket-prefix cumulative over that tiny table locates the
+    *      bucket containing each target rank k = ⌈p·n⌉ and its residual
+    *      rank r = k − rows_before_bucket;
+    *   3. one residual pass over JUST the located buckets (a broadcast
+    *      semi-filter; ~n/500 rows each) aggregates per distinct value
+    *      and takes the least v whose within-bucket running count
+    *      reaches r — the exact k-th smallest, ties and all.
+    * Tiny per-group bounds broadcast back → one conditional aggregate;
+    * the clipped total runs through the DECIMAL(18,2) money discipline.
     */
   val q79_winsorize: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val o = t(s, dir, "orders")
       .select(col("o_orderpriority").as("grp"), col("o_totalprice").as("v"))
-    val ranked = o
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("grp")).orderBy(col("v"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
-    val bounds = ranked.groupBy(col("grp")).agg(
-      min(when(col("rn") >= ceil(col("n") * 0.05), col("v"))).as("lo"),
-      min(when(col("rn") >= ceil(col("n") * 0.95), col("v"))).as("hi"))
+    val bucketWidth = 1000.0 // value quantum; buckets ≈ range/1000, SF-free
+    val ob = o.withColumn("__b", floor(col("v") / bucketWidth))
+    val bcnt = ob.groupBy(col("grp"), col("__b")).agg(count(lit(1)).as("__c"))
+    // the ONLY group-partitioned window runs over the bucket-count
+    // table (~500 rows/group at any SF), not the data
+    val wPre = Window.partitionBy(col("grp")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = bcnt
+      .withColumn("__before", coalesce(sum(col("__c")).over(wPre), lit(0L)))
+    val totals = bcnt.groupBy(col("grp")).agg(sum(col("__c")).as("n"))
+    val targets = cum.join(broadcast(totals), Seq("grp"))
+      .select(col("grp"), col("__b"), col("__before"), col("__c"),
+        explode(array(
+          struct(lit("lo").as("bound"),
+            ceil(col("n") * 0.05).cast("long").as("k")),
+          struct(lit("hi").as("bound"),
+            ceil(col("n") * 0.95).cast("long").as("k")))).as("__t"))
+      .where(col("__t.k") > col("__before") &&
+        col("__t.k") <= col("__before") + col("__c"))
+      .select(col("grp"), col("__b"), col("__t.bound").as("__bound"),
+        (col("__t.k") - col("__before")).as("__r"))
+    // residual: per-distinct-value counts inside the located bucket
+    // only; the running count resolves ties exactly as rank order does
+    val wV = Window.partitionBy(col("grp"), col("__bound")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val located = ob.join(broadcast(targets), Seq("grp", "__b"))
+      .groupBy(col("grp"), col("__bound"), col("__r"), col("v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wV))
+      .where(col("__cum") >= col("__r"))
+      .groupBy(col("grp"), col("__bound")).agg(min(col("v")).as("__bv"))
+    val bounds = located.groupBy(col("grp")).agg(
+      max(when(col("__bound") === "lo", col("__bv"))).as("lo"),
+      max(when(col("__bound") === "hi", col("__bv"))).as("hi"))
     o.join(broadcast(bounds), Seq("grp"))
       .withColumn("cv", least(greatest(col("v"), col("lo")), col("hi")))
       .groupBy(col("grp")).agg(
@@ -858,7 +937,8 @@ object Extensions {
     "q77_event_patterns" -> q77_event_patterns,
     "q78_time_in_state"  -> q78_time_in_state,
     "q79_winsorize"      -> q79_winsorize,
-    "q80_trend_slopes"   -> q80_trend_slopes)
+    "q80_trend_slopes"   -> q80_trend_slopes,
+    "q81_funnel_patterns" -> q81_funnel_patterns)
 
   val oracles: Map[String, String] = Map(
     "q59_lateral"        -> q59_sql,
@@ -879,5 +959,6 @@ object Extensions {
     "q77_event_patterns" -> q77_sql,
     "q78_time_in_state"  -> q78_sql,
     "q79_winsorize"      -> q79_sql,
-    "q80_trend_slopes"   -> q80_sql)
+    "q80_trend_slopes"   -> q80_sql,
+    "q81_funnel_patterns" -> q81_sql)
 }

@@ -1,20 +1,36 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.logical
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Automated scale lint over the ENTIRE SparkEntry query surface: every
-  * query's optimized plan is checked for the two patterns that are
+  * query's optimized plan is checked for the three patterns that are
   * correct at test scale and fatal at 100 TB —
   *
   *   1. unpartitioned windows (all rows to ONE task; the t12/t13 class
-  *      of bug this repo already fixed once), and
+  *      of bug this repo already fixed once),
   *   2. cartesian/nested-loop joins that are not a deliberate,
   *      broadcast-bounded design (the s01 exact baseline is the one
-  *      allowed case: |probes| is fixed and broadcast).
+  *      allowed case: |probes| is fixed and broadcast), and
+  *   3. LOW-CARDINALITY partitioned windows — a window keyed on a
+  *      handful of distinct values funnels table-sized partitions
+  *      through single tasks exactly like an unpartitioned window, but
+  *      pattern 1 can't see it because the partitionSpec is non-empty
+  *      (the round-6 q79 class: row_number over the 5-value
+  *      o_orderpriority). Detected by MEASURING at lint scale: any
+  *      window whose child exceeds 10k rows while its key has <8
+  *      distinct values is flagged. Deliberate tiny-partition designs
+  *      (t16/q79's bucket-prefix cumulative, q72's daily sketch merge)
+  *      pass because their window INPUT is a bounded bucket table, not
+  *      the data — the child-row threshold encodes exactly that
+  *      distinction, so no allowlist is needed unless a query windows
+  *      >10k rows on a <8-value key on purpose.
   *
-  * Plans are analyzed without executing the query, so the sweep stays
-  * cheap; queries whose CONSTRUCTION runs jobs (fixture bootstrap,
-  * index fits, oracle dumps) still pay only that bootstrap.
+  * Patterns 1–2 are plan-shape-only; pattern 3 executes each window's
+  * child once (counts are cached by canonicalized subtree, so shared
+  * shapes across the 142 queries are measured once).
   */
 class PlanLintSpec extends SparkSpec {
 
@@ -36,8 +52,44 @@ class PlanLintSpec extends SparkSpec {
       "q65_kmv_setops", "t19_bm25", "s06_quant_ann", "s07_mmr_rerank",
       "t27_stopwords")
 
-  test("no query plans an unpartitioned window or an unjustified cartesian join") {
+  // queries allowed to window >minRows rows on a <minKeys-value key —
+  // empty by design; adding here requires an in-source justification
+  private val allowLowCardWindow = Set.empty[String]
+
+  /** Pattern-3 detector: every partitioned window in `df`'s optimized
+    * plan whose child row count exceeds `minRows` at this data scale
+    * while the partition key takes fewer than `minKeys` distinct
+    * values. Child counts and key cardinalities run as Spark jobs over
+    * the lint-scale data; `cache` memoizes across the query surface.
+    */
+  private def lowCardWindows(
+      df: DataFrame,
+      cache: scala.collection.mutable.Map[logical.LogicalPlan, (Long, Long)],
+      minRows: Long = 10000L,
+      minKeys: Long = 8L): Seq[String] = {
+    df.queryExecution.optimizedPlan.collect {
+      case w: logical.Window if w.partitionSpec.nonEmpty =>
+        val (n, d) = cache.getOrElseUpdate(w.canonicalized, {
+          val child = Bridge.ofRows(spark, w.child)
+          val rows = child.count()
+          val keys =
+            if (rows > minRows)
+              child.select(w.partitionSpec.map(Bridge.column): _*)
+                .distinct().count()
+            else Long.MaxValue // small input: cardinality is moot
+          (rows, keys)
+        })
+        if (n > minRows && d < minKeys)
+          Some(s"window key cardinality $d over $n input rows " +
+            s"[${w.partitionSpec.mkString(", ")}]")
+        else None
+    }.flatten
+  }
+
+  test("no query plans an unpartitioned window, an unjustified cartesian join, or a low-cardinality window key") {
     val failures = scala.collection.mutable.ListBuffer[String]()
+    val cardCache =
+      scala.collection.mutable.Map[logical.LogicalPlan, (Long, Long)]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       val plan = df.queryExecution.optimizedPlan
@@ -51,8 +103,34 @@ class PlanLintSpec extends SparkSpec {
         phys.contains("BroadcastNestedLoopJoin")
       if (nestedLoop && !allowNestedLoop(name))
         failures += s"$name: cartesian/nested-loop join"
+      if (!allowLowCardWindow(name))
+        lowCardWindows(df, cardCache).foreach(m => failures += s"$name: $m")
     }
     assert(failures.isEmpty,
       s"scale lint failed:\n  ${failures.mkString("\n  ")}")
+  }
+
+  test("the cardinality lint flags a planted low-card window and passes a well-keyed one") {
+    import org.apache.spark.sql.expressions.Window
+    val cache =
+      scala.collection.mutable.Map[logical.LogicalPlan, (Long, Long)]()
+    val base = spark.range(20000)
+      .select(col("id"), pmod(col("id"), lit(3)).as("k3"),
+        pmod(col("id"), lit(1000)).as("k1000"))
+    // 3-value key over 20k rows: the q79 anti-pattern, must be flagged
+    val bad = base.withColumn("rn",
+      row_number().over(Window.partitionBy(col("k3")).orderBy(col("id"))))
+    assert(lowCardWindows(bad, cache).nonEmpty)
+    // 1000-value key over the same rows: healthy, must pass
+    val good = base.withColumn("rn",
+      row_number().over(Window.partitionBy(col("k1000")).orderBy(col("id"))))
+    assert(lowCardWindows(good, cache).isEmpty)
+    // small input on a 3-value key (the t16/q79 bucket-table shape):
+    // deliberately fine — the row threshold encodes the design rule
+    val tiny = spark.range(500)
+      .select(col("id"), pmod(col("id"), lit(3)).as("k3"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("k3")).orderBy(col("id"))))
+    assert(lowCardWindows(tiny, cache).isEmpty)
   }
 }

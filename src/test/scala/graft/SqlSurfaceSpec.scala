@@ -253,4 +253,77 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(got.values.map(_._1).sum ===
       got.maxBy(_._1)._2._1 + got.maxBy(_._1)._2._2)
   }
+
+  test("q79_winsorize: two-level bucket selection equals the naive rank window, ties included") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // synthetic orders with heavy ties (31 distinct values per group),
+    // tiny groups (n=1,2), and a group whose values all collide into
+    // ONE bucket — the residual pass must resolve ranks by value counts
+    val tmp = java.nio.file.Files.createTempDirectory("g-q79").toString
+    val rows = (0 until 4000).map { i =>
+      (s"G${i % 3}", math.round((i * 37 % 31) * 100.37 * 100) / 100.0)
+    } ++ Seq(("TINY1", 42.0), ("TINY2", 7.0), ("TINY2", 9.0)) ++
+      (0 until 500).map(i => ("ONEBUCKET", 500.0 + (i % 7) * 10.0))
+    import spark.implicits._
+    rows.toDF("o_orderpriority", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val got = graft.queries.Extensions.q79_winsorize(spark, tmp)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    // the naive formulation the two-level plan replaced
+    val o = spark.read.parquet(s"$tmp/orders.parquet")
+      .select(col("o_orderpriority").as("grp"), col("o_totalprice").as("v"))
+    val ranked = o
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("v"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+    val bounds = ranked.groupBy(col("grp")).agg(
+      min(when(col("rn") >= ceil(col("n") * 0.05), col("v"))).as("lo"),
+      min(when(col("rn") >= ceil(col("n") * 0.95), col("v"))).as("hi"))
+    val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val ref = o.join(broadcast(bounds), Seq("grp"))
+      .withColumn("cv", least(greatest(col("v"), col("lo")), col("hi")))
+      .groupBy(col("grp")).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_clipped_low"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_clipped_high"),
+        sum(col("cv").cast(dec2)).cast("double").as("winsorized_total"))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(got === ref)
+  }
+
+  test("q77/journeyQuery: a planted power user (1M+ events) completes with bounded per-group state") {
+    import org.apache.spark.sql.functions._
+    // 1,000,002 events for ONE user, one event/second (~11.6 days), so
+    // the per-(user, day) first-level groups hold ≤86,400 events while
+    // the single-aggregate formulation this replaced would buffer all
+    // 1M (ts, event_id, ini) structs in one aggregation state
+    val tmp = java.nio.file.Files.createTempDirectory("g-q77").toString
+    val n = 1000002L
+    val epoch = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
+    // ts is written as nanosecond BIGINT — the TIMESTAMP(NANOS) shape
+    // Tables.events reads from the driver-generated parquet
+    spark.range(n)
+      .select(col("id").as("event_id"),
+        ((lit(epoch) + col("id")) * lit(1000000000L)).as("ts"),
+        lit(1L).as("user_id"),
+        element_at(typedLit(Seq("view", "click", "purchase")),
+          (pmod(col("id"), lit(3)) + 1).cast("int")).as("event_type"))
+      .union(spark.range(3).select(
+        (col("id") + n).as("event_id"),
+        ((lit(epoch) + col("id") * 86400L) * lit(1000000000L)).as("ts"),
+        lit(2L).as("user_id"),
+        lit("error").as("event_type")))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = graft.queries.Extensions.journeyQuery("vc*p")(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), r.getLong(3))).toMap
+    val triples = (n / 3).toInt
+    val journey = "vcp" * triples
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(journey.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) === ((n, md5hex, triples.toLong)))
+    assert(got(2L) === ((3L, java.security.MessageDigest.getInstance("MD5")
+      .digest("eee".getBytes("UTF-8")).map("%02x".format(_)).mkString, 0L)))
+  }
 }
