@@ -95,6 +95,16 @@ object Bench {
     // window (~70 entries); repeat the total on a FINAL compact line —
     // no per-query map — so a machine-readable number always survives.
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"sf":"$sfDir"}""")
+    // ... and persist the FULL record to bench_total.json (cwd — the
+    // driver invokes sbt from the repo root) so the number survives
+    // even when stdout capture truncates both lines: read the file
+    // instead of parsing a tail.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_total.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}\n""")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_total.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

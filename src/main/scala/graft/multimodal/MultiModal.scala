@@ -19,11 +19,15 @@ import org.apache.spark.sql.functions._
   *   - repartitioning by size class before decode balances skew (one
   *     4K video next to thumbnails starves a partition otherwise).
   *
-  * The codec itself is STUBBED — this container has no image/audio
-  * libraries, so [[StubCodec]] derives deterministic fake pixels /
-  * samples from the payload bytes. Every stub call site is marked; the
-  * surrounding schema, partitioning, batching, and operator signatures
-  * are the real contract a codec drop-in would implement.
+  * Image decode is REAL for the containers the JDK ships readers for
+  * (PNG/BMP/GIF/JPEG via `javax.imageio` — [[ImageIoCodec]], no
+  * external dependency); payloads no installed reader accepts fall
+  * back to [[StubCodec]], which derives deterministic fake pixels from
+  * the payload bytes so synthetic fixtures stay testable end-to-end.
+  * Audio/video decode has no JDK-native path and remains stubbed; every
+  * stub call site is marked, and the surrounding schema, partitioning,
+  * batching, and operator signatures are the real contract a full codec
+  * drop-in would implement.
   */
 object MultiModal {
 
@@ -64,6 +68,48 @@ object MultiModal {
       mediaId: Long,
       kind: String,
       features: Array[Float])
+
+  /** ================= JDK-NATIVE IMAGE CODEC =================
+    * Real decode for any container an installed `javax.imageio` reader
+    * accepts — PNG, BMP, GIF, JPEG ship with every JDK, so this needs
+    * no new dependency. Output is row-major interleaved RGB, the
+    * [[DecodedImage]] contract. Executor-side, thread-safe, and
+    * allocation-bounded (one int row buffer per call).
+    */
+  object ImageIoCodec {
+    javax.imageio.ImageIO.setUseCache(false) // no per-call temp files
+
+    /** Decode to (width, height, interleaved RGB). None when no reader
+      * recognizes the bytes — the caller's cue to fall back to
+      * [[StubCodec]] (synthetic fixtures, unsupported containers).
+      */
+    def decodeImage(content: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        catch { case _: java.io.IOException | _: RuntimeException => null }
+      Option(img).map { im =>
+        val w = im.getWidth
+        val h = im.getHeight
+        val out = new Array[Byte](w * h * 3)
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          im.getRGB(0, y, w, 1, row, 0, w)
+          var x = 0
+          while (x < w) {
+            val p = row(x)
+            val i = (y * w + x) * 3
+            out(i) = ((p >> 16) & 0xff).toByte
+            out(i + 1) = ((p >> 8) & 0xff).toByte
+            out(i + 2) = (p & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, out)
+      }
+    }
+  }
 
   /** ================= STUB CODEC =================
     * Deterministic fake decode: pixels/samples are a keyed stream from
@@ -114,12 +160,19 @@ object MultiModal {
       .filter(col("kind") === "image")
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
-          // STUB call site: a real codec decodes the whole batch in one
-          // native call; shape and ordering are identical.
           batch.map { m =>
-            val w = math.max(m.meta.width, 1)
-            val h = math.max(m.meta.height, 1)
-            DecodedImage(m.mediaId, w, h, 3, StubCodec.decodeImage(m.content, w, h, 3))
+            ImageIoCodec.decodeImage(m.content) match {
+              // REAL decode: dimensions come from the container itself
+              case Some((w, h, px)) => DecodedImage(m.mediaId, w, h, 3, px)
+              // STUB fallback (no reader accepted the payload): fake
+              // pixels at the metadata dimensions keep synthetic
+              // fixtures flowing end-to-end
+              case None =>
+                val w = math.max(m.meta.width, 1)
+                val h = math.max(m.meta.height, 1)
+                DecodedImage(m.mediaId, w, h, 3,
+                  StubCodec.decodeImage(m.content, w, h, 3))
+            }
           }
         }
       }
@@ -259,10 +312,16 @@ object MultiModal {
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { m =>
           val decoded: Array[Byte] = m.kind match {
-            // STUB call sites (one per modality).
+            // image: real decode when a JDK reader accepts the bytes,
+            // stub otherwise; audio/video remain STUB call sites
             case "image" =>
-              val w = math.max(m.meta.width, 1); val h = math.max(m.meta.height, 1)
-              StubCodec.decodeImage(m.content, w, h, 3)
+              ImageIoCodec.decodeImage(m.content) match {
+                case Some((_, _, px)) => px
+                case None =>
+                  val w = math.max(m.meta.width, 1)
+                  val h = math.max(m.meta.height, 1)
+                  StubCodec.decodeImage(m.content, w, h, 3)
+              }
             case "audio" =>
               val n = math.max(1, (m.meta.sampleRate * m.meta.durationMs / 1000L).toInt)
               StubCodec.decodeAudio(m.content, math.min(n, 1 << 20)).flatMap { s =>

@@ -109,4 +109,50 @@ class MultiModalSpec extends SparkSpec {
       MultiModal.MediaMeta("wav", 0, 0, 16000, 20L))).toDS()
     assert(MultiModal.windowAudio(short, 400, 160).count() === 0L)
   }
+
+  test("ImageIoCodec: a real PNG decodes to exact dims and pixels, and patch geometry holds") {
+    import spark.implicits._
+    // author a real 20×12 PNG in-memory with a known pixel function
+    val (w0, h0) = (20, 12)
+    def rgb(x: Int, y: Int): Int = ((x * 21) % 256 << 16) |
+      ((y * 37) % 256 << 8) | ((x + y) % 256)
+    val buf = new java.awt.image.BufferedImage(
+      w0, h0, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h0; x <- 0 until w0) buf.setRGB(x, y, rgb(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(buf, "png", bos))
+    val png = bos.toByteArray
+    // a real PNG decodes through the REAL path: container dims win and
+    // pixels are the authored ones, not stub noise (meta deliberately
+    // lies about the size to prove the codec, not the metadata, rules)
+    val media = Seq(
+      MultiModal.MediaRow(1L, "image", png,
+        MultiModal.MediaMeta("png", w0, h0, 0, 0L)),
+      MultiModal.MediaRow(2L, "image", png,
+        MultiModal.MediaMeta("png", 999, 999, 0, 0L)),
+      MultiModal.MediaRow(3L, "image", Array[Byte](1, 2, 3),
+        MultiModal.MediaMeta("png", 5, 4, 0, 0L))).toDS()
+    val decoded = MultiModal.decodeImages(media, batchSize = 2)
+      .collect().map(d => d.mediaId -> d).toMap
+    Seq(1L, 2L).foreach { id =>
+      val d = decoded(id)
+      assert(d.width === w0 && d.height === h0 && d.channels === 3)
+      for (y <- 0 until h0; x <- 0 until w0) {
+        val p = rgb(x, y); val i = (y * w0 + x) * 3
+        assert(d.pixels(i) === ((p >> 16) & 0xff).toByte)
+        assert(d.pixels(i + 1) === ((p >> 8) & 0xff).toByte)
+        assert(d.pixels(i + 2) === (p & 0xff).toByte)
+      }
+    }
+    // the garbage payload falls back to the stub at metadata dims
+    assert(decoded(3L).width === 5 && decoded(3L).height === 4)
+    assert(decoded(3L).pixels.length === 5 * 4 * 3)
+    // m03's patchify geometry over the REAL image: 16-px grid on 20×12
+    // is 2×1 patches — full 16-wide then a 4-px edge clamp
+    val patches = MultiModal.tilePatches(media.filter(_.mediaId == 1L), 16)
+      .collect().sortBy(_.patchId)
+    assert(patches.map(p => (p.patchId, p.x0, p.y0, p.width, p.height)).toSeq
+      === Seq((0, 0, 0, 16, 12), (1, 16, 0, 4, 12)))
+    assert(patches.map(p => p.width.toLong * p.height).sum === w0.toLong * h0)
+  }
 }
