@@ -2031,10 +2031,19 @@ object Corpus {
     * exactly as u^(1/w) — the Efraimidis–Spirakis priority — but
     * computed in pure integer/md5 arithmetic, so both engines replay it
     * bit-for-bit (a float pow/ln formulation would ride on libm
-    * parity). Cost is one explode of Σw rows — linear in corpus token
-    * count, the same order as any tokenize stage; at extreme weights a
-    * production variant switches to the float formula per doc. Two
-    * keyed map-side-combined stages + a TakeOrdered cut.
+    * parity).
+    *
+    * Σw EXPLODE BOUND: the replica explode materializes exactly Σw
+    * rows TOTAL — linear in corpus token count, the same order as any
+    * tokenize stage, never quadratic. The hazard is PER-ROW: one
+    * degenerate document with an extreme weight builds a w-element
+    * `sequence` array inside a single task. [[weightedSamplePriorities]]'
+    * `maxW` guards that boundary — any weight above it fails fast with
+    * a clear error instead of silently OOMing an executor mid-explode;
+    * at such weights switch to the per-doc float formulation (u^(1/w))
+    * rather than replica hashing. t28's corpus weights are token
+    * counts, orders of magnitude under the 2²⁰ default. Two keyed
+    * map-side-combined stages + a TakeOrdered cut.
     */
   val t28_weighted_sample: Q = (s, dir) => {
     import s.implicits._
@@ -2043,7 +2052,30 @@ object Corpus {
         TextAnalysis.tokenCountOf(TextAnalysis.tokens(col("text")))
           .cast("long").as("w"))
       .where(col("w") > 0)
+    weightedSamplePriorities(docs)
+      .orderBy(col("priority").desc, col("doc_id").asc).limit(20)
+      .collect().toSeq.zipWithIndex
+      .map { case (r, i) =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), (i + 1).toLong) }
+      .toDF("doc_id", "w", "priority", "rank")
+  }
+
+  /** Efraimidis–Spirakis replica-hash priorities for a (doc_id, w)
+    * frame (see [[t28_weighted_sample]] for the scheme and the Σw
+    * bound). Weights above `maxW` raise a runtime error BEFORE the
+    * explode — the documented guard against a single degenerate row
+    * materializing an unbounded in-task array.
+    */
+  private[graft] def weightedSamplePriorities(
+      docs: DataFrame, maxW: Long = 1L << 20): DataFrame =
     docs
+      .select(col("doc_id"),
+        when(col("w") > maxW,
+          raise_error(concat(lit("weightedSamplePriorities: weight "),
+            col("w").cast("string"), lit(s" exceeds maxW=$maxW for doc_id "),
+            col("doc_id").cast("string"),
+            lit("; use a per-doc float priority for extreme weights"))))
+          .otherwise(col("w")).as("w"))
       .select(col("doc_id"), col("w"),
         explode_outer(sequence(lit(1L), col("w"))).as("i"))
       .where(col("i").isNotNull)
@@ -2052,12 +2084,6 @@ object Corpus {
           concat_ws(":", col("doc_id"), col("i"))).as("h"))
       .groupBy(col("doc_id"), col("w"))
       .agg(max(col("h")).as("priority"))
-      .orderBy(col("priority").desc, col("doc_id").asc).limit(20)
-      .collect().toSeq.zipWithIndex
-      .map { case (r, i) =>
-        (r.getLong(0), r.getLong(1), r.getLong(2), (i + 1).toLong) }
-      .toDF("doc_id", "w", "priority", "rank")
-  }
 
   val t28_sql: String =
     s"""WITH d AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS w

@@ -58,6 +58,18 @@ object ScaleGrowth {
     // pure input-size contrast, not a salted-vs-raw text contrast
     salted(docs, 1).write.mode("overwrite").parquet(s"$base/x1/documents.parquet")
     salted(docs, 10).write.mode("overwrite").parquet(s"$base/x10/documents.parquet")
+    // q79 reads orders, not documents: plain replication with key shift
+    // (the query touches only (o_orderpriority, o_totalprice), so no
+    // salting concern — the group-key cardinality deliberately STAYS at
+    // 5 while rows grow 10×, the exact regime the two-level selection
+    // exists for)
+    val orders = graft.Tables(spark, sfDir, "orders")
+    def repOrders(r: Int): DataFrame =
+      orders.withColumn("rep", explode(sequence(lit(0), lit(r - 1))))
+        .withColumn("o_orderkey", col("o_orderkey") * 16 + col("rep"))
+        .drop("rep")
+    repOrders(1).write.mode("overwrite").parquet(s"$base/x1/orders.parquet")
+    repOrders(10).write.mode("overwrite").parquet(s"$base/x10/orders.parquet")
 
     // t17 joins the dedup family here: the sketch-guided heavy-hitter
     // pipeline should be near-linear too (two bigram passes + k-bounded
@@ -71,14 +83,16 @@ object ScaleGrowth {
     // with the corpus scan, not the pair count) and the asymmetric
     // containment probe (full inverted index on the big side — the
     // one dedup shape without an index-side prefix bound)
+    // q79 joins in round 7: the two-level winsorize bounds — its rank
+    // selection must scale with the SHUFFLE, not a 5-partition sort
     val queries = Seq("d02_minhash_neardups", "d06_jaccard_neardups",
       "d07_decontamination", "d09_incremental_neardups",
       "d10_containment_neardups", "t17_heavy_hitters", "t19_bm25",
-      "t21_oov_rate")
+      "t21_oov_rate", "q79_winsorize")
     def time(name: String, dir: String): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
-        graft.queries.Corpus.queries(name)(spark, dir)
+        graft.SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }

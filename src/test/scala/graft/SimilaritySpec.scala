@@ -62,6 +62,54 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.exists { case ((_, n), c) => n == 60L && math.abs(c - 1.0) < 1e-9 })
   }
 
+  test("IvfIndex write/read: the stored index serves identical results and probes prune partitions") {
+    val rng = new scala.util.Random(31)
+    val corpus = (0L until 200L).map { i =>
+      (i, Array.fill(16)(rng.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 3)
+    val idx = Similarity.IvfIndex.build(corpus, "vec_id", "embedding", nLists = 8)
+    val mem = idx.search(queries, "vec_id", "embedding", k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    idx.write(path)
+    // one directory per list on disk
+    val listDirs = new java.io.File(s"$path/lists").listFiles()
+      .filter(_.getName.startsWith("ivf_list=")).map(_.getName).toSet
+    assert(listDirs.size > 1 && listDirs.size <= 8)
+    val restored = Similarity.IvfIndex.read(spark, path)
+    assert(restored.centroids === idx.centroids)
+    val plain = restored.search(queries, "vec_id", "embedding", k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(plain === mem)
+    val stored = restored.searchPruned(queries, "vec_id", "embedding", k = 5, nProbe = 2)
+    val got = stored.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got === mem)
+    // probe-time pruning: the lists scan must read only the probed
+    // ivf_list directories, not all of them (the ScaleSpec metric
+    // recipe: unwrap adaptive stages, inspect the scan's metrics)
+    val scans = scala.collection.mutable.ListBuffer[
+      org.apache.spark.sql.execution.FileSourceScanExec]()
+    def go(n: org.apache.spark.sql.execution.SparkPlan): Unit = n match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        go(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => go(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => scans += f
+      case other => other.children.foreach(go)
+    }
+    val executed = stored.queryExecution.executedPlan
+    stored.collect() // execute THIS plan so its scan owns the metrics
+    go(executed)
+    val listScan = scans.find(_.toString.contains("lists"))
+      .getOrElse(fail(s"no lists scan in:\n$executed"))
+    val readPartitions = listScan.metrics("numPartitions").value
+    // 3 queries × nProbe=2 probe at most 6 of the >1 list directories;
+    // dedup across queries usually reads fewer
+    assert(readPartitions < listDirs.size.toLong,
+      s"lists scan read $readPartitions of ${listDirs.size} partitions — no pruning")
+  }
+
   test("lshTopK candidates are a subset of brute-force with exact scores, and same-direction vectors are always found") {
     val rng = new scala.util.Random(11)
     val corpus = (0L until 50L).map { i =>

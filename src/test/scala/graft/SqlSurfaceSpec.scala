@@ -254,6 +254,26 @@ class SqlSurfaceSpec extends SparkSpec {
       got.maxBy(_._1)._2._1 + got.maxBy(_._1)._2._2)
   }
 
+  test("t28/weightedSamplePriorities: maxW boundary passes, one past it fails fast") {
+    import spark.implicits._
+    val ok = Seq((1L, 100L), (2L, 5L)).toDF("doc_id", "w")
+    // w == maxW is legal and identical to the unguarded computation
+    val guarded = graft.queries.Corpus.weightedSamplePriorities(ok, maxW = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val roomy = graft.queries.Corpus.weightedSamplePriorities(ok)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(guarded === roomy && guarded.size === 2)
+    // w == maxW + 1 raises the documented error BEFORE exploding
+    val bad = Seq((3L, 101L)).toDF("doc_id", "w")
+    val e = intercept[Exception] {
+      graft.queries.Corpus.weightedSamplePriorities(bad, maxW = 100L).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("|")
+    assert(msgs.contains("exceeds maxW"), s"unexpected error chain: $msgs")
+  }
+
   test("q79_winsorize: two-level bucket selection equals the naive rank window, ties included") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
