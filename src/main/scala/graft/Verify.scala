@@ -6,6 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // dir-dependent oracles (s03's centroid fixture) must describe THIS
+    // verify run's sfDir when oracle_sql.json is dumped below
+    graft.queries.Corpus.oracleSfDir = sfDir
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()

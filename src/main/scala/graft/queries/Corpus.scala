@@ -2364,19 +2364,32 @@ object Corpus {
   private val ivfIndexes =
     scala.collection.concurrent.TrieMap[String, Similarity.IvfIndex]()
 
-  private def ivfCentroidPath: String =
-    s"${graft.ingest.FixtureTables.root}/ivf_centroids.parquet"
+  /** The sfDir the NEXT `oracles` read should describe. The s03 oracle
+    * replays assignment from the centroids that s03's index build for a
+    * specific sfDir dumped, so the fixture path must be per-dir (a
+    * whole-registry sweep at another SF — PlanLintSpec, RegistrySpec —
+    * would otherwise clobber the verified dir's centroid bits between
+    * the Verify dump and the driver's DuckDB run). Verify sets this
+    * from its sfDir argument before dumping oracle_sql.json; the
+    * default is the driver's correctness SF.
+    */
+  @volatile var oracleSfDir: String = "/root/testdata/sf0.01"
+
+  private def ivfCentroidPath(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${graft.ingest.FixtureTables.root}/ivf_centroids_$key.parquet"
+  }
 
   val s03_ivf_topk: Q = (s, dir) => {
     val idx = ivfIndexes.getOrElseUpdate(dir, {
       val built = Similarity.IvfIndex.build(
         t(s, dir, "embeddings"), "vec_id", "embedding", nLists = 16)
-      // dump the fitted quantizer so the (static) oracle SQL can replay
-      // the assignment from this run's exact centroid bits
+      // dump the fitted quantizer so the oracle SQL can replay the
+      // assignment from this run's exact centroid bits
       import s.implicits._
       built.centroids.zipWithIndex.map { case (c, i) => (i, c) }
         .toDF("list_id", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(ivfCentroidPath)
+        .coalesce(1).write.mode("overwrite").parquet(ivfCentroidPath(dir))
       built
     })
     idx.search(t(s, dir, "embeddings").where(col("vec_id") < 5),
@@ -2391,10 +2404,10 @@ object Corpus {
     * sequential left-to-right — and the (d, list_id) ROW_NUMBER order
     * mirrors the array_sort((d, i) struct) tie-break.
     */
-  val s03_sql: String =
+  def s03_sql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |ctr AS (SELECT list_id, centroid
-       |        FROM read_parquet('$ivfCentroidPath/*.parquet')),
+       |        FROM read_parquet('${ivfCentroidPath(oracleSfDir)}/*.parquet')),
        |dist AS (SELECT e.vec_id, c.list_id,
        |  ((list_reduce(list_transform(generate_series(1, 64),
        |      i -> e.v[i] * e.v[i]), (a, b) -> a + b)
@@ -2481,7 +2494,9 @@ object Corpus {
     "s07_mmr_rerank"        -> s07_mmr_rerank,
     "s08_embedding_qa"      -> s08_embedding_qa)
 
-  val oracles: Map[String, String] = Map(
+  // def, not val: s03_sql embeds the per-dir centroid fixture path for
+  // the CURRENT `oracleSfDir`, so the map must be rebuilt at dump time.
+  def oracles: Map[String, String] = Map(
     "m01_multimodal_features" -> m01_sql,
     "m02_frame_manifest"    -> m02_sql,
     "m03_patch_manifest"    -> m03_sql,

@@ -14,28 +14,29 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import org.apache.spark.sql.functions._
+
+    println(s"SPARK_VERSION=${spark.version}")
+    try {
+      val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      println("RAW SCHEMA (no legacy conf):")
+      ev.printSchema()
+      ev.selectExpr("ts").show(3, false)
+    } catch { case e: Throwable => println(s"RAW_READ_FAIL: ${e.getMessage.take(300)}") }
 
     try {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      println("SCHEMA with nanosAsLong=true:")
       ev.printSchema()
-      ev.selectExpr("ts", "timestamp_micros(ts div 1000) AS ts2").show(3, false)
-      println("EVENTS_READ_OK")
-    } catch { case e: Throwable => println(s"EVENTS_READ_FAIL: ${e.getMessage.take(500)}") }
+    } catch { case e: Throwable => println(s"LEGACY_READ_FAIL: ${e.getMessage.take(300)}") }
 
-    // parser strictness: does to_timestamp('2025-12-01 08:00') parse? to_date prefix-parse?
-    val df = spark.sql(
-      """SELECT
-        |  to_timestamp('2025-12-01 08:00') AS a,
-        |  try_to_timestamp('2025-12-01 08:00', 'yyyy-MM-dd HH:mm:ss') AS b,
-        |  try_to_timestamp('2025-12-01', 'yyyy-MM-dd') AS c,
-        |  to_date('2025-12-01 08:00') AS d,
-        |  try_cast('278.1600' AS DECIMAL(15,4)) AS e,
-        |  try_cast('bad' AS DECIMAL(15,4)) AS f,
-        |  md5('hello world') AS g
-        |""".stripMargin)
-    df.show(false)
+    try {
+      val ev2 = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      println("Tables.events SCHEMA:")
+      ev2.printSchema()
+      ev2.selectExpr("ts").show(3, false)
+      println("TABLES_EVENTS_OK count=" + ev2.count())
+    } catch { case e: Throwable => println(s"TABLES_EVENTS_FAIL: ${e.getMessage.take(500)}") }
     spark.stop()
   }
 }
