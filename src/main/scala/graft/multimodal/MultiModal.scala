@@ -20,14 +20,17 @@ import org.apache.spark.sql.functions._
   *     4K video next to thumbnails starves a partition otherwise).
   *
   * Image decode is REAL for the containers the JDK ships readers for
-  * (PNG/BMP/GIF/JPEG via `javax.imageio` — [[ImageIoCodec]], no
-  * external dependency); payloads no installed reader accepts fall
-  * back to [[StubCodec]], which derives deterministic fake pixels from
-  * the payload bytes so synthetic fixtures stay testable end-to-end.
-  * Audio/video decode has no JDK-native path and remains stubbed; every
-  * stub call site is marked, and the surrounding schema, partitioning,
-  * batching, and operator signatures are the real contract a full codec
-  * drop-in would implement.
+  * (PNG/BMP/GIF/JPEG via `javax.imageio` — [[ImageIoCodec]]), and audio
+  * decode is REAL for WAV/AIFF/AU (via `javax.sound.sampled` —
+  * [[AudioSystemCodec]], multi-channel downmix + 16-bit conversion
+  * included) — both with no external dependency. Payloads no installed
+  * reader accepts fall back to [[StubCodec]], which derives
+  * deterministic fake pixels/samples from the payload bytes so
+  * synthetic fixtures stay testable end-to-end. Video decode has no
+  * JDK-native path and remains stubbed; every stub call site is marked,
+  * and the surrounding schema, partitioning, batching, and operator
+  * signatures are the real contract a full codec drop-in would
+  * implement.
   */
 object MultiModal {
 
@@ -108,6 +111,75 @@ object MultiModal {
         }
         (w, h, out)
       }
+    }
+  }
+
+  /** ================= JDK-NATIVE AUDIO CODEC =================
+    * Real decode for any container an installed `javax.sound.sampled`
+    * reader accepts — WAV/AIFF/AU ship with every JDK, so this needs no
+    * new dependency (the audio analogue of [[ImageIoCodec]]). Output is
+    * (sampleRate, mono 16-bit PCM): multi-channel input is downmixed by
+    * per-frame channel average, and non-16-bit encodings are converted
+    * through the JDK's format-conversion pipeline first.
+    */
+  object AudioSystemCodec {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+
+    /** Decode to (sampleRate, mono samples). None when no installed
+      * reader recognizes the bytes — the caller's cue to fall back to
+      * [[StubCodec]] (synthetic fixtures, unsupported containers).
+      */
+    def decodeAudio(content: Array[Byte]): Option[(Int, Array[Short])] =
+      try {
+        val in = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(content))
+        try {
+          val base = in.getFormat
+          val target = new AudioFormat(
+            AudioFormat.Encoding.PCM_SIGNED, base.getSampleRate, 16,
+            base.getChannels, base.getChannels * 2, base.getSampleRate,
+            /* bigEndian = */ false)
+          val pcm = AudioSystem.getAudioInputStream(target, in)
+          val bytes = pcm.readAllBytes()
+          val ch = target.getChannels
+          val nFrames = bytes.length / (2 * ch)
+          val out = new Array[Short](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            var acc = 0
+            var c = 0
+            while (c < ch) {
+              val i = (f * ch + c) * 2 // little-endian, matching `target`
+              acc += ((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort
+              c += 1
+            }
+            out(f) = (acc / ch).toShort
+            f += 1
+          }
+          Some((math.round(base.getSampleRate), out))
+        } finally in.close()
+      } catch { case _: Exception => None }
+
+    /** Author a real single-channel 16-bit PCM WAV from samples — the
+      * fixture-side inverse of [[decodeAudio]], so specs and synthetic
+      * corpora can exercise the REAL decode path without any media
+      * files in the environment.
+      */
+    def wavBytes(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        pcm(i * 2) = (samples(i) & 0xff).toByte // WAV PCM is little-endian
+        pcm(i * 2 + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
     }
   }
 
@@ -323,8 +395,15 @@ object MultiModal {
                   StubCodec.decodeImage(m.content, w, h, 3)
               }
             case "audio" =>
-              val n = math.max(1, (m.meta.sampleRate * m.meta.durationMs / 1000L).toInt)
-              StubCodec.decodeAudio(m.content, math.min(n, 1 << 20)).flatMap { s =>
+              // audio: real decode when a JDK reader accepts the bytes
+              // (WAV/AIFF/AU), stub otherwise
+              val samples = AudioSystemCodec.decodeAudio(m.content) match {
+                case Some((_, pcm)) => pcm
+                case None =>
+                  val n = math.max(1, (m.meta.sampleRate * m.meta.durationMs / 1000L).toInt)
+                  StubCodec.decodeAudio(m.content, math.min(n, 1 << 20))
+              }
+              samples.flatMap { s =>
                 Array((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)
               }
             case _ =>

@@ -155,4 +155,56 @@ class MultiModalSpec extends SparkSpec {
       === Seq((0, 0, 0, 16, 12), (1, 16, 0, 4, 12)))
     assert(patches.map(p => p.width.toLong * p.height).sum === w0.toLong * h0)
   }
+
+  test("AudioSystemCodec: a real WAV decodes to exact samples, downmixes stereo, and m04 framing holds on real audio") {
+    import spark.implicits._
+    import MultiModal.AudioSystemCodec
+    // author a real 16 kHz mono WAV with a known sample function
+    val rate = 16000
+    val n = 6400 // 400 ms
+    val samples = Array.tabulate(n)(i => ((i * 773) % 30001 - 15000).toShort)
+    val wav = AudioSystemCodec.wavBytes(samples, rate)
+    // container magic, not metadata, decides the path
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF")
+    val Some((gotRate, got)) = AudioSystemCodec.decodeAudio(wav)
+    assert(gotRate === rate)
+    assert(got.toSeq === samples.toSeq)
+    // garbage bytes fall back to None (the StubCodec cue)
+    assert(AudioSystemCodec.decodeAudio(Array[Byte](1, 2, 3)).isEmpty)
+    // stereo downmix: author an interleaved L/R WAV by hand and assert
+    // the per-frame channel average
+    val l = Array.tabulate(100)(i => (i * 100).toShort)
+    val r = Array.tabulate(100)(i => (i * 100 + 50).toShort)
+    val pcm = new Array[Byte](100 * 4)
+    for (i <- 0 until 100; (s, c) <- Seq((l(i), 0), (r(i), 1))) {
+      val off = (i * 2 + c) * 2
+      pcm(off) = (s & 0xff).toByte
+      pcm(off + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val stereoFmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 2, true, false)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), stereoFmt, 100L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos2)
+    val Some((_, mono)) = AudioSystemCodec.decodeAudio(bos2.toByteArray)
+    assert(mono.toSeq === (0 until 100).map(i => ((l(i) + r(i)) / 2).toShort))
+    // extractFeatures takes the REAL path for a WAV payload: its 64-bin
+    // byte histogram must equal the one computed from the decoded
+    // samples' little-endian bytes, and differ from the stub's
+    val media = Seq(MultiModal.MediaRow(7L, "audio", wav,
+      MultiModal.MediaMeta("wav", 0, 0, rate, 400L))).toDS()
+    val feats = MultiModal.extractFeatures(media).collect().head.features
+    val bytes = samples.flatMap(s => Array((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))
+    val hist = new Array[Float](64)
+    bytes.foreach(b => hist((b & 0xff) * 64 / 256) += 1f)
+    assert(feats.toSeq === hist.map(_ / bytes.length).toSeq)
+    // m04's framing geometry on the real clip: windowAudio's metadata
+    // arithmetic agrees with the DECODED sample count (400 ms @ 16 kHz
+    // = 6400 samples -> (6400-400)/160+1 full windows), and every
+    // window's sample range is in-bounds for the real PCM
+    val ws = MultiModal.windowAudio(media, 400, 160).collect().sortBy(_.windowIndex)
+    assert(ws.length === (got.length - 400) / 160 + 1)
+    ws.foreach(w => assert(w.startSample + w.nSamples <= got.length))
+  }
 }
