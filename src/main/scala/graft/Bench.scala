@@ -90,18 +90,22 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (repaired.nonEmpty) repaired.map(_._2).sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // spark_version in every artifact: round 7's 21-query break was a
+    // Spark-lineage change, diagnosable from the JSON alone only if the
+    // runtime version rides along.
+    val ver = spark.version
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","spark_version":"$ver"}""")
     // The per-query line above can exceed the driver's tail-capture
     // window (~70 entries); repeat the total on a FINAL compact line —
     // no per-query map — so a machine-readable number always survives.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"sf":"$sfDir","spark_version":"$ver"}""")
     // ... and persist the FULL record to bench_total.json (cwd — the
     // driver invokes sbt from the repo root) so the number survives
     // even when stdout capture truncates both lines: read the file
     // instead of parsing a tail.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_total.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}\n""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","spark_version":"$ver"}\n""")
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_total.json write failed: ${e.getMessage}")
     }

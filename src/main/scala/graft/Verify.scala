@@ -54,6 +54,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // runtime-version sidecar (see Bench): keeps correctness artifacts
+    // diagnosable when the Spark lineage moves under the repo
+    Files.writeString(Paths.get(s"$outDir/runtime.json"),
+      s"""{"spark_version":"${spark.version}","sf_dir":${q(sfDir)}}\n""")
+    System.err.println(s"[verify] spark_version=${spark.version}")
     spark.stop()
   }
 }

@@ -702,8 +702,17 @@ object Extensions {
     * as 40-byte structs — worst-case state is one day's initials (1
     * byte/event) plus ~#days day-strings.
     */
-  private[graft] def journeyQuery(pattern: String): Q = (s, dir) => {
-    val e = t(s, dir, "events")
+  private[graft] def journeyQuery(pattern: String): Q = (s, dir) =>
+    journeyFrame(t(s, dir, "events"), pattern)
+
+  /** [[journeyQuery]]'s core over any frame with (user_id, ts,
+    * event_id, event_type) — separated so the day-boundary invariant
+    * (two-level assembly ≡ global sort) is property-testable on
+    * generated event sets, not just the fixture.
+    */
+  private[graft] def journeyFrame(
+      events: org.apache.spark.sql.DataFrame, pattern: String): org.apache.spark.sql.DataFrame = {
+    val e = events
       .select(col("user_id"), col("ts"), col("event_id"),
         substring(col("event_type"), 1, 1).as("ini"))
     val days = e

@@ -96,6 +96,49 @@ object LoadProperties extends Properties("graft.load") {
       }
     }
 
+  // journeyFrame's two-level (user, day) assembly must equal the global
+  // (ts, event_id) sort — the invariant that lets the hot user's history
+  // split across days without an unbounded aggregation buffer. The
+  // generator forces the hazardous shapes: events AT midnight (the day
+  // seam), 1-second straddles on both sides of it, and equal-ts ties
+  // with distinct event_ids (within a day by construction — day(ts) is a
+  // function of ts, so a tie can never cross the seam).
+  property("journeyFrame two-level day assembly ≡ global (ts,event_id) sort") = {
+    val midnight = java.time.LocalDate.of(2024, 3, 9)
+    val genEvent = for {
+      user <- Gen.choose(1L, 2L)
+      day <- Gen.choose(0, 2)
+      sec <- Gen.oneOf(Gen.oneOf(0L, 1L, 86399L), Gen.choose(0L, 86399L))
+      typ <- Gen.oneOf("view", "click", "purchase", "error")
+    } yield (user, midnight.plusDays(day).atStartOfDay()
+      .plusSeconds(sec), typ)
+    val genEvents = Gen.listOfN(40, genEvent).map(_.zipWithIndex.map {
+      case ((u, ldt, ty), i) =>
+        (u, java.sql.Timestamp.valueOf(ldt), i.toLong, ty)
+    })
+    Prop.forAll(genEvents) { rows =>
+      // plant guaranteed equal-ts ties: duplicate every 7th event's ts
+      // under a fresh event_id
+      val ties = rows.zipWithIndex.collect { case ((u, ts, _, ty), i) if i % 7 == 0 =>
+        (u, ts, (rows.size + i).toLong, ty)
+      }
+      val all = rows ++ ties
+      val df = all.toDF("user_id", "ts", "event_id", "event_type")
+      val got = graft.queries.Extensions.journeyFrame(df, "vc*p")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3))))
+        .toMap
+      val want = all.groupBy(_._1).map { case (u, es) =>
+        val j = es.sortBy(e => (e._2.getTime, e._3))
+          .map(_._4.substring(0, 1)).mkString
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(j.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        u -> ((j.length.toLong, md5, "vc*p".r.findAllMatchIn(j).length.toLong))
+      }
+      got == want
+    }
+  }
+
   property("SMA window ≡ brute-force average, gated on full windows") =
     Prop.forAll(Gen.listOfN(25, Gen.choose(0, 500).map(_ / 10.0)), Gen.choose(1, 6)) {
       (xs, n) =>
