@@ -2097,6 +2097,55 @@ object Corpus {
        |  ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id ASC) AS rank
        |FROM p QUALIFY rank <= 20""".stripMargin
 
+  /** Per-document unigram-LM cross-entropy — the perplexity-proxy
+    * quality filter (the CCNet move: score each document under a
+    * corpus language model; outlier scores flag boilerplate / noise /
+    * off-distribution text). The LM is the corpus's own add-one-
+    * smoothed unigram model p(w) = (c(w)+1)/(N+V), so
+    * xent(doc) = −mean ln p(w) = ln(N+V) − Σ c_d(w)·ln(c(w)+1) / n_d.
+    *
+    * Numeric discipline (the t22 pattern): per-(doc, distinct-token)
+    * terms are rounded to 9 decimals and summed as DECIMAL(28,9) — an
+    * exact, order-independent sum — so both engines reach identical
+    * bits despite unordered aggregation; the final score rounds to 6.
+    *
+    * Scale shape: two map-side-combined token aggregates (corpus vocab,
+    * per-doc counts), one token-keyed equi-join (the vocab side
+    * broadcasts while it fits; Zipf keeps it millions of rows at 100 TB,
+    * far under the doc-token side), one doc-keyed aggregate, and a
+    * 1-row broadcast cross join for the (N, V) scalars. Nothing
+    * collects; no windows.
+    */
+  val t29_unigram_xent: Q = (s, dir) => {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("__cw"))
+    val totals = vocab.agg(sum(col("__cw")).as("__n"), count(lit(1)).as("__v"))
+    toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("__cd"))
+      .join(vocab, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__cd")).as("n_tokens"),
+        sum(round(col("__cd") * log(col("__cw") + lit(1)), 9)
+          .cast("decimal(28,9)")).as("__s"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_tokens"),
+        round(log(col("__n") + col("__v")) -
+          col("__s").cast("double") / col("n_tokens"), 6).as("xent"))
+  }
+
+  val t29_sql: String =
+    s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+       |v AS (SELECT token, COUNT(*) AS cw FROM t GROUP BY token),
+       |tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS n, COUNT(*) AS vsz FROM v),
+       |d AS (SELECT doc_id, token, COUNT(*) AS cd FROM t GROUP BY doc_id, token),
+       |a AS (SELECT doc_id, CAST(SUM(cd) AS BIGINT) AS n_tokens,
+       |    SUM(CAST(ROUND(cd * ln(cw + 1), 9) AS DECIMAL(28,9))) AS s
+       |  FROM d JOIN v USING (token) GROUP BY doc_id)
+       |SELECT doc_id, n_tokens,
+       |  ROUND(ln(n + vsz) - CAST(s AS DOUBLE) / n_tokens, 6) AS xent
+       |FROM a CROSS JOIN tot""".stripMargin
+
   /** Contrastive image–text pair assembly — the dataset-construction
     * step a multimodal (CLIP-style) training pipeline runs: each image
     * pairs with its caption document and the caption's embedding by
@@ -2437,6 +2486,90 @@ object Corpus {
        |SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rank
        |FROM r WHERE rank <= 10""".stripMargin
 
+  /** Filtered ANN — vector search under a metadata predicate (the
+    * retrieval-serving shape: "nearest neighbors WHERE label ∈ …").
+    * The IVF index is built with `metaCols = label` so the predicate
+    * PRE-filters the inverted lists before cosine ranking: a selective
+    * filter shrinks the scored candidate set and still returns k
+    * results, where post-filtering a plain top-k would decimate it.
+    * On a persisted index the predicate reaches the probed lists'
+    * parquet scan — pushdown composing with list-partition pruning.
+    *
+    * Same oracle recipe as s03: the query dumps its fitted centroids
+    * (deterministic k-means — seeded, bounded fit) and DuckDB replays
+    * assignment, probing, the label cut, and the exact-cosine rank.
+    * The final ≤ k×|probes|-row label re-attach join is bounded by
+    * construction. Recall under the filter is spec-gated in
+    * SimilaritySpec against filtered brute-force ground truth.
+    */
+  private val ivfMetaIndexes =
+    scala.collection.concurrent.TrieMap[String, Similarity.IvfIndex]()
+
+  private def ivfMetaCentroidPath(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${graft.ingest.FixtureTables.root}/ivf_centroids_meta_$key.parquet"
+  }
+
+  val s09_filtered_ann: Q = (s, dir) => {
+    val idx = ivfMetaIndexes.getOrElseUpdate(dir, {
+      val built = Similarity.IvfIndex.build(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        nLists = 16, metaCols = Seq("label"))
+      import s.implicits._
+      built.centroids.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("list_id", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(ivfMetaCentroidPath(dir))
+      built
+    })
+    idx.search(
+        t(s, dir, "embeddings").where(col("vec_id") >= 5 && col("vec_id") < 10),
+        "vec_id", "embedding", k = 10, nProbe = 8,
+        candidateFilter = Some(col("label") % 4 === 1))
+      .join(t(s, dir, "embeddings")
+        .select(col("vec_id").as("neighbor_id"), col("label")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("label"),
+        round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  /** DuckDB replay of s09: s03's assignment/probe recipe plus the
+    * label pre-filter on candidates before the cosine rank.
+    */
+  def s09_sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |ctr AS (SELECT list_id, centroid
+       |        FROM read_parquet('${ivfMetaCentroidPath(oracleSfDir)}/*.parquet')),
+       |dist AS (SELECT e.vec_id, c.list_id,
+       |  ((list_reduce(list_transform(generate_series(1, 64),
+       |      i -> e.v[i] * e.v[i]), (a, b) -> a + b)
+       |    - 2.0e0 * list_reduce(list_transform(generate_series(1, 64),
+       |      i -> e.v[i] * c.centroid[i]), (a, b) -> a + b))
+       |   + list_reduce(list_transform(c.centroid, x -> x * x),
+       |      (a, b) -> a + b)) AS d
+       | FROM e CROSS JOIN ctr c),
+       |assign AS (SELECT vec_id AS neighbor_id, list_id FROM (
+       |  SELECT vec_id, list_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+       |  FROM dist) WHERE rn = 1),
+       |probe AS (SELECT vec_id AS query_id, list_id FROM (
+       |  SELECT vec_id, list_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+       |  FROM dist WHERE vec_id >= 5 AND vec_id < 10) WHERE rn <= 8),
+       |cand AS (SELECT DISTINCT query_id, neighbor_id
+       | FROM probe JOIN assign USING (list_id)
+       | JOIN lab ON lab.vec_id = neighbor_id
+       | WHERE neighbor_id <> query_id AND lab.label % 4 = 1),
+       |sc AS (SELECT query_id, neighbor_id, $cosSql AS cos
+       | FROM cand JOIN e a ON a.vec_id = query_id
+       |           JOIN e b ON b.vec_id = neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id
+       |                     ORDER BY cos DESC, neighbor_id ASC) AS rank
+       | FROM sc)
+       |SELECT query_id, neighbor_id, lab.label, ROUND(cos, 6) AS cosine, rank
+       |FROM r JOIN lab ON lab.vec_id = neighbor_id
+       |WHERE rank <= 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "m01_multimodal_features" -> m01_multimodal_features,
     "m02_frame_manifest"    -> m02_frame_manifest,
@@ -2476,6 +2609,7 @@ object Corpus {
     "t26_source_novelty"    -> t26_source_novelty,
     "t27_stopwords"         -> t27_stopwords,
     "t28_weighted_sample"   -> t28_weighted_sample,
+    "t29_unigram_xent"      -> t29_unigram_xent,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -2492,7 +2626,8 @@ object Corpus {
     "s05_int8_quant"        -> s05_int8_quant,
     "s06_quant_ann"         -> s06_quant_ann,
     "s07_mmr_rerank"        -> s07_mmr_rerank,
-    "s08_embedding_qa"      -> s08_embedding_qa)
+    "s08_embedding_qa"      -> s08_embedding_qa,
+    "s09_filtered_ann"      -> s09_filtered_ann)
 
   // def, not val: s03_sql embeds the per-dir centroid fixture path for
   // the CURRENT `oracleSfDir`, so the map must be rebuilt at dump time.
@@ -2534,6 +2669,7 @@ object Corpus {
     "t26_source_novelty"    -> t26_sql,
     "t27_stopwords"         -> t27_sql,
     "t28_weighted_sample"   -> t28_sql,
+    "t29_unigram_xent"      -> t29_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,
@@ -2551,5 +2687,6 @@ object Corpus {
     "s05_int8_quant"        -> s05_sql,
     "s06_quant_ann"         -> s06_sql,
     "s07_mmr_rerank"        -> s07_sql,
-    "s08_embedding_qa"      -> s08_sql)
+    "s08_embedding_qa"      -> s08_sql,
+    "s09_filtered_ann"      -> s09_sql)
 }

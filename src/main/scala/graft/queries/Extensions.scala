@@ -927,6 +927,68 @@ object Extensions {
       |    / CAST(n_days AS DOUBLE) AS intercept
       |FROM m""".stripMargin
 
+  /** Z-order layout statistics — the observable contract of
+    * [[graft.load.Scale.zorderBy]] as a hash-checked query. Each row is
+    * one 64th of the z-curve (the top 6 bits of the 2×16-bit
+    * interleaved z-value over (l_partkey, l_suppkey)) — i.e. one
+    * file-to-be of a clustered write — with the per-bucket min/max/span
+    * of BOTH dimensions: exactly the parquet footer stats a scan uses
+    * to skip files. Interleaving keeps both spans narrow at once
+    * (a single-column sort leaves the other dimension spanning its
+    * full range — ScaleSpec measures that comparison; this query pins
+    * the exact arithmetic: rank scaling, bit interleave, bucketing).
+    *
+    * The oracle rebuilds the identical z-value in SQL — the bit-term
+    * string is generated by the same (i, j) → shift loop the Scala
+    * expression tree uses, so the two engines interleave identical
+    * bits. Scale shape: one bounds aggregate (2 scalars per dim, the
+    * zorderBy recipe), one narrow projection, one keyed aggregate —
+    * nothing about it changes at 100 TB.
+    */
+  val q82_zorder_stats: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey").cast("long").as("pk"),
+        col("l_suppkey").cast("long").as("sk"))
+    val b = li.agg(
+      min(col("pk")).cast("double"), max(col("pk")).cast("double"),
+      min(col("sk")).cast("double"), max(col("sk")).cast("double"))
+      .collect()(0) // 4 scalars — the zorderBy bounds hop
+    val z = graft.load.Scale.zvalue(Seq(
+      (col("pk"), b.getDouble(0), b.getDouble(1)),
+      (col("sk"), b.getDouble(2), b.getDouble(3))), bits = 16)
+    li.withColumn("z_bucket", shiftright(z, 26))
+      .groupBy(col("z_bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("pk")).as("min_pk"), max(col("pk")).as("max_pk"),
+        (max(col("pk")) - min(col("pk"))).as("pk_span"),
+        min(col("sk")).as("min_sk"), max(col("sk")).as("max_sk"),
+        (max(col("sk")) - min(col("sk"))).as("sk_span"))
+  }
+
+  val q82_sql: String = {
+    // the same (bit i, col j) → shift i*(ncols-1)+j loop as
+    // Scale.zvalue, ncols = 2
+    val zTerms = (0 until 16).flatMap { i =>
+      Seq(s"((rpk & ${1L << i}) << $i)", s"((rsk & ${1L << i}) << ${i + 1})")
+    }.mkString(" | ")
+    s"""WITH li AS (SELECT CAST(l_partkey AS BIGINT) AS pk,
+       |                   CAST(l_suppkey AS BIGINT) AS sk FROM lineitem),
+       |b AS (SELECT CAST(MIN(pk) AS DOUBLE) AS plo, CAST(MAX(pk) AS DOUBLE) AS phi,
+       |             CAST(MIN(sk) AS DOUBLE) AS slo, CAST(MAX(sk) AS DOUBLE) AS shi
+       |      FROM li),
+       |r AS (SELECT pk, sk,
+       |  LEAST(GREATEST(CAST(FLOOR((CAST(pk AS DOUBLE) - plo) / (phi - plo) * 65535)
+       |    AS BIGINT), 0), 65535) AS rpk,
+       |  LEAST(GREATEST(CAST(FLOOR((CAST(sk AS DOUBLE) - slo) / (shi - slo) * 65535)
+       |    AS BIGINT), 0), 65535) AS rsk
+       | FROM li CROSS JOIN b),
+       |z AS (SELECT pk, sk, ($zTerms) AS zv FROM r)
+       |SELECT zv >> 26 AS z_bucket, COUNT(*) AS n_rows,
+       |  MIN(pk) AS min_pk, MAX(pk) AS max_pk, MAX(pk) - MIN(pk) AS pk_span,
+       |  MIN(sk) AS min_sk, MAX(sk) AS max_sk, MAX(sk) - MIN(sk) AS sk_span
+       |FROM z GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q59_lateral"        -> q59_lateral,
     "q60_month_spine"    -> q60_month_spine,
@@ -947,7 +1009,8 @@ object Extensions {
     "q78_time_in_state"  -> q78_time_in_state,
     "q79_winsorize"      -> q79_winsorize,
     "q80_trend_slopes"   -> q80_trend_slopes,
-    "q81_funnel_patterns" -> q81_funnel_patterns)
+    "q81_funnel_patterns" -> q81_funnel_patterns,
+    "q82_zorder_stats"   -> q82_zorder_stats)
 
   val oracles: Map[String, String] = Map(
     "q59_lateral"        -> q59_sql,
@@ -969,5 +1032,6 @@ object Extensions {
     "q78_time_in_state"  -> q78_sql,
     "q79_winsorize"      -> q79_sql,
     "q80_trend_slopes"   -> q80_sql,
-    "q81_funnel_patterns" -> q81_sql)
+    "q81_funnel_patterns" -> q81_sql,
+    "q82_zorder_stats"   -> q82_sql)
 }

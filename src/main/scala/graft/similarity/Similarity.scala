@@ -145,14 +145,26 @@ object Similarity {
 
     /** Probe the `nProbe` nearest lists per query, rank candidates by
       * exact cosine. Shuffles on the list id only.
+      *
+      * `candidateFilter` (over the list columns — build with `metaCols`
+      * to carry metadata into the lists) is PRE-filtering: candidates
+      * are cut before the cosine ranking, so a selective predicate
+      * shrinks the scored set instead of truncating the top-k after the
+      * fact (post-filtering k results against a 1%-selective predicate
+      * returns ~k/100 rows; pre-filtering keeps k). On a storage-backed
+      * index the predicate reaches the parquet scan of the probed
+      * lists — filter pushdown composes with the list-partition
+      * pruning.
       */
     def search(
         queries: DataFrame,
         queryIdCol: String,
         queryVecCol: String,
         k: Int,
-        nProbe: Int = 4): DataFrame =
-      searchImpl(queries, queryIdCol, queryVecCol, k, nProbe, prune = false)
+        nProbe: Int = 4,
+        candidateFilter: Option[Column] = None): DataFrame =
+      searchImpl(queries, queryIdCol, queryVecCol, k, nProbe, prune = false,
+        candidateFilter)
 
     /** [[search]] against a STORAGE-BACKED index ([[IvfIndex#write]] /
       * [[IvfIndex.read]]): first resolves the distinct probed list ids
@@ -168,8 +180,10 @@ object Similarity {
         queryIdCol: String,
         queryVecCol: String,
         k: Int,
-        nProbe: Int = 4): DataFrame =
-      searchImpl(queries, queryIdCol, queryVecCol, k, nProbe, prune = true)
+        nProbe: Int = 4,
+        candidateFilter: Option[Column] = None): DataFrame =
+      searchImpl(queries, queryIdCol, queryVecCol, k, nProbe, prune = true,
+        candidateFilter)
 
     private def searchImpl(
         queries: DataFrame,
@@ -177,7 +191,8 @@ object Similarity {
         queryVecCol: String,
         k: Int,
         nProbe: Int,
-        prune: Boolean): DataFrame = {
+        prune: Boolean,
+        candidateFilter: Option[Column] = None): DataFrame = {
       val q = queries.select(col(queryIdCol).as("query_id"),
         col(queryVecCol).cast("array<double>").as("__qv"))
       // explode_outer throughout this file: a non-outer explode of a
@@ -190,13 +205,14 @@ object Similarity {
         .where(col("ivf_list").isNotNull)
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      val filtered = candidateFilter.fold(listed)(listed.where)
       val lists =
         if (prune) {
           // ≤ nLists values by construction — the one bounded collect
           val ids = probed.select(col("ivf_list")).distinct()
             .collect().map(_.getInt(0)).toSeq
-          listed.where(col("ivf_list").isin(ids: _*))
-        } else listed
+          filtered.where(col("ivf_list").isin(ids: _*))
+        } else filtered
       probed.join(lists, Seq("ivf_list"))
         .where(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
@@ -217,8 +233,9 @@ object Similarity {
     def write(path: String): Unit = {
       val spark = listed.sparkSession
       import spark.implicits._
-      listed.select(col("neighbor_id"), col("__cv"), col("ivf_list"))
-        .write.mode("overwrite").partitionBy("ivf_list")
+      // all list columns persist (id, vector, any metaCols), so a
+      // restored index serves filtered searches too
+      listed.write.mode("overwrite").partitionBy("ivf_list")
         .parquet(s"$path/lists")
       centroids.zipWithIndex.map { case (c, i) => (i, c) }
         .toDF("list_id", "centroid")
@@ -270,11 +287,15 @@ object Similarity {
         nLists: Int = 16,
         fitSampleFraction: Double = 1.0,
         seed: Long = 42L,
-        maxFitVectors: Long = 1L << 16): IvfIndex = {
+        maxFitVectors: Long = 1L << 16,
+        metaCols: Seq[String] = Nil): IvfIndex = {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
-      val c = corpus.select(col(corpusIdCol).as("neighbor_id"),
-        col(corpusVecCol).cast("array<double>").as("__cv"))
+      // metaCols ride along into the lists so a search can pre-filter
+      // candidates on metadata (filtered ANN) without a corpus join
+      val c = corpus.select(col(corpusIdCol).as("neighbor_id") +:
+        col(corpusVecCol).cast("array<double>").as("__cv") +:
+        metaCols.map(col): _*)
       // one count() job at build time (amortized across every query the
       // index serves) buys a scale-independent fit
       val total = c.count()

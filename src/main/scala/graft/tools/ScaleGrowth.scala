@@ -71,6 +71,30 @@ object ScaleGrowth {
     repOrders(1).write.mode("overwrite").parquet(s"$base/x1/orders.parquet")
     repOrders(10).write.mode("overwrite").parquet(s"$base/x10/orders.parquet")
 
+    // q82 reads lineitem (z-bucket stats over (l_partkey, l_suppkey)):
+    // plain replication with key shift keeps both dims' bounds and the
+    // 64-bucket group count FIXED while rows grow 10× — scan + partial
+    // agg must carry the growth, the fixed-cardinality-agg regime
+    val lineitem = graft.Tables(spark, sfDir, "lineitem")
+    def repLineitem(r: Int): DataFrame =
+      lineitem.withColumn("rep", explode(sequence(lit(0), lit(r - 1))))
+        .withColumn("l_orderkey", col("l_orderkey") * 16 + col("rep"))
+        .drop("rep")
+    repLineitem(1).write.mode("overwrite").parquet(s"$base/x1/lineitem.parquet")
+    repLineitem(10).write.mode("overwrite").parquet(s"$base/x10/lineitem.parquet")
+
+    // s09 reads embeddings (filtered IVF ANN): replication with id
+    // shift grows every inverted list 10× while the probe set stays
+    // fixed at 5, so the candidate join — not the index build, which
+    // the warm-up amortizes out — must carry the growth
+    val embeddings = graft.Tables(spark, sfDir, "embeddings")
+    def repEmbeddings(r: Int): DataFrame =
+      embeddings.withColumn("rep", explode(sequence(lit(0), lit(r - 1))))
+        .withColumn("vec_id", col("vec_id") * 16 + col("rep"))
+        .drop("rep")
+    repEmbeddings(1).write.mode("overwrite").parquet(s"$base/x1/embeddings.parquet")
+    repEmbeddings(10).write.mode("overwrite").parquet(s"$base/x10/embeddings.parquet")
+
     // t17 joins the dedup family here: the sketch-guided heavy-hitter
     // pipeline should be near-linear too (two bigram passes + k-bounded
     // summaries; the salted corpus keeps bigram vocabulary ~1.6k < k,
@@ -85,10 +109,14 @@ object ScaleGrowth {
     // one dedup shape without an index-side prefix bound)
     // q79 joins in round 7: the two-level winsorize bounds — its rank
     // selection must scale with the SHUFFLE, not a 5-partition sort
+    // t29/s09/q82 join in round 8: the unigram-LM token join (vocab
+    // grows with the salted corpus), the filtered-ANN candidate join
+    // (lists 10×, probes fixed), and the fixed-64-bucket z-stats agg
     val queries = Seq("d02_minhash_neardups", "d06_jaccard_neardups",
       "d07_decontamination", "d09_incremental_neardups",
       "d10_containment_neardups", "t17_heavy_hitters", "t19_bm25",
-      "t21_oov_rate", "q79_winsorize")
+      "t21_oov_rate", "q79_winsorize", "t29_unigram_xent",
+      "s09_filtered_ann", "q82_zorder_stats")
     def time(name: String, dir: String): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()

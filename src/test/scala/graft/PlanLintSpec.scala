@@ -46,11 +46,14 @@ class PlanLintSpec extends SparkSpec {
   // ONE-ROW broadcast (N, avgdl) stats frame like t14/t15.
   // s07 reuses the s01 broadcast-probe candidate stage before its
   // per-query greedy, so it inherits the same justified shape.
+  // t29 crosses a ONE-ROW broadcast (N, V) LM-normalizer frame, the
+  // t14/t15/t19 scalar-stats shape. s09 is the s03 probe recipe plus a
+  // candidate pre-filter, same broadcast-bounded justification.
   private val allowNestedLoop =
     Set("s01_cosine_topk", "s02_lsh_ann_topk", "s03_ivf_topk",
       "t15_mixture_weights", "t14_tfidf_terms", "d04_embedding_neardups",
       "q65_kmv_setops", "t19_bm25", "s06_quant_ann", "s07_mmr_rerank",
-      "t27_stopwords")
+      "t27_stopwords", "t29_unigram_xent", "s09_filtered_ann")
 
   // queries allowed to window >minRows rows on a <minKeys-value key —
   // empty by design; adding here requires an in-source justification

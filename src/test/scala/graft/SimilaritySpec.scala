@@ -201,6 +201,48 @@ class SimilaritySpec extends SparkSpec {
     assert(lshRecall >= 0.85, f"LSH recall regressed: $lshRecall%.3f < 0.85")
   }
 
+  test("filtered ANN: predicate pre-filters candidates, keeps k results, recall holds") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val probes = e.where(col("vec_id") < 5)
+    val pred = col("label") % 4 === 1
+
+    val idx = Similarity.IvfIndex.build(e, "vec_id", "embedding",
+      nLists = 16, metaCols = Seq("label"))
+    try {
+      val filtered = idx.search(probes, "vec_id", "embedding",
+        k = 10, nProbe = 8, candidateFilter = Some(pred))
+
+      // every hit satisfies the predicate
+      val labels = e.select(col("vec_id").as("neighbor_id"), col("label"))
+      val offPred = filtered.join(labels, Seq("neighbor_id"))
+        .where(!(col("label") % 4 === 1)).count()
+      assert(offPred === 0, s"$offPred results violate the predicate")
+
+      // pre-filtering keeps a full k per query; post-filtering the
+      // unfiltered top-k decimates it (the reason the filter must cut
+      // BEFORE the rank)
+      val perQuery = filtered.groupBy("query_id").count()
+        .collect().map(_.getLong(1))
+      assert(perQuery.length === 5 && perQuery.forall(_ == 10L),
+        s"expected 10 hits for each of 5 probes, got ${perQuery.toSeq}")
+      val postFiltered = idx.search(probes, "vec_id", "embedding",
+          k = 10, nProbe = 8)
+        .join(labels, Seq("neighbor_id")).where(pred).count()
+      assert(postFiltered < 50,
+        s"post-filter kept $postFiltered of 50 — predicate not selective, test is vacuous")
+
+      // recall vs filtered brute-force ground truth
+      val exact = Similarity.bruteForceTopK(
+        probes, e.where(pred), "vec_id", "embedding", "vec_id", "embedding", k = 10)
+      val recall = Similarity.recallAtK(exact, filtered)
+      info(f"filtered recall@10 = $recall%.3f")
+      println(f"[recall] filtered_ivf=$recall%.3f")
+      assert(recall >= 0.85, f"filtered-ANN recall regressed: $recall%.3f < 0.85")
+    } finally { idx.listed.unpersist(false); () }
+  }
+
   test("mmrRerank: diversification skips the near-duplicate of the first pick") {
     // c1 is top-relevant; c2 is its near-twin (slightly less relevant);
     // c3 is diverse at similar relevance. Plain cosine ranks the twin

@@ -112,6 +112,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(packed(("de", 2L)) == (2048L, 1L, 0L))
   }
 
+  test("t29 unigram cross-entropy matches the hand-computed add-one LM on a tiny corpus") {
+    // corpus: doc1 = "a a b", doc2 = "a c" → c(a)=3, c(b)=c(c)=1,
+    // N=5, V=3; xent = ln(N+V) − Σ c_d(w)·ln(c(w)+1) / n_d with the
+    // engine's per-term round-to-9 discipline
+    val dir = java.nio.file.Files.createTempDirectory("graft_t29").toString
+    Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ln8 = math.log(5 + 3)
+    val expected = Map(
+      1L -> r6(ln8 - (r9(2 * math.log(4)) + r9(1 * math.log(2))) / 3),
+      2L -> r6(ln8 - (r9(1 * math.log(4)) + r9(1 * math.log(2))) / 2))
+    val got = graft.queries.Corpus.t29_unigram_xent(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got === expected)
+  }
+
   test("native fingerprint equals the interpreted HOF formulation on real docs") {
     val dir = "/root/testdata/sf0.01"
     assume(new java.io.File(s"$dir/documents.parquet").exists())
