@@ -20,15 +20,16 @@ import org.apache.spark.sql.functions._
   *     4K video next to thumbnails starves a partition otherwise).
   *
   * Image decode is REAL for the containers the JDK ships readers for
-  * (PNG/BMP/GIF/JPEG via `javax.imageio` — [[ImageIoCodec]]), and audio
+  * (PNG/BMP/GIF/JPEG via `javax.imageio` — [[ImageIoCodec]]), audio
   * decode is REAL for WAV/AIFF/AU (via `javax.sound.sampled` —
   * [[AudioSystemCodec]], multi-channel downmix + 16-bit conversion
-  * included) — both with no external dependency. Payloads no installed
-  * reader accepts fall back to [[StubCodec]], which derives
-  * deterministic fake pixels/samples from the payload bytes so
-  * synthetic fixtures stay testable end-to-end. Video decode has no
-  * JDK-native path and remains stubbed; every stub call site is marked,
-  * and the surrounding schema, partitioning, batching, and operator
+  * included), and video decode is REAL for MJPEG-in-AVI (RIFF chunk
+  * walk + per-frame JPEG via [[AviMjpegCodec]]) — all with no external
+  * dependency. Payloads no codec accepts (e.g. MP4/H.264, which has no
+  * JDK path) fall back to [[StubCodec]], which derives deterministic
+  * fake pixels/samples from the payload bytes so synthetic fixtures
+  * stay testable end-to-end; every fallback call site is marked, and
+  * the surrounding schema, partitioning, batching, and operator
   * signatures are the real contract a full codec drop-in would
   * implement.
   */
@@ -183,6 +184,121 @@ object MultiModal {
     }
   }
 
+  /** ================= JDK-NATIVE VIDEO CODEC =================
+    * Real decode for MJPEG-in-AVI — the one video container a bare JDK
+    * can take apart: AVI is a RIFF chunk tree (walked here directly),
+    * and each MJPEG frame chunk is a standalone baseline JPEG that
+    * [[ImageIoCodec]] decodes. No external dependency, same
+    * Option-or-fallback contract as the image/audio codecs. Other
+    * containers (MP4/H.264 etc.) have no JDK path and keep the
+    * [[StubCodec]] fallback.
+    */
+  object AviMjpegCodec {
+    private def u32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+    private def fourcc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Decode to (µs per frame, frames as (w, h, interleaved RGB)).
+      * None when the bytes are not a RIFF/AVI with decodable MJPEG
+      * frames — the caller's cue to fall back to [[StubCodec]].
+      */
+    def decodeFrames(
+        content: Array[Byte]): Option[(Long, Seq[(Int, Int, Array[Byte])])] =
+      try {
+        if (content.length < 12 || fourcc(content, 0) != "RIFF" ||
+            fourcc(content, 8) != "AVI ") None
+        else {
+          val end = math.min(content.length.toLong, 8L + u32(content, 4)).toInt
+          var usPerFrame = 0L
+          val jpegs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+          // walk the chunk tree: LIST children recurse, 'avih' carries
+          // the frame clock, '00dc'/'00db' chunks are stream-0 frames
+          def walk(from: Int, to: Int): Unit = {
+            var off = from
+            while (off + 8 <= to) {
+              val fc = fourcc(content, off)
+              val size = u32(content, off + 4).toInt
+              val dataStart = off + 8
+              val dataEnd = math.min(dataStart.toLong + size, to.toLong).toInt
+              if (fc == "LIST" && size >= 4) {
+                val lt = fourcc(content, dataStart)
+                if (lt == "hdrl" || lt == "movi" || lt == "strl" || lt == "rec ")
+                  walk(dataStart + 4, dataEnd)
+              } else if (fc == "avih" && size >= 40) {
+                usPerFrame = u32(content, dataStart)
+              } else if (fc.startsWith("00") &&
+                  (fc.endsWith("dc") || fc.endsWith("db")) && size > 0) {
+                jpegs += java.util.Arrays.copyOfRange(content, dataStart, dataEnd)
+              }
+              off = dataStart + size + (size & 1)
+            }
+          }
+          walk(12, end)
+          val decoded = jpegs.toSeq.map(ImageIoCodec.decodeImage)
+          if (jpegs.isEmpty || usPerFrame <= 0 || decoded.exists(_.isEmpty)) None
+          else Some((usPerFrame, decoded.map(_.get)))
+        }
+      } catch { case _: Exception => None }
+
+    private def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+    private def le16x2(a: Int, b: Int): Array[Byte] = Array(
+      (a & 0xff).toByte, ((a >> 8) & 0xff).toByte,
+      (b & 0xff).toByte, ((b >> 8) & 0xff).toByte)
+
+    private def chunk(fc: String, data: Array[Byte]): Array[Byte] =
+      fc.getBytes("US-ASCII") ++ le32(data.length.toLong) ++ data ++
+        (if ((data.length & 1) == 1) Array(0.toByte) else Array.emptyByteArray)
+
+    private def list(listType: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ children)
+
+    /** Author a real MJPEG AVI from frames — the fixture-side inverse
+      * of [[decodeFrames]] (the [[AudioSystemCodec.wavBytes]] move for
+      * video), so specs and synthetic corpora exercise the REAL decode
+      * path with no media files in the environment. Frames are encoded
+      * as baseline JPEGs via `javax.imageio`.
+      */
+    def aviMjpegBytes(
+        frames: Seq[java.awt.image.BufferedImage], fps: Int): Array[Byte] = {
+      require(frames.nonEmpty && fps >= 1, "need >=1 frame and fps >= 1")
+      val w = frames.head.getWidth
+      val h = frames.head.getHeight
+      val jpegs = frames.map { f =>
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(f, "jpg", bos)
+        bos.toByteArray
+      }
+      val maxFrame = jpegs.map(_.length).max
+      val avih = Array.concat( // MainAVIHeader, 14 × u32
+        le32(1000000L / fps), le32(0), le32(0), le32(0),
+        le32(jpegs.length.toLong), le32(0), le32(1), le32(maxFrame.toLong),
+        le32(w.toLong), le32(h.toLong), le32(0), le32(0), le32(0), le32(0))
+      val strh = Array.concat( // AVIStreamHeader for the video stream
+        "vids".getBytes("US-ASCII"), "MJPG".getBytes("US-ASCII"),
+        le32(0), le32(0), le32(0),
+        le32(1), le32(fps.toLong), le32(0), le32(jpegs.length.toLong),
+        le32(maxFrame.toLong), le32(0xffffffffL), le32(0),
+        le16x2(0, 0), le16x2(w, h))
+      val strf = Array.concat( // BITMAPINFOHEADER, biCompression = MJPG
+        le32(40), le32(w.toLong), le32(h.toLong), le16x2(1, 24),
+        "MJPG".getBytes("US-ASCII"), le32(w.toLong * h * 3),
+        le32(0), le32(0), le32(0), le32(0))
+      val hdrl = list("hdrl", Array.concat(
+        chunk("avih", avih),
+        list("strl", Array.concat(chunk("strh", strh), chunk("strf", strf)))))
+      val movi = list("movi",
+        Array.concat(jpegs.map(j => chunk("00dc", j)): _*))
+      val body = Array.concat("AVI ".getBytes("US-ASCII"), hdrl, movi)
+      Array.concat("RIFF".getBytes("US-ASCII"), le32(body.length.toLong), body)
+    }
+  }
+
   /** ================= STUB CODEC =================
     * Deterministic fake decode: pixels/samples are a keyed stream from
     * the payload bytes (xorshift over a seed folded from the content).
@@ -279,22 +395,39 @@ object MultiModal {
 
   /** Sample video frames every `everyMs` milliseconds — flatMap (the
     * explode shape): one input row fans out to duration/everyMs rows.
-    * Decode is the stub; the fan-out, timestamps, and schema are real.
+    * MJPEG-AVI payloads decode for REAL ([[AviMjpegCodec]]): the frame
+    * clock comes from the container and each sample timestamp maps to
+    * its nearest-preceding decoded frame. Other containers fall back
+    * to [[StubCodec]] at the metadata geometry.
     */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Long = 1000L): Dataset[SampledFrame] = {
     import media.sparkSession.implicits._
     media
       .filter(col("kind") === "video")
       .flatMap { m =>
-        val n = math.max(1, (m.meta.durationMs / everyMs).toInt)
-        (0 until n).iterator.map { i =>
-          val ts = i * everyMs
-          val w = math.max(m.meta.width, 1)
-          val h = math.max(m.meta.height, 1)
-          // STUB call site: frame-accurate seek+decode in a real codec.
-          val framePayload = m.content ++ BigInt(ts).toByteArray
-          SampledFrame(m.mediaId, i, ts, w, h,
-            StubCodec.decodeImage(framePayload, w, h, 3))
+        AviMjpegCodec.decodeFrames(m.content) match {
+          case Some((usPerFrame, frames)) =>
+            // REAL decode: duration and frame geometry come from the
+            // container; sample i reads the frame covering i·everyMs
+            val durationMs = frames.length * usPerFrame / 1000L
+            val n = math.max(1, (durationMs / everyMs).toInt)
+            (0 until n).iterator.map { i =>
+              val ts = i * everyMs
+              val idx = math.min(frames.length - 1L, ts * 1000L / usPerFrame).toInt
+              val (w, h, px) = frames(idx)
+              SampledFrame(m.mediaId, i, ts, w, h, px)
+            }
+          case None =>
+            val n = math.max(1, (m.meta.durationMs / everyMs).toInt)
+            (0 until n).iterator.map { i =>
+              val ts = i * everyMs
+              val w = math.max(m.meta.width, 1)
+              val h = math.max(m.meta.height, 1)
+              // STUB fallback (no JDK path for this container)
+              val framePayload = m.content ++ BigInt(ts).toByteArray
+              SampledFrame(m.mediaId, i, ts, w, h,
+                StubCodec.decodeImage(framePayload, w, h, 3))
+            }
         }
       }
   }
@@ -407,8 +540,14 @@ object MultiModal {
                 Array((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)
               }
             case _ =>
-              StubCodec.decodeImage(m.content, math.max(m.meta.width, 1),
-                math.max(m.meta.height, 1), 3)
+              // video: real decode for MJPEG-AVI payloads (all frames'
+              // pixels feed the histogram), stub otherwise
+              AviMjpegCodec.decodeFrames(m.content) match {
+                case Some((_, frames)) => Array.concat(frames.map(_._3): _*)
+                case None =>
+                  StubCodec.decodeImage(m.content, math.max(m.meta.width, 1),
+                    math.max(m.meta.height, 1), 3)
+              }
           }
           val hist = new Array[Float](dim)
           var i = 0

@@ -207,4 +207,56 @@ class MultiModalSpec extends SparkSpec {
     assert(ws.length === (got.length - 400) / 160 + 1)
     ws.foreach(w => assert(w.startSample + w.nSamples <= got.length))
   }
+
+  test("AviMjpegCodec: a real MJPEG AVI round-trips frames, and sampleFrames reads the container clock") {
+    import spark.implicits._
+    import MultiModal.AviMjpegCodec
+    // author a 3-frame 16×16 2 fps AVI of solid red/green/blue frames
+    val colors = Seq((255, 0, 0), (0, 255, 0), (0, 0, 255))
+    val frames = colors.map { case (r, g, b) =>
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gfx = img.createGraphics()
+      gfx.setColor(new java.awt.Color(r, g, b))
+      gfx.fillRect(0, 0, 16, 16)
+      gfx.dispose()
+      img
+    }
+    val avi = AviMjpegCodec.aviMjpegBytes(frames, fps = 2)
+    assert(new String(avi.take(4), "US-ASCII") === "RIFF")
+    val Some((usPerFrame, decoded)) = AviMjpegCodec.decodeFrames(avi)
+    assert(usPerFrame === 500000L) // 2 fps
+    assert(decoded.length === 3)
+    decoded.zip(colors).foreach { case ((w, h, px), (r, g, b)) =>
+      assert(w === 16 && h === 16 && px.length === 16 * 16 * 3)
+      // JPEG is lossy: solid frames decode within a small tolerance
+      def mean(c: Int): Double =
+        px.indices.collect { case i if i % 3 == c => px(i) & 0xff }.sum / 256.0
+      assert(math.abs(mean(0) - r) < 8, s"R ${mean(0)} vs $r")
+      assert(math.abs(mean(1) - g) < 8, s"G ${mean(1)} vs $g")
+      assert(math.abs(mean(2) - b) < 8, s"B ${mean(2)} vs $b")
+    }
+    // garbage bytes fall back to None (the StubCodec cue)
+    assert(AviMjpegCodec.decodeFrames(Array[Byte](1, 2, 3)).isEmpty)
+    // sampleFrames takes the REAL path: 3 frames / 2 fps = 1500 ms, so
+    // everyMs = 500 samples 3 frames whose pixels are the decoded
+    // frames in order (ts 0, 500, 1000 → frame 0, 1, 2) — geometry from
+    // the CONTAINER, not the (deliberately wrong) metadata
+    val media = Seq(MultiModal.MediaRow(9L, "video", avi,
+      MultiModal.MediaMeta("avi", 4, 4, 0, 9999L))).toDS()
+    val sampled = MultiModal.sampleFrames(media, everyMs = 500L)
+      .collect().sortBy(_.frameIndex)
+    assert(sampled.map(f => (f.frameIndex, f.timestampMs, f.width, f.height)).toSeq
+      === Seq((0, 0L, 16, 16), (1, 500L, 16, 16), (2, 1000L, 16, 16)))
+    sampled.zip(decoded).foreach { case (s, (_, _, px)) =>
+      assert(s.pixels.toSeq === px.toSeq)
+    }
+    // extractFeatures' video branch histograms the decoded frames, not
+    // the stub stream
+    val feats = MultiModal.extractFeatures(media).collect().head.features
+    val all = Array.concat(decoded.map(_._3): _*)
+    val hist = new Array[Float](64)
+    all.foreach(b => hist((b & 0xff) * 64 / 256) += 1f)
+    assert(feats.toSeq === hist.map(_ / all.length).toSeq)
+  }
 }
