@@ -2510,8 +2510,14 @@ object Corpus {
     s"${graft.ingest.FixtureTables.root}/ivf_centroids_meta_$key.parquet"
   }
 
-  val s09_filtered_ann: Q = (s, dir) => {
-    val idx = ivfMetaIndexes.getOrElseUpdate(dir, {
+  /** The shared metadata-carrying IVF index (s09 filtered ANN + d11
+    * semantic dedup). Whichever query runs first builds it and dumps
+    * the fitted centroids for the oracle replay — the build is
+    * deterministic (seeded, bounded fit), so the dump's bits do not
+    * depend on which query wins.
+    */
+  private def ivfMetaIndex(s: SparkSession, dir: String): Similarity.IvfIndex =
+    ivfMetaIndexes.getOrElseUpdate(dir, {
       val built = Similarity.IvfIndex.build(
         t(s, dir, "embeddings"), "vec_id", "embedding",
         nLists = 16, metaCols = Seq("label"))
@@ -2521,6 +2527,9 @@ object Corpus {
         .coalesce(1).write.mode("overwrite").parquet(ivfMetaCentroidPath(dir))
       built
     })
+
+  val s09_filtered_ann: Q = (s, dir) => {
+    val idx = ivfMetaIndex(s, dir)
     idx.search(
         t(s, dir, "embeddings").where(col("vec_id") >= 5 && col("vec_id") < 10),
         "vec_id", "embedding", k = 10, nProbe = 8,
@@ -2569,6 +2578,69 @@ object Corpus {
        |SELECT query_id, neighbor_id, lab.label, ROUND(cos, 6) AS cosine, rank
        |FROM r JOIN lab ON lab.vec_id = neighbor_id
        |WHERE rank <= 10""".stripMargin
+
+  /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023):
+    * cluster the embedding space with the IVF coarse quantizer, then
+    * drop, within each cluster, every vector with a higher-id
+    * near-twin at cosine ≥ τ — near-duplicate MEANING, where d01/d02
+    * catch near-duplicate TEXT. Output: each dropped vector with its
+    * kept representative (lowest-id ≥τ neighbor), duplicate count,
+    * and max cosine.
+    *
+    * Scale shape: the candidate pair join is per-cluster (equi-join on
+    * `ivf_list`), never all-pairs — at 100 TB `nLists` grows with the
+    * corpus so per-list cardinality stays bounded, exactly the
+    * published algorithm's clustering step. Reuses the s09 index
+    * (shared build + centroid dump), so the oracle replays assignment
+    * from the fitted centroids and brute-forces pairs inside each
+    * replayed cluster.
+    */
+  val d11_semantic_dedup: Q = (s, dir) => {
+    val lists = ivfMetaIndex(s, dir).listed
+    val a = lists.select(col("ivf_list"), col("neighbor_id").as("id_a"),
+      col("__cv").as("__va"))
+    val b = lists.select(col("ivf_list"), col("neighbor_id").as("id_b"),
+      col("__cv").as("__vb"))
+    a.join(b, Seq("ivf_list"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("__va"), col("__vb")).as("__cos"))
+      .where(col("__cos") >= 0.35)
+      .groupBy(col("id_b"))
+      .agg(min(col("id_a")).as("kept_id"),
+        count(lit(1)).as("n_dups"),
+        max(col("__cos")).as("__mx"))
+      .select(col("id_b").as("vec_id"), col("kept_id"), col("n_dups"),
+        round(col("__mx"), 6).as("max_cosine"))
+  }
+
+  /** DuckDB replay of d11: centroid-fixture assignment (the s03/s09
+    * recipe), within-cluster pairs, threshold, drop-set aggregation.
+    */
+  def d11_sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ctr AS (SELECT list_id, centroid
+       |        FROM read_parquet('${ivfMetaCentroidPath(oracleSfDir)}/*.parquet')),
+       |dist AS (SELECT e.vec_id, c.list_id,
+       |  ((list_reduce(list_transform(generate_series(1, 64),
+       |      i -> e.v[i] * e.v[i]), (a, b) -> a + b)
+       |    - 2.0e0 * list_reduce(list_transform(generate_series(1, 64),
+       |      i -> e.v[i] * c.centroid[i]), (a, b) -> a + b))
+       |   + list_reduce(list_transform(c.centroid, x -> x * x),
+       |      (a, b) -> a + b)) AS d
+       | FROM e CROSS JOIN ctr c),
+       |assign AS (SELECT vec_id, list_id FROM (
+       |  SELECT vec_id, list_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+       |  FROM dist) WHERE rn = 1),
+       |p AS (SELECT x.vec_id AS ia, y.vec_id AS ib, $cosSql AS cos
+       | FROM assign x JOIN assign y
+       |   ON x.list_id = y.list_id AND x.vec_id < y.vec_id
+       | JOIN e a ON a.vec_id = x.vec_id
+       | JOIN e b ON b.vec_id = y.vec_id)
+       |SELECT ib AS vec_id, MIN(ia) AS kept_id, COUNT(*) AS n_dups,
+       |  ROUND(MAX(cos), 6) AS max_cosine
+       |FROM p WHERE cos >= 0.35 GROUP BY ib""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "m01_multimodal_features" -> m01_multimodal_features,
@@ -2620,6 +2692,7 @@ object Corpus {
     "d08_repeated_spans"    -> d08_repeated_spans,
     "d09_incremental_neardups" -> d09_incremental_neardups,
     "d10_containment_neardups" -> d10_containment_neardups,
+    "d11_semantic_dedup"    -> d11_semantic_dedup,
     "s01_cosine_topk"       -> s01_cosine_topk,
     "s02_lsh_ann_topk"      -> s02_lsh_ann_topk,
     "s04_label_centroids"   -> s04_label_centroids,
@@ -2680,6 +2753,7 @@ object Corpus {
     "d08_repeated_spans"    -> d08_sql,
     "d09_incremental_neardups" -> d09_sql,
     "d10_containment_neardups" -> d10_sql,
+    "d11_semantic_dedup"    -> d11_sql,
     "s01_cosine_topk"       -> s01_sql,
     "s02_lsh_ann_topk"      -> s02_sql,
     "s03_ivf_topk"          -> s03_sql,
