@@ -2117,12 +2117,17 @@ object Corpus {
     * collects; no windows.
     */
   val t29_unigram_xent: Q = (s, dir) => {
-    val toks = t(s, dir, "documents")
+    // ONE corpus scan + tokenize: vocab and the (N, V) totals both
+    // derive from the per-(doc, token) counts, whose shuffle the
+    // planner then shares across all three uses (ReusedExchange) —
+    // the naive three-subtree formulation re-tokenized the corpus 3×
+    val perDocTok = t(s, dir, "documents")
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
-    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("__cw"))
-    val totals = vocab.agg(sum(col("__cw")).as("__n"), count(lit(1)).as("__v"))
-    toks.groupBy(col("doc_id"), col("token"))
+      .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("__cd"))
+    val vocab = perDocTok.groupBy(col("token")).agg(sum(col("__cd")).as("__cw"))
+    val totals = vocab.agg(sum(col("__cw")).as("__n"), count(lit(1)).as("__v"))
+    perDocTok
       .join(vocab, Seq("token"))
       .groupBy(col("doc_id"))
       .agg(sum(col("__cd")).as("n_tokens"),
