@@ -989,6 +989,67 @@ object Extensions {
        |FROM z GROUP BY 1""".stripMargin
   }
 
+  /** Grouped time-series gap fill (LOCF — last observation carried
+    * forward): per-nation monthly revenue joined against a complete
+    * (nation × month) spine, missing months forward-filled from the
+    * last observed value, leading gaps left NULL. The spine-join +
+    * carry-forward is the standard shape for regularizing an irregular
+    * series before window math (a bar feed with halted symbols, a
+    * metrics rollup with quiet days).
+    *
+    * Scale shape: the window runs over the AGGREGATED frame (nations ×
+    * months — bounded by the key space, not the fact table), so the
+    * fact-table scan is one keyed aggregate and the gap-fill cost is
+    * independent of row count. The spine cross join is nations × a
+    * 1-row-derived month range — broadcast-bounded by construction.
+    * Revenue follows the q01 discipline: exact DECIMAL sums, DOUBLE on
+    * output.
+    */
+  val q83_gap_fill: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(s, dir, "orders")
+    val rev = o
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), trunc(col("o_orderdate"), "month").as("month"))
+      .agg(sum(col("o_totalprice").cast(dec2)).cast("double").as("revenue"))
+    val months = o
+      .agg(trunc(min(col("o_orderdate")), "month").as("lo"),
+        trunc(max(col("o_orderdate")), "month").as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 month)")).as("month"))
+    val spine = t(s, dir, "nation").select(col("n_name")).crossJoin(months)
+    val w = Window.partitionBy(col("n_name")).orderBy(col("month"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(rev, Seq("n_name", "month"), "left")
+      .select(col("n_name"), col("month"),
+        last(col("revenue"), ignoreNulls = true).over(w).as("revenue_filled"),
+        col("revenue").isNull.as("is_gap"))
+  }
+
+  val q83_sql: String =
+    """WITH rev AS (
+      |  SELECT n_name, date_trunc('month', o_orderdate)::DATE AS month,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |b AS (SELECT date_trunc('month', MIN(o_orderdate))::DATE AS lo,
+      |             date_trunc('month', MAX(o_orderdate))::DATE AS hi
+      |      FROM orders),
+      |months AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH))::DATE AS month
+      |           FROM b),
+      |spine AS (SELECT n_name, month FROM nation CROSS JOIN months)
+      |SELECT s.n_name, s.month,
+      |  last_value(rev.revenue IGNORE NULLS) OVER (
+      |    PARTITION BY s.n_name ORDER BY s.month
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue_filled,
+      |  rev.revenue IS NULL AS is_gap
+      |FROM spine s
+      |LEFT JOIN rev ON s.n_name = rev.n_name AND s.month = rev.month""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q59_lateral"        -> q59_lateral,
     "q60_month_spine"    -> q60_month_spine,
@@ -1010,7 +1071,8 @@ object Extensions {
     "q79_winsorize"      -> q79_winsorize,
     "q80_trend_slopes"   -> q80_trend_slopes,
     "q81_funnel_patterns" -> q81_funnel_patterns,
-    "q82_zorder_stats"   -> q82_zorder_stats)
+    "q82_zorder_stats"   -> q82_zorder_stats,
+    "q83_gap_fill"       -> q83_gap_fill)
 
   val oracles: Map[String, String] = Map(
     "q59_lateral"        -> q59_sql,
@@ -1033,5 +1095,6 @@ object Extensions {
     "q79_winsorize"      -> q79_sql,
     "q80_trend_slopes"   -> q80_sql,
     "q81_funnel_patterns" -> q81_sql,
-    "q82_zorder_stats"   -> q82_sql)
+    "q82_zorder_stats"   -> q82_sql,
+    "q83_gap_fill"       -> q83_sql)
 }
