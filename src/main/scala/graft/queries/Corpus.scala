@@ -2647,6 +2647,126 @@ object Corpus {
        |  ROUND(MAX(cos), 6) AS max_cosine
        |FROM p WHERE cos >= 0.35 GROUP BY ib""".stripMargin
 
+  /** The full two-stage ANN serving stack: IVF candidate generation
+    * (probe the 8 nearest lists — s03's coarse quantizer) feeding the
+    * int8 quantized scorer with float re-rank (s06's contract). This is
+    * the FAISS-style IVF+SQ composition: at 100 TB the list probe
+    * prunes the corpus to probed partitions, the int8 scan cuts memory
+    * traffic 4× over a float scan of those lists, and exact cosine
+    * touches only the ≤40-per-probe survivors. The candidate join is
+    * an equi-join on `ivf_list` (each corpus vector lives in exactly
+    * one list, so no dedup stage is needed) — where s06 scans the
+    * whole corpus per probe, s10 scans 8 lists.
+    *
+    * Fully deterministic end-to-end (fixture-replayed assignment,
+    * integer dots, id tie-breaks), so the composed approximate path is
+    * hash-checked like its pieces.
+    */
+  val s10_ivf_quant_ann: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val nCand = 40
+    val idx = ivfMetaIndex(s, dir)
+    def quantize(v: org.apache.spark.sql.Column)
+        : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+      val sc = array_max(transform(v, x => abs(x))) / lit(127)
+      val qc = transform(v, x => least(lit(127.0), greatest(lit(-127.0),
+        round(x / sc, 0))).cast("int"))
+      (sc, qc)
+    }
+    val (scc, qcc) = quantize(col("__cv"))
+    val corpus = idx.listed
+      .select(col("ivf_list"), col("neighbor_id"),
+        scc.as("__scc"), qcc.as("__qc"))
+      .where(col("__scc") > 0)
+    val e = t(s, dir, "embeddings")
+    val pv = col("embedding").cast("array<double>")
+    val (scp, qcp) = quantize(pv)
+    val probes = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), scp.as("__scp"), qcp.as("__qp"),
+        explode_outer(idx.probeLists(col("embedding"), 8)).as("ivf_list"))
+      .where(col("__scp") > 0 && col("ivf_list").isNotNull)
+    val dot = aggregate(
+      zip_with(col("__qp"), col("__qc"), (a, b) => (a * b).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id").asc)
+    val candidates = probes.join(corpus, Seq("ivf_list"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot.cast("double") * col("__scp") * col("__scc")).as("approx"))
+      .withColumn("__r", row_number().over(wc))
+      .where(col("__r") <= nCand)
+      .select(col("query_id"), col("neighbor_id"), col("approx"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    candidates
+      .join(e.select(col("vec_id").as("query_id"),
+        col("embedding").as("__pv")), Seq("query_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("__nv")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("approx"),
+        Similarity.cosine(col("__pv"), col("__nv")).as("cosine"))
+      .withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= 10)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("approx"), 6).as("approx"),
+        round(col("cosine"), 6).as("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** DuckDB replay of s10: centroid-fixture assignment + probing (s03
+    * recipe) composed with the int8 quantize → integer dot → float
+    * re-rank arithmetic (s06 recipe).
+    */
+  def s10_sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ctr AS (SELECT list_id, centroid
+       |        FROM read_parquet('${ivfMetaCentroidPath(oracleSfDir)}/*.parquet')),
+       |dist AS (SELECT e.vec_id, c.list_id,
+       |  ((list_reduce(list_transform(generate_series(1, 64),
+       |      i -> e.v[i] * e.v[i]), (a, b) -> a + b)
+       |    - 2.0e0 * list_reduce(list_transform(generate_series(1, 64),
+       |      i -> e.v[i] * c.centroid[i]), (a, b) -> a + b))
+       |   + list_reduce(list_transform(c.centroid, x -> x * x),
+       |      (a, b) -> a + b)) AS d
+       | FROM e CROSS JOIN ctr c),
+       |assign AS (SELECT vec_id AS neighbor_id, list_id FROM (
+       |  SELECT vec_id, list_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+       |  FROM dist) WHERE rn = 1),
+       |probe AS (SELECT vec_id AS query_id, list_id FROM (
+       |  SELECT vec_id, list_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+       |  FROM dist WHERE vec_id < 5) WHERE rn <= 8),
+       |qz AS (SELECT vec_id, v,
+       |  list_max(list_transform(v, x -> abs(x))) / 127 AS sc FROM e),
+       |q AS (SELECT vec_id, v, sc,
+       |    list_transform(generate_series(1, 64),
+       |      i -> CAST(LEAST(127.0, GREATEST(-127.0, ROUND(v[i] / sc, 0)))
+       |        AS INT)) AS qc
+       |  FROM qz WHERE sc > 0),
+       |sc0 AS (SELECT p.query_id, s.neighbor_id,
+       |    CAST(list_sum(list_transform(generate_series(1, 64),
+       |      i -> CAST(a.qc[i] * b.qc[i] AS BIGINT))) AS DOUBLE)
+       |      * a.sc * b.sc AS approx
+       |  FROM probe p JOIN assign s USING (list_id)
+       |  JOIN q a ON a.vec_id = p.query_id
+       |  JOIN q b ON b.vec_id = s.neighbor_id
+       |  WHERE s.neighbor_id <> p.query_id),
+       |cnd AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY approx DESC, neighbor_id ASC) AS r FROM sc0),
+       |rr AS (SELECT c.query_id, c.neighbor_id, c.approx, $cosSql AS cos
+       |  FROM cnd c
+       |  JOIN e a ON a.vec_id = c.query_id
+       |  JOIN e b ON b.vec_id = c.neighbor_id
+       |  WHERE c.r <= 40),
+       |rk AS (SELECT query_id, neighbor_id, approx, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS rank FROM rr)
+       |SELECT query_id, neighbor_id, ROUND(approx, 6) AS approx,
+       |  ROUND(cos, 6) AS cosine, rank
+       |FROM rk WHERE rank <= 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "m01_multimodal_features" -> m01_multimodal_features,
     "m02_frame_manifest"    -> m02_frame_manifest,
@@ -2705,7 +2825,8 @@ object Corpus {
     "s06_quant_ann"         -> s06_quant_ann,
     "s07_mmr_rerank"        -> s07_mmr_rerank,
     "s08_embedding_qa"      -> s08_embedding_qa,
-    "s09_filtered_ann"      -> s09_filtered_ann)
+    "s09_filtered_ann"      -> s09_filtered_ann,
+    "s10_ivf_quant_ann"     -> s10_ivf_quant_ann)
 
   // def, not val: s03_sql embeds the per-dir centroid fixture path for
   // the CURRENT `oracleSfDir`, so the map must be rebuilt at dump time.
@@ -2767,5 +2888,6 @@ object Corpus {
     "s06_quant_ann"         -> s06_sql,
     "s07_mmr_rerank"        -> s07_sql,
     "s08_embedding_qa"      -> s08_sql,
-    "s09_filtered_ann"      -> s09_sql)
+    "s09_filtered_ann"      -> s09_sql,
+    "s10_ivf_quant_ann"     -> s10_sql)
 }

@@ -143,6 +143,14 @@ object Similarity {
         struct(IvfIndex.sqDist(v, ctr).as("d"), lit(i).as("i"))
       }: _*)).getField("i")
 
+    /** The `nProbe` nearest list ids for a vector column — the
+      * probe-side assignment exposed so custom rankers (e.g. the s10
+      * quantized two-stage scorer) can drive their own candidate
+      * generation over `listed` while sharing this index's quantizer.
+      */
+    def probeLists(v: Column, nProbe: Int): Column =
+      slice(rankedLists(v.cast("array<double>")), 1, nProbe)
+
     /** Probe the `nProbe` nearest lists per query, rank candidates by
       * exact cosine. Shuffles on the list id only.
       *

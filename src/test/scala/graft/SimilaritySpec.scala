@@ -243,6 +243,23 @@ class SimilaritySpec extends SparkSpec {
     } finally { idx.listed.unpersist(false); () }
   }
 
+  test("two-stage IVF + int8 ANN (s10): composed recall holds against exact ground truth") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(
+      e.where(col("vec_id") < 5), e,
+      "vec_id", "embedding", "vec_id", "embedding", k = 10)
+    // the registered query composes IVF probing (8/16 lists) with the
+    // int8 candidate cut (top-40) and float re-rank — both stages lose
+    // recall independently; this gates the PRODUCT of the two
+    val approx = graft.queries.Corpus.s10_ivf_quant_ann(spark, dir)
+    val recall = Similarity.recallAtK(exact, approx)
+    info(f"two-stage recall@10 = $recall%.3f")
+    println(f"[recall] ivf_int8_two_stage=$recall%.3f")
+    assert(recall >= 0.85, f"two-stage ANN recall regressed: $recall%.3f < 0.85")
+  }
+
   test("mmrRerank: diversification skips the near-duplicate of the first pick") {
     // c1 is top-relevant; c2 is its near-twin (slightly less relevant);
     // c3 is diverse at similar relevance. Plain cosine ranks the twin
