@@ -664,4 +664,51 @@ object Dedup {
       out
     }
   }
+
+  /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023):
+    * cluster the embedding space with an IVF coarse quantizer, then
+    * drop, within each cluster, every vector with a lower-id near-twin
+    * at cosine ≥ `threshold` — near-duplicate MEANING, where the
+    * shingle-based family catches near-duplicate text. Returns one row
+    * per DROPPED id: (vec_id, kept_id = its lowest-id ≥τ neighbor,
+    * n_dups, max_cosine).
+    *
+    * Accepts a pre-built [[Similarity.IvfIndex]] so serving deployments
+    * reuse the same quantizer as their ANN path (and so the caller can
+    * dump centroids for oracle replay); builds a throwaway one
+    * otherwise. The quantizer clusters by L2 over the vectors AS GIVEN:
+    * for cosine-faithful cells (the published setup) feed L2-normalized
+    * embeddings — twins that differ only in magnitude otherwise land in
+    * different cells and are never paired.
+    * Scale shape: the pair join is per-cluster (equi-join on
+    * `ivf_list`), never all-pairs — `nLists` grows with the corpus so
+    * per-list cardinality stays bounded, exactly the published
+    * algorithm's clustering step.
+    */
+  def semanticNearDups(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double,
+      nLists: Int = 16,
+      index: Option[graft.similarity.Similarity.IvfIndex] = None): DataFrame = {
+    import graft.similarity.Similarity
+    val idx = index.getOrElse(
+      Similarity.IvfIndex.build(df, idCol, vecCol, nLists = nLists))
+    val a = idx.listed.select(col("ivf_list"), col("neighbor_id").as("id_a"),
+      col("__cv").as("__va"))
+    val b = idx.listed.select(col("ivf_list"), col("neighbor_id").as("id_b"),
+      col("__cv").as("__vb"))
+    a.join(b, Seq("ivf_list"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("__va"), col("__vb")).as("__cos"))
+      .where(col("__cos") >= threshold)
+      .groupBy(col("id_b"))
+      .agg(min(col("id_a")).as("kept_id"),
+        count(lit(1)).as("n_dups"),
+        max(col("__cos")).as("__mx"))
+      .select(col("id_b").as("vec_id"), col("kept_id"), col("n_dups"),
+        round(col("__mx"), 6).as("max_cosine"))
+  }
 }

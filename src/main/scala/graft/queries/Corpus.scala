@@ -2600,24 +2600,9 @@ object Corpus {
     * from the fitted centroids and brute-forces pairs inside each
     * replayed cluster.
     */
-  val d11_semantic_dedup: Q = (s, dir) => {
-    val lists = ivfMetaIndex(s, dir).listed
-    val a = lists.select(col("ivf_list"), col("neighbor_id").as("id_a"),
-      col("__cv").as("__va"))
-    val b = lists.select(col("ivf_list"), col("neighbor_id").as("id_b"),
-      col("__cv").as("__vb"))
-    a.join(b, Seq("ivf_list"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("__va"), col("__vb")).as("__cos"))
-      .where(col("__cos") >= 0.35)
-      .groupBy(col("id_b"))
-      .agg(min(col("id_a")).as("kept_id"),
-        count(lit(1)).as("n_dups"),
-        max(col("__cos")).as("__mx"))
-      .select(col("id_b").as("vec_id"), col("kept_id"), col("n_dups"),
-        round(col("__mx"), 6).as("max_cosine"))
-  }
+  val d11_semantic_dedup: Q = (s, dir) =>
+    Dedup.semanticNearDups(t(s, dir, "embeddings"), "embedding", "vec_id",
+      threshold = 0.35, index = Some(ivfMetaIndex(s, dir)))
 
   /** DuckDB replay of d11: centroid-fixture assignment (the s03/s09
     * recipe), within-cluster pairs, threshold, drop-set aggregation.

@@ -206,4 +206,22 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh == Set((0L, 1L)))   // identical-direction vectors always share every bucket
   }
+
+  test("semanticNearDups drops the planted twins within their cluster, keeps the lowest id") {
+    // two tight triples (same-magnitude small perturbations -> L2-close
+    // -> same k-means cell, cosine ~1) far apart from each other, plus
+    // a lone outlier: SemDeDup must drop the two higher ids of each
+    // triple against the lowest, and never pair across clusters
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val vecs = Seq(
+      (10L, v(1, 0, 0, 0)), (11L, v(0.999, 0.001, 0, 0)), (12L, v(0.998, 0.002, 0, 0)),
+      (20L, v(0, 1, 0, 0)), (21L, v(0, 0.999, 0.001, 0)), (22L, v(0, 0.998, 0.002, 0)),
+      (30L, v(0, 0, 1, 1))
+    ).toDF("vec_id", "embedding")
+    val dropped = Dedup.semanticNearDups(vecs, "embedding", "vec_id",
+      threshold = 0.99, nLists = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dropped === Set((11L, 10L, 1L), (12L, 10L, 2L),
+      (21L, 20L, 1L), (22L, 20L, 2L)))
+  }
 }
