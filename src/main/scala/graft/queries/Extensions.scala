@@ -989,13 +989,14 @@ object Extensions {
        |FROM z GROUP BY 1""".stripMargin
   }
 
-  /** Grouped time-series gap fill (LOCF — last observation carried
-    * forward): per-nation monthly revenue joined against a complete
-    * (nation × month) spine, missing months forward-filled from the
-    * last observed value, leading gaps left NULL. The spine-join +
-    * carry-forward is the standard shape for regularizing an irregular
-    * series before window math (a bar feed with halted symbols, a
-    * metrics rollup with quiet days).
+  /** Grouped time-series DENSIFICATION + gap fill: per-nation monthly
+    * revenue joined against a complete (nation × month) spine, missing
+    * months forward-filled from the last observed value, leading gaps
+    * left NULL. Distinct from q52 (which imputes a column forward
+    * WITHIN existing rows): this op CONSTRUCTS the missing rows — the
+    * regularization step an irregular series needs before fixed-stride
+    * window math (a bar feed with halted symbols, a metrics rollup
+    * with quiet days).
     *
     * Scale shape: the window runs over the AGGREGATED frame (nations ×
     * months — bounded by the key space, not the fact table), so the
@@ -1050,6 +1051,49 @@ object Extensions {
       |FROM spine s
       |LEFT JOIN rev ON s.n_name = rev.n_name AND s.month = rev.month""".stripMargin
 
+  /** CSV source/sink round-trip — the interchange format the parquet/
+    * JSON/DSv2/JDBC family was missing: the engine WRITES a projection
+    * to CSV (header, partition-parallel), reads it back under an
+    * explicit schema (never inference — a 100 TB CSV read with
+    * schema inference scans everything twice), and aggregates; the
+    * oracle reads THE SAME files with DuckDB's independent CSV parser,
+    * so quoting/escaping/header handling are cross-engine-checked, not
+    * assumed. Integer/string columns only by design: CSV is a textual
+    * format and float text round-tripping is a parser-specific
+    * contract no interchange pipeline should lean on.
+    */
+  private def csvRoundTripPath(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${graft.ingest.FixtureTables.root}/csv_lineitem_$key"
+  }
+
+  val q84_csv_roundtrip: Q = (s, dir) => {
+    val path = csvRoundTripPath(dir)
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"),
+        col("l_quantity").cast("long").as("qty"))
+      .write.mode("overwrite").option("header", "true").csv(path)
+    s.read
+      .option("header", "true")
+      .schema("l_orderkey LONG, l_returnflag STRING, qty LONG")
+      .csv(path)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("qty")).as("sum_qty"),
+        min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"))
+  }
+
+  def q84_sql: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n_rows,
+       |  CAST(SUM(qty) AS BIGINT) AS sum_qty,
+       |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+       |FROM read_csv('${csvRoundTripPath(graft.queries.Corpus.oracleSfDir)}/*.csv',
+       |  header = true,
+       |  columns = {'l_orderkey': 'BIGINT', 'l_returnflag': 'VARCHAR',
+       |             'qty': 'BIGINT'})
+       |GROUP BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q59_lateral"        -> q59_lateral,
     "q60_month_spine"    -> q60_month_spine,
@@ -1072,9 +1116,12 @@ object Extensions {
     "q80_trend_slopes"   -> q80_trend_slopes,
     "q81_funnel_patterns" -> q81_funnel_patterns,
     "q82_zorder_stats"   -> q82_zorder_stats,
-    "q83_gap_fill"       -> q83_gap_fill)
+    "q83_gap_fill"       -> q83_gap_fill,
+    "q84_csv_roundtrip"  -> q84_csv_roundtrip)
 
-  val oracles: Map[String, String] = Map(
+  // def, not val: q84's oracle embeds the per-dir CSV fixture path for
+  // the CURRENT Corpus.oracleSfDir (the s03 centroid-dump recipe)
+  def oracles: Map[String, String] = Map(
     "q59_lateral"        -> q59_sql,
     "q60_month_spine"    -> q60_sql,
     "q61_array_hof"      -> q61_sql,
@@ -1096,5 +1143,6 @@ object Extensions {
     "q80_trend_slopes"   -> q80_sql,
     "q81_funnel_patterns" -> q81_sql,
     "q82_zorder_stats"   -> q82_sql,
-    "q83_gap_fill"       -> q83_sql)
+    "q83_gap_fill"       -> q83_sql,
+    "q84_csv_roundtrip"  -> q84_sql)
 }
