@@ -2151,6 +2151,73 @@ object Corpus {
        |  ROUND(ln(n + vsz) - CAST(s AS DOUBLE) / n_tokens, 6) AS xent
        |FROM a CROSS JOIN tot""".stripMargin
 
+  /** Bigram-LM cross-entropy — t29's conditional-probability upgrade
+    * (one step toward the n-gram KenLM scoring CCNet actually runs):
+    * score each document under the corpus's add-one-smoothed bigram
+    * model p(w|prev) = (c₂(prev,w)+1)/(c₁(prev)+V). Unigram scoring
+    * misses wrong-ORDER text (shuffled words keep their unigram
+    * frequencies); the bigram conditional catches it.
+    *
+    * Derivation chain keeps ONE corpus scan: per-doc bigram counts →
+    * corpus bigram counts (doc-summed) → context counts (prev-grouped)
+    * → V (distinct continuation vocabulary) — every level derives from
+    * the per-(doc, bigram) shuffle, the t29 reuse shape. Bigrams ride
+    * as "prev w" strings (tokens cannot contain spaces). Terms follow
+    * the t22/t29 decimal discipline: round-to-9 DECIMAL(28,9) sums,
+    * final score rounded to 6. Docs with <2 tokens have no bigram
+    * events and drop in both engines.
+    */
+  val t30_bigram_xent: Q = (s, dir) => {
+    val toks = TextAnalysis.tokens(col("text"))
+    val n = size(col("__toks"))
+    val bigrams = when(n >= 2,
+      transform(sequence(lit(2), n), i =>
+        concat_ws(" ", element_at(col("__toks"), i - 1),
+          element_at(col("__toks"), i))))
+      .otherwise(array())
+    val perDocBg = t(s, dir, "documents")
+      .withColumn("__toks", toks)
+      .select(col("doc_id"), explode(bigrams).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("__cd"))
+    val c2 = perDocBg.groupBy(col("bigram")).agg(sum(col("__cd")).as("__c2"))
+      .withColumn("__prev", split(col("bigram"), " ").getItem(0))
+    val c1 = c2.groupBy(col("__prev")).agg(sum(col("__c2")).as("__c1"))
+    val vocab = c2.agg(
+      countDistinct(split(col("bigram"), " ").getItem(1)).as("__v"))
+    perDocBg
+      .join(c2, Seq("bigram"))
+      .join(c1, Seq("__prev"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__cd")).as("n_bigrams"),
+        sum(round(col("__cd") *
+            (log(col("__c1") + col("__v")) - log(col("__c2") + lit(1))), 9)
+          .cast("decimal(28,9)")).as("__s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("__s").cast("double") / col("n_bigrams"), 6).as("xent2"))
+  }
+
+  val t30_sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |i AS (SELECT doc_id, toks,
+       |    unnest(generate_series(2, len(toks))) AS i FROM t),
+       |bg AS (SELECT doc_id, toks[i-1] || ' ' || toks[i] AS bigram FROM i),
+       |d AS (SELECT doc_id, bigram, COUNT(*) AS cd FROM bg
+       |      GROUP BY doc_id, bigram),
+       |c2 AS (SELECT bigram, split_part(bigram, ' ', 1) AS prev,
+       |    CAST(SUM(cd) AS BIGINT) AS c2 FROM d GROUP BY bigram),
+       |c1 AS (SELECT prev, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY prev),
+       |v AS (SELECT COUNT(DISTINCT split_part(bigram, ' ', 2)) AS vsz FROM c2),
+       |a AS (SELECT doc_id, CAST(SUM(cd) AS BIGINT) AS n_bigrams,
+       |    SUM(CAST(ROUND(cd * (ln(c1 + vsz) - ln(c2 + 1)), 9)
+       |      AS DECIMAL(28,9))) AS s
+       |  FROM d JOIN c2 USING (bigram) JOIN c1 USING (prev) CROSS JOIN v
+       |  GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams,
+       |  ROUND(CAST(s AS DOUBLE) / n_bigrams, 6) AS xent2
+       |FROM a""".stripMargin
+
   /** Contrastive image–text pair assembly — the dataset-construction
     * step a multimodal (CLIP-style) training pipeline runs: each image
     * pairs with its caption document and the caption's embedding by
@@ -2792,6 +2859,7 @@ object Corpus {
     "t27_stopwords"         -> t27_stopwords,
     "t28_weighted_sample"   -> t28_weighted_sample,
     "t29_unigram_xent"      -> t29_unigram_xent,
+    "t30_bigram_xent"       -> t30_bigram_xent,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -2854,6 +2922,7 @@ object Corpus {
     "t27_stopwords"         -> t27_sql,
     "t28_weighted_sample"   -> t28_sql,
     "t29_unigram_xent"      -> t29_sql,
+    "t30_bigram_xent"       -> t30_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,

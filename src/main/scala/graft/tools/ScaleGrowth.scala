@@ -116,7 +116,8 @@ object ScaleGrowth {
       "d07_decontamination", "d09_incremental_neardups",
       "d10_containment_neardups", "t17_heavy_hitters", "t19_bm25",
       "t21_oov_rate", "q79_winsorize", "t29_unigram_xent",
-      "s09_filtered_ann", "q82_zorder_stats")
+      "t30_bigram_xent", "s09_filtered_ann", "q82_zorder_stats",
+      "q83_gap_fill")
     def time(name: String, dir: String): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()

@@ -132,6 +132,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("t30 bigram cross-entropy matches the hand-computed conditional LM; short docs drop") {
+    // doc1 = "a b a b" → bigrams (a b)×2, (b a)×1; doc2 = "b a" → (b a)×1;
+    // doc3 = "z" has no bigram events and must be absent.
+    // c2: (a b)=2, (b a)=2; c1: a=2, b=2; V = |{a, b}| = 2 →
+    // every term is ln(2+2) − ln(2+1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_t30").toString
+    Seq((1L, "a b a b"), (2L, "b a"), (3L, "z")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val term = math.log(4) - math.log(3)
+    val expected = Map(
+      1L -> r6((r9(2 * term) + r9(1 * term)) / 3),
+      2L -> r6(r9(1 * term) / 1))
+    val got = graft.queries.Corpus.t30_bigram_xent(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got === expected)
+  }
+
   test("native fingerprint equals the interpreted HOF formulation on real docs") {
     val dir = "/root/testdata/sf0.01"
     assume(new java.io.File(s"$dir/documents.parquet").exists())
