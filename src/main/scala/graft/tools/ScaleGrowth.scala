@@ -83,6 +83,15 @@ object ScaleGrowth {
     repLineitem(1).write.mode("overwrite").parquet(s"$base/x1/lineitem.parquet")
     repLineitem(10).write.mode("overwrite").parquet(s"$base/x10/lineitem.parquet")
 
+    // q83 additionally joins the customer/nation dims: plain copies in
+    // both dirs (the spine is bounded by the key tables; growth enters
+    // only through the replicated orders fact)
+    Seq("customer", "nation").foreach { tName =>
+      val tdf = graft.Tables(spark, sfDir, tName)
+      tdf.write.mode("overwrite").parquet(s"$base/x1/$tName.parquet")
+      tdf.write.mode("overwrite").parquet(s"$base/x10/$tName.parquet")
+    }
+
     // s09 reads embeddings (filtered IVF ANN): replication with id
     // shift grows every inverted list 10× while the probe set stays
     // fixed at 5, so the candidate join — not the index build, which
