@@ -127,6 +127,71 @@ object Corpus {
        |SELECT predicted_lang, COUNT(*) AS n_docs FROM p GROUP BY predicted_lang""".stripMargin
   }
 
+  /** Language-consistency filter — mixed-language detection: the t03
+    * language-ID formula applied per fixed 200-char segment, then
+    * aggregated per document into (segment count, distinct predicted
+    * languages, sorted language list, mixed flag). Documents whose
+    * segments disagree are concatenation artifacts, crawler boilerplate
+    * sandwiches, or code-switching pages — a corpus-cleaning gate a
+    * whole-document argmax (t03) structurally cannot provide, since
+    * majority content masks the minority language. Fixed CHARACTER
+    * windows may split tokens at boundaries — irrelevant at lang-ID
+    * granularity and exactly mirrorable in SQL, where a token-aware
+    * segmentation would need the full tokenizer replayed per offset.
+    * Shape: one narrow explode (≤ len/200 rows per doc) + one keyed
+    * aggregate; no joins, no windows.
+    */
+  val t31_lang_consistency: Q = (s, dir) => {
+    val segLen = 200
+    val base = t(s, dir, "documents")
+      .withColumn("__nseg",
+        greatest(expr(s"(length(text) + ${segLen - 1}) div $segLen"), lit(1L)))
+    val segs = base.select(col("doc_id"),
+      explode(transform(sequence(lit(0L), col("__nseg") - 1),
+        i => col("text").substr((i * lit(segLen) + lit(1)).cast("int"),
+          lit(segLen)))).as("__seg"))
+    segs
+      .select(col("doc_id"),
+        TextAnalysis.langIdOf(col("__seg"), TextAnalysis.tokens(col("__seg")))
+          .as("__lang"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        count_distinct(col("__lang")).as("n_langs"),
+        array_join(array_sort(collect_set(col("__lang"))), ",").as("langs"))
+      .withColumn("is_mixed", col("n_langs") > 1)
+  }
+
+  val t31_sql: String = {
+    val segToks = "list_filter(string_split_regex(lower(seg), '\\s+'), x -> x <> '')"
+    val scoreCols = TextAnalysis.langMarkers.map { case (l, ms) =>
+      s"len(list_filter(toks, x -> list_contains(${sqlList(ms)}, x))) AS s_$l"
+    }.mkString(",\n  ")
+    val langs = TextAnalysis.langMarkers.map(_._1)
+    val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString("\n  ")
+    s"""WITH d AS (SELECT doc_id, text,
+       |    GREATEST((length(text) + 199) // 200, 1) AS nseg FROM documents),
+       |g AS (SELECT doc_id, text,
+       |    unnest(generate_series(0, nseg - 1)) AS i FROM d),
+       |sg AS (SELECT doc_id, substr(text, CAST(i * 200 + 1 AS INT), 200) AS seg
+       |       FROM g),
+       |t AS (SELECT doc_id, seg, $segToks AS toks FROM sg),
+       |s AS (SELECT doc_id,
+       |  $scoreCols,
+       |  len(regexp_extract_all(seg, '[\\x{4e00}-\\x{9fff}]')) AS cjk,
+       |  length(seg) AS seglen
+       | FROM t),
+       |b AS (SELECT *, $best AS best FROM s),
+       |p AS (SELECT doc_id, CASE WHEN cjk > 0 AND cjk * 2 >= seglen THEN 'zh'
+       |  $cases
+       |  ELSE 'und' END AS lang FROM b)
+       |SELECT doc_id, COUNT(*) AS n_segments,
+       |  COUNT(DISTINCT lang) AS n_langs,
+       |  string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+       |  COUNT(DISTINCT lang) > 1 AS is_mixed
+       |FROM p GROUP BY doc_id""".stripMargin
+  }
+
   /** Content fingerprint (min-md5 over word 8-gram shingles) per doc —
     * the winnowing-style signature used for fast copy detection.
     */
@@ -2860,6 +2925,7 @@ object Corpus {
     "t28_weighted_sample"   -> t28_weighted_sample,
     "t29_unigram_xent"      -> t29_unigram_xent,
     "t30_bigram_xent"       -> t30_bigram_xent,
+    "t31_lang_consistency"  -> t31_lang_consistency,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -2923,6 +2989,7 @@ object Corpus {
     "t28_weighted_sample"   -> t28_sql,
     "t29_unigram_xent"      -> t29_sql,
     "t30_bigram_xent"       -> t30_sql,
+    "t31_lang_consistency"  -> t31_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,
