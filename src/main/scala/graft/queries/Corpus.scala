@@ -192,6 +192,59 @@ object Corpus {
        |FROM p GROUP BY doc_id""".stripMargin
   }
 
+  /** Readability scoring — Flesch reading-ease and Flesch–Kincaid
+    * grade per document, the classic prose-complexity quality signals
+    * (too-low ease flags legalese/spam walls; negative or absurd
+    * grades flag token soup). Every input is an exact integer count —
+    * words, sentence marks ([.!?]+ runs, floor 1), a vowel-group
+    * syllable proxy (floor 1 per word) — so the scores are two double
+    * divisions over exact integers, and both engines evaluate the
+    * same literal coefficients in the same order. One narrow
+    * projection; no shuffle at any scale.
+    */
+  val t32_readability: Q = (s, dir) => {
+    val toks = col("__toks")
+    val syll = aggregate(
+      transform(toks, w =>
+        greatest(size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))), lit(1))
+          .cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val wps = col("n_words").cast("double") / col("n_sentences")
+    val spw = col("n_syllables").cast("double") / col("n_words")
+    t(s, dir, "documents")
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .where(size(col("__toks")) > 0)
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_words"),
+        greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))),
+          lit(1)).cast("long").as("n_sentences"),
+        syll.as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6)
+          .as("flesch_ease"),
+        round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6)
+          .as("fk_grade"))
+  }
+
+  val t32_sql: String =
+    s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |m AS (SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+       |      AS n_sentences,
+       |    CAST(list_sum(list_transform(toks, w ->
+       |      GREATEST(len(regexp_extract_all(w, '[aeiouy]+')), 1)))
+       |      AS BIGINT) AS n_syllables
+       |  FROM t WHERE len(toks) > 0)
+       |SELECT doc_id, n_words, n_sentences, n_syllables,
+       |  ROUND(206.835e0 - 1.015e0 * (CAST(n_words AS DOUBLE) / n_sentences)
+       |    - 84.6e0 * (CAST(n_syllables AS DOUBLE) / n_words), 6) AS flesch_ease,
+       |  ROUND(0.39e0 * (CAST(n_words AS DOUBLE) / n_sentences)
+       |    + 11.8e0 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59e0, 6)
+       |    AS fk_grade
+       |FROM m""".stripMargin
+
   /** Content fingerprint (min-md5 over word 8-gram shingles) per doc —
     * the winnowing-style signature used for fast copy detection.
     */
@@ -2926,6 +2979,7 @@ object Corpus {
     "t29_unigram_xent"      -> t29_unigram_xent,
     "t30_bigram_xent"       -> t30_bigram_xent,
     "t31_lang_consistency"  -> t31_lang_consistency,
+    "t32_readability"       -> t32_readability,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -2990,6 +3044,7 @@ object Corpus {
     "t29_unigram_xent"      -> t29_sql,
     "t30_bigram_xent"       -> t30_sql,
     "t31_lang_consistency"  -> t31_sql,
+    "t32_readability"       -> t32_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,
