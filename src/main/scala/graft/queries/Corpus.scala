@@ -144,6 +144,7 @@ object Corpus {
   val t31_lang_consistency: Q = (s, dir) => {
     val segLen = 200
     val base = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism) // regex-heavy scan off a 1-row-group file (the t03 move)
       .withColumn("__nseg",
         greatest(expr(s"(length(text) + ${segLen - 1}) div $segLen"), lit(1L)))
     val segs = base.select(col("doc_id"),
