@@ -2978,6 +2978,81 @@ object Corpus {
        |  ROUND(cos, 6) AS cosine, rank
        |FROM rk WHERE rank <= 10""".stripMargin
 
+  /** Hybrid retrieval — reciprocal-rank fusion (Cormack et al.,
+    * SIGIR'09: score = Σ 1/(k + rankᵢ), k = 60) of the lexical BM25
+    * ranking (t19) and the embedding cosine ranking (s01's brute-force
+    * probe), the standard hybrid-search serving recipe: lexical
+    * catches exact-term matches embeddings blur, vectors catch
+    * paraphrases lexical misses, and RRF needs no score calibration
+    * between the two scales because it consumes RANKS only. Both
+    * input rankings are deterministic and oracle-replayed, ranks are
+    * integers, and the fusion is two rational doubles summed in fixed
+    * order — so even the fused list is hash-checked. The constant-key
+    * rank windows run over ≤20-row frames by construction (the t23
+    * bounded-window idiom).
+    */
+  val s11_hybrid_rrf: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val lex = t19_bm25(s, dir) // top-20 (doc_id, n_terms, score)
+      .withColumn("rank_lex", row_number().over(
+        Window.partitionBy(pmod(col("doc_id"), lit(1))) // deliberate: 20 rows
+          .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id").as("id"), col("rank_lex"))
+    val e = t(s, dir, "embeddings")
+    val vec = Similarity.bruteForceTopK(e.where(col("vec_id") === 0), e,
+        "vec_id", "embedding", "vec_id", "embedding", k = 20)
+      .select(col("neighbor_id").as("id"), col("rank").cast("long").as("rank_vec"))
+    def term(r: org.apache.spark.sql.Column) =
+      when(r.isNull, lit(0.0)).otherwise(lit(1.0) / (lit(60) + r))
+    lex.join(vec, Seq("id"), "full_outer")
+      .select(col("id"), col("rank_lex"), col("rank_vec"),
+        round(term(col("rank_lex")) + term(col("rank_vec")), 6).as("rrf"))
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy(pmod(col("id"), lit(1))) // deliberate: ≤40 rows
+          .orderBy(col("rrf").desc, col("id").asc)).cast("long"))
+      .where(col("fused_rank") <= 10)
+  }
+
+  val s11_sql: String = {
+    val vecCos = cosSql.replace("a.v", "ea.v").replace("b.v", "eb.v")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
+       |st AS (SELECT COUNT(*) AS N,
+       |  ROUND(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl FROM l),
+       |x AS (SELECT doc_id, dl, unnest(toks) AS token FROM l),
+       |tf AS (SELECT doc_id, dl, token, COUNT(*) AS tf FROM x
+       |  WHERE token IN ('spark', 'vector', 'window')
+       |  GROUP BY doc_id, dl, token),
+       |d AS (SELECT *, COUNT(*) OVER (PARTITION BY token) AS df FROM tf),
+       |sc AS (SELECT doc_id,
+       |  CAST(ROUND(ln(1.0 + (N - df + 0.5) / (df + 0.5))
+       |    * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
+       |    AS DECIMAL(18,6)) AS term
+       |  FROM d CROSS JOIN st),
+       |lexagg AS (SELECT doc_id, ROUND(CAST(SUM(term) AS DOUBLE), 6) AS score
+       |  FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20),
+       |lex AS (SELECT doc_id AS id,
+       |  ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank_lex
+       |  FROM lexagg),
+       |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |vsc AS (SELECT eb.vec_id AS id, $vecCos AS cos
+       |  FROM emb ea JOIN emb eb ON eb.vec_id <> ea.vec_id
+       |  WHERE ea.vec_id = 0),
+       |vec AS (SELECT id,
+       |  ROW_NUMBER() OVER (ORDER BY cos DESC, id ASC) AS rank_vec
+       |  FROM vsc QUALIFY rank_vec <= 20),
+       |f AS (SELECT COALESCE(lex.id, vec.id) AS id, rank_lex, rank_vec
+       |  FROM lex FULL OUTER JOIN vec ON lex.id = vec.id),
+       |r AS (SELECT id, rank_lex, rank_vec,
+       |  ROUND((CASE WHEN rank_lex IS NULL THEN 0.0e0
+       |              ELSE 1.0e0 / (60 + rank_lex) END)
+       |      + (CASE WHEN rank_vec IS NULL THEN 0.0e0
+       |              ELSE 1.0e0 / (60 + rank_vec) END), 6) AS rrf FROM f)
+       |SELECT id, rank_lex, rank_vec, rrf,
+       |  ROW_NUMBER() OVER (ORDER BY rrf DESC, id ASC) AS fused_rank
+       |FROM r QUALIFY fused_rank <= 10""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "m01_multimodal_features" -> m01_multimodal_features,
     "m02_frame_manifest"    -> m02_frame_manifest,
@@ -3041,7 +3116,8 @@ object Corpus {
     "s07_mmr_rerank"        -> s07_mmr_rerank,
     "s08_embedding_qa"      -> s08_embedding_qa,
     "s09_filtered_ann"      -> s09_filtered_ann,
-    "s10_ivf_quant_ann"     -> s10_ivf_quant_ann)
+    "s10_ivf_quant_ann"     -> s10_ivf_quant_ann,
+    "s11_hybrid_rrf"        -> s11_hybrid_rrf)
 
   // def, not val: s03_sql embeds the per-dir centroid fixture path for
   // the CURRENT `oracleSfDir`, so the map must be rebuilt at dump time.
@@ -3108,5 +3184,6 @@ object Corpus {
     "s07_mmr_rerank"        -> s07_sql,
     "s08_embedding_qa"      -> s08_sql,
     "s09_filtered_ann"      -> s09_sql,
-    "s10_ivf_quant_ann"     -> s10_sql)
+    "s10_ivf_quant_ann"     -> s10_sql,
+    "s11_hybrid_rrf"        -> s11_sql)
 }

@@ -51,12 +51,14 @@ class PlanLintSpec extends SparkSpec {
   // candidate pre-filter, same broadcast-bounded justification.
   // q83's spine cross join is |nations| × a 1-row-derived month range —
   // bounded by the key space at any fact-table scale.
+  // s11 composes t19's broadcast-stats cross and s01's broadcast-probe
+  // product, inheriting both justifications.
   private val allowNestedLoop =
     Set("s01_cosine_topk", "s02_lsh_ann_topk", "s03_ivf_topk",
       "t15_mixture_weights", "t14_tfidf_terms", "d04_embedding_neardups",
       "q65_kmv_setops", "t19_bm25", "s06_quant_ann", "s07_mmr_rerank",
       "t27_stopwords", "t29_unigram_xent", "t30_bigram_xent",
-      "s09_filtered_ann", "q83_gap_fill")
+      "s09_filtered_ann", "q83_gap_fill", "s11_hybrid_rrf")
 
   // queries allowed to window >minRows rows on a <minKeys-value key —
   // empty by design; adding here requires an in-source justification
