@@ -393,13 +393,21 @@ object Similarity {
         queries: DataFrame,
         queryIdCol: String,
         queryVecCol: String,
-        k: Int): DataFrame = {
+        k: Int): DataFrame =
+      searchFrom(queries, queryIdCol, queryVecCol, k, buckets)
+
+    private def searchFrom(
+        queries: DataFrame,
+        queryIdCol: String,
+        queryVecCol: String,
+        k: Int,
+        bucketSide: DataFrame): DataFrame = {
       val q = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"))
       val qb = q
         .withColumn("bucket", explode_outer(hyperplaneBuckets(col("__qv"), dim, planes, tables, seed)))
         .where(col("bucket").isNotNull)
         .select(col("bucket"), col("query_id"))
-      val candidates = qb.join(buckets, Seq("bucket"))
+      val candidates = qb.join(bucketSide, Seq("bucket"))
         .where(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"))
         .distinct()
@@ -413,9 +421,80 @@ object Similarity {
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= k)
     }
+
+    /** [[search]] against a STORAGE-BACKED index ([[LshIndex#write]] /
+      * [[LshIndex.read]]) — the IVF `searchPruned` move for the LSH
+      * family: the probe set's bucket PREFIXES (table id + the first
+      * [[LshIndex.prefixBits]] sign bits) resolve first — a driver
+      * collect bounded by probes × tables, never by corpus size — and
+      * statically filter the bucket relation, so a store partitioned by
+      * `bucket_pfx` scans only the probed directories. Results are
+      * identical to [[search]] (spec-asserted with scan metrics).
+      */
+    def searchPruned(
+        queries: DataFrame,
+        queryIdCol: String,
+        queryVecCol: String,
+        k: Int): DataFrame = {
+      val q = queries.select(col(queryVecCol).as("__qv"))
+      val pfxs = q
+        .select(explode_outer(hyperplaneBuckets(col("__qv"), dim, planes, tables, seed)).as("bucket"))
+        .where(col("bucket").isNotNull)
+        .select(LshIndex.bucketPrefix(col("bucket")).as("p"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      val pruned =
+        if (buckets.columns.contains("bucket_pfx"))
+          buckets.where(col("bucket_pfx").isin(pfxs: _*))
+        else buckets
+      searchFrom(queries, queryIdCol, queryVecCol, k, pruned)
+    }
+
+    /** Persist the index for serving: the (bucket, id) pairs land
+      * PARTITIONED BY the bucket prefix — table id + the first
+      * [[LshIndex.prefixBits]] sign bits, so a probe's bucket keys
+      * prune storage partitions instead of scanning every pair — plus
+      * the (id, vector) corpus projection. [[LshIndex.read]] restores a
+      * serving-equivalent index; the in-memory `.cache()` of
+      * [[LshIndex.build]] is a single-session residency, the written
+      * index the durable artifact later sessions serve from.
+      */
+    def write(path: String): Unit = {
+      buckets
+        .withColumn("bucket_pfx", LshIndex.bucketPrefix(col("bucket")))
+        .write.mode("overwrite").partitionBy("bucket_pfx")
+        .parquet(s"$path/buckets")
+      corpus.write.mode("overwrite").parquet(s"$path/corpus")
+    }
   }
 
   object LshIndex {
+    /** Partition-key width for stored buckets: table id + this many
+      * leading sign bits. 16 tables × 2⁴ = 256 directories — coarse
+      * enough to keep file counts sane, fine enough that a small probe
+      * set touches a fraction of them.
+      */
+    val prefixBits = 4
+
+    private[similarity] def bucketPrefix(bucket: Column): Column =
+      regexp_extract(bucket, s"^(\\d+:[01]{0,$prefixBits})", 1)
+
+    /** Restore a written index ([[LshIndex#write]]). The buckets stay
+      * storage-backed (NOT cached): `searchPruned` filters on the
+      * `bucket_pfx` partition column, so probe scans read only the
+      * probed directories — partition pruning as the disk-side bucket
+      * lookup, exactly the [[IvfIndex.read]] contract.
+      */
+    def read(
+        spark: org.apache.spark.sql.SparkSession,
+        path: String,
+        dim: Int = 64,
+        planes: Int = 10,
+        tables: Int = 8,
+        seed: Long = 42L): LshIndex =
+      LshIndex(dim, planes, tables, seed,
+        spark.read.parquet(s"$path/buckets"),
+        spark.read.parquet(s"$path/corpus"))
+
     /** Materialize the corpus buckets once (cached eagerly — the
       * index-build step every ANN serving system amortizes).
       */

@@ -110,6 +110,55 @@ class SimilaritySpec extends SparkSpec {
       s"lists scan read $readPartitions of ${listDirs.size} partitions — no pruning")
   }
 
+  test("LshIndex write/read: the stored index serves identical results and probe prefixes prune partitions") {
+    val rng = new scala.util.Random(3)
+    val corpus = (0L until 400L).map { i =>
+      (i, Array.fill(16)(rng.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 3)
+    val idx = Similarity.LshIndex.build(corpus, "vec_id", "embedding",
+      dim = 16, planes = 10, tables = 4)
+    try {
+      val mem = idx.search(queries, "vec_id", "embedding", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val path = java.nio.file.Files.createTempDirectory("graft_lsh").toString
+      idx.write(path)
+      val pfxDirs = new java.io.File(s"$path/buckets").listFiles()
+        .filter(_.getName.startsWith("bucket_pfx=")).map(_.getName).toSet
+      assert(pfxDirs.size > 1, s"expected multiple prefix partitions, got $pfxDirs")
+      val restored = Similarity.LshIndex.read(spark, path,
+        dim = 16, planes = 10, tables = 4)
+      // plain search over the store equals the in-memory result
+      val plain = restored.search(queries, "vec_id", "embedding", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(plain === mem)
+      // pruned serving: same results, and the buckets scan reads only
+      // the probed prefix directories (the IvfIndex metric recipe)
+      val stored = restored.searchPruned(queries, "vec_id", "embedding", k = 5)
+      val got = stored.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(got === mem)
+      val scans = scala.collection.mutable.ListBuffer[
+        org.apache.spark.sql.execution.FileSourceScanExec]()
+      def go(n: org.apache.spark.sql.execution.SparkPlan): Unit = n match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          go(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => go(q.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => scans += f
+        case other => other.children.foreach(go)
+      }
+      val executed = stored.queryExecution.executedPlan
+      stored.collect() // execute THIS plan so its scan owns the metrics
+      go(executed)
+      val bucketScan = scans.find(_.toString.contains("buckets"))
+        .getOrElse(fail(s"no buckets scan in:\n$executed"))
+      val readPartitions = bucketScan.metrics("numPartitions").value
+      // 3 probes × 4 tables touch at most 12 of the prefix directories
+      assert(readPartitions < pfxDirs.size.toLong,
+        s"buckets scan read $readPartitions of ${pfxDirs.size} partitions — no pruning")
+    } finally { idx.buckets.unpersist(false); idx.corpus.unpersist(false); () }
+  }
+
   test("lshTopK candidates are a subset of brute-force with exact scores, and same-direction vectors are always found") {
     val rng = new scala.util.Random(11)
     val corpus = (0L until 50L).map { i =>
