@@ -184,6 +184,45 @@ object MultiModal {
     }
   }
 
+  /** ================= VIDEO CODEC SEAM =================
+    * The boundary between container formats and the operators: a codec
+    * inspects raw payload bytes and returns Some((µs per frame, decoded
+    * frames)) when it recognizes the container, None otherwise.
+    * [[sampleFrames]] and [[extractFeatures]] take a codec LIST and try
+    * each in order, falling back to [[StubCodec]] when none accepts —
+    * so supporting a new container (e.g. MP4/H.264, which has no JDK
+    * path and needs a third-party/JNI decoder) is a pure list addition:
+    * no operator changes (spec-proven by a drop-in fake codec in
+    * MultiModalSpec). The list is a PARAMETER captured in the task
+    * closure, not driver-side mutable state — codecs serialize to
+    * executors with the job, the only registration that is correct on a
+    * real cluster.
+    *
+    * Supported containers: PNG/BMP/GIF/JPEG images ([[ImageIoCodec]]),
+    * WAV/AIFF/AU audio ([[AudioSystemCodec]]), MJPEG-in-AVI video
+    * ([[AviMjpegCodec]]); everything else → [[StubCodec]], the
+    * permanent documented fallback.
+    */
+  trait VideoCodec extends Serializable {
+    /** Some((µs per frame, frames as (w, h, interleaved RGB))) when the
+      * bytes are a container this codec decodes; None otherwise. Must
+      * return (never hang) on arbitrary bytes.
+      */
+    def decodeFrames(content: Array[Byte]): Option[(Long, Seq[(Int, Int, Array[Byte])])]
+  }
+
+  object VideoCodecs {
+    /** The default chain: the JDK-native MJPEG-AVI decoder. */
+    val default: Seq[VideoCodec] = Seq(AviMjpegCodec)
+
+    /** First codec that accepts the payload wins; None → stub fallback. */
+    def decode(codecs: Seq[VideoCodec], content: Array[Byte])
+        : Option[(Long, Seq[(Int, Int, Array[Byte])])] =
+      codecs.iterator.map(_.decodeFrames(content)).collectFirst {
+        case Some(r) => r
+      }
+  }
+
   /** ================= JDK-NATIVE VIDEO CODEC =================
     * Real decode for MJPEG-in-AVI — the one video container a bare JDK
     * can take apart: AVI is a RIFF chunk tree (walked here directly),
@@ -193,7 +232,7 @@ object MultiModal {
     * containers (MP4/H.264 etc.) have no JDK path and keep the
     * [[StubCodec]] fallback.
     */
-  object AviMjpegCodec {
+  object AviMjpegCodec extends VideoCodec {
     private def u32(b: Array[Byte], off: Int): Long =
       (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
         ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
@@ -205,7 +244,7 @@ object MultiModal {
       * None when the bytes are not a RIFF/AVI with decodable MJPEG
       * frames — the caller's cue to fall back to [[StubCodec]].
       */
-    def decodeFrames(
+    override def decodeFrames(
         content: Array[Byte]): Option[(Long, Seq[(Int, Int, Array[Byte])])] =
       try {
         if (content.length < 12 || fourcc(content, 0) != "RIFF" ||
@@ -221,6 +260,11 @@ object MultiModal {
             while (off + 8 <= to) {
               val fc = fourcc(content, off)
               val size = u32(content, off + 4).toInt
+              // a size whose u32 truncates negative cannot be a valid
+              // chunk (it would also leave `off` unchanged below, so the
+              // walk would never advance): treat the rest of this range
+              // as malformed and stop — forward progress is guaranteed
+              if (size < 0) return
               val dataStart = off + 8
               val dataEnd = math.min(dataStart.toLong + size, to.toLong).toInt
               if (fc == "LIST" && size >= 4) {
@@ -400,12 +444,13 @@ object MultiModal {
     * its nearest-preceding decoded frame. Other containers fall back
     * to [[StubCodec]] at the metadata geometry.
     */
-  def sampleFrames(media: Dataset[MediaRow], everyMs: Long = 1000L): Dataset[SampledFrame] = {
+  def sampleFrames(media: Dataset[MediaRow], everyMs: Long = 1000L,
+      codecs: Seq[VideoCodec] = VideoCodecs.default): Dataset[SampledFrame] = {
     import media.sparkSession.implicits._
     media
       .filter(col("kind") === "video")
       .flatMap { m =>
-        AviMjpegCodec.decodeFrames(m.content) match {
+        VideoCodecs.decode(codecs, m.content) match {
           case Some((usPerFrame, frames)) =>
             // REAL decode: duration and frame geometry come from the
             // container; sample i reads the frame covering i·everyMs
@@ -511,22 +556,37 @@ object MultiModal {
     * per partition with no shuffle). Output feeds
     * [[graft.similarity.Similarity]] unchanged.
     */
-  def extractFeatures(media: Dataset[MediaRow], dim: Int = 64, batchSize: Int = 64): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 64, batchSize: Int = 64,
+      codecs: Seq[VideoCodec] = VideoCodecs.default): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { m =>
-          val decoded: Array[Byte] = m.kind match {
+          // histogram accumulates CHUNK BY CHUNK (one decoded buffer at
+          // a time) — a multi-frame video contributes frames × w × h × 3
+          // bytes to the counts without ever concatenating them into one
+          // per-row array, so per-row memory is one frame, not the clip
+          val hist = new Array[Float](dim)
+          var total = 0L
+          def bump(chunk: Array[Byte]): Unit = {
+            var i = 0
+            while (i < chunk.length) {
+              hist((chunk(i) & 0xff) * dim / 256) += 1f
+              i += 1
+            }
+            total += chunk.length
+          }
+          m.kind match {
             // image: real decode when a JDK reader accepts the bytes,
-            // stub otherwise; audio/video remain STUB call sites
+            // stub otherwise; non-JDK codecs remain STUB call sites
             case "image" =>
-              ImageIoCodec.decodeImage(m.content) match {
+              bump(ImageIoCodec.decodeImage(m.content) match {
                 case Some((_, _, px)) => px
                 case None =>
                   val w = math.max(m.meta.width, 1)
                   val h = math.max(m.meta.height, 1)
                   StubCodec.decodeImage(m.content, w, h, 3)
-              }
+              })
             case "audio" =>
               // audio: real decode when a JDK reader accepts the bytes
               // (WAV/AIFF/AU), stub otherwise
@@ -536,27 +596,23 @@ object MultiModal {
                   val n = math.max(1, (m.meta.sampleRate * m.meta.durationMs / 1000L).toInt)
                   StubCodec.decodeAudio(m.content, math.min(n, 1 << 20))
               }
-              samples.flatMap { s =>
-                Array((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)
+              samples.foreach { s =>
+                hist((s & 0xff) * dim / 256) += 1f
+                hist(((s >> 8) & 0xff) * dim / 256) += 1f
+                total += 2
               }
             case _ =>
-              // video: real decode for MJPEG-AVI payloads (all frames'
-              // pixels feed the histogram), stub otherwise
-              AviMjpegCodec.decodeFrames(m.content) match {
-                case Some((_, frames)) => Array.concat(frames.map(_._3): _*)
+              // video: real decode via the codec registry (MJPEG-AVI by
+              // default) — each frame's pixels bump the counts in turn
+              VideoCodecs.decode(codecs, m.content) match {
+                case Some((_, frames)) => frames.foreach(f => bump(f._3))
                 case None =>
-                  StubCodec.decodeImage(m.content, math.max(m.meta.width, 1),
-                    math.max(m.meta.height, 1), 3)
+                  bump(StubCodec.decodeImage(m.content, math.max(m.meta.width, 1),
+                    math.max(m.meta.height, 1), 3))
               }
           }
-          val hist = new Array[Float](dim)
-          var i = 0
-          while (i < decoded.length) {
-            hist((decoded(i) & 0xff) * dim / 256) += 1f
-            i += 1
-          }
-          val total = math.max(decoded.length, 1).toFloat
-          MediaFeatures(m.mediaId, m.kind, hist.map(_ / total))
+          val denom = math.max(total, 1L).toFloat
+          MediaFeatures(m.mediaId, m.kind, hist.map(_ / denom))
         }
       }
     }

@@ -464,6 +464,16 @@ object Similarity {
         .write.mode("overwrite").partitionBy("bucket_pfx")
         .parquet(s"$path/buckets")
       corpus.write.mode("overwrite").parquet(s"$path/corpus")
+      // the build parameters ARE the index: probe buckets computed with
+      // different hyperplanes than the stored ones silently return
+      // wrong/empty neighbors, so (dim, planes, tables, seed) persist in
+      // a one-row sidecar and read() restores them — a caller can no
+      // longer re-open an index under mismatched hyperparameters
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      Seq((dim, planes, tables, seed))
+        .toDF("dim", "planes", "tables", "seed")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
     }
   }
 
@@ -482,18 +492,24 @@ object Similarity {
       * storage-backed (NOT cached): `searchPruned` filters on the
       * `bucket_pfx` partition column, so probe scans read only the
       * probed directories — partition pruning as the disk-side bucket
-      * lookup, exactly the [[IvfIndex.read]] contract.
+      * lookup, exactly the [[IvfIndex.read]] contract. The build
+      * parameters come from the store's own sidecar, never from the
+      * caller — the hyperplanes that hashed the stored buckets are the
+      * only ones that can probe them.
       */
     def read(
         spark: org.apache.spark.sql.SparkSession,
-        path: String,
-        dim: Int = 64,
-        planes: Int = 10,
-        tables: Int = 8,
-        seed: Long = 42L): LshIndex =
-      LshIndex(dim, planes, tables, seed,
+        path: String): LshIndex = {
+      val p = spark.read.parquet(s"$path/params").collect() match {
+        case Array(row) => row
+        case rows => throw new IllegalStateException(
+          s"$path/params: expected exactly one parameter row, got ${rows.length}")
+      }
+      LshIndex(p.getAs[Int]("dim"), p.getAs[Int]("planes"),
+        p.getAs[Int]("tables"), p.getAs[Long]("seed"),
         spark.read.parquet(s"$path/buckets"),
         spark.read.parquet(s"$path/corpus"))
+    }
 
     /** Materialize the corpus buckets once (cached eagerly — the
       * index-build step every ANN serving system amortizes).

@@ -92,14 +92,30 @@ object ScaleGrowth {
       tdf.write.mode("overwrite").parquet(s"$base/x10/$tName.parquet")
     }
 
-    // s09 reads embeddings (filtered IVF ANN): replication with id
-    // shift grows every inverted list 10× while the probe set stays
-    // fixed at 5, so the candidate join — not the index build, which
-    // the warm-up amortizes out — must carry the growth
+    // s09/s10/d11/s11 read embeddings: replica 0 is the IDENTITY (same
+    // ids, same bits — the probe sets, which filter small vec_id
+    // ranges, exist unchanged in both dirs), and replicas 1..r-1 are
+    // per-(replica, dimension) deterministic SIGN FLIPS with shifted
+    // ids. A sign flip is an isometry, so within-replica geometry
+    // (cosines, cluster structure, near-dup pairs) is exactly
+    // preserved, while cross-replica cosine between copies of one
+    // vector collapses toward 0 (the signed mass cancels) — the
+    // embedding analogue of the text salt: inverted lists grow 10×
+    // without the ~45 cosine-1.0 cross-copy pairs per vector a plain
+    // copy would add (which would measure output explosion, not input
+    // scaling). The candidate joins — not the index build, which the
+    // warm-up amortizes out — must carry the growth.
     val embeddings = graft.Tables(spark, sfDir, "embeddings")
     def repEmbeddings(r: Int): DataFrame =
       embeddings.withColumn("rep", explode(sequence(lit(0), lit(r - 1))))
-        .withColumn("vec_id", col("vec_id") * 16 + col("rep"))
+        .withColumn("embedding",
+          when(col("rep") === 0, col("embedding"))
+            .otherwise(transform(col("embedding"),
+              (x, i) => when(pmod(hash(col("rep"), i), lit(2)) === 0, x)
+                .otherwise(-x))))
+        .withColumn("vec_id",
+          when(col("rep") === 0, col("vec_id"))
+            .otherwise(col("vec_id") + col("rep").cast("long") * lit(100000000L)))
         .drop("rep")
     repEmbeddings(1).write.mode("overwrite").parquet(s"$base/x1/embeddings.parquet")
     repEmbeddings(10).write.mode("overwrite").parquet(s"$base/x10/embeddings.parquet")

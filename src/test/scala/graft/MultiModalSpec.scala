@@ -259,4 +259,66 @@ class MultiModalSpec extends SparkSpec {
     all.foreach(b => hist((b & 0xff) * 64 / 256) += 1f)
     assert(feats.toSeq === hist.map(_ / all.length).toSeq)
   }
+
+  test("AviMjpegCodec: a negative chunk size terminates promptly with None (no hang)") {
+    // RIFF/AVI magics + a chunk whose u32 size truncates to Int -8
+    // (0xFFFFFFF8): before the size<0 guard this left the walk offset
+    // unchanged forever, hanging the executor thread. The contract for
+    // arbitrary bytes is a PROMPT None fallback — enforced here through
+    // a timed future so a regression fails the suite instead of
+    // freezing it.
+    val bad = "RIFF".getBytes("US-ASCII") ++ Array[Byte](0x40, 0, 0, 0) ++
+      "AVI ".getBytes("US-ASCII") ++
+      "00dc".getBytes("US-ASCII") ++
+      Array[Byte](0xf8.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte) ++
+      Array.fill[Byte](32)(0)
+    val ex = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try {
+      val fut = ex.submit(
+        new java.util.concurrent.Callable[Option[(Long, Seq[(Int, Int, Array[Byte])])]] {
+          def call() = MultiModal.AviMjpegCodec.decodeFrames(bad)
+        })
+      assert(fut.get(10, java.util.concurrent.TimeUnit.SECONDS).isEmpty)
+    } finally { ex.shutdownNow(); () }
+  }
+
+  test("a third-party video codec drops into sampleFrames and extractFeatures untouched") {
+    import spark.implicits._
+    val payload = "FAKE".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)
+    val media = Seq(
+      MultiModal.MediaRow(1L, "video", payload,
+        MultiModal.MediaMeta("fake", 2, 2, 0, 999L))).toDS()
+    val chain = MultiModal.VideoCodecs.default :+ new FakeFourccCodec
+    // with the drop-in codec: the container clock (2 frames × 0.5 s)
+    // drives the fan-out — 2 sampled frames with the codec's pixels
+    val fs = MultiModal.sampleFrames(media, everyMs = 500L, codecs = chain)
+      .collect().sortBy(_.frameIndex)
+    assert(fs.length === 2)
+    assert(fs(0).pixels.toSeq === Seq.fill(12)(0.toByte))
+    assert(fs(1).pixels.toSeq === Seq.fill(12)(1.toByte))
+    // without it: no registered codec accepts the payload, so the stub
+    // fallback uses the METADATA duration (999 ms → 1 frame)
+    assert(MultiModal.sampleFrames(media, everyMs = 500L).count() === 1L)
+    // extractFeatures consults the same chain: bytes 0 and 1 both land
+    // in histogram bin 0, so the codec-decoded feature vector is
+    // exactly [1.0, 0, 0, ...]
+    val feats = MultiModal.extractFeatures(media, codecs = chain)
+      .collect().head.features
+    assert(feats(0) === 1.0f)
+    assert(feats.drop(1).forall(_ == 0.0f))
+  }
+}
+
+/** A minimal third-party codec for the drop-in spec: decodes payloads
+  * whose magic is "FAKE" into two 2×2 frames at 2 fps. Top-level class
+  * (no outer reference) so the task closure serializes it cleanly —
+  * the shape any real MP4/H.264 codec dependency would take.
+  */
+class FakeFourccCodec extends MultiModal.VideoCodec {
+  override def decodeFrames(
+      content: Array[Byte]): Option[(Long, Seq[(Int, Int, Array[Byte])])] =
+    if (content.length >= 4 &&
+        new String(content, 0, 4, "US-ASCII") == "FAKE")
+      Some((500000L, Seq.tabulate(2)(i => (2, 2, Array.fill[Byte](12)(i.toByte)))))
+    else None
 }

@@ -126,8 +126,11 @@ class SimilaritySpec extends SparkSpec {
       val pfxDirs = new java.io.File(s"$path/buckets").listFiles()
         .filter(_.getName.startsWith("bucket_pfx=")).map(_.getName).toSet
       assert(pfxDirs.size > 1, s"expected multiple prefix partitions, got $pfxDirs")
-      val restored = Similarity.LshIndex.read(spark, path,
-        dim = 16, planes = 10, tables = 4)
+      // no hyperparameters at the call site: the store's params sidecar
+      // is the only source — a mismatched re-open is impossible
+      val restored = Similarity.LshIndex.read(spark, path)
+      assert(restored.dim === 16 && restored.planes === 10 &&
+        restored.tables === 4 && restored.seed === 42L)
       // plain search over the store equals the in-memory result
       val plain = restored.search(queries, "vec_id", "embedding", k = 5)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
