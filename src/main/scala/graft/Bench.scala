@@ -90,22 +90,50 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (repaired.nonEmpty) repaired.map(_._2).sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Noise flagging: a single-run bench on this host can read 2-3× high
+    // on regex/JIT-heavy queries with ZERO code change (the steal-burst
+    // problem above, plus expression-compile tails one warm-up doesn't
+    // fully absorb). bench_reference.json — committed, the builder's
+    // min-of-2 for the same sf — provides per-query context: any timed
+    // value > 2× its reference (and > 0.25 s above it, so micro-query
+    // jitter never trips it) lands in "noise_suspect", telling a reader
+    // the number is probably the host, not a regression. Absent or
+    // sf-mismatched reference → empty list, never an error.
+    val reference: Map[String, Double] =
+      try {
+        val p = java.nio.file.Paths.get("bench_reference.json")
+        if (java.nio.file.Files.exists(p)) {
+          val txt = java.nio.file.Files.readString(p)
+          val sfOk = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+            .forall(_.group(1) == sfDir)
+          if (sfOk)
+            "\"([A-Za-z0-9_]+)\":([0-9]+\\.?[0-9]*)".r.findAllMatchIn(txt)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          else Map.empty
+        } else Map.empty
+      } catch { case _: Throwable => Map.empty }
+    val noiseSuspect = repaired.collect {
+      case (name, v)
+          if reference.get(name).exists(r => v > 2.0 * r && v - r > 0.25) =>
+        name
+    }
+    val noiseJson = noiseSuspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     // spark_version in every artifact: round 7's 21-query break was a
     // Spark-lineage change, diagnosable from the JSON alone only if the
     // runtime version rides along.
     val ver = spark.version
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","spark_version":"$ver"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"noise_suspect":$noiseJson,"sf":"$sfDir","spark_version":"$ver"}""")
     // The per-query line above can exceed the driver's tail-capture
     // window (~70 entries); repeat the total on a FINAL compact line —
     // no per-query map — so a machine-readable number always survives.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"sf":"$sfDir","spark_version":"$ver"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"noise_suspect":$noiseJson,"sf":"$sfDir","spark_version":"$ver"}""")
     // ... and persist the FULL record to bench_total.json (cwd — the
     // driver invokes sbt from the repo root) so the number survives
     // even when stdout capture truncates both lines: read the file
     // instead of parsing a tail.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_total.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","spark_version":"$ver"}\n""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"noise_suspect":$noiseJson,"sf":"$sfDir","spark_version":"$ver"}\n""")
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_total.json write failed: ${e.getMessage}")
     }

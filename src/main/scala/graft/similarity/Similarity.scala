@@ -273,6 +273,19 @@ object Similarity {
       dot(v, v) - lit(2.0) * dot(v, lit2) + lit(ctr.map(x => x * x).sum)
     }
 
+    /** Corpus-proportional list count: ~`targetListSize` vectors per
+      * list with a floor of 16 and a 4096 cap (the centroid table is a
+      * broadcast literal; 4096 × 64 doubles ≈ 2 MB keeps it one). This
+      * is the published IVF scaling policy — nLists grows WITH the
+      * corpus so per-list cardinality, the unit of probe work and of
+      * SemDeDup's within-cluster pairing, stays bounded at any scale —
+      * and `build(nLists = 0)` applies it from the measured corpus
+      * count. All sf fixtures land on the floor (16), so adaptivity
+      * changes nothing at test scale and everything at 10×+.
+      */
+    def adaptiveNLists(total: Long, targetListSize: Long = 300L): Int =
+      math.max(16L, math.min(4096L, total / targetListSize)).toInt
+
     /** Fit the coarse quantizer (MLlib k-means, seeded) and materialize
       * the inverted lists. The fit input is BOUNDED by default: at most
       * ~`maxFitVectors` rows (a uniform sample whose fraction is
@@ -305,14 +318,16 @@ object Similarity {
         col(corpusVecCol).cast("array<double>").as("__cv") +:
         metaCols.map(col): _*)
       // one count() job at build time (amortized across every query the
-      // index serves) buys a scale-independent fit
+      // index serves) buys a scale-independent fit AND the adaptive
+      // list count (nLists = 0 → [[adaptiveNLists]])
       val total = c.count()
+      val k = if (nLists > 0) nLists else adaptiveNLists(total)
       val capFraction =
         if (total > maxFitVectors) maxFitVectors.toDouble / total else 1.0
       val fraction = math.min(fitSampleFraction, capFraction)
       val fitInput = (if (fraction < 1.0) c.sample(fraction, seed) else c)
         .withColumn("features", array_to_vector(col("__cv")))
-      val model = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("features")
+      val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
         .fit(fitInput)
       val centroids: Seq[Seq[Double]] = model.clusterCenters.map(_.toArray.toSeq).toSeq
       val idx = IvfIndex(centroids, listed = null)

@@ -36,6 +36,30 @@ class RegistrySpec extends SparkSpec {
         failures.mkString("\n  "))
   }
 
+  test("every registered query executes at sf0.001 through the noop sink") {
+    // Analysis (above) is the fast first signal; this closes the
+    // RUNTIME-ONLY failure class — codegen faults, cast overflows,
+    // dir-dependent fixture paths (e.g. s03/s09's centroid dumps) —
+    // that analysis cannot see. sf0.001 keeps the full sweep tens of
+    // seconds; the noop sink consumes every output column at full
+    // width, the Bench evaluation discipline.
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          None
+        } catch {
+          case e: Throwable =>
+            Some(s"$name: ${e.getClass.getSimpleName} " +
+              Option(e.getMessage).getOrElse("").linesIterator
+                .take(2).mkString(" ").take(300))
+        }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} quer(ies) fail at runtime:\n  " +
+        failures.mkString("\n  "))
+  }
+
   test("every registered query has an oracle, and every oracle a query") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
