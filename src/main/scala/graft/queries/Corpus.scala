@@ -300,6 +300,50 @@ object Corpus {
        |    AS fk_grade
        |FROM m""".stripMargin
 
+  /** Incremental corpus-stats maintenance — t19's BM25 serving inputs
+    * (N, Σdl → avgdl, per-term df) maintained by FOLDING a delta batch
+    * into base partials instead of recomputing from raw history: the
+    * corpus splits into base (doc_id % 10 ≠ 0) and delta (% 10 = 0)
+    * batches, each contributes additive partial states, and
+    * [[graft.text.CorpusStats.merge]] (the q49 mergeAggregates
+    * machinery) folds them. The ORACLE computes the same stats from
+    * the whole corpus in one pass — the hash match is the proof that
+    * fold ≡ full recompute, the materialized-view exactness contract
+    * for the "continuous corpus" loop (d09's admission counterpart for
+    * retrieval stats). Output bounded to df ≥ 25 terms — the filter
+    * runs POST-merge (pre-filtered partials would not merge exactly).
+    * Shape: one term-keyed shuffle per batch + a 1-row broadcast cross
+    * of the totals; cost O(|delta| + |vocab|) at any corpus size.
+    */
+  val t33_incremental_corpus_stats: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+    val base = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+    val delta = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+    val (df, totals) = graft.text.CorpusStats.merge(
+      Seq(graft.text.CorpusStats.dfPartial(base, col("__toks")),
+        graft.text.CorpusStats.dfPartial(delta, col("__toks"))),
+      Seq(graft.text.CorpusStats.totalsPartial(base, col("__toks")),
+        graft.text.CorpusStats.totalsPartial(delta, col("__toks"))))
+    df.where(col("df") >= 25)
+      .crossJoin(broadcast(totals)) // 1-row totals: justified broadcast cross
+      .select(col("token"), col("df"), col("n_docs"), col("total_dl"),
+        round(col("total_dl").cast("double") / col("n_docs"), 6).as("avgdl"))
+  }
+
+  /** Full recompute over the whole corpus in one pass — hash-matching
+    * this against the Spark side's two-batch fold proves the fold.
+    */
+  val t33_sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tot AS (SELECT COUNT(*) AS n_docs,
+       |  CAST(SUM(len(toks)) AS BIGINT) AS total_dl FROM t),
+       |x AS (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM t),
+       |df AS (SELECT token, COUNT(*) AS df FROM x GROUP BY token)
+       |SELECT token, df, n_docs, total_dl,
+       |  ROUND(CAST(total_dl AS DOUBLE) / n_docs, 6) AS avgdl
+       |FROM df CROSS JOIN tot WHERE df >= 25""".stripMargin
+
   /** Content fingerprint (min-md5 over word 8-gram shingles) per doc —
     * the winnowing-style signature used for fast copy detection.
     */
@@ -3191,6 +3235,7 @@ object Corpus {
     "t30_bigram_xent"       -> t30_bigram_xent,
     "t31_lang_consistency"  -> t31_lang_consistency,
     "t32_readability"       -> t32_readability,
+    "t33_incremental_corpus_stats" -> t33_incremental_corpus_stats,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -3259,6 +3304,7 @@ object Corpus {
     "t30_bigram_xent"       -> t30_sql,
     "t31_lang_consistency"  -> t31_sql,
     "t32_readability"       -> t32_sql,
+    "t33_incremental_corpus_stats" -> t33_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,

@@ -197,4 +197,35 @@ class IncrementalSpec extends SparkSpec {
       .where(col("count") > 1).count()
     assert(cur === 0L)
   }
+
+  test("CorpusStats: folding successive batches equals full recompute at every step") {
+    import graft.text.{CorpusStats, TextAnalysis}
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+    val toks = col("__toks")
+    def stats(df: org.apache.spark.sql.DataFrame, tot: org.apache.spark.sql.DataFrame) = {
+      val d = df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val t = tot.collect().map(r => (r.getLong(0), r.getLong(1))).head
+      (d, t)
+    }
+    // three growing batches (uneven by construction: % 5 buckets 0, 1-2, 3-4)
+    val batches = Seq(
+      docs.where(pmod(col("doc_id"), lit(5)) === 0),
+      docs.where(pmod(col("doc_id"), lit(5)).isin(1, 2)),
+      docs.where(pmod(col("doc_id"), lit(5)).isin(3, 4)))
+    var dfParts = List.empty[org.apache.spark.sql.DataFrame]
+    var totParts = List.empty[org.apache.spark.sql.DataFrame]
+    batches.zipWithIndex.foreach { case (b, i) =>
+      dfParts :+= CorpusStats.dfPartial(b, toks)
+      totParts :+= CorpusStats.totalsPartial(b, toks)
+      val (foldedDf, foldedTot) = CorpusStats.merge(dfParts, totParts)
+      // full recompute over the union seen so far — both sides growing
+      val seen = docs.where(pmod(col("doc_id"), lit(5)) <= i * 2)
+      val (fullDf, fullTot) = CorpusStats.merge(
+        Seq(CorpusStats.dfPartial(seen, toks)),
+        Seq(CorpusStats.totalsPartial(seen, toks)))
+      assert(stats(foldedDf, foldedTot) === stats(fullDf, fullTot),
+        s"fold diverged from recompute after batch $i")
+    }
+  }
 }
