@@ -3192,6 +3192,90 @@ object Corpus {
        |SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rank
        |FROM r WHERE rank <= 10""".stripMargin
 
+  /** Incremental ANN index maintenance — the s-series counterpart of
+    * t33's stats fold and d09's dedup admission, closing the
+    * "continuous corpus" loop for retrieval serving: the IVF quantizer
+    * is FIT ONCE on the base corpus (vec_id % 10 ≠ 0) and FROZEN, and
+    * the delta batch (% 10 = 0) folds in through
+    * [[Similarity.IvfIndex#append]] — a narrow nearest-centroid
+    * assignment + union, O(|delta|) regardless of how much is already
+    * indexed, never a refit. A probe set that STRADDLES the split
+    * (ids 8..12 — four base vectors and one delta vector) then
+    * searches the merged index.
+    *
+    * Correctness contract: per-vector assignment is independent, so
+    * append ≡ assigning the full corpus under the same centroids — the
+    * oracle replays exactly that from the base-fit centroid dump, and
+    * the hash match proves the fold. (Drift is the operator's honest
+    * boundary: after enough appends the frozen centroids stop
+    * describing the corpus and a rebuild — s03's build — is the
+    * rare scheduled event; the append path is the every-batch path.)
+    */
+  private val ivfDeltaIndexes =
+    scala.collection.concurrent.TrieMap[String, Similarity.IvfIndex]()
+
+  private def ivfDeltaCentroidPath(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${graft.ingest.FixtureTables.root}/ivf_centroids_delta_$key.parquet"
+  }
+
+  val s13_ivf_delta_append: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val baseIdx = ivfDeltaIndexes.getOrElseUpdate(dir, {
+      val built = Similarity.IvfIndex.build(
+        e.where(pmod(col("vec_id"), lit(10)) =!= 0), "vec_id", "embedding",
+        nLists = 0)
+      import s.implicits._
+      built.centroids.zipWithIndex.map { case (c, i) => (i, c) }
+        .toDF("list_id", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(ivfDeltaCentroidPath(dir))
+      built
+    })
+    val merged = baseIdx.append(
+      e.where(pmod(col("vec_id"), lit(10)) === 0), "vec_id", "embedding")
+    merged.search(e.where(col("vec_id") >= 8 && col("vec_id") < 13),
+        "vec_id", "embedding", k = 10, nProbe = 8)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  /** DuckDB replay of s13: assignment of the WHOLE corpus from the
+    * base-fit centroid dump (≡ base assignment + frozen-quantizer
+    * delta append), then the s03 probe/rank recipe for ids 8..12.
+    */
+  def s13_sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ctr AS (SELECT list_id, centroid
+       |        FROM read_parquet('${ivfDeltaCentroidPath(oracleSfDir)}/*.parquet')),
+       |dist AS (SELECT e.vec_id, c.list_id,
+       |  ((list_reduce(list_transform(generate_series(1, 64),
+       |      i -> e.v[i] * e.v[i]), (a, b) -> a + b)
+       |    - 2.0e0 * list_reduce(list_transform(generate_series(1, 64),
+       |      i -> e.v[i] * c.centroid[i]), (a, b) -> a + b))
+       |   + list_reduce(list_transform(c.centroid, x -> x * x),
+       |      (a, b) -> a + b)) AS d
+       | FROM e CROSS JOIN ctr c),
+       |assign AS (SELECT vec_id AS neighbor_id, list_id FROM (
+       |  SELECT vec_id, list_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+       |  FROM dist) WHERE rn = 1),
+       |probe AS (SELECT vec_id AS query_id, list_id FROM (
+       |  SELECT vec_id, list_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+       |  FROM dist WHERE vec_id >= 8 AND vec_id < 13) WHERE rn <= 8),
+       |cand AS (SELECT DISTINCT query_id, neighbor_id
+       | FROM probe JOIN assign USING (list_id)
+       | WHERE neighbor_id <> query_id),
+       |sc AS (SELECT query_id, neighbor_id, $cosSql AS cos
+       | FROM cand JOIN e a ON a.vec_id = query_id
+       |           JOIN e b ON b.vec_id = neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id
+       |                     ORDER BY cos DESC, neighbor_id ASC) AS rank
+       | FROM sc)
+       |SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rank
+       |FROM r WHERE rank <= 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "m01_multimodal_features" -> m01_multimodal_features,
     "m02_frame_manifest"    -> m02_frame_manifest,
@@ -3258,7 +3342,8 @@ object Corpus {
     "s09_filtered_ann"      -> s09_filtered_ann,
     "s10_ivf_quant_ann"     -> s10_ivf_quant_ann,
     "s11_hybrid_rrf"        -> s11_hybrid_rrf,
-    "s12_ivf_serving"       -> s12_ivf_serving)
+    "s12_ivf_serving"       -> s12_ivf_serving,
+    "s13_ivf_delta_append"  -> s13_ivf_delta_append)
 
   // def, not val: s03_sql embeds the per-dir centroid fixture path for
   // the CURRENT `oracleSfDir`, so the map must be rebuilt at dump time.
@@ -3328,5 +3413,6 @@ object Corpus {
     "s09_filtered_ann"      -> s09_sql,
     "s10_ivf_quant_ann"     -> s10_sql,
     "s11_hybrid_rrf"        -> s11_sql,
-    "s12_ivf_serving"       -> s12_sql)
+    "s12_ivf_serving"       -> s12_sql,
+    "s13_ivf_delta_append"  -> s13_sql)
 }

@@ -229,6 +229,31 @@ object Similarity {
         .where(col("rank") <= k)
     }
 
+    /** Fold a delta batch into the index WITHOUT refitting: new
+      * vectors are assigned to their nearest EXISTING centroid — the
+      * quantizer is frozen, the standard serving-index maintenance
+      * contract (refits are rare rebuild-scale events; appends are
+      * cheap and continuous, the d09/t33 "continuous corpus" loop for
+      * ANN). Cost is one narrow assignment pass over the delta + a
+      * union — O(|delta|), independent of how much is already indexed.
+      * On a persisted index the identical assignment appends files
+      * into the existing `ivf_list=` partitions. Exactness: appending
+      * equals assigning the full corpus under the same centroids
+      * (per-vector assignment is independent), oracle-proven by s13
+      * and spec-proven in SimilaritySpec.
+      */
+    def append(
+        delta: DataFrame,
+        idCol: String,
+        vecCol: String,
+        metaCols: Seq[String] = Nil): IvfIndex = {
+      val d = delta.select(col(idCol).as("neighbor_id") +:
+        col(vecCol).cast("array<double>").as("__cv") +:
+        metaCols.map(col): _*)
+        .withColumn("ivf_list", element_at(rankedLists(col("__cv")), 1))
+      copy(listed = listed.unionByName(d))
+    }
+
     /** Persist the index for serving: the inverted lists land
       * PARTITIONED BY `ivf_list` (one directory per list, so a probe's
       * list keys prune storage partitions instead of scanning the

@@ -525,6 +525,61 @@ object StreamingIngest {
       .lastOption.map(_._2)
   }
 
+  // ---- streaming corpus-stats maintenance (the t33 fold, continuous) ----
+
+  /** Continuously maintained corpus statistics — the streaming face of
+    * t33's batch fold ([[graft.text.CorpusStats]]), completing the
+    * continuous-corpus loop for retrieval/quality stats the way
+    * [[streamingNearDupAdmission]] does for dedup: each micro-batch of
+    * documents contributes its ADDITIVE partials (n_docs, Σdl,
+    * per-term df), which merge with the previous generation's stats
+    * and land as `gen-<batchId>` under `statsRoot` (a `df` and a `tot`
+    * table per generation). Same replay contract as [[scdApplyStream]]:
+    * a batch reads the newest generation STRICTLY BELOW its own id
+    * (generations below are immutable by construction) and overwrites
+    * only its own output, so a crashed/replayed batch re-derives the
+    * identical generation. Per-trigger cost O(|batch| + |vocab|),
+    * independent of corpus history — the stats never require a corpus
+    * rescan, which is what makes per-batch BM25/LM freshness
+    * affordable on a 100 TB corpus.
+    */
+  def corpusStatsStream(
+      docs: DataFrame, // streaming frame with a `text` column
+      statsRoot: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          val spark = batch.sparkSession
+          val staged = batch.toDF()
+            .withColumn("__toks", graft.text.TextAnalysis.tokens(col("text")))
+          val dfPart = graft.text.CorpusStats.dfPartial(staged, col("__toks"))
+          val totPart = graft.text.CorpusStats.totalsPartial(staged, col("__toks"))
+          val (dfAll, totAll) = priorGeneration(spark, statsRoot, batchId) match {
+            case Some(p) =>
+              graft.text.CorpusStats.merge(
+                Seq(spark.read.parquet(s"$p/df"), dfPart),
+                Seq(spark.read.parquet(s"$p/tot"), totPart))
+            case None =>
+              graft.text.CorpusStats.merge(Seq(dfPart), Seq(totPart))
+          }
+          dfAll.write.mode("overwrite").parquet(s"$statsRoot/gen-$batchId/df")
+          totAll.write.mode("overwrite").parquet(s"$statsRoot/gen-$batchId/tot")
+          ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+
+  /** Newest committed stats generation as (per-term df, one-row
+    * totals), or None before the first batch lands.
+    */
+  def currentCorpusStats(
+      spark: SparkSession, statsRoot: String): Option[(DataFrame, DataFrame)] =
+    priorGeneration(spark, statsRoot, Long.MaxValue)
+      .map(p => (spark.read.parquet(s"$p/df"), spark.read.parquet(s"$p/tot")))
+
   /** Streaming near-dup admission — the continuous-dedup serving loop
     * over [[graft.dedup.Dedup.incrementalNearDups]]: each micro-batch
     * of (doc_id, text) is (1) self-deduped with the d02 band family

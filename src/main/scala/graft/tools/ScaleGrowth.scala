@@ -120,6 +120,22 @@ object ScaleGrowth {
     repEmbeddings(1).write.mode("overwrite").parquet(s"$base/x1/embeddings.parquet")
     repEmbeddings(10).write.mode("overwrite").parquet(s"$base/x10/embeddings.parquet")
 
+    // q85 reads events: replicas shift user_id (and event_id for PK
+    // hygiene), rep 0 keeping the originals — the first-seen
+    // aggregation must carry 10× distinct users while the output stays
+    // calendar-bounded, exactly the regime first-seen attribution
+    // exists for
+    val events = graft.Tables(spark, sfDir, "events")
+    def repEvents(r: Int): DataFrame =
+      events.withColumn("rep", explode(sequence(lit(0), lit(r - 1))))
+        .withColumn("user_id",
+          col("user_id") + col("rep").cast("long") * lit(100000000L))
+        .withColumn("event_id",
+          col("event_id") + col("rep").cast("long") * lit(1000000000L))
+        .drop("rep")
+    repEvents(1).write.mode("overwrite").parquet(s"$base/x1/events.parquet")
+    repEvents(10).write.mode("overwrite").parquet(s"$base/x10/events.parquet")
+
     // t17 joins the dedup family here: the sketch-guided heavy-hitter
     // pipeline should be near-linear too (two bigram passes + k-bounded
     // summaries; the salted corpus keeps bigram vocabulary ~1.6k < k,
@@ -137,12 +153,29 @@ object ScaleGrowth {
     // t29/s09/q82 join in round 8: the unigram-LM token join (vocab
     // grows with the salted corpus), the filtered-ANN candidate join
     // (lists 10×, probes fixed), and the fixed-64-bucket z-stats agg
+    // round 9 adds the rest of the round-8 surface plus t33/s12:
+    //  - t31/t32: segment explode + narrow projection (should be ~t03)
+    //  - t33: the two-batch stats fold — vocab-keyed, near-t21
+    //  - d11: within-cluster pairing under ADAPTIVE nLists (the list
+    //    count grows with the corpus, so per-list pair work is bounded
+    //    — the published SemDeDup policy; a fixed nLists would go
+    //    quadratic here, which is exactly what this measures)
+    //  - d12: fingerprint-keyed source-pair matrix (source count fixed)
+    //  - s10: probe-bounded quantized candidate cut over 10× lists
+    //  - s11: BM25 ⊕ cosine fusion (both stages' growth composed)
+    //  - s12: persisted-store serving — restore + pruned probe; the
+    //    write is once per dir and amortizes into the warm-up
+    //  - q84: CSV write+read round-trip (pure scan-shaped)
+    //  - q85: first-seen attribution over 10× distinct users
     val queries = Seq("d02_minhash_neardups", "d06_jaccard_neardups",
       "d07_decontamination", "d09_incremental_neardups",
       "d10_containment_neardups", "t17_heavy_hitters", "t19_bm25",
       "t21_oov_rate", "q79_winsorize", "t29_unigram_xent",
-      "t30_bigram_xent", "s09_filtered_ann", "q82_zorder_stats",
-      "q83_gap_fill")
+      "t30_bigram_xent", "t31_lang_consistency", "t32_readability",
+      "t33_incremental_corpus_stats", "d11_semantic_dedup",
+      "d12_source_overlap", "s09_filtered_ann", "s10_ivf_quant_ann",
+      "s11_hybrid_rrf", "s12_ivf_serving", "q82_zorder_stats",
+      "q83_gap_fill", "q84_csv_roundtrip", "q85_user_growth")
     def time(name: String, dir: String): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()

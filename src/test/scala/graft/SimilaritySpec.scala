@@ -194,6 +194,26 @@ class SimilaritySpec extends SparkSpec {
       s"lists scan read $readPartitions of ${listDirs.size} partitions — no pruning")
   }
 
+  test("IvfIndex.append: folding a delta equals assigning the full corpus under the frozen quantizer") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val base = e.where(pmod(col("vec_id"), lit(10)) =!= 0)
+    val delta = e.where(pmod(col("vec_id"), lit(10)) === 0)
+    val idx = Similarity.IvfIndex.build(base, "vec_id", "embedding", nLists = 0)
+    try {
+      val appended = idx.append(delta, "vec_id", "embedding")
+      val got = appended.listed
+        .select(col("neighbor_id"), col("ivf_list"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      // direct full-corpus assignment under the SAME centroids, via the
+      // public probe API (nearest list = 1-probe head)
+      val direct = e.select(col("vec_id").as("neighbor_id"),
+          element_at(idx.probeLists(col("embedding"), 1), 1).as("ivf_list"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got === direct)
+      assert(got.size === e.count())
+    } finally { idx.listed.unpersist(false); () }
+  }
+
   test("lshTopK candidates are a subset of brute-force with exact scores, and same-direction vectors are always found") {
     val rng = new scala.util.Random(11)
     val corpus = (0L until 50L).map { i =>

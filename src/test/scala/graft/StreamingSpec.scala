@@ -683,6 +683,41 @@ class StreamingSpec extends SparkSpec {
     assert(got.where(col("valid_to").isNull).count() === 3L)
   }
 
+  test("corpusStatsStream: folded generations equal batch recompute over all documents") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import graft.text.{CorpusStats, TextAnalysis}
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_stats_stream").toString
+    val root = s"$base/stats"; val ckpt = s"$base/ckpt"
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingIngest.corpusStatsStream(
+      stream.toDF().toDF("doc_id", "text"), root, ckpt)
+    val batches = Seq(
+      Seq((1L, "spark shuffles data across executors"),
+        (2L, "spark caches hot data")),
+      Seq((3L, "window functions rank rows"), (4L, "")), // empty doc: counts, no tokens
+      Seq((5L, "spark window rank")))
+    batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val (dfS, totS) = StreamingIngest.currentCorpusStats(spark, root).get
+    val all = batches.flatten.toDF("doc_id", "text")
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+    val (dfB, totB) = CorpusStats.merge(
+      Seq(CorpusStats.dfPartial(all, col("__toks"))),
+      Seq(CorpusStats.totalsPartial(all, col("__toks"))))
+    def dfSet(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(dfSet(dfS) === dfSet(dfB))
+    val s1 = totS.collect().head; val b1 = totB.collect().head
+    assert((s1.getLong(0), s1.getLong(1)) === (b1.getLong(0), b1.getLong(1)))
+    assert(s1.getLong(0) === 5L) // the empty doc still counts toward N
+    assert(dfSet(dfS).contains(("spark", 3L))) // df is per-doc distinct
+    // one generation per batch, append-only
+    assert(new java.io.File(s"$root/gen-2/df").exists
+      && new java.io.File(s"$root/gen-2/tot").exists)
+  }
+
   test("streamingNearDupAdmission: self-dedup + corpus filter; admitted generations append") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
