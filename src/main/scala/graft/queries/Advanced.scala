@@ -1432,7 +1432,67 @@ object Advanced {
       |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90_est
       |FROM r WHERE rn <= 256 GROUP BY o_orderpriority""".stripMargin
 
+  /** Incremental distinct-count maintenance — the SKETCH leg of the
+    * continuous-corpus loop (stats t33, ANN index s13, dedup d09): the
+    * KMV summary is MERGEABLE — the k smallest hashes of a union are
+    * the k smallest of the two k-smallest sets — so per-batch sketches
+    * fold into the standing corpus sketch in closed form without
+    * touching history, the q49 partial-state discipline applied to an
+    * approximate summary. Two batches (lineitem split by `l_orderkey`
+    * parity) aggregate independently to k-hash ARRAYS ([[KmvSketch]]'s
+    * `kmvHashes`); the fold is take-k ∘ sort ∘ distinct ∘ concat on
+    * those arrays; the estimate from the FOLDED sketch hash-matches
+    * the full-corpus KMV replay — merge ≡ full, the property that lets
+    * a 100 TB engine keep per-partition/per-day sketches and answer
+    * any cross-slice distinct count by folding summaries instead of
+    * rescanning data.
+    */
+  val q86_incremental_kmv: Q = (s, dir) => {
+    val k = 256
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_orderkey"),
+      KmvSketch.hash64(col("l_partkey")).as("__h"))
+    def batchSketch(p: Int): DataFrame =
+      li.where(pmod(col("l_orderkey"), lit(2)) === p)
+        .groupBy(col("l_returnflag"))
+        .agg(KmvSketch.kmvHashes(col("__h"), k).as(s"__hs$p"))
+    val noHashes = array().cast("array<bigint>")
+    val merged = batchSketch(0)
+      .join(batchSketch(1), Seq("l_returnflag"), "full_outer")
+      .select(col("l_returnflag"),
+        slice(array_sort(array_distinct(concat(
+          coalesce(col("__hs0"), noHashes),
+          coalesce(col("__hs1"), noHashes)))), 1, k).as("__hs"))
+    merged.select(col("l_returnflag"),
+      when(size(col("__hs")) < k, size(col("__hs")).cast("long"))
+        .otherwise(floor(lit((k - 1).toDouble) * lit(KmvSketch.TwoPow60)
+          / element_at(col("__hs"), k).cast("double")).cast("long"))
+        .as("n_kmv"))
+  }
+
+  /** Full-corpus KMV replay (the q26 recipe, estimate only): the Spark
+    * side never scans the whole table in one pass — it folds two batch
+    * sketches — so the hash match IS the merge ≡ full proof.
+    */
+  val q86_sql: String =
+    """WITH h AS (
+      |  SELECT DISTINCT l_returnflag,
+      |         ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT l_returnflag, hv,
+      |         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
+      |  FROM h),
+      |s AS (
+      |  SELECT l_returnflag, COUNT(*) AS nk, MAX(hv) AS mx
+      |  FROM r WHERE rn <= 256 GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      |  CASE WHEN nk < 256 THEN nk
+      |       ELSE CAST(floor((255 * 1152921504606846976.0) / mx) AS BIGINT)
+      |  END AS n_kmv
+      |FROM s""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q86_incremental_kmv" -> q86_incremental_kmv,
     "q65_kmv_setops"    -> q65_kmv_setops,
     "q72_sliding_distinct" -> q72_sliding_distinct,
     "q73_sampled_quantiles" -> q73_sampled_quantiles,
@@ -1472,6 +1532,7 @@ object Advanced {
     "q56_unpivot"       -> q56_unpivot)
 
   val oracles: Map[String, String] = Map(
+    "q86_incremental_kmv" -> q86_sql,
     "q65_kmv_setops"    -> q65_sql,
     "q72_sliding_distinct" -> q72_sql,
     "q73_sampled_quantiles" -> q73_sql,
