@@ -167,6 +167,10 @@ object ScaleGrowth {
     //    write is once per dir and amortizes into the warm-up
     //  - q84: CSV write+read round-trip (pure scan-shaped)
     //  - q85: first-seen attribution over 10× distinct users
+    //  - s13: frozen-quantizer delta append — base fit + O(|delta|)
+    //    assignment, then the probe join over 10× lists
+    //  - q86: mergeable-KMV fold — two k-bounded batch sketches, the
+    //    scan carries the growth while the fold stays k-sized
     val queries = Seq("d02_minhash_neardups", "d06_jaccard_neardups",
       "d07_decontamination", "d09_incremental_neardups",
       "d10_containment_neardups", "t17_heavy_hitters", "t19_bm25",
@@ -174,8 +178,9 @@ object ScaleGrowth {
       "t30_bigram_xent", "t31_lang_consistency", "t32_readability",
       "t33_incremental_corpus_stats", "d11_semantic_dedup",
       "d12_source_overlap", "s09_filtered_ann", "s10_ivf_quant_ann",
-      "s11_hybrid_rrf", "s12_ivf_serving", "q82_zorder_stats",
-      "q83_gap_fill", "q84_csv_roundtrip", "q85_user_growth")
+      "s11_hybrid_rrf", "s12_ivf_serving", "s13_ivf_delta_append",
+      "q82_zorder_stats", "q83_gap_fill", "q84_csv_roundtrip",
+      "q85_user_growth", "q86_incremental_kmv")
     def time(name: String, dir: String): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
