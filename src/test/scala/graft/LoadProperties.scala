@@ -96,6 +96,61 @@ object LoadProperties extends Properties("graft.load") {
       }
     }
 
+  // t33's fold machinery must be split-invariant: ANY batch assignment
+  // (including empty batches and empty documents) folds to the same
+  // stats a one-shot pass computes — the property that makes the
+  // continuous-corpus loop safe under arbitrary delta arrival.
+  property("CorpusStats fold over any 3-way batch split ≡ one-shot recompute") = {
+    import graft.text.{CorpusStats, TextAnalysis}
+    val genDocs: Gen[List[(Long, String)]] =
+      Gen.listOfN(20, for {
+        id <- Gen.choose(0L, 1000000L)
+        n <- Gen.choose(0, 10) // 0 → the empty-document edge
+        ws <- Gen.listOfN(n,
+          Gen.oneOf("spark", "data", "rank", "window", "hot", "fox", "stream"))
+      } yield (id, ws.mkString(" ")))
+    Prop.forAll(genDocs, Gen.listOfN(20, Gen.choose(0, 2))) { (docs, assign0) =>
+      val assign = assign0.padTo(docs.length, 0)
+      def staged(xs: List[(Long, String)]) =
+        xs.toDF("doc_id", "text")
+          .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      val parts = (0 to 2).map(p =>
+        staged(docs.zip(assign).collect { case (d, a) if a == p => d }))
+      val (dfM, totM) = CorpusStats.merge(
+        parts.map(f => CorpusStats.dfPartial(f, col("__toks"))),
+        parts.map(f => CorpusStats.totalsPartial(f, col("__toks"))))
+      val all = staged(docs)
+      val (dfF, totF) = CorpusStats.merge(
+        Seq(CorpusStats.dfPartial(all, col("__toks"))),
+        Seq(CorpusStats.totalsPartial(all, col("__toks"))))
+      def d(x: org.apache.spark.sql.DataFrame) =
+        x.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      def t(x: org.apache.spark.sql.DataFrame) =
+        x.collect().map(r => (r.getLong(0), r.getLong(1))).head
+      d(dfM) == d(dfF) && t(totM) == t(totF)
+    }
+  }
+
+  // q86's algebra: the k smallest hashes of a union are the k smallest
+  // of the parts' k-smallest sets — KMV summaries fold losslessly, for
+  // any split, any duplicate pattern, any fill level (< k included).
+  property("KMV k-min fold over any 2-way split ≡ full-corpus sketch") = {
+    import graft.functions.KmvSketch
+    Prop.forAll(Gen.listOfN(40, Gen.choose(0L, 30L))) { vals =>
+      val k = 8
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+        .select(col("id"), KmvSketch.hash64(col("v")).as("__h"))
+      def sketch(part: org.apache.spark.sql.DataFrame): Seq[Long] =
+        part.agg(KmvSketch.kmvHashes(col("__h"), k).as("hs"))
+          .collect()(0).getSeq[Long](0)
+      val merged = (sketch(df.where(pmod(col("id"), lit(2)) === 0))
+        ++ sketch(df.where(pmod(col("id"), lit(2)) === 1)))
+        .distinct.sorted.take(k)
+      merged == sketch(df).toList
+    }
+  }
+
   // journeyFrame's two-level (user, day) assembly must equal the global
   // (ts, event_id) sort — the invariant that lets the hot user's history
   // split across days without an unbounded aggregation buffer. The
