@@ -344,6 +344,44 @@ object Corpus {
        |  ROUND(CAST(total_dl AS DOUBLE) / n_docs, 6) AS avgdl
        |FROM df CROSS JOIN tot WHERE df >= 25""".stripMargin
 
+  /** Unicode NFC normalization — the canonical first text-cleaning
+    * step: web corpora carry the same grapheme composed (é = U+00E9)
+    * and decomposed (e + U+0301), which silently breaks exact dedup,
+    * shingle fingerprints, and token statistics until the corpus is
+    * folded to one form. Spark has no built-in normalizer, so this is
+    * [[graft.functions.UnicodeNormalize]] — a native codegen
+    * `UnaryExpression` over `java.text.Normalizer` (UAX #15), with an
+    * allocation-free fast path when the input is already NFC (the
+    * dominant case for ASCII-heavy text). The query plants decomposed
+    * sequences deterministically (every 'e' → e + combining acute) so
+    * the normalizer provably recomposes, then fingerprints the result;
+    * the ORACLE reaches the same bytes through DuckDB's independent
+    * `nfc_normalize` (utf8proc) — md5 equality is a byte-exact
+    * cross-library proof of UAX #15 agreement. Pure narrow projection;
+    * no shuffle at any scale.
+    */
+  val t34_unicode_normalize: Q = (s, dir) => {
+    import graft.functions.UnicodeNormalize
+    val nfc = UnicodeNormalize(col("__d"), "NFC")
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "e", "e\u0301").as("__d"))
+      .select(col("doc_id"),
+        octet_length(col("__d")).cast("long").as("n_bytes_decomposed"),
+        octet_length(nfc).cast("long").as("n_bytes_nfc"),
+        (nfc =!= col("__d")).as("changed"),
+        md5(nfc.cast("binary")).as("md5_nfc"))
+  }
+
+  val t34_sql: String =
+    """WITH d AS (SELECT doc_id,
+      |  replace(text, 'e', 'e' || chr(769)) AS t FROM documents),
+      |n AS (SELECT doc_id, t, nfc_normalize(t) AS nt FROM d)
+      |SELECT doc_id, CAST(strlen(t) AS BIGINT) AS n_bytes_decomposed,
+      |  CAST(strlen(nt) AS BIGINT) AS n_bytes_nfc,
+      |  nt <> t AS changed, md5(nt) AS md5_nfc
+      |FROM n""".stripMargin
+
   /** Content fingerprint (min-md5 over word 8-gram shingles) per doc —
     * the winnowing-style signature used for fast copy detection.
     */
@@ -3320,6 +3358,7 @@ object Corpus {
     "t31_lang_consistency"  -> t31_lang_consistency,
     "t32_readability"       -> t32_readability,
     "t33_incremental_corpus_stats" -> t33_incremental_corpus_stats,
+    "t34_unicode_normalize" -> t34_unicode_normalize,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -3390,6 +3429,7 @@ object Corpus {
     "t31_lang_consistency"  -> t31_sql,
     "t32_readability"       -> t32_sql,
     "t33_incremental_corpus_stats" -> t33_sql,
+    "t34_unicode_normalize" -> t34_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,

@@ -1130,6 +1130,168 @@ object Extensions {
       |    AS BIGINT) AS users_ytd
       |FROM d""".stripMargin
 
+  /** Per-brand 2-D skyline (Pareto frontier): the parts where no other
+    * part of the same brand is both cheaper-or-equal AND
+    * larger-or-equal (strict in at least one) — the classic
+    * multi-objective "best tradeoffs" operator (minimize
+    * p_retailprice, maximize p_size). The naive formulation is a
+    * quadratic self-join (every part against every part); this is the
+    * sort-scan identity instead: collapse to one row per (brand,
+    * price) keeping MAX(size) — same-price dominance resolved by the
+    * aggregate — then a point survives iff its size strictly exceeds
+    * the running max size over all STRICTLY cheaper price levels (a
+    * keyed window over the price-level frame, whose cardinality is
+    * bounded by |brands| × |price domain|, catalog-small next to the
+    * part table at any scale). The ORACLE is the quadratic NOT EXISTS
+    * dominance test itself — an independent mechanism, so the hash
+    * match proves the window scan computes exactly the dominance
+    * semantics.
+    */
+  val q87_skyline: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val lvl = t(s, dir, "part")
+      .groupBy(col("p_brand"), col("p_retailprice").as("price"))
+      .agg(max(col("p_size")).as("best_size"),
+        count(lit(1)).as("n_parts"))
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // rows are distinct price levels, so ROWS ... -1 = strictly cheaper
+    lvl.withColumn("__prev_best", max(col("best_size")).over(w))
+      .where(col("__prev_best").isNull ||
+        col("best_size") > col("__prev_best"))
+      .select(col("p_brand"), col("price"), col("best_size"), col("n_parts"))
+  }
+
+  val q87_sql: String =
+    """WITH lvl AS (
+      |  SELECT p_brand, p_retailprice AS price,
+      |         MAX(p_size) AS best_size, COUNT(*) AS n_parts
+      |  FROM part GROUP BY 1, 2)
+      |SELECT p_brand, price, best_size, n_parts
+      |FROM lvl a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM lvl b
+      |  WHERE b.p_brand = a.p_brand
+      |    AND b.price < a.price AND b.best_size >= a.best_size)""".stripMargin
+
+  /** First-order Markov transition matrix over per-user event streams:
+    * for every (from_type → to_type) pair of CONSECUTIVE events of one
+    * user, the transition count and the row-normalized probability —
+    * the behavioral model behind next-action prediction, anomaly
+    * scoring (improbable transitions), and bot detection (too-peaked
+    * rows). Consecutiveness is per user by (ts, event_id) — one LEAD
+    * over a user-keyed window (bounded by per-user activity, never a
+    * global sort), then a count aggregate over the transition-pair
+    * space (|event types|², catalog-small), and the row normalizer is
+    * a window over that tiny matrix. Counts are exact integers; the
+    * probability is one final double division, rounded — the
+    * order-independence discipline of t32.
+    */
+  val q88_markov_transitions: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(perUser))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    trans.select(col("from_type"), col("to_type"), col("n_trans"),
+      round(col("n_trans").cast("double") /
+        sum(col("n_trans")).over(byFrom), 6).as("p_trans"))
+  }
+
+  val q88_sql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS from_type,
+      |         LEAD(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+      |  FROM events),
+      |m AS (SELECT from_type, to_type, COUNT(*) AS n_trans
+      |      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n_trans,
+      |  ROUND(CAST(n_trans AS DOUBLE) /
+      |    SUM(n_trans) OVER (PARTITION BY from_type), 6) AS p_trans
+      |FROM m""".stripMargin
+
+  /** CUSUM drift detection per event type — the one-sided cumulative-sum
+    * control chart (Page 1954) over the DAILY event-count series:
+    * s_t = max(0, s_{t-1} + (n_t − mean)), with the max excursion and
+    * the first day the statistic breaches one mean-day of excess. The
+    * recursion is inherently sequential per key, so it runs as an
+    * `aggregate` higher-order fold over the per-type day series —
+    * legitimate to materialize because its length is bounded by the
+    * CALENDAR (days × |event types|), not event volume; the heavy
+    * lifting (daily bucketing of the raw stream) stays a keyed
+    * map-side-combined aggregate. All arithmetic is INTEGER-scaled by
+    * |days| (s_t ← max(0, s_{t-1} + n_t·days − total), threshold
+    * total) so the fold is exact — no floating-point accumulation —
+    * and the two reported ratios are final double divisions, rounded.
+    * The ORACLE replays the same recursion as a DuckDB RECURSIVE CTE
+    * walking rank-joined rows — an independent evaluation mechanism
+    * for the same recurrence.
+    */
+  val q89_cusum_drift: Q = (s, dir) => {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val series = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("n")).as("total_events"),
+        sort_array(collect_list(struct(col("day"), col("n"))))
+          .as("__series"))
+    val zero = struct(lit(0L).as("s"), lit(0L).as("smax"),
+      lit(null).cast("timestamp").as("breach"))
+    val folded = series.withColumn("__fold",
+      aggregate(col("__series"), zero, (acc, x) => {
+        val s2 = greatest(lit(0L), acc.getField("s") +
+          x.getField("n") * col("n_days") - col("total_events"))
+        struct(s2.as("s"), greatest(acc.getField("smax"), s2).as("smax"),
+          coalesce(acc.getField("breach"),
+            when(s2 > col("total_events"), x.getField("day"))).as("breach"))
+      }))
+    folded.select(col("event_type"), col("n_days"), col("total_events"),
+      col("__fold.smax").as("max_cusum_scaled"),
+      round(col("__fold.smax").cast("double") / col("n_days"), 6)
+        .as("max_excess_events"),
+      col("__fold.breach").as("first_breach_day"))
+  }
+
+  val q89_sql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |         CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |               CAST(SUM(n) AS BIGINT) AS total_events
+      |        FROM daily GROUP BY 1),
+      |rnk AS (SELECT d.event_type, d.day, d.n, t.n_days, t.total_events,
+      |               ROW_NUMBER() OVER (PARTITION BY d.event_type
+      |                 ORDER BY d.day) AS rn
+      |        FROM daily d JOIN tot t USING (event_type)),
+      |walk(event_type, rn, s, smax, breach) AS (
+      |  SELECT event_type, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+      |         CAST(0 AS BIGINT), CAST(NULL AS TIMESTAMP) FROM tot
+      |  UNION ALL
+      |  SELECT w.event_type, w.rn + 1,
+      |    GREATEST(0, w.s + r.n * r.n_days - r.total_events),
+      |    GREATEST(w.smax,
+      |      GREATEST(0, w.s + r.n * r.n_days - r.total_events)),
+      |    COALESCE(w.breach,
+      |      CASE WHEN GREATEST(0, w.s + r.n * r.n_days - r.total_events)
+      |        > r.total_events THEN r.day END)
+      |  FROM walk w JOIN rnk r
+      |    ON r.event_type = w.event_type AND r.rn = w.rn + 1)
+      |SELECT t.event_type, t.n_days, t.total_events,
+      |  CAST(f.smax AS BIGINT) AS max_cusum_scaled,
+      |  ROUND(CAST(f.smax AS DOUBLE) / t.n_days, 6) AS max_excess_events,
+      |  f.breach AS first_breach_day
+      |FROM walk f JOIN tot t
+      |  ON f.event_type = t.event_type AND f.rn = t.n_days""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q59_lateral"        -> q59_lateral,
     "q60_month_spine"    -> q60_month_spine,
@@ -1154,7 +1316,10 @@ object Extensions {
     "q82_zorder_stats"   -> q82_zorder_stats,
     "q83_gap_fill"       -> q83_gap_fill,
     "q84_csv_roundtrip"  -> q84_csv_roundtrip,
-    "q85_user_growth"    -> q85_user_growth)
+    "q85_user_growth"    -> q85_user_growth,
+    "q87_skyline"        -> q87_skyline,
+    "q88_markov_transitions" -> q88_markov_transitions,
+    "q89_cusum_drift"    -> q89_cusum_drift)
 
   // def, not val: q84's oracle embeds the per-dir CSV fixture path for
   // the CURRENT Corpus.oracleSfDir (the s03 centroid-dump recipe)
@@ -1182,5 +1347,8 @@ object Extensions {
     "q82_zorder_stats"   -> q82_sql,
     "q83_gap_fill"       -> q83_sql,
     "q84_csv_roundtrip"  -> q84_sql,
-    "q85_user_growth"    -> q85_sql)
+    "q85_user_growth"    -> q85_sql,
+    "q87_skyline"        -> q87_sql,
+    "q88_markov_transitions" -> q88_sql,
+    "q89_cusum_drift"    -> q89_sql)
 }

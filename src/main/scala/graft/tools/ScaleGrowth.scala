@@ -136,6 +136,19 @@ object ScaleGrowth {
     repEvents(1).write.mode("overwrite").parquet(s"$base/x1/events.parquet")
     repEvents(10).write.mode("overwrite").parquet(s"$base/x10/events.parquet")
 
+    // q87 reads part: replicas shift p_partkey only, keeping brand /
+    // price / size identical — the price-level skyline frame is the
+    // SAME in both dirs (n_parts grows 10×), so the keyed window is
+    // fixed-cost and the scan + price-level aggregate must carry all
+    // the growth — the aggregate-first discipline under test
+    val part = graft.Tables(spark, sfDir, "part")
+    def repPart(r: Int): DataFrame =
+      part.withColumn("rep", explode(sequence(lit(0), lit(r - 1))))
+        .withColumn("p_partkey", col("p_partkey") * 16 + col("rep"))
+        .drop("rep")
+    repPart(1).write.mode("overwrite").parquet(s"$base/x1/part.parquet")
+    repPart(10).write.mode("overwrite").parquet(s"$base/x10/part.parquet")
+
     // t17 joins the dedup family here: the sketch-guided heavy-hitter
     // pipeline should be near-linear too (two bigram passes + k-bounded
     // summaries; the salted corpus keeps bigram vocabulary ~1.6k < k,
@@ -171,6 +184,14 @@ object ScaleGrowth {
     //    assignment, then the probe join over 10× lists
     //  - q86: mergeable-KMV fold — two k-bounded batch sketches, the
     //    scan carries the growth while the fold stays k-sized
+    // round 9 (late) adds q87-q89 + t34:
+    //  - q87: skyline — price-level frame FIXED across dirs (replicas
+    //    keep brand/price/size), so growth rides the scan + pre-agg
+    //  - q88: Markov transitions — per-user windows over 10× users;
+    //    the transition matrix stays |types|²
+    //  - q89: CUSUM — daily bucketing carries 10× events into a
+    //    calendar-bounded series; the fold is fixed-length
+    //  - t34: NFC normalize — pure narrow projection, scan-shaped
     val queries = Seq("d02_minhash_neardups", "d06_jaccard_neardups",
       "d07_decontamination", "d09_incremental_neardups",
       "d10_containment_neardups", "t17_heavy_hitters", "t19_bm25",
@@ -180,7 +201,9 @@ object ScaleGrowth {
       "d12_source_overlap", "s09_filtered_ann", "s10_ivf_quant_ann",
       "s11_hybrid_rrf", "s12_ivf_serving", "s13_ivf_delta_append",
       "q82_zorder_stats", "q83_gap_fill", "q84_csv_roundtrip",
-      "q85_user_growth", "q86_incremental_kmv")
+      "q85_user_growth", "q86_incremental_kmv", "q87_skyline",
+      "q88_markov_transitions", "q89_cusum_drift",
+      "t34_unicode_normalize")
     def time(name: String, dir: String): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()

@@ -1,0 +1,119 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Round-9 analytic operators (q87 skyline, q88 Markov transitions,
+  * q89 CUSUM drift, t34 Unicode normalize) verified against
+  * INDEPENDENT in-memory reimplementations over the sf0.001 fixtures —
+  * the same adversarial shape as the DuckDB oracles (quadratic
+  * dominance scan vs window identity; sequential driver-side recursion
+  * vs the distributed fold), so a bug in the Spark formulation cannot
+  * hide in a shared mechanism.
+  */
+class AnalyticOpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("UnicodeNormalize: UAX #15 forms, fast path, and null flow") {
+    import graft.functions.UnicodeNormalize
+    // composed e-acute (U+00E9) vs decomposed e + U+0301
+    val deco = UTF8String.fromString("cafe\u0301")
+    val comp = UTF8String.fromString("caf\u00e9")
+    assert(UnicodeNormalize.compute(deco, "NFC") === comp)
+    assert(UnicodeNormalize.compute(comp, "NFD") === deco)
+    // compatibility: the fi ligature (U+FB01) folds to "fi" under NFKC only
+    val lig = UTF8String.fromString("\ufb01n")
+    assert(UnicodeNormalize.compute(lig, "NFKC") === UTF8String.fromString("fin"))
+    assert(UnicodeNormalize.compute(lig, "NFC") === lig)
+    // fast path: already-normalized input returns the SAME instance
+    assert(UnicodeNormalize.compute(comp, "NFC") eq comp)
+    // codegen path end-to-end, null-intolerant null flow
+    import spark.implicits._
+    val df = Seq(Some("e\u0301"), Some("ascii"), None).toDF("s")
+      .select(UnicodeNormalize(col("s"), "NFC").as("n"))
+    assert(df.collect().map(r => Option(r.getString(0))).toSeq ===
+      Seq(Some("\u00e9"), Some("ascii"), None))
+  }
+
+  test("q87_skyline equals the quadratic dominance scan (per-brand Pareto)") {
+    val got = graft.queries.Extensions.q87_skyline(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    // independent: brute-force dominance over collected price levels
+    val lvl = Tables(spark, sfDir, "part")
+      .groupBy(col("p_brand"), col("p_retailprice"))
+      .agg(max(col("p_size")).as("best_size"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getInt(2), r.getLong(3)))
+    val want = lvl.filter { case (b, p, s, _) =>
+      !lvl.exists { case (b2, p2, s2, _) => b2 == b && p2 < p && s2 >= s }
+    }.toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // every brand keeps its cheapest price level (it is never dominated)
+    val cheapest = lvl.groupBy(_._1).map { case (_, g) => g.minBy(_._2) }.toSet
+    assert(cheapest.subsetOf(got))
+  }
+
+  test("q88_markov_transitions equals a sequential per-user replay") {
+    val got = graft.queries.Extensions.q88_markov_transitions(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val events = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val counts = events.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      // full microsecond precision: getTime truncates to millis
+      val seq = rows.sortBy(r =>
+        (r._2.toInstant.getEpochSecond, r._2.getNanos, r._3)).map(_._4)
+      seq.zip(seq.drop(1))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val fromTotals = counts.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    assert(got.keySet === counts.keySet)
+    counts.foreach { case (k, n) =>
+      val (gn, gp) = got(k)
+      assert(gn === n, s"count mismatch at $k")
+      val p = BigDecimal(n.toDouble / fromTotals(k._1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(gp - p) < 1e-9, s"probability mismatch at $k: $gp vs $p")
+    }
+    // each from-row of the matrix sums to ~1
+    got.toSeq.groupBy(_._1._1).foreach { case (f, rows) =>
+      assert(math.abs(rows.map(_._2._2).sum - 1.0) < 1e-4, s"row $f not normalized")
+    }
+  }
+
+  test("q89_cusum_drift equals the sequential Page recursion") {
+    val got = graft.queries.Extensions.q89_cusum_drift(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.getAs[Timestamp]("first_breach_day")))).toMap
+    val daily = Tables(spark, sfDir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    val want = daily.groupBy(_._1).map { case (et, rows) =>
+      val series = rows.sortBy(_._2.getTime)
+      val days = series.length.toLong
+      val total = series.map(_._3).sum
+      var s = 0L; var smax = 0L; var breach: Option[Timestamp] = None
+      series.foreach { case (_, day, n) =>
+        s = math.max(0L, s + n * days - total)
+        smax = math.max(smax, s)
+        if (breach.isEmpty && s > total) breach = Some(day)
+      }
+      et -> (days, total, smax, breach)
+    }
+    assert(got === want)
+    // the integer-scaled fold is exact: a flat series has zero excursion
+    assert(got.values.forall { case (_, _, smax, _) => smax >= 0L })
+  }
+}
