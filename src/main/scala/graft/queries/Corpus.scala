@@ -382,6 +382,110 @@ object Corpus {
       |  nt <> t AS changed, md5(nt) AS md5_nfc
       |FROM n""".stripMargin
 
+  /** Winnowing local fingerprints (Schleimer–Wilkerson–Aiken, the MOSS
+    * algorithm) — per document, the distinct window-minimum shingle
+    * hashes under the rightmost-tie rule, via the native
+    * [[graft.functions.WinnowFingerprints]] loop (k=5 shingles, w=4
+    * windows). This is the position-robust upgrade of t04's single
+    * global min-hash: winnowing GUARANTEES any shared token run of
+    * length ≥ w+k−1 contributes at least one common fingerprint
+    * (spec-proven on planted docs), at density ~2/(w+1) — the
+    * plagiarism/copy-span detector that single-signature schemes
+    * cannot be. Pure narrow projection (the fingerprint explode for a
+    * copy-detection join would be the d07 inverted-index shape); the
+    * ORACLE replays shingle → md5 → window fold → sort in DuckDB list
+    * algebra, byte-exact because selections are hex strings.
+    */
+  val t35_winnowing: Q = (s, dir) => {
+    import graft.functions.WinnowFingerprints
+    val n = size(col("__toks"))
+    val nh = when(n < 5, lit(1)).otherwise(n - 4)
+    val nw = greatest(nh - 3, lit(1)).cast("long")
+    t(s, dir, "documents")
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), nw.as("n_windows"),
+        WinnowFingerprints(col("__toks"), 5, 4).as("__fps"))
+      .select(col("doc_id"), col("n_windows"),
+        size(col("__fps")).cast("long").as("n_fingerprints"),
+        round(size(col("__fps")).cast("double") / col("n_windows"), 6)
+          .as("winnow_density"),
+        element_at(col("__fps"), 1).as("min_fp"))
+  }
+
+  // the selection fold in DuckDB list algebra: rightmost window min ≡
+  // left fold taking b when b <= a (positions strictly increase)
+  val t35_sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+       |       ELSE list_transform(generate_series(1, len(toks) - 4),
+       |                           i -> array_to_string(toks[i:i+4], ' ')) END AS sh
+       | FROM t),
+       |h AS (SELECT doc_id, list_transform(sh, x -> md5(x)) AS hs FROM sh),
+       |w AS (SELECT doc_id, hs, GREATEST(len(hs) - 3, 1) AS nw FROM h),
+       |sel AS (SELECT doc_id, nw, list_sort(list_distinct(
+       |    list_transform(generate_series(1, nw), i ->
+       |      list_reduce(hs[i:LEAST(i + 3, len(hs))],
+       |        (a, b) -> CASE WHEN b <= a THEN b ELSE a END)))) AS fps
+       |  FROM w)
+       |SELECT doc_id, CAST(nw AS BIGINT) AS n_windows,
+       |  CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       |  ROUND(CAST(len(fps) AS DOUBLE) / nw, 6) AS winnow_density,
+       |  fps[1] AS min_fp
+       |FROM sel""".stripMargin
+
+  /** Winnowing copy detection — the pair-finding face of t35: explode
+    * each document's winnow fingerprints into an inverted index, drop
+    * "stop fingerprints" (df > 50 — boilerplate shared by many docs
+    * pairs quadratically and carries no copy signal, the d07
+    * stop-shingle discipline), self-join on fingerprint, and keep
+    * pairs sharing ≥ 3 local fingerprints. Because winnowing
+    * guarantees every shared run of ≥ w+k−1 tokens contributes a
+    * common fingerprint, this finds COPY SPANS (quotes, syndication,
+    * partial plagiarism) that whole-document similarity misses, at
+    * inverted-index cost: the join is keyed on fingerprints whose df
+    * is bounded, so candidate pairs are Σ df² over kept fingerprints —
+    * never corpus². The ORACLE replays fingerprint selection in DuckDB
+    * list algebra and the same bounded join.
+    */
+  val d13_winnow_copydetect: Q = (s, dir) => {
+    import graft.functions.WinnowFingerprints
+    val fps = t(s, dir, "documents")
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .withColumn("__fps", WinnowFingerprints(col("__toks"), 5, 4))
+      .select(col("doc_id"), explode_outer(col("__fps")).as("fp"))
+      .where(col("fp").isNotNull)
+    val dfc = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    val kept = fps.join(dfc.where(col("df") <= 50), Seq("fp"))
+    val a = kept.select(col("fp"), col("doc_id").as("doc_a"))
+    val b = kept.select(col("fp"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("fp")).where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .where(col("n_shared_fps") >= 3)
+  }
+
+  val d13_sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+       |       ELSE list_transform(generate_series(1, len(toks) - 4),
+       |                           i -> array_to_string(toks[i:i+4], ' ')) END AS sh
+       | FROM t),
+       |h AS (SELECT doc_id, list_transform(sh, x -> md5(x)) AS hs FROM sh),
+       |sel AS (SELECT doc_id, list_distinct(
+       |    list_transform(generate_series(1, GREATEST(len(hs) - 3, 1)), i ->
+       |      list_reduce(hs[i:LEAST(i + 3, len(hs))],
+       |        (a, b) -> CASE WHEN b <= a THEN b ELSE a END))) AS fps
+       |  FROM h),
+       |f AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+       |dfc AS (SELECT fp, COUNT(*) AS df FROM f GROUP BY fp),
+       |k AS (SELECT f.doc_id, f.fp FROM f JOIN dfc USING (fp) WHERE df <= 50)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  COUNT(*) AS n_shared_fps
+       |FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin
+
   /** Content fingerprint (min-md5 over word 8-gram shingles) per doc —
     * the winnowing-style signature used for fast copy detection.
     */
@@ -3314,6 +3418,85 @@ object Corpus {
        |SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rank
        |FROM r WHERE rank <= 10""".stripMargin
 
+  /** Tombstone deletion against the PERSISTED ANN index — the third
+    * and final face of index maintenance, closing the CRUD loop
+    * (build = s03/s12, append = s13, delete = here): a delete batch
+    * lands as an append-only tombstone file next to the store
+    * ([[Similarity.IvfIndex.deleteFromStore]] — O(|batch|), list files
+    * untouched), and every restore anti-joins the tombstones out, so
+    * deleted vectors can never surface as neighbors — the GDPR-erasure
+    * / retracted-document path a production corpus needs continuously.
+    * The probe set deliberately includes a DELETED id (17 ≡ 3 mod 7):
+    * a deleted vector may still query, it just cannot be returned.
+    * [[Similarity.IvfIndex.compactStore]] is the rare scheduled
+    * rewrite (only affected `ivf_list` partitions, filesystem swap) —
+    * spec-proven identical before/after; the query times the serving
+    * shape: restore + tombstone anti-join + pruned probe.
+    *
+    * Oracle: the s12 replay against THIS store's centroid table, with
+    * the deleted ids excluded from the assignment side only.
+    */
+  private val ivfDelStoresWritten =
+    scala.collection.concurrent.TrieMap[String, Boolean]()
+
+  def ivfDelStorePath(dir: String): String = ivfStorePath(dir) + "_del"
+
+  val s14_ivf_tombstone_delete: Q = (s, dir) => {
+    val path = ivfDelStorePath(dir)
+    ivfDelStoresWritten.getOrElseUpdate(dir, {
+      // write-once per dir: the same deterministic seeded index as
+      // s12's store, plus one tombstone batch (vec_id ≡ 3 mod 7)
+      ivfMetaIndex(s, dir).write(path)
+      Similarity.IvfIndex.deleteFromStore(
+        t(s, dir, "embeddings").where(pmod(col("vec_id"), lit(7)) === 3),
+        "vec_id", path)
+      true
+    })
+    Similarity.IvfIndex.read(s, path)
+      .searchPruned(
+        t(s, dir, "embeddings").where(col("vec_id") >= 15 && col("vec_id") < 20),
+        "vec_id", "embedding", k = 10, nProbe = 8)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+  }
+
+  /** DuckDB replay of s14: the s12 recipe from the delete-store's own
+    * centroid table, with ids ≡ 3 (mod 7) absent from the assignment
+    * (= the index) but still allowed to probe.
+    */
+  def s14_sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ctr AS (SELECT list_id, centroid
+       |        FROM read_parquet('${ivfDelStorePath(oracleSfDir)}/centroids/*.parquet')),
+       |dist AS (SELECT e.vec_id, c.list_id,
+       |  ((list_reduce(list_transform(generate_series(1, 64),
+       |      i -> e.v[i] * e.v[i]), (a, b) -> a + b)
+       |    - 2.0e0 * list_reduce(list_transform(generate_series(1, 64),
+       |      i -> e.v[i] * c.centroid[i]), (a, b) -> a + b))
+       |   + list_reduce(list_transform(c.centroid, x -> x * x),
+       |      (a, b) -> a + b)) AS d
+       | FROM e CROSS JOIN ctr c),
+       |assign AS (SELECT vec_id AS neighbor_id, list_id FROM (
+       |  SELECT vec_id, list_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+       |  FROM dist WHERE vec_id % 7 <> 3) WHERE rn = 1),
+       |probe AS (SELECT vec_id AS query_id, list_id FROM (
+       |  SELECT vec_id, list_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+       |  FROM dist WHERE vec_id >= 15 AND vec_id < 20) WHERE rn <= 8),
+       |cand AS (SELECT DISTINCT query_id, neighbor_id
+       | FROM probe JOIN assign USING (list_id)
+       | WHERE neighbor_id <> query_id),
+       |sc AS (SELECT query_id, neighbor_id, $cosSql AS cos
+       | FROM cand JOIN e a ON a.vec_id = query_id
+       |           JOIN e b ON b.vec_id = neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id
+       |                     ORDER BY cos DESC, neighbor_id ASC) AS rank
+       | FROM sc)
+       |SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rank
+       |FROM r WHERE rank <= 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "m01_multimodal_features" -> m01_multimodal_features,
     "m02_frame_manifest"    -> m02_frame_manifest,
@@ -3359,6 +3542,7 @@ object Corpus {
     "t32_readability"       -> t32_readability,
     "t33_incremental_corpus_stats" -> t33_incremental_corpus_stats,
     "t34_unicode_normalize" -> t34_unicode_normalize,
+    "t35_winnowing"         -> t35_winnowing,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -3371,6 +3555,7 @@ object Corpus {
     "d10_containment_neardups" -> d10_containment_neardups,
     "d11_semantic_dedup"    -> d11_semantic_dedup,
     "d12_source_overlap"    -> d12_source_overlap,
+    "d13_winnow_copydetect" -> d13_winnow_copydetect,
     "s01_cosine_topk"       -> s01_cosine_topk,
     "s02_lsh_ann_topk"      -> s02_lsh_ann_topk,
     "s04_label_centroids"   -> s04_label_centroids,
@@ -3382,7 +3567,8 @@ object Corpus {
     "s10_ivf_quant_ann"     -> s10_ivf_quant_ann,
     "s11_hybrid_rrf"        -> s11_hybrid_rrf,
     "s12_ivf_serving"       -> s12_ivf_serving,
-    "s13_ivf_delta_append"  -> s13_ivf_delta_append)
+    "s13_ivf_delta_append"  -> s13_ivf_delta_append,
+    "s14_ivf_tombstone_delete" -> s14_ivf_tombstone_delete)
 
   // def, not val: s03_sql embeds the per-dir centroid fixture path for
   // the CURRENT `oracleSfDir`, so the map must be rebuilt at dump time.
@@ -3430,6 +3616,7 @@ object Corpus {
     "t32_readability"       -> t32_sql,
     "t33_incremental_corpus_stats" -> t33_sql,
     "t34_unicode_normalize" -> t34_sql,
+    "t35_winnowing"         -> t35_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,
@@ -3442,6 +3629,7 @@ object Corpus {
     "d10_containment_neardups" -> d10_sql,
     "d11_semantic_dedup"    -> d11_sql,
     "d12_source_overlap"    -> d12_sql,
+    "d13_winnow_copydetect" -> d13_sql,
     "s01_cosine_topk"       -> s01_sql,
     "s02_lsh_ann_topk"      -> s02_sql,
     "s03_ivf_topk"          -> s03_sql,
@@ -3454,5 +3642,6 @@ object Corpus {
     "s10_ivf_quant_ann"     -> s10_sql,
     "s11_hybrid_rrf"        -> s11_sql,
     "s12_ivf_serving"       -> s12_sql,
-    "s13_ivf_delta_append"  -> s13_sql)
+    "s13_ivf_delta_append"  -> s13_sql,
+    "s14_ivf_tombstone_delete" -> s14_sql)
 }

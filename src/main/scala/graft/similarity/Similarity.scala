@@ -274,6 +274,24 @@ object Similarity {
         .toDF("list_id", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     }
+
+    /** Logical deletion — the third face of index maintenance (build /
+      * [[append]] / delete, the full CRUD loop of a serving index): the
+      * deleted ids anti-join out of the lists relation, so every
+      * subsequent [[search]]/[[searchPruned]] on the returned index
+      * excludes them. The delete set is broadcast (a delete batch is
+      * operationally tiny next to the corpus), the lists side never
+      * shuffles, and on a storage-backed index the `ivf_list` partition
+      * pruning still reaches the scan — Catalyst pushes the static
+      * list filter below the anti-join. Nothing is rewritten here;
+      * [[IvfIndex.compactStore]] is the rare scheduled rewrite, exactly
+      * the tombstone-then-compact contract of Lucene segment deletes
+      * and Delta deletion vectors.
+      */
+    def delete(delIds: DataFrame, idCol: String): IvfIndex =
+      copy(listed = listed.join(
+        broadcast(delIds.select(col(idCol).as("neighbor_id")).distinct()),
+        Seq("neighbor_id"), "left_anti"))
   }
 
   object IvfIndex {
@@ -290,7 +308,83 @@ object Similarity {
         .sortBy(_.getInt(0))
         .map(_.getSeq[Double](1).toSeq)
         .toSeq
-      IvfIndex(ctrs, spark.read.parquet(s"$path/lists"))
+      val lists = spark.read.parquet(s"$path/lists")
+      // tombstones (deleteFromStore) apply at restore time: a broadcast
+      // anti-join over the delete set — the read-side half of the
+      // tombstone-then-compact contract. The `ivf_list` static filter
+      // of searchPruned pushes below this join, so partition pruning
+      // on the store survives pending deletes.
+      val withTomb =
+        if (hasTombstones(spark, path))
+          lists.join(broadcast(spark.read.parquet(s"$path/tombstones")
+              .select(col("neighbor_id")).distinct()),
+            Seq("neighbor_id"), "left_anti")
+        else lists
+      IvfIndex(ctrs, withTomb)
+    }
+
+    private def fsFor(spark: org.apache.spark.sql.SparkSession,
+        path: String): org.apache.hadoop.fs.FileSystem =
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    private def hasTombstones(spark: org.apache.spark.sql.SparkSession,
+        path: String): Boolean =
+      fsFor(spark, path).exists(
+        new org.apache.hadoop.fs.Path(s"$path/tombstones"))
+
+    /** Record deletions against a WRITTEN index without touching its
+      * list files: the ids land as an APPEND-mode tombstone batch that
+      * [[read]] anti-joins out at restore time. Append (not merge)
+      * keeps each delete an O(|batch|) file write regardless of how
+      * many tombstones already exist — duplicate tombstones are
+      * harmless to the anti-join, and deleting an id the index never
+      * held is a no-op by the same algebra. The id column must be the
+      * index's id type.
+      */
+    def deleteFromStore(delIds: DataFrame, idCol: String,
+        path: String): Unit =
+      delIds.select(col(idCol).as("neighbor_id")).distinct()
+        .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+
+    /** The rare scheduled rewrite that makes tombstones physical: only
+      * the `ivf_list` partitions that actually CONTAIN a deleted id are
+      * rewritten (surviving rows written to a staging dir, then swapped
+      * in with filesystem renames); untouched partitions keep their
+      * exact files, and the tombstone set is cleared. At 100 TB this is
+      * the whole point — a delete batch touches a handful of lists, so
+      * compaction cost scales with the affected lists, not the index.
+      * Results before and after compaction are identical
+      * (spec-asserted), because the anti-join and the rewrite remove
+      * the same rows.
+      */
+    def compactStore(spark: org.apache.spark.sql.SparkSession,
+        path: String): Unit = {
+      if (!hasTombstones(spark, path)) return
+      val fs = fsFor(spark, path)
+      val tomb = spark.read.parquet(s"$path/tombstones")
+        .select(col("neighbor_id")).distinct()
+      val lists = spark.read.parquet(s"$path/lists")
+      // bounded by the list count (≤ nLists values), never corpus size
+      val affected = lists.join(broadcast(tomb), Seq("neighbor_id"),
+          "left_semi")
+        .select(col("ivf_list")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      if (affected.nonEmpty) {
+        val staging = s"$path/lists_compacting"
+        lists.where(col("ivf_list").isin(affected: _*))
+          .join(broadcast(tomb), Seq("neighbor_id"), "left_anti")
+          .write.mode("overwrite").partitionBy("ivf_list").parquet(staging)
+        affected.foreach { id =>
+          val oldDir = new org.apache.hadoop.fs.Path(s"$path/lists/ivf_list=$id")
+          val newDir = new org.apache.hadoop.fs.Path(s"$staging/ivf_list=$id")
+          fs.delete(oldDir, true)
+          // a fully-deleted list simply has no staged dir to move in
+          if (fs.exists(newDir)) fs.rename(newDir, oldDir)
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
     }
 
     private[similarity] def sqDist(v: Column, ctr: Seq[Double]): Column = {

@@ -580,6 +580,100 @@ object StreamingIngest {
     priorGeneration(spark, statsRoot, Long.MaxValue)
       .map(p => (spark.read.parquet(s"$p/df"), spark.read.parquet(s"$p/tot")))
 
+  // ---- streaming transition-matrix maintenance (the q88 twin) ----
+
+  case class TypedEvent(user_id: Long, event_type: String,
+      ts: java.sql.Timestamp, event_id: Long)
+  /** Per-user last-seen event (the only state a first-order chain
+    * needs — O(|active users|), independent of history length).
+    */
+  case class LastEvent(tsMicros: Long, eventId: Long, eventType: String)
+  case class Transition(user_id: Long, from_type: String, to_type: String,
+      ts: java.sql.Timestamp)
+
+  /** Streaming twin of q88's transition extraction: keyed state holds
+    * each user's LAST event, and every arrival emits exactly one
+    * (from → to) transition row — including across micro-batch
+    * boundaries, which a stateless per-batch LEAD would drop. Under
+    * the per-user in-order delivery contract the twins document
+    * (sessionization, funnel), the emitted multiset equals the batch
+    * window's consecutive pairs exactly — spec-asserted against
+    * oracle-checked q88 on the real events table.
+    */
+  def streamingTransitions(events: org.apache.spark.sql.Dataset[TypedEvent])
+      : org.apache.spark.sql.Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, in: Iterator[TypedEvent], state: GroupState[LastEvent]) =>
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ListBuffer[Transition]()
+          in.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            if (st != null)
+              out += Transition(user, st.eventType, e.event_type, e.ts)
+            st = LastEvent(micros(e.ts), e.event_id, e.event_type)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Continuously maintained first-order transition matrix — the
+    * streaming face of q88, completing the twin the way
+    * [[corpusStatsStream]] does for t33: transition counts are
+    * ADDITIVE, so each micro-batch's (from, to) counts merge with the
+    * previous generation by summation and land as `gen-<batchId>`
+    * under `matrixRoot` (the scdApplyStream replay protocol — read
+    * strictly-below generation, overwrite only your own). Per-trigger
+    * cost O(|batch| + |types|²); the matrix never needs an event-log
+    * rescan. Probabilities are DERIVED at read time
+    * ([[currentTransitionMatrix]]) — persisting the additive counts,
+    * not the normalized rows, is what makes the fold exact.
+    */
+  def transitionMatrixStream(
+      events: org.apache.spark.sql.Dataset[TypedEvent],
+      matrixRoot: String,
+      checkpointDir: String): StreamingQuery =
+    streamingTransitions(events).toDF().writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          val spark = batch.sparkSession
+          val part = batch.toDF()
+            .groupBy(col("from_type"), col("to_type"))
+            .agg(count(lit(1)).as("n_trans"))
+          val merged = priorGeneration(spark, matrixRoot, batchId) match {
+            case Some(p) =>
+              spark.read.parquet(s"$p/matrix").unionByName(part)
+                .groupBy(col("from_type"), col("to_type"))
+                .agg(sum(col("n_trans")).as("n_trans"))
+            case None => part
+          }
+          merged.write.mode("overwrite")
+            .parquet(s"$matrixRoot/gen-$batchId/matrix")
+          ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+
+  /** Newest committed transition matrix with row-normalized
+    * probabilities derived from the persisted counts (q88's exact
+    * output shape), or None before the first batch lands.
+    */
+  def currentTransitionMatrix(
+      spark: SparkSession, matrixRoot: String): Option[DataFrame] =
+    priorGeneration(spark, matrixRoot, Long.MaxValue).map { p =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("from_type"))
+      spark.read.parquet(s"$p/matrix")
+        .select(col("from_type"), col("to_type"), col("n_trans"),
+          round(col("n_trans").cast("double") /
+            sum(col("n_trans")).over(w), 6).as("p_trans"))
+    }
+
   /** Streaming near-dup admission — the continuous-dedup serving loop
     * over [[graft.dedup.Dedup.incrementalNearDups]]: each micro-batch
     * of (doc_id, text) is (1) self-deduped with the d02 band family

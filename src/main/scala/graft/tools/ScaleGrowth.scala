@@ -192,6 +192,17 @@ object ScaleGrowth {
     //  - q89: CUSUM — daily bucketing carries 10× events into a
     //    calendar-bounded series; the fold is fixed-length
     //  - t34: NFC normalize — pure narrow projection, scan-shaped
+    //  - t35: winnowing — one native loop per doc, scan-shaped
+    //  - d13: winnow copy-join — inverted-index pairs bounded by the
+    //    df ≤ 50 stop-fingerprint cut (the salt keeps cross-replica
+    //    fingerprints disjoint, so pair density stays per-replica)
+    //  - s14: tombstone-delete serving — store write + tombstones
+    //    amortize into the warm-up; timed path = restore + anti-join
+    //    + pruned probe over 10× lists
+    // Local-iteration filter (mirrors Bench): SPARK_GRAFT_SCALE_ONLY=
+    // q87,t35 measures just the listed prefixes
+    val onlyPrefixes = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val queries = Seq("d02_minhash_neardups", "d06_jaccard_neardups",
       "d07_decontamination", "d09_incremental_neardups",
       "d10_containment_neardups", "t17_heavy_hitters", "t19_bm25",
@@ -203,7 +214,9 @@ object ScaleGrowth {
       "q82_zorder_stats", "q83_gap_fill", "q84_csv_roundtrip",
       "q85_user_growth", "q86_incremental_kmv", "q87_skyline",
       "q88_markov_transitions", "q89_cusum_drift",
-      "t34_unicode_normalize")
+      "t34_unicode_normalize", "t35_winnowing",
+      "s14_ivf_tombstone_delete", "d13_winnow_copydetect")
+      .filter(q => onlyPrefixes.forall(_.exists(q.startsWith)))
     def time(name: String, dir: String): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()

@@ -116,4 +116,46 @@ class AnalyticOpsSpec extends SparkSpec {
     // the integer-scaled fold is exact: a flat series has zero excursion
     assert(got.values.forall { case (_, _, smax, _) => smax >= 0L })
   }
+
+  test("WinnowFingerprints: matches a direct replay and honors the shared-run guarantee") {
+    import graft.functions.WinnowFingerprints
+    import spark.implicits._
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def replay(toks: Seq[String], k: Int, w: Int): Seq[String] = {
+      val hs = if (toks.length < k) Seq(md5hex(toks.mkString(" ")))
+        else toks.sliding(k).map(g => md5hex(g.mkString(" "))).toSeq
+      val nw = math.max(hs.length - w + 1, 1)
+      (0 until nw).map { i =>
+        val win = hs.slice(i, math.min(i + w, hs.length))
+        // rightmost min: left fold taking b when b <= a
+        win.reduceLeft((a, b) => if (b <= a) b else a)
+      }.distinct.sorted
+    }
+    val rng = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val docs = (0 until 40).map { i =>
+      i.toLong -> Seq.fill(3 + rng.nextInt(30))(vocab(rng.nextInt(vocab.size)))
+    }
+    val got = docs.map { case (id, toks) => (id, toks) }
+      .toDF("doc_id", "toks")
+      .select(col("doc_id"), WinnowFingerprints(col("toks"), 5, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    docs.foreach { case (id, toks) =>
+      assert(got(id) === replay(toks, 5, 4), s"doc $id")
+    }
+    // the winnowing guarantee: two docs sharing a run of ≥ w+k-1 = 8
+    // tokens share at least one fingerprint, wherever the run sits
+    val shared = Seq("s1", "s2", "s3", "s4", "s5", "s6", "s7", "s8")
+    val a = Seq.fill(15)(vocab(rng.nextInt(vocab.size))) ++ shared
+    val b = shared ++ Seq.fill(22)(vocab(rng.nextInt(vocab.size)))
+    assert(replay(a, 5, 4).toSet.intersect(replay(b, 5, 4).toSet).nonEmpty)
+    // density lands near the paper's 2/(w+1) on random text
+    val dens = docs.collect { case (id, toks) if toks.length > 12 =>
+      got(id).size.toDouble / math.max(toks.length - 4 - 3, 1)
+    }
+    val mean = dens.sum / dens.size
+    assert(mean > 0.2 && mean < 0.8, s"winnow density off: $mean")
+  }
 }

@@ -386,4 +386,66 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("rank").collect().map(_.getLong(1))
     assert(cosOrder.toSeq === Seq(1L, 2L), "without MMR the twin ranks second")
   }
+
+  test("IvfIndex tombstone delete: store deletes exclude neighbors; compaction rewrites only affected lists") {
+    val rng = new scala.util.Random(47)
+    val corpus = (0L until 200L).map { i =>
+      (i, Array.fill(16)(rng.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 3)
+    val idx = Similarity.IvfIndex.build(corpus, "vec_id", "embedding", nLists = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_del").toString
+    idx.write(path)
+    def res(i: Similarity.IvfIndex) =
+      i.search(queries, "vec_id", "embedding", k = 5, nProbe = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // small delete batch (3 ids, one of them a current rank-1 neighbor,
+    // so the delete observably changes a top-5 list) keeps some lists
+    // untouched for the compaction assertions
+    val victim = res(idx).find(_._4 == 1).get._2
+    val delIds = Set(victim, 98L, 195L)
+    val del = corpus.where(col("vec_id").isin(delIds.toSeq: _*)).select("vec_id")
+    // reference: the in-memory logical delete (broadcast anti-join)
+    val ref = res(idx.delete(del, "vec_id"))
+    assert(ref !== res(idx), "the delete must change some top-5 list")
+    // store-level tombstones: restore applies them
+    Similarity.IvfIndex.deleteFromStore(del, "vec_id", path)
+    val restored = Similarity.IvfIndex.read(spark, path)
+    assert(res(restored) === ref)
+    // deleted ids can never surface as neighbors, even probing every list
+    val allNb = restored.search(corpus.where(col("vec_id") === 0L),
+        "vec_id", "embedding", k = 200, nProbe = 8)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(allNb.intersect(delIds).isEmpty)
+    // duplicate tombstones are a no-op (append-only delete algebra)
+    Similarity.IvfIndex.deleteFromStore(del, "vec_id", path)
+    assert(res(Similarity.IvfIndex.read(spark, path)) === ref)
+    // compaction: affected ivf_list partitions rewrite, others keep
+    // their exact files, the tombstone set clears, results unchanged
+    def dirFiles(): Map[String, Set[String]] =
+      new java.io.File(s"$path/lists").listFiles()
+        .filter(_.getName.startsWith("ivf_list=")).map { d =>
+          d.getName -> d.listFiles().map(f =>
+            s"${f.getName}:${f.lastModified()}").toSet
+        }.toMap
+    val affectedLists = idx.listed
+      .join(del.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .select("ivf_list").distinct().collect().map(r => s"ivf_list=${r.getInt(0)}").toSet
+    val before = dirFiles()
+    assert(affectedLists.size < before.size, "need untouched lists for the test")
+    Similarity.IvfIndex.compactStore(spark, path)
+    val after = dirFiles()
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    before.keySet.diff(affectedLists).foreach { d =>
+      assert(after(d) === before(d), s"untouched partition $d was rewritten")
+    }
+    affectedLists.foreach { d =>
+      assert(after.get(d).forall(_ !== before(d)), s"affected partition $d unchanged")
+    }
+    val compacted = Similarity.IvfIndex.read(spark, path)
+    assert(res(compacted) === ref)
+    // compacting a store with no tombstones is a no-op
+    Similarity.IvfIndex.compactStore(spark, path)
+    assert(res(Similarity.IvfIndex.read(spark, path)) === ref)
+  }
 }

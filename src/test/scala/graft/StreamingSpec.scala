@@ -718,6 +718,43 @@ class StreamingSpec extends SparkSpec {
       && new java.io.File(s"$root/gen-2/tot").exists)
   }
 
+  test("transitionMatrixStream: folded generations equal oracle-checked q88 on the real events table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val base = Files.createTempDirectory("graft_markov_stream").toString
+    val root = s"$base/matrix"; val ckpt = s"$base/ckpt"
+    // global (ts, event_id) sort before chunking — the per-user
+    // in-order delivery contract the stateful twins document
+    val evs = graft.Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .collect()
+      .map(r => StreamingIngest.TypedEvent(
+        r.getLong(0), r.getString(1), r.getTimestamp(2), r.getLong(3)))
+    val stream = MemoryStream[StreamingIngest.TypedEvent]
+    val q = StreamingIngest.transitionMatrixStream(stream.toDS(), root, ckpt)
+    // 3 chunks: cross-batch transitions exist and must not be dropped
+    evs.grouped(math.max(evs.length / 3, 1)).foreach { chunk =>
+      stream.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val streamed = asMap(StreamingIngest.currentTransitionMatrix(spark, root).get)
+    val batch = asMap(graft.queries.Extensions.q88_markov_transitions(spark, dir))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // cross-batch coverage: total transitions = events - users (each
+    // user's first event starts a chain), only true if boundaries held
+    val users = evs.map(_.user_id).distinct.length
+    assert(streamed.values.map(_._1).sum === (evs.length - users).toLong)
+  }
+
   test("streamingNearDupAdmission: self-dedup + corpus filter; admitted generations append") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
