@@ -1233,11 +1233,14 @@ object Extensions {
     * walking rank-joined rows — an independent evaluation mechanism
     * for the same recurrence.
     */
-  val q89_cusum_drift: Q = (s, dir) => {
-    val daily = t(s, dir, "events")
-      .groupBy(col("event_type"),
-        date_trunc("day", col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
+  /** The Page recursion over a (event_type, day, n) daily-count frame —
+    * shared by q89 and the streaming fold's read-time derivation
+    * ([[graft.streaming.StreamingIngest.currentCusum]]): the base
+    * (daily counts) is additive and foldable; the sequential statistic
+    * is always DERIVED from it, never persisted, so arrival order can
+    * never leak into the result.
+    */
+  def cusumFromDaily(daily: DataFrame): DataFrame = {
     val series = daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_days"),
         sum(col("n")).as("total_events"),
@@ -1259,6 +1262,12 @@ object Extensions {
         .as("max_excess_events"),
       col("__fold.breach").as("first_breach_day"))
   }
+
+  val q89_cusum_drift: Q = (s, dir) =>
+    cusumFromDaily(t(s, dir, "events")
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")))
 
   val q89_sql: String =
     """WITH RECURSIVE daily AS (

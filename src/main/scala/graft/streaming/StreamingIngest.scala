@@ -674,6 +674,61 @@ object StreamingIngest {
             sum(col("n_trans")).over(w), 6).as("p_trans"))
     }
 
+  // ---- streaming CUSUM maintenance (the q89 twin) ----
+
+  /** Continuously maintained CUSUM drift statistics — the streaming
+    * face of q89: per-type DAILY event counts are ADDITIVE, so each
+    * micro-batch's (event_type, day) counts merge with the previous
+    * generation by summation and land as `gen-<batchId>` (the
+    * scdApplyStream replay protocol). The CUSUM recursion itself is
+    * NOT folded — it is order-dependent, so persisting it would bake
+    * in arrival order; instead [[currentCusum]] re-derives it at read
+    * time from the folded daily series, which is affordable at ANY
+    * corpus scale because the series is calendar-bounded (days ×
+    * |types|), never event-volume-bounded. That split — fold the
+    * additive base, derive the sequential statistic — is the same
+    * exactness discipline as [[transitionMatrixStream]]'s derived
+    * probabilities, and makes the streamed statistic EQUAL q89 on the
+    * union of batches (spec-asserted), late or out-of-order daily
+    * buckets included.
+    */
+  def cusumStream(
+      events: DataFrame, // streaming frame with event_type + ts columns
+      statsRoot: String,
+      checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          val spark = batch.sparkSession
+          val part = batch.toDF()
+            .groupBy(col("event_type"),
+              date_trunc("day", col("ts")).as("day"))
+            .agg(count(lit(1)).as("n"))
+          val merged = priorGeneration(spark, statsRoot, batchId) match {
+            case Some(p) =>
+              spark.read.parquet(s"$p/daily").unionByName(part)
+                .groupBy(col("event_type"), col("day"))
+                .agg(sum(col("n")).as("n"))
+            case None => part
+          }
+          merged.write.mode("overwrite")
+            .parquet(s"$statsRoot/gen-$batchId/daily")
+          ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+
+  /** q89's exact output derived from the newest folded daily series
+    * (integer-scaled Page recursion over the calendar-bounded frame),
+    * or None before the first batch lands.
+    */
+  def currentCusum(spark: SparkSession, statsRoot: String): Option[DataFrame] =
+    priorGeneration(spark, statsRoot, Long.MaxValue).map(p =>
+      graft.queries.Extensions.cusumFromDaily(
+        spark.read.parquet(s"$p/daily")))
+
   /** Streaming near-dup admission — the continuous-dedup serving loop
     * over [[graft.dedup.Dedup.incrementalNearDups]]: each micro-batch
     * of (doc_id, text) is (1) self-deduped with the d02 band family

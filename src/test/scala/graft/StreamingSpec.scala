@@ -755,6 +755,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.values.map(_._1).sum === (evs.length - users).toLong)
   }
 
+  test("cusumStream: folded daily generations derive exactly q89, out-of-order batches included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val base = Files.createTempDirectory("graft_cusum_stream").toString
+    val root = s"$base/cusum"; val ckpt = s"$base/ckpt"
+    val evs = graft.Tables(spark, dir, "events")
+      .select(col("event_type"), col("ts"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1)))
+    // deliberately SHUFFLED batches: the additive daily fold must not
+    // care about arrival order (the statistic derives at read time)
+    val shuffled = new scala.util.Random(7).shuffle(evs.toSeq)
+    val stream = MemoryStream[(String, java.sql.Timestamp)]
+    val q = StreamingIngest.cusumStream(
+      stream.toDF().toDF("event_type", "ts"), root, ckpt)
+    shuffled.grouped(math.max(shuffled.length / 3, 1)).foreach { chunk =>
+      stream.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          Option(r.getAs[java.sql.Timestamp](5)))).toMap
+    val streamed = asMap(StreamingIngest.currentCusum(spark, root).get)
+    val batch = asMap(graft.queries.Extensions.q89_cusum_drift(spark, dir))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streamingNearDupAdmission: self-dedup + corpus filter; admitted generations append") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
