@@ -449,17 +449,33 @@ object Corpus {
     * list algebra and the same bounded join.
     */
   val d13_winnow_copydetect: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
     import graft.functions.WinnowFingerprints
     val fps = t(s, dir, "documents")
       .withColumn("__toks", TextAnalysis.tokens(col("text")))
       .withColumn("__fps", WinnowFingerprints(col("__toks"), 5, 4))
       .select(col("doc_id"), explode_outer(col("__fps")).as("fp"))
       .where(col("fp").isNotNull)
-    val dfc = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-    val kept = fps.join(dfc.where(col("df") <= 50), Seq("fp"))
+    // df via a WINDOW over the fp exchange, not a groupBy+join: both
+    // self-join branches then end in the IDENTICAL exchange, which
+    // ReuseExchange collapses — the winnow scan runs ONCE, where the
+    // aggregate+join formulation ran it four times (plan-asserted in
+    // AnalyticOpsSpec). The window key is the fingerprint (high
+    // cardinality), and per-key row count is exactly the df being
+    // computed — bounded for every key that survives the cut
+    val kept = fps
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .where(col("__df") <= 50).drop("__df")
     val a = kept.select(col("fp"), col("doc_id").as("doc_a"))
     val b = kept.select(col("fp"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("fp")).where(col("doc_a") < col("doc_b"))
+    // merge-join hint: at fixture scale Catalyst would broadcast one
+    // side, wrapping it in a BroadcastExchange whose canonical form no
+    // longer matches the other branch — killing the exchange reuse. At
+    // corpus scale both sides are the same large relation (broadcast
+    // is impossible anyway), so SMJ is the honest physical shape at
+    // every size, and it is what lets the scan run once
+    a.hint("merge").join(b.hint("merge"), Seq("fp"))
+      .where(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_fps"))
       .where(col("n_shared_fps") >= 3)

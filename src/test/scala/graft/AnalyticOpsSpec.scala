@@ -158,4 +158,17 @@ class AnalyticOpsSpec extends SparkSpec {
     val mean = dens.sum / dens.size
     assert(mean > 0.2 && mean < 0.8, s"winnow density off: $mean")
   }
+
+  test("d13_winnow_copydetect executes the winnow scan once (AQE reuses the fp exchange)") {
+    val df = graft.queries.Corpus.queries("d13_winnow_copydetect")(spark, sfDir)
+    df.collect()
+    // both self-join branches end in the canonically-identical window
+    // exchange; at runtime AQE must REUSE the first branch's shuffle
+    // stage for the second, so the expensive winnow scan runs once.
+    // (The static plan prints two exchanges — reuse is a runtime stage
+    // decision, which is why this asserts on the EXECUTED plan.)
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("Reused"),
+      s"no reused stage in the executed plan:\n$executed")
+  }
 }
