@@ -434,6 +434,70 @@ object Corpus {
        |  fps[1] AS min_fp
        |FROM sel""".stripMargin
 
+  /** Integer quota allocation by the largest-remainder method — the
+    * missing half of t15's mixture weights: once per-source sampling
+    * PROPORTIONS exist, a real pipeline must turn them into integer
+    * per-source quotas that sum EXACTLY to the batch budget (rounding
+    * each share independently over- or under-shoots; the
+    * largest-remainder / Hamilton method is the canonical fix). All
+    * arithmetic is exact integers: floor shares via integer division,
+    * the leftover slots distributed by fractional-remainder rank
+    * (source name as the deterministic tiebreak), and the invariant
+    * Σ final_quota = budget holds by construction (spec-asserted).
+    * Shape: one keyed aggregate over the corpus + windows over the
+    * catalog-small source frame — the aggregate carries all growth.
+    */
+  val t36_quota_allocation: Q = (s, dir) => {
+    val budget = 1000L
+    // the ONLY corpus-scale work: one keyed count per source
+    val bySource = t(s, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    // everything below runs on the catalog-small source frame — 1-row
+    // broadcast crosses and a theta self-join for the remainder rank
+    // (the q65/t15 bounded-frame shape; a global window would funnel
+    // through one task AND trip the plan lint, so the rank is a join)
+    val total = bySource.agg(sum(col("n_docs")).as("__total"))
+    val shares = bySource.crossJoin(broadcast(total))
+      .withColumn("remainder",
+        pmod(col("n_docs") * budget, col("__total")))
+      .withColumn("base_quota",
+        ((col("n_docs") * budget - col("remainder")) / col("__total"))
+          .cast("long"))
+    val leftover = shares.agg(
+      (lit(budget) - sum(col("base_quota"))).as("__leftover"))
+    val cmp = shares.select(col("source").as("__s2"),
+      col("remainder").as("__r2"))
+    shares.crossJoin(broadcast(leftover))
+      .join(cmp,
+        col("__r2") > col("remainder") ||
+          (col("__r2") === col("remainder") && col("__s2") < col("source")),
+        "left")
+      .groupBy(col("source"), col("n_docs"), col("base_quota"),
+        col("remainder"), col("__leftover"))
+      .agg(count(col("__s2")).as("__nbetter"))
+      .select(col("source"), col("n_docs"), col("base_quota"),
+        col("remainder"),
+        (col("base_quota") +
+          when(col("__nbetter") < col("__leftover"), 1L).otherwise(0L))
+          .as("final_quota"))
+  }
+
+  val t36_sql: String =
+    """WITH s AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+      |t AS (SELECT source, n_docs, SUM(n_docs) OVER () AS total FROM s),
+      |sh AS (SELECT source, n_docs,
+      |         CAST((n_docs * 1000) // total AS BIGINT) AS base_quota,
+      |         CAST((n_docs * 1000) % total AS BIGINT) AS remainder
+      |       FROM t),
+      |r AS (SELECT *,
+      |        1000 - SUM(base_quota) OVER () AS leftover,
+      |        ROW_NUMBER() OVER (ORDER BY remainder DESC, source) AS rnk
+      |      FROM sh)
+      |SELECT source, n_docs, base_quota, remainder,
+      |  CAST(base_quota + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END
+      |    AS BIGINT) AS final_quota
+      |FROM r""".stripMargin
+
   /** Winnowing copy detection — the pair-finding face of t35: explode
     * each document's winnow fingerprints into an inverted index, drop
     * "stop fingerprints" (df > 50 — boilerplate shared by many docs
@@ -3559,6 +3623,7 @@ object Corpus {
     "t33_incremental_corpus_stats" -> t33_incremental_corpus_stats,
     "t34_unicode_normalize" -> t34_unicode_normalize,
     "t35_winnowing"         -> t35_winnowing,
+    "t36_quota_allocation"  -> t36_quota_allocation,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -3633,6 +3698,7 @@ object Corpus {
     "t33_incremental_corpus_stats" -> t33_sql,
     "t34_unicode_normalize" -> t34_sql,
     "t35_winnowing"         -> t35_sql,
+    "t36_quota_allocation"  -> t36_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,

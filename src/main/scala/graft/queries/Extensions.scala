@@ -1301,6 +1301,130 @@ object Extensions {
       |FROM walk f JOIN tot t
       |  ON f.event_type = t.event_type AND f.rn = t.n_days""".stripMargin
 
+  /** Theil–Sen robust trend per event type — the median of all
+    * pairwise slopes over the daily-count series (and the median
+    * residual intercept), the standard outlier-immune alternative to
+    * q80's least-squares slopes: a single corrupted day moves OLS
+    * arbitrarily but moves a median of O(days²) slopes not at all
+    * (breakdown point ~29%). The pairwise enumeration is legitimate
+    * for the same reason q89's fold is: the series is CALENDAR-bounded
+    * (days per type), so pairs are |days|²/2 per type — a constant in
+    * corpus size — while the daily bucketing of the raw stream stays a
+    * keyed map-side-combined aggregate that carries all the data
+    * growth. Slopes are single divisions of exact integers; the two
+    * medians interpolate identically in both engines (rank p·(n−1),
+    * linear between order statistics), rounded on output.
+    */
+  val q90_theilsen_trend: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("day"))))
+    val a = daily.select(col("event_type"), col("i").as("ia"), col("n").as("na"))
+    val b = daily.select(col("event_type"), col("i").as("ib"), col("n").as("nb"))
+    val slopes = a.hint("merge").join(b.hint("merge"), Seq("event_type"))
+      .where(col("ib") > col("ia"))
+      .select(col("event_type"),
+        ((col("nb") - col("na")).cast("double") /
+          (col("ib") - col("ia"))).as("slope"))
+    val m = slopes.groupBy(col("event_type"))
+      .agg(percentile(col("slope"), lit(0.5)).as("m"),
+        count(lit(1)).as("n_pairs"))
+    daily.join(m, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(round(first(col("m")), 6).as("sen_slope"),
+        round(percentile(col("n") - col("m") * col("i"), lit(0.5)), 6)
+          .as("sen_intercept"),
+        first(col("n_pairs")).as("n_pairs"))
+  }
+
+  val q90_sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+      |         CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (SELECT event_type, n,
+      |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+      |        FROM daily),
+      |sl AS (SELECT a.event_type,
+      |         CAST(b.n - a.n AS DOUBLE) / (b.i - a.i) AS slope
+      |       FROM idx a JOIN idx b
+      |         ON a.event_type = b.event_type AND b.i > a.i),
+      |m AS (SELECT event_type, quantile_cont(slope, 0.5) AS m,
+      |             COUNT(*) AS n_pairs
+      |      FROM sl GROUP BY 1)
+      |SELECT i.event_type, ROUND(ANY_VALUE(m.m), 6) AS sen_slope,
+      |  ROUND(quantile_cont(i.n - m.m * i.i, 0.5), 6) AS sen_intercept,
+      |  ANY_VALUE(m.n_pairs) AS n_pairs
+      |FROM idx i JOIN m ON i.event_type = m.event_type
+      |GROUP BY 1""".stripMargin
+
+  /** Top session entry paths — the first three event types of every
+    * session (q28's 30-minute-gap sessionization via the custom
+    * [[graft.operators.Sessionize]] operator), ranked by session
+    * count: the "how do users start" behavioral query every product
+    * analytics stack ships (the Sankey/flow diagram's data side).
+    * The path string builds from three conditional MAXes over the
+    * rank ≤ 3 rows — not collect_list, whose order is
+    * nondeterministic — and `concat_ws` drops the NULLs of shorter
+    * sessions identically in both engines. Shape: user-keyed session
+    * windows (bounded per user) → per-session 3-row aggregate → a
+    * count over the path space (bounded by |types|³) → top-10
+    * sort+limit (TopK, never a global sort).
+    */
+  val q91_session_paths: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val gapMicros = 30L * 60 * 1000 * 1000
+    val sess = graft.operators.Sessionize(
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+      Seq("user_id"), "ts", gapMicros)
+    val w = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+    sess.withColumn("__rn", row_number().over(w)).where(col("__rn") <= 3)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(concat_ws(">",
+        max(when(col("__rn") === 1, col("event_type"))),
+        max(when(col("__rn") === 2, col("event_type"))),
+        max(when(col("__rn") === 3, col("event_type")))).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(10)
+  }
+
+  val q91_sql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+      |  FROM events),
+      |flagged AS (
+      |  SELECT *,
+      |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1)
+      |           OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+      |         OR LAG(epoch_us(ts), 1)
+      |           OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         THEN 1 ELSE 0 END AS is_start
+      |  FROM e),
+      |sess AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_id
+      |  FROM flagged),
+      |p AS (SELECT user_id, session_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM sess),
+      |agg AS (SELECT user_id, session_id,
+      |    concat_ws('>',
+      |      MAX(CASE WHEN rn = 1 THEN event_type END),
+      |      MAX(CASE WHEN rn = 2 THEN event_type END),
+      |      MAX(CASE WHEN rn = 3 THEN event_type END)) AS path
+      |  FROM p WHERE rn <= 3 GROUP BY 1, 2)
+      |SELECT path, COUNT(*) AS n_sessions FROM agg
+      |GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q59_lateral"        -> q59_lateral,
     "q60_month_spine"    -> q60_month_spine,
@@ -1328,7 +1452,9 @@ object Extensions {
     "q85_user_growth"    -> q85_user_growth,
     "q87_skyline"        -> q87_skyline,
     "q88_markov_transitions" -> q88_markov_transitions,
-    "q89_cusum_drift"    -> q89_cusum_drift)
+    "q89_cusum_drift"    -> q89_cusum_drift,
+    "q90_theilsen_trend" -> q90_theilsen_trend,
+    "q91_session_paths"  -> q91_session_paths)
 
   // def, not val: q84's oracle embeds the per-dir CSV fixture path for
   // the CURRENT Corpus.oracleSfDir (the s03 centroid-dump recipe)
@@ -1359,5 +1485,7 @@ object Extensions {
     "q85_user_growth"    -> q85_sql,
     "q87_skyline"        -> q87_sql,
     "q88_markov_transitions" -> q88_sql,
-    "q89_cusum_drift"    -> q89_sql)
+    "q89_cusum_drift"    -> q89_sql,
+    "q90_theilsen_trend" -> q90_sql,
+    "q91_session_paths"  -> q91_sql)
 }

@@ -323,13 +323,13 @@ object Similarity {
       IvfIndex(ctrs, withTomb)
     }
 
-    private def fsFor(spark: org.apache.spark.sql.SparkSession,
+    private[similarity] def fsFor(spark: org.apache.spark.sql.SparkSession,
         path: String): org.apache.hadoop.fs.FileSystem =
       new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    private def hasTombstones(spark: org.apache.spark.sql.SparkSession,
-        path: String): Boolean =
+    private[similarity] def hasTombstones(
+        spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
       fsFor(spark, path).exists(
         new org.apache.hadoop.fs.Path(s"$path/tombstones"))
 
@@ -372,19 +372,32 @@ object Similarity {
         .collect().map(_.getInt(0)).toSeq
       if (affected.nonEmpty) {
         val staging = s"$path/lists_compacting"
+        val retired = s"$path/lists_retired"
         lists.where(col("ivf_list").isin(affected: _*))
           .join(broadcast(tomb), Seq("neighbor_id"), "left_anti")
           .write.mode("overwrite").partitionBy("ivf_list").parquet(staging)
+        // retire-then-swap, never delete-then-rename: the old partition
+        // moves aside BEFORE the staged one moves in, so no crash
+        // window destroys data — an interruption leaves either the old
+        // dir in place (swap not started), or the rows intact under
+        // lists_retired/ (recoverable by moving back), and the
+        // tombstone set — cleared only after every swap landed — still
+        // guards correctness because read() keeps anti-joining it
+        fs.mkdirs(new org.apache.hadoop.fs.Path(retired))
         affected.foreach { id =>
           val oldDir = new org.apache.hadoop.fs.Path(s"$path/lists/ivf_list=$id")
           val newDir = new org.apache.hadoop.fs.Path(s"$staging/ivf_list=$id")
-          fs.delete(oldDir, true)
+          fs.rename(oldDir,
+            new org.apache.hadoop.fs.Path(s"$retired/ivf_list=$id"))
           // a fully-deleted list simply has no staged dir to move in
           if (fs.exists(newDir)) fs.rename(newDir, oldDir)
         }
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(retired), true)
         fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      } else {
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
       }
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
     }
 
     private[similarity] def sqDist(v: Column, ctr: Seq[Double]): Column = {
@@ -639,11 +652,32 @@ object Similarity {
         case rows => throw new IllegalStateException(
           s"$path/params: expected exactly one parameter row, got ${rows.length}")
       }
+      // tombstones (deleteFromStore) apply to BOTH relations at restore
+      // time: buckets (so deleted ids stop being candidates) and corpus
+      // (so they can never re-attach a vector) — same contract as
+      // IvfIndex.read; the bucket_pfx partition filter of searchPruned
+      // pushes below the anti-join, so pruning survives pending deletes
+      def applyTomb(df: DataFrame): DataFrame =
+        if (IvfIndex.hasTombstones(spark, path))
+          df.join(broadcast(spark.read.parquet(s"$path/tombstones")
+              .select(col("neighbor_id")).distinct()),
+            Seq("neighbor_id"), "left_anti")
+        else df
       LshIndex(p.getAs[Int]("dim"), p.getAs[Int]("planes"),
         p.getAs[Int]("tables"), p.getAs[Long]("seed"),
-        spark.read.parquet(s"$path/buckets"),
-        spark.read.parquet(s"$path/corpus"))
+        applyTomb(spark.read.parquet(s"$path/buckets")),
+        applyTomb(spark.read.parquet(s"$path/corpus")))
     }
+
+    /** Record deletions against a WRITTEN LSH index — identical
+      * append-only tombstone algebra to [[IvfIndex.deleteFromStore]]
+      * (O(|batch|) file write, duplicates harmless, unknown ids no-op);
+      * [[read]] anti-joins them out of buckets AND corpus.
+      */
+    def deleteFromStore(delIds: DataFrame, idCol: String,
+        path: String): Unit =
+      delIds.select(col(idCol).as("neighbor_id")).distinct()
+        .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
 
     /** Materialize the corpus buckets once (cached eagerly — the
       * index-build step every ANN serving system amortizes).

@@ -196,6 +196,11 @@ object ScaleGrowth {
     //  - d13: winnow copy-join — inverted-index pairs bounded by the
     //    df ≤ 50 stop-fingerprint cut (the salt keeps cross-replica
     //    fingerprints disjoint, so pair density stays per-replica)
+    //  - q90: Theil-Sen — pairwise slopes over the CALENDAR-bounded
+    //    daily series (fixed pair count); the daily agg carries growth
+    //  - t36: quota allocation — one keyed count + catalog-small frame
+    //  - q91: session paths — user-keyed session windows over 10×
+    //    users; the path space stays |types|³
     //  - s14: tombstone-delete serving — store write + tombstones
     //    amortize into the warm-up; timed path = restore + anti-join
     //    + pruned probe over 10× lists
@@ -215,7 +220,9 @@ object ScaleGrowth {
       "q85_user_growth", "q86_incremental_kmv", "q87_skyline",
       "q88_markov_transitions", "q89_cusum_drift",
       "t34_unicode_normalize", "t35_winnowing",
-      "s14_ivf_tombstone_delete", "d13_winnow_copydetect")
+      "s14_ivf_tombstone_delete", "d13_winnow_copydetect",
+      "q90_theilsen_trend", "t36_quota_allocation",
+      "q91_session_paths")
       .filter(q => onlyPrefixes.forall(_.exists(q.startsWith)))
     def time(name: String, dir: String): Double = {
       def once(): Double = {

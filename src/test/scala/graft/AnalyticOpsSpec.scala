@@ -171,4 +171,73 @@ class AnalyticOpsSpec extends SparkSpec {
     assert(executed.contains("Reused"),
       s"no reused stage in the executed plan:\n$executed")
   }
+
+  test("q90_theilsen_trend equals a sequential pairwise-median replay") {
+    def median(xs: Seq[Double]): Double = {
+      val v = xs.sorted
+      val pos = 0.5 * (v.length - 1)
+      val lo = v(pos.toInt); val hi = v(math.ceil(pos).toInt)
+      lo + (hi - lo) * (pos - pos.toInt)
+    }
+    val got = graft.queries.Extensions.q90_theilsen_trend(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    val daily = Tables(spark, sfDir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    val want = daily.groupBy(_._1).map { case (et, rows) =>
+      val series = rows.sortBy(_._2.getTime).map(_._3).zipWithIndex
+        .map { case (n, i) => (i + 1, n) } // 1-based day index
+      val slopes = for {
+        (ia, na) <- series; (ib, nb) <- series if ib > ia
+      } yield (nb - na).toDouble / (ib - ia)
+      val m = median(slopes.toSeq)
+      val intercept = median(series.map { case (i, n) => n - m * i }.toSeq)
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      et -> (r6(m), r6(intercept), slopes.size.toLong)
+    }
+    assert(got.keySet === want.keySet)
+    got.foreach { case (et, (gs, gi, gn)) =>
+      val (ws, wi, wn) = want(et)
+      assert(gn === wn, s"pair count $et")
+      assert(math.abs(gs - ws) < 1e-9, s"slope $et: $gs vs $ws")
+      assert(math.abs(gi - wi) < 1e-9, s"intercept $et: $gi vs $wi")
+    }
+    // robustness: Theil-Sen of a clean linear series IS the true slope,
+    // one corrupted point moves it not at all
+    val clean = (1 to 21).map(i => (i, 10L + 3L * i))
+    def sen(series: Seq[(Int, Long)]): Double = median((for {
+      (ia, na) <- series; (ib, nb) <- series if ib > ia
+    } yield (nb - na).toDouble / (ib - ia)).toSeq)
+    assert(sen(clean) === 3.0)
+    val corrupted = clean.updated(10, (11, 100000L))
+    assert(sen(corrupted) === 3.0)
+  }
+
+  test("t36_quota_allocation: quotas sum to the budget and match the Hamilton method") {
+    val rows = graft.queries.Corpus.queries("t36_quota_allocation")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._5).sum === 1000L, "quotas must sum exactly to the budget")
+    // direct largest-remainder replay
+    val total = rows.map(_._2).sum
+    val base = rows.map { case (src, n, _, _, _) =>
+      (src, n, n * 1000L / total, n * 1000L % total)
+    }
+    val leftover = (1000L - base.map(_._3).sum).toInt
+    val bump = base.sortBy { case (src, _, _, rem) => (-rem, src) }
+      .take(leftover).map(_._1).toSet
+    val want = base.map { case (src, n, b, rem) =>
+      (src, n, b, rem, b + (if (bump(src)) 1L else 0L))
+    }.toSet
+    assert(rows.toSet === want)
+    // floor/ceil sandwich: every quota is within 1 of its exact share
+    rows.foreach { case (src, n, _, _, q) =>
+      val exact = n.toDouble * 1000 / total
+      assert(q >= math.floor(exact) && q <= math.ceil(exact), s"$src: $q vs $exact")
+    }
+  }
 }

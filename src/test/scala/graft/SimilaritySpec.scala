@@ -448,4 +448,40 @@ class SimilaritySpec extends SparkSpec {
     Similarity.IvfIndex.compactStore(spark, path)
     assert(res(Similarity.IvfIndex.read(spark, path)) === ref)
   }
+
+  test("LshIndex tombstone delete: store deletes exclude neighbors from buckets and corpus") {
+    val rng = new scala.util.Random(53)
+    val corpus = (0L until 300L).map { i =>
+      (i, Array.fill(16)(rng.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 3)
+    val idx = Similarity.LshIndex.build(corpus, "vec_id", "embedding",
+      dim = 16, planes = 8, tables = 4)
+    try {
+      val path = java.nio.file.Files.createTempDirectory("graft_lsh_del").toString
+      idx.write(path)
+      def res(i: Similarity.LshIndex) =
+        i.search(queries, "vec_id", "embedding", k = 5)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      // delete a current rank-1 neighbor plus two arbitrary ids
+      val victim = res(idx).find(_._4 == 1).get._2
+      val delIds = Set(victim, 123L, 222L)
+      val del = corpus.where(col("vec_id").isin(delIds.toSeq: _*)).select("vec_id")
+      Similarity.LshIndex.deleteFromStore(del, "vec_id", path)
+      val restored = Similarity.LshIndex.read(spark, path)
+      val got = res(restored)
+      assert(!got.exists(r => delIds.contains(r._2)))
+      // reference: searching an index built over corpus-minus-deleted
+      // (LSH assignment is per-vector, so filtering ≡ deleting)
+      val ref = Similarity.LshIndex.build(
+        corpus.where(!col("vec_id").isin(delIds.toSeq: _*)),
+        "vec_id", "embedding", dim = 16, planes = 8, tables = 4)
+      try assert(got === res(ref))
+      finally { ref.buckets.unpersist(); ref.corpus.unpersist() }
+      // pruned serving applies the same tombstones
+      val pruned = restored.searchPruned(queries, "vec_id", "embedding", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(pruned === got)
+    } finally { idx.buckets.unpersist(); idx.corpus.unpersist() }
+  }
 }
