@@ -1465,6 +1465,95 @@ object Corpus {
        |FROM r WHERE rank <= 10""".stripMargin
   }
 
+  /** kNN-graph construction — every vector's top-3 approximate
+    * neighbors in ONE pass, the backbone artifact of modern curation
+    * (SemDeDup variants, diversity/typicality sampling, graph-based
+    * label propagation all consume a kNN graph, not per-query
+    * searches). The scale shape is the one thing that matters here:
+    * s01/s02 broadcast a SMALL probe set, which cannot express
+    * all-vectors-vs-all; the graph instead self-joins the LSH BUCKETS
+    * (candidates = Σ|bucket|² over tables, never corpus²), re-attaches
+    * vectors by id through keyed joins, scores with the codegen
+    * cosine, and ranks with the custom [[graft.plans.TopKPerKey]]
+    * whole-operator — map-side bounded heaps forward ≤ k rows per key
+    * per partition into the final exchange, so the rank step shuffles
+    * O(k·|corpus|), not the candidate volume. Oracle: the s02 seeded
+    * hyperplanes replayed as SQL literals over ALL vectors.
+    */
+  private val lshKnnIndexes =
+    scala.collection.concurrent.TrieMap[String, (Int, Similarity.LshIndex)]()
+
+  /** s15's own index with CORPUS-ADAPTIVE plane count: fixed planes
+    * make bucket sizes grow linearly with the corpus, so the bucket
+    * SELF-join's Σ|bucket|² goes quadratic — the first s15 measured
+    * exactly that (ScaleGrowth at 10× blew past 10 min). planes =
+    * ⌈log₂(n / 30)⌉ (floor 4) pins expected bucket size at ~30, making
+    * candidates ≈ 30·n — the same published policy as
+    * `IvfIndex.adaptiveNLists`, applied to the hyperplane family. The
+    * chosen count is stashed per dir so the ORACLE interpolates the
+    * same seeded planes (the s03 dump-then-replay protocol: Verify
+    * runs queries before dumping oracle SQL).
+    */
+  private def lshKnnIndex(s: SparkSession, dir: String): (Int, Similarity.LshIndex) =
+    lshKnnIndexes.getOrElseUpdate(dir, {
+      val e = t(s, dir, "embeddings")
+      val planes = math.max(4,
+        math.ceil(math.log(e.count() / 30.0) / math.log(2.0)).toInt)
+      (planes, Similarity.LshIndex.build(e, "vec_id", "embedding",
+        dim = 64, planes = planes, tables = 16))
+    })
+
+  val s15_knn_graph: Q = (s, dir) => {
+    val idx = lshKnnIndex(s, dir)._2
+    val b = idx.buckets
+    val cand = b.select(col("bucket"), col("neighbor_id").as("query_id"))
+      .join(b.select(col("bucket"), col("neighbor_id").as("neighbor_id")),
+        Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val va = idx.corpus.select(col("neighbor_id").as("query_id"),
+      col("__cv").as("__va"))
+    val vb = idx.corpus.select(col("neighbor_id"), col("__cv").as("__vb"))
+    val scored = cand.join(va, Seq("query_id")).join(vb, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("__va"), col("__vb")).as("cosine"))
+    graft.plans.TopKPerKey(scored, Seq("query_id"),
+        Seq(col("cosine").desc, col("neighbor_id").asc), 3)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  def s15_sql: String = {
+    // the planes count the query actually used for oracleSfDir (5 at
+    // the 500-vector fixtures — the adaptive formula's value there)
+    val nPlanes = lshKnnIndexes.get(oracleSfDir).map(_._1).getOrElse(5)
+    val hp = Similarity.hyperplanes(dim = 64, planes = nPlanes, tables = 16)
+    val planeRows = for {
+      (tablePlanes, tIdx) <- hp.zipWithIndex
+      (plane, pIdx)       <- tablePlanes.zipWithIndex
+    } yield s"($tIdx, $pIdx, [${plane.map(Relational.sqlDouble).mkString(",")}]::DOUBLE[])"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |planes(t, p, vec) AS (VALUES
+       |  ${planeRows.mkString(",\n  ")}),
+       |pb AS (SELECT e.vec_id, pl.t, pl.p,
+       |  CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+       |         i -> e.v[i] * pl.vec[i]), (a, b) -> a + b) >= 0
+       |       THEN '1' ELSE '0' END AS bit
+       | FROM e CROSS JOIN planes pl),
+       |bk AS (SELECT vec_id, t::VARCHAR || ':' || string_agg(bit, '' ORDER BY p) AS bucket
+       | FROM pb GROUP BY vec_id, t),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       | FROM bk q JOIN bk c USING (bucket)
+       | WHERE c.vec_id <> q.vec_id),
+       |sc AS (SELECT query_id, neighbor_id, $cosSql AS cos
+       | FROM cand JOIN e a ON a.vec_id = query_id JOIN e b ON b.vec_id = neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       | FROM sc)
+       |SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine
+       |FROM r WHERE rank <= 3""".stripMargin
+  }
+
   /** Cross-document repeated-span sweep (the memorization-risk audit a
     * pre-training pipeline runs; the span-level view of exact substring
     * dedup, Lee et al. '22 "Deduplicating Training Data Makes Language
@@ -3649,7 +3738,8 @@ object Corpus {
     "s11_hybrid_rrf"        -> s11_hybrid_rrf,
     "s12_ivf_serving"       -> s12_ivf_serving,
     "s13_ivf_delta_append"  -> s13_ivf_delta_append,
-    "s14_ivf_tombstone_delete" -> s14_ivf_tombstone_delete)
+    "s14_ivf_tombstone_delete" -> s14_ivf_tombstone_delete,
+    "s15_knn_graph"         -> s15_knn_graph)
 
   // def, not val: s03_sql embeds the per-dir centroid fixture path for
   // the CURRENT `oracleSfDir`, so the map must be rebuilt at dump time.
@@ -3725,5 +3815,6 @@ object Corpus {
     "s11_hybrid_rrf"        -> s11_sql,
     "s12_ivf_serving"       -> s12_sql,
     "s13_ivf_delta_append"  -> s13_sql,
-    "s14_ivf_tombstone_delete" -> s14_sql)
+    "s14_ivf_tombstone_delete" -> s14_sql,
+    "s15_knn_graph"         -> s15_sql)
 }

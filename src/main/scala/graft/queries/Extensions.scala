@@ -1425,6 +1425,132 @@ object Extensions {
       |SELECT path, COUNT(*) AS n_sessions FROM agg
       |GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin
 
+  // q92-q94: the three TPC-H classics the surface had only in pieces —
+  // named here because they are the canonical multi-join + decimal-agg
+  // + top-k shapes a warehouse is judged on. Shared discipline: money
+  // math in DECIMAL(18,2) (order-independent-exact sums, the q01 rule),
+  // DOUBLE only at the output boundary; dimension tables broadcast
+  // explicitly; the top-k is a sort+limit (TopK physical op, never a
+  // global sort); every date predicate reaches the parquet scan.
+  private def rev = (dec2Col(col("l_extendedprice")) *
+    (lit(1) - dec2Col(col("l_discount"))))
+  private def dec2Col(c: org.apache.spark.sql.Column) = c.cast(dec2)
+
+  /** TPC-H Q3 (shipping priority): revenue of unshipped BUILDING-segment
+    * orders. Fact-fact join shuffles on the order key; the customer
+    * filter semi-reduces orders before lineitem joins in.
+    */
+  val q92_tpch_q3: Q = (s, dir) => {
+    val cust = t(s, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = t(s, dir, "orders")
+      .where(expr("o_orderdate < TIMESTAMP '1998-03-15 00:00:00'"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    t(s, dir, "lineitem")
+      .where(expr("l_shipdate > TIMESTAMP '1998-03-15 00:00:00'"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(rev).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q92_sql: String =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 (local supplier volume): revenue where customer and
+    * supplier share an ASIA nation. nation⋈region collapse to a
+    * broadcast dimension; the c_nationkey = s_nationkey equality rides
+    * the join keys, never a post-filter over a wider product.
+    */
+  val q93_tpch_q5: Q = (s, dir) => {
+    val asiaNations = t(s, dir, "nation")
+      .join(broadcast(t(s, dir, "region").where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    // customer/orders/supplier are FACT-sized at real scale — only the
+    // nation⋈region dimension broadcasts; the rest are keyed shuffles
+    // AQE may upgrade to broadcast at small SF on runtime stats
+    val cust = t(s, dir, "customer")
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val ord = t(s, dir, "orders")
+      .where(expr("o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'") &&
+        expr("o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"), col("n_name"))
+    val supp = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    t(s, dir, "lineitem")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(supp,
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(rev).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q93_sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** TPC-H Q10 (returned items): the top-20 customers by revenue lost
+    * to returns in one quarter.
+    */
+  val q94_tpch_q10: Q = (s, dir) => {
+    val nat = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val ord = t(s, dir, "orders")
+      .where(expr("o_orderdate >= TIMESTAMP '1998-10-01 00:00:00'") &&
+        expr("o_orderdate < TIMESTAMP '1999-01-01 00:00:00'"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    t(s, dir, "lineitem")
+      .where(col("l_returnflag") === "R")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(rev).cast("double").as("revenue"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q94_sql: String =
+    """WITH r AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |  FROM lineitem, orders
+      |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+      |    AND o_orderdate >= TIMESTAMP '1998-10-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      |  GROUP BY o_custkey)
+      |SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+      |FROM r, customer, nation
+      |WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q59_lateral"        -> q59_lateral,
     "q60_month_spine"    -> q60_month_spine,
@@ -1454,7 +1580,10 @@ object Extensions {
     "q88_markov_transitions" -> q88_markov_transitions,
     "q89_cusum_drift"    -> q89_cusum_drift,
     "q90_theilsen_trend" -> q90_theilsen_trend,
-    "q91_session_paths"  -> q91_session_paths)
+    "q91_session_paths"  -> q91_session_paths,
+    "q92_tpch_q3"        -> q92_tpch_q3,
+    "q93_tpch_q5"        -> q93_tpch_q5,
+    "q94_tpch_q10"       -> q94_tpch_q10)
 
   // def, not val: q84's oracle embeds the per-dir CSV fixture path for
   // the CURRENT Corpus.oracleSfDir (the s03 centroid-dump recipe)
@@ -1487,5 +1616,8 @@ object Extensions {
     "q88_markov_transitions" -> q88_sql,
     "q89_cusum_drift"    -> q89_sql,
     "q90_theilsen_trend" -> q90_sql,
-    "q91_session_paths"  -> q91_sql)
+    "q91_session_paths"  -> q91_sql,
+    "q92_tpch_q3"        -> q92_sql,
+    "q93_tpch_q5"        -> q93_sql,
+    "q94_tpch_q10"       -> q94_sql)
 }

@@ -86,7 +86,10 @@ object ScaleGrowth {
     // q83 additionally joins the customer/nation dims: plain copies in
     // both dirs (the spine is bounded by the key tables; growth enters
     // only through the replicated orders fact)
-    Seq("customer", "nation").foreach { tName =>
+    // (supplier/region join in for the TPC-H trio q92-q94: plain dim
+    // copies; the key-shifted orders/lineitem replicas keep l_orderkey
+    // = o_orderkey integrity within every replica)
+    Seq("customer", "nation", "supplier", "region").foreach { tName =>
       val tdf = graft.Tables(spark, sfDir, tName)
       tdf.write.mode("overwrite").parquet(s"$base/x1/$tName.parquet")
       tdf.write.mode("overwrite").parquet(s"$base/x10/$tName.parquet")
@@ -201,6 +204,9 @@ object ScaleGrowth {
     //  - t36: quota allocation — one keyed count + catalog-small frame
     //  - q91: session paths — user-keyed session windows over 10×
     //    users; the path space stays |types|³
+    //  - s15: kNN graph — bucket SELF-join candidates (Σ|bucket|²);
+    //    sign-flip replicas keep within-replica bucket structure while
+    //    buckets grow 10×, the all-pairs scale shape under test
     //  - s14: tombstone-delete serving — store write + tombstones
     //    amortize into the warm-up; timed path = restore + anti-join
     //    + pruned probe over 10× lists
@@ -222,7 +228,8 @@ object ScaleGrowth {
       "t34_unicode_normalize", "t35_winnowing",
       "s14_ivf_tombstone_delete", "d13_winnow_copydetect",
       "q90_theilsen_trend", "t36_quota_allocation",
-      "q91_session_paths")
+      "q91_session_paths", "q92_tpch_q3", "q93_tpch_q5", "q94_tpch_q10",
+      "s15_knn_graph")
       .filter(q => onlyPrefixes.forall(_.exists(q.startsWith)))
     def time(name: String, dir: String): Double = {
       def once(): Double = {

@@ -307,6 +307,30 @@ class MultiModalSpec extends SparkSpec {
     assert(feats(0) === 1.0f)
     assert(feats.drop(1).forall(_ == 0.0f))
   }
+
+  test("m07 composition: media features feed the IVF index and ANN finds a planted duplicate") {
+    import org.apache.spark.sql.functions.col
+    import graft.similarity.Similarity
+    // the full multimodal -> similarity pipeline: opaque media bytes ->
+    // per-row feature vectors (one mapPartitions decode pass, no
+    // shuffle) -> IVF inverted lists -> ANN serving. A byte-identical
+    // duplicate of one media object must come back as its top-1
+    // neighbor at cosine ~1 -- the cross-modal near-dup detection loop
+    // (d04's embedding path, fed by m01's features) end to end.
+    val base = MultiModal.syntheticMedia(spark, 40).collect()
+    val dup = base.head.copy(mediaId = 1000L)
+    import spark.implicits._
+    val media = spark.createDataset((base :+ dup).toSeq)
+    val feats = MultiModal.extractFeatures(media, dim = 64)
+      .select(col("mediaId").as("vec_id"), col("features").as("embedding"))
+    val idx = Similarity.IvfIndex.build(feats, "vec_id", "embedding", nLists = 8)
+    val hit = idx.search(feats.where(col("vec_id") === 1000L),
+        "vec_id", "embedding", k = 1, nProbe = 2)
+      .collect()
+    assert(hit.length == 1)
+    assert(hit.head.getLong(1) == base.head.mediaId)
+    assert(math.abs(hit.head.getDouble(2) - 1.0) < 1e-9)
+  }
 }
 
 /** A minimal third-party codec for the drop-in spec: decodes payloads
@@ -321,4 +345,6 @@ class FakeFourccCodec extends MultiModal.VideoCodec {
         new String(content, 0, 4, "US-ASCII") == "FAKE")
       Some((500000L, Seq.tabulate(2)(i => (2, 2, Array.fill[Byte](12)(i.toByte)))))
     else None
+
 }
+

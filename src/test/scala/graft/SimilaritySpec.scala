@@ -484,4 +484,17 @@ class SimilaritySpec extends SparkSpec {
       assert(pruned === got)
     } finally { idx.buckets.unpersist(); idx.corpus.unpersist() }
   }
+
+  test("s15 kNN graph: recall vs exact ground truth is measured and gated") {
+    import graft.Tables
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val g = graft.queries.Corpus.queries("s15_knn_graph")(spark, dir)
+    val e = Tables(spark, dir, "embeddings")
+    val exact = Similarity.bruteForceTopK(e, e,
+      "vec_id", "embedding", "vec_id", "embedding", k = 3)
+    val r = Similarity.recallAtK(exact, g)
+    println(f"[recall] s15_knn_graph=$r%.3f")
+    assert(r >= 0.60, f"kNN-graph recall@3 $r%.3f below floor")
+  }
 }

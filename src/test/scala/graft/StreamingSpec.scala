@@ -442,6 +442,36 @@ class StreamingSpec extends SparkSpec {
       s"state/offsets did not survive the restart exactly once: $out")
   }
 
+  test("transitionMatrixStream state and generations survive a checkpointed stop/restart") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_mk_cp_").toString
+    val (inDir, cpDir, root) = (s"$base/in", s"$base/cp", s"$base/matrix")
+    def ts(min: Int) = new java.sql.Timestamp((1000 + min) * 60000L)
+    def writeBatch(events: (Long, String, Int, Long)*): Unit =
+      events.map { case (u, et, m, id) =>
+        StreamingIngest.TypedEvent(u, et, ts(m), id) }
+        .toDS().repartition(1).write.mode("append").parquet(inDir)
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("ts", TimestampType), StructField("event_id", LongType)))
+    def start() = StreamingIngest.transitionMatrixStream(
+      spark.readStream.schema(schema).parquet(inDir)
+        .as[StreamingIngest.TypedEvent], root, cpDir)
+    // run 1: user 1 sees a->b (one transition), STOP with b as state
+    writeBatch((1L, "a", 0, 1L), (1L, "b", 1, 2L))
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // run 2 from the SAME checkpoint: c must pair with the run-1 b —
+    // only possible if the per-user last-event state survived — and
+    // the count fold must include the run-1 generation
+    writeBatch((1L, "c", 2, 3L))
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val got = StreamingIngest.currentTransitionMatrix(spark, root).get
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("a", "b") -> 1L, ("b", "c") -> 1L),
+      s"state/generations did not survive the restart: $got")
+  }
+
   test("streamingSessionsWithTimeout produces identical output under the RocksDB state store") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
