@@ -1551,6 +1551,56 @@ object Extensions {
       |WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** Benford first-significant-digit profile of order totals — the
+    * classic fabricated-data / ingestion-corruption forensic: organic
+    * multi-scale monetary amounts follow P(d) = log₁₀(1 + 1/d), and a
+    * feed that pads, truncates, or invents values drifts off the curve
+    * (the audit literature's first screen). The digit comes from the
+    * DECIMAL string, not floor(x / 10^⌊log₁₀x⌋) — the float-log
+    * formulation can flip digit at 999.99…-style boundaries when the
+    * two engines' libm differ by an ulp; the decimal cast is exact and
+    * renders identically. One keyed aggregate over exact counts; the
+    * expected curve and the χ² contribution are final rounded doubles.
+    */
+  val q95_benford: Q = (s, dir) => {
+    // >= 1, not > 0: a sub-1 magnitude's DECIMAL string leads with '0'
+    // and would need mantissa normalization; the monetary screen
+    // applies to totals >= 1 by definition (none below exist in any
+    // fixture — the guard is the documented domain, not a workaround)
+    val totals = t(s, dir, "orders")
+      .where(col("o_totalprice") >= 1)
+      .agg(count(lit(1)).as("__n")).select(col("__n"))
+    val digits = t(s, dir, "orders")
+      .where(col("o_totalprice") >= 1)
+      .select(substring(col("o_totalprice").cast(dec2).cast("string"), 1, 1)
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+    digits.crossJoin(broadcast(totals))
+      .select(col("digit"), col("n_orders"),
+        round(col("n_orders").cast("double") / col("__n"), 6).as("observed"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+          .as("benford"),
+        round(pow(col("n_orders").cast("double") / col("__n") -
+            log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 2) /
+          log10(lit(1.0) + lit(1.0) / col("digit").cast("double")) *
+          col("__n"), 6).as("chi2_term"))
+  }
+
+  val q95_sql: String =
+    """WITH d AS (
+      |  SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+      |           AS digit
+      |  FROM orders WHERE o_totalprice >= 1),
+      |g AS (SELECT digit, COUNT(*) AS n_orders FROM d GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS n FROM g)
+      |SELECT digit, n_orders,
+      |  ROUND(CAST(n_orders AS DOUBLE) / n, 6) AS observed,
+      |  ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford,
+      |  ROUND(POW(CAST(n_orders AS DOUBLE) / n
+      |      - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 2)
+      |    / log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * n, 6) AS chi2_term
+      |FROM g CROSS JOIN t""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q59_lateral"        -> q59_lateral,
     "q60_month_spine"    -> q60_month_spine,
@@ -1583,7 +1633,8 @@ object Extensions {
     "q91_session_paths"  -> q91_session_paths,
     "q92_tpch_q3"        -> q92_tpch_q3,
     "q93_tpch_q5"        -> q93_tpch_q5,
-    "q94_tpch_q10"       -> q94_tpch_q10)
+    "q94_tpch_q10"       -> q94_tpch_q10,
+    "q95_benford"        -> q95_benford)
 
   // def, not val: q84's oracle embeds the per-dir CSV fixture path for
   // the CURRENT Corpus.oracleSfDir (the s03 centroid-dump recipe)
@@ -1619,5 +1670,6 @@ object Extensions {
     "q91_session_paths"  -> q91_sql,
     "q92_tpch_q3"        -> q92_sql,
     "q93_tpch_q5"        -> q93_sql,
-    "q94_tpch_q10"       -> q94_sql)
+    "q94_tpch_q10"       -> q94_sql,
+    "q95_benford"        -> q95_sql)
 }

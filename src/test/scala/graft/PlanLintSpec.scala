@@ -55,6 +55,8 @@ class PlanLintSpec extends SparkSpec {
   // product, inheriting both justifications.
   // t33 crosses the merged ONE-ROW (n_docs, total_dl) totals frame into
   // the per-term df rows — the t14/t15/t19 scalar-stats shape.
+  // q95 crosses the ONE-ROW order-count frame into the 9-digit curve —
+  // the t14/t15/t19 scalar-stats shape.
   // t36 crosses two ONE-ROW frames (total, leftover) and theta-joins
   // the |sources|-row share frame to itself for the remainder rank —
   // catalog-bounded at any corpus scale (the q65 tiny-theta shape; a
@@ -65,7 +67,8 @@ class PlanLintSpec extends SparkSpec {
       "q65_kmv_setops", "t19_bm25", "s06_quant_ann", "s07_mmr_rerank",
       "t27_stopwords", "t29_unigram_xent", "t30_bigram_xent",
       "s09_filtered_ann", "q83_gap_fill", "s11_hybrid_rrf",
-      "t33_incremental_corpus_stats", "t36_quota_allocation")
+      "t33_incremental_corpus_stats", "t36_quota_allocation",
+      "q95_benford")
 
   // queries allowed to window >minRows rows on a <minKeys-value key —
   // empty by design; adding here requires an in-source justification

@@ -514,6 +514,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamingTransitions produces identical transitions under the RocksDB state store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp((1000 + min) * 60000L)
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[StreamingIngest.TypedEvent]
+      val q = StreamingIngest.streamingTransitions(stream.toDS())
+        .writeStream.format("memory").queryName("rocksdb_trans")
+        .outputMode("append").start()
+      stream.addData(
+        StreamingIngest.TypedEvent(1L, "a", ts(0), 1L),
+        StreamingIngest.TypedEvent(1L, "b", ts(1), 2L),
+        StreamingIngest.TypedEvent(2L, "x", ts(0), 3L))
+      q.processAllAvailable()
+      // cross-batch: b->c for user 1, x->y for user 2 need RocksDB state
+      stream.addData(
+        StreamingIngest.TypedEvent(1L, "c", ts(2), 4L),
+        StreamingIngest.TypedEvent(2L, "y", ts(3), 5L))
+      q.processAllAvailable()
+      val metrics = q.recentProgress.flatMap(p =>
+        Option(p.stateOperators).toSeq.flatten)
+        .flatMap(_.customMetrics.keySet().toArray.map(_.toString))
+      q.stop()
+      assert(metrics.exists(_.startsWith("rocksdb")),
+        s"expected RocksDB state-store metrics, got ${metrics.distinct.mkString(",")}")
+      val out = spark.sql(
+        "SELECT user_id, from_type, to_type FROM rocksdb_trans ORDER BY user_id, to_type")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      assert(out === Seq((1L, "a", "b"), (1L, "b", "c"), (2L, "x", "y")))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streamingTopKPerKey: bounded keyed state converges to the batch top-k over all batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
