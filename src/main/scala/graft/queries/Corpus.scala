@@ -461,8 +461,9 @@ object Corpus {
       .withColumn("remainder",
         pmod(col("n_docs") * budget, col("__total")))
       .withColumn("base_quota",
-        ((col("n_docs") * budget - col("remainder")) / col("__total"))
-          .cast("long"))
+        // SQL `div`, not Column./ (DOUBLE division, exact only below
+        // 2^53) — integral div keeps the identity exact at any corpus
+        expr(s"(n_docs * ${budget}L - remainder) div __total"))
     val leftover = shares.agg(
       (lit(budget) - sum(col("base_quota"))).as("__leftover"))
     val cmp = shares.select(col("source").as("__s2"),

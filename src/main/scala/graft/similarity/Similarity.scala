@@ -383,14 +383,25 @@ object Similarity {
         // lists_retired/ (recoverable by moving back), and the
         // tombstone set — cleared only after every swap landed — still
         // guards correctness because read() keeps anti-joining it
+        // a leftover retired/ dir from a CRASHED earlier compaction
+        // would make the renames below silently no-op (Hadoop rename
+        // returns false into an existing destination) — clear it
+        // first; the tombstones it predates are still pending, so
+        // correctness never depended on it
+        fs.delete(new org.apache.hadoop.fs.Path(retired), true)
         fs.mkdirs(new org.apache.hadoop.fs.Path(retired))
+        def renameOrFail(src: org.apache.hadoop.fs.Path,
+            dst: org.apache.hadoop.fs.Path): Unit =
+          if (!fs.rename(src, dst)) throw new java.io.IOException(
+            s"compactStore: rename $src -> $dst failed; store left " +
+              "consistent (tombstones still pending, reads unaffected)")
         affected.foreach { id =>
           val oldDir = new org.apache.hadoop.fs.Path(s"$path/lists/ivf_list=$id")
           val newDir = new org.apache.hadoop.fs.Path(s"$staging/ivf_list=$id")
-          fs.rename(oldDir,
+          renameOrFail(oldDir,
             new org.apache.hadoop.fs.Path(s"$retired/ivf_list=$id"))
           // a fully-deleted list simply has no staged dir to move in
-          if (fs.exists(newDir)) fs.rename(newDir, oldDir)
+          if (fs.exists(newDir)) renameOrFail(newDir, oldDir)
         }
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
         fs.delete(new org.apache.hadoop.fs.Path(retired), true)
