@@ -447,11 +447,19 @@ object Corpus {
     * Shape: one keyed aggregate over the corpus + windows over the
     * catalog-small source frame — the aggregate carries all growth.
     */
-  val t36_quota_allocation: Q = (s, dir) => {
-    val budget = 1000L
-    // the ONLY corpus-scale work: one keyed count per source
-    val bySource = t(s, dir, "documents")
-      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+  val t36_quota_allocation: Q = (s, dir) =>
+    hamiltonQuotas(
+      // the ONLY corpus-scale work: one keyed count per source
+      t(s, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs")),
+      budget = 1000L)
+
+  /** Largest-remainder allocation over a (source, n_docs) frame —
+    * factored out of t36 so the scalacheck property can drive it with
+    * arbitrary count distributions (Σ final_quota = budget must hold
+    * for ALL of them, not just the fixture's).
+    */
+  def hamiltonQuotas(bySource: DataFrame, budget: Long): DataFrame = {
     // everything below runs on the catalog-small source frame — 1-row
     // broadcast crosses and a theta self-join for the remainder rank
     // (the q65/t15 bounded-frame shape; a global window would funnel

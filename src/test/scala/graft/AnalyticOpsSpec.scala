@@ -30,6 +30,19 @@ class AnalyticOpsSpec extends SparkSpec {
     assert(UnicodeNormalize.compute(lig, "NFC") === lig)
     // fast path: already-normalized input returns the SAME instance
     assert(UnicodeNormalize.compute(comp, "NFC") eq comp)
+    // Hangul recomposition: conjoining jamo -> one precomposed syllable
+    val jamo = UTF8String.fromString("\u1112\u1161\u11ab")
+    assert(UnicodeNormalize.compute(jamo, "NFC") === UTF8String.fromString("\ud55c"))
+    // non-BMP + composition EXCLUSION: U+1D15E (musical half note)
+    // decomposes canonically but is excluded from recomposition, so
+    // NFC(NFD(x)) must STAY decomposed — the UAX #15 subtlety a naive
+    // "compose everything" implementation gets wrong (surrogate pairs
+    // exercise the non-BMP path at the same time)
+    val half = UTF8String.fromString("\ud834\udd5e")             // U+1D15E
+    val decoHalf = UnicodeNormalize.compute(half, "NFD")
+    assert(decoHalf ===
+      UTF8String.fromString("\ud834\udd57\ud834\udd65"))      // U+1D157 U+1D165
+    assert(UnicodeNormalize.compute(decoHalf, "NFC") === decoHalf)
     // codegen path end-to-end, null-intolerant null flow
     import spark.implicits._
     val df = Seq(Some("e\u0301"), Some("ascii"), None).toDF("s")

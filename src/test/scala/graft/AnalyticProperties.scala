@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test => ScTest}
+
+/** Property-based checks for the round-9 fold algebra: the native
+  * winnowing selection, the integer-scaled CUSUM recursion, and the
+  * largest-remainder quota identity must hold for ARBITRARY inputs,
+  * not just the fixtures (the t33/q86 discipline). Spark jobs per case
+  * are slow, so each property runs one job over a batch of generated
+  * cases where possible.
+  */
+object AnalyticProperties extends Properties("graft.analytic") {
+
+  override def overrideParameters(p: ScTest.Parameters): ScTest.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private def md5hex(x: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def winnowReplay(toks: Seq[String], k: Int, w: Int): Seq[String] = {
+    val hs = if (toks.length < k) Seq(md5hex(toks.mkString(" ")))
+      else toks.sliding(k).map(g => md5hex(g.mkString(" "))).toSeq
+    val nw = math.max(hs.length - w + 1, 1)
+    (0 until nw).map { i =>
+      hs.slice(i, math.min(i + w, hs.length))
+        .reduceLeft((a, b) => if (b <= a) b else a) // rightmost min
+    }.distinct.sorted
+  }
+
+  private val genToks: Gen[List[String]] =
+    Gen.choose(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")))
+
+  property("WinnowFingerprints ≡ sequential replay for arbitrary (toks, k, w)") =
+    Prop.forAll(Gen.listOfN(12, genToks),
+      Gen.choose(1, 7), Gen.choose(1, 6)) { (docs, k, w) =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "toks")
+        .select(col("id"),
+          graft.functions.WinnowFingerprints(col("toks"), k, w).as("fps"))
+      val got = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+      docs.zipWithIndex.forall { case (t, i) =>
+        got(i.toLong) == winnowReplay(t, k, w)
+      }
+    }
+
+  property("winnowing guarantee: a shared ≥(w+k-1)-token run shares a fingerprint") =
+    Prop.forAll(genToks, genToks, Gen.choose(1, 5), Gen.choose(1, 4),
+      Gen.choose(0L, 1L << 30)) { (pre, post, k, w, salt) =>
+      // the shared run is salted unique so the surrounding random text
+      // cannot accidentally supply the common fingerprint
+      val run = (0 until (w + k - 1)).map(i => s"r${salt}x$i")
+      val a = pre ++ run
+      val b = run ++ post
+      winnowReplay(a, k, w).toSet
+        .intersect(winnowReplay(b, k, w).toSet).nonEmpty
+    }
+
+  property("cusumFromDaily ≡ the sequential Page recursion on arbitrary series") =
+    Prop.forAll(Gen.listOfN(30, for {
+      et <- Gen.oneOf("a", "b", "c")
+      d <- Gen.choose(1, 12)
+      n <- Gen.choose(1L, 50L)
+    } yield (et, d, n))) { raw =>
+      // one count per (type, day): collapse duplicates by summation
+      val series = raw.groupBy(r => (r._1, r._2))
+        .map { case ((et, d), g) => (et, d, g.map(_._3).sum) }.toSeq
+      def ts(d: Int) = new java.sql.Timestamp(d * 86400000L)
+      val daily = series.map { case (et, d, n) => (et, ts(d), n) }
+        .toDF("event_type", "day", "n")
+      val got = graft.queries.Extensions.cusumFromDaily(daily)
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      val want = series.groupBy(_._1).map { case (et, rows) =>
+        val sorted = rows.sortBy(_._2)
+        val days = sorted.length.toLong
+        val total = sorted.map(_._3).sum
+        var s = 0L; var smax = 0L
+        sorted.foreach { case (_, _, n) =>
+          s = math.max(0L, s + n * days - total); smax = math.max(smax, s)
+        }
+        et -> (days, total, smax)
+      }
+      got == want
+    }
+
+  property("hamiltonQuotas: Σ quota = budget and every quota is floor/ceil-bounded") =
+    Prop.forAll(
+      Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, Gen.choose(1L, 500L))),
+      Gen.choose(1L, 2000L)) { (counts, budget) =>
+      val bySource = counts.zipWithIndex
+        .map { case (n, i) => (f"s$i%02d", n) }.toDF("source", "n_docs")
+      val out = graft.queries.Corpus.hamiltonQuotas(bySource, budget)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+      val total = counts.sum
+      out.map(_._3).sum == budget && out.forall { case (_, n, q) =>
+        val exact = n.toDouble * budget / total
+        q >= math.floor(exact).toLong && q <= math.ceil(exact).toLong
+      }
+    }
+}
