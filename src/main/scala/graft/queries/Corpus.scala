@@ -3619,17 +3619,25 @@ object Corpus {
 
   def ivfDelStorePath(dir: String): String = ivfStorePath(dir) + "_del"
 
-  val s14_ivf_tombstone_delete: Q = (s, dir) => {
+  /** Write-once bootstrap of the tombstoned store (shared by s14's
+    * serving query and s16's health report): the same deterministic
+    * seeded index as s12's store, plus one tombstone batch
+    * (vec_id ≡ 3 mod 7).
+    */
+  private def ensureDelStore(s: SparkSession, dir: String): String = {
     val path = ivfDelStorePath(dir)
     ivfDelStoresWritten.getOrElseUpdate(dir, {
-      // write-once per dir: the same deterministic seeded index as
-      // s12's store, plus one tombstone batch (vec_id ≡ 3 mod 7)
       ivfMetaIndex(s, dir).write(path)
       Similarity.IvfIndex.deleteFromStore(
         t(s, dir, "embeddings").where(pmod(col("vec_id"), lit(7)) === 3),
         "vec_id", path)
       true
     })
+    path
+  }
+
+  val s14_ivf_tombstone_delete: Q = (s, dir) => {
+    val path = ensureDelStore(s, dir)
     Similarity.IvfIndex.read(s, path)
       .searchPruned(
         t(s, dir, "embeddings").where(col("vec_id") >= 15 && col("vec_id") < 20),
@@ -3637,6 +3645,77 @@ object Corpus {
       .select(col("query_id"), col("neighbor_id"),
         round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
   }
+
+  /** Index health report over the persisted tombstoned store — the
+    * observability query an operator runs against a serving index:
+    * list count, live/tombstoned vector counts, per-list size extremes
+    * and imbalance (max/avg — the probe-latency skew signal), and the
+    * empty-list count (a quantizer-drift symptom: appends concentrate
+    * in few lists while others starve → rebuild time). Reads the STORE
+    * directly (raw lists + tombstone files, not the anti-joined
+    * serving view) because tombstone DEBT is itself a health metric —
+    * it is the compaction trigger. One partition-count aggregate over
+    * the lists plus two tiny counts; no corpus-sized work beyond the
+    * list scan. Oracle: assignment replay from the store's own
+    * centroid table with the same ≡3 (mod 7) deletion rule.
+    */
+  val s16_index_health: Q = (s, dir) => {
+    val path = ensureDelStore(s, dir)
+    val nLists = s.read.parquet(s"$path/centroids").count()
+    val tomb = s.read.parquet(s"$path/tombstones")
+      .select(col("neighbor_id")).distinct()
+    val lists = s.read.parquet(s"$path/lists")
+    val live = lists.join(broadcast(tomb), Seq("neighbor_id"), "left_anti")
+    val perList = live.groupBy(col("ivf_list")).agg(count(lit(1)).as("n"))
+    perList.agg(
+        count(lit(1)).as("__nonempty"),
+        sum(col("n")).as("n_live"),
+        min(col("n")).as("min_nonempty_list"),
+        max(col("n")).as("max_list"))
+      .crossJoin(broadcast(tomb.agg(count(lit(1)).as("n_tombstoned"))))
+      .select(
+        lit(nLists).as("n_lists"),
+        col("n_live"), col("n_tombstoned"),
+        (lit(nLists) - col("__nonempty")).as("n_empty_lists"),
+        col("min_nonempty_list"), col("max_list"),
+        round(col("n_live").cast("double") / nLists, 6).as("avg_list"),
+        round(col("max_list").cast("double") /
+          (col("n_live").cast("double") / nLists), 6).as("imbalance"))
+  }
+
+  /** The s14 assignment replay, aggregated into the same health row;
+    * n_lists comes from the store's own centroid table.
+    */
+  def s16_sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ctr AS (SELECT list_id, centroid
+       |        FROM read_parquet('${ivfDelStorePath(oracleSfDir)}/centroids/*.parquet')),
+       |dist AS (SELECT e.vec_id, c.list_id,
+       |  ((list_reduce(list_transform(generate_series(1, 64),
+       |      i -> e.v[i] * e.v[i]), (a, b) -> a + b)
+       |    - 2.0e0 * list_reduce(list_transform(generate_series(1, 64),
+       |      i -> e.v[i] * c.centroid[i]), (a, b) -> a + b))
+       |   + list_reduce(list_transform(c.centroid, x -> x * x),
+       |      (a, b) -> a + b)) AS d
+       | FROM e CROSS JOIN ctr c),
+       |assign AS (SELECT vec_id, list_id FROM (
+       |  SELECT vec_id, list_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+       |  FROM dist) WHERE rn = 1),
+       |live AS (SELECT * FROM assign WHERE vec_id % 7 <> 3),
+       |ls AS (SELECT list_id, COUNT(*) AS n FROM live GROUP BY 1),
+       |nl AS (SELECT COUNT(*) AS n_lists FROM ctr),
+       |tb AS (SELECT COUNT(*) AS n_tombstoned FROM assign WHERE vec_id % 7 = 3),
+       |agg AS (SELECT COUNT(*) AS nonempty, CAST(SUM(n) AS BIGINT) AS n_live,
+       |        CAST(MIN(n) AS BIGINT) AS min_nonempty_list,
+       |        CAST(MAX(n) AS BIGINT) AS max_list FROM ls)
+       |SELECT n_lists, n_live, n_tombstoned,
+       |  n_lists - nonempty AS n_empty_lists,
+       |  min_nonempty_list, max_list,
+       |  ROUND(CAST(n_live AS DOUBLE) / n_lists, 6) AS avg_list,
+       |  ROUND(CAST(max_list AS DOUBLE)
+       |    / (CAST(n_live AS DOUBLE) / n_lists), 6) AS imbalance
+       |FROM agg CROSS JOIN nl CROSS JOIN tb""".stripMargin
 
   /** DuckDB replay of s14: the s12 recipe from the delete-store's own
     * centroid table, with ids ≡ 3 (mod 7) absent from the assignment
@@ -3748,7 +3827,8 @@ object Corpus {
     "s12_ivf_serving"       -> s12_ivf_serving,
     "s13_ivf_delta_append"  -> s13_ivf_delta_append,
     "s14_ivf_tombstone_delete" -> s14_ivf_tombstone_delete,
-    "s15_knn_graph"         -> s15_knn_graph)
+    "s15_knn_graph"         -> s15_knn_graph,
+    "s16_index_health"      -> s16_index_health)
 
   // def, not val: s03_sql embeds the per-dir centroid fixture path for
   // the CURRENT `oracleSfDir`, so the map must be rebuilt at dump time.
@@ -3825,5 +3905,6 @@ object Corpus {
     "s12_ivf_serving"       -> s12_sql,
     "s13_ivf_delta_append"  -> s13_sql,
     "s14_ivf_tombstone_delete" -> s14_sql,
-    "s15_knn_graph"         -> s15_sql)
+    "s15_knn_graph"         -> s15_sql,
+    "s16_index_health"      -> s16_sql)
 }

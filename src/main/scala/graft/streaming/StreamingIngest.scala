@@ -572,6 +572,34 @@ object StreamingIngest {
       .outputMode(OutputMode.Append)
       .start()
 
+  /** Generation GC for every generation-dir stream (scdApplyStream,
+    * corpusStatsStream, transitionMatrixStream, cusumStream): each
+    * batch lands a FULL folded snapshot, so only the newest generation
+    * is ever read — the older dirs exist purely for the replay window
+    * (a re-run batch reads strictly below its own id). Pruning keeps
+    * the newest `keep` generations and deletes the rest; with
+    * checkpointed streams a batch more than `keep` generations old can
+    * never replay, so reads are unaffected (spec-asserted). Without
+    * GC a long-running stream's storage grows with trigger count, not
+    * state size — this is the missing operational half of the
+    * generation protocol.
+    */
+  def pruneGenerations(spark: SparkSession, root: String,
+      keep: Int = 2): Int = {
+    require(keep >= 1, "must keep at least the newest generation")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return 0
+    val gens = fs.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
+      .flatMap(s => s.getPath.getName.stripPrefix("gen-").toLongOption
+        .map(id => (id, s.getPath)))
+      .sortBy(_._1)
+    val doomed = gens.dropRight(keep)
+    doomed.foreach { case (_, p) => fs.delete(p, true) }
+    doomed.size
+  }
+
   /** Newest committed stats generation as (per-term df, one-row
     * totals), or None before the first batch lands.
     */

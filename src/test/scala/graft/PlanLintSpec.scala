@@ -57,6 +57,8 @@ class PlanLintSpec extends SparkSpec {
   // the per-term df rows — the t14/t15/t19 scalar-stats shape.
   // q95 crosses the ONE-ROW order-count frame into the 9-digit curve —
   // the t14/t15/t19 scalar-stats shape.
+  // s16 crosses two ONE-ROW aggregate frames (per-list stats ×
+  // tombstone count) into a single health row — 1×1 by construction.
   // t36 crosses two ONE-ROW frames (total, leftover) and theta-joins
   // the |sources|-row share frame to itself for the remainder rank —
   // catalog-bounded at any corpus scale (the q65 tiny-theta shape; a
@@ -68,7 +70,7 @@ class PlanLintSpec extends SparkSpec {
       "t27_stopwords", "t29_unigram_xent", "t30_bigram_xent",
       "s09_filtered_ann", "q83_gap_fill", "s11_hybrid_rrf",
       "t33_incremental_corpus_stats", "t36_quota_allocation",
-      "q95_benford")
+      "q95_benford", "s16_index_health")
 
   // queries allowed to window >minRows rows on a <minKeys-value key —
   // empty by design; adding here requires an in-source justification

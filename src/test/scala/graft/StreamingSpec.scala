@@ -826,6 +826,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.values.map(_._1).sum === (evs.length - users).toLong)
   }
 
+  test("pruneGenerations keeps the newest snapshots and current reads are unaffected") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_genprune").toString
+    val root = s"$base/matrix"; val ckpt = s"$base/ckpt"
+    def ev(u: Long, et: String, m: Int, id: Long) =
+      StreamingIngest.TypedEvent(u, et, new java.sql.Timestamp((1000 + m) * 60000L), id)
+    val stream = MemoryStream[StreamingIngest.TypedEvent]
+    val q = StreamingIngest.transitionMatrixStream(stream.toDS(), root, ckpt)
+    Seq(Seq(ev(1L, "a", 0, 1L), ev(1L, "b", 1, 2L)),
+      Seq(ev(1L, "c", 2, 3L)), Seq(ev(1L, "a", 3, 4L)),
+      Seq(ev(1L, "b", 4, 5L))).foreach { b =>
+      stream.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val before = StreamingIngest.currentTransitionMatrix(spark, root).get
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def genCount() = new java.io.File(root).listFiles()
+      .count(_.getName.startsWith("gen-"))
+    assert(genCount() === 4)
+    val pruned = StreamingIngest.pruneGenerations(spark, root, keep = 2)
+    assert(pruned === 2 && genCount() === 2)
+    // the newest snapshot is the complete fold: reads are identical
+    val after = StreamingIngest.currentTransitionMatrix(spark, root).get
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(after === before)
+    // pruning is idempotent and never deletes the last generation
+    assert(StreamingIngest.pruneGenerations(spark, root, keep = 2) === 0)
+    assert(StreamingIngest.pruneGenerations(spark, root, keep = 1) === 1)
+    assert(genCount() === 1)
+    assert(StreamingIngest.currentTransitionMatrix(spark, root).get
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap === before)
+  }
+
   test("cusumStream: folded daily generations derive exactly q89, out-of-order batches included") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
