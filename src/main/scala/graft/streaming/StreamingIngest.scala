@@ -583,6 +583,12 @@ object StreamingIngest {
     * GC a long-running stream's storage grows with trigger count, not
     * state size — this is the missing operational half of the
     * generation protocol.
+    *
+    * NOT for [[streamingNearDupAdmission]]: its corpus is the UNION of
+    * generation dirs (append-only parts, each holding only that
+    * batch's admitted docs), so pruning there deletes corpus data.
+    * This GC applies only to streams whose every generation is a
+    * complete folded snapshot.
     */
   def pruneGenerations(spark: SparkSession, root: String,
       keep: Int = 2): Int = {
