@@ -104,4 +104,24 @@ object AnalyticProperties extends Properties("graft.analytic") {
         q >= math.floor(exact).toLong && q <= math.ceil(exact).toLong
       }
     }
+
+  property("media codecs: arbitrary bytes decode to None or a sane frame, never an exception") =
+    Prop.forAll(
+      Gen.choose(0, 200).flatMap(n => Gen.listOfN(n, Gen.choose(-128, 127).map(_.toByte))),
+      Gen.oneOf("", "RIFF", "RIFF\u0000\u0000\u0000\u0000AVI ", "\u0089PNG", "ID3")) {
+      (tail, magic) =>
+      // adversarial inputs: random bytes behind plausible container
+      // magics — every decoder must return promptly with None (or a
+      // structurally-sane result), never throw and never hang (the
+      // crafted-hang case has its own timed spec; this sweeps the
+      // random neighborhood)
+      import graft.multimodal.MultiModal
+      val bytes = magic.getBytes("ISO-8859-1") ++ tail
+      val img = MultiModal.ImageIoCodec.decodeImage(bytes)
+      val aud = MultiModal.AudioSystemCodec.decodeAudio(bytes)
+      val vid = MultiModal.AviMjpegCodec.decodeFrames(bytes)
+      img.forall { case (w, h, px) => w > 0 && h > 0 && px.length == w * h * 3 } &&
+      aud.forall { case (rate, pcm) => rate > 0 && pcm != null } &&
+      vid.forall { case (frameUs, frames) => frameUs >= 0 && frames != null }
+    }
 }
