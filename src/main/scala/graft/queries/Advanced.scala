@@ -1491,7 +1491,65 @@ object Advanced {
       |  END AS n_kmv
       |FROM s""".stripMargin
 
+  /** Incremental QUANTILE maintenance — q86's mergeable-sketch
+    * identity applied to the q73 estimator, completing the sketch leg
+    * of the continuous-corpus loop for order statistics: a min-k-hash
+    * VALUE sample is a set function of the input (the k smallest
+    * (hash, key) pairs, values riding along), so the union's sample is
+    * take-k of the two batch samples' merge — exact, in closed form,
+    * no history rescan. Two batches (orderkey parity) each keep their
+    * per-group k-smallest rows; the fold is take-k ∘ sort ∘ distinct ∘
+    * concat over (hash, key, value) structs; the quantile estimates
+    * from the FOLDED sample hash-match the full-corpus q73 replay —
+    * merge ≡ full, which is what lets per-day sample sketches answer
+    * any cross-slice percentile by folding summaries.
+    */
+  val q96_incremental_quantiles: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val k = 256
+    val base = t(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        KmvSketch.hash64(col("o_orderkey")).as("__h"))
+    def batchSample(p: Int): DataFrame = {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("__h").asc, col("o_orderkey").asc)
+      base.where(pmod(col("o_orderkey"), lit(2)) === p)
+        .withColumn("__r", row_number().over(w))
+        .where(col("__r") <= k)
+        .groupBy(col("o_orderpriority"))
+        .agg(sort_array(collect_list(
+          struct(col("__h"), col("o_orderkey"), col("o_totalprice"))))
+          .as(s"__s$p"))
+    }
+    val empty = array().cast(
+      "array<struct<__h:bigint,o_orderkey:bigint,o_totalprice:double>>")
+    val merged = batchSample(0)
+      .join(batchSample(1), Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        slice(array_sort(array_distinct(concat(
+          coalesce(col("__s0"), empty), coalesce(col("__s1"), empty)))),
+          1, k).as("__sample"))
+    merged.select(col("o_orderpriority"), explode(col("__sample")).as("x"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_sample"),
+        round(expr("percentile(x.o_totalprice, 0.5)"), 4).as("p50_est"),
+        round(expr("percentile(x.o_totalprice, 0.9)"), 4).as("p90_est"))
+  }
+
+  // the full-corpus q73 recipe: the hash match IS the merge ≡ full proof
+  val q96_sql: String =
+    """WITH h AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM orders),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |    ORDER BY h, o_orderkey) AS rn FROM h)
+      |SELECT o_orderpriority, COUNT(*) AS n_sample,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50_est,
+      |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90_est
+      |FROM r WHERE rn <= 256 GROUP BY o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q96_incremental_quantiles" -> q96_incremental_quantiles,
     "q86_incremental_kmv" -> q86_incremental_kmv,
     "q65_kmv_setops"    -> q65_kmv_setops,
     "q72_sliding_distinct" -> q72_sliding_distinct,
@@ -1533,6 +1591,7 @@ object Advanced {
 
   val oracles: Map[String, String] = Map(
     "q86_incremental_kmv" -> q86_sql,
+    "q96_incremental_quantiles" -> q96_sql,
     "q65_kmv_setops"    -> q65_sql,
     "q72_sliding_distinct" -> q72_sql,
     "q73_sampled_quantiles" -> q73_sql,

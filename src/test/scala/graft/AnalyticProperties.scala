@@ -124,4 +124,21 @@ object AnalyticProperties extends Properties("graft.analytic") {
       aud.forall { case (rate, pcm) => rate > 0 && pcm != null } &&
       vid.forall { case (frameUs, frames) => frameUs >= 0 && frames != null }
     }
+
+  property("min-k sample fold: merge of batch samples ≡ sample of the union, any split") =
+    Prop.forAll(
+      Gen.listOfN(60, Gen.choose(0L, 40L)).map(_.distinct),
+      Gen.listOfN(60, Gen.oneOf(0, 1)), Gen.choose(1, 12)) { (keys, assign0, k) =>
+      // the q96 algebra in the abstract: rows = (hash, key, value);
+      // takeK is the k smallest by (hash, key) — a set function, so
+      // folding per-batch takeKs must equal takeK of the union for
+      // EVERY split, not just the parity split the query uses
+      def h(x: Long) = graft.streaming.StreamingIngest.md5Hash64(x.toString)
+      val rows = keys.map(x => (h(x), x, x * 1.5))
+      def takeK(rs: Seq[(Long, Long, Double)]) =
+        rs.sortBy(r => (r._1, r._2)).take(k)
+      val (b0, b1) = rows.zip(assign0).partition(_._2 == 0)
+      val folded = takeK((takeK(b0.map(_._1)) ++ takeK(b1.map(_._1))).distinct)
+      folded == takeK(rows)
+    }
 }
