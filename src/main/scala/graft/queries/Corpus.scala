@@ -1509,7 +1509,7 @@ object Corpus {
       val planes = math.max(4,
         math.ceil(math.log(e.count() / 30.0) / math.log(2.0)).toInt)
       (planes, Similarity.LshIndex.build(e, "vec_id", "embedding",
-        dim = 64, planes = planes, tables = 16))
+        dim = 64, planes = planes, tables = 32))
     })
 
   val s15_knn_graph: Q = (s, dir) => {
@@ -1536,7 +1536,7 @@ object Corpus {
     // the planes count the query actually used for oracleSfDir (5 at
     // the 500-vector fixtures — the adaptive formula's value there)
     val nPlanes = lshKnnIndexes.get(oracleSfDir).map(_._1).getOrElse(5)
-    val hp = Similarity.hyperplanes(dim = 64, planes = nPlanes, tables = 16)
+    val hp = Similarity.hyperplanes(dim = 64, planes = nPlanes, tables = 32)
     val planeRows = for {
       (tablePlanes, tIdx) <- hp.zipWithIndex
       (plane, pIdx)       <- tablePlanes.zipWithIndex

@@ -495,6 +495,6 @@ class SimilaritySpec extends SparkSpec {
       "vec_id", "embedding", "vec_id", "embedding", k = 3)
     val r = Similarity.recallAtK(exact, g)
     println(f"[recall] s15_knn_graph=$r%.3f")
-    assert(r >= 0.60, f"kNN-graph recall@3 $r%.3f below floor")
+    assert(r >= 0.85, f"kNN-graph recall@3 $r%.3f below floor")
   }
 }
