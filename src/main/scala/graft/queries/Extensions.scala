@@ -1601,6 +1601,49 @@ object Extensions {
       |    / log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * n, 6) AS chi2_term
       |FROM g CROSS JOIN t""".stripMargin
 
+  /** TPC-H Q14 (promotion effect): the share of one month's discounted
+    * revenue attributable to PROMO parts — the classic conditional-
+    * aggregate-over-a-join shape. The lineitem⋈part join is keyed
+    * (part is fact-sized at real scale; AQE broadcasts at small SF),
+    * the month predicate reaches the lineitem scan, and both sums run
+    * in DECIMAL (q01 discipline) with one final double ratio.
+    */
+  val q97_tpch_q14: Q = (s, dir) => {
+    t(s, dir, "lineitem")
+      .where(expr("l_shipdate >= TIMESTAMP '1998-03-01 00:00:00'") &&
+        expr("l_shipdate < TIMESTAMP '1998-04-01 00:00:00'"))
+      .join(t(s, dir, "part").select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0)))
+          .cast("double").as("promo_revenue"),
+        sum(rev).cast("double").as("total_revenue"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6)
+          .as("promo_pct"),
+        col("promo_revenue"), col("total_revenue"), col("n_rows"))
+  }
+
+  val q97_sql: String =
+    """WITH j AS (
+      |  SELECT p_type,
+      |    CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS dp
+      |  FROM lineitem, part
+      |  WHERE l_partkey = p_partkey
+      |    AND l_shipdate >= TIMESTAMP '1998-03-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00'),
+      |a AS (SELECT
+      |    CAST(SUM(CASE WHEN p_type = 'PROMO' THEN dp ELSE 0 END) AS DOUBLE)
+      |      AS promo_revenue,
+      |    CAST(SUM(dp) AS DOUBLE) AS total_revenue,
+      |    COUNT(*) AS n_rows
+      |  FROM j)
+      |SELECT ROUND(100.0 * promo_revenue / total_revenue, 6) AS promo_pct,
+      |  promo_revenue, total_revenue, n_rows
+      |FROM a""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q59_lateral"        -> q59_lateral,
     "q60_month_spine"    -> q60_month_spine,
@@ -1634,7 +1677,8 @@ object Extensions {
     "q92_tpch_q3"        -> q92_tpch_q3,
     "q93_tpch_q5"        -> q93_tpch_q5,
     "q94_tpch_q10"       -> q94_tpch_q10,
-    "q95_benford"        -> q95_benford)
+    "q95_benford"        -> q95_benford,
+    "q97_tpch_q14"       -> q97_tpch_q14)
 
   // def, not val: q84's oracle embeds the per-dir CSV fixture path for
   // the CURRENT Corpus.oracleSfDir (the s03 centroid-dump recipe)
@@ -1671,5 +1715,6 @@ object Extensions {
     "q92_tpch_q3"        -> q92_sql,
     "q93_tpch_q5"        -> q93_sql,
     "q94_tpch_q10"       -> q94_sql,
-    "q95_benford"        -> q95_sql)
+    "q95_benford"        -> q95_sql,
+    "q97_tpch_q14"       -> q97_sql)
 }

@@ -144,10 +144,15 @@ object ScaleGrowth {
     // SAME in both dirs (n_parts grows 10×), so the keyed window is
     // fixed-cost and the scan + price-level aggregate must carry all
     // the growth — the aggregate-first discipline under test
+    // replica 0 keeps ORIGINAL part keys (the s09/q85 identity rule),
+    // so q97's l_partkey = p_partkey join — lineitem replicas carry
+    // original part keys — resolves in both dirs: fact 10×, dim fixed
     val part = graft.Tables(spark, sfDir, "part")
     def repPart(r: Int): DataFrame =
       part.withColumn("rep", explode(sequence(lit(0), lit(r - 1))))
-        .withColumn("p_partkey", col("p_partkey") * 16 + col("rep"))
+        .withColumn("p_partkey",
+          when(col("rep") === 0, col("p_partkey"))
+            .otherwise(col("p_partkey") * 16 + col("rep")))
         .drop("rep")
     repPart(1).write.mode("overwrite").parquet(s"$base/x1/part.parquet")
     repPart(10).write.mode("overwrite").parquet(s"$base/x10/part.parquet")
@@ -230,7 +235,7 @@ object ScaleGrowth {
       "q90_theilsen_trend", "t36_quota_allocation",
       "q91_session_paths", "q92_tpch_q3", "q93_tpch_q5", "q94_tpch_q10",
       "s15_knn_graph", "q95_benford", "s16_index_health",
-      "q96_incremental_quantiles")
+      "q96_incremental_quantiles", "q97_tpch_q14")
       .filter(q => onlyPrefixes.forall(_.exists(q.startsWith)))
     def time(name: String, dir: String): Double = {
       def once(): Double = {
