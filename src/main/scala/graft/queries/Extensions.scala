@@ -1644,6 +1644,40 @@ object Extensions {
       |  promo_revenue, total_revenue, n_rows
       |FROM a""".stripMargin
 
+  /** TPC-H Q18 (large-volume customers): orders whose total quantity
+    * exceeds 300, with their customers, top-100 by value. The classic
+    * formulation re-joins lineitem inside an IN-subquery; here the
+    * per-order quantity aggregates ONCE and semi-reduces orders by
+    * join — same rows, one lineitem pass (the Q10
+    * aggregate-before-join move). Quantity sums run in DECIMAL so the
+    * HAVING threshold is order-independent-exact; top-100 is a
+    * sort+limit TopK.
+    */
+  val q98_tpch_q18: Q = (s, dir) => {
+    val big = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec2Col(col("l_quantity"))).as("__qty"))
+      .where(col("__qty") > 300)
+    t(s, dir, "orders").join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        col("__qty").cast("double").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q98_sql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      |  FROM lineitem GROUP BY 1
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+      |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(qty AS DOUBLE) AS total_qty
+      |FROM big, orders, customer
+      |WHERE o_orderkey = l_orderkey AND o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q59_lateral"        -> q59_lateral,
     "q60_month_spine"    -> q60_month_spine,
@@ -1678,7 +1712,8 @@ object Extensions {
     "q93_tpch_q5"        -> q93_tpch_q5,
     "q94_tpch_q10"       -> q94_tpch_q10,
     "q95_benford"        -> q95_benford,
-    "q97_tpch_q14"       -> q97_tpch_q14)
+    "q97_tpch_q14"       -> q97_tpch_q14,
+    "q98_tpch_q18"       -> q98_tpch_q18)
 
   // def, not val: q84's oracle embeds the per-dir CSV fixture path for
   // the CURRENT Corpus.oracleSfDir (the s03 centroid-dump recipe)
@@ -1716,5 +1751,6 @@ object Extensions {
     "q93_tpch_q5"        -> q93_sql,
     "q94_tpch_q10"       -> q94_sql,
     "q95_benford"        -> q95_sql,
-    "q97_tpch_q14"       -> q97_sql)
+    "q97_tpch_q14"       -> q97_sql,
+    "q98_tpch_q18"       -> q98_sql)
 }
