@@ -137,6 +137,13 @@ object VectorExpressions {
       s"$fn requires a literal integer argument, got $other")
   }
 
+  private[functions] def stringLit(e: Expression, fn: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn requires a literal string argument, got $other")
+  }
+
   /** SQL registration (`graft_cosine`, `graft_dot`, `graft_fingerprint`,
     * `graft_simhash_fold`) for `spark.sql` users; idempotent per session.
     */
@@ -172,6 +179,17 @@ object VectorExpressions {
       new ExpressionInfo(classOf[SpaceSavingTopK].getName, "graft_spacesaving"),
       (children: Seq[Expression]) =>
         SpaceSavingTopK(children(0), intLit(children(1), "graft_spacesaving")))
+    reg.registerFunction(
+      FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_normalize"),
+      (children: Seq[Expression]) =>
+        UnicodeNormalize(children(0), stringLit(children(1), "graft_normalize")))
+    reg.registerFunction(
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
+      (children: Seq[Expression]) =>
+        WinnowFingerprints(children(0), intLit(children(1), "graft_winnow"),
+          intLit(children(2), "graft_winnow")))
   }
 }
 
@@ -204,6 +222,17 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[SpaceSavingTopK].getName, "graft_spacesaving"),
       (children: Seq[Expression]) => SpaceSavingTopK(
         children(0), VectorExpressions.intLit(children(1), "graft_spacesaving"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_normalize"),
+      (children: Seq[Expression]) => UnicodeNormalize(children(0),
+        VectorExpressions.stringLit(children(1), "graft_normalize"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
+      (children: Seq[Expression]) => WinnowFingerprints(children(0),
+        VectorExpressions.intLit(children(1), "graft_winnow"),
+        VectorExpressions.intLit(children(2), "graft_winnow"))))
     // config-gated COUNT(DISTINCT) → KMV sketch rewrite (no-op unless
     // spark.graft.approxDistinct.enabled=true)
     ext.injectOptimizerRule(_ => ApproxDistinctRewrite)

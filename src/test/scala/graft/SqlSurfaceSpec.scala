@@ -108,6 +108,18 @@ class SqlSurfaceSpec extends SparkSpec {
       .selectExpr("inline(s)")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(ss.toSeq === Seq(("a", 3L, 0L), ("b", 2L, 0L), ("c", 1L, 0L)))
+
+    // round-9 expressions from SQL: NFC recomposition and winnowing
+    // Spark's chr() is ASCII-only (n % 256), so the combining acute
+    // rides in as a unicode escape inside the SQL literal
+    val nfc = spark.sql(
+      "SELECT graft_normalize('cafe\u0301', 'NFC') AS n")
+      .collect()(0).getString(0)
+    assert(nfc === "caf\u00e9")
+    val wn = spark.sql(
+      """SELECT graft_winnow(array('a','b','c','d','e','f','g','h'), 5, 4) AS w"""
+    ).collect()(0).getSeq[String](0)
+    assert(wn.nonEmpty && wn.forall(_.matches("[0-9a-f]{32}")))
   }
 
   private val sfDir = "/root/testdata/sf0.001"
