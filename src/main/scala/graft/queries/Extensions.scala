@@ -1678,6 +1678,33 @@ object Extensions {
       |WHERE o_orderkey = l_orderkey AND o_custkey = c_custkey
       |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin
 
+  /** TPC-H Q13 (customer distribution): how many customers placed
+    * exactly N orders, zero included — the canonical LEFT OUTER +
+    * double-aggregation shape (the outer join is what keeps
+    * order-less customers in the histogram; an inner join silently
+    * drops the most interesting bucket). First aggregate is keyed by
+    * customer (fact-sized shuffle), second by the count value — a
+    * frame bounded by max-orders-per-customer, so the final sort is
+    * catalog-small. (The reference Q13's o_comment NOT LIKE filter has
+    * no column here; the join-histogram semantics are the point.)
+    */
+  val q99_tpch_q13: Q = (s, dir) => {
+    val counts = t(s, dir, "customer").select(col("c_custkey"))
+      .join(t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    counts.groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q99_sql: String =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey) t
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q59_lateral"        -> q59_lateral,
     "q60_month_spine"    -> q60_month_spine,
@@ -1713,7 +1740,8 @@ object Extensions {
     "q94_tpch_q10"       -> q94_tpch_q10,
     "q95_benford"        -> q95_benford,
     "q97_tpch_q14"       -> q97_tpch_q14,
-    "q98_tpch_q18"       -> q98_tpch_q18)
+    "q98_tpch_q18"       -> q98_tpch_q18,
+    "q99_tpch_q13"       -> q99_tpch_q13)
 
   // def, not val: q84's oracle embeds the per-dir CSV fixture path for
   // the CURRENT Corpus.oracleSfDir (the s03 centroid-dump recipe)
@@ -1752,5 +1780,6 @@ object Extensions {
     "q94_tpch_q10"       -> q94_sql,
     "q95_benford"        -> q95_sql,
     "q97_tpch_q14"       -> q97_sql,
-    "q98_tpch_q18"       -> q98_sql)
+    "q98_tpch_q18"       -> q98_sql,
+    "q99_tpch_q13"       -> q99_sql)
 }
