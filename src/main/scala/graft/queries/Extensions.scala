@@ -1705,6 +1705,42 @@ object Extensions {
       |  GROUP BY c_custkey) t
       |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
 
+  /** TPC-H Q17 (small-quantity-order revenue): lineitems of one brand
+    * below 20% of their part's average quantity — the CORRELATED
+    * SCALAR AVG subquery, the decorrelation shape this surface had not
+    * yet exercised (Catalyst rewrites the per-part average into an
+    * aggregate + join; the naive plan re-scans lineitem per row).
+    * Stated via `spark.sql` so the decorrelator itself is under test,
+    * like q59's LATERAL. l_quantity is integer-valued, so the
+    * correlated AVG is exact-sum/count — deterministic across engines
+    * and summation orders — and the revenue sum runs in DECIMAL.
+    * (The reference Q17's p_container filter has no column here; the
+    * brand filter alone keeps the correlated-subquery semantics.)
+    */
+  val q100_tpch_q17: Q = (s, dir) => {
+    t(s, dir, "lineitem").createOrReplaceTempView("g_q100_lineitem")
+    t(s, dir, "part").createOrReplaceTempView("g_q100_part")
+    s.sql(
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         / 7.0 AS avg_yearly,
+        |       COUNT(*) AS n_rows
+        |FROM g_q100_lineitem, g_q100_part
+        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#13'
+        |  AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
+        |                    FROM g_q100_lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)""".stripMargin)
+  }
+
+  val q100_sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |         / 7.0 AS avg_yearly,
+      |       COUNT(*) AS n_rows
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND p_brand = 'Brand#13'
+      |  AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
+      |                    FROM lineitem l2
+      |                    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q59_lateral"        -> q59_lateral,
     "q60_month_spine"    -> q60_month_spine,
@@ -1741,7 +1777,8 @@ object Extensions {
     "q95_benford"        -> q95_benford,
     "q97_tpch_q14"       -> q97_tpch_q14,
     "q98_tpch_q18"       -> q98_tpch_q18,
-    "q99_tpch_q13"       -> q99_tpch_q13)
+    "q99_tpch_q13"       -> q99_tpch_q13,
+    "q100_tpch_q17"      -> q100_tpch_q17)
 
   // def, not val: q84's oracle embeds the per-dir CSV fixture path for
   // the CURRENT Corpus.oracleSfDir (the s03 centroid-dump recipe)
@@ -1781,5 +1818,6 @@ object Extensions {
     "q95_benford"        -> q95_sql,
     "q97_tpch_q14"       -> q97_sql,
     "q98_tpch_q18"       -> q98_sql,
-    "q99_tpch_q13"       -> q99_sql)
+    "q99_tpch_q13"       -> q99_sql,
+    "q100_tpch_q17"      -> q100_sql)
 }

@@ -236,7 +236,7 @@ object ScaleGrowth {
       "q91_session_paths", "q92_tpch_q3", "q93_tpch_q5", "q94_tpch_q10",
       "s15_knn_graph", "q95_benford", "s16_index_health",
       "q96_incremental_quantiles", "q97_tpch_q14", "q98_tpch_q18",
-      "q99_tpch_q13")
+      "q99_tpch_q13", "q100_tpch_q17")
       .filter(q => onlyPrefixes.forall(_.exists(q.startsWith)))
     def time(name: String, dir: String): Double = {
       def once(): Double = {
