@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.Stock.queries ++
     graft.queries.Corpus.queries ++
     graft.queries.Advanced.queries ++
-    graft.queries.Extensions.queries
+    graft.queries.Extensions.queries ++
+    graft.queries.TpcH.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -27,5 +28,6 @@ object SparkEntry {
     graft.queries.Stock.oracles ++
     graft.queries.Corpus.oracles ++
     graft.queries.Advanced.oracles ++
-    graft.queries.Extensions.oracles
+    graft.queries.Extensions.oracles ++
+    graft.queries.TpcH.oracles
 }
