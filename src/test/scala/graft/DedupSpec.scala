@@ -144,6 +144,38 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty, "corpus should contain high-containment pairs")
   }
 
+  test("edJoin is lossless: equals brute-force Levenshtein on real names, with pruning") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select(col("c_custkey"), col("c_name"))
+    val out = Dedup.edJoin(corpus, "c_name", "c_custkey", q = 2, d = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val brute = corpus.as("a").crossJoin(corpus.as("b"))
+      .where(col("a.c_custkey") < col("b.c_custkey") &&
+        levenshtein(col("a.c_name"), col("b.c_name")) <= 1)
+      .select(col("a.c_custkey"), col("b.c_custkey"),
+        levenshtein(col("a.c_name"), col("b.c_name")).cast("long"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out === brute)
+    assert(brute.nonEmpty, "id-style names should contain distance-1 pairs")
+    // the whole point of the prefix filter: candidates ≪ n²/2
+    val n = corpus.count()
+    assert(out.size < n * (n - 1) / 4,
+      "suspiciously dense result — prefix filter likely degenerated")
+  }
+
+  test("edJoin short-string class: pairs below the prefix lemma's bound still join") {
+    // 2-char strings have a single 2-gram; q·d = 2 items would be
+    // needed for the count bound — the dedicated short path must catch
+    // these (and a long pair must still come from the prefix path).
+    val mixed = Seq(
+      (1L, "ab"), (2L, "ac"), (3L, "ab"),
+      (4L, "Customer#000000001"), (5L, "Customer#000000002")
+    ).toDF("id", "s")
+    val out = Dedup.edJoin(mixed, "s", "id", q = 2, d = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+  }
+
   test("t25 leakage-free split never places a near-dup pair across the boundary") {
     val dir = "/root/testdata/sf0.001"
     val split = graft.queries.Corpus.t25_leakage_split(spark, dir)
