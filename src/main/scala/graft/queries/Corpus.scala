@@ -3819,9 +3819,9 @@ object Corpus {
     * subspace order in both engines, so even the approximate scores
     * hash-match.
     */
-  val s17_pq_ann: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
-    val cb = pqCodebooks.getOrElseUpdate(dir, {
+  private def pqCodebook(s: SparkSession, dir: String)
+      : graft.similarity.PqCodebook =
+    pqCodebooks.getOrElseUpdate(dir, {
       val fitted = graft.similarity.PqCodebook.fit(
         t(s, dir, "embeddings"), "embedding", m = pqM, k = 16)
       // dump the fitted codebooks so the oracle SQL replays encoding
@@ -3833,6 +3833,10 @@ object Corpus {
         .coalesce(1).write.mode("overwrite").parquet(pqCodebookPath(dir))
       fitted
     })
+
+  val s17_pq_ann: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val cb = pqCodebook(s, dir)
     val e = t(s, dir, "embeddings")
     val codes = e
       .select(col("vec_id").as("neighbor_id"),
@@ -3922,6 +3926,139 @@ object Corpus {
        |  ROUND(cos, 6) AS cosine, rank
        |FROM fin WHERE rank <= 10""".stripMargin
 
+  /** IVF-PQ — the canonical composed serving index (FAISS's IVFPQ
+    * shape, public literature: Jégou et al. TPAMI 2011 §V): the coarse
+    * quantizer routes each query to its 8 nearest inverted lists
+    * (s03's machinery), PQ-ADC scores ONLY the codes inside probed
+    * lists (s17's machinery — 16 table lookups per candidate, no float
+    * math), and the top-40 survivors re-rank in exact float cosine.
+    * Versus s10 (IVF + int8): the candidate scan reads 8-byte codes
+    * instead of 64-byte int8 vectors — another 8× less memory traffic
+    * in the inner loop, the difference that dominates at 100 TB where
+    * the probed-list scan IS the query cost. List-keyed equi-join
+    * only; probes fixed; candidates bounded by probed-list size.
+    *
+    * Probe set vec_id ∈ [10, 15) — disjoint from s03/s17 (< 5), s09
+    * ([5, 10)) and s14 ([15, 20)), so every ANN family exercises
+    * different query geometry. Oracle replays BOTH dumped fixtures:
+    * the s03-style centroid assignment/probing and the s17-style
+    * codebook encode/LUT/ordered-ADC-fold.
+    */
+  val s18_ivfpq_ann: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    // 80 ADC candidates (vs s17's 40): the composed pipeline loses
+    // recall at BOTH stages (probing ceiling ~0.94 x ADC cut), and the
+    // re-rank is 80 cosines per query -- widening the cut is free next
+    // to the probed-list scan. recall@10 0.88 at 80 vs 0.78 at 40 (spec-gated at 0.85).
+    val nCand = 80
+    val idx = ivfMetaIndex(s, dir)
+    val cb = pqCodebook(s, dir)
+    val corpus = idx.listed
+      .select(col("ivf_list"), col("neighbor_id"),
+        cb.encode(col("__cv")).as("__codes"))
+    val e = t(s, dir, "embeddings")
+    val probes = e.where(col("vec_id") >= 10 && col("vec_id") < 15)
+      .select(col("vec_id").as("query_id"), cb.lut(col("embedding")).as("__lut"),
+        explode_outer(idx.probeLists(col("embedding"), 8)).as("ivf_list"))
+      .where(col("ivf_list").isNotNull)
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id").asc)
+    val cand = probes.join(corpus, Seq("ivf_list"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cb.adcDot(col("__lut"), col("__codes")).as("approx"))
+      .withColumn("__r", row_number().over(wc))
+      .where(col("__r") <= nCand)
+      .select(col("query_id"), col("neighbor_id"), col("approx"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand
+      .join(e.select(col("vec_id").as("query_id"),
+        col("embedding").as("__pv")), Seq("query_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("__cv")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("approx"),
+        graft.similarity.Similarity.cosine(col("__pv"), col("__cv")).as("cosine"))
+      .withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= 10)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("approx"), 6).as("approx"),
+        round(col("cosine"), 6).as("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** DuckDB replay of s18 from both dumped fixtures: the s10-recipe
+    * centroid assignment + 8-list probing (for probes [10, 15)),
+    * composed with the s17-recipe codebook encode + LUT +
+    * ascending-subspace ADC fold, restricted to candidates sharing a
+    * probed list.
+    */
+  def s18_sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ctr AS (SELECT list_id, centroid
+       |        FROM read_parquet('${ivfMetaCentroidPath(oracleSfDir)}/*.parquet')),
+       |cdist AS (SELECT e.vec_id, c.list_id,
+       |  ((list_reduce(list_transform(generate_series(1, 64),
+       |      i -> e.v[i] * e.v[i]), (a, b) -> a + b)
+       |    - 2.0e0 * list_reduce(list_transform(generate_series(1, 64),
+       |      i -> e.v[i] * c.centroid[i]), (a, b) -> a + b))
+       |   + list_reduce(list_transform(c.centroid, x -> x * x),
+       |      (a, b) -> a + b)) AS d
+       | FROM e CROSS JOIN ctr c),
+       |assign AS (SELECT vec_id AS neighbor_id, list_id FROM (
+       |  SELECT vec_id, list_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+       |  FROM cdist) WHERE rn = 1),
+       |probe AS (SELECT vec_id AS query_id, list_id FROM (
+       |  SELECT vec_id, list_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+       |  FROM cdist WHERE vec_id >= 10 AND vec_id < 15) WHERE rn <= 8),
+       |cand AS (SELECT p.query_id, a.neighbor_id
+       |  FROM probe p JOIN assign a USING (list_id)
+       |  WHERE a.neighbor_id <> p.query_id),
+       |cb AS (SELECT sub_id, code, centroid
+       |       FROM read_parquet('${pqCodebookPath(oracleSfDir)}/*.parquet')),
+       |pqdist AS (SELECT e.vec_id, cb.sub_id, cb.code,
+       |  ((list_reduce(list_transform(generate_series(1, $pqSubDim),
+       |      i -> e.v[cb.sub_id*$pqSubDim+i] * e.v[cb.sub_id*$pqSubDim+i]),
+       |      (a, b) -> a + b)
+       |    - 2.0e0 * list_reduce(list_transform(generate_series(1, $pqSubDim),
+       |      i -> e.v[cb.sub_id*$pqSubDim+i] * cb.centroid[i]), (a, b) -> a + b))
+       |   + list_reduce(list_transform(cb.centroid, x -> x * x),
+       |      (a, b) -> a + b)) AS d
+       | FROM e CROSS JOIN cb),
+       |enc AS (SELECT vec_id, sub_id, code FROM (
+       |  SELECT vec_id, sub_id, code,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub_id
+       |                       ORDER BY d, code) AS rn
+       |  FROM pqdist) WHERE rn = 1),
+       |lut AS (SELECT e.vec_id AS query_id, cb.sub_id, cb.code,
+       |    list_reduce(list_transform(generate_series(1, $pqSubDim),
+       |      i -> e.v[cb.sub_id*$pqSubDim+i] * cb.centroid[i]), (a, b) -> a + b)
+       |      AS term
+       |  FROM e CROSS JOIN cb WHERE e.vec_id >= 10 AND e.vec_id < 15),
+       |sc0 AS (SELECT c.query_id, c.neighbor_id,
+       |    list_reduce(list(l.term ORDER BY l.sub_id), (a, b) -> a + b) AS approx
+       |  FROM cand c
+       |  JOIN enc ON enc.vec_id = c.neighbor_id
+       |  JOIN lut l ON l.query_id = c.query_id
+       |    AND l.sub_id = enc.sub_id AND l.code = enc.code
+       |  GROUP BY 1, 2),
+       |cnd AS (SELECT query_id, neighbor_id, approx FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY approx DESC, neighbor_id ASC) AS r FROM sc0)
+       |  WHERE r <= 80),
+       |rr AS (SELECT c.query_id, c.neighbor_id, c.approx, $cosSql AS cos
+       |  FROM cnd c JOIN e a ON a.vec_id = c.query_id
+       |             JOIN e b ON b.vec_id = c.neighbor_id),
+       |fin AS (SELECT query_id, neighbor_id, approx, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id
+       |                     ORDER BY cos DESC, neighbor_id ASC) AS rank
+       | FROM rr)
+       |SELECT query_id, neighbor_id, ROUND(approx, 6) AS approx,
+       |  ROUND(cos, 6) AS cosine, rank
+       |FROM fin WHERE rank <= 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "m01_multimodal_features" -> m01_multimodal_features,
     "m02_frame_manifest"    -> m02_frame_manifest,
@@ -3998,7 +4135,8 @@ object Corpus {
     "s14_ivf_tombstone_delete" -> s14_ivf_tombstone_delete,
     "s15_knn_graph"         -> s15_knn_graph,
     "s16_index_health"      -> s16_index_health,
-    "s17_pq_ann"            -> s17_pq_ann)
+    "s17_pq_ann"            -> s17_pq_ann,
+    "s18_ivfpq_ann"         -> s18_ivfpq_ann)
 
   // def, not val: s03_sql embeds the per-dir centroid fixture path for
   // the CURRENT `oracleSfDir`, so the map must be rebuilt at dump time.
@@ -4078,5 +4216,6 @@ object Corpus {
     "s14_ivf_tombstone_delete" -> s14_sql,
     "s15_knn_graph"         -> s15_sql,
     "s16_index_health"      -> s16_sql,
-    "s17_pq_ann"            -> s17_sql)
+    "s17_pq_ann"            -> s17_sql,
+    "s18_ivfpq_ann"         -> s18_sql)
 }

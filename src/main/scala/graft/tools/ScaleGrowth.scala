@@ -89,7 +89,8 @@ object ScaleGrowth {
     // (supplier/region join in for the TPC-H trio q92-q94: plain dim
     // copies; the key-shifted orders/lineitem replicas keep l_orderkey
     // = o_orderkey integrity within every replica)
-    Seq("customer", "nation", "supplier", "region").foreach { tName =>
+    // (customer gets its own replicated writer below, for d14)
+    Seq("nation", "supplier", "region").foreach { tName =>
       val tdf = graft.Tables(spark, sfDir, tName)
       tdf.write.mode("overwrite").parquet(s"$base/x1/$tName.parquet")
       tdf.write.mode("overwrite").parquet(s"$base/x10/$tName.parquet")
@@ -157,6 +158,33 @@ object ScaleGrowth {
     repPart(1).write.mode("overwrite").parquet(s"$base/x1/part.parquet")
     repPart(10).write.mode("overwrite").parquet(s"$base/x10/part.parquet")
 
+    // d14 reads customer NAMES, so the plain dim copy would measure
+    // nothing: replica 0 is the identity; replicas 1..9 shift
+    // c_custkey collision-free (+rep·10⁸, the q85 events rule) and
+    // ROTATE the digit alphabet by rep (digit ch → ch+rep mod 10 via
+    // translate). A per-replica alphabet bijection is an edit-distance
+    // ISOMETRY — within-replica pair structure is EXACTLY the original
+    // — while every digit q-gram differs across replicas, so the
+    // rare-gram prefix buckets stay per-replica-sized (a mere tag
+    // prefix was measured to leave digit grams shared across replicas:
+    // buckets grew 10×, Σ|bucket|² went quadratic — the exact fixture
+    // bug the d02 salt / embedding sign-flip exist to avoid). Names
+    // never collide across replicas (ids < 10⁵ ⇒ the four leading
+    // digits rotate to four distinct chars per rep). The TPC-H dim
+    // joins (o_custkey) keep resolving against the rep-0 originals.
+    val customer = graft.Tables(spark, sfDir, "customer")
+    def repCustomer(r: Int): DataFrame =
+      customer.withColumn("rep", explode(sequence(lit(0), lit(r - 1))))
+        .withColumn("c_custkey",
+          when(col("rep") === 0, col("c_custkey"))
+            .otherwise(col("c_custkey") + col("rep").cast("long") * lit(100000000L)))
+        .withColumn("c_name",
+          expr("translate(c_name, '0123456789', " +
+            "substring('01234567890123456789', rep + 1, 10))"))
+        .drop("rep")
+    repCustomer(1).write.mode("overwrite").parquet(s"$base/x1/customer.parquet")
+    repCustomer(10).write.mode("overwrite").parquet(s"$base/x10/customer.parquet")
+
     // t17 joins the dedup family here: the sketch-guided heavy-hitter
     // pipeline should be near-linear too (two bigram passes + k-bounded
     // summaries; the salted corpus keeps bigram vocabulary ~1.6k < k,
@@ -215,6 +243,13 @@ object ScaleGrowth {
     //  - s14: tombstone-delete serving — store write + tombstones
     //    amortize into the warm-up; timed path = restore + anti-join
     //    + pruned probe over 10× lists
+    // round 9 (final) adds the TPC-H completion set q101-q114 (fact
+    // tables 10×, dims fixed — the decorrelated EXISTS / NOT-IN /
+    // nested-IN / correlated-MIN plans must ride the keyed fact
+    // shuffles), s17 (PQ ADC scan over 10× codes, probes fixed —
+    // candidate generation is the byte-narrow scan under test), and
+    // d14 (Ed-Join prefix self-join over 10× names at per-replica pair
+    // density — Σ|prefix-bucket|² must stay linear like d06's).
     // Local-iteration filter (mirrors Bench): SPARK_GRAFT_SCALE_ONLY=
     // q87,t35 measures just the listed prefixes
     val onlyPrefixes = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
@@ -236,7 +271,12 @@ object ScaleGrowth {
       "q91_session_paths", "q92_tpch_q3", "q93_tpch_q5", "q94_tpch_q10",
       "s15_knn_graph", "q95_benford", "s16_index_health",
       "q96_incremental_quantiles", "q97_tpch_q14", "q98_tpch_q18",
-      "q99_tpch_q13", "q100_tpch_q17")
+      "q99_tpch_q13", "q100_tpch_q17",
+      "q101_tpch_q6", "q102_tpch_q4", "q103_tpch_q7", "q104_tpch_q8",
+      "q105_tpch_q15", "q106_tpch_q19", "q107_tpch_q22", "q108_tpch_q16",
+      "q109_tpch_q21", "q110_tpch_q20", "q111_tpch_q9", "q112_tpch_q11",
+      "q113_tpch_q12", "q114_tpch_q2", "s17_pq_ann", "d14_edit_join",
+      "s18_ivfpq_ann")
       .filter(q => onlyPrefixes.forall(_.exists(q.startsWith)))
     def time(name: String, dir: String): Double = {
       def once(): Double = {

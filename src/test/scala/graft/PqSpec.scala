@@ -82,4 +82,17 @@ class PqSpec extends SparkSpec {
     println(f"[recall] s17_pq_ann=$recall%.3f")
     assert(recall >= 0.8, f"PQ ANN recall regressed: $recall%.3f < 0.8")
   }
+
+  test("s18 IVF-PQ composed recall@10 vs exact ground truth is gated") {
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val probes = e.where(col("vec_id") >= 10 && col("vec_id") < 15)
+    val exact = Similarity.bruteForceTopK(
+      probes, e, "vec_id", "embedding", "vec_id", "embedding", k = 10)
+    val approx = graft.queries.Corpus.queries("s18_ivfpq_ann")(spark, dir)
+    val recall = Similarity.recallAtK(exact, approx)
+    info(f"recall@10 ivfpq(nProbe=8,m=16,k=16,cand=80)=$recall%.3f")
+    println(f"[recall] s18_ivfpq_ann=$recall%.3f")
+    assert(recall >= 0.85, f"IVF-PQ recall regressed: $recall%.3f < 0.85")
+  }
 }
