@@ -714,12 +714,79 @@ object Dedup {
 
   // --------------------------------------------------------------- Ed-Join
 
+  /** Lossless edit-distance similarity join: all pairs of strings
+    * with Levenshtein distance ≤ `d`, guaranteed complete. Dispatches
+    * by regime:
+    *
+    *   - `d == 1` → [[edJoinDeletions]], the deletion-neighborhood
+    *     join (FastSS — Bocek et al., U. Zürich TR 2007; the SymSpell
+    *     family): candidate buckets are keyed on 1-deletion variants,
+    *     whose size is bounded by the ALPHABET (≤ ~|Σ|+L strings can
+    *     share a variant), not the corpus — measured on zero-padded
+    *     id-style keys, the q-gram prefix filter's candidate set grew
+    *     quadratically (the whole small-id population shares its
+    *     rarest padding grams: 7.5M candidates for 195k true pairs at
+    *     15k names) while deletion buckets stay ~alphabet-sized at
+    *     any corpus scale.
+    *   - `d >= 2` → [[edJoinQgram]], the Ed-Join prefix-filter join,
+    *     the right tool for natural text where rare q-grams are
+    *     discriminative and the deletion neighborhood (L choose d
+    *     variants) would blow up the index.
+    */
+  def edJoin(
+      df: DataFrame,
+      strCol: String,
+      idCol: String,
+      q: Int = 2,
+      d: Int = 1): DataFrame =
+    if (d == 1) edJoinDeletions(df, strCol, idCol)
+    else edJoinQgram(df, strCol, idCol, q, d)
+
+  /** Deletion-neighborhood edit-distance join for d = 1 (FastSS):
+    * each string indexes its variant set {s} ∪ {s minus one char};
+    * ed(s,t) ≤ 1 ⟺ the variant sets intersect (substitution → both
+    * delete the differing position; insertion/deletion → the shorter
+    * string IS a variant of the longer; equality → the string
+    * itself), so one equi-join on the md5'd variant + an exact
+    * `levenshtein` verify on the bucket pairs is complete. Index size
+    * is (L+1)·n narrow hash rows; bucket cardinality is bounded by
+    * the alphabet (a variant pins all but one character), so the
+    * candidate join is LINEAR in the corpus at any scale — including
+    * run-heavy key spaces (zero-padded ids) where q-gram filters
+    * degenerate. Returns (id_a, id_b, edit_distance).
+    */
+  def edJoinDeletions(
+      df: DataFrame,
+      strCol: String,
+      idCol: String): DataFrame = {
+    val input = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .where(col("s").isNotNull)
+      .withColumn("n", length(col("s")))
+    val variants = input.select(col("id"), col("n"),
+      explode(transform(sequence(lit(0), col("n")),
+        i => md5(when(i === 0, col("s")).otherwise(
+          concat(substring(col("s"), lit(1), i - 1),
+            col("s").substr(i + 1, col("n"))))))).as("v"))
+    val cand = variants.as("a").join(variants.as("b"), Seq("v"))
+      .where(col("a.id") < col("b.id") &&
+        abs(col("a.n") - col("b.n")) <= 1)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(input.select(col("id").as("id_a"), col("s").as("__sa")), Seq("id_a"))
+      .join(input.select(col("id").as("id_b"), col("s").as("__sb")), Seq("id_b"))
+      .withColumn("edit_distance",
+        levenshtein(col("__sa"), col("__sb")).cast("long"))
+      .where(col("edit_distance") <= 1)
+      .select(col("id_a"), col("id_b"), col("edit_distance"))
+  }
+
   /** Lossless edit-distance similarity join (Ed-Join family — Xiao,
     * Wang, Lin, VLDB 2008; q-gram count bound from Gravano et al.,
-    * VLDB 2001): all pairs of strings with Levenshtein distance ≤ `d`,
-    * guaranteed complete. The edit-distance counterpart to
-    * [[ngramJaccardNearDups]]'s PPJoin: same prefix-filter skeleton,
-    * different similarity algebra.
+    * VLDB 2001): the prefix-filter formulation, the edit-distance
+    * counterpart to [[ngramJaccardNearDups]]'s PPJoin — same
+    * prefix-filter skeleton, different similarity algebra. Best on
+    * natural text; see [[edJoin]] for the id-key caveat.
     *
     * Filter chain (each step lossless):
     *   1. POSITIONAL q-gram items: a string of length n yields
@@ -750,7 +817,7 @@ object Dedup {
     *
     * Returns (id_a, id_b, edit_distance), id_a < id_b, distance ≤ d.
     */
-  def edJoin(
+  def edJoinQgram(
       df: DataFrame,
       strCol: String,
       idCol: String,

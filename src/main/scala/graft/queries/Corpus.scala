@@ -688,16 +688,18 @@ object Corpus {
        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
   /** Lossless edit-distance similarity join over the customer-name
-    * column ([[Dedup.edJoin]] — the Ed-Join/q-gram-prefix family):
-    * every name pair within Levenshtein distance 1, guaranteed
-    * complete. The entity-resolution face of the dedup ladder — t10
-    * verifies edit distance on LOSSY fingerprint candidates; this is
-    * the exact counterpart, as d06 is to d02. The oracle is the
-    * brute-force n² ground truth, so the CORRECTNESS row itself
-    * proves the rarest-(q·d+1)-item prefix filter loses nothing:
-    * stop-grams every id shares ("Cu", "us", …) have maximal df and
-    * never reach the join, while the discriminative digit grams
-    * generate a candidate set linear in the corpus.
+    * column ([[Dedup.edJoin]] — the FastSS deletion-neighborhood
+    * join at d=1): every name pair within Levenshtein distance 1,
+    * guaranteed complete. The entity-resolution face of the dedup
+    * ladder — t10 verifies edit distance on LOSSY fingerprint
+    * candidates; this is the exact counterpart, as d06 is to d02.
+    * The oracle is the brute-force n² ground truth, so the
+    * CORRECTNESS row itself proves the deletion-variant equi-join
+    * loses nothing; candidate buckets are alphabet-bounded (a
+    * 1-deletion variant pins every other character), which is what
+    * keeps the join LINEAR on zero-padded id keys where q-gram
+    * prefix filters degenerate (see [[Dedup.edJoin]]'s dispatch
+    * note).
     */
   val d14_edit_join: Q = (s, dir) =>
     graft.dedup.Dedup.edJoin(t(s, dir, "customer"), "c_name", "c_custkey",

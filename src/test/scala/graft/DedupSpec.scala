@@ -163,10 +163,7 @@ class DedupSpec extends SparkSpec {
       "suspiciously dense result — prefix filter likely degenerated")
   }
 
-  test("edJoin short-string class: pairs below the prefix lemma's bound still join") {
-    // 2-char strings have a single 2-gram; q·d = 2 items would be
-    // needed for the count bound — the dedicated short path must catch
-    // these (and a long pair must still come from the prefix path).
+  test("edJoin short-string edge: 2-char and id-style pairs both join at d = 1") {
     val mixed = Seq(
       (1L, "ab"), (2L, "ac"), (3L, "ab"),
       (4L, "Customer#000000001"), (5L, "Customer#000000002")
@@ -174,6 +171,29 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.edJoin(mixed, "s", "id", q = 2, d = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out === Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+  }
+
+  test("edJoinQgram (the d >= 2 path) is lossless at d = 2 incl. the short-string class") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select(col("c_custkey"), col("c_name"))
+    val out = Dedup.edJoinQgram(corpus, "c_name", "c_custkey", q = 2, d = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val brute = corpus.as("a").crossJoin(corpus.as("b"))
+      .where(col("a.c_custkey") < col("b.c_custkey") &&
+        levenshtein(col("a.c_name"), col("b.c_name")) <= 2)
+      .select(col("a.c_custkey"), col("b.c_custkey"),
+        levenshtein(col("a.c_name"), col("b.c_name")).cast("long"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out === brute)
+    assert(brute.nonEmpty)
+    // short strings below the prefix lemma's bound ride the dedicated
+    // all-pairs class
+    val mixed = Seq((1L, "ab"), (2L, "cd"), (3L, "abcd"))
+      .toDF("id", "s")
+    val short2 = Dedup.edJoinQgram(mixed, "s", "id", q = 2, d = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // "ab"~"cd" (2 subs), "ab"~"abcd" and "cd"~"abcd" (2 ins)
+    assert(short2 === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
   test("t25 leakage-free split never places a near-dup pair across the boundary") {

@@ -69,10 +69,6 @@ class PlanLintSpec extends SparkSpec {
   // s17 crosses the FIXED broadcast probe-LUT set against the codes
   // relation — the s01/s06 broadcast-probe candidate stage (and the
   // codes side is 32× narrower than the float corpus s06 scans).
-  // d14's short-string class cross is alphabet-bounded (strings with
-  // fewer than q·d+1 grams, n ≤ q·(d+1)−1+d chars) and EMPTY for the
-  // 18-char id column — the prefix lemma's vacuous-bound edge case,
-  // justified in Dedup.edJoin's scaladoc.
   private val allowNestedLoop =
     Set("s01_cosine_topk", "s02_lsh_ann_topk", "s03_ivf_topk",
       "t15_mixture_weights", "t14_tfidf_terms", "d04_embedding_neardups",
@@ -80,8 +76,7 @@ class PlanLintSpec extends SparkSpec {
       "t27_stopwords", "t29_unigram_xent", "t30_bigram_xent",
       "s09_filtered_ann", "q83_gap_fill", "s11_hybrid_rrf",
       "t33_incremental_corpus_stats", "t36_quota_allocation",
-      "q95_benford", "s16_index_health", "q112_tpch_q11", "s17_pq_ann",
-      "d14_edit_join")
+      "q95_benford", "s16_index_health", "q112_tpch_q11", "s17_pq_ann")
 
   // queries allowed to window >minRows rows on a <minKeys-value key —
   // empty by design; adding here requires an in-source justification
