@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.Corpus.queries ++
     graft.queries.Advanced.queries ++
     graft.queries.Extensions.queries ++
-    graft.queries.TpcH.queries
+    graft.queries.TpcH.queries ++
+    graft.queries.GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -29,5 +30,6 @@ object SparkEntry {
     graft.queries.Corpus.oracles ++
     graft.queries.Advanced.oracles ++
     graft.queries.Extensions.oracles ++
-    graft.queries.TpcH.oracles
+    graft.queries.TpcH.oracles ++
+    graft.queries.GraphQueries.oracles
 }

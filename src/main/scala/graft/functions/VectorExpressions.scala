@@ -190,6 +190,11 @@ object VectorExpressions {
       (children: Seq[Expression]) =>
         WinnowFingerprints(children(0), intLit(children(1), "graft_winnow"),
           intLit(children(2), "graft_winnow")))
+    reg.registerFunction(
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSimilarity].getName, "graft_jaro_winkler"),
+      (children: Seq[Expression]) =>
+        JaroWinklerSimilarity(children(0), children(1)))
   }
 }
 
@@ -233,6 +238,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (children: Seq[Expression]) => WinnowFingerprints(children(0),
         VectorExpressions.intLit(children(1), "graft_winnow"),
         VectorExpressions.intLit(children(2), "graft_winnow"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSimilarity].getName, "graft_jaro_winkler"),
+      (children: Seq[Expression]) =>
+        JaroWinklerSimilarity(children(0), children(1))))
     // config-gated COUNT(DISTINCT) → KMV sketch rewrite (no-op unless
     // spark.graft.approxDistinct.enabled=true)
     ext.injectOptimizerRule(_ => ApproxDistinctRewrite)

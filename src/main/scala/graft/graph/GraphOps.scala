@@ -1,0 +1,200 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over edge DataFrames — the web-graph
+  * face of a training-data pipeline (domain quality ranking via
+  * PageRank, crawl-component discovery, local clustering for spam
+  * detection). There is no graph "engine" here: every operator is a
+  * loop of keyed joins + aggregates, which is exactly the shape that
+  * scales — each iteration is one shuffle on the edge key, partial
+  * aggregation map-side, nothing driver-resident but the fixpoint
+  * flag and the node count.
+  *
+  * The fixtures derive a deterministic co-purchase graph from
+  * `lineitem` (parts co-occurring in an order), the classic
+  * item-item graph; at 100 TB the same operators run on a
+  * domain-link graph with billions of edges — edge generation is
+  * linear because pairs-per-order is bounded by order width, and
+  * every iteration below is a plain shuffle join that AQE can
+  * re-plan per round.
+  *
+  * Numeric discipline for PageRank: per-edge contributions are
+  * rounded to 12 decimals and summed as DECIMAL(28,12) — exact,
+  * order-independent decimal addition, so results are bit-identical
+  * across engines and partitionings (the t29/t30 LM-quantization
+  * pattern).
+  */
+object GraphOps {
+
+  /** Directed co-purchase edges: one row per ordered pair of distinct
+    * parts that co-occur in at least `minOrders` orders. Pairs per
+    * order are bounded by order width (≤7 in TPC-H), so the self-join
+    * is linear in `lineitem`; the groupBy both deduplicates and
+    * counts support in one shuffle.
+    */
+  def copurchaseEdges(lineitem: DataFrame, minOrders: Int = 1): DataFrame = {
+    val b = lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    b.as("a").join(b.as("b"), col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minOrders)
+      .select(col("src"), col("dst"))
+  }
+
+  /** Undirected (src < dst) variant of [[copurchaseEdges]]. */
+  def copurchaseEdgesUndirected(lineitem: DataFrame, minOrders: Int): DataFrame = {
+    val b = lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    b.as("a").join(b.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minOrders)
+      .select(col("src"), col("dst"))
+  }
+
+  /** PageRank with damping 0.85 over `edges(src, dst)` restricted to
+    * `nodes(node)`, run for exactly `iters` iterations (fixed count —
+    * the oracle unrolls the same recurrence). Dangling mass is dropped,
+    * the textbook simplification; nodes with no in-edges hold the
+    * teleport base. Each iteration is one join edges⋈ranks⋈outdeg
+    * (all keyed on src) and one dst-keyed aggregate — two exchanges,
+    * both map-side combined.
+    *
+    * Rank state is FIXED-POINT: a BIGINT in 10⁻¹² units. Per-edge
+    * contributions are `(rank_u · 85) div (outdeg · 100)` — pure
+    * integer arithmetic, truncating division (operands positive, so
+    * Spark's `div` and any floor division agree). Float rounding is
+    * never involved, so results are exactly reproducible across
+    * engines, partitionings and summation orders; truncation loses at
+    * most 10⁻¹² of mass per edge per iteration. (A first formulation
+    * quantized doubles with `round(x, 12)` — Spark rounds the shortest
+    * decimal repr where DuckDB rounds via a 10¹² multiply, and the two
+    * disagreed by 1 ulp on real ranks. Integers close that class, not
+    * just that instance.)
+    *
+    * The node count is the single driver-side scalar (the teleport
+    * denominator) — bounded and justified, like the corpus-stats
+    * scalars elsewhere.
+    */
+  val PrScale = 1000000000000L // 10^12 fixed-point units
+
+  def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+    val n = nodes.count()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val baseU = lit(PrScale * 15L / 100L / n) // 0.15/n in e-12 units
+    var ranks = nodes.select(col("node"), lit(PrScale / n).as("rank_u"))
+    var i = 0
+    while (i < iters) {
+      val contribs = edges
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst"),
+          expr("(rank_u * 85L) div (outdeg * 100L)").as("contrib"))
+      ranks = nodes
+        .join(contribs, nodes("node") === contribs("dst"), "left")
+        .groupBy(col("node"))
+        .agg((baseU + coalesce(sum(col("contrib")), lit(0L))).as("rank_u"))
+      i += 1
+    }
+    ranks
+  }
+
+  /** Connected components by min-label propagation to fixpoint, capped
+    * at `maxRounds` (the oracle unrolls exactly `maxRounds` rounds —
+    * once converged further rounds are the identity, so the two agree
+    * whenever the graph converges within the cap; the fixture graphs
+    * converge in ≤11). Each round is one join + one min-aggregate on
+    * the neighbor key. Rounds needed = component eccentricity of its
+    * min node — fine for the short-diameter components of co-occurrence
+    * and domain graphs; a 2^rounds alternative (large-star/small-star,
+    * Kiveris '14) slots into the same loop if diameters grow.
+    *
+    * `localCheckpoint` truncates the per-round lineage so the fixpoint
+    * count doesn't recompute the whole history each round — the same
+    * discipline a 1000-executor run needs, where round k's plan must
+    * not replay rounds 1..k-1.
+    */
+  def connectedComponents(edgesUndirected: DataFrame, maxRounds: Int): DataFrame = {
+    val both = edgesUndirected.select(col("src"), col("dst"))
+      .unionAll(edgesUndirected.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = both.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    var round = 0
+    var changed = true
+    while (changed && round < maxRounds) {
+      val nbrMin = both
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next.as("n").join(labels.as("o"), Seq("node"))
+        .where(col("n.label") =!= col("o.label")).limit(1).count() > 0
+      labels = next
+      round += 1
+    }
+    labels
+  }
+
+  /** Per-node triangle count + local clustering coefficient over an
+    * undirected (src < dst) edge set. The src<dst orientation
+    * enumerates each triangle exactly once as (a<b<c) — a 3-way
+    * self-join whose intermediate is bounded by Σ deg(v)² on the
+    * *oriented* graph, the standard compact-forward bound; per-node
+    * counts come from exploding each triangle into its three corners
+    * and aggregating.
+    */
+  def triangles(edgesUndirected: DataFrame): DataFrame = {
+    val e = edgesUndirected.select(col("src"), col("dst"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(e.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    val corners = tri.select(col("a").as("node"))
+      .unionAll(tri.select(col("b").as("node")))
+      .unionAll(tri.select(col("c").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    val deg = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    deg.join(corners, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("triangles"), lit(0L))
+            / (col("degree") * (col("degree") - lit(1))), 9))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
+  /** Exact k-hop reach from a probe set: for each probe, the number of
+    * distinct nodes within ≤h hops (self excluded), h = 1..maxHops.
+    * Each hop is frontier⋈edges + distinct — the multi-source BFS
+    * whose 100 TB form caps the frontier (or switches to HyperBall
+    * HLL counters) once reach saturates; exact expansion is the
+    * correctness baseline those sketches are judged against.
+    */
+  def khopReach(edgesUndirected: DataFrame, probes: DataFrame, maxHops: Int): DataFrame = {
+    val both = edgesUndirected.select(col("src"), col("dst"))
+      .unionAll(edgesUndirected.select(col("dst").as("src"), col("src").as("dst")))
+    var reach = probes.select(col("probe"), col("probe").as("node"))
+    val out = Seq.newBuilder[DataFrame]
+    var h = 1
+    while (h <= maxHops) {
+      reach = reach
+        .unionAll(reach.join(both, reach("node") === both("src"))
+          .select(col("probe"), col("dst").as("node")))
+        .distinct()
+      out += reach.where(col("node") =!= col("probe"))
+        .groupBy(col("probe")).agg(count(lit(1)).as("n_reached"))
+        .select(col("probe"), lit(h).as("hop"), col("n_reached"))
+      h += 1
+    }
+    out.result().reduce(_ unionAll _)
+  }
+}

@@ -713,6 +713,40 @@ object Corpus {
       | AND abs(length(a.c_name) - length(b.c_name)) <= 1
       |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
 
+  /** Fuzzy entity-resolution join: part-name pairs with Jaro–Winkler
+    * similarity ≥ 0.85, scored by the native codegen
+    * [[graft.functions.JaroWinklerSimilarity]] expression (Spark has
+    * `levenshtein` but no JW; a UDF would box every candidate pair).
+    * Candidates come from shared-token blocking — the standard ER
+    * blocking key, one explode + one equi-join, never n² — and the
+    * oracle is the brute-force n² ground truth over distinct names
+    * with DuckDB's own `jaro_winkler_similarity`, so the hash match
+    * proves BOTH that the expression reproduces the classic formula
+    * bit-for-bit AND that token blocking loses no pair at this
+    * threshold (the d06/d14 losslessness design). The threshold
+    * applies to the raw score; the rounded score is output-only, so
+    * boundary values can't flip membership between engines.
+    */
+  val d15_jw_join: Q = (s, dir) => {
+    val nm = t(s, dir, "part").select(col("p_name")).distinct()
+    val tok = nm.select(col("p_name"), explode(split(col("p_name"), " ")).as("tok"))
+    tok.as("a").join(tok.as("b"),
+        col("a.tok") === col("b.tok") && col("a.p_name") < col("b.p_name"))
+      .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"))
+      .distinct()
+      .withColumn("__jw", graft.functions.JaroWinklerSimilarity(
+        col("name_a"), col("name_b")))
+      .where(col("__jw") >= 0.85)
+      .select(col("name_a"), col("name_b"), round(col("__jw"), 6).as("jw"))
+  }
+
+  val d15_sql: String =
+    """WITH nm AS (SELECT DISTINCT p_name FROM part)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+      |FROM nm a JOIN nm b ON a.p_name < b.p_name
+      |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85""".stripMargin
+
   /** Content fingerprint (min-md5 over word 8-gram shingles) per doc —
     * the winnowing-style signature used for fast copy detection.
     */
@@ -4235,6 +4269,7 @@ object Corpus {
     "d12_source_overlap"    -> d12_source_overlap,
     "d13_winnow_copydetect" -> d13_winnow_copydetect,
     "d14_edit_join"         -> d14_edit_join,
+    "d15_jw_join"           -> d15_jw_join,
     "s01_cosine_topk"       -> s01_cosine_topk,
     "s02_lsh_ann_topk"      -> s02_lsh_ann_topk,
     "s04_label_centroids"   -> s04_label_centroids,
@@ -4316,6 +4351,7 @@ object Corpus {
     "d12_source_overlap"    -> d12_sql,
     "d13_winnow_copydetect" -> d13_sql,
     "d14_edit_join"         -> d14_sql,
+    "d15_jw_join"           -> d15_sql,
     "s01_cosine_topk"       -> s01_sql,
     "s02_lsh_ann_topk"      -> s02_sql,
     "s03_ivf_topk"          -> s03_sql,

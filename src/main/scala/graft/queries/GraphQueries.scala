@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.graph.GraphOps
+
+/** Graph analytics over the deterministic co-purchase graph derived
+  * from `lineitem` (parts co-occurring in an order) — the web-graph
+  * operators of a crawl-curation pipeline: PageRank for domain
+  * quality weighting, connected components for mirror-site
+  * discovery, triangle counting / local clustering for link-spam
+  * signals, k-hop reach for crawl-frontier sizing.
+  *
+  * Every oracle unrolls the same recurrence the Spark loop runs
+  * (fixed iteration counts, decimal-quantized PageRank mass), so the
+  * hash compare proves iteration-for-iteration equivalence, not just
+  * a final rounding coincidence.
+  */
+object GraphQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private val PrIters = 6
+  private val CcRounds = 12
+  private val MinSupport = 2
+  private val Hops = 3
+
+  /** Shared SQL prologue: the distinct (order, part) base, the
+    * directed k≥1 edge set (PageRank) and the undirected k≥2 edge
+    * set (components / triangles / reach), mirroring
+    * [[GraphOps.copurchaseEdges]] exactly.
+    */
+  private val edgesSql =
+    """b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |edges AS MATERIALIZED (SELECT a.p AS src, b2.p AS dst FROM b a
+      |          JOIN b b2 ON a.o = b2.o AND a.p <> b2.p GROUP BY 1, 2),
+      |eu AS MATERIALIZED (SELECT a.p AS src, b2.p AS dst FROM b a
+      |       JOIN b b2 ON a.o = b2.o AND a.p < b2.p GROUP BY 1, 2
+      |       HAVING COUNT(*) >= 2),
+      |bidir AS MATERIALIZED (SELECT src, dst FROM eu
+      |         UNION ALL SELECT dst AS src, src AS dst FROM eu)""".stripMargin
+
+  /** g01: 6-iteration PageRank (damping 0.85) over the directed
+    * co-purchase graph. Rank state is fixed-point BIGINT in 10⁻¹²
+    * units ([[GraphOps.pageRank]]) — pure integer arithmetic, so
+    * Spark's shuffled sums hash-match the oracle's sequential ones at
+    * every iteration with no float rounding anywhere.
+    */
+  val g01_pagerank: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val edges = GraphOps.copurchaseEdges(li, minOrders = 1)
+    val nodes = li.select(col("l_partkey").as("node")).distinct()
+    GraphOps.pageRank(edges, nodes, PrIters)
+      .select(col("node").as("part_key"), col("rank_u").as("pagerank_e12"))
+  }
+
+  val g01_sql: String = {
+    // SUM(BIGINT) is HUGEINT in DuckDB — cast back; `//` floor division
+    // ≡ Spark's `div` on the all-positive operands.
+    val its = (1 to PrIters).map { i =>
+      s"""pr$i AS MATERIALIZED (SELECT nodes.node,
+         |  CAST(150000000000 // n.n
+         |    + COALESCE(SUM((p.rank_u * 85) // (d.outdeg * 100)), 0)
+         |    AS BIGINT) AS rank_u
+         |  FROM nodes CROSS JOIN n
+         |  LEFT JOIN (edges e JOIN pr${i - 1} p ON p.node = e.src
+         |             JOIN deg d ON d.src = e.src) ON e.dst = nodes.node
+         |  GROUP BY nodes.node, n.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       |nodes AS MATERIALIZED (SELECT DISTINCT l_partkey AS node FROM lineitem),
+       |deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |n AS (SELECT COUNT(*) AS n FROM nodes),
+       |pr0 AS (SELECT node, CAST(1000000000000 // n.n AS BIGINT) AS rank_u
+       |        FROM nodes CROSS JOIN n),
+       |$its
+       |SELECT node AS part_key, rank_u AS pagerank_e12 FROM pr$PrIters""".stripMargin
+  }
+
+  /** g02: connected components of the support≥2 co-purchase graph by
+    * min-label propagation — Spark iterates to fixpoint (capped at
+    * [[CcRounds]]); the oracle unrolls exactly [[CcRounds]] rounds.
+    * Once converged every further round is the identity, so the two
+    * agree whenever convergence happens within the cap (the sf0.01
+    * graph converges in 11; a spec asserts the cap holds).
+    */
+  val g02_components: Q = (s, dir) => {
+    val eu = GraphOps.copurchaseEdgesUndirected(t(s, dir, "lineitem"), MinSupport)
+    val labels = GraphOps.connectedComponents(eu, CcRounds)
+    labels.select(col("node").as("part_key"), col("label").as("component"),
+      count(lit(1)).over(Window.partitionBy(col("label"))).as("comp_size"))
+  }
+
+  val g02_sql: String = {
+    // AS MATERIALIZED: each round references the previous one twice;
+    // DuckDB inlines plain CTEs, which would re-expand the whole
+    // round tree exponentially (measured: "too many open files" at 12
+    // rounds).
+    val rounds = (1 to CcRounds).map { i =>
+      s"""lab$i AS MATERIALIZED (SELECT l.node,
+         |  LEAST(l.label, COALESCE(MIN(ln.label), l.label)) AS label
+         |  FROM lab${i - 1} l
+         |  LEFT JOIN bidir e ON e.dst = l.node
+         |  LEFT JOIN lab${i - 1} ln ON ln.node = e.src
+         |  GROUP BY l.node, l.label)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       |lab0 AS (SELECT DISTINCT src AS node, src AS label FROM bidir),
+       |$rounds
+       |SELECT node AS part_key, label AS component,
+       |  COUNT(*) OVER (PARTITION BY label) AS comp_size
+       |FROM lab$CcRounds""".stripMargin
+  }
+
+  /** g03: per-node triangle count and local clustering coefficient on
+    * the support≥2 graph. The src<dst orientation enumerates each
+    * triangle once; per-node counts explode the three corners.
+    */
+  val g03_triangles: Q = (s, dir) => {
+    val eu = GraphOps.copurchaseEdgesUndirected(t(s, dir, "lineitem"), MinSupport)
+    GraphOps.triangles(eu)
+      .select(col("node").as("part_key"), col("degree"), col("triangles"),
+        col("clustering"))
+  }
+
+  val g03_sql: String =
+    s"""WITH $edgesSql,
+       |tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+       |        FROM eu e1 JOIN eu e2 ON e1.dst = e2.src
+       |        JOIN eu e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+       |corners AS (SELECT node, COUNT(*) AS triangles FROM (
+       |    SELECT a AS node FROM tri
+       |    UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri) GROUP BY node),
+       |deg AS (SELECT node, COUNT(*) AS degree FROM (
+       |    SELECT src AS node FROM eu UNION ALL SELECT dst FROM eu)
+       |  GROUP BY node)
+       |SELECT d.node AS part_key, d.degree,
+       |  COALESCE(c.triangles, 0) AS triangles,
+       |  CASE WHEN d.degree >= 2
+       |       THEN ROUND(2.0e0 * COALESCE(c.triangles, 0)
+       |                  / (d.degree * (d.degree - 1)), 9)
+       |       ELSE 0.0e0 END AS clustering
+       |FROM deg d LEFT JOIN corners c ON c.node = d.node""".stripMargin
+
+  /** g04: exact k-hop reach (h = 1..3) from the 5 smallest nodes of
+    * the support≥2 graph — multi-source BFS by frontier join +
+    * distinct, the exact baseline the HyperBall-style sketches
+    * approximate at scale.
+    */
+  val g04_khop_reach: Q = (s, dir) => {
+    val eu = GraphOps.copurchaseEdgesUndirected(t(s, dir, "lineitem"), MinSupport)
+    val probes = eu.select(col("src").as("probe"))
+      .unionAll(eu.select(col("dst").as("probe")))
+      .distinct().orderBy(col("probe")).limit(5)
+    GraphOps.khopReach(eu, probes, Hops)
+  }
+
+  val g04_sql: String = {
+    val hops = (1 to Hops).map { i =>
+      s"""reach$i AS (SELECT DISTINCT probe, node FROM (
+         |    SELECT probe, node FROM reach${i - 1}
+         |    UNION ALL
+         |    SELECT r.probe, e.dst AS node
+         |    FROM reach${i - 1} r JOIN bidir e ON r.node = e.src))""".stripMargin
+    }.mkString(",\n")
+    val outs = (1 to Hops).map { i =>
+      s"""SELECT probe, $i AS hop, COUNT(*) AS n_reached
+         |FROM reach$i WHERE node <> probe GROUP BY probe""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $edgesSql,
+       |probes AS (SELECT DISTINCT src AS probe FROM bidir ORDER BY probe LIMIT 5),
+       |reach0 AS (SELECT probe, probe AS node FROM probes),
+       |$hops
+       |$outs""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "g01_pagerank"    -> g01_pagerank,
+    "g02_components"  -> g02_components,
+    "g03_triangles"   -> g03_triangles,
+    "g04_khop_reach"  -> g04_khop_reach)
+
+  val oracles: Map[String, String] = Map(
+    "g01_pagerank"    -> g01_sql,
+    "g02_components"  -> g02_sql,
+    "g03_triangles"   -> g03_sql,
+    "g04_khop_reach"  -> g04_sql)
+}

@@ -185,6 +185,43 @@ object ScaleGrowth {
     repCustomer(1).write.mode("overwrite").parquet(s"$base/x1/customer.parquet")
     repCustomer(10).write.mode("overwrite").parquet(s"$base/x10/customer.parquet")
 
+    // round 9 (graph family): g01-g04 derive a co-purchase graph from
+    // lineitem, but the x1/x10 lineitem replicas deliberately keep
+    // ORIGINAL part keys (q97's dim join needs them) — under g02-g04's
+    // support≥2 filter that would inflate every pair's support 10× and
+    // flip the k≥2 graph into the k≥1 graph: a density regime change,
+    // not input scaling. The graph queries instead read g1/g10 dirs
+    // whose replicas shift BOTH keys (rep 0 identity): the 10× graph
+    // is 10 DISJOINT copies of the 1× graph — per-replica support,
+    // components, triangles and reach are exactly the originals, so
+    // the exponent measures pure scale. d15 reads part NAMES: the
+    // plain part replicas share all 64 distinct names (zero growth),
+    // so the g-dirs rotate the name alphabet per replica (the d14
+    // isometry rule) — within-replica JW structure exact, token
+    // blocks per-replica-disjoint.
+    def repLineitemGraph(r: Int): DataFrame =
+      lineitem.withColumn("rep", explode(sequence(lit(0), lit(r - 1))))
+        .withColumn("l_orderkey",
+          col("l_orderkey") * 16 + col("rep"))
+        .withColumn("l_partkey",
+          when(col("rep") === 0, col("l_partkey"))
+            .otherwise(col("l_partkey") + col("rep").cast("long") * lit(100000000L)))
+        .drop("rep")
+    repLineitemGraph(1).write.mode("overwrite").parquet(s"$base/g1/lineitem.parquet")
+    repLineitemGraph(10).write.mode("overwrite").parquet(s"$base/g10/lineitem.parquet")
+    def repPartNames(r: Int): DataFrame =
+      part.withColumn("rep", explode(sequence(lit(0), lit(r - 1))))
+        .withColumn("p_partkey",
+          when(col("rep") === 0, col("p_partkey"))
+            .otherwise(col("p_partkey") + col("rep").cast("long") * lit(100000000L)))
+        .withColumn("p_name",
+          expr("translate(p_name, 'abcdefghijklmnopqrstuvwxyz', " +
+            "substring('abcdefghijklmnopqrstuvwxyzabcdefghijklmnopqrstuvwxyz', " +
+            "rep + 1, 26))"))
+        .drop("rep")
+    repPartNames(1).write.mode("overwrite").parquet(s"$base/g1/part.parquet")
+    repPartNames(10).write.mode("overwrite").parquet(s"$base/g10/part.parquet")
+
     // t17 joins the dedup family here: the sketch-guided heavy-hitter
     // pipeline should be near-linear too (two bigram passes + k-bounded
     // summaries; the salted corpus keeps bigram vocabulary ~1.6k < k,
@@ -276,8 +313,13 @@ object ScaleGrowth {
       "q105_tpch_q15", "q106_tpch_q19", "q107_tpch_q22", "q108_tpch_q16",
       "q109_tpch_q21", "q110_tpch_q20", "q111_tpch_q9", "q112_tpch_q11",
       "q113_tpch_q12", "q114_tpch_q2", "s17_pq_ann", "d14_edit_join",
-      "s18_ivfpq_ann")
+      "s18_ivfpq_ann",
+      "g01_pagerank", "g02_components", "g03_triangles", "g04_khop_reach",
+      "d15_jw_join")
       .filter(q => onlyPrefixes.forall(_.exists(q.startsWith)))
+    // queries measured on the disjoint-copy graph dirs (see above)
+    val graphDirQs = Set("g01_pagerank", "g02_components", "g03_triangles",
+      "g04_khop_reach", "d15_jw_join")
     def time(name: String, dir: String): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -290,8 +332,9 @@ object ScaleGrowth {
     }
 
     val rows = queries.map { q =>
-      val t1 = time(q, s"$base/x1")
-      val t10 = time(q, s"$base/x10")
+      val pfx = if (graphDirQs(q)) "g" else "x"
+      val t1 = time(q, s"$base/${pfx}1")
+      val t10 = time(q, s"$base/${pfx}10")
       val exponent = math.log(t10 / t1) / math.log(10.0)
       println(f"[scale-growth] $q%-22s t_1x=$t1%6.2fs t_10x=$t10%6.2fs exponent=$exponent%.2f")
       (q, t1, t10, exponent)
