@@ -35,16 +35,21 @@ object GraphOps {
     * counts support in one shuffle.
     */
   def copurchaseEdges(lineitem: DataFrame, minOrders: Int = 1): DataFrame = {
-    val b = lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    b.as("a").join(b.as("b"), col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
-      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
-      .agg(count(lit(1)).as("support"))
-      .where(col("support") >= minOrders)
-      .select(col("src"), col("dst"))
+    // co-occurrence support is symmetric, so the directed set is the
+    // s<d set mirrored — the self-join and the dedup groupBy process
+    // half the pair instances of a p≠p formulation
+    val u = copurchaseEdgesUndirected(lineitem, minOrders)
+    u.unionAll(u.select(col("dst").as("src"), col("src").as("dst")))
   }
 
-  /** Undirected (src < dst) variant of [[copurchaseEdges]]. */
+  /** Undirected (src < dst) variant of [[copurchaseEdges]].
+    *
+    * Materialized (`localCheckpoint`) before returning: every consumer
+    * reads the edge set at least twice (the directed mirror union, the
+    * bidirectional union in components/reach, g04's probe selection),
+    * and left lazy each read would replay the lineitem self-join +
+    * dedup groupBy — the expensive part of every graph query.
+    */
   def copurchaseEdgesUndirected(lineitem: DataFrame, minOrders: Int): DataFrame = {
     val b = lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
@@ -53,6 +58,7 @@ object GraphOps {
       .agg(count(lit(1)).as("support"))
       .where(col("support") >= minOrders)
       .select(col("src"), col("dst"))
+      .localCheckpoint(true)
   }
 
   /** PageRank with damping 0.85 over `edges(src, dst)` restricted to
@@ -83,20 +89,29 @@ object GraphOps {
 
   def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
     val n = nodes.count()
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // materialize the edge list and out-degrees ONCE: left lazy, the
+    // edge-derivation subtree (a self-join + groupBy when coming from
+    // copurchaseEdges) is replayed in every iteration's lineage —
+    // measured 8.4s → 2.9s at sf0.1. The 100 TB form is the same:
+    // persist the edges, iterate over the materialized blocks.
+    val e = edges.localCheckpoint(true)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
     val baseU = lit(PrScale * 15L / 100L / n) // 0.15/n in e-12 units
     var ranks = nodes.select(col("node"), lit(PrScale / n).as("rank_u"))
     var i = 0
     while (i < iters) {
-      val contribs = edges
+      val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .join(deg, "src")
         .select(col("dst"),
           expr("(rank_u * 85L) div (outdeg * 100L)").as("contrib"))
-      ranks = nodes
-        .join(contribs, nodes("node") === contribs("dst"), "left")
+      // a zero row per node replaces a nodes LEFT JOIN: same sums,
+      // one exchange per iteration instead of two
+      ranks = contribs.select(col("dst").as("node"), col("contrib"))
+        .unionAll(nodes.select(col("node"), lit(0L).as("contrib")))
         .groupBy(col("node"))
-        .agg((baseU + coalesce(sum(col("contrib")), lit(0L))).as("rank_u"))
+        .agg((baseU + sum(col("contrib"))).as("rank_u"))
       i += 1
     }
     ranks
@@ -118,20 +133,23 @@ object GraphOps {
     * not replay rounds 1..k-1.
     */
   def connectedComponents(edgesUndirected: DataFrame, maxRounds: Int): DataFrame = {
+    // materialized once — every round joins against it (see pageRank)
     val both = edgesUndirected.select(col("src"), col("dst"))
       .unionAll(edgesUndirected.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
     var labels = both.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
     var round = 0
     var changed = true
     while (changed && round < maxRounds) {
-      val nbrMin = both
+      // each node's own label rides the same union as its neighbors' —
+      // min(self, neighbors) in ONE keyed aggregate, no left join
+      val next = both
         .join(labels.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node")).agg(min(col("label")).as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .select(col("dst").as("node"), col("label"))
+        .unionAll(labels)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
         .localCheckpoint(true)
       changed = next.as("n").join(labels.as("o"), Seq("node"))
         .where(col("n.label") =!= col("o.label")).limit(1).count() > 0
@@ -150,7 +168,10 @@ object GraphOps {
     * and aggregating.
     */
   def triangles(edgesUndirected: DataFrame): DataFrame = {
+    // the edge set feeds three join branches + the degree count —
+    // materialize once (see pageRank)
     val e = edgesUndirected.select(col("src"), col("dst"))
+      .localCheckpoint(true)
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.dst") === col("e2.src"))
       .join(e.as("e3"),
@@ -172,16 +193,64 @@ object GraphOps {
           .otherwise(lit(0.0)).as("clustering"))
   }
 
+  /** HyperBall (Boldi–Vigna '13) with KMV counters instead of HLL:
+    * the neighborhood function for EVERY node simultaneously — per
+    * node a mergeable k-min-hash sketch of its closed h-ball, updated
+    * per hop by merging each node's counter with its neighbors'.
+    * Per-hop cost is O(|E|·k) counter traffic regardless of ball
+    * sizes, where exact expansion ([[khopReach]]) pays Σ|ball| —
+    * quadratic on a well-connected graph. This is the scale path to
+    * khopReach's correctness baseline, the s01↔s02 relationship.
+    *
+    * KMV (not HLL) because the sketch is a SET FUNCTION of the ball:
+    * the k smallest distinct hashes of a union are the k smallest of
+    * the merged k-smallest sets, so the iterated merge equals the
+    * k-min of the exact ball — which is what lets the DuckDB oracle
+    * replay the estimate from exact balls and hash-match it, proving
+    * the mergeable-counter iteration implements the set semantics
+    * (the q86/q96 mergeable-sketch identity on a graph recursion).
+    * Estimates are exact below k distinct members.
+    */
+  def hyperballReach(edgesUndirected: DataFrame, maxHops: Int, k: Int): DataFrame = {
+    import graft.functions.KmvSketch
+    val both = edgesUndirected.select(col("src"), col("dst"))
+      .unionAll(edgesUndirected.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var counters = both.select(col("src").as("node")).distinct()
+      .select(col("node"), array(KmvSketch.hash64(col("node"))).as("ctr"))
+      .localCheckpoint(true)
+    def est = when(size(col("ctr")) < k, size(col("ctr")).cast("long"))
+      .otherwise(floor(lit((k - 1).toDouble) * lit(KmvSketch.TwoPow60)
+        / element_at(col("ctr"), k).cast("double")).cast("long"))
+    val out = Seq.newBuilder[DataFrame]
+    var h = 1
+    while (h <= maxHops) {
+      val contrib = counters.select(col("node"), explode(col("ctr")).as("h"))
+        .unionAll(both
+          .join(counters.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), explode(col("ctr")).as("h")))
+      counters = contrib.groupBy(col("node"))
+        .agg(KmvSketch.kmvHashes(col("h"), k).as("ctr"))
+        .localCheckpoint(true)
+      out += counters.select(col("node"), lit(h).as("hop"), est.as("n_ball_est"))
+      h += 1
+    }
+    out.result().reduce(_ unionAll _)
+  }
+
   /** Exact k-hop reach from a probe set: for each probe, the number of
     * distinct nodes within ≤h hops (self excluded), h = 1..maxHops.
     * Each hop is frontier⋈edges + distinct — the multi-source BFS
     * whose 100 TB form caps the frontier (or switches to HyperBall
-    * HLL counters) once reach saturates; exact expansion is the
-    * correctness baseline those sketches are judged against.
+    * KMV/HLL counters, [[hyperballReach]]) once reach saturates;
+    * exact expansion is the correctness baseline those sketches are
+    * judged against.
     */
   def khopReach(edgesUndirected: DataFrame, probes: DataFrame, maxHops: Int): DataFrame = {
+    // materialized once — each hop joins the frontier against it
     val both = edgesUndirected.select(col("src"), col("dst"))
       .unionAll(edgesUndirected.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
     var reach = probes.select(col("probe"), col("probe").as("node"))
     val out = Seq.newBuilder[DataFrame]
     var h = 1

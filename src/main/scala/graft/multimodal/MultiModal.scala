@@ -642,6 +642,237 @@ object MultiModal {
     }
   }
 
+  /** Deterministic REAL-PNG image corpus with planted near-duplicate
+    * groups — the fixture for perceptual-hash dedup (m07). Every 4
+    * consecutive ids share a base pattern (an integer-math gradient
+    * field keyed by `id / 4`); variants 1..3 perturb the brightness of
+    * one small block, so same-pattern images land within a few dHash
+    * bits of each other while different patterns are ~32 bits apart.
+    * Encoded through `javax.imageio` PNG and decoded back through
+    * [[ImageIoCodec]] — the hash runs on real codec output, not stub
+    * bytes.
+    */
+  def imageCorpus(spark: SparkSession, n: Int, partitions: Int = 4): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).repartition(partitions).map { id =>
+      val pattern = (id / 4).toInt
+      val variant = (id % 4).toInt
+      val w = 64; val h = 48
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          // integer gradient field keyed by the pattern
+          var g = (x * (3 + pattern % 7) + y * (5 + pattern % 11)
+            + (x * y) / (1 + pattern % 5)) % 256
+          // variant: one bright block (one dHash cell) shifts value
+          if (variant > 0 && x / 8 == variant && y / 6 == variant)
+            g = (g + 96) % 256
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      MediaRow(id, "image", bos.toByteArray, MediaMeta("png", w, h, 0, 0L))
+    }
+  }
+
+  /** 64-bit difference hash (dHash) over an interleaved raster:
+    * grayscale → nearest-neighbor 9×8 downsample → bit per
+    * adjacent-column comparison. All-integer arithmetic, so the hash
+    * is exactly reproducible anywhere; perceptual because the
+    * downsample absorbs small pixel perturbations and re-encoding.
+    */
+  def dHash64(pixels: Array[Byte], w: Int, h: Int, channels: Int): Long = {
+    def gray(px: Int, py: Int): Int = {
+      val base = (py * w + px) * channels
+      if (channels >= 3) {
+        val c0 = pixels(base) & 0xff
+        val c1 = pixels(base + 1) & 0xff
+        val c2 = pixels(base + 2) & 0xff
+        (c0 * 299 + c1 * 587 + c2 * 114) / 1000
+      } else pixels(base) & 0xff
+    }
+    var hash = 0L
+    var cy = 0
+    while (cy < 8) {
+      val py = cy * h / 8
+      var cx = 0
+      while (cx < 8) {
+        val pxA = cx * w / 9
+        val pxB = (cx + 1) * w / 9
+        if (gray(pxA, py) > gray(pxB, py)) hash |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    hash
+  }
+
+  /** (media_id, dhash) per image — decode and hash in one typed pass
+    * (the batched-decode stage, mapPartitions territory like
+    * [[extractFeatures]]); falls back to [[StubCodec]] pixels when no
+    * JDK reader accepts the bytes, so the frame is total.
+    */
+  def imageDHashes(media: Dataset[MediaRow], batchSize: Int = 32): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { m =>
+        val (w, h, c, px) = ImageIoCodec.decodeImage(m.content) match {
+          case Some((dw, dh, p)) => (dw, dh, 3, p)
+          case None =>
+            val w0 = math.max(m.meta.width, 1); val h0 = math.max(m.meta.height, 1)
+            (w0, h0, 3, StubCodec.decodeImage(m.content, w0, h0, 3))
+        }
+        (m.mediaId, dHash64(px, w, h, c))
+      })
+    }.toDF("media_id", "dhash")
+  }
+
+  /** Deterministic REAL-WAV audio corpus with planted near-duplicate
+    * groups — [[imageCorpus]]'s audio sibling for m08. Every 4
+    * consecutive ids share a base waveform (square + saw components
+    * with pattern-keyed integer periods); variants 1..3 add a short
+    * click at a variant-dependent offset, perturbing one or two energy
+    * windows of the fingerprint. Encoded through `javax.sound` WAV
+    * (16-bit PCM, lossless round-trip) and decoded back through
+    * [[AudioSystemCodec]].
+    */
+  def audioCorpus(spark: SparkSession, n: Int, partitions: Int = 4): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).repartition(partitions).map { id =>
+      val pattern = (id / 4).toInt
+      val variant = (id % 4).toInt
+      val len = 4000
+      val p1 = 50 + pattern % 37
+      val p2 = 30 + pattern % 23
+      val samples = Array.tabulate(len) { t =>
+        var s = (t % p1) * 120 - 3000
+        s += (if ((t / p2) % 2 == 0) 1500 else -1500)
+        if (variant > 0 && t >= variant * 800 && t < variant * 800 + 80)
+          s += 8000
+        s.toShort
+      }
+      val bytes = AudioSystemCodec.wavBytes(samples, 8000)
+      MediaRow(id, "audio", bytes, MediaMeta("wav", 0, 0, 8000, 500L))
+    }
+  }
+
+  /** 64-bit audio fingerprint: 65 contiguous energy windows (sum of
+    * |sample|, integer), bit i set when window i+1 is louder than
+    * window i — the energy-delta-sign family (Haitsma–Kalker shape at
+    * toy scale). All-integer, so exactly reproducible; local clicks
+    * move only the windows they land in.
+    */
+  def audioFingerprint64(samples: Array[Short]): Long = {
+    val nw = 65
+    val n = samples.length
+    if (n < nw) return 0L
+    val energy = new Array[Long](nw)
+    var w = 0
+    while (w < nw) {
+      val lo = w * n / nw
+      val hi = (w + 1) * n / nw
+      var i = lo
+      var e = 0L
+      while (i < hi) { e += math.abs(samples(i).toInt); i += 1 }
+      energy(w) = e
+      w += 1
+    }
+    var hash = 0L
+    var b = 0
+    while (b < 64) {
+      if (energy(b + 1) > energy(b)) hash |= 1L << b
+      b += 1
+    }
+    hash
+  }
+
+  /** (media_id, fp) per audio row — real WAV decode + fingerprint in
+    * one typed pass, [[imageDHashes]]'s audio sibling; stub PCM when
+    * no JDK reader accepts the bytes.
+    */
+  def audioFingerprints(media: Dataset[MediaRow], batchSize: Int = 32): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { m =>
+        val samples = AudioSystemCodec.decodeAudio(m.content) match {
+          case Some((_, pcm)) => pcm
+          case None =>
+            val n = math.max(1,
+              (m.meta.sampleRate * m.meta.durationMs / 1000L).toInt)
+            StubCodec.decodeAudio(m.content, math.min(n, 1 << 20))
+        }
+        (m.mediaId, audioFingerprint64(samples))
+      })
+    }.toDF("media_id", "fp")
+  }
+
+  /** Deterministic REAL-AVI video corpus with planted near-duplicate
+    * groups — the video sibling of [[imageCorpus]]/[[audioCorpus]] for
+    * m09. Every 4 consecutive ids share a 4-frame gradient clip
+    * (frame index shifts the field); variants 1..3 perturb one
+    * brightness block in ONE frame, so 3 of 4 frames stay
+    * hash-identical. Encoded through [[AviMjpegCodec.aviMjpegBytes]]
+    * (real baseline JPEGs in a real RIFF container) and decoded back
+    * through the codec registry's MJPEG walk.
+    */
+  def videoCorpus(spark: SparkSession, n: Int, partitions: Int = 4): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).repartition(partitions).map { id =>
+      val pattern = (id / 4).toInt
+      val variant = (id % 4).toInt
+      val w = 64; val h = 48
+      val frames = (0 until 4).map { f =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var g = (x * (3 + pattern % 7) + y * (5 + pattern % 11)
+              + (x * y) / (1 + pattern % 5) + f * 37) % 256
+            if (variant > 0 && f == variant - 1 &&
+                x / 8 == variant && y / 6 == variant)
+              g = (g + 96) % 256
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        img
+      }
+      MediaRow(id, "video", AviMjpegCodec.aviMjpegBytes(frames, fps = 4),
+        MediaMeta("avi", w, h, 0, 1000L))
+    }
+  }
+
+  /** (media_id, frame_idx, dhash) per decoded video frame — real
+    * MJPEG-AVI decode + per-frame [[dHash64]] in one typed pass;
+    * stub pixels when no codec accepts the bytes.
+    */
+  def videoFrameDHashes(media: Dataset[MediaRow], batchSize: Int = 16): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.flatMap { m =>
+        VideoCodecs.decode(VideoCodecs.default, m.content) match {
+          case Some((_, frames)) =>
+            frames.zipWithIndex.map { case ((fw, fh, px), i) =>
+              (m.mediaId, i, dHash64(px, fw, fh, 3))
+            }
+          case None =>
+            val w0 = math.max(m.meta.width, 1); val h0 = math.max(m.meta.height, 1)
+            Seq((m.mediaId, 0,
+              dHash64(StubCodec.decodeImage(m.content, w0, h0, 3), w0, h0, 3)))
+        }
+      })
+    }.toDF("media_id", "frame_idx", "dhash")
+  }
+
   /** End-to-end demo frame: synthetic media → features → per-kind stats
     * (count, mean feature-norm). Registered as a rows-only query.
     */

@@ -3036,6 +3036,149 @@ object Corpus {
   private def m01FeaturePath: String =
     s"${graft.ingest.FixtureTables.root}/m01_features.parquet"
 
+  private def m07HashPath: String =
+    s"${graft.ingest.FixtureTables.root}/m07_dhash.parquet"
+
+  /** Perceptual image near-dup join — the multimodal face of the
+    * dedup ladder (d02 is to text what this is to rasters): REAL PNG
+    * images (encoded and decoded through `javax.imageio`, planted
+    * near-dup groups) → 64-bit dHash ([[graft.multimodal.MultiModal.dHash64]]:
+    * grayscale → 9×8 nearest-neighbor downsample → adjacent-column
+    * comparisons, all-integer so exactly reproducible) → banded
+    * self-join on four 16-bit hash bands → Hamming ≤ 3 via
+    * `bit_count(xor)`. Banding is LOSSLESS here by pigeonhole: 3
+    * differing bits cannot touch all 4 disjoint bands, so one band
+    * always matches exactly — and the oracle is the brute-force n²
+    * over the dumped hashes, so the hash check proves it. The decode +
+    * hash stage is the one non-SQL-replayable step (the m01/s03
+    * fixture-dump recipe); candidates are Σ|band bucket|², never
+    * corpus² — the d02 LSH shape with the band count fixed by the
+    * distance bound instead of tuned.
+    */
+  val m07_image_neardups: Q = (s, _) => {
+    val hashes = graft.multimodal.MultiModal.imageDHashes(
+      graft.multimodal.MultiModal.imageCorpus(s, n = 400))
+    hashes.coalesce(1).write.mode("overwrite").parquet(m07HashPath)
+    val hs = s.read.parquet(m07HashPath)
+    val banded = hs.select(col("media_id"), col("dhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"),
+          shiftright(col("dhash"), 16 * b).bitwiseAND(lit(65535L)).as("k"))): _*))
+        .as("band"))
+      .select(col("media_id"), col("dhash"), col("band.b"), col("band.k"))
+    banded.as("a").join(banded.as("b"),
+        col("a.b") === col("b.b") && col("a.k") === col("b.k") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.dhash").as("__ha"), col("b.dhash").as("__hb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(__ha ^ __hb)").cast("long"))
+      .where(col("hamming") <= 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  def m07_sql: String =
+    s"""WITH h AS (SELECT media_id, dhash
+       |           FROM read_parquet('$m07HashPath/*.parquet'))
+       |SELECT a.media_id AS id_a, b.media_id AS id_b,
+       |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+       |FROM h a JOIN h b ON a.media_id < b.media_id
+       |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin
+
+  private def m08HashPath: String =
+    s"${graft.ingest.FixtureTables.root}/m08_audiofp.parquet"
+
+  /** Perceptual AUDIO near-dup join — m07's audio sibling: real WAVs
+    * (encoded + decoded through `javax.sound`, planted near-dup
+    * groups) → 64-bit energy-delta fingerprint
+    * ([[graft.multimodal.MultiModal.audioFingerprint64]], all-integer)
+    * → the same four-band Hamming ≤ 3 join, lossless by the same
+    * pigeonhole, proven by the same brute-force oracle over the
+    * dumped fingerprints. Together with d02 (text) and m07 (images)
+    * this completes banded near-dup across the three modalities a
+    * training-data pipeline carries.
+    */
+  val m08_audio_neardups: Q = (s, _) => {
+    val fps = graft.multimodal.MultiModal.audioFingerprints(
+      graft.multimodal.MultiModal.audioCorpus(s, n = 400))
+    fps.coalesce(1).write.mode("overwrite").parquet(m08HashPath)
+    val hs = s.read.parquet(m08HashPath)
+    val banded = hs.select(col("media_id"), col("fp"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"),
+          shiftright(col("fp"), 16 * b).bitwiseAND(lit(65535L)).as("k"))): _*))
+        .as("band"))
+      .select(col("media_id"), col("fp"), col("band.b"), col("band.k"))
+    banded.as("a").join(banded.as("b"),
+        col("a.b") === col("b.b") && col("a.k") === col("b.k") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.fp").as("__ha"), col("b.fp").as("__hb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(__ha ^ __hb)").cast("long"))
+      .where(col("hamming") <= 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  def m08_sql: String =
+    s"""WITH h AS (SELECT media_id, fp
+       |           FROM read_parquet('$m08HashPath/*.parquet'))
+       |SELECT a.media_id AS id_a, b.media_id AS id_b,
+       |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+       |FROM h a JOIN h b ON a.media_id < b.media_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin
+
+  private def m09HashPath: String =
+    s"${graft.ingest.FixtureTables.root}/m09_framedh.parquet"
+
+  /** Perceptual VIDEO near-dup join, completing the modality sweep
+    * (d02 text, m07 images, m08 audio): real MJPEG-AVI clips (authored
+    * and decoded through the codec registry's RIFF walk; baseline
+    * JPEGs via `javax.imageio`) → per-frame dHash → two videos are
+    * near-dups when ≥ 3 of their 4 aligned frame positions are within
+    * Hamming ≤ 6. JPEG is lossy, so the threshold is wider than m07's
+    * and the band count grows to EIGHT 8-bit bands — pigeonhole still
+    * exact: 6 differing bits cannot touch all 8 disjoint bands, so
+    * every qualifying (pair, position) surfaces in the band join, and
+    * the position-count filter runs on complete candidates. Oracle =
+    * brute-force n² over the dumped per-frame hashes, proving it.
+    */
+  val m09_video_neardups: Q = (s, _) => {
+    val fps = graft.multimodal.MultiModal.videoFrameDHashes(
+      graft.multimodal.MultiModal.videoCorpus(s, n = 200))
+    fps.coalesce(1).write.mode("overwrite").parquet(m09HashPath)
+    val hs = s.read.parquet(m09HashPath)
+    val banded = hs.select(col("media_id"), col("frame_idx"), col("dhash"),
+      explode(array((0 until 8).map(b =>
+        struct(lit(b).as("b"),
+          shiftright(col("dhash"), 8 * b).bitwiseAND(lit(255L)).as("k"))): _*))
+        .as("band"))
+      .select(col("media_id"), col("frame_idx"), col("dhash"),
+        col("band.b"), col("band.k"))
+    banded.as("a").join(banded.as("b"),
+        col("a.frame_idx") === col("b.frame_idx") &&
+        col("a.b") === col("b.b") && col("a.k") === col("b.k") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.frame_idx").as("__fi"),
+        col("a.dhash").as("__ha"), col("b.dhash").as("__hb"))
+      .distinct()
+      .where(expr("bit_count(__ha ^ __hb)") <= 6)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_close_frames"))
+      .where(col("n_close_frames") >= 3)
+  }
+
+  def m09_sql: String =
+    s"""WITH h AS (SELECT media_id, frame_idx, dhash
+       |           FROM read_parquet('$m09HashPath/*.parquet')),
+       |close AS (SELECT a.media_id AS id_a, b.media_id AS id_b
+       |  FROM h a JOIN h b
+       |    ON a.media_id < b.media_id AND a.frame_idx = b.frame_idx
+       |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 6)
+       |SELECT id_a, id_b, COUNT(*) AS n_close_frames
+       |FROM close GROUP BY id_a, id_b HAVING COUNT(*) >= 3""".stripMargin
+
   /** Multimodal plumbing demo (stub codec, real Spark dataflow):
     * synthetic media → batched decode → feature extraction → per-kind
     * stats. The stub decode is the one non-SQL-replayable stage (the
@@ -4214,6 +4357,9 @@ object Corpus {
     "m04_audio_windows"     -> m04_audio_windows,
     "m05_pair_manifest"     -> m05_pair_manifest,
     "m06_multimodal_pack"   -> m06_multimodal_pack,
+    "m07_image_neardups"    -> m07_image_neardups,
+    "m08_audio_neardups"    -> m08_audio_neardups,
+    "m09_video_neardups"    -> m09_video_neardups,
     "s03_ivf_topk"          -> s03_ivf_topk,
     "c01_curation"          -> c01_curation,
     "c02_neardup_curation"  -> c02_neardup_curation,
@@ -4297,6 +4443,9 @@ object Corpus {
     "m04_audio_windows"     -> m04_sql,
     "m05_pair_manifest"     -> m05_sql,
     "m06_multimodal_pack"   -> m06_sql,
+    "m07_image_neardups"    -> m07_sql,
+    "m08_audio_neardups"    -> m08_sql,
+    "m09_video_neardups"    -> m09_sql,
     "c01_curation"          -> c01_sql,
     "c02_neardup_curation"  -> c02_sql,
     "c03_release_qa"        -> c03_sql,

@@ -180,15 +180,61 @@ object GraphQueries {
        |$outs""".stripMargin
   }
 
+  private val HbK = 64
+
+  /** g05: HyperBall-style neighborhood function — a KMV ball-size
+    * estimate for EVERY node at h = 1..3, computed by iterated counter
+    * merges ([[GraphOps.hyperballReach]]). The oracle computes the
+    * exact balls (g04's expansion, from all nodes) and applies the
+    * k-min estimator to them — so the hash match proves the
+    * merge-iterated counters equal the sketch of the true ball (the
+    * mergeable-set identity), not merely that two approximations
+    * agree. The estimate is exact below 64 ball members.
+    */
+  val g05_hyperball: Q = (s, dir) => {
+    val eu = GraphOps.copurchaseEdgesUndirected(t(s, dir, "lineitem"), MinSupport)
+    GraphOps.hyperballReach(eu, Hops, HbK)
+      .select(col("node").as("part_key"), col("hop"), col("n_ball_est"))
+  }
+
+  val g05_sql: String = {
+    val hops = (1 to Hops).map { i =>
+      s"""ball$i AS MATERIALIZED (SELECT DISTINCT probe, node FROM (
+         |    SELECT probe, node FROM ball${i - 1}
+         |    UNION ALL
+         |    SELECT b.probe, e.dst AS node
+         |    FROM ball${i - 1} b JOIN bidir e ON b.node = e.src))""".stripMargin
+    }.mkString(",\n")
+    val outs = (1 to Hops).map { i =>
+      s"""SELECT probe AS part_key, $i AS hop,
+         |  CASE WHEN cnt < $HbK THEN cnt
+         |       ELSE CAST(floor((${HbK - 1} * 1152921504606846976.0) / mx) AS BIGINT)
+         |  END AS n_ball_est
+         |FROM (SELECT probe, COUNT(*) AS cnt, MAX(hv) AS mx
+         |      FROM (SELECT probe, hv, ROW_NUMBER() OVER (
+         |              PARTITION BY probe ORDER BY hv) AS rn
+         |            FROM (SELECT DISTINCT probe,
+         |                ('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15))::BIGINT AS hv
+         |              FROM ball$i))
+         |      WHERE rn <= $HbK GROUP BY probe)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $edgesSql,
+       |ball0 AS (SELECT DISTINCT src AS probe, src AS node FROM bidir),
+       |$hops
+       |$outs""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "g01_pagerank"    -> g01_pagerank,
     "g02_components"  -> g02_components,
     "g03_triangles"   -> g03_triangles,
-    "g04_khop_reach"  -> g04_khop_reach)
+    "g04_khop_reach"  -> g04_khop_reach,
+    "g05_hyperball"   -> g05_hyperball)
 
   val oracles: Map[String, String] = Map(
     "g01_pagerank"    -> g01_sql,
     "g02_components"  -> g02_sql,
     "g03_triangles"   -> g03_sql,
-    "g04_khop_reach"  -> g04_sql)
+    "g04_khop_reach"  -> g04_sql,
+    "g05_hyperball"   -> g05_sql)
 }

@@ -915,4 +915,95 @@ object StreamingIngest {
             interpPercentile(vals, 0.5), interpPercentile(vals, 0.9))
       }
   }
+
+  // ---- streaming co-purchase edge maintenance (the g-family twin) ----
+
+  case class OrderItem(l_orderkey: Long, l_partkey: Long)
+  case class PairDelta(src: Long, dst: Long)
+  case class OrderParts(parts: Seq[Long])
+
+  /** Streaming twin of [[graft.graph.GraphOps.copurchaseEdgesUndirected]]'s
+    * pair extraction: keyed state holds each order's distinct part
+    * set, and every NEW part emits exactly one (min, max) pair against
+    * each part already in the order — including pairs whose two
+    * lineitems arrive in DIFFERENT micro-batches, which a per-batch
+    * self-join would silently drop. Duplicate (order, part) arrivals
+    * emit nothing (the batch operator's DISTINCT). Per-order state is
+    * bounded by order width, and the per-order emitted multiset equals
+    * the batch self-join's pairs exactly, so the downstream additive
+    * support fold reproduces batch support counts for ANY chunking of
+    * the input.
+    */
+  def streamingCopurchasePairs(items: org.apache.spark.sql.Dataset[OrderItem])
+      : org.apache.spark.sql.Dataset[PairDelta] = {
+    import items.sparkSession.implicits._
+    items
+      .groupByKey(_.l_orderkey)
+      .flatMapGroupsWithState[OrderParts, PairDelta](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (o: Long, in: Iterator[OrderItem], state: GroupState[OrderParts]) =>
+          var seen = state.getOption.map(_.parts.toSet).getOrElse(Set.empty[Long])
+          val out = scala.collection.mutable.ListBuffer[PairDelta]()
+          in.map(_.l_partkey).toSeq.distinct.sorted.foreach { p =>
+            if (!seen(p)) {
+              seen.foreach(q =>
+                out += PairDelta(math.min(p, q), math.max(p, q)))
+              seen += p
+            }
+          }
+          state.update(OrderParts(seen.toSeq))
+          out.iterator
+      }
+  }
+
+  /** Continuously maintained co-purchase edge list — the streaming
+    * face of the graph family (g01-g05), closing its continuous loop
+    * the way [[transitionMatrixStream]] does for q88: pair SUPPORT is
+    * ADDITIVE, so each micro-batch's (src, dst) delta counts merge
+    * with the previous generation by summation and land as
+    * `gen-<batchId>` under `edgesRoot` (the scdApplyStream replay
+    * protocol). Per-trigger cost O(|batch|·width + |edges|); the graph
+    * operators then run on [[currentCopurchaseEdges]] — the support
+    * threshold is applied at READ time, because persisting the raw
+    * additive counts (not the thresholded edge set) is what makes the
+    * fold exact for every k at once.
+    */
+  def copurchaseEdgeStream(
+      items: org.apache.spark.sql.Dataset[OrderItem],
+      edgesRoot: String,
+      checkpointDir: String): StreamingQuery =
+    streamingCopurchasePairs(items).toDF().writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          val spark = batch.sparkSession
+          val part = batch.toDF()
+            .groupBy(col("src"), col("dst"))
+            .agg(count(lit(1)).as("support"))
+          val merged = priorGeneration(spark, edgesRoot, batchId) match {
+            case Some(p) =>
+              spark.read.parquet(s"$p/edges").unionByName(part)
+                .groupBy(col("src"), col("dst"))
+                .agg(sum(col("support")).as("support"))
+            case None => part
+          }
+          merged.write.mode("overwrite")
+            .parquet(s"$edgesRoot/gen-$batchId/edges")
+          ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+
+  /** Newest committed edge set at the given support threshold —
+    * shaped exactly like `copurchaseEdgesUndirected(lineitem, k)`, so
+    * components / triangles / PageRank / HyperBall run on it
+    * unchanged. None before the first batch lands.
+    */
+  def currentCopurchaseEdges(
+      spark: SparkSession, edgesRoot: String, minSupport: Int): Option[DataFrame] =
+    priorGeneration(spark, edgesRoot, Long.MaxValue).map(p =>
+      spark.read.parquet(s"$p/edges")
+        .where(col("support") >= minSupport)
+        .select(col("src"), col("dst")))
 }

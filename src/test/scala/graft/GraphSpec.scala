@@ -115,6 +115,48 @@ class GraphSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, 1L), (2, 2L), (3, 3L)))
   }
 
+  test("hyperball counters equal exact ball sketches (and are exact below k)") {
+    // path 1-2-3-4 plus edge 10-11: all balls < k=64, so every
+    // estimate must be the EXACT closed-ball size.
+    val e = edges((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+    val got = GraphOps.hyperballReach(e, maxHops = 2, k = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // h=1: closed neighborhoods; h=2: two-hop balls
+    assert(got((1L, 1)) == 2 && got((2L, 1)) == 3 && got((10L, 1)) == 2)
+    assert(got((1L, 2)) == 3 && got((2L, 2)) == 4 && got((4L, 2)) == 3)
+    assert(got((10L, 2)) == 2 && got((11L, 2)) == 2)
+  }
+
+  test("hyperball estimate tracks the exact ball size once saturated") {
+    // sf0.01 support>=2 graph: the giant component's 3-balls exceed
+    // k=64, so the estimator kicks in; KMV error ~1/sqrt(k-2) ≈ 13%.
+    // Assert median relative error across saturated balls < 20%.
+    val eu = GraphOps.copurchaseEdgesUndirected(
+      Tables(spark, "/root/testdata/sf0.01", "lineitem"), minOrders = 2)
+    val est = GraphOps.hyperballReach(eu, maxHops = 3, k = 64)
+      .where(col("hop") === 3)
+    val exact = {
+      val both = eu.select(col("src"), col("dst"))
+        .unionAll(eu.select(col("dst").as("src"), col("src").as("dst")))
+      var ball = both.select(col("src").as("probe"), col("src").as("node")).distinct()
+      (1 to 3).foreach { _ =>
+        ball = ball.unionAll(
+          ball.join(both, ball("node") === both("src"))
+            .select(col("probe"), col("dst").as("node"))).distinct()
+          .localCheckpoint(true)
+      }
+      ball.groupBy(col("probe")).agg(count(lit(1)).as("n_exact"))
+    }
+    val errs = est.join(exact, est("node") === exact("probe"))
+      .where(col("n_exact") >= 64)
+      .select((abs(col("n_ball_est") - col("n_exact"))
+        / col("n_exact")).as("err"))
+      .collect().map(_.getDouble(0)).sorted
+    assert(errs.nonEmpty)
+    val median = errs(errs.length / 2)
+    assert(median < 0.20, s"median KMV ball error $median")
+  }
+
   test("d15 blocking loses nothing vs brute force at sf0.001") {
     // The sf0.01 CORRECTNESS row proves it at driver scale; keep the
     // invariant pinned in CI at spec scale too.

@@ -331,6 +331,91 @@ class MultiModalSpec extends SparkSpec {
     assert(hit.head.getLong(1) == base.head.mediaId)
     assert(math.abs(hit.head.getDouble(2) - 1.0) < 1e-9)
   }
+
+  test("dHash: identical rasters collide, small perturbations stay near, others far") {
+    def raster(f: (Int, Int) => Int): Array[Byte] = {
+      val out = new Array[Byte](64 * 48 * 3)
+      for (y <- 0 until 48; x <- 0 until 64; c <- 0 until 3)
+        out((y * 64 + x) * 3 + c) = f(x, y).toByte
+      out
+    }
+    val base = raster((x, y) => (x * 3 + y * 5) % 256)
+    val same = raster((x, y) => (x * 3 + y * 5) % 256)
+    // brighten one 9x8 downsample cell
+    val near = raster((x, y) =>
+      if (x / 8 == 2 && y / 6 == 2) ((x * 3 + y * 5) % 256 + 96) % 256
+      else (x * 3 + y * 5) % 256)
+    val far = raster((x, y) => (x * 7 + y * 13 + x * y) % 256)
+    def d(a: Array[Byte]) = MultiModal.dHash64(a, 64, 48, 3)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(d(base) == d(same))
+    assert(ham(d(base), d(near)) <= 4, s"near ${ham(d(base), d(near))}")
+    assert(ham(d(base), d(far)) > 10, s"far ${ham(d(base), d(far))}")
+  }
+
+  test("m07 corpus decodes through the REAL PNG path and banding is lossless") {
+    import spark.implicits._
+    val media = MultiModal.imageCorpus(spark, n = 80)
+    // every image must take the javax.imageio route, not the stub
+    val decoded = media.collect()
+      .map(m => MultiModal.ImageIoCodec.decodeImage(m.content))
+    assert(decoded.forall(_.isDefined))
+    val hashes = MultiModal.imageDHashes(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // brute-force all pairs at hamming <= 3
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    assert(brute.nonEmpty, "fixture must plant near-dup pairs")
+    // pigeonhole: any such pair matches exactly in >= 1 of 4 bands
+    brute.foreach { case (ia, ib) =>
+      val ha = hashes.find(_._1 == ia).get._2
+      val hb = hashes.find(_._1 == ib).get._2
+      assert((0 until 4).exists(b =>
+        ((ha >> (16 * b)) & 0xffff) == ((hb >> (16 * b)) & 0xffff)))
+    }
+    // and at least one planted same-pattern pair is identified while
+    // cross-pattern pairs stay out
+    assert(brute.exists { case (a, b) => a / 4 == b / 4 })
+  }
+
+  test("m08 corpus decodes through the REAL WAV path and fingerprints are local") {
+    import spark.implicits._
+    val media = MultiModal.audioCorpus(spark, n = 80)
+    val rows = media.collect()
+    rows.foreach(m =>
+      assert(MultiModal.AudioSystemCodec.decodeAudio(m.content).isDefined))
+    // WAV PCM round-trip is lossless, so the fingerprint of the decoded
+    // stream equals the fingerprint of the source samples
+    val fps = MultiModal.audioFingerprints(media)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // same-pattern variants are near; a different pattern is far
+    val basePattern = (0L to 3L).map(fps)
+    assert(basePattern.combinations(2).forall { case Seq(a, b) => ham(a, b) <= 4 })
+    assert(ham(fps(0L), fps(40L)) > 8, s"cross ${ham(fps(0L), fps(40L))}")
+  }
+
+  test("m09 corpus decodes through the REAL MJPEG-AVI path with near frame hashes") {
+    import spark.implicits._
+    val media = MultiModal.videoCorpus(spark, n = 24)
+    media.collect().foreach { m =>
+      val dec = MultiModal.AviMjpegCodec.decodeFrames(m.content)
+      assert(dec.isDefined && dec.get._2.length == 4)
+    }
+    val fh = MultiModal.videoFrameDHashes(media)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // variant 1 of pattern 0 differs from variant 0 only in frame 0's
+    // block: the other three frame positions must be CLOSE (JPEG noise
+    // only), and at least 3 of 4 within the m09 threshold
+    val close = (0 until 4).count(f => ham(fh((0L, f)), fh((1L, f))) <= 6)
+    assert(close >= 3, s"close positions $close")
+    // cross-pattern clips share no positions within the threshold
+    val cross = (0 until 4).count(f => ham(fh((0L, f)), fh((20L, f))) <= 6)
+    assert(cross == 0, s"cross-pattern close positions $cross")
+  }
 }
 
 /** A minimal third-party codec for the drop-in spec: decodes payloads

@@ -120,6 +120,12 @@ class SqlSurfaceSpec extends SparkSpec {
       """SELECT graft_winnow(array('a','b','c','d','e','f','g','h'), 5, 4) AS w"""
     ).collect()(0).getSeq[String](0)
     assert(wn.nonEmpty && wn.forall(_.matches("[0-9a-f]{32}")))
+
+    // Jaro–Winkler from SQL: the Winkler reference pair
+    val jw = spark.sql(
+      "SELECT graft_jaro_winkler('martha', 'marhta') AS j")
+      .collect()(0).getDouble(0)
+    assert(math.abs(jw - 0.9611111111111111) < 1e-12)
   }
 
   private val sfDir = "/root/testdata/sf0.001"

@@ -925,4 +925,47 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(s"$root/gen-0").exists
       && new java.io.File(s"$root/gen-1").exists)
   }
+
+  test("copurchaseEdgeStream: folded support equals the batch co-purchase graph") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists())
+    val base = Files.createTempDirectory("graft_edge_stream").toString
+    val root = s"$base/edges"; val ckpt = s"$base/ckpt"
+    // ROW-ORDER chunking (not order-aligned): orders straddle batch
+    // boundaries on purpose — their pairs only exist if the per-order
+    // state captures cross-batch co-occurrence
+    val items = graft.Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .collect()
+      .map(r => StreamingIngest.OrderItem(r.getLong(0), r.getLong(1)))
+    val stream = MemoryStream[StreamingIngest.OrderItem]
+    val q = StreamingIngest.copurchaseEdgeStream(stream.toDS(), root, ckpt)
+    items.grouped(math.max(items.length / 3, 1)).foreach { chunk =>
+      stream.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // edge sets equal the batch operator at BOTH thresholds — the raw
+    // additive counts serve every k at read time
+    for (k <- Seq(1, 2)) {
+      val streamed = asSet(
+        StreamingIngest.currentCopurchaseEdges(spark, root, k).get)
+      val batch = asSet(graft.graph.GraphOps.copurchaseEdgesUndirected(
+        graft.Tables(spark, dir, "lineitem"), minOrders = k))
+      assert(streamed === batch, s"edge set mismatch at support >= $k")
+      assert(streamed.nonEmpty)
+    }
+    // a cross-batch order exists (first/last thirds share an order id),
+    // so the equality above genuinely exercised the state hand-off
+    val thirds = items.grouped(math.max(items.length / 3, 1)).toSeq
+    assert(thirds.head.map(_.l_orderkey).toSet
+      .intersect(thirds.last.map(_.l_orderkey).toSet).nonEmpty ||
+      thirds.head.map(_.l_orderkey).toSet
+        .intersect(thirds(1).map(_.l_orderkey).toSet).nonEmpty)
+  }
 }
