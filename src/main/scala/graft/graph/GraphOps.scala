@@ -117,6 +117,54 @@ object GraphOps {
     ranks
   }
 
+  /** Directed co-purchase edges carrying their SUPPORT (co-occurrence
+    * count) as an integer weight — the weighted-graph input for
+    * [[pageRankWeighted]]. Same one-shuffle derivation as
+    * [[copurchaseEdgesUndirected]], mirrored (support is symmetric).
+    */
+  def copurchaseEdgesWeighted(lineitem: DataFrame, minOrders: Int): DataFrame = {
+    val b = lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val u = b.as("a").join(b.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") >= minOrders)
+      .localCheckpoint(true)
+    u.unionAll(u.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+  }
+
+  /** Support-weighted PageRank: mass flows along each edge in
+    * proportion to its integer weight — contrib =
+    * (rank_u · 85 · w) div (Σw_out · 100), still pure fixed-point
+    * integer arithmetic ([[pageRank]]'s discipline), so weighted
+    * results stay bit-reproducible at any partitioning. No overflow:
+    * rank_u ≤ 10¹², ×85×w keeps far under 2⁶³ for any realistic
+    * support.
+    */
+  def pageRankWeighted(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+    val n = nodes.count()
+    val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint(true)
+    val deg = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+      .localCheckpoint(true)
+    val baseU = lit(PrScale * 15L / 100L / n)
+    var ranks = nodes.select(col("node"), lit(PrScale / n).as("rank_u"))
+    var i = 0
+    while (i < iters) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst"),
+          expr("(rank_u * 85L * w) div (outw * 100L)").as("contrib"))
+      ranks = contribs.select(col("dst").as("node"), col("contrib"))
+        .unionAll(nodes.select(col("node"), lit(0L).as("contrib")))
+        .groupBy(col("node"))
+        .agg((baseU + sum(col("contrib"))).as("rank_u"))
+      i += 1
+    }
+    ranks
+  }
+
   /** Connected components by min-label propagation to fixpoint, capped
     * at `maxRounds` (the oracle unrolls exactly `maxRounds` rounds —
     * once converged further rounds are the identity, so the two agree

@@ -873,6 +873,70 @@ object MultiModal {
     }.toDF("media_id", "frame_idx", "dhash")
   }
 
+  /** Banded Hamming self-join shared by the perceptual near-dup
+    * family (m07/m08/m09, c04): split each 64-bit hash into
+    * `64 / (maxDist + 1 rounded to a divisor)` — concretely 4×16-bit
+    * bands for thresholds ≤ 3 and 8×8-bit bands for ≤ 7 — equi-join
+    * per band, then verify with `bit_count(xor)`. Pigeonhole makes the
+    * candidate set LOSSLESS at the threshold: `maxDist` differing bits
+    * cannot touch every disjoint band. Candidates are Σ|bucket|²,
+    * never n².
+    */
+  def bandedHammingPairs(
+      hashes: org.apache.spark.sql.DataFrame, // (media_id, h)
+      maxDist: Int): org.apache.spark.sql.DataFrame = {
+    require(maxDist <= 7, "eight 8-bit bands cover at most 7 bits")
+    val nb = if (maxDist <= 3) 4 else 8
+    val width = 64 / nb
+    val mask = (1L << width) - 1
+    val banded = hashes.select(col("media_id"), col("h"),
+      explode(array((0 until nb).map(b =>
+        struct(lit(b).as("b"),
+          shiftright(col("h"), width * b).bitwiseAND(lit(mask)).as("k"))): _*))
+        .as("band"))
+      .select(col("media_id"), col("h"), col("band.b"), col("band.k"))
+    banded.as("a").join(banded.as("b"),
+        col("a.b") === col("b.b") && col("a.k") === col("b.k") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.h").as("__ha"), col("b.h").as("__hb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(__ha ^ __hb)").cast("long"))
+      .where(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** m09's pair rule over per-frame hashes: positions join on
+    * (frame_idx, band), Hamming ≤ 6 per position, videos pair when
+    * ≥ 3 aligned positions are close. The per-position candidates are
+    * lossless (8-band pigeonhole), so the position-count filter sees
+    * every qualifying combination.
+    */
+  def videoNearDupPairs(
+      frameHashes: org.apache.spark.sql.DataFrame, // (media_id, frame_idx, dhash)
+      maxDist: Int = 6,
+      minCloseFrames: Int = 3): org.apache.spark.sql.DataFrame = {
+    val banded = frameHashes.select(col("media_id"), col("frame_idx"), col("dhash"),
+      explode(array((0 until 8).map(b =>
+        struct(lit(b).as("b"),
+          shiftright(col("dhash"), 8 * b).bitwiseAND(lit(255L)).as("k"))): _*))
+        .as("band"))
+      .select(col("media_id"), col("frame_idx"), col("dhash"),
+        col("band.b"), col("band.k"))
+    banded.as("a").join(banded.as("b"),
+        col("a.frame_idx") === col("b.frame_idx") &&
+        col("a.b") === col("b.b") && col("a.k") === col("b.k") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.frame_idx").as("__fi"),
+        col("a.dhash").as("__ha"), col("b.dhash").as("__hb"))
+      .distinct()
+      .where(expr("bit_count(__ha ^ __hb)") <= maxDist)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_close_frames"))
+      .where(col("n_close_frames") >= minCloseFrames)
+  }
+
   /** End-to-end demo frame: synthetic media → features → per-kind stats
     * (count, mean feature-norm). Registered as a rows-only query.
     */

@@ -3059,22 +3059,8 @@ object Corpus {
     val hashes = graft.multimodal.MultiModal.imageDHashes(
       graft.multimodal.MultiModal.imageCorpus(s, n = 400))
     hashes.coalesce(1).write.mode("overwrite").parquet(m07HashPath)
-    val hs = s.read.parquet(m07HashPath)
-    val banded = hs.select(col("media_id"), col("dhash"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("b"),
-          shiftright(col("dhash"), 16 * b).bitwiseAND(lit(65535L)).as("k"))): _*))
-        .as("band"))
-      .select(col("media_id"), col("dhash"), col("band.b"), col("band.k"))
-    banded.as("a").join(banded.as("b"),
-        col("a.b") === col("b.b") && col("a.k") === col("b.k") &&
-        col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
-        col("a.dhash").as("__ha"), col("b.dhash").as("__hb"))
-      .distinct()
-      .withColumn("hamming", expr("bit_count(__ha ^ __hb)").cast("long"))
-      .where(col("hamming") <= 3)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+    graft.multimodal.MultiModal.bandedHammingPairs(
+      s.read.parquet(m07HashPath).withColumnRenamed("dhash", "h"), maxDist = 3)
   }
 
   def m07_sql: String =
@@ -3102,22 +3088,8 @@ object Corpus {
     val fps = graft.multimodal.MultiModal.audioFingerprints(
       graft.multimodal.MultiModal.audioCorpus(s, n = 400))
     fps.coalesce(1).write.mode("overwrite").parquet(m08HashPath)
-    val hs = s.read.parquet(m08HashPath)
-    val banded = hs.select(col("media_id"), col("fp"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("b"),
-          shiftright(col("fp"), 16 * b).bitwiseAND(lit(65535L)).as("k"))): _*))
-        .as("band"))
-      .select(col("media_id"), col("fp"), col("band.b"), col("band.k"))
-    banded.as("a").join(banded.as("b"),
-        col("a.b") === col("b.b") && col("a.k") === col("b.k") &&
-        col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
-        col("a.fp").as("__ha"), col("b.fp").as("__hb"))
-      .distinct()
-      .withColumn("hamming", expr("bit_count(__ha ^ __hb)").cast("long"))
-      .where(col("hamming") <= 3)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+    graft.multimodal.MultiModal.bandedHammingPairs(
+      s.read.parquet(m08HashPath).withColumnRenamed("fp", "h"), maxDist = 3)
   }
 
   def m08_sql: String =
@@ -3147,26 +3119,7 @@ object Corpus {
     val fps = graft.multimodal.MultiModal.videoFrameDHashes(
       graft.multimodal.MultiModal.videoCorpus(s, n = 200))
     fps.coalesce(1).write.mode("overwrite").parquet(m09HashPath)
-    val hs = s.read.parquet(m09HashPath)
-    val banded = hs.select(col("media_id"), col("frame_idx"), col("dhash"),
-      explode(array((0 until 8).map(b =>
-        struct(lit(b).as("b"),
-          shiftright(col("dhash"), 8 * b).bitwiseAND(lit(255L)).as("k"))): _*))
-        .as("band"))
-      .select(col("media_id"), col("frame_idx"), col("dhash"),
-        col("band.b"), col("band.k"))
-    banded.as("a").join(banded.as("b"),
-        col("a.frame_idx") === col("b.frame_idx") &&
-        col("a.b") === col("b.b") && col("a.k") === col("b.k") &&
-        col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
-        col("a.frame_idx").as("__fi"),
-        col("a.dhash").as("__ha"), col("b.dhash").as("__hb"))
-      .distinct()
-      .where(expr("bit_count(__ha ^ __hb)") <= 6)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_close_frames"))
-      .where(col("n_close_frames") >= 3)
+    graft.multimodal.MultiModal.videoNearDupPairs(s.read.parquet(m09HashPath))
   }
 
   def m09_sql: String =
@@ -3178,6 +3131,113 @@ object Corpus {
        |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 6)
        |SELECT id_a, id_b, COUNT(*) AS n_close_frames
        |FROM close GROUP BY id_a, id_b HAVING COUNT(*) >= 3""".stripMargin
+
+  private def c04Root: String = s"${graft.ingest.FixtureTables.root}/c04"
+
+  /** Multimodal curation capstone — the c02 keep/drop composition
+    * applied to MEDIA: every modality's perceptual near-dup pairs
+    * (m07/m08/m09 machinery over freshly dumped per-kind hash
+    * fixtures, so the query is self-contained and order-independent
+    * of the m-series) feed the distributed connected-components
+    * operator ([[graft.graph.GraphOps.connectedComponents]] — the
+    * g02 loop reused as a library piece), each group keeps its min-id
+    * canonical, and the release manifest reports per-kind kept /
+    * dropped / duplicate-group counts. The oracle replays pair
+    * generation brute-force from the dumps and the closure as a
+    * recursive CTE — so the hash check covers the full composition:
+    * hash → lossless banding → transitive grouping → manifest.
+    */
+  val c04_media_curation: Q = (s, _) => {
+    import graft.multimodal.MultiModal
+    val img = MultiModal.imageDHashes(MultiModal.imageCorpus(s, n = 400))
+      .withColumnRenamed("dhash", "h")
+    val aud = MultiModal.audioFingerprints(MultiModal.audioCorpus(s, n = 400))
+      .withColumnRenamed("fp", "h")
+    val vid = MultiModal.videoFrameDHashes(MultiModal.videoCorpus(s, n = 200))
+    img.coalesce(1).write.mode("overwrite").parquet(s"$c04Root/image.parquet")
+    aud.coalesce(1).write.mode("overwrite").parquet(s"$c04Root/audio.parquet")
+    vid.coalesce(1).write.mode("overwrite").parquet(s"$c04Root/video.parquet")
+    def manifest(kind: String, ids: org.apache.spark.sql.DataFrame,
+        pairs: org.apache.spark.sql.DataFrame) = {
+      val comps = graft.graph.GraphOps.connectedComponents(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+        maxRounds = 12)
+      val flagged = ids
+        .join(comps, ids("media_id") === comps("node"), "left")
+        .withColumn("__kept", col("node").isNull || col("media_id") === col("label"))
+      flagged.agg(
+        count(lit(1)).as("n_media"),
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__kept"), 0L).otherwise(1L)).as("n_dropped"),
+        count_distinct(col("label")).as("n_dup_groups"))
+        .select(lit(kind).as("kind"), col("n_media"), col("n_kept"),
+          col("n_dropped"), col("n_dup_groups"))
+    }
+    val imgH = s.read.parquet(s"$c04Root/image.parquet")
+    val audH = s.read.parquet(s"$c04Root/audio.parquet")
+    val vidH = s.read.parquet(s"$c04Root/video.parquet")
+    manifest("image", imgH.select(col("media_id")),
+        MultiModal.bandedHammingPairs(imgH, maxDist = 3))
+      .unionAll(manifest("audio", audH.select(col("media_id")),
+        MultiModal.bandedHammingPairs(audH, maxDist = 3)))
+      .unionAll(manifest("video",
+        vidH.select(col("media_id")).distinct(),
+        MultiModal.videoNearDupPairs(vidH)))
+  }
+
+  def c04_sql: String = {
+    def kindBlock(kind: String, pfx: String, itemsSql: String, pairsSql: String) =
+      (s"""${pfx}i AS ($itemsSql),
+          |${pfx}p AS ($pairsSql),
+          |${pfx}e AS (SELECT id_a AS src, id_b AS dst FROM ${pfx}p
+          |            UNION SELECT id_b, id_a FROM ${pfx}p),
+          |${pfx}r AS (
+          |  SELECT src, dst FROM ${pfx}e
+          |  UNION
+          |  SELECT r.src, e.dst FROM ${pfx}r r JOIN ${pfx}e e ON r.dst = e.src),
+          |${pfx}g AS (SELECT src AS id, LEAST(src, MIN(dst)) AS group_id
+          |            FROM ${pfx}r GROUP BY src)""".stripMargin,
+       s"""SELECT '$kind' AS kind,
+          |  (SELECT COUNT(*) FROM ${pfx}i) AS n_media,
+          |  (SELECT COUNT(*) FROM ${pfx}i LEFT JOIN ${pfx}g ON media_id = id
+          |   WHERE id IS NULL OR media_id = group_id) AS n_kept,
+          |  (SELECT COUNT(*) FROM ${pfx}i JOIN ${pfx}g ON media_id = id
+          |   WHERE media_id <> group_id) AS n_dropped,
+          |  (SELECT COUNT(DISTINCT group_id) FROM ${pfx}g) AS n_dup_groups"""
+         .stripMargin)
+    val (iC, iS) = kindBlock("image", "ci",
+      s"SELECT media_id FROM read_parquet('$c04Root/image.parquet/*.parquet')",
+      s"""SELECT a.media_id AS id_a, b.media_id AS id_b
+         |FROM read_parquet('$c04Root/image.parquet/*.parquet') a
+         |JOIN read_parquet('$c04Root/image.parquet/*.parquet') b
+         |  ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin)
+    val (aC, aS) = kindBlock("audio", "ca",
+      s"SELECT media_id FROM read_parquet('$c04Root/audio.parquet/*.parquet')",
+      s"""SELECT a.media_id AS id_a, b.media_id AS id_b
+         |FROM read_parquet('$c04Root/audio.parquet/*.parquet') a
+         |JOIN read_parquet('$c04Root/audio.parquet/*.parquet') b
+         |  ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin)
+    val (vC, vS) = kindBlock("video", "cv",
+      s"""SELECT DISTINCT media_id
+         |FROM read_parquet('$c04Root/video.parquet/*.parquet')""".stripMargin,
+      s"""SELECT a.media_id AS id_a, b.media_id AS id_b
+         |FROM read_parquet('$c04Root/video.parquet/*.parquet') a
+         |JOIN read_parquet('$c04Root/video.parquet/*.parquet') b
+         |  ON a.media_id < b.media_id AND a.frame_idx = b.frame_idx
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin)
+    s"""WITH RECURSIVE
+       |$iC,
+       |$aC,
+       |$vC
+       |$iS
+       |UNION ALL
+       |$aS
+       |UNION ALL
+       |$vS""".stripMargin
+  }
 
   /** Multimodal plumbing demo (stub codec, real Spark dataflow):
     * synthetic media → batched decode → feature extraction → per-kind
@@ -4360,6 +4420,7 @@ object Corpus {
     "m07_image_neardups"    -> m07_image_neardups,
     "m08_audio_neardups"    -> m08_audio_neardups,
     "m09_video_neardups"    -> m09_video_neardups,
+    "c04_media_curation"    -> c04_media_curation,
     "s03_ivf_topk"          -> s03_ivf_topk,
     "c01_curation"          -> c01_curation,
     "c02_neardup_curation"  -> c02_neardup_curation,
@@ -4446,6 +4507,7 @@ object Corpus {
     "m07_image_neardups"    -> m07_sql,
     "m08_audio_neardups"    -> m08_sql,
     "m09_video_neardups"    -> m09_sql,
+    "c04_media_curation"    -> c04_sql,
     "c01_curation"          -> c01_sql,
     "c02_neardup_curation"  -> c02_sql,
     "c03_release_qa"        -> c03_sql,

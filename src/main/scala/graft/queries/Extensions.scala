@@ -1349,6 +1349,83 @@ object Extensions {
       col("__fold.breach").as("first_breach_day"))
   }
 
+  /** Additive seasonal decomposition (STL shape at toy scale) over
+    * the per-type daily event series: trend = centered 7-row moving
+    * average, seasonal = day-of-week mean of the detrended series,
+    * remainder = what's left — the q89 family's diagnostic sibling
+    * (CUSUM finds level shifts; this separates the weekly rhythm from
+    * them). Scale story is q89's: the decomposition runs on the
+    * CALENDAR-bounded daily frame (days × |types|), never on events —
+    * the one big aggregate is the daily count, map-side combined.
+    *
+    * Numeric discipline: the g01 fixed-point lesson applied to a
+    * statistic — a first formulation with `round(x, 6)` read 1 ulp
+    * apart across engines on the seasonal mean (Spark rounds the
+    * shortest decimal repr, DuckDB via a 10⁶ multiply), so ALL
+    * arithmetic here is exact-integer MICRO-UNITS: trend_u =
+    * (Σn·10⁶) div windowCount (positive → truncation ≡ floor),
+    * det_u = n·10⁶ − trend_u, seasonal_u = floor-div of Σdet_u (a
+    * negative-safe floor division both engines state identically),
+    * remainder_u = det_u − seasonal_u. The output doubles are
+    * u/10⁶ computed from identical integers — bit-identical.
+    * Day-of-week: Spark's `dayofweek` is 1=Sunday..7, DuckDB's
+    * 0=Sunday..6 — the Spark side subtracts 1.
+    */
+  val q117_seasonal_decompose: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("__sumw", sum(col("n")).over(w))
+      .withColumn("__cntw", count(col("n")).over(w))
+      .withColumn("__trend_u", expr("(__sumw * 1000000L) div __cntw"))
+      .withColumn("__det_u", col("n") * lit(1000000L) - col("__trend_u"))
+      .withColumn("__dow", dayofweek(col("day")) - lit(1))
+    val seasonal = trended
+      .groupBy(col("event_type"), col("__dow"))
+      .agg(sum(col("__det_u")).as("__s"), count(lit(1)).as("__c"))
+      // floor division, negative-safe: subtract the non-negative mod
+      // first so the numerator divides exactly (truncate ≡ floor)
+      .withColumn("__seasonal_u",
+        expr("(__s - ((__s % __c + __c) % __c)) div __c"))
+      .select(col("event_type"), col("__dow"), col("__seasonal_u"))
+    trended.join(seasonal, Seq("event_type", "__dow"))
+      .select(col("event_type"), col("day"), col("n"),
+        (col("__trend_u").cast("double") / lit(1000000.0)).as("trend"),
+        (col("__seasonal_u").cast("double") / lit(1000000.0)).as("seasonal"),
+        ((col("__det_u") - col("__seasonal_u")).cast("double")
+          / lit(1000000.0)).as("remainder"))
+  }
+
+  val q117_sql: String =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |         CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+      |         CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |tr AS (
+      |  SELECT event_type, day, n,
+      |    (SUM(n) OVER w * 1000000) // COUNT(n) OVER w AS trend_u,
+      |    dayofweek(day) AS dow
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |det AS (SELECT *, n * 1000000 - trend_u AS det_u FROM tr),
+      |seas AS (
+      |  SELECT event_type, dow,
+      |    (SUM(det_u) - ((SUM(det_u) % COUNT(*) + COUNT(*)) % COUNT(*)))
+      |      // COUNT(*) AS seasonal_u
+      |  FROM det GROUP BY 1, 2)
+      |SELECT d.event_type, d.day, d.n,
+      |  CAST(d.trend_u AS DOUBLE) / 1000000.0e0 AS trend,
+      |  CAST(s.seasonal_u AS DOUBLE) / 1000000.0e0 AS seasonal,
+      |  CAST(d.det_u - s.seasonal_u AS DOUBLE) / 1000000.0e0 AS remainder
+      |FROM det d JOIN seas s ON s.event_type = d.event_type AND s.dow = d.dow"""
+      .stripMargin
+
   val q89_cusum_drift: Q = (s, dir) =>
     cusumFromDaily(t(s, dir, "events")
       .groupBy(col("event_type"),
@@ -1857,6 +1934,7 @@ object Extensions {
     "q87_skyline"        -> q87_skyline,
     "q88_markov_transitions" -> q88_markov_transitions,
     "q89_cusum_drift"    -> q89_cusum_drift,
+    "q117_seasonal_decompose" -> q117_seasonal_decompose,
     "q90_theilsen_trend" -> q90_theilsen_trend,
     "q91_session_paths"  -> q91_session_paths,
     "q92_tpch_q3"        -> q92_tpch_q3,
@@ -1900,6 +1978,7 @@ object Extensions {
     "q87_skyline"        -> q87_sql,
     "q88_markov_transitions" -> q88_sql,
     "q89_cusum_drift"    -> q89_sql,
+    "q117_seasonal_decompose" -> q117_sql,
     "q90_theilsen_trend" -> q90_sql,
     "q91_session_paths"  -> q91_sql,
     "q92_tpch_q3"        -> q92_sql,

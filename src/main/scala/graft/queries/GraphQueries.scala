@@ -224,8 +224,49 @@ object GraphQueries {
        |$outs""".stripMargin
   }
 
+  /** g06: support-weighted PageRank — mass flows in proportion to
+    * co-purchase strength, not just adjacency; still pure fixed-point
+    * integers ([[GraphOps.pageRankWeighted]]), the oracle unrolls the
+    * weighted recurrence.
+    */
+  val g06_weighted_pagerank: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val edges = GraphOps.copurchaseEdgesWeighted(li, minOrders = 1)
+    val nodes = li.select(col("l_partkey").as("node")).distinct()
+    GraphOps.pageRankWeighted(edges, nodes, PrIters)
+      .select(col("node").as("part_key"), col("rank_u").as("pagerank_e12"))
+  }
+
+  val g06_sql: String = {
+    val its = (1 to PrIters).map { i =>
+      s"""wpr$i AS MATERIALIZED (SELECT nodes.node,
+         |  CAST(150000000000 // n.n
+         |    + COALESCE(SUM((p.rank_u * 85 * e.w) // (d.outw * 100)), 0)
+         |    AS BIGINT) AS rank_u
+         |  FROM nodes CROSS JOIN n
+         |  LEFT JOIN (we e JOIN wpr${i - 1} p ON p.node = e.src
+         |             JOIN wdeg d ON d.src = e.src) ON e.dst = nodes.node
+         |  GROUP BY nodes.node, n.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |                        FROM lineitem),
+       |wu AS MATERIALIZED (SELECT a.p AS src, b2.p AS dst, COUNT(*) AS w
+       |      FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p GROUP BY 1, 2),
+       |we AS MATERIALIZED (SELECT src, dst, w FROM wu
+       |      UNION ALL SELECT dst, src, w FROM wu),
+       |nodes AS MATERIALIZED (SELECT DISTINCT l_partkey AS node FROM lineitem),
+       |wdeg AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS outw
+       |                      FROM we GROUP BY src),
+       |n AS (SELECT COUNT(*) AS n FROM nodes),
+       |wpr0 AS (SELECT node, CAST(1000000000000 // n.n AS BIGINT) AS rank_u
+       |         FROM nodes CROSS JOIN n),
+       |$its
+       |SELECT node AS part_key, rank_u AS pagerank_e12 FROM wpr$PrIters""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "g01_pagerank"    -> g01_pagerank,
+    "g06_weighted_pagerank" -> g06_weighted_pagerank,
     "g02_components"  -> g02_components,
     "g03_triangles"   -> g03_triangles,
     "g04_khop_reach"  -> g04_khop_reach,
@@ -233,6 +274,7 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "g01_pagerank"    -> g01_sql,
+    "g06_weighted_pagerank" -> g06_sql,
     "g02_components"  -> g02_sql,
     "g03_triangles"   -> g03_sql,
     "g04_khop_reach"  -> g04_sql,

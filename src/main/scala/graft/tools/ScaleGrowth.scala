@@ -315,11 +315,11 @@ object ScaleGrowth {
       "q113_tpch_q12", "q114_tpch_q2", "s17_pq_ann", "d14_edit_join",
       "s18_ivfpq_ann",
       "g01_pagerank", "g02_components", "g03_triangles", "g04_khop_reach",
-      "g05_hyperball", "d15_jw_join")
+      "g05_hyperball", "g06_weighted_pagerank", "d15_jw_join")
       .filter(q => onlyPrefixes.forall(_.exists(q.startsWith)))
     // queries measured on the disjoint-copy graph dirs (see above)
     val graphDirQs = Set("g01_pagerank", "g02_components", "g03_triangles",
-      "g04_khop_reach", "g05_hyperball", "d15_jw_join")
+      "g04_khop_reach", "g05_hyperball", "g06_weighted_pagerank", "d15_jw_join")
     def time(name: String, dir: String): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()

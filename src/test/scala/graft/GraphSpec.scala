@@ -72,6 +72,27 @@ class GraphSpec extends SparkSpec {
       s"mass $total")
   }
 
+  test("weighted pagerank: uniform weights reduce to the unweighted rank") {
+    val e = edges((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 1L), (1L, 3L))
+    val ew = e.withColumn("w", lit(7L)) // any uniform weight cancels
+    val nodes = (1L to 3L).toDF("node")
+    val plain = GraphOps.pageRank(e, nodes, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val weighted = GraphOps.pageRankWeighted(ew, nodes, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plain === weighted)
+  }
+
+  test("weighted pagerank: a heavy edge pulls rank toward its head") {
+    // 1 splits mass to 2 (w=9) and 3 (w=1); 2 and 3 return it.
+    val ew = Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val nodes = (1L to 3L).toDF("node")
+    val pr = GraphOps.pageRankWeighted(ew, nodes, iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr(2L) > pr(3L) * 3, s"$pr")
+  }
+
   test("connected components finds the exact partition") {
     // {1,2,3} in a path, {10,11} an edge, capped rounds ample.
     val e = edges((1L, 2L), (2L, 3L), (10L, 11L))
