@@ -1006,4 +1006,19 @@ object StreamingIngest {
       spark.read.parquet(s"$p/edges")
         .where(col("support") >= minSupport)
         .select(col("src"), col("dst")))
+
+  /** Weighted variant: support rides along as the edge weight and the
+    * mirror union matches [[graft.graph.GraphOps.copurchaseEdgesWeighted]]
+    * exactly, so the stream-maintained graph feeds `pageRankWeighted`
+    * (g06) unchanged — and, because the fold is exact, with BIT-IDENTICAL
+    * ranks to the batch-derived graph (spec-proven).
+    */
+  def currentCopurchaseEdgesWeighted(
+      spark: SparkSession, edgesRoot: String, minSupport: Int): Option[DataFrame] =
+    priorGeneration(spark, edgesRoot, Long.MaxValue).map { p =>
+      val u = spark.read.parquet(s"$p/edges")
+        .where(col("support") >= minSupport)
+        .select(col("src"), col("dst"), col("support").as("w"))
+      u.unionAll(u.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    }
 }

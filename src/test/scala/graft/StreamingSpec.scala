@@ -967,5 +967,20 @@ class StreamingSpec extends SparkSpec {
       .intersect(thirds.last.map(_.l_orderkey).toSet).nonEmpty ||
       thirds.head.map(_.l_orderkey).toSet
         .intersect(thirds(1).map(_.l_orderkey).toSet).nonEmpty)
+
+    // composition: the stream-maintained WEIGHTED graph feeds g06's
+    // fixed-point PageRank with bit-identical ranks to the batch graph
+    // (exact fold + exact integer recursion = exact equality)
+    val li = graft.Tables(spark, dir, "lineitem")
+    val nodes = li.select(col("l_partkey").as("node")).distinct()
+    val streamedRanks = graft.graph.GraphOps.pageRankWeighted(
+      StreamingIngest.currentCopurchaseEdgesWeighted(spark, root, 1).get,
+      nodes, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchRanks = graft.graph.GraphOps.pageRankWeighted(
+      graft.graph.GraphOps.copurchaseEdgesWeighted(li, minOrders = 1),
+      nodes, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamedRanks === batchRanks)
   }
 }
