@@ -308,6 +308,7 @@ object ScaleGrowth {
       "q91_session_paths", "q92_tpch_q3", "q93_tpch_q5", "q94_tpch_q10",
       "s15_knn_graph", "q95_benford", "s16_index_health",
       "q96_incremental_quantiles", "q97_tpch_q14", "q98_tpch_q18",
+      "q117_seasonal_decompose",
       "q99_tpch_q13", "q100_tpch_q17",
       "q101_tpch_q6", "q102_tpch_q4", "q103_tpch_q7", "q104_tpch_q8",
       "q105_tpch_q15", "q106_tpch_q19", "q107_tpch_q22", "q108_tpch_q16",
