@@ -50,14 +50,19 @@ object GraphOps {
     * and left lazy each read would replay the lineitem self-join +
     * dedup groupBy — the expensive part of every graph query.
     */
-  def copurchaseEdgesUndirected(lineitem: DataFrame, minOrders: Int): DataFrame = {
+  def copurchaseEdgesUndirected(lineitem: DataFrame, minOrders: Int): DataFrame =
+    copurchaseBase(lineitem, minOrders).select(col("src"), col("dst"))
+
+  /** The (src < dst, support) co-occurrence base both edge builders
+    * share — one self-join + one dedup-and-count groupBy, materialized.
+    */
+  private def copurchaseBase(lineitem: DataFrame, minOrders: Int): DataFrame = {
     val b = lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
     b.as("a").join(b.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
       .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
-      .agg(count(lit(1)).as("support"))
-      .where(col("support") >= minOrders)
-      .select(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") >= minOrders)
       .localCheckpoint(true)
   }
 
@@ -87,68 +92,53 @@ object GraphOps {
     */
   val PrScale = 1000000000000L // 10^12 fixed-point units
 
-  def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
-    val n = nodes.count()
-    // materialize the edge list and out-degrees ONCE: left lazy, the
-    // edge-derivation subtree (a self-join + groupBy when coming from
-    // copurchaseEdges) is replayed in every iteration's lineage —
-    // measured 8.4s → 2.9s at sf0.1. The 100 TB form is the same:
-    // persist the edges, iterate over the materialized blocks.
-    val e = edges.localCheckpoint(true)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(true)
-    val baseU = lit(PrScale * 15L / 100L / n) // 0.15/n in e-12 units
-    var ranks = nodes.select(col("node"), lit(PrScale / n).as("rank_u"))
-    var i = 0
-    while (i < iters) {
-      val contribs = e
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
-        .select(col("dst"),
-          expr("(rank_u * 85L) div (outdeg * 100L)").as("contrib"))
-      // a zero row per node replaces a nodes LEFT JOIN: same sums,
-      // one exchange per iteration instead of two
-      ranks = contribs.select(col("dst").as("node"), col("contrib"))
-        .unionAll(nodes.select(col("node"), lit(0L).as("contrib")))
-        .groupBy(col("node"))
-        .agg((baseU + sum(col("contrib"))).as("rank_u"))
-      i += 1
-    }
-    ranks
-  }
+  def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame =
+    // the unweighted rank IS the weighted one at w ≡ 1: outw = outdeg
+    // and (rank_u·85·1) div (outdeg·100) is the unweighted contrib,
+    // integer for integer — one recurrence to maintain, not two
+    pageRankWeighted(
+      edges.select(col("src"), col("dst")).withColumn("w", lit(1L)),
+      nodes, iters)
 
   /** Directed co-purchase edges carrying their SUPPORT (co-occurrence
     * count) as an integer weight — the weighted-graph input for
-    * [[pageRankWeighted]]. Same one-shuffle derivation as
-    * [[copurchaseEdgesUndirected]], mirrored (support is symmetric).
+    * [[pageRankWeighted]]: [[copurchaseBase]] mirrored (support is
+    * symmetric).
     */
   def copurchaseEdgesWeighted(lineitem: DataFrame, minOrders: Int): DataFrame = {
-    val b = lineitem.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val u = b.as("a").join(b.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
-      .agg(count(lit(1)).as("w"))
-      .where(col("w") >= minOrders)
-      .localCheckpoint(true)
+    val u = copurchaseBase(lineitem, minOrders)
     u.unionAll(u.select(col("dst").as("src"), col("src").as("dst"), col("w")))
   }
 
   /** Support-weighted PageRank: mass flows along each edge in
     * proportion to its integer weight — contrib =
     * (rank_u · 85 · w) div (Σw_out · 100), still pure fixed-point
-    * integer arithmetic ([[pageRank]]'s discipline), so weighted
+    * integer arithmetic (see [[pageRank]]'s doc), so weighted
     * results stay bit-reproducible at any partitioning. No overflow:
     * rank_u ≤ 10¹², ×85×w keeps far under 2⁶³ for any realistic
     * support.
+    *
+    * Edges are RESTRICTED to `nodes` (semi-joins on both endpoints)
+    * before iterating — without it an edge head outside the node set
+    * would inject a phantom rank row and skew the teleport mass
+    * against the documented semantics. The edge list and out-weights
+    * materialize ONCE (`localCheckpoint`): left lazy, the
+    * edge-derivation subtree is replayed in every iteration's lineage
+    * — measured 8.4s → 2.9s at sf0.1. The 100 TB form is the same:
+    * persist the edges, iterate over the materialized blocks.
     */
   def pageRankWeighted(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
-    val n = nodes.count()
-    val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint(true)
+    val nodeSet = nodes.select(col("node")).localCheckpoint(true)
+    val n = nodeSet.count()
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .join(nodeSet.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+      .join(nodeSet.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+      .select(col("src"), col("dst"), col("w"))
+      .localCheckpoint(true)
     val deg = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
       .localCheckpoint(true)
-    val baseU = lit(PrScale * 15L / 100L / n)
-    var ranks = nodes.select(col("node"), lit(PrScale / n).as("rank_u"))
+    val baseU = lit(PrScale * 15L / 100L / n) // 0.15/n in e-12 units
+    var ranks = nodeSet.select(col("node"), lit(PrScale / n).as("rank_u"))
     var i = 0
     while (i < iters) {
       val contribs = e
@@ -156,8 +146,10 @@ object GraphOps {
         .join(deg, "src")
         .select(col("dst"),
           expr("(rank_u * 85L * w) div (outw * 100L)").as("contrib"))
+      // a zero row per node replaces a nodes LEFT JOIN: same sums,
+      // one exchange per iteration instead of two
       ranks = contribs.select(col("dst").as("node"), col("contrib"))
-        .unionAll(nodes.select(col("node"), lit(0L).as("contrib")))
+        .unionAll(nodeSet.select(col("node"), lit(0L).as("contrib")))
         .groupBy(col("node"))
         .agg((baseU + sum(col("contrib"))).as("rank_u"))
       i += 1
@@ -232,13 +224,18 @@ object GraphOps {
     val deg = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    // clustering in fixed-point nano-units (truncating div — operands
+    // positive), rendered as u/1e9: round(double, 9) is the 1-ulp
+    // cross-engine divergence class g01/q117 document, closed the same
+    // way here
     deg.join(corners, Seq("node"), "left")
       .select(col("node"), col("degree"),
-        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("clustering",
         when(col("degree") >= 2,
-          round(lit(2.0) * coalesce(col("triangles"), lit(0L))
-            / (col("degree") * (col("degree") - lit(1))), 9))
-          .otherwise(lit(0.0)).as("clustering"))
+          expr("(triangles * 2000000000L) div (degree * (degree - 1))")
+            .cast("double") / lit(1000000000.0))
+          .otherwise(lit(0.0)))
   }
 
   /** HyperBall (Boldi–Vigna '13) with KMV counters instead of HLL:
@@ -300,13 +297,18 @@ object GraphOps {
       .unionAll(edgesUndirected.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
     var reach = probes.select(col("probe"), col("probe").as("node"))
+      .localCheckpoint(true)
     val out = Seq.newBuilder[DataFrame]
     var h = 1
     while (h <= maxHops) {
+      // checkpoint per hop: reach is referenced twice (self ∪ its own
+      // expansion), so a lazy plan doubles every hop — exponential in
+      // maxHops, the same lineage discipline as connectedComponents
       reach = reach
         .unionAll(reach.join(both, reach("node") === both("src"))
           .select(col("probe"), col("dst").as("node")))
         .distinct()
+        .localCheckpoint(true)
       out += reach.where(col("node") =!= col("probe"))
         .groupBy(col("probe")).agg(count(lit(1)).as("n_reached"))
         .select(col("probe"), lit(h).as("hop"), col("n_reached"))

@@ -916,6 +916,8 @@ object MultiModal {
       frameHashes: org.apache.spark.sql.DataFrame, // (media_id, frame_idx, dhash)
       maxDist: Int = 6,
       minCloseFrames: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(maxDist <= 7,
+      "eight 8-bit bands are lossless only for <= 7 differing bits")
     val banded = frameHashes.select(col("media_id"), col("frame_idx"), col("dhash"),
       explode(array((0 until 8).map(b =>
         struct(lit(b).as("b"),

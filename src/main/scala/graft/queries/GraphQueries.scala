@@ -143,8 +143,9 @@ object GraphQueries {
        |SELECT d.node AS part_key, d.degree,
        |  COALESCE(c.triangles, 0) AS triangles,
        |  CASE WHEN d.degree >= 2
-       |       THEN ROUND(2.0e0 * COALESCE(c.triangles, 0)
-       |                  / (d.degree * (d.degree - 1)), 9)
+       |       THEN CAST((COALESCE(c.triangles, 0) * 2000000000)
+       |                 // (d.degree * (d.degree - 1)) AS DOUBLE)
+       |            / 1000000000.0e0
        |       ELSE 0.0e0 END AS clustering
        |FROM deg d LEFT JOIN corners c ON c.node = d.node""".stripMargin
 

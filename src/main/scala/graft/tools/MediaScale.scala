@@ -28,26 +28,6 @@ object MediaScale {
     import org.apache.spark.sql.functions._
     import graft.multimodal.MultiModal
 
-    def bandJoin(hashes: org.apache.spark.sql.DataFrame, thr: Int): Long = {
-      val nb = if (thr <= 3) 4 else 8
-      val w = 64 / nb
-      val mask = (1L << w) - 1
-      val banded = hashes.select(col("media_id"), col("h"),
-        explode(array((0 until nb).map(b =>
-          struct(lit(b).as("b"),
-            shiftright(col("h"), w * b).bitwiseAND(lit(mask)).as("k"))): _*))
-          .as("band"))
-        .select(col("media_id"), col("h"), col("band.b"), col("band.k"))
-      banded.as("a").join(banded.as("b"),
-          col("a.b") === col("b.b") && col("a.k") === col("b.k") &&
-          col("a.media_id") < col("b.media_id"))
-        .select(col("a.media_id"), col("b.media_id"),
-          col("a.h").as("__ha"), col("b.h").as("__hb"))
-        .distinct()
-        .where(expr(s"bit_count(__ha ^ __hb)") <= thr)
-        .count()
-    }
-
     def time(f: => Long): Double = {
       f // warm-up
       def once(): Double = {
@@ -56,17 +36,19 @@ object MediaScale {
       math.min(once(), once())
     }
 
+    // the SHIPPED operators, not re-implementations — m09 in
+    // particular must time the per-position rule, not a flat band join
     val sizes = Seq(500, 5000)
     val rows = Seq(
-      ("m07_image", (n: Int) => time(bandJoin(
+      ("m07_image", (n: Int) => time(MultiModal.bandedHammingPairs(
         MultiModal.imageDHashes(MultiModal.imageCorpus(spark, n))
-          .withColumnRenamed("dhash", "h"), 3))),
-      ("m08_audio", (n: Int) => time(bandJoin(
+          .withColumnRenamed("dhash", "h"), maxDist = 3).count())),
+      ("m08_audio", (n: Int) => time(MultiModal.bandedHammingPairs(
         MultiModal.audioFingerprints(MultiModal.audioCorpus(spark, n))
-          .withColumnRenamed("fp", "h"), 3))),
-      ("m09_video", (n: Int) => time(bandJoin(
-        MultiModal.videoFrameDHashes(MultiModal.videoCorpus(spark, n))
-          .withColumnRenamed("dhash", "h"), 6)))
+          .withColumnRenamed("fp", "h"), maxDist = 3).count())),
+      ("m09_video", (n: Int) => time(MultiModal.videoNearDupPairs(
+        MultiModal.videoFrameDHashes(MultiModal.videoCorpus(spark, n)))
+        .count()))
     ).map { case (name, run) =>
       val t1 = run(sizes.head)
       val t10 = run(sizes.last)
