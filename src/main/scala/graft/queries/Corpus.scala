@@ -3132,6 +3132,97 @@ object Corpus {
        |SELECT id_a, id_b, COUNT(*) AS n_close_frames
        |FROM close GROUP BY id_a, id_b HAVING COUNT(*) >= 3""".stripMargin
 
+  private def t38WeightsPath: String =
+    s"${graft.ingest.FixtureTables.root}/t38_weights.parquet"
+
+  /** Model-based document filter (fastText shape, CCNet-family): a
+    * logistic classifier over 1024 hashed bag-of-words COUNT buckets
+    * distills the stopword-ratio quality rule into a linear model —
+    * the same pseudo-label pattern CCNet uses (train cheap model on a
+    * rule, apply model at scale). The rule is exactly linear in count
+    * features, so the fit has a realizable target; the held-out
+    * distillation accuracy is spec-gated. The FIT is driver-side on
+    * the bounded doc_id < 200 sample ([[graft.text.QualityClassifier]]
+    * — the BPE/quantizer bounded-fit discipline); the APPLY stage —
+    * the part that runs over the whole corpus — is one explode + a
+    * (doc, bucket) count + a broadcast-sized weight join + an exact
+    * INTEGER dot product per document, so the logit is
+    * order-independent and the oracle replays it from the dumped
+    * micro-unit weight table (bias rides at bucket −1). Both the
+    * classification bit (integer logit > 0) and the reference label
+    * (100·n_stop > 6·n_tok) are integer comparisons, so no float
+    * boundary can flip either between engines.
+    */
+  val t38_quality_classifier: Q = (s, dir) => {
+    import graft.text.QualityClassifier
+    val docs = t(s, dir, "documents")
+    // bounded, deterministically ordered training sample; pseudo-labels
+    // from the stopword rule over the SAME tokenizer
+    val sample = docs.where(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+      .collect().sortBy(_.getLong(0))
+      .map { r =>
+        val text = r.getString(1)
+        (text, QualityClassifier.label(QualityClassifier.tokens(text)))
+      }.toSeq
+    val (w, bias) = QualityClassifier.fit(sample)
+    val weightRows = w.zipWithIndex
+      .map { case (wu, bkt) => (bkt.toLong, wu) } :+ (-1L, bias)
+    import s.implicits._
+    weightRows.toSeq.toDF("bucket", "w_u")
+      .coalesce(1).write.mode("overwrite").parquet(t38WeightsPath)
+    val weights = s.read.parquet(t38WeightsPath)
+    val staged = docs
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("__ntok"),
+        size(filter(col("__toks"),
+          x => x === "the" || x === "a")).cast("long").as("__nstop"),
+        col("__toks"))
+    val perDoc = staged
+      .select(col("doc_id"), explode(col("__toks")).as("tok"))
+      .select(col("doc_id"),
+        pmod(graft.functions.KmvSketch.hash64(col("tok")),
+          lit(QualityClassifier.Buckets.toLong)).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("__c"))
+      .join(weights.where(col("bucket") >= 0), Seq("bucket"))
+      .groupBy(col("doc_id")).agg(sum(col("__c") * col("w_u")).as("__sw"))
+    staged.select(col("doc_id"), col("__ntok"), col("__nstop"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("__logit_u", lit(bias) + coalesce(col("__sw"), lit(0L)))
+      .select(col("doc_id"),
+        (col("__logit_u").cast("double") / lit(1000000.0)).as("logit"),
+        (col("__logit_u") > 0).as("pred_high_stop"),
+        (col("__nstop") * lit(100L) > col("__ntok") * lit(6L))
+          .as("label_high_stop"))
+  }
+
+  def t38_sql: String =
+    s"""WITH w AS (SELECT bucket, w_u
+       |           FROM read_parquet('$t38WeightsPath/*.parquet')),
+       |t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |st AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS ntok,
+       |         CAST(len(list_filter(toks, x -> x IN ('the', 'a')))
+       |           AS BIGINT) AS nstop
+       |       FROM t),
+       |b AS (SELECT doc_id,
+       |        ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024 AS bucket,
+       |        COUNT(*) AS c
+       |      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+       |      GROUP BY 1, 2),
+       |sw AS (SELECT doc_id, CAST(SUM(b.c * w.w_u) AS BIGINT) AS sw
+       |       FROM b JOIN w USING (bucket) WHERE w.bucket >= 0
+       |       GROUP BY doc_id),
+       |bias AS (SELECT w_u FROM read_parquet('$t38WeightsPath/*.parquet')
+       |         WHERE bucket = -1)
+       |SELECT st.doc_id,
+       |  CAST((SELECT w_u FROM bias) + COALESCE(sw.sw, 0) AS DOUBLE)
+       |    / 1000000.0e0 AS logit,
+       |  ((SELECT w_u FROM bias) + COALESCE(sw.sw, 0)) > 0 AS pred_high_stop,
+       |  (st.nstop * 100 > st.ntok * 6) AS label_high_stop
+       |FROM st LEFT JOIN sw USING (doc_id)""".stripMargin
+
   private def c04Root: String = s"${graft.ingest.FixtureTables.root}/c04"
 
   /** Multimodal curation capstone — the c02 keep/drop composition
@@ -4462,6 +4553,7 @@ object Corpus {
     "t35_winnowing"         -> t35_winnowing,
     "t36_quota_allocation"  -> t36_quota_allocation,
     "t37_bpe_encode"        -> t37_bpe_encode,
+    "t38_quality_classifier" -> t38_quality_classifier,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -4548,6 +4640,7 @@ object Corpus {
     "t35_winnowing"         -> t35_sql,
     "t36_quota_allocation"  -> t36_sql,
     "t37_bpe_encode"        -> t37_sql,
+    "t38_quality_classifier" -> t38_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,
