@@ -157,6 +157,55 @@ object GraphOps {
     ranks
   }
 
+  /** Personalized PageRank: teleport mass returns to a SEED set
+    * instead of spreading uniformly — the recommendation / expansion
+    * face of the rank family ("items related to this basket", seed
+    * -domain crawl prioritization). Same fixed-point integer
+    * discipline as [[pageRank]]; the only structural difference is
+    * that the teleport vector is a frame, not a scalar, so each
+    * iteration carries one extra (node-keyed, seed-sparse) left join
+    * — which is also why this is a separate loop rather than a flag
+    * on [[pageRankWeighted]]: the scalar-base loop should not pay
+    * that join. Nodes unreachable from the seeds hold exactly 0.
+    */
+  def pageRankPersonalized(
+      edges: DataFrame, nodes: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    val nodeSet = nodes.select(col("node")).localCheckpoint(true)
+    val seedSet = seeds.select(col("node")).localCheckpoint(true)
+    val nSeeds = seedSet.count()
+    val e = edges.select(col("src"), col("dst")).withColumn("w", lit(1L))
+      .join(nodeSet.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+      .join(nodeSet.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+      .localCheckpoint(true)
+    val deg = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+      .localCheckpoint(true)
+    val base = seedSet
+      .select(col("node"), lit(PrScale * 15L / 100L / nSeeds).as("base_u"))
+      .localCheckpoint(true)
+    var ranks = nodeSet
+      .join(base, Seq("node"), "left")
+      .select(col("node"),
+        when(col("base_u").isNotNull, lit(PrScale / nSeeds))
+          .otherwise(lit(0L)).as("rank_u"))
+    var i = 0
+    while (i < iters) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst"),
+          expr("(rank_u * 85L * w) div (outw * 100L)").as("contrib"))
+      ranks = contribs.select(col("dst").as("node"), col("contrib"))
+        .unionAll(nodeSet.select(col("node"), lit(0L).as("contrib")))
+        .groupBy(col("node")).agg(sum(col("contrib")).as("__c"))
+        .join(base, Seq("node"), "left")
+        .select(col("node"),
+          (coalesce(col("base_u"), lit(0L)) + col("__c")).as("rank_u"))
+      i += 1
+    }
+    ranks
+  }
+
   /** Connected components by min-label propagation to fixpoint, capped
     * at `maxRounds` (the oracle unrolls exactly `maxRounds` rounds —
     * once converged further rounds are the identity, so the two agree

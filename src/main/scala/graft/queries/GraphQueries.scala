@@ -181,6 +181,49 @@ object GraphQueries {
        |$outs""".stripMargin
   }
 
+  /** g07: personalized PageRank from the 5 smallest nodes — teleport
+    * returns to the seed set, nodes unreachable from it hold exactly
+    * 0 ([[GraphOps.pageRankPersonalized]]); fixed-point integers, the
+    * oracle unrolls the seeded recurrence with the teleport vector as
+    * a CASE over the seeds CTE.
+    */
+  val g07_personalized_pagerank: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val edges = GraphOps.copurchaseEdges(li, minOrders = 1)
+    val nodes = li.select(col("l_partkey").as("node")).distinct()
+    val seeds = nodes.orderBy(col("node")).limit(5)
+    GraphOps.pageRankPersonalized(edges, nodes, seeds, PrIters)
+      .select(col("node").as("part_key"), col("rank_u").as("ppr_e12"))
+  }
+
+  val g07_sql: String = {
+    val its = (1 to PrIters).map { i =>
+      s"""ppr$i AS MATERIALIZED (SELECT nodes.node,
+         |  CAST(CASE WHEN sd.node IS NOT NULL
+         |            THEN 150000000000 // (SELECT c FROM sc) ELSE 0 END
+         |    + COALESCE(SUM((p.rank_u * 85 * 1) // (d.outw * 100)), 0)
+         |    AS BIGINT) AS rank_u
+         |  FROM nodes
+         |  LEFT JOIN seeds sd ON sd.node = nodes.node
+         |  LEFT JOIN (edges e JOIN ppr${i - 1} p ON p.node = e.src
+         |             JOIN pdeg d ON d.src = e.src) ON e.dst = nodes.node
+         |  GROUP BY nodes.node, sd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       |nodes AS MATERIALIZED (SELECT DISTINCT l_partkey AS node FROM lineitem),
+       |seeds AS MATERIALIZED (SELECT node FROM nodes ORDER BY node LIMIT 5),
+       |sc AS (SELECT COUNT(*) AS c FROM seeds),
+       |pdeg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS outw
+       |                      FROM edges GROUP BY src),
+       |ppr0 AS (SELECT n.node,
+       |    CAST(CASE WHEN s.node IS NOT NULL
+       |              THEN 1000000000000 // (SELECT c FROM sc) ELSE 0 END
+       |      AS BIGINT) AS rank_u
+       |  FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+       |$its
+       |SELECT node AS part_key, rank_u AS ppr_e12 FROM ppr$PrIters""".stripMargin
+  }
+
   private val HbK = 64
 
   /** g05: HyperBall-style neighborhood function — a KMV ball-size
@@ -268,6 +311,7 @@ object GraphQueries {
   val queries: Map[String, Q] = Map(
     "g01_pagerank"    -> g01_pagerank,
     "g06_weighted_pagerank" -> g06_weighted_pagerank,
+    "g07_personalized_pagerank" -> g07_personalized_pagerank,
     "g02_components"  -> g02_components,
     "g03_triangles"   -> g03_triangles,
     "g04_khop_reach"  -> g04_khop_reach,
@@ -276,6 +320,7 @@ object GraphQueries {
   val oracles: Map[String, String] = Map(
     "g01_pagerank"    -> g01_sql,
     "g06_weighted_pagerank" -> g06_sql,
+    "g07_personalized_pagerank" -> g07_sql,
     "g02_components"  -> g02_sql,
     "g03_triangles"   -> g03_sql,
     "g04_khop_reach"  -> g04_sql,

@@ -308,7 +308,7 @@ object ScaleGrowth {
       "q91_session_paths", "q92_tpch_q3", "q93_tpch_q5", "q94_tpch_q10",
       "s15_knn_graph", "q95_benford", "s16_index_health",
       "q96_incremental_quantiles", "q97_tpch_q14", "q98_tpch_q18",
-      "q117_seasonal_decompose",
+      "q117_seasonal_decompose", "t38_quality_classifier",
       "q99_tpch_q13", "q100_tpch_q17",
       "q101_tpch_q6", "q102_tpch_q4", "q103_tpch_q7", "q104_tpch_q8",
       "q105_tpch_q15", "q106_tpch_q19", "q107_tpch_q22", "q108_tpch_q16",
@@ -316,11 +316,13 @@ object ScaleGrowth {
       "q113_tpch_q12", "q114_tpch_q2", "s17_pq_ann", "d14_edit_join",
       "s18_ivfpq_ann",
       "g01_pagerank", "g02_components", "g03_triangles", "g04_khop_reach",
-      "g05_hyperball", "g06_weighted_pagerank", "d15_jw_join")
+      "g05_hyperball", "g06_weighted_pagerank", "g07_personalized_pagerank",
+      "d15_jw_join")
       .filter(q => onlyPrefixes.forall(_.exists(q.startsWith)))
     // queries measured on the disjoint-copy graph dirs (see above)
     val graphDirQs = Set("g01_pagerank", "g02_components", "g03_triangles",
-      "g04_khop_reach", "g05_hyperball", "g06_weighted_pagerank", "d15_jw_join")
+      "g04_khop_reach", "g05_hyperball", "g06_weighted_pagerank",
+      "g07_personalized_pagerank", "d15_jw_join")
     def time(name: String, dir: String): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()

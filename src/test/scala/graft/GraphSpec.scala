@@ -93,6 +93,22 @@ class GraphSpec extends SparkSpec {
     assert(pr(2L) > pr(3L) * 3, s"$pr")
   }
 
+  test("personalized pagerank keeps all mass inside the seed component") {
+    import spark.implicits._
+    // components {1,2,3} and {10,11}; seed at 1 — the far component
+    // must hold EXACTLY zero
+    val e = edges((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (10L, 11L), (11L, 10L))
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L).toDF("node")
+    val seeds = Seq(1L).toDF("node")
+    val pr = GraphOps.pageRankPersonalized(e, nodes, seeds, iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr(10L) == 0L && pr(11L) == 0L)
+    assert(pr(1L) > pr(3L), s"$pr") // seed proximity orders the ranks
+    val total = pr.values.sum
+    assert(total <= GraphOps.PrScale && total > GraphOps.PrScale / 2,
+      s"mass $total")
+  }
+
   test("connected components finds the exact partition") {
     // {1,2,3} in a path, {10,11} an edge, capped rounds ample.
     val e = edges((1L, 2L), (2L, 3L), (10L, 11L))
