@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.Advanced.queries ++
     graft.queries.Extensions.queries ++
     graft.queries.TpcH.queries ++
-    graft.queries.GraphQueries.queries
+    graft.queries.GraphQueries.queries ++
+    graft.queries.Features.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -31,5 +32,6 @@ object SparkEntry {
     graft.queries.Advanced.oracles ++
     graft.queries.Extensions.oracles ++
     graft.queries.TpcH.oracles ++
-    graft.queries.GraphQueries.oracles
+    graft.queries.GraphQueries.oracles ++
+    graft.queries.Features.oracles
 }

@@ -59,6 +59,14 @@ object Joins {
     * or before the left row; "forward" matches the earliest right row
     * at or after it (the order→next-fill shape) — same one-shuffle
     * plan, the partition sort just runs descending.
+    *
+    * `strict`: exclude exact-timestamp ties — backward becomes
+    * `rightTs < leftTs`, forward `rightTs > leftTs`. This is the
+    * leakage-safe mode a point-in-time feature join needs: a feature
+    * row stamped at the label's own instant must NOT be visible to
+    * the label (it can encode the outcome). Implemented purely in the
+    * tie-break sort order (left rows scan before right rows at equal
+    * timestamps), so the plan shape is identical.
     */
   def asofJoin(
       left: DataFrame,
@@ -67,7 +75,8 @@ object Joins {
       leftTs: String,
       rightTs: String,
       toleranceMicros: Option[Long] = None,
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      strict: Boolean = false): DataFrame = {
     require(Seq("backward", "forward").contains(direction),
       s"direction must be backward or forward, got $direction")
     require(keys.nonEmpty, "asofJoin requires at least one equi-key")
@@ -94,11 +103,16 @@ object Joins {
     // 0 < 1), so an exact-tie right row is visible to the left row.
     // Forward direction scans time descending: "last right at or above
     // in scan order" = earliest right timestamp >= the left row's.
+    // Strict mode flips the tie-break: left rows scan FIRST at an
+    // equal timestamp, so the running last(__rp) has not yet seen the
+    // tie when the left row is evaluated — `<` / `>` semantics with
+    // zero plan change.
     val ordered =
       if (direction == "backward") col("__ats").asc else col("__ats").desc
+    val tieBreak = if (strict) col("__side").desc else col("__side").asc
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(ordered, col("__side").asc)
+      .orderBy(ordered, tieBreak)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = lTagged.unionByName(rTagged)

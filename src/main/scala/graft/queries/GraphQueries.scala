@@ -308,7 +308,84 @@ object GraphQueries {
        |SELECT node AS part_key, rank_u AS pagerank_e12 FROM wpr$PrIters""".stripMargin
   }
 
+  /** g08: link prediction on the support≥2 co-purchase graph — the
+    * classic "parts frequently bought together that are NOT yet
+    * co-purchased enough" recommendation shape, and (in the crawl
+    * framing) missing-hyperlink inference. Candidates are 2-hop pairs
+    * through a shared neighbor (never all-pairs: Σ deg(x)² paths, the
+    * standard candidate generation — at web scale the few super-hub
+    * nodes get degree-capped first, which this graph doesn't need);
+    * scores are common-neighbor count, the Zhou–Lü–Zhang
+    * resource-allocation index Σ_x 1/deg(x), and the neighborhood
+    * Jaccard cn/(deg_a+deg_b−cn).
+    *
+    * Determinism: RA terms quantize the (correctly-rounded) double
+    * 1/deg to DECIMAL(28,9) per-term before the shuffled sum (the t29
+    * discipline), Jaccard is a single IEEE division of exact integer
+    * casts, and the top-100 cut is totally ordered by
+    * (cn, ra, a, b) — (a, b) is unique, so LIMIT is unambiguous in
+    * both engines.
+    */
+  val g08_link_prediction: Q = (s, dir) => {
+    val eu = GraphOps.copurchaseEdgesUndirected(t(s, dir, "lineitem"), MinSupport)
+    val bidir = eu.unionAll(eu.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = bidir.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val cand = bidir.as("e1").join(bidir.as("e2"),
+        col("e1.dst") === col("e2.src") && col("e1.src") < col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e2.dst").as("b"), col("e1.dst").as("x"))
+    val scored = cand
+      .join(deg.select(col("node").as("x"), col("deg").as("deg_x")), "x")
+      .groupBy(col("a"), col("b"))
+      .agg(
+        count(lit(1)).as("common_neighbors"),
+        sum(round(lit(1.0) / col("deg_x"), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 9))).as("ra_index"))
+      // existing edges are not predictions: eu is (src<dst)-oriented
+      // and candidates are a<b, so one anti-join removes them all
+      .join(eu.select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"), "left_anti")
+    scored
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), "b")
+      .select(
+        col("a").as("part_a"), col("b").as("part_b"),
+        col("common_neighbors"),
+        col("ra_index").cast(org.apache.spark.sql.types.DecimalType(28, 9))
+          .as("ra_index"),
+        (col("common_neighbors").cast("double") /
+          (col("deg_a") + col("deg_b") - col("common_neighbors")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("common_neighbors").desc, col("ra_index").desc,
+        col("part_a").asc, col("part_b").asc)
+      .limit(100)
+  }
+
+  val g08_sql: String =
+    s"""WITH $edgesSql,
+       |deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS deg
+       |                     FROM bidir GROUP BY 1),
+       |cand AS (SELECT e1.src AS a, e2.dst AS b, e1.dst AS x
+       |  FROM bidir e1 JOIN bidir e2
+       |    ON e1.dst = e2.src AND e1.src < e2.dst),
+       |scored AS (SELECT c.a, c.b, COUNT(*) AS common_neighbors,
+       |    SUM(CAST(ROUND(CAST(1 AS DOUBLE) / dx.deg, 9)
+       |             AS DECIMAL(28,9))) AS ra_index
+       |  FROM cand c JOIN deg dx ON dx.node = c.x
+       |  WHERE NOT EXISTS (SELECT 1 FROM eu e
+       |                    WHERE e.src = c.a AND e.dst = c.b)
+       |  GROUP BY c.a, c.b)
+       |SELECT s.a AS part_a, s.b AS part_b, s.common_neighbors,
+       |  CAST(s.ra_index AS DECIMAL(28,9)) AS ra_index,
+       |  CAST(s.common_neighbors AS DOUBLE)
+       |    / CAST(da.deg + db.deg - s.common_neighbors AS DOUBLE) AS jaccard
+       |FROM scored s
+       |JOIN deg da ON da.node = s.a
+       |JOIN deg db ON db.node = s.b
+       |ORDER BY s.common_neighbors DESC, s.ra_index DESC, s.a, s.b
+       |LIMIT 100""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "g08_link_prediction" -> g08_link_prediction,
     "g01_pagerank"    -> g01_pagerank,
     "g06_weighted_pagerank" -> g06_weighted_pagerank,
     "g07_personalized_pagerank" -> g07_personalized_pagerank,
@@ -318,6 +395,7 @@ object GraphQueries {
     "g05_hyperball"   -> g05_hyperball)
 
   val oracles: Map[String, String] = Map(
+    "g08_link_prediction" -> g08_sql,
     "g01_pagerank"    -> g01_sql,
     "g06_weighted_pagerank" -> g06_sql,
     "g07_personalized_pagerank" -> g07_sql,

@@ -74,6 +74,32 @@ class JoinsSpec extends SparkSpec {
       5L -> Some(200.5))) // exact tie matches
   }
 
+  test("asofJoin strict excludes exact-timestamp ties (leakage-safe backward)") {
+    val got = Joins.asofJoin(trades, quotes, Seq("symbol"), "ts", "quote_ts",
+        strict = true)
+      .select("trade_id", "quote_px")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got === Map(
+      1L -> Some(99.5),
+      2L -> Some(100.5),
+      3L -> None,
+      4L -> Some(199.5),  // 10:00 < 10:00:30 — strictly before, still matches
+      5L -> Some(199.5))) // exact-tie 10:01 quote now EXCLUDED → previous one
+  }
+
+  test("asofJoin strict forward excludes ties symmetrically") {
+    val got = Joins.asofJoin(trades, quotes, Seq("symbol"), "ts", "quote_ts",
+        direction = "forward", strict = true)
+      .select("trade_id", "quote_px")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got === Map(
+      1L -> Some(100.5),
+      2L -> None,
+      3L -> Some(99.5),
+      4L -> Some(200.5),
+      5L -> None)) // the only quote at-or-after is the tie — excluded
+  }
+
   test("asofJoin keeps all left columns and carries the full right payload atomically") {
     val row = Joins.asofJoin(trades, quotes, Seq("symbol"), "ts", "quote_ts")
       .where(col("trade_id") === 2L).collect().head
