@@ -113,11 +113,179 @@ object Features {
       |  ON o.o_custkey = f.user_id AND o.o_orderdate > f.last_seen_ts
       |WHERE o.o_custkey < 150""".stripMargin
 
+  // ------------------------------------------------- privacy profile
+
+  /** q119: k-anonymity profile under a generalization ladder — the
+    * release-gate a dataset publisher runs before shipping a corpus
+    * with quasi-identifiers. Level 0 groups customers by the full
+    * quasi-identifier triple (segment, nation, 1000-unit balance
+    * bucket); each higher level generalizes one attribute away
+    * (drop the balance bucket, then the nation). Per level: group
+    * count, the dataset's k (the smallest group), how many ROWS sit
+    * in groups below k=5 (the re-identifiable population), and that
+    * population as a percentage.
+    *
+    * One GROUPING SETS pass computes all ladder rungs in a single
+    * shuffle (Spark expands to one Expand + one keyed aggregate —
+    * same plan family as q32, here doing privacy work); the rung
+    * roll-up is a second 3-row aggregate. `grouping()` bits identify
+    * the rung without null-sentinel ambiguity, exactly as DuckDB's
+    * GROUPING() does in the oracle. The risk percentage divides two
+    * exact integers as doubles in identical written order — bit-equal
+    * across engines.
+    */
+  val q119_k_anonymity: Q = (s, dir) => {
+    val base = t(s, dir, "customer").select(
+      col("c_mktsegment").as("segment"),
+      col("c_nationkey").cast("long").as("nation"),
+      floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"))
+    val g = base.groupingSets(
+        Seq(
+          Seq(col("segment"), col("nation"), col("bal_bucket")),
+          Seq(col("segment"), col("nation")),
+          Seq(col("segment"))),
+        col("segment"), col("nation"), col("bal_bucket"))
+      .agg(
+        count(lit(1)).as("grp_n"),
+        grouping(col("nation")).cast("long").as("gn"),
+        grouping(col("bal_bucket")).cast("long").as("gb"))
+    g.groupBy((col("gb") + col("gn")).as("level"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        min(col("grp_n")).as("min_k"),
+        sum(when(col("grp_n") < 5, col("grp_n")).otherwise(0L))
+          .as("rows_below_k5"),
+        sum(col("grp_n")).as("__n_rows"))
+      .select(
+        col("level"), col("n_groups"), col("min_k"), col("rows_below_k5"),
+        (col("rows_below_k5").cast("double") * 100.0 /
+          col("__n_rows").cast("double")).as("risk_pct"))
+  }
+
+  val q119_sql: String =
+    """WITH base AS (SELECT c_mktsegment AS segment,
+      |    CAST(c_nationkey AS BIGINT) AS nation,
+      |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket
+      |  FROM customer),
+      |g AS (SELECT segment, nation, bal_bucket, COUNT(*) AS grp_n,
+      |    CAST(GROUPING(nation) AS BIGINT) AS gn,
+      |    CAST(GROUPING(bal_bucket) AS BIGINT) AS gb
+      |  FROM base
+      |  GROUP BY GROUPING SETS ((segment, nation, bal_bucket),
+      |                          (segment, nation), (segment)))
+      |SELECT gb + gn AS level, COUNT(*) AS n_groups, MIN(grp_n) AS min_k,
+      |  CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+      |    AS rows_below_k5,
+      |  CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS DOUBLE)
+      |    * 100.0 / CAST(SUM(grp_n) AS DOUBLE) AS risk_pct
+      |FROM g GROUP BY 1""".stripMargin
+
+  // --------------------------------------------- closed-form fitting
+
+  /** q120: per-group two-predictor ordinary least squares via the
+    * normal equations — `extendedprice ~ quantity + discount` per
+    * return flag, the distributed closed-form fit (the shape a
+    * feature-importance sanity check or a per-segment price model
+    * takes before anyone reaches for an iterative trainer). ONE
+    * keyed aggregate computes the nine sufficient statistics
+    * (n, Σx₁, Σx₂, Σy, Σx₁², Σx₁x₂, Σx₂², Σx₁y, Σx₂y, Σy²) with
+    * map-side combine; the 2×2 solve is a constant-cost projection.
+    * This is the textbook "sufficient statistics, not data movement"
+    * pattern: at 100 TB the shuffle carries 3 rows × 10 decimals.
+    *
+    * Determinism: every sufficient statistic is a sum of EXACT
+    * decimal products (the 2-decimal doubles quantize losslessly to
+    * DECIMAL(18,2); products widen the scale, never round), so the
+    * shuffled sums are order-independent-exact. The solve then runs
+    * in doubles derived from those exact decimals with the identical
+    * written operation order in both engines — each IEEE step is
+    * correctly rounded from identical inputs, so β, intercept and R²
+    * match bit-for-bit with no output rounding at all.
+    */
+  val q120_ols_multi: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").select(
+      col("l_returnflag").as("grp"),
+      col("l_quantity").cast(dec2).as("x1"),
+      col("l_discount").cast(dec2).as("x2"),
+      col("l_extendedprice").cast(dec2).as("y"))
+    val stats = li.groupBy(col("grp")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"),
+      sum(col("y")).as("sy"),
+      sum(col("x1") * col("x1")).as("sx11"),
+      sum(col("x1") * col("x2")).as("sx12"),
+      sum(col("x2") * col("x2")).as("sx22"),
+      sum(col("x1") * col("y")).as("sx1y"),
+      sum(col("x2") * col("y")).as("sx2y"),
+      sum(col("y") * col("y")).as("syy"))
+    val nD = col("n").cast("double")
+    def d(c: String): Column = col(c).cast("double")
+    val c11 = d("sx11") - d("sx1") * d("sx1") / nD
+    val c12 = d("sx12") - d("sx1") * d("sx2") / nD
+    val c22 = d("sx22") - d("sx2") * d("sx2") / nD
+    val c1y = d("sx1y") - d("sx1") * d("sy") / nD
+    val c2y = d("sx2y") - d("sx2") * d("sy") / nD
+    val cyy = d("syy") - d("sy") * d("sy") / nD
+    val det = c11 * c22 - c12 * c12
+    val b1 = (c22 * c1y - c12 * c2y) / det
+    val b2 = (c11 * c2y - c12 * c1y) / det
+    val b0 = d("sy") / nD - b1 * (d("sx1") / nD) - b2 * (d("sx2") / nD)
+    val r2 = (b1 * c1y + b2 * c2y) / cyy
+    stats.select(col("grp"), col("n"),
+      b0.as("intercept"), b1.as("beta_quantity"), b2.as("beta_discount"),
+      r2.as("r_squared"))
+  }
+
+  val q120_sql: String =
+    """WITH li AS (SELECT l_returnflag AS grp,
+      |    CAST(l_quantity AS DECIMAL(18,2)) AS x1,
+      |    CAST(l_discount AS DECIMAL(18,2)) AS x2,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+      |  FROM lineitem),
+      |st AS (SELECT grp, COUNT(*) AS n,
+      |    SUM(x1) AS sx1, SUM(x2) AS sx2, SUM(y) AS sy,
+      |    SUM(x1 * x1) AS sx11, SUM(x1 * x2) AS sx12,
+      |    SUM(x2 * x2) AS sx22, SUM(x1 * y) AS sx1y,
+      |    SUM(x2 * y) AS sx2y, SUM(y * y) AS syy
+      |  FROM li GROUP BY grp),
+      |mo AS (SELECT grp, n,
+      |    CAST(sx1 AS DOUBLE) AS sx1d, CAST(sx2 AS DOUBLE) AS sx2d,
+      |    CAST(sy AS DOUBLE) AS syd,
+      |    CAST(n AS DOUBLE) AS nd,
+      |    CAST(sx11 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)
+      |      / CAST(n AS DOUBLE) AS c11,
+      |    CAST(sx12 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE)
+      |      / CAST(n AS DOUBLE) AS c12,
+      |    CAST(sx22 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE)
+      |      / CAST(n AS DOUBLE) AS c22,
+      |    CAST(sx1y AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sy AS DOUBLE)
+      |      / CAST(n AS DOUBLE) AS c1y,
+      |    CAST(sx2y AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sy AS DOUBLE)
+      |      / CAST(n AS DOUBLE) AS c2y,
+      |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+      |      / CAST(n AS DOUBLE) AS cyy
+      |  FROM st)
+      |SELECT grp, n,
+      |  syd / nd - ((c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12))
+      |    * (sx1d / nd)
+      |    - ((c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12))
+      |    * (sx2d / nd) AS intercept,
+      |  (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS beta_quantity,
+      |  (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS beta_discount,
+      |  (((c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12)) * c1y
+      |   + ((c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12)) * c2y) / cyy
+      |    AS r_squared
+      |FROM mo""".stripMargin
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, Q] = Map(
-    "q118_feature_store" -> q118_feature_store)
+    "q118_feature_store" -> q118_feature_store,
+    "q119_k_anonymity"   -> q119_k_anonymity,
+    "q120_ols_multi"     -> q120_ols_multi)
 
   val oracles: Map[String, String] = Map(
-    "q118_feature_store" -> q118_sql)
+    "q118_feature_store" -> q118_sql,
+    "q119_k_anonymity"   -> q119_sql,
+    "q120_ols_multi"     -> q120_sql)
 }
