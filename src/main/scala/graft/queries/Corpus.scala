@@ -3223,6 +3223,94 @@ object Corpus {
        |  (st.nstop * 100 > st.ntok * 6) AS label_high_stop
        |FROM st LEFT JOIN sw USING (doc_id)""".stripMargin
 
+  /** t39: PMI-style collocation mining — the corpus's most-associated
+    * word bigrams by lift p(ab)/(p(a)·p(b)), the statistic behind
+    * phrase detection (word2vec's phrase pass), tokenizer merge
+    * candidates beyond raw frequency (t24 ranks by count; this ranks
+    * by association), and stop-phrase discovery. Unigram
+    * probabilities come from token positions, bigram probabilities
+    * from bigram positions; a minimum pair support of 10 removes the
+    * classic PMI singleton pathology before ranking.
+    *
+    * Plan: ONE token explode feeds both count families (the unigram
+    * aggregate directly, the bigram aggregate off the staged array) —
+    * both map-side combined, both materialized once
+    * (vocabulary-sized, the [[graft.graph.GraphOps]] checkpoint
+    * discipline) because each is consumed twice (counts + its
+    * position total). The two position totals are bounded 1-row
+    * driver hops off the AGGREGATED frames (the q82/t19 scalar
+    * discipline — never a scan of the corpus). Scoring joins the
+    * bigram counts to the unigram vocabulary twice on the word key;
+    * the top-50 cut is a TakeOrdered with the unique (w1, w2)
+    * tie-break.
+    *
+    * Determinism: lift divides exact BIGINT counts as doubles in the
+    * identical written order in both engines — every int→double cast
+    * and IEEE step is correctly rounded from identical inputs, so no
+    * output rounding is needed (the g08/q120 discipline; ln-free on
+    * purpose, as ln is not correctly rounded and PMI's ln is a
+    * monotone transform that cannot change the ranking).
+    */
+  val t39_collocations: Q = (s, dir) => {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+    val uc = toks
+      .select(explode_outer(col("__toks")).as("w"))
+      .where(col("w").isNotNull)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val bc = toks.where(size(col("__toks")) >= 2)
+      .select(explode_outer(transform(
+        sequence(lit(1), size(col("__toks")) - 1),
+        i => struct(
+          element_at(col("__toks"), i).as("w1"),
+          element_at(col("__toks"), i + 1).as("w2")))).as("bg"))
+      .where(col("bg").isNotNull)
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    // the two corpus totals: bounded 1-row hops off vocabulary-sized
+    // aggregates (never the corpus), like q82's bounds and t19's avgdl
+    val nu = uc.agg(sum(col("c"))).collect()(0).getLong(0)
+    val nb = bc.agg(sum(col("c"))).collect()(0).getLong(0)
+    val lift =
+      (col("pair_count").cast("double") / lit(nb).cast("double")) /
+        ((col("ca").cast("double") / lit(nu).cast("double")) *
+          (col("cb").cast("double") / lit(nu).cast("double")))
+    bc.select(col("w1"), col("w2"), col("c").as("pair_count"))
+      .where(col("pair_count") >= 10)
+      .join(uc.select(col("w").as("w1"), col("c").as("ca")), "w1")
+      .join(uc.select(col("w").as("w2"), col("c").as("cb")), "w2")
+      .select(col("w1"), col("w2"), col("pair_count"), lift.as("lift"))
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+      .limit(50)
+  }
+
+  val t39_sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |ug AS (SELECT unnest(toks) AS w FROM t),
+       |uc AS MATERIALIZED (SELECT w, COUNT(*) AS c FROM ug GROUP BY w),
+       |f AS (SELECT toks FROM t WHERE len(toks) >= 2),
+       |bg AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+       |                                    i -> toks[i:i+1])) AS pair
+       |       FROM f),
+       |bc AS MATERIALIZED (SELECT pair[1] AS w1, pair[2] AS w2,
+       |                           COUNT(*) AS c
+       |                    FROM bg GROUP BY 1, 2),
+       |nu AS (SELECT CAST(SUM(c) AS BIGINT) AS nu FROM uc),
+       |nb AS (SELECT CAST(SUM(c) AS BIGINT) AS nb FROM bc)
+       |SELECT b.w1, b.w2, b.c AS pair_count,
+       |  (CAST(b.c AS DOUBLE) / CAST(nb.nb AS DOUBLE)) /
+       |  ((CAST(a1.c AS DOUBLE) / CAST(nu.nu AS DOUBLE)) *
+       |   (CAST(a2.c AS DOUBLE) / CAST(nu.nu AS DOUBLE))) AS lift
+       |FROM bc b
+       |JOIN uc a1 ON a1.w = b.w1
+       |JOIN uc a2 ON a2.w = b.w2
+       |CROSS JOIN nu CROSS JOIN nb
+       |WHERE b.c >= 10
+       |ORDER BY lift DESC, b.w1, b.w2
+       |LIMIT 50""".stripMargin
+
   private def c04Root: String = s"${graft.ingest.FixtureTables.root}/c04"
 
   /** Multimodal curation capstone — the c02 keep/drop composition
@@ -4554,6 +4642,7 @@ object Corpus {
     "t36_quota_allocation"  -> t36_quota_allocation,
     "t37_bpe_encode"        -> t37_bpe_encode,
     "t38_quality_classifier" -> t38_quality_classifier,
+    "t39_collocations"      -> t39_collocations,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -4641,6 +4730,7 @@ object Corpus {
     "t36_quota_allocation"  -> t36_sql,
     "t37_bpe_encode"        -> t37_sql,
     "t38_quality_classifier" -> t38_sql,
+    "t39_collocations"      -> t39_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,
