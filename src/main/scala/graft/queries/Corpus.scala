@@ -3311,6 +3311,103 @@ object Corpus {
        |ORDER BY lift DESC, b.w1, b.w2
        |LIMIT 50""".stripMargin
 
+  /** c05: entity-resolution capstone — the full MDM pipeline as one
+    * composed query: token blocking (d15's candidate generation) →
+    * native Jaro–Winkler match at 0.92 ([[graft.functions.JaroWinklerSimilarity]],
+    * kernel parity vs DuckDB proven by d15's brute-force oracle) →
+    * transitive closure into entity clusters
+    * ([[graft.graph.GraphOps.connectedComponents]], the g02 loop as a
+    * library piece) → survivorship (oldest-record rule: the min-key
+    * member donates the canonical name) → and the step that makes ER
+    * USEFUL: re-keying the fact table to entities (lineitem activity
+    * rolled up per resolved entity, decimal-exact).
+    *
+    * The oracle replays matching BRUTE-FORCE (no blocking) with
+    * DuckDB's own `jaro_winkler_similarity` and unrolls the closure
+    * [[ErRounds]] rounds (g02's MATERIALIZED-CTE pattern), so the
+    * hash match proves (a) token blocking loses no 0.92-pair on this
+    * corpus, (b) the distributed min-label loop reaches the same
+    * fixpoint as the sequential unroll, and (c) the survivorship +
+    * rollup arithmetic agrees to the last decimal. The Spark loop
+    * early-exits on convergence; converged rounds are identity, so
+    * any unroll ≥ the convergence round matches.
+    *
+    * Scale shape: blocking is one explode + equi-join (never n² —
+    * only the ORACLE is brute-force); closure is the capped keyed-
+    * aggregate loop; survivorship and rollup are one keyed aggregate
+    * each plus a broadcast-sized name join.
+    */
+  val c05_entity_resolution: Q = (s, dir) => {
+    import graft.functions.JaroWinklerSimilarity
+    import org.apache.spark.sql.types.DecimalType
+    val dec2 = DecimalType(18, 2)
+    val nm = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+    val tok = nm.select(col("p_partkey"), col("p_name"),
+      explode(split(col("p_name"), " ")).as("tok"))
+    val pairs = tok.as("a").join(tok.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .select(col("a.p_partkey").as("src"), col("b.p_partkey").as("dst"),
+        col("a.p_name").as("__na"), col("b.p_name").as("__nb"))
+      .distinct() // one JW evaluation per candidate pair, not per shared token
+      .where(JaroWinklerSimilarity(col("__na"), col("__nb")) >= 0.92)
+      .select(col("src"), col("dst"))
+    val cc = graft.graph.GraphOps.connectedComponents(pairs, ErRounds)
+    // parts with no match are their own entity (cc only labels
+    // matched nodes)
+    val labels = nm.select(col("p_partkey").as("node"))
+      .join(cc, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("entity_id"))
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("node"), col("l_quantity"))
+    val rolled = labels.join(li, Seq("node"), "left")
+      .groupBy(col("entity_id"))
+      .agg(
+        countDistinct(col("node")).as("n_members"),
+        count(col("l_quantity")).as("n_lineitems"),
+        coalesce(sum(col("l_quantity").cast(dec2)), lit(0).cast(dec2))
+          .cast(DecimalType(28, 2)).as("total_qty"))
+    rolled.join(
+        nm.select(col("p_partkey").as("entity_id"),
+          col("p_name").as("canonical_name")),
+        "entity_id")
+      .select(col("entity_id"), col("n_members"), col("canonical_name"),
+        col("n_lineitems"), col("total_qty"))
+  }
+
+  private val ErRounds = 8
+
+  val c05_sql: String = {
+    val rounds = (1 to ErRounds).map { i =>
+      s"""lab$i AS MATERIALIZED (SELECT l.node,
+         |  LEAST(l.label, COALESCE(MIN(ln.label), l.label)) AS label
+         |  FROM lab${i - 1} l
+         |  LEFT JOIN erbidir e ON e.dst = l.node
+         |  LEFT JOIN lab${i - 1} ln ON ln.node = e.src
+         |  GROUP BY l.node, l.label)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nm AS MATERIALIZED (SELECT p_partkey, p_name FROM part),
+       |pr AS MATERIALIZED (SELECT a.p_partkey AS src, b.p_partkey AS dst
+       |  FROM nm a JOIN nm b ON a.p_partkey < b.p_partkey
+       |  WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.92),
+       |erbidir AS MATERIALIZED (SELECT src, dst FROM pr
+       |  UNION ALL SELECT dst AS src, src AS dst FROM pr),
+       |lab0 AS (SELECT p_partkey AS node, p_partkey AS label FROM nm),
+       |$rounds,
+       |rolled AS (SELECT la.label AS entity_id,
+       |    COUNT(DISTINCT la.node) AS n_members,
+       |    COUNT(li.l_quantity) AS n_lineitems,
+       |    CAST(COALESCE(SUM(CAST(li.l_quantity AS DECIMAL(18,2))),
+       |                  CAST(0 AS DECIMAL(18,2))) AS DECIMAL(28,2))
+       |      AS total_qty
+       |  FROM lab$ErRounds la
+       |  LEFT JOIN lineitem li ON li.l_partkey = la.node
+       |  GROUP BY 1)
+       |SELECT r.entity_id, r.n_members, n.p_name AS canonical_name,
+       |  r.n_lineitems, r.total_qty
+       |FROM rolled r JOIN nm n ON n.p_partkey = r.entity_id""".stripMargin
+  }
+
   private def c04Root: String = s"${graft.ingest.FixtureTables.root}/c04"
 
   /** Multimodal curation capstone — the c02 keep/drop composition
@@ -4643,6 +4740,7 @@ object Corpus {
     "t37_bpe_encode"        -> t37_bpe_encode,
     "t38_quality_classifier" -> t38_quality_classifier,
     "t39_collocations"      -> t39_collocations,
+    "c05_entity_resolution" -> c05_entity_resolution,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -4731,6 +4829,7 @@ object Corpus {
     "t37_bpe_encode"        -> t37_sql,
     "t38_quality_classifier" -> t38_sql,
     "t39_collocations"      -> t39_sql,
+    "c05_entity_resolution" -> c05_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,
