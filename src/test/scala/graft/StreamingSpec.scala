@@ -826,6 +826,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.values.map(_._1).sum === (evs.length - users).toLong)
   }
 
+  test("featureSnapshotStream: folded online snapshot equals batch recompute on the real events table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val base = Files.createTempDirectory("graft_feat_stream").toString
+    val root = s"$base/store"; val ckpt = s"$base/ckpt"
+    val evFrame = graft.Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+    val evs = evFrame.orderBy(col("ts"), col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getDouble(3)))
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val q = StreamingIngest.featureSnapshotStream(
+      stream.toDF().toDF("user_id", "ts", "event_type", "value"), root, ckpt)
+    // 3 arbitrary chunks: the fold is a commutative monoid, so the
+    // split must not matter
+    evs.grouped(math.max(evs.length / 3, 1)).foreach { chunk =>
+      stream.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getTimestamp(4))).toMap
+    val streamed = asMap(StreamingIngest.currentFeatures(spark, root).get
+      .select("user_id", "n_events", "value_cents", "n_purchases", "last_seen_ts"))
+    val batch = asMap(StreamingIngest.featurePartials(evFrame)
+      .select("user_id", "n_events", "value_cents", "n_purchases", "last_seen_ts"))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // cents are exact integers: totals add up across users
+    assert(streamed.values.map(_._1).sum === evs.length.toLong)
+  }
+
   test("pruneGenerations keeps the newest snapshots and current reads are unaffected") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
