@@ -317,12 +317,36 @@ object ScaleGrowth {
       "s18_ivfpq_ann",
       "g01_pagerank", "g02_components", "g03_triangles", "g04_khop_reach",
       "g05_hyperball", "g06_weighted_pagerank", "g07_personalized_pagerank",
-      "d15_jw_join")
+      "d15_jw_join",
+      // round 9 (continued): the feature/privacy/fitting family plus
+      // the two new graph-composition queries —
+      //  - q118: as-of assembly; spine rows 10× against rep-0 user
+      //    snapshots + 9 shifted-user snapshot partitions — the keyed
+      //    union-sort must ride the shuffle
+      //  - q119: grouping-sets ladder at FIXED group cardinality over
+      //    10× customer rows (the q82 fixed-cardinality-agg regime)
+      //  - q120: nine decimal sufficient statistics over 10× lineitem
+      //    at 3 fixed groups — pure scan+partial-agg, the flattest
+      //    shape there is
+      //  - t39: both count families over the salted corpus (bigram
+      //    vocabulary grows with salts; joins stay vocab-keyed)
+      //  - g08: 2-hop candidate join over 10 DISJOINT graph copies
+      //    (g-dirs) — Σdeg(x)² stays per-replica, the all-pairs trap
+      //    this candidate generation avoids
+      //  - c05: blocking+JW+closure+rollup on the alphabet-rotated
+      //    g-dir names (the d15 isometry rule: per-replica-disjoint
+      //    token blocks, within-replica match structure exact)
+      "q118_feature_store", "q119_k_anonymity", "q120_ols_multi",
+      "t39_collocations", "g08_link_prediction", "c05_entity_resolution",
+      // q115/q116: ORC/JSON write+read round-trips over 10× lineitem /
+      // orders — pure scan-shaped like q84's CSV twin
+      "q115_orc_roundtrip", "q116_json_roundtrip")
       .filter(q => onlyPrefixes.forall(_.exists(q.startsWith)))
     // queries measured on the disjoint-copy graph dirs (see above)
     val graphDirQs = Set("g01_pagerank", "g02_components", "g03_triangles",
       "g04_khop_reach", "g05_hyperball", "g06_weighted_pagerank",
-      "g07_personalized_pagerank", "d15_jw_join")
+      "g07_personalized_pagerank", "d15_jw_join",
+      "g08_link_prediction", "c05_entity_resolution")
     def time(name: String, dir: String): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
