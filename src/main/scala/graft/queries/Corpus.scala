@@ -3153,7 +3153,15 @@ object Corpus {
     * (100·n_stop > 6·n_tok) are integer comparisons, so no float
     * boundary can flip either between engines.
     */
-  val t38_quality_classifier: Q = (s, dir) => {
+  /** Shared t38/q121 scorer: fits the distilled logistic model on the
+    * bounded sample, dumps the micro-unit weight table to
+    * `weightsPath`, and returns the whole-corpus scored frame
+    * `(doc_id, __logit_u, __ntok, __nstop)` — the integer logit plus
+    * the rule's raw counters, from which t38 projects its
+    * classification view and q121 its evaluation report.
+    */
+  private def qcScored(s: SparkSession, dir: String,
+      weightsPath: String): DataFrame = {
     import graft.text.QualityClassifier
     val docs = t(s, dir, "documents")
     // bounded, deterministically ordered training sample; pseudo-labels
@@ -3170,8 +3178,8 @@ object Corpus {
       .map { case (wu, bkt) => (bkt.toLong, wu) } :+ (-1L, bias)
     import s.implicits._
     weightRows.toSeq.toDF("bucket", "w_u")
-      .coalesce(1).write.mode("overwrite").parquet(t38WeightsPath)
-    val weights = s.read.parquet(t38WeightsPath)
+      .coalesce(1).write.mode("overwrite").parquet(weightsPath)
+    val weights = s.read.parquet(weightsPath)
     val staged = docs
       .withColumn("__toks", TextAnalysis.tokens(col("text")))
       .select(col("doc_id"),
@@ -3190,13 +3198,18 @@ object Corpus {
       .groupBy(col("doc_id")).agg(sum(col("__c") * col("w_u")).as("__sw"))
     staged.select(col("doc_id"), col("__ntok"), col("__nstop"))
       .join(perDoc, Seq("doc_id"), "left")
-      .withColumn("__logit_u", lit(bias) + coalesce(col("__sw"), lit(0L)))
       .select(col("doc_id"),
-        (col("__logit_u").cast("double") / lit(1000000.0)).as("logit"),
-        (col("__logit_u") > 0).as("pred_high_stop"),
-        (col("__nstop") * lit(100L) > col("__ntok") * lit(6L))
-          .as("label_high_stop"))
+        (lit(bias) + coalesce(col("__sw"), lit(0L))).as("__logit_u"),
+        col("__ntok"), col("__nstop"))
   }
+
+  val t38_quality_classifier: Q = (s, dir) =>
+    qcScored(s, dir, t38WeightsPath).select(
+      col("doc_id"),
+      (col("__logit_u").cast("double") / lit(1000000.0)).as("logit"),
+      (col("__logit_u") > 0).as("pred_high_stop"),
+      (col("__nstop") * lit(100L) > col("__ntok") * lit(6L))
+        .as("label_high_stop"))
 
   def t38_sql: String =
     s"""WITH w AS (SELECT bucket, w_u
@@ -3222,6 +3235,124 @@ object Corpus {
        |  ((SELECT w_u FROM bias) + COALESCE(sw.sw, 0)) > 0 AS pred_high_stop,
        |  (st.nstop * 100 > st.ntok * 6) AS label_high_stop
        |FROM st LEFT JOIN sw USING (doc_id)""".stripMargin
+
+  private def q121WeightsPath(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${graft.ingest.FixtureTables.root}/q121_weights_$key"
+  }
+
+  /** q121: model evaluation at corpus scale — the ROC AUC (plus the
+    * confusion matrix and accuracy at the model's own 0 threshold) of
+    * the t38 quality classifier against its reference rule. Every
+    * trained filter ships with this report; at 100 TB the eval set IS
+    * the corpus, so the rank statistic must be distributed.
+    *
+    * AUC is the Mann–Whitney pair statistic computed WITHOUT a global
+    * sort of documents: scores collapse to the distinct-score frame
+    * (one keyed aggregate with map-side combine — the integer
+    * micro-unit logit makes ties exact, never float-fuzzy), and the
+    * "negatives below" prefix runs as t16's two-level prefix sum over
+    * that frame (per-bucket subtotals, an exclusive prefix over the
+    * tiny bucket row set, a within-bucket running sum) — the only
+    * unpartitioned window touches ~|distinct scores|/2²⁰ rows. The
+    * numerator Σ_s p_s·(2·N_<(s) + n_s) — 2·(concordant pairs) +
+    * (tied pairs) — sums DECIMAL(19,0)×DECIMAL(19,0) products
+    * exactly at any corpus size; AUC and accuracy are then single
+    * IEEE divisions of exact integers, written in the same order in
+    * both engines. The oracle replays scoring from the dumped weight
+    * table and states the naive global-window rank formula — same
+    * number, independent plan.
+    */
+  val q121_auc_eval: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val scored = qcScored(s, dir, q121WeightsPath(dir))
+      .select(col("__logit_u").as("s_u"),
+        (col("__nstop") * lit(100L) > col("__ntok") * lit(6L)).as("__y"))
+    // distinct-score frame: |g| ≤ distinct integer logits — consumed
+    // by both prefix branches, so materialize once (the t39 rule)
+    val g = scored.groupBy(col("s_u"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__p"),
+        sum(when(col("__y"), 0L).otherwise(1L)).as("__n"))
+      .withColumn("__bucket",
+        floor(col("s_u").cast("double") / lit(1048576.0)))
+      .localCheckpoint(true)
+    // t16's two-level prefix: exclusive bucket prefix (constant-valued
+    // non-foldable key keeps the window visibly partitioned), then a
+    // within-bucket running sum
+    val wB = Window.partitionBy(pmod(col("__bucket"), lit(1)))
+      .orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pref = g.groupBy(col("__bucket")).agg(sum(col("__n")).as("__bn"))
+      .select(col("__bucket"),
+        coalesce(sum(col("__bn")).over(wB), lit(0L)).as("__nstart"))
+    val wIn = Window.partitionBy(col("__bucket")).orderBy(col("s_u"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLess = g.join(broadcast(pref), "__bucket")
+      .select(col("s_u"), col("__p"), col("__n"),
+        (col("__nstart") + coalesce(sum(col("__n")).over(wIn), lit(0L)))
+          .as("__nless"))
+    val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    withLess.agg(
+        sum(col("__p")).as("n_pos"),
+        sum(col("__n")).as("n_neg"),
+        sum((lit(2L) * col("__nless") + col("__n")).cast(dec19) *
+          col("__p").cast(dec19)).as("__num2"),
+        sum(when(col("s_u") > 0, col("__p")).otherwise(0L)).as("tp"),
+        sum(when(col("s_u") > 0, col("__n")).otherwise(0L)).as("fp"),
+        sum(when(col("s_u") <= 0, col("__p")).otherwise(0L)).as("fn"),
+        sum(when(col("s_u") <= 0, col("__n")).otherwise(0L)).as("tn"))
+      .select(col("n_pos"), col("n_neg"),
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        ((col("tp") + col("tn")).cast("double") /
+          (col("n_pos") + col("n_neg")).cast("double")).as("accuracy"),
+        (col("__num2").cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") *
+            col("n_neg").cast("double"))).as("auc"))
+  }
+
+  def q121_sql: String =
+    s"""WITH w AS (SELECT bucket, w_u
+       |  FROM read_parquet('${q121WeightsPath(oracleSfDir)}/*.parquet')),
+       |t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |st AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS ntok,
+       |         CAST(len(list_filter(toks, x -> x IN ('the', 'a')))
+       |           AS BIGINT) AS nstop
+       |       FROM t),
+       |b AS (SELECT doc_id,
+       |        ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024 AS bucket,
+       |        COUNT(*) AS c
+       |      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+       |      GROUP BY 1, 2),
+       |sw AS (SELECT doc_id, CAST(SUM(b.c * w.w_u) AS BIGINT) AS sw
+       |       FROM b JOIN w USING (bucket) WHERE w.bucket >= 0
+       |       GROUP BY doc_id),
+       |sc AS (SELECT
+       |         (SELECT w_u FROM w WHERE bucket = -1)
+       |           + COALESCE(sw.sw, 0) AS s_u,
+       |         (st.nstop * 100 > st.ntok * 6) AS y
+       |       FROM st LEFT JOIN sw USING (doc_id)),
+       |g AS (SELECT s_u,
+       |        SUM(CASE WHEN y THEN 1 ELSE 0 END) AS p,
+       |        SUM(CASE WHEN y THEN 0 ELSE 1 END) AS n
+       |      FROM sc GROUP BY s_u),
+       |c AS (SELECT s_u, p, n,
+       |        COALESCE(SUM(n) OVER (ORDER BY s_u
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          AS nless
+       |      FROM g)
+       |SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+       |  CAST(SUM(n) AS BIGINT) AS n_neg,
+       |  CAST(SUM(CASE WHEN s_u > 0 THEN p ELSE 0 END) AS BIGINT) AS tp,
+       |  CAST(SUM(CASE WHEN s_u > 0 THEN n ELSE 0 END) AS BIGINT) AS fp,
+       |  CAST(SUM(CASE WHEN s_u <= 0 THEN p ELSE 0 END) AS BIGINT) AS fn,
+       |  CAST(SUM(CASE WHEN s_u <= 0 THEN n ELSE 0 END) AS BIGINT) AS tn,
+       |  CAST(SUM(CASE WHEN s_u > 0 THEN p ELSE 0 END)
+       |       + SUM(CASE WHEN s_u <= 0 THEN n ELSE 0 END) AS DOUBLE)
+       |    / CAST(SUM(p) + SUM(n) AS DOUBLE) AS accuracy,
+       |  CAST(SUM(CAST(2 * nless + n AS DECIMAL(19,0))
+       |           * CAST(p AS DECIMAL(19,0))) AS DOUBLE)
+       |    / (2.0 * CAST(SUM(p) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)) AS auc
+       |FROM c""".stripMargin
 
   /** t39: PMI-style collocation mining — the corpus's most-associated
     * word bigrams by lift p(ab)/(p(a)·p(b)), the statistic behind
@@ -3309,6 +3440,82 @@ object Corpus {
        |CROSS JOIN nu CROSS JOIN nb
        |WHERE b.c >= 10
        |ORDER BY lift DESC, b.w1, b.w2
+       |LIMIT 50""".stripMargin
+
+  /** t40: χ²-based term selection against the quality label — the
+    * classic feature-selection pass (which vocabulary terms are most
+    * associated with low-quality documents) that sizes a filter
+    * model's feature set before anything is trained, and doubles as a
+    * corpus-QA report (a term whose presence predicts the label is a
+    * contamination or boilerplate signal). Per term the 2×2
+    * document-level contingency (has-term × label) comes from ONE
+    * distinct (doc, token) explode + a token-keyed aggregate
+    * (map-side combined); the label totals are a 1-row broadcast hop.
+    * χ² = N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) evaluates on
+    * exact-integer-valued doubles in a fixed written order — ad−bc
+    * stays BIGINT-exact, the products run as doubles because
+    * N·(ad−bc)² overflows BIGINT at corpus scale. A min-df of 20
+    * drops the singleton tail (the PMI pathology, t39); ties order by
+    * term. The oracle replays the same contingency in SQL.
+    */
+  val t40_chi2_terms: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val lab = docs
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), col("__toks"),
+        (size(filter(col("__toks"), x => x === "the" || x === "a"))
+          .cast("long") * lit(100L) >
+          size(col("__toks")).cast("long") * lit(6L)).as("__y"))
+    // 1-row label totals: P docs positive, M negative
+    val tot = lab.agg(
+      sum(when(col("__y"), 1L).otherwise(0L)).as("__P"),
+      sum(when(col("__y"), 0L).otherwise(1L)).as("__M"))
+    val perTok = lab
+      .select(col("doc_id"), col("__y"),
+        explode(array_distinct(col("__toks"))).as("term"))
+      .groupBy(col("term"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("__y"), 0L).otherwise(1L)).as("b"))
+    val cc = col("__P") - col("a") // positives without the term
+    val dd = col("__M") - col("b") // negatives without the term
+    val diff = col("a") * dd - col("b") * cc // BIGINT-exact
+    val nD = (col("__P") + col("__M")).cast("double")
+    val chi2 = nD * diff.cast("double") * diff.cast("double") /
+      ((col("a") + col("b")).cast("double") * (cc + dd).cast("double") *
+        col("__P").cast("double") * col("__M").cast("double"))
+    perTok.crossJoin(broadcast(tot))
+      .where(col("a") + col("b") >= 20 && cc + dd > 0)
+      .select(col("term"), (col("a") + col("b")).as("df"),
+        col("a").as("n_pos_docs"), col("b").as("n_neg_docs"),
+        chi2.as("chi2"))
+      .orderBy(col("chi2").desc, col("term").asc)
+      .limit(50)
+  }
+
+  val t40_sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |lab AS (SELECT doc_id, toks,
+       |  (CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS BIGINT)
+       |     * 100 > CAST(len(toks) AS BIGINT) * 6) AS y
+       |  FROM t),
+       |tot AS (SELECT SUM(CASE WHEN y THEN 1 ELSE 0 END) AS P,
+       |               SUM(CASE WHEN y THEN 0 ELSE 1 END) AS M
+       |        FROM lab),
+       |pt AS (SELECT term,
+       |         SUM(CASE WHEN y THEN 1 ELSE 0 END) AS a,
+       |         SUM(CASE WHEN y THEN 0 ELSE 1 END) AS b
+       |       FROM (SELECT doc_id, y, unnest(list_distinct(toks)) AS term
+       |             FROM lab)
+       |       GROUP BY term)
+       |SELECT term, CAST(a + b AS BIGINT) AS df,
+       |  CAST(a AS BIGINT) AS n_pos_docs, CAST(b AS BIGINT) AS n_neg_docs,
+       |  CAST(P + M AS DOUBLE) * CAST(a * (M - b) - b * (P - a) AS DOUBLE)
+       |    * CAST(a * (M - b) - b * (P - a) AS DOUBLE)
+       |    / (CAST(a + b AS DOUBLE) * CAST((P - a) + (M - b) AS DOUBLE)
+       |       * CAST(P AS DOUBLE) * CAST(M AS DOUBLE)) AS chi2
+       |FROM pt CROSS JOIN tot
+       |WHERE a + b >= 20 AND (P - a) + (M - b) > 0
+       |ORDER BY chi2 DESC, term
        |LIMIT 50""".stripMargin
 
   /** c05: entity-resolution capstone — the full MDM pipeline as one
@@ -4758,6 +4965,8 @@ object Corpus {
     "t37_bpe_encode"        -> t37_bpe_encode,
     "t38_quality_classifier" -> t38_quality_classifier,
     "t39_collocations"      -> t39_collocations,
+    "t40_chi2_terms"        -> t40_chi2_terms,
+    "q121_auc_eval"         -> q121_auc_eval,
     "c05_entity_resolution" -> c05_entity_resolution,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
@@ -4847,6 +5056,8 @@ object Corpus {
     "t37_bpe_encode"        -> t37_sql,
     "t38_quality_classifier" -> t38_sql,
     "t39_collocations"      -> t39_sql,
+    "t40_chi2_terms"        -> t40_sql,
+    "q121_auc_eval"         -> q121_sql,
     "c05_entity_resolution" -> c05_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,

@@ -1180,6 +1180,98 @@ object Extensions {
        |             'o_day': 'DATE', 'o_custkey': 'BIGINT'})
        |GROUP BY o_orderpriority""".stripMargin
 
+  /** q124: sharded corpus export + manifest — the release step that
+    * turns a curated corpus into N deterministic shards (parquet
+    * `partitionBy`, the storage layout a training loader reads
+    * shard-parallel) and emits the manifest a release is signed by:
+    * per shard the row count, id range, byte-ish checksum (an
+    * order-independent SUM of per-document md5-prefix integers — the
+    * t38 hex-prefix parity trick, so both engines derive the same
+    * 60-bit value per doc). The write is partition-parallel (one task
+    * writes only its shard keys); the manifest comes from reading the
+    * WRITTEN files back, so the oracle — DuckDB over the same files
+    * with hive partitioning — cross-checks the round trip, not just
+    * the arithmetic. Spark's partition-column type inference is
+    * pinned by an explicit cast (discovery yields INT, the manifest
+    * contract is BIGINT).
+    */
+  private def shardExportPath(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${graft.ingest.FixtureTables.root}/q124_shards_$key"
+  }
+
+  val q124_shard_manifest: Q = (s, dir) => {
+    val path = shardExportPath(dir)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        pmod(col("doc_id"), lit(16L)).as("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    s.read.parquet(path)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        sum(graft.functions.KmvSketch.hash64(col("text"))
+          .cast("decimal(38,0)")).cast("decimal(38,0)").as("checksum"))
+  }
+
+  def q124_sql: String =
+    s"""SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
+       |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+       |  CAST(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT)
+       |       AS DECIMAL(38,0)) AS checksum
+       |FROM read_parquet(
+       |  '${shardExportPath(graft.queries.Corpus.oracleSfDir)}/*/*.parquet',
+       |  hive_partitioning = true)
+       |GROUP BY 1""".stripMargin
+
+  /** q125: schema evolution at the STORAGE layer — a dataset written
+    * over time under an evolving schema (v1 files lack the column a
+    * later writer added) read back as one table via the parquet
+    * reader's schema merge, nulls standing in for pre-evolution rows.
+    * q75 proves the API-level `unionByName`; this proves the
+    * reader-level merge on real files — the shape every long-lived
+    * 100 TB dataset has, where rewriting old files to the new schema
+    * is not an option. `mergeSchema` is an explicit option because at
+    * scale it footer-samples; the oracle reads the SAME files with
+    * DuckDB's independent `union_by_name` parquet reader, so null
+    * semantics and decimal round-trip are cross-engine-checked.
+    */
+  private def schemaEvoPath(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${graft.ingest.FixtureTables.root}/q125_schema_evo_$key"
+  }
+
+  val q125_schema_evolution: Q = (s, dir) => {
+    val path = schemaEvoPath(dir)
+    val o = t(s, dir, "orders")
+    o.where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$path/v1")
+    o.where(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast(dec2).as("price"))
+      .write.mode("overwrite").parquet(s"$path/v2")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$path/v1", s"$path/v2")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("price")).as("n_with_price"),
+        sum(col("price")).cast("decimal(28,2)").as("total_price"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
+  def q125_sql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_rows,
+       |  COUNT(price) AS n_with_price,
+       |  CAST(SUM(price) AS DECIMAL(28,2)) AS total_price,
+       |  MAX(o_orderkey) AS max_key
+       |FROM read_parquet(
+       |  ['${schemaEvoPath(graft.queries.Corpus.oracleSfDir)}/v1/*.parquet',
+       |   '${schemaEvoPath(graft.queries.Corpus.oracleSfDir)}/v2/*.parquet'],
+       |  union_by_name = true)
+       |GROUP BY o_orderpriority""".stripMargin
+
   /** Cumulative user-growth curve — distinct users ever seen, by day
     * (the DAU/"total accounts" acquisition metric). A naive
     * per-day COUNT(DISTINCT user) OVER an expanding frame re-scans
@@ -1930,6 +2022,8 @@ object Extensions {
     "q84_csv_roundtrip"  -> q84_csv_roundtrip,
     "q115_orc_roundtrip" -> q115_orc_roundtrip,
     "q116_json_roundtrip" -> q116_json_roundtrip,
+    "q124_shard_manifest" -> q124_shard_manifest,
+    "q125_schema_evolution" -> q125_schema_evolution,
     "q85_user_growth"    -> q85_user_growth,
     "q87_skyline"        -> q87_skyline,
     "q88_markov_transitions" -> q88_markov_transitions,
@@ -1974,6 +2068,8 @@ object Extensions {
     "q84_csv_roundtrip"  -> q84_sql,
     "q115_orc_roundtrip" -> q115_sql,
     "q116_json_roundtrip" -> q116_sql,
+    "q124_shard_manifest" -> q124_sql,
+    "q125_schema_evolution" -> q125_sql,
     "q85_user_growth"    -> q85_sql,
     "q87_skyline"        -> q87_sql,
     "q88_markov_transitions" -> q88_sql,

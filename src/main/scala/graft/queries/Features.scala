@@ -277,15 +277,157 @@ object Features {
       |    AS r_squared
       |FROM mo""".stripMargin
 
+  // ----------------------------------------------------- drift profile
+
+  /** q122: population-stability-index drift report between a reference
+    * window and the current window of the event stream — THE
+    * train/serve skew check a feature platform runs per feature per
+    * release (PSI < 0.1 stable, > 0.25 drifted). Values bin into fixed
+    * 25-unit buckets (fixed-width, not quantile, so the report is
+    * reproducible without a quantile fit and the bin key is a pure
+    * projection); each side's histogram is ONE keyed aggregate over
+    * the scan (map-side combined, the two sides split by a predicate
+    * on the same pass — never two scans); the per-bin PSI term
+    * (p−q)·ln(p/q) uses +1 Laplace smoothing so fresh/vanished bins
+    * stay finite. Exact-integer counts make p and q bit-identical
+    * across engines; the ln term follows t29's per-term
+    * round-9-to-DECIMAL discipline, so the shuffled total is
+    * order-independent. Output: the per-bin drift table (the artifact
+    * a reviewer reads) with the PSI total on every row (exact decimal
+    * sum of the quantized terms).
+    */
+  /** The two-sided fixed-width histogram q122 derives from — ADDITIVE
+    * per bin, so the streaming twin folds per-batch partials of this
+    * exact shape ([[graft.streaming.StreamingIngest.psiDriftStream]]).
+    */
+  def psiHistogram(events: DataFrame): DataFrame = {
+    val split = lit("2024-01-16 00:00:00").cast("timestamp")
+    events
+      .select((col("ts") < split).as("__ref"),
+        floor(col("value") / lit(25.0)).cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("__ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("__ref"), 0L).otherwise(1L)).as("n_cur"))
+  }
+
+  /** The PSI report derived from a (bin, n_ref, n_cur) histogram —
+    * shared verbatim by the batch query and the streaming monitor's
+    * read side, so the streamed statistic EQUALS the batch one on the
+    * union of batches (spec-asserted).
+    */
+  def psiFromBins(bins: DataFrame): DataFrame = {
+    val g = bins.localCheckpoint(true) // totals AND the final frame
+    val tot = g.agg(sum(col("n_ref")).as("__R"), sum(col("n_cur")).as("__C"),
+      count(lit(1)).as("__B"))
+    val pd = (col("n_ref") + lit(1L)).cast("double") /
+      (col("__R") + col("__B")).cast("double")
+    val qd = (col("n_cur") + lit(1L)).cast("double") /
+      (col("__C") + col("__B")).cast("double")
+    val term = round((pd - qd) * log(pd / qd), 9)
+      .cast(DecimalType(28, 9))
+    val perBin = g.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_ref"), col("n_cur"), term.as("psi_term"))
+      .localCheckpoint(true) // consumed by the total AND the output
+    val psi = perBin.agg(sum(col("psi_term")).cast(DecimalType(38, 9))
+      .as("psi"))
+    perBin.crossJoin(broadcast(psi))
+  }
+
+  val q122_psi_drift: Q = (s, dir) =>
+    psiFromBins(psiHistogram(t(s, dir, "events")))
+
+  val q122_sql: String =
+    """WITH e AS (SELECT (ts < TIMESTAMP '2024-01-16 00:00:00') AS ref,
+      |    CAST(FLOOR(value / 25.0) AS BIGINT) AS bin
+      |  FROM events),
+      |g AS (SELECT bin,
+      |    SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS n_ref,
+      |    SUM(CASE WHEN ref THEN 0 ELSE 1 END) AS n_cur
+      |  FROM e GROUP BY bin),
+      |tot AS (SELECT SUM(n_ref) AS r, SUM(n_cur) AS c, COUNT(*) AS b
+      |        FROM g),
+      |pb AS (SELECT bin, CAST(n_ref AS BIGINT) AS n_ref,
+      |    CAST(n_cur AS BIGINT) AS n_cur,
+      |    CAST(ROUND(
+      |      (CAST(n_ref + 1 AS DOUBLE) / CAST(r + b AS DOUBLE)
+      |       - CAST(n_cur + 1 AS DOUBLE) / CAST(c + b AS DOUBLE))
+      |      * LN((CAST(n_ref + 1 AS DOUBLE) / CAST(r + b AS DOUBLE))
+      |           / (CAST(n_cur + 1 AS DOUBLE) / CAST(c + b AS DOUBLE))),
+      |      9) AS DECIMAL(28,9)) AS psi_term
+      |  FROM g CROSS JOIN tot)
+      |SELECT bin, n_ref, n_cur, psi_term,
+      |  (SELECT CAST(SUM(psi_term) AS DECIMAL(38,9)) FROM pb) AS psi
+      |FROM pb""".stripMargin
+
+  // ------------------------------------------------- target encoding
+
+  /** q123: leakage-safe (out-of-fold) target encoding — the standard
+    * way to turn a high-cardinality categorical into a numeric
+    * feature without leaking each row's own label: row r in fold f
+    * receives the target mean of its category computed over the OTHER
+    * folds, smoothed toward the global mean with pseudo-count m=20.
+    * Folds are a deterministic key-mod (never a random split — the
+    * t05/t25 reproducibility rule). The whole encoding derives from
+    * ONE keyed (category, fold) aggregate over the fact scan —
+    * per-fold exclusion is sum subtraction, not a per-fold re-scan —
+    * and the output is the catalog-small (category × fold) encoding
+    * map a trainer broadcast-joins back onto rows. Sums stay DECIMAL
+    * through the subtraction (exact in both engines); the final
+    * smoothing arithmetic runs in doubles with one written order.
+    */
+  val q123_target_encoding: Q = (s, dir) => {
+    val m = 20.0 // smoothing pseudo-count
+    val byCatFold = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("category"),
+        pmod(col("o_orderkey"), lit(5L)).as("fold"),
+        col("o_totalprice").cast(dec2).as("__y"))
+      .groupBy(col("category"), col("fold"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__y")).as("__s"))
+      .localCheckpoint(true) // consumed by the rollup AND the final join
+    val byCat = byCatFold.groupBy(col("category"))
+      .agg(sum(col("n_rows")).as("__nc"), sum(col("__s")).as("__sc"))
+    val glob = byCat.agg(sum(col("__nc")).as("__ng"),
+      sum(col("__sc")).as("__sg"))
+    val gmean = col("__sg").cast("double") / col("__ng").cast("double")
+    val enc = ((col("__sc") - col("__s")).cast("double") +
+      lit(m) * gmean) /
+      ((col("__nc") - col("n_rows")).cast("double") + lit(m))
+    byCatFold.join(byCat, Seq("category")).crossJoin(broadcast(glob))
+      .select(col("category"), col("fold"), col("n_rows"),
+        (col("__nc") - col("n_rows")).as("n_out_of_fold"),
+        enc.as("encoding"))
+  }
+
+  val q123_sql: String =
+    """WITH o AS (SELECT o_orderpriority AS category,
+      |    o_orderkey % 5 AS fold,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS y
+      |  FROM orders),
+      |cf AS (SELECT category, fold, COUNT(*) AS n_rows, SUM(y) AS s
+      |       FROM o GROUP BY category, fold),
+      |c AS (SELECT category, SUM(n_rows) AS nc, SUM(s) AS sc
+      |      FROM cf GROUP BY category),
+      |g AS (SELECT SUM(nc) AS ng, SUM(sc) AS sg FROM c)
+      |SELECT cf.category, cf.fold, CAST(cf.n_rows AS BIGINT) AS n_rows,
+      |  CAST(c.nc - cf.n_rows AS BIGINT) AS n_out_of_fold,
+      |  (CAST(c.sc - cf.s AS DOUBLE)
+      |     + 20.0 * (CAST(g.sg AS DOUBLE) / CAST(g.ng AS DOUBLE)))
+      |    / (CAST(c.nc - cf.n_rows AS DOUBLE) + 20.0) AS encoding
+      |FROM cf JOIN c USING (category) CROSS JOIN g""".stripMargin
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, Q] = Map(
-    "q118_feature_store" -> q118_feature_store,
-    "q119_k_anonymity"   -> q119_k_anonymity,
-    "q120_ols_multi"     -> q120_ols_multi)
+    "q118_feature_store"  -> q118_feature_store,
+    "q119_k_anonymity"    -> q119_k_anonymity,
+    "q120_ols_multi"      -> q120_ols_multi,
+    "q122_psi_drift"      -> q122_psi_drift,
+    "q123_target_encoding" -> q123_target_encoding)
 
   val oracles: Map[String, String] = Map(
-    "q118_feature_store" -> q118_sql,
-    "q119_k_anonymity"   -> q119_sql,
-    "q120_ols_multi"     -> q120_sql)
+    "q118_feature_store"  -> q118_sql,
+    "q119_k_anonymity"    -> q119_sql,
+    "q120_ols_multi"      -> q120_sql,
+    "q122_psi_drift"      -> q122_sql,
+    "q123_target_encoding" -> q123_sql)
 }

@@ -763,6 +763,54 @@ object StreamingIngest {
       graft.queries.Extensions.cusumFromDaily(
         spark.read.parquet(s"$p/daily")))
 
+  /** Continuously maintained drift histogram — the streaming face of
+    * q122's PSI report (the train/serve skew monitor a feature
+    * platform runs ONLINE, alerting between releases instead of at
+    * them). Per-bin (n_ref, n_cur) counts are ADDITIVE, so each
+    * micro-batch folds [[graft.queries.Features.psiHistogram]]'s
+    * partial into the previous generation by summation
+    * (the [[cusumStream]] replay protocol); the PSI arithmetic itself
+    * is a RATIO statistic — order-dependent on nothing but the folded
+    * totals — so [[currentPsi]] re-derives the report at read time
+    * through the SAME [[graft.queries.Features.psiFromBins]] the batch
+    * query uses, making streamed ≡ batch exact on the union of
+    * batches (spec-asserted), late/out-of-order events included. The
+    * generation frame is bin-count-bounded (fixed-width bins), never
+    * event-volume-bounded.
+    */
+  def psiDriftStream(
+      events: DataFrame, // streaming frame with ts + value columns
+      statsRoot: String,
+      checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          val spark = batch.sparkSession
+          val part = graft.queries.Features.psiHistogram(batch.toDF())
+          val merged = priorGeneration(spark, statsRoot, batchId) match {
+            case Some(p) =>
+              spark.read.parquet(s"$p/bins").unionByName(part)
+                .groupBy(col("bin"))
+                .agg(sum(col("n_ref")).as("n_ref"),
+                  sum(col("n_cur")).as("n_cur"))
+            case None => part
+          }
+          merged.write.mode("overwrite")
+            .parquet(s"$statsRoot/gen-$batchId/bins")
+          ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+
+  /** q122's exact PSI report derived from the newest folded histogram,
+    * or None before the first batch lands.
+    */
+  def currentPsi(spark: SparkSession, statsRoot: String): Option[DataFrame] =
+    priorGeneration(spark, statsRoot, Long.MaxValue).map(p =>
+      graft.queries.Features.psiFromBins(spark.read.parquet(s"$p/bins")))
+
   /** Streaming near-dup admission — the continuous-dedup serving loop
     * over [[graft.dedup.Dedup.incrementalNearDups]]: each micro-batch
     * of (doc_id, text) is (1) self-deduped with the d02 band family

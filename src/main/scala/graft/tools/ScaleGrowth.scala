@@ -340,7 +340,19 @@ object ScaleGrowth {
       "t39_collocations", "g08_link_prediction", "c05_entity_resolution",
       // q115/q116: ORC/JSON write+read round-trips over 10× lineitem /
       // orders — pure scan-shaped like q84's CSV twin
-      "q115_orc_roundtrip", "q116_json_roundtrip")
+      "q115_orc_roundtrip", "q116_json_roundtrip",
+      // round 9 (eval/release family):
+      //  - q121: AUC over 10× docs — the distinct-score frame grows
+      //    with the corpus but the rank prefix is the t16 two-level
+      //    sum, so the only unpartitioned window stays bucket-sized
+      //  - q122: PSI — two histograms off one scan, fixed bin count
+      //  - q123: target encoding — one (cat,fold)-keyed aggregate
+      //  - q124: sharded export — partitioned write + manifest agg
+      //  - q125: evolved-schema merge read over both generations
+      //  - t40: χ² terms — distinct-(doc,token) explode + token agg
+      //    (vocabulary grows with the salted corpus, like t29's)
+      "q121_auc_eval", "q122_psi_drift", "q123_target_encoding",
+      "q124_shard_manifest", "q125_schema_evolution", "t40_chi2_terms")
       .filter(q => onlyPrefixes.forall(_.exists(q.startsWith)))
     // queries measured on the disjoint-copy graph dirs (see above)
     val graphDirQs = Set("g01_pagerank", "g02_components", "g03_triangles",

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The round-9 eval/release family: q121 (AUC report), q122 (PSI
+  * drift), q123 (out-of-fold target encoding), q124 (sharded-export
+  * manifest), t40 (χ² term selection). Each spec recomputes the
+  * statistic by an INDEPENDENT driver-side mechanism on the small
+  * fixture (brute-force pairs for AUC, exact BigDecimal folds for PSI
+  * and the encoding) — the same double-entry discipline the DuckDB
+  * oracles apply cross-engine, here applied cross-formulation.
+  */
+class PipelineEvalSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("q121 AUC equals the brute-force Mann-Whitney pair statistic") {
+    val row = graft.queries.Corpus.q121_auc_eval(spark, sfDir).collect()(0)
+    val (nPos, nNeg) = (row.getLong(0), row.getLong(1))
+    val (tp, fp, fn, tn) =
+      (row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5))
+    val auc = row.getDouble(7)
+    // independent scoring path: the t38 view (logit is the micro-unit
+    // integer / 1e6 — injective, so pair comparisons are identical)
+    val scored = graft.queries.Corpus.t38_quality_classifier(spark, sfDir)
+      .select(col("logit"), col("label_high_stop")).collect()
+      .map(r => (r.getDouble(0), r.getBoolean(1)))
+    val pos = scored.filter(_._2).map(_._1)
+    val neg = scored.filterNot(_._2).map(_._1)
+    assert(pos.length.toLong == nPos && neg.length.toLong == nNeg)
+    assert(tp + fn == nPos && fp + tn == nNeg)
+    var gt = 0L; var eq = 0L
+    pos.foreach { p =>
+      neg.foreach { n => if (p > n) gt += 1 else if (p == n) eq += 1 }
+    }
+    val bf = (gt + 0.5 * eq) / (nPos.toDouble * nNeg.toDouble)
+    assert(math.abs(auc - bf) < 1e-12, s"auc=$auc brute-force=$bf")
+    assert(auc > 0.9, s"distilled model should rank well, auc=$auc")
+  }
+
+  test("q122 PSI total equals the exact per-bin fold and is non-negative") {
+    val rows = graft.queries.Features.q122_psi_drift(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val psi = rows.head.getDecimal(4)
+    assert(rows.forall(_.getDecimal(4) == psi), "psi total repeats per row")
+    val bins = rows.map(r => (r.getLong(1), r.getLong(2)))
+    val (rTot, cTot, b) =
+      (bins.map(_._1).sum, bins.map(_._2).sum, bins.length)
+    val expected = bins.map { case (nr, nc) =>
+      val p = (nr + 1).toDouble / (rTot + b).toDouble
+      val q = (nc + 1).toDouble / (cTot + b).toDouble
+      BigDecimal((p - q) * math.log(p / q))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    assert(BigDecimal(psi) == expected,
+      s"psi=$psi driver-side fold=$expected")
+    // (p−q)·ln(p/q) ≥ 0 termwise, so PSI is a true divergence
+    assert(BigDecimal(psi) >= 0)
+  }
+
+  test("q123 encoding is the out-of-fold smoothed mean, leakage-free") {
+    val out = graft.queries.Features.q123_target_encoding(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val raw = Tables(spark, sfDir, "orders")
+      .select(col("o_orderpriority"),
+        pmod(col("o_orderkey"), lit(5L)).as("fold"),
+        col("o_totalprice").cast("decimal(18,2)"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), BigDecimal(r.getDecimal(2))))
+    val exactGmean = raw.map(_._3).sum.toDouble / raw.length.toDouble
+    out.foreach { case ((cat, fold), (nRows, nOof, enc)) =>
+      val inCat = raw.filter(_._1 == cat)
+      val own = inCat.filter(_._2 == fold)
+      val rest = inCat.filterNot(_._2 == fold)
+      assert(own.length.toLong == nRows && rest.length.toLong == nOof)
+      val expected =
+        (rest.map(_._3).sum.toDouble + 20.0 * exactGmean) /
+          (rest.length.toDouble + 20.0)
+      assert(math.abs(enc - expected) < 1e-9,
+        s"($cat, $fold): enc=$enc expected=$expected")
+      // leakage check: the encoding must NOT equal the with-own-fold
+      // smoothed mean unless the fold contributes nothing new
+      val leaky = (inCat.map(_._3).sum.toDouble + 20.0 * exactGmean) /
+        (inCat.length.toDouble + 20.0)
+      assert(own.isEmpty || math.abs(enc - leaky) > 0 ||
+        math.abs(leaky - expected) < 1e-12)
+    }
+  }
+
+  test("q124 manifest covers the corpus exactly across 16 shards") {
+    val m = graft.queries.Extensions.q124_shard_manifest(spark, sfDir)
+      .collect()
+    val docs = Tables(spark, sfDir, "documents")
+      .agg(count(lit(1)), min(col("doc_id")), max(col("doc_id")))
+      .collect()(0)
+    assert(m.map(_.getLong(1)).sum == docs.getLong(0), "row counts cover")
+    assert(m.map(_.getLong(0)).distinct.length == m.length, "unique shards")
+    assert(m.length <= 16 && m.nonEmpty)
+    assert(m.map(_.getLong(2)).min == docs.getLong(1))
+    assert(m.map(_.getLong(3)).max == docs.getLong(2))
+  }
+
+  test("t40 χ² report is well-formed and correctly ordered") {
+    val rows = graft.queries.Corpus.t40_chi2_terms(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3), "df = a + b")
+      assert(r.getLong(1) >= 20, "min-df filter")
+      assert(r.getDouble(4) >= 0.0, "chi2 non-negative")
+    }
+    val chis = rows.map(_.getDouble(4))
+    assert(chis.zip(chis.tail).forall { case (x, y) => x >= y },
+      "descending chi2")
+  }
+}

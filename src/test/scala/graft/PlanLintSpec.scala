@@ -76,7 +76,11 @@ class PlanLintSpec extends SparkSpec {
       "t27_stopwords", "t29_unigram_xent", "t30_bigram_xent",
       "s09_filtered_ann", "q83_gap_fill", "s11_hybrid_rrf",
       "t33_incremental_corpus_stats", "t36_quota_allocation",
-      "q95_benford", "s16_index_health", "q112_tpch_q11", "s17_pq_ann")
+      "q95_benford", "s16_index_health", "q112_tpch_q11", "s17_pq_ann",
+      // q122/q123/t40: each crosses against a broadcast 1-row totals
+      // frame (PSI's R/C/B, the encoding's global mean, χ²'s P/M) —
+      // the q82-bounds shape, never a row×row cross
+      "q122_psi_drift", "q123_target_encoding", "t40_chi2_terms")
 
   // queries allowed to window >minRows rows on a <minKeys-value key —
   // empty by design; adding here requires an in-source justification

@@ -927,6 +927,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("psiDriftStream: folded histogram generations derive exactly q122, out-of-order batches included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val base = Files.createTempDirectory("graft_psi_stream").toString
+    val root = s"$base/psi"; val ckpt = s"$base/ckpt"
+    val evs = graft.Tables(spark, dir, "events")
+      .select(col("ts"), col("value"))
+      .collect().map(r => (r.getTimestamp(0), r.getDouble(1)))
+    // SHUFFLED batches: the additive per-bin fold must not care about
+    // arrival order (the report derives at read time)
+    val shuffled = new scala.util.Random(11).shuffle(evs.toSeq)
+    val stream = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = StreamingIngest.psiDriftStream(
+      stream.toDF().toDF("ts", "value"), root, ckpt)
+    shuffled.grouped(math.max(shuffled.length / 3, 1)).foreach { chunk =>
+      stream.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDecimal(3), r.getDecimal(4))).toMap
+    val streamed = asMap(StreamingIngest.currentPsi(spark, root).get)
+    val batch = asMap(graft.queries.Features.q122_psi_drift(spark, dir))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streamingNearDupAdmission: self-dedup + corpus filter; admitted generations append") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
