@@ -3354,6 +3354,84 @@ object Corpus {
        |    / (2.0 * CAST(SUM(p) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)) AS auc
        |FROM c""".stripMargin
 
+  private def q126WeightsPath(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${graft.ingest.FixtureTables.root}/q126_weights_$key"
+  }
+
+  /** q126: calibration report — q121's companion (AUC measures
+    * RANKING; calibration measures whether the scores MEAN what they
+    * claim, which is what a downstream threshold or mixture weight
+    * consumes). Documents bucket by half-logit steps of the integer
+    * micro-unit score (a pure projection — fixed-width buckets, no
+    * quantile fit); per bucket the empirical positive rate (one IEEE
+    * division of exact counts) sits next to the model's own predicted
+    * probability (the logistic of the exact mean logit, per-value
+    * round-9 quantized — the t29 transcendental discipline). One
+    * keyed aggregate over the scored frame; the report is
+    * bucket-count-bounded at any corpus size. A well-calibrated model
+    * shows pred_rate ≈ emp_rate down the table; expected calibration
+    * error is one weighted fold over these rows.
+    */
+  val q126_calibration: Q = (s, dir) => {
+    val scored = qcScored(s, dir, q126WeightsPath(dir))
+      .select(col("__logit_u"),
+        (col("__nstop") * lit(100L) > col("__ntok") * lit(6L)).as("__y"))
+    val g = scored
+      .withColumn("bucket",
+        floor(col("__logit_u").cast("double") / lit(500000.0)).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("__logit_u")).as("__slu"))
+    val meanLogit = col("__slu").cast("double") /
+      col("n_docs").cast("double") / lit(1000000.0)
+    g.select(col("bucket"), col("n_docs"), col("n_pos"),
+        round(meanLogit, 9).cast("decimal(18,9)").as("mean_logit"),
+        round(lit(1.0) / (lit(1.0) + exp(-meanLogit)), 9)
+          .cast("decimal(18,9)").as("pred_rate"),
+        (col("n_pos").cast("double") / col("n_docs").cast("double"))
+          .as("emp_rate"))
+  }
+
+  def q126_sql: String =
+    s"""WITH w AS (SELECT bucket, w_u
+       |  FROM read_parquet('${q126WeightsPath(oracleSfDir)}/*.parquet')),
+       |t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |st AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS ntok,
+       |         CAST(len(list_filter(toks, x -> x IN ('the', 'a')))
+       |           AS BIGINT) AS nstop
+       |       FROM t),
+       |b AS (SELECT doc_id,
+       |        ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024 AS bucket,
+       |        COUNT(*) AS c
+       |      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+       |      GROUP BY 1, 2),
+       |sw AS (SELECT doc_id, CAST(SUM(b.c * w.w_u) AS BIGINT) AS sw
+       |       FROM b JOIN w USING (bucket) WHERE w.bucket >= 0
+       |       GROUP BY doc_id),
+       |sc AS (SELECT
+       |         (SELECT w_u FROM w WHERE bucket = -1)
+       |           + COALESCE(sw.sw, 0) AS s_u,
+       |         (st.nstop * 100 > st.ntok * 6) AS y
+       |       FROM st LEFT JOIN sw USING (doc_id)),
+       |g AS (SELECT CAST(FLOOR(CAST(s_u AS DOUBLE) / 500000.0) AS BIGINT)
+       |          AS bucket,
+       |        COUNT(*) AS n_docs,
+       |        SUM(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
+       |        CAST(SUM(s_u) AS BIGINT) AS slu
+       |      FROM sc GROUP BY 1)
+       |SELECT bucket, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_pos AS BIGINT) AS n_pos,
+       |  CAST(ROUND(CAST(slu AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |             / 1000000.0, 9) AS DECIMAL(18,9)) AS mean_logit,
+       |  CAST(ROUND(1.0 / (1.0 + EXP(-(CAST(slu AS DOUBLE)
+       |                                / CAST(n_docs AS DOUBLE)
+       |                                / 1000000.0))), 9)
+       |       AS DECIMAL(18,9)) AS pred_rate,
+       |  CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE) AS emp_rate
+       |FROM g""".stripMargin
+
   /** t39: PMI-style collocation mining — the corpus's most-associated
     * word bigrams by lift p(ab)/(p(a)·p(b)), the statistic behind
     * phrase detection (word2vec's phrase pass), tokenizer merge
@@ -4967,6 +5045,7 @@ object Corpus {
     "t39_collocations"      -> t39_collocations,
     "t40_chi2_terms"        -> t40_chi2_terms,
     "q121_auc_eval"         -> q121_auc_eval,
+    "q126_calibration"      -> q126_calibration,
     "c05_entity_resolution" -> c05_entity_resolution,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
@@ -5058,6 +5137,7 @@ object Corpus {
     "t39_collocations"      -> t39_sql,
     "t40_chi2_terms"        -> t40_sql,
     "q121_auc_eval"         -> q121_sql,
+    "q126_calibration"      -> q126_sql,
     "c05_entity_resolution" -> c05_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,

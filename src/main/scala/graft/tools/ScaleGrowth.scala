@@ -352,7 +352,10 @@ object ScaleGrowth {
       //  - t40: χ² terms — distinct-(doc,token) explode + token agg
       //    (vocabulary grows with the salted corpus, like t29's)
       "q121_auc_eval", "q122_psi_drift", "q123_target_encoding",
-      "q124_shard_manifest", "q125_schema_evolution", "t40_chi2_terms")
+      "q124_shard_manifest", "q125_schema_evolution", "t40_chi2_terms",
+      //  - q126: calibration — the q121 scored frame collapsed to
+      //    half-logit buckets, report bucket-count-bounded
+      "q126_calibration")
       .filter(q => onlyPrefixes.forall(_.exists(q.startsWith)))
     // queries measured on the disjoint-copy graph dirs (see above)
     val graphDirQs = Set("g01_pagerank", "g02_components", "g03_triangles",

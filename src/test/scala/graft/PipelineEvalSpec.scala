@@ -102,6 +102,30 @@ class PipelineEvalSpec extends SparkSpec {
     assert(m.map(_.getLong(3)).max == docs.getLong(2))
   }
 
+  test("q126 calibration buckets partition the corpus; rates are exact") {
+    val rows = graft.queries.Corpus.q126_calibration(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(1)).sum
+    val docs = Tables(spark, sfDir, "documents").count()
+    assert(total == docs, "every document lands in exactly one bucket")
+    rows.foreach { r =>
+      val (n, nPos) = (r.getLong(1), r.getLong(2))
+      assert(nPos >= 0 && nPos <= n)
+      val emp = r.getDouble(5)
+      assert(emp == nPos.toDouble / n.toDouble, "empirical rate exact")
+      val pred = r.getDecimal(4)
+      assert(pred.doubleValue >= 0.0 && pred.doubleValue <= 1.0)
+    }
+    // a distilled model of a realizable rule should calibrate well:
+    // weighted |pred − emp| (the ECE fold over this report) is small
+    val ece = rows.map { r =>
+      r.getLong(1).toDouble / total *
+        math.abs(r.getDecimal(4).doubleValue -
+          r.getDouble(5))
+    }.sum
+    assert(ece < 0.15, s"expected calibration error too large: $ece")
+  }
+
   test("t40 χ² report is well-formed and correctly ordered") {
     val rows = graft.queries.Corpus.t40_chi2_terms(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 50)
