@@ -1563,6 +1563,67 @@ object Corpus {
        | FROM e a JOIN e b ON a.vec_id < b.vec_id)
        |SELECT id_a, id_b, ROUND(cos, 6) AS cosine FROM p WHERE cos >= 0.5""".stripMargin
 
+  /** d16: the LSH-bucketed SCALE PATH for embedding near-dup pairs —
+    * d04's production twin, the d02↔d06 duality applied to vectors
+    * (d04 is the exhaustive ground truth whose brute-force oracle
+    * replays at small scale; THIS is what runs at 100 TB). Candidates
+    * come from the hyperplane bucket self-join with CORPUS-ADAPTIVE
+    * plane count (⌈log₂(n/30)⌉ — s15's policy: fixed planes let
+    * bucket occupancy grow with the corpus and Σ|bucket|² go
+    * quadratic; pinning expected bucket size ≈ 30 keeps candidates
+    * ≈ 30·n). The seeded planes are a pure function of (seed, dim,
+    * planes, tables), so the oracle interpolates the exact same
+    * double literals and replays bucket bits, candidate join and
+    * cosine verify — the approximate path is hash-checked, not
+    * spot-checked; recall vs d04's ground truth is additionally
+    * spec-gated. 64 tables because the fixture's true pairs all hug
+    * the 0.5 threshold (cos 0.50–0.60 — 60° angles, hyperplane
+    * LSH's worst regime): boundary recall ≈ 1−(1−(2/3)^planes)^64.
+    * At production thresholds (0.9+) a handful of tables suffices —
+    * the table count is the recall dial, candidates stay ≈
+    * tables·30·n under the adaptive plane count either way.
+    */
+  private val d16PlaneCounts =
+    scala.collection.concurrent.TrieMap[String, Int]()
+
+  val d16_embedding_neardups_lsh: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val planes = math.max(4,
+      math.ceil(math.log(e.count() / 30.0) / math.log(2.0)).toInt)
+    d16PlaneCounts(dir) = planes
+    Dedup.embeddingNearDups(e, "embedding", "vec_id", threshold = 0.5,
+      dim = 64, planes = planes, tables = 64, bruteForce = false)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  def d16_sql: String = {
+    // the plane count the query actually used for oracleSfDir (5 at
+    // the 500-vector sf0.01 fixture — the adaptive formula's value)
+    val nPlanes = d16PlaneCounts.getOrElse(oracleSfDir, 5)
+    val hp = Similarity.hyperplanes(dim = 64, planes = nPlanes, tables = 64)
+    val planeRows = for {
+      (tablePlanes, tIdx) <- hp.zipWithIndex
+      (plane, pIdx)       <- tablePlanes.zipWithIndex
+    } yield s"($tIdx, $pIdx, [${plane.map(Relational.sqlDouble).mkString(",")}]::DOUBLE[])"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |planes(t, p, vec) AS (VALUES
+       |  ${planeRows.mkString(",\n  ")}),
+       |pb AS (SELECT e.vec_id, pl.t, pl.p,
+       |  CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+       |         i -> e.v[i] * pl.vec[i]), (a, b) -> a + b) >= 0
+       |       THEN '1' ELSE '0' END AS bit
+       | FROM e CROSS JOIN planes pl),
+       |bk AS (SELECT vec_id, t::VARCHAR || ':' || string_agg(bit, '' ORDER BY p) AS bucket
+       | FROM pb GROUP BY vec_id, t),
+       |cand AS (SELECT DISTINCT q.vec_id AS ida, c.vec_id AS idb
+       | FROM bk q JOIN bk c USING (bucket)
+       | WHERE q.vec_id < c.vec_id),
+       |p AS (SELECT ida, idb, $cosSql AS cos
+       | FROM cand JOIN e a ON a.vec_id = ida JOIN e b ON b.vec_id = idb)
+       |SELECT ida AS id_a, idb AS id_b, ROUND(cos, 6) AS cosine
+       |FROM p WHERE cos >= 0.5""".stripMargin
+  }
+
   // ------------------------------------------------------- similarity
 
   /** Exact cosine top-10 neighbors for a small probe set (vec_id < 5):
@@ -5051,6 +5112,7 @@ object Corpus {
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
     "d04_embedding_neardups" -> d04_embedding_neardups,
+    "d16_embedding_neardups_lsh" -> d16_embedding_neardups_lsh,
     "d05_dup_groups"        -> d05_dup_groups,
     "d06_jaccard_neardups"  -> d06_jaccard_neardups,
     "d07_decontamination"   -> d07_decontamination,
@@ -5143,6 +5205,7 @@ object Corpus {
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,
     "d04_embedding_neardups" -> d04_sql,
+    "d16_embedding_neardups_lsh" -> d16_sql,
     "d05_dup_groups"        -> d05_sql,
     "d06_jaccard_neardups"  -> d06_sql,
     "d07_decontamination"   -> d07_sql,

@@ -355,7 +355,25 @@ object ScaleGrowth {
       "q124_shard_manifest", "q125_schema_evolution", "t40_chi2_terms",
       //  - q126: calibration — the q121 scored frame collapsed to
       //    half-logit buckets, report bucket-count-bounded
-      "q126_calibration")
+      "q126_calibration",
+      // round 9 (roster completion): the remaining distinct candidate
+      // shapes measured nowhere else in their families —
+      //  - d03: SimHash pigeonhole block self-join
+      //  - d16: embedding-LSH bucket self-join under ADAPTIVE planes
+      //    (d04, the registered brute-force ground-truth twin, is
+      //    deliberately exhaustive — measuring it against the
+      //    quadratic flag would grade the oracle baseline, not the
+      //    scale path; its first roster pass read 1.13 for exactly
+      //    that reason and prompted d16's registration)
+      //  - d05: edge generation + group consolidation over the fold
+      //  - d08: repeated-span inverted index (spans md5'd pre-shuffle)
+      //  - s02/s03: the original LSH/IVF ANN serving queries
+      //  - t07: concat-and-chunk packing (global running sum inside)
+      //  - t16: the two-level prefix sum itself at 10× documents
+      "d03_simhash_neardups", "d16_embedding_neardups_lsh",
+      "d05_dup_groups",
+      "d08_repeated_spans", "s02_lsh_ann_topk", "s03_ivf_topk",
+      "t07_sequence_pack", "t16_corpus_positions")
       .filter(q => onlyPrefixes.forall(_.exists(q.startsWith)))
     // queries measured on the disjoint-copy graph dirs (see above)
     val graphDirQs = Set("g01_pagerank", "g02_components", "g03_triangles",

@@ -276,4 +276,23 @@ class DedupSpec extends SparkSpec {
     assert(dropped === Set((11L, 10L, 1L), (12L, 10L, 2L),
       (21L, 20L, 1L), (22L, 20L, 2L)))
   }
+
+  test("d16 LSH pairs are a subset of d04's ground truth at usable recall") {
+    // sf0.1: the smallest fixture whose ground truth is non-trivial
+    // (14 true pairs, all hugging the 0.5 boundary — LSH's hardest
+    // regime); d04's brute force is still ~2s here
+    val dir = "/root/testdata/sf0.1"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(graft.queries.Corpus.d04_embedding_neardups(spark, dir))
+    val lsh = pairs(
+      graft.queries.Corpus.d16_embedding_neardups_lsh(spark, dir))
+    assert(lsh.subsetOf(exact),
+      "every LSH pair must verify against the exact threshold")
+    assert(exact.nonEmpty)
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.7, s"d16 recall $recall below floor (found " +
+      s"${lsh.size} of ${exact.size} true pairs)")
+  }
 }
