@@ -415,6 +415,87 @@ object Features {
       |    / (CAST(c.nc - cf.n_rows AS DOUBLE) + 20.0) AS encoding
       |FROM cf JOIN c USING (category) CROSS JOIN g""".stripMargin
 
+  // -------------------------------------------------- experimentation
+
+  /** q127: A/B experiment readout — Welch's two-sample t statistic
+    * computed entirely from sufficient statistics, the
+    * experimentation-platform shape (q120's discipline applied to
+    * hypothesis testing: at 100 TB the shuffle carries 2 rows × 3
+    * decimals, never observations). Variant assignment is the
+    * standard deterministic key split (user_id parity — never a
+    * random draw, the t05/t25 reproducibility rule); the metric is
+    * purchase value. Per variant ONE keyed aggregate collects
+    * (n, Σy, Σy²) with the 2-decimal values quantized losslessly to
+    * DECIMAL (squares widen scale, never round), so the folded sums
+    * are order-independent-exact; mean, Welch t and the
+    * Welch–Satterthwaite df then evaluate in doubles from exact
+    * inputs with one written operation order — +, ×, / and sqrt are
+    * all correctly rounded under IEEE-754, so the statistics match
+    * bit-for-bit across engines with no output rounding.
+    */
+  val q127_ab_test: Q = (s, dir) => {
+    val dec4 = DecimalType(28, 4)
+    val g = t(s, dir, "events")
+      .where(col("event_type") === "purchase")
+      .select((pmod(col("user_id"), lit(2L)) === 0).as("__a"),
+        round(col("value"), 2).cast(dec2).as("__y"))
+      .groupBy(col("__a"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("s"),
+        sum((col("__y") * col("__y")).cast(dec4)).as("s2"))
+    val a = g.where(col("__a")).select(col("n").as("n_a"),
+      col("s").as("__sa"), col("s2").as("__s2a"))
+    val b = g.where(!col("__a")).select(col("n").as("n_b"),
+      col("s").as("__sb"), col("s2").as("__s2b"))
+    def d(c: Column): Column = c.cast("double")
+    val crossed = a.crossJoin(b)
+    val (na, nb) = (d(col("n_a")), d(col("n_b")))
+    val meanA = d(col("__sa")) / na
+    val meanB = d(col("__sb")) / nb
+    val varA = (d(col("__s2a")) - d(col("__sa")) * d(col("__sa")) / na) /
+      (na - lit(1.0))
+    val varB = (d(col("__s2b")) - d(col("__sb")) * d(col("__sb")) / nb) /
+      (nb - lit(1.0))
+    val seA = varA / na
+    val seB = varB / nb
+    val tStat = (meanA - meanB) / sqrt(seA + seB)
+    val df = (seA + seB) * (seA + seB) /
+      (seA * seA / (na - lit(1.0)) + seB * seB / (nb - lit(1.0)))
+    crossed.select(col("n_a"), col("n_b"),
+      meanA.as("mean_a"), meanB.as("mean_b"),
+      (meanA - meanB).as("lift"),
+      tStat.as("t_stat"), df.as("welch_df"))
+  }
+
+  val q127_sql: String =
+    """WITH e AS (SELECT (user_id % 2 = 0) AS a,
+      |    CAST(ROUND(value, 2) AS DECIMAL(18,2)) AS y
+      |  FROM events WHERE event_type = 'purchase'),
+      |g AS (SELECT a, COUNT(*) AS n, SUM(y) AS s,
+      |    SUM(CAST(y * y AS DECIMAL(28,4))) AS s2
+      |  FROM e GROUP BY a),
+      |m AS (SELECT
+      |    (SELECT CAST(n AS BIGINT) FROM g WHERE a) AS n_a,
+      |    (SELECT CAST(n AS BIGINT) FROM g WHERE NOT a) AS n_b,
+      |    (SELECT CAST(s AS DOUBLE) FROM g WHERE a) AS sa,
+      |    (SELECT CAST(s AS DOUBLE) FROM g WHERE NOT a) AS sb,
+      |    (SELECT CAST(s2 AS DOUBLE) FROM g WHERE a) AS s2a,
+      |    (SELECT CAST(s2 AS DOUBLE) FROM g WHERE NOT a) AS s2b),
+      |w AS (SELECT n_a, n_b,
+      |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+      |    sa / CAST(n_a AS DOUBLE) AS mean_a,
+      |    sb / CAST(n_b AS DOUBLE) AS mean_b,
+      |    ((s2a - sa * sa / CAST(n_a AS DOUBLE))
+      |       / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE) AS sea,
+      |    ((s2b - sb * sb / CAST(n_b AS DOUBLE))
+      |       / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE) AS seb
+      |  FROM m)
+      |SELECT n_a, n_b, mean_a, mean_b,
+      |  mean_a - mean_b AS lift,
+      |  (mean_a - mean_b) / sqrt(sea + seb) AS t_stat,
+      |  (sea + seb) * (sea + seb)
+      |    / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)) AS welch_df
+      |FROM w""".stripMargin
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, Q] = Map(
@@ -422,12 +503,14 @@ object Features {
     "q119_k_anonymity"    -> q119_k_anonymity,
     "q120_ols_multi"      -> q120_ols_multi,
     "q122_psi_drift"      -> q122_psi_drift,
-    "q123_target_encoding" -> q123_target_encoding)
+    "q123_target_encoding" -> q123_target_encoding,
+    "q127_ab_test"        -> q127_ab_test)
 
   val oracles: Map[String, String] = Map(
     "q118_feature_store"  -> q118_sql,
     "q119_k_anonymity"    -> q119_sql,
     "q120_ols_multi"      -> q120_sql,
     "q122_psi_drift"      -> q122_sql,
-    "q123_target_encoding" -> q123_sql)
+    "q123_target_encoding" -> q123_sql,
+    "q127_ab_test"        -> q127_sql)
 }

@@ -351,6 +351,9 @@ object ScaleGrowth {
       //  - q125: evolved-schema merge read over both generations
       //  - t40: χ² terms — distinct-(doc,token) explode + token agg
       //    (vocabulary grows with the salted corpus, like t29's)
+      // - q127: Welch t from two 1-row sufficient-stat frames — the
+      //   q120 regime (scan + fixed-cardinality partial agg)
+      "q127_ab_test",
       "q121_auc_eval", "q122_psi_drift", "q123_target_encoding",
       "q124_shard_manifest", "q125_schema_evolution", "t40_chi2_terms",
       //  - q126: calibration — the q121 scored frame collapsed to

@@ -126,6 +126,34 @@ class PipelineEvalSpec extends SparkSpec {
     assert(ece < 0.15, s"expected calibration error too large: $ece")
   }
 
+  test("q127 Welch t equals the driver-side fold over raw observations") {
+    val row = graft.queries.Features.q127_ab_test(spark, sfDir).collect()(0)
+    val raw = Tables(spark, sfDir, "events")
+      .where(col("event_type") === "purchase")
+      .select(pmod(col("user_id"), lit(2L)) === 0,
+        round(col("value"), 2).cast("decimal(18,2)"))
+      .collect().map(r => (r.getBoolean(0), BigDecimal(r.getDecimal(1))))
+    def stats(side: Boolean): (Long, Double, Double) = {
+      val ys = raw.filter(_._1 == side).map(_._2)
+      val n = ys.length.toDouble
+      val s = ys.sum.toDouble
+      val s2 = ys.map(y => y * y).sum.toDouble
+      (ys.length.toLong, s / n, ((s2 - s * s / n) / (n - 1.0)) / n)
+    }
+    val (na, meanA, seA) = stats(true)
+    val (nb, meanB, seB) = stats(false)
+    assert(row.getLong(0) == na && row.getLong(1) == nb)
+    assert(row.getDouble(2) == meanA && row.getDouble(3) == meanB,
+      "exact-decimal means must reproduce bit-for-bit")
+    val tExp = (meanA - meanB) / math.sqrt(seA + seB)
+    assert(math.abs(row.getDouble(5) - tExp) < 1e-12,
+      s"t=${row.getDouble(5)} expected=$tExp")
+    val dfExp = (seA + seB) * (seA + seB) /
+      (seA * seA / (na - 1.0) + seB * seB / (nb - 1.0))
+    assert(math.abs(row.getDouble(6) - dfExp) < 1e-9)
+    assert(row.getDouble(6) > 0 && row.getDouble(6) <= (na + nb - 2).toDouble)
+  }
+
   test("t40 χ² report is well-formed and correctly ordered") {
     val rows = graft.queries.Corpus.t40_chi2_terms(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 50)

@@ -80,7 +80,9 @@ class PlanLintSpec extends SparkSpec {
       // q122/q123/t40: each crosses against a broadcast 1-row totals
       // frame (PSI's R/C/B, the encoding's global mean, χ²'s P/M) —
       // the q82-bounds shape, never a row×row cross
-      "q122_psi_drift", "q123_target_encoding", "t40_chi2_terms")
+      "q122_psi_drift", "q123_target_encoding", "t40_chi2_terms",
+      // q127: two 1-row variant-summary frames crossed — never row×row
+      "q127_ab_test")
 
   // queries allowed to window >minRows rows on a <minKeys-value key —
   // empty by design; adding here requires an in-source justification
