@@ -3221,20 +3221,28 @@ object Corpus {
     * the rule's raw counters, from which t38 projects its
     * classification view and q121 its evaluation report.
     */
+  // one fit per fixture dir: t38/q121/q126 share the model (the fit is
+  // deterministic, so this is a pure cache — each caller still dumps
+  // the weight table to its OWN path for its oracle's replay)
+  private val qcFits =
+    scala.collection.concurrent.TrieMap[String, (Array[Long], Long)]()
+
   private def qcScored(s: SparkSession, dir: String,
       weightsPath: String): DataFrame = {
     import graft.text.QualityClassifier
     val docs = t(s, dir, "documents")
-    // bounded, deterministically ordered training sample; pseudo-labels
-    // from the stopword rule over the SAME tokenizer
-    val sample = docs.where(col("doc_id") < 200)
-      .select(col("doc_id"), col("text"))
-      .collect().sortBy(_.getLong(0))
-      .map { r =>
-        val text = r.getString(1)
-        (text, QualityClassifier.label(QualityClassifier.tokens(text)))
-      }.toSeq
-    val (w, bias) = QualityClassifier.fit(sample)
+    val (w, bias) = qcFits.getOrElseUpdate(dir, {
+      // bounded, deterministically ordered training sample;
+      // pseudo-labels from the stopword rule over the SAME tokenizer
+      val sample = docs.where(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+        .collect().sortBy(_.getLong(0))
+        .map { r =>
+          val text = r.getString(1)
+          (text, QualityClassifier.label(QualityClassifier.tokens(text)))
+        }.toSeq
+      QualityClassifier.fit(sample)
+    })
     val weightRows = w.zipWithIndex
       .map { case (wu, bkt) => (bkt.toLong, wu) } :+ (-1L, bias)
     import s.implicits._
