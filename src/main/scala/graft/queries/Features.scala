@@ -433,18 +433,30 @@ object Features {
     * all correctly rounded under IEEE-754, so the statistics match
     * bit-for-bit across engines with no output rounding.
     */
-  val q127_ab_test: Q = (s, dir) => {
+  /** Variant-keyed sufficient statistics (n, Σy, Σy²) — ADDITIVE, so
+    * the streaming monitor folds per-batch partials of this exact
+    * shape ([[graft.streaming.StreamingIngest.abTestStream]]).
+    */
+  def abSufficientStats(events: DataFrame): DataFrame = {
     val dec4 = DecimalType(28, 4)
-    val g = t(s, dir, "events")
+    events
       .where(col("event_type") === "purchase")
-      .select((pmod(col("user_id"), lit(2L)) === 0).as("__a"),
+      .select((pmod(col("user_id"), lit(2L)) === 0).as("variant_a"),
         round(col("value"), 2).cast(dec2).as("__y"))
-      .groupBy(col("__a"))
+      .groupBy(col("variant_a"))
       .agg(count(lit(1)).as("n"), sum(col("__y")).as("s"),
         sum((col("__y") * col("__y")).cast(dec4)).as("s2"))
-    val a = g.where(col("__a")).select(col("n").as("n_a"),
+  }
+
+  /** The Welch readout derived from a (variant_a, n, s, s2) stats frame
+    * — shared verbatim by the batch query and the streaming monitor's
+    * read side, so the streamed statistic EQUALS the batch one on the
+    * union of batches (spec-asserted).
+    */
+  def welchFromStats(g: DataFrame): DataFrame = {
+    val a = g.where(col("variant_a")).select(col("n").as("n_a"),
       col("s").as("__sa"), col("s2").as("__s2a"))
-    val b = g.where(!col("__a")).select(col("n").as("n_b"),
+    val b = g.where(!col("variant_a")).select(col("n").as("n_b"),
       col("s").as("__sb"), col("s2").as("__s2b"))
     def d(c: Column): Column = c.cast("double")
     val crossed = a.crossJoin(b)
@@ -465,6 +477,9 @@ object Features {
       (meanA - meanB).as("lift"),
       tStat.as("t_stat"), df.as("welch_df"))
   }
+
+  val q127_ab_test: Q = (s, dir) =>
+    welchFromStats(abSufficientStats(t(s, dir, "events")))
 
   val q127_sql: String =
     """WITH e AS (SELECT (user_id % 2 = 0) AS a,

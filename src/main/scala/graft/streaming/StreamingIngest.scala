@@ -811,6 +811,54 @@ object StreamingIngest {
     priorGeneration(spark, statsRoot, Long.MaxValue).map(p =>
       graft.queries.Features.psiFromBins(spark.read.parquet(s"$p/bins")))
 
+  /** Continuously maintained experiment readout — the streaming face
+    * of q127's Welch A/B test (the live experimentation dashboard:
+    * significance updates as purchase events arrive, instead of at a
+    * nightly batch). Per-variant (n, Σy, Σy²) sufficient statistics
+    * are ADDITIVE, so each micro-batch folds
+    * [[graft.queries.Features.abSufficientStats]]'s partial into the
+    * previous generation by summation (the [[cusumStream]] replay
+    * protocol), and [[currentAbTest]] derives t and df at read time
+    * through the SAME [[graft.queries.Features.welchFromStats]] the
+    * batch query uses — streamed ≡ batch exact on the union of
+    * batches (spec-asserted), because decimal sums are
+    * order-independent and the closed-form statistics consume only
+    * the folded totals. The generation frame is 2 rows at any event
+    * volume.
+    */
+  def abTestStream(
+      events: DataFrame, // streaming frame: user_id + event_type + value
+      statsRoot: String,
+      checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          val spark = batch.sparkSession
+          val part = graft.queries.Features.abSufficientStats(batch.toDF())
+          val merged = priorGeneration(spark, statsRoot, batchId) match {
+            case Some(p) =>
+              spark.read.parquet(s"$p/ab").unionByName(part)
+                .groupBy(col("variant_a"))
+                .agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
+                  sum(col("s2")).as("s2"))
+            case None => part
+          }
+          merged.write.mode("overwrite")
+            .parquet(s"$statsRoot/gen-$batchId/ab")
+          ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+
+  /** q127's exact readout derived from the newest folded statistics,
+    * or None before the first batch lands.
+    */
+  def currentAbTest(spark: SparkSession, statsRoot: String): Option[DataFrame] =
+    priorGeneration(spark, statsRoot, Long.MaxValue).map(p =>
+      graft.queries.Features.welchFromStats(spark.read.parquet(s"$p/ab")))
+
   /** Streaming near-dup admission — the continuous-dedup serving loop
     * over [[graft.dedup.Dedup.incrementalNearDups]]: each micro-batch
     * of (doc_id, text) is (1) self-deduped with the d02 band family

@@ -958,6 +958,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("abTestStream: folded sufficient statistics derive exactly q127, out-of-order batches included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val base = Files.createTempDirectory("graft_ab_stream").toString
+    val root = s"$base/ab"; val ckpt = s"$base/ckpt"
+    val evs = graft.Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // SHUFFLED batches: the additive fold must not care about order
+    val shuffled = new scala.util.Random(13).shuffle(evs.toSeq)
+    val stream = MemoryStream[(Long, String, Double)]
+    val q = StreamingIngest.abTestStream(
+      stream.toDF().toDF("user_id", "event_type", "value"), root, ckpt)
+    shuffled.grouped(math.max(shuffled.length / 3, 1)).foreach { chunk =>
+      stream.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def asTuple(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect()(0)
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    }
+    val streamed = asTuple(StreamingIngest.currentAbTest(spark, root).get)
+    val batch = asTuple(graft.queries.Features.q127_ab_test(spark, dir))
+    assert(streamed === batch)
+  }
+
   test("streamingNearDupAdmission: self-dedup + corpus filter; admitted generations append") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
