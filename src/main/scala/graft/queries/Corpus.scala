@@ -3665,6 +3665,117 @@ object Corpus {
        |ORDER BY chi2 DESC, term
        |LIMIT 50""".stripMargin
 
+  /** t41: Heaps'-law vocabulary-growth fit — t23's companion scaling
+    * law (Zipf grades the FREQUENCY distribution; Heaps grades how
+    * vocabulary GROWS with corpus size, V(n) ≈ K·n^β). The curve a
+    * tokenizer team reads before sizing a vocabulary, and a corpus-QA
+    * signal (β far from ~0.5 flags synthetic/duplicated text). The
+    * exact growth curve V(n) derives WITHOUT any per-prefix rescan:
+    * each token contributes once at its FIRST-occurrence document
+    * (one min-aggregate — the q85 first-seen identity applied to
+    * vocabulary), new-vocab and token counts roll up to 64 doc-id
+    * buckets, and the only windows run over that 64-row bucket frame.
+    * The log-log OLS follows t23 verbatim: per-point log terms
+    * quantized to DECIMAL(28,12), closed-form slope in doubles with
+    * one written order.
+    */
+  val t41_heaps_law: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val B = 64
+    val docs = t(s, dir, "documents")
+    val mx = docs.agg(max(col("doc_id")).cast("double").as("__mx"))
+    def bucketOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c.cast("double") * lit(B.toDouble) / (col("__mx") + lit(1.0)))
+        .cast("long").as("bucket")
+    val tokensPerBucket = docs
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("__nt"))
+      .crossJoin(broadcast(mx))
+      .select(bucketOf(col("doc_id")), col("__nt"))
+      .groupBy(col("bucket")).agg(sum(col("__nt")).as("toks"))
+    val newVocabPerBucket = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(min(col("doc_id")).as("__fd"))
+      .crossJoin(broadcast(mx))
+      .select(bucketOf(col("__fd")))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("newv"))
+    val w = Window.partitionBy(pmod(col("bucket"), lit(1)))
+      .orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = tokensPerBucket
+      .join(newVocabPerBucket, Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("toks"), lit(0L)).as("toks"),
+        coalesce(col("newv"), lit(0L)).as("newv"))
+      .select(col("bucket"),
+        sum(col("toks")).over(w).as("__n"),
+        sum(col("newv")).over(w).as("__v"))
+      .where(col("__n") > 0 && col("__v") > 0)
+    def dec(c: org.apache.spark.sql.Column) =
+      round(c, 12).cast("decimal(28,12)")
+    val lx = log(col("__n"))
+    val ly = log(col("__v"))
+    val m = pts.agg(
+      count(lit(1)).as("n_points"),
+      sum(dec(lx)).as("sx"), sum(dec(ly)).as("sy"),
+      sum(dec(lx * lx)).as("sxx"), sum(dec(lx * ly)).as("sxy"))
+    val slope = (col("n_points") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+      (col("n_points") * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double"))
+    m.select(col("n_points"),
+      round(slope, 6).as("heaps_beta"),
+      round((col("sy").cast("double") - slope * col("sx").cast("double")) /
+        col("n_points"), 6).as("log_k"))
+  }
+
+  val t41_sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |mx AS (SELECT CAST(MAX(doc_id) AS DOUBLE) AS mx FROM t),
+       |tb AS (SELECT CAST(FLOOR(CAST(doc_id AS DOUBLE) * 64.0 / (mx + 1.0))
+       |           AS BIGINT) AS bucket,
+       |         CAST(SUM(len(toks)) AS BIGINT) AS toks
+       |       FROM t CROSS JOIN mx GROUP BY 1),
+       |fo AS (SELECT tok, MIN(doc_id) AS fd
+       |       FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+       |       GROUP BY tok),
+       |vb AS (SELECT CAST(FLOOR(CAST(fd AS DOUBLE) * 64.0 / (mx + 1.0))
+       |           AS BIGINT) AS bucket, COUNT(*) AS newv
+       |       FROM fo CROSS JOIN mx GROUP BY 1),
+       |cb AS (SELECT COALESCE(tb.bucket, vb.bucket) AS bucket,
+       |         COALESCE(toks, 0) AS toks, COALESCE(newv, 0) AS newv
+       |       FROM tb FULL JOIN vb ON tb.bucket = vb.bucket),
+       |cc AS (SELECT bucket,
+       |         CAST(SUM(toks) OVER w AS BIGINT) AS ncum,
+       |         CAST(SUM(newv) OVER w AS BIGINT) AS vcum
+       |       FROM cb WINDOW w AS (ORDER BY bucket
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |pt AS (SELECT
+       |         CAST(ROUND(LN(CAST(ncum AS DOUBLE)), 12)
+       |              AS DECIMAL(28,12)) AS x,
+       |         CAST(ROUND(LN(CAST(vcum AS DOUBLE)), 12)
+       |              AS DECIMAL(28,12)) AS y,
+       |         CAST(ROUND(LN(CAST(ncum AS DOUBLE))
+       |                    * LN(CAST(ncum AS DOUBLE)), 12)
+       |              AS DECIMAL(28,12)) AS xx,
+       |         CAST(ROUND(LN(CAST(ncum AS DOUBLE))
+       |                    * LN(CAST(vcum AS DOUBLE)), 12)
+       |              AS DECIMAL(28,12)) AS xy
+       |       FROM cc WHERE ncum > 0 AND vcum > 0),
+       |m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+       |        SUM(xx) AS sxx, SUM(xy) AS sxy FROM pt)
+       |SELECT CAST(n AS BIGINT) AS n_points,
+       |  ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+       |         * CAST(sy AS DOUBLE))
+       |        / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+       |           * CAST(sx AS DOUBLE)), 6) AS heaps_beta,
+       |  ROUND((CAST(sy AS DOUBLE)
+       |         - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+       |             * CAST(sy AS DOUBLE))
+       |            / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+       |               * CAST(sx AS DOUBLE)))
+       |           * CAST(sx AS DOUBLE)) / n, 6) AS log_k
+       |FROM m""".stripMargin
+
   /** c05: entity-resolution capstone — the full MDM pipeline as one
     * composed query: token blocking (d15's candidate generation) →
     * native Jaro–Winkler match at 0.92 ([[graft.functions.JaroWinklerSimilarity]],
@@ -5113,6 +5224,7 @@ object Corpus {
     "t38_quality_classifier" -> t38_quality_classifier,
     "t39_collocations"      -> t39_collocations,
     "t40_chi2_terms"        -> t40_chi2_terms,
+    "t41_heaps_law"         -> t41_heaps_law,
     "q121_auc_eval"         -> q121_auc_eval,
     "q126_calibration"      -> q126_calibration,
     "c05_entity_resolution" -> c05_entity_resolution,
@@ -5206,6 +5318,7 @@ object Corpus {
     "t38_quality_classifier" -> t38_sql,
     "t39_collocations"      -> t39_sql,
     "t40_chi2_terms"        -> t40_sql,
+    "t41_heaps_law"         -> t41_sql,
     "q121_auc_eval"         -> q121_sql,
     "q126_calibration"      -> q126_sql,
     "c05_entity_resolution" -> c05_sql,

@@ -376,7 +376,10 @@ object ScaleGrowth {
       "d03_simhash_neardups", "d16_embedding_neardups_lsh",
       "d05_dup_groups",
       "d08_repeated_spans", "s02_lsh_ann_topk", "s03_ivf_topk",
-      "t07_sequence_pack", "t16_corpus_positions")
+      "t07_sequence_pack", "t16_corpus_positions",
+      //  - t41: first-occurrence vocab rollup (one token-keyed min-agg;
+      //    vocabulary grows with the salted corpus like t29's)
+      "t41_heaps_law")
       .filter(q => onlyPrefixes.forall(_.exists(q.startsWith)))
     // queries measured on the disjoint-copy graph dirs (see above)
     val graphDirQs = Set("g01_pagerank", "g02_components", "g03_triangles",

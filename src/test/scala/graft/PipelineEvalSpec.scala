@@ -154,6 +154,26 @@ class PipelineEvalSpec extends SparkSpec {
     assert(row.getDouble(6) > 0 && row.getDouble(6) <= (na + nb - 2).toDouble)
   }
 
+  test("t41 Heaps fit flags the synthetic corpus's fixed vocabulary") {
+    val r = graft.queries.Corpus.t41_heaps_law(spark, sfDir).collect()(0)
+    assert(r.getLong(0) > 8, "enough non-empty checkpoint buckets")
+    val beta = r.getDouble(1)
+    // natural text sits near β ≈ 0.4–0.6; the fixtures draw from a
+    // small FIXED vocabulary, so nearly all of it appears in the first
+    // bucket and growth flattens — the corpus-QA signal this statistic
+    // exists to raise. The assertion pins that the fit DETECTS it.
+    assert(beta >= 0.0 && beta < 0.2,
+      s"synthetic fixed-vocab corpus must read as flat growth, got $beta")
+    // log_k recovers the (log) vocabulary plateau: e^log_k must be
+    // within the true vocabulary's order of magnitude
+    val vocab = Tables(spark, sfDir, "documents")
+      .select(explode(graft.text.TextAnalysis.tokens(col("text"))))
+      .distinct().count()
+    val kEst = math.exp(r.getDouble(2))
+    assert(kEst > vocab / 10.0 && kEst < vocab * 10.0,
+      s"K=$kEst vs true vocabulary $vocab")
+  }
+
   test("t40 χ² report is well-formed and correctly ordered") {
     val rows = graft.queries.Corpus.t40_chi2_terms(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 50)

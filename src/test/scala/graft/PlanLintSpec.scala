@@ -82,7 +82,9 @@ class PlanLintSpec extends SparkSpec {
       // the q82-bounds shape, never a row×row cross
       "q122_psi_drift", "q123_target_encoding", "t40_chi2_terms",
       // q127: two 1-row variant-summary frames crossed — never row×row
-      "q127_ab_test")
+      "q127_ab_test",
+      // t41: both bucket rollups cross a broadcast 1-row max-id frame
+      "t41_heaps_law")
 
   // queries allowed to window >minRows rows on a <minKeys-value key —
   // empty by design; adding here requires an in-source justification
