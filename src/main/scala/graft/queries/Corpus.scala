@@ -3501,6 +3501,105 @@ object Corpus {
        |  CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE) AS emp_rate
        |FROM g""".stripMargin
 
+  private def q128WeightsPath(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${graft.ingest.FixtureTables.root}/q128_weights_$key"
+  }
+
+  /** q128: per-slice AUC — q121 grouped by document source, the way
+    * model evaluation is actually consumed (a global AUC hides a
+    * slice the model ranks at chance; per-language/per-source
+    * breakdowns are the first page of every real eval report). The
+    * rank statistic runs INDEPENDENTLY per slice, and the t16
+    * two-level prefix generalizes per group: per-(slice, bucket)
+    * subtotals, an exclusive bucket prefix windowed BY SLICE (input =
+    * slices × ~score-range/2²⁰ bucket rows — bounded), then the
+    * within-bucket running sum keyed (slice, bucket). No window ever
+    * sees a slice's full distinct-score frame in one partition — the
+    * naive per-slice window (PARTITION BY source ORDER BY score)
+    * funnels each slice through one task, exactly the low-cardinality
+    * window trap the plan lint exists to catch; the oracle states
+    * that naive form, the plan avoids it.
+    */
+  val q128_auc_by_slice: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val scored = qcScored(s, dir, q128WeightsPath(dir))
+    val withSrc = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      .join(scored, Seq("doc_id"))
+      .select(col("source"), col("__logit_u").as("s_u"),
+        (col("__nstop") * lit(100L) > col("__ntok") * lit(6L)).as("__y"))
+    val g = withSrc.groupBy(col("source"), col("s_u"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__p"),
+        sum(when(col("__y"), 0L).otherwise(1L)).as("__n"))
+      .withColumn("__bucket",
+        floor(col("s_u").cast("double") / lit(1048576.0)))
+      .localCheckpoint(true)
+    val wB = Window.partitionBy(col("source")).orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pref = g.groupBy(col("source"), col("__bucket"))
+      .agg(sum(col("__n")).as("__bn"))
+      .select(col("source"), col("__bucket"),
+        coalesce(sum(col("__bn")).over(wB), lit(0L)).as("__nstart"))
+    val wIn = Window.partitionBy(col("source"), col("__bucket"))
+      .orderBy(col("s_u"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLess = g.join(broadcast(pref), Seq("source", "__bucket"))
+      .select(col("source"), col("s_u"), col("__p"), col("__n"),
+        (col("__nstart") + coalesce(sum(col("__n")).over(wIn), lit(0L)))
+          .as("__nless"))
+    val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    withLess.groupBy(col("source"))
+      .agg(
+        sum(col("__p")).as("n_pos"),
+        sum(col("__n")).as("n_neg"),
+        sum((lit(2L) * col("__nless") + col("__n")).cast(dec19) *
+          col("__p").cast(dec19)).as("__num2"))
+      .where(col("n_pos") > 0 && col("n_neg") > 0)
+      .select(col("source"), col("n_pos"), col("n_neg"),
+        (col("__num2").cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") *
+            col("n_neg").cast("double"))).as("auc"))
+  }
+
+  def q128_sql: String =
+    s"""WITH w AS (SELECT bucket, w_u
+       |  FROM read_parquet('${q128WeightsPath(oracleSfDir)}/*.parquet')),
+       |t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+       |st AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS ntok,
+       |         CAST(len(list_filter(toks, x -> x IN ('the', 'a')))
+       |           AS BIGINT) AS nstop
+       |       FROM t),
+       |b AS (SELECT doc_id,
+       |        ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024 AS bucket,
+       |        COUNT(*) AS c
+       |      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+       |      GROUP BY 1, 2),
+       |sw AS (SELECT doc_id, CAST(SUM(b.c * w.w_u) AS BIGINT) AS sw
+       |       FROM b JOIN w USING (bucket) WHERE w.bucket >= 0
+       |       GROUP BY doc_id),
+       |sc AS (SELECT st.source,
+       |         (SELECT w_u FROM w WHERE bucket = -1)
+       |           + COALESCE(sw.sw, 0) AS s_u,
+       |         (st.nstop * 100 > st.ntok * 6) AS y
+       |       FROM st LEFT JOIN sw USING (doc_id)),
+       |g AS (SELECT source, s_u,
+       |        SUM(CASE WHEN y THEN 1 ELSE 0 END) AS p,
+       |        SUM(CASE WHEN y THEN 0 ELSE 1 END) AS n
+       |      FROM sc GROUP BY source, s_u),
+       |c AS (SELECT source, s_u, p, n,
+       |        COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY s_u
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          AS nless
+       |      FROM g)
+       |SELECT source, CAST(SUM(p) AS BIGINT) AS n_pos,
+       |  CAST(SUM(n) AS BIGINT) AS n_neg,
+       |  CAST(SUM(CAST(2 * nless + n AS DECIMAL(19,0))
+       |           * CAST(p AS DECIMAL(19,0))) AS DOUBLE)
+       |    / (2.0 * CAST(SUM(p) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)) AS auc
+       |FROM c
+       |GROUP BY source
+       |HAVING SUM(p) > 0 AND SUM(n) > 0""".stripMargin
+
   /** t39: PMI-style collocation mining — the corpus's most-associated
     * word bigrams by lift p(ab)/(p(a)·p(b)), the statistic behind
     * phrase detection (word2vec's phrase pass), tokenizer merge
@@ -5227,6 +5326,7 @@ object Corpus {
     "t41_heaps_law"         -> t41_heaps_law,
     "q121_auc_eval"         -> q121_auc_eval,
     "q126_calibration"      -> q126_calibration,
+    "q128_auc_by_slice"     -> q128_auc_by_slice,
     "c05_entity_resolution" -> c05_entity_resolution,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
@@ -5321,6 +5421,7 @@ object Corpus {
     "t41_heaps_law"         -> t41_sql,
     "q121_auc_eval"         -> q121_sql,
     "q126_calibration"      -> q126_sql,
+    "q128_auc_by_slice"     -> q128_sql,
     "c05_entity_resolution" -> c05_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,

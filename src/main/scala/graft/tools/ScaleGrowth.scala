@@ -359,6 +359,8 @@ object ScaleGrowth {
       //  - q126: calibration — the q121 scored frame collapsed to
       //    half-logit buckets, report bucket-count-bounded
       "q126_calibration",
+      //  - q128: per-slice AUC — the grouped two-level rank prefix
+      "q128_auc_by_slice",
       // round 9 (roster completion): the remaining distinct candidate
       // shapes measured nowhere else in their families —
       //  - d03: SimHash pigeonhole block self-join

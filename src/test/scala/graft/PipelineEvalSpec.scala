@@ -38,6 +38,32 @@ class PipelineEvalSpec extends SparkSpec {
     assert(auc > 0.9, s"distilled model should rank well, auc=$auc")
   }
 
+  test("q128 per-slice AUC equals brute-force pairs within every slice") {
+    val out = graft.queries.Corpus.q128_auc_by_slice(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out.nonEmpty)
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val scored = graft.queries.Corpus.t38_quality_classifier(spark, sfDir)
+      .select(col("doc_id"), col("logit"), col("label_high_stop")).collect()
+      .map(r => (docs(r.getLong(0)), r.getDouble(1), r.getBoolean(2)))
+    out.foreach { case (src, (nPos, nNeg, auc)) =>
+      val pos = scored.filter(t => t._1 == src && t._3).map(_._2)
+      val neg = scored.filter(t => t._1 == src && !t._3).map(_._2)
+      assert(pos.length.toLong == nPos && neg.length.toLong == nNeg, src)
+      var gt = 0L; var eq = 0L
+      pos.foreach { p =>
+        neg.foreach { n => if (p > n) gt += 1 else if (p == n) eq += 1 }
+      }
+      val bf = (gt + 0.5 * eq) / (nPos.toDouble * nNeg.toDouble)
+      assert(math.abs(auc - bf) < 1e-12, s"$src: auc=$auc brute-force=$bf")
+    }
+    // single-class slices are excluded, never emitted as NaN
+    assert(out.values.forall(v => !v._3.isNaN))
+  }
+
   test("q122 PSI total equals the exact per-bin fold and is non-negative") {
     val rows = graft.queries.Features.q122_psi_drift(spark, sfDir).collect()
     assert(rows.nonEmpty)
