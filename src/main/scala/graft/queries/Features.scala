@@ -277,6 +277,56 @@ object Features {
       |    AS r_squared
       |FROM mo""".stripMargin
 
+  /** q129: l-diversity profile — k-anonymity's second rung (Machanava-
+    * jjhala et al.): group SIZE (q119) does not protect when every
+    * record in a group shares the SENSITIVE value, so the release gate
+    * also needs, per quasi-identifier group, how many DISTINCT
+    * sensitive values appear. Quasi-identifier = (segment, nation);
+    * sensitive attribute = the 1000-unit balance bucket. One pass:
+    * distinct sensitive values per group come from a (QI, sensitive)
+    * pre-aggregate (never count-distinct over raw rows — the same
+    * two-level shape as q09/q62), the profile rolls up to one row:
+    * group count, the dataset's l (min distinct sensitive), rows in
+    * groups below l=3, and that population as a percentage (two exact
+    * integers divided as doubles, bit-equal across engines).
+    */
+  val q129_l_diversity: Q = (s, dir) => {
+    val base = t(s, dir, "customer").select(
+      col("c_mktsegment").as("segment"),
+      col("c_nationkey").cast("long").as("nation"),
+      floor(col("c_acctbal") / 1000.0).cast("long").as("sensitive"))
+    val perSens = base.groupBy(col("segment"), col("nation"), col("sensitive"))
+      .agg(count(lit(1)).as("__n"))
+    val perGroup = perSens.groupBy(col("segment"), col("nation"))
+      .agg(count(lit(1)).as("__l"), sum(col("__n")).as("__rows"))
+    perGroup.agg(
+        count(lit(1)).as("n_groups"),
+        min(col("__l")).as("min_l"),
+        sum(when(col("__l") < 3, col("__rows")).otherwise(0L))
+          .as("rows_below_l3"),
+        sum(col("__rows")).as("__total"))
+      .select(col("n_groups"), col("min_l"), col("rows_below_l3"),
+        (col("rows_below_l3").cast("double") * 100.0 /
+          col("__total").cast("double")).as("risk_pct"))
+  }
+
+  val q129_sql: String =
+    """WITH base AS (SELECT c_mktsegment AS segment,
+      |    CAST(c_nationkey AS BIGINT) AS nation,
+      |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS sensitive
+      |  FROM customer),
+      |ps AS (SELECT segment, nation, sensitive, COUNT(*) AS n
+      |       FROM base GROUP BY 1, 2, 3),
+      |pg AS (SELECT segment, nation, COUNT(*) AS l,
+      |         CAST(SUM(n) AS BIGINT) AS rows_g
+      |       FROM ps GROUP BY 1, 2)
+      |SELECT COUNT(*) AS n_groups, MIN(l) AS min_l,
+      |  CAST(SUM(CASE WHEN l < 3 THEN rows_g ELSE 0 END) AS BIGINT)
+      |    AS rows_below_l3,
+      |  CAST(SUM(CASE WHEN l < 3 THEN rows_g ELSE 0 END) AS DOUBLE)
+      |    * 100.0 / CAST(SUM(rows_g) AS DOUBLE) AS risk_pct
+      |FROM pg""".stripMargin
+
   // ----------------------------------------------------- drift profile
 
   /** q122: population-stability-index drift report between a reference
@@ -518,6 +568,7 @@ object Features {
     "q119_k_anonymity"    -> q119_k_anonymity,
     "q120_ols_multi"      -> q120_ols_multi,
     "q122_psi_drift"      -> q122_psi_drift,
+    "q129_l_diversity"    -> q129_l_diversity,
     "q123_target_encoding" -> q123_target_encoding,
     "q127_ab_test"        -> q127_ab_test)
 
@@ -526,6 +577,7 @@ object Features {
     "q119_k_anonymity"    -> q119_sql,
     "q120_ols_multi"      -> q120_sql,
     "q122_psi_drift"      -> q122_sql,
+    "q129_l_diversity"    -> q129_sql,
     "q123_target_encoding" -> q123_sql,
     "q127_ab_test"        -> q127_sql)
 }

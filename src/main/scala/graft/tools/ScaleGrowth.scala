@@ -354,6 +354,9 @@ object ScaleGrowth {
       // - q127: Welch t from two 1-row sufficient-stat frames — the
       //   q120 regime (scan + fixed-cardinality partial agg)
       "q127_ab_test",
+      // - q129: l-diversity — two nested keyed aggregates over 10x
+      //   customer rows at fixed QI-group cardinality (q119's regime)
+      "q129_l_diversity",
       "q121_auc_eval", "q122_psi_drift", "q123_target_encoding",
       "q124_shard_manifest", "q125_schema_evolution", "t40_chi2_terms",
       //  - q126: calibration — the q121 scored frame collapsed to
