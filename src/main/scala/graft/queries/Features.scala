@@ -465,6 +465,105 @@ object Features {
       |    / (CAST(c.nc - cf.n_rows AS DOUBLE) + 20.0) AS encoding
       |FROM cf JOIN c USING (category) CROSS JOIN g""".stripMargin
 
+  // ------------------------------------------------ survival analysis
+
+  /** q130: Kaplan–Meier time-to-conversion curve — survival analysis
+    * applied to the funnel (S(t) = P[no purchase within t days of
+    * first contact]; q58's retention cohorts read activity, this
+    * estimates the conversion-time DISTRIBUTION with censoring done
+    * right: a user the observation window cuts off before converting
+    * contributes to the at-risk denominator up to their horizon and
+    * never to the numerator — dropping them, the naive mistake,
+    * biases conversion fast). Per user one aggregate yields first
+    * contact and first purchase; durations roll up to the
+    * calendar-bounded event-time frame, at-risk counts come from one
+    * exclusive prefix, and the product Π(1 − dₖ/nₖ) runs as
+    * exp∘Σ∘ln with per-term round-12 DECIMAL quantization (the t29
+    * transcendental discipline). The dₖ = nₖ step (everyone
+    * remaining converts — S hits exactly 0) is guarded on BOTH
+    * sides: the zero term never reaches ln, and the cumulative-min
+    * flag pins survival to 0.0 from that step on — bit-equal across
+    * engines because 1 − d/n is exact when d = n.
+    */
+  val q130_kaplan_meier: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val u = ev.groupBy(col("user_id")).agg(
+      min(to_date(col("ts"))).as("__first"),
+      min(when(col("event_type") === "purchase", to_date(col("ts"))))
+        .as("__purch"))
+    val end = ev.agg(max(to_date(col("ts"))).as("__end"))
+    val dur = u.crossJoin(broadcast(end)).select(
+      when(col("__purch").isNotNull,
+        datediff(col("__purch"), col("__first")))
+        .otherwise(datediff(col("__end"), col("__first")))
+        .cast("long").as("t"),
+      when(col("__purch").isNotNull, 1L).otherwise(0L).as("__e"))
+    val g = dur.groupBy(col("t")).agg(
+        sum(col("__e")).as("n_events"),
+        sum(lit(1L) - col("__e")).as("n_censored"))
+      .localCheckpoint(true) // totals AND the prefix frame
+    val tot = g.agg(sum(col("n_events") + col("n_censored")).as("__N"))
+    val wEx = Window.partitionBy(pmod(col("t"), lit(1))).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(pmod(col("t"), lit(1))).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = g.crossJoin(broadcast(tot)).select(
+      col("t"), col("n_events"), col("n_censored"),
+      (col("__N") - coalesce(
+        sum(col("n_events") + col("n_censored")).over(wEx), lit(0L)))
+        .as("n_at_risk"))
+    val term = lit(1.0) -
+      col("n_events").cast("double") / col("n_at_risk").cast("double")
+    risk
+      .select(col("t"), col("n_at_risk"), col("n_events"), col("n_censored"),
+        term.as("__term"),
+        when(term > 0, round(log(term), 12).cast("decimal(28,12)"))
+          .as("__qln"))
+      .select(col("t"), col("n_at_risk"), col("n_events"), col("n_censored"),
+        when(min(col("__term")).over(wCum) <= 0.0, lit(0.0))
+          .otherwise(round(exp(
+            sum(col("__qln")).over(wCum).cast("double")), 6))
+          .as("survival"))
+  }
+
+  val q130_sql: String =
+    """WITH u AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS first_day,
+      |    CAST(MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS DATE)
+      |      AS purch_day
+      |  FROM events GROUP BY user_id),
+      |mx AS (SELECT CAST(MAX(ts) AS DATE) AS end_day FROM events),
+      |d AS (SELECT
+      |    CAST(CASE WHEN purch_day IS NOT NULL THEN purch_day - first_day
+      |              ELSE end_day - first_day END AS BIGINT) AS t,
+      |    CASE WHEN purch_day IS NOT NULL THEN 1 ELSE 0 END AS e
+      |  FROM u CROSS JOIN mx),
+      |g AS (SELECT t, CAST(SUM(e) AS BIGINT) AS n_events,
+      |    CAST(SUM(1 - e) AS BIGINT) AS n_censored
+      |  FROM d GROUP BY t),
+      |tot AS (SELECT CAST(SUM(n_events + n_censored) AS BIGINT) AS n
+      |        FROM g),
+      |r AS (SELECT t, n_events, n_censored,
+      |    CAST(tot.n - COALESCE(SUM(n_events + n_censored) OVER
+      |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0) AS BIGINT) AS n_at_risk
+      |  FROM g CROSS JOIN tot),
+      |s AS (SELECT t, n_at_risk, n_events, n_censored,
+      |    1.0 - CAST(n_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE)
+      |      AS term,
+      |    CASE WHEN 1.0 - CAST(n_events AS DOUBLE)
+      |              / CAST(n_at_risk AS DOUBLE) > 0
+      |         THEN CAST(ROUND(LN(1.0 - CAST(n_events AS DOUBLE)
+      |                / CAST(n_at_risk AS DOUBLE)), 12) AS DECIMAL(28,12))
+      |         ELSE NULL END AS qln
+      |  FROM r)
+      |SELECT t, n_at_risk, n_events, n_censored,
+      |  CASE WHEN MIN(term) OVER w <= 0.0 THEN 0.0
+      |       ELSE ROUND(EXP(CAST(SUM(qln) OVER w AS DOUBLE)), 6) END
+      |    AS survival
+      |FROM s
+      |WINDOW w AS (ORDER BY t
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
   // -------------------------------------------------- experimentation
 
   /** q127: A/B experiment readout — Welch's two-sample t statistic
@@ -569,6 +668,7 @@ object Features {
     "q120_ols_multi"      -> q120_ols_multi,
     "q122_psi_drift"      -> q122_psi_drift,
     "q129_l_diversity"    -> q129_l_diversity,
+    "q130_kaplan_meier"   -> q130_kaplan_meier,
     "q123_target_encoding" -> q123_target_encoding,
     "q127_ab_test"        -> q127_ab_test)
 
@@ -578,6 +678,7 @@ object Features {
     "q120_ols_multi"      -> q120_sql,
     "q122_psi_drift"      -> q122_sql,
     "q129_l_diversity"    -> q129_sql,
+    "q130_kaplan_meier"   -> q130_sql,
     "q123_target_encoding" -> q123_sql,
     "q127_ab_test"        -> q127_sql)
 }

@@ -354,6 +354,9 @@ object ScaleGrowth {
       // - q127: Welch t from two 1-row sufficient-stat frames — the
       //   q120 regime (scan + fixed-cardinality partial agg)
       "q127_ab_test",
+      // - q130: Kaplan-Meier — user-keyed min-aggregate over 10x
+      //   users into a calendar-bounded event-time frame
+      "q130_kaplan_meier",
       // - q129: l-diversity — two nested keyed aggregates over 10x
       //   customer rows at fixed QI-group cardinality (q119's regime)
       "q129_l_diversity",

@@ -200,6 +200,33 @@ class PipelineEvalSpec extends SparkSpec {
       s"K=$kEst vs true vocabulary $vocab")
   }
 
+  test("q130 Kaplan-Meier curve matches the hand fold; censoring shrinks at-risk only") {
+    val rows = graft.queries.Features.q130_kaplan_meier(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    // replay the estimator by hand from the query's own counts
+    var atRisk = rows.map(r => r.getLong(2) + r.getLong(3)).sum
+    var sLog = BigDecimal(0)
+    var dead = false
+    rows.foreach { r =>
+      val (t, n, d, c) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n == atRisk, s"at-risk at t=$t")
+      val term = 1.0 - d.toDouble / n.toDouble
+      if (term <= 0.0) dead = true
+      else sLog += BigDecimal(math.log(term))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      val expected =
+        if (dead) 0.0
+        else BigDecimal(math.exp(sLog.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) == expected, s"survival at t=$t")
+      atRisk -= d + c // censored leave the denominator, never the numerator
+    }
+    // survival is monotone non-increasing from 1 downward
+    val surv = rows.map(_.getDouble(4))
+    assert(surv.head <= 1.0 && surv.zip(surv.tail).forall { case (a, b) => b <= a })
+  }
+
   test("t40 χ² report is well-formed and correctly ordered") {
     val rows = graft.queries.Corpus.t40_chi2_terms(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 50)

@@ -84,7 +84,9 @@ class PlanLintSpec extends SparkSpec {
       // q127: two 1-row variant-summary frames crossed — never row×row
       "q127_ab_test",
       // t41: both bucket rollups cross a broadcast 1-row max-id frame
-      "t41_heaps_law")
+      "t41_heaps_law",
+      // q130: two broadcast 1-row crosses (observation end; N total)
+      "q130_kaplan_meier")
 
   // queries allowed to window >minRows rows on a <minKeys-value key —
   // empty by design; adding here requires an in-source justification
