@@ -3193,8 +3193,13 @@ object Corpus {
        |SELECT id_a, id_b, COUNT(*) AS n_close_frames
        |FROM close GROUP BY id_a, id_b HAVING COUNT(*) >= 3""".stripMargin
 
-  private def t38WeightsPath: String =
-    s"${graft.ingest.FixtureTables.root}/t38_weights.parquet"
+  // per-dir key (the q121/q126/q128 rule): a bench or verify run at a
+  // DIFFERENT sfDir must never overwrite the weights a pending oracle
+  // compare will replay — the one cross-run interference this family had
+  private def t38WeightsPath(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${graft.ingest.FixtureTables.root}/t38_weights_$key"
+  }
 
   /** Model-based document filter (fastText shape, CCNet-family): a
     * logistic classifier over 1024 hashed bag-of-words COUNT buckets
@@ -3273,7 +3278,7 @@ object Corpus {
   }
 
   val t38_quality_classifier: Q = (s, dir) =>
-    qcScored(s, dir, t38WeightsPath).select(
+    qcScored(s, dir, t38WeightsPath(dir)).select(
       col("doc_id"),
       (col("__logit_u").cast("double") / lit(1000000.0)).as("logit"),
       (col("__logit_u") > 0).as("pred_high_stop"),
@@ -3282,7 +3287,7 @@ object Corpus {
 
   def t38_sql: String =
     s"""WITH w AS (SELECT bucket, w_u
-       |           FROM read_parquet('$t38WeightsPath/*.parquet')),
+       |           FROM read_parquet('${t38WeightsPath(oracleSfDir)}/*.parquet')),
        |t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |st AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS ntok,
        |         CAST(len(list_filter(toks, x -> x IN ('the', 'a')))
@@ -3296,7 +3301,7 @@ object Corpus {
        |sw AS (SELECT doc_id, CAST(SUM(b.c * w.w_u) AS BIGINT) AS sw
        |       FROM b JOIN w USING (bucket) WHERE w.bucket >= 0
        |       GROUP BY doc_id),
-       |bias AS (SELECT w_u FROM read_parquet('$t38WeightsPath/*.parquet')
+       |bias AS (SELECT w_u FROM read_parquet('${t38WeightsPath(oracleSfDir)}/*.parquet')
        |         WHERE bucket = -1)
        |SELECT st.doc_id,
        |  CAST((SELECT w_u FROM bias) + COALESCE(sw.sw, 0) AS DOUBLE)
