@@ -71,7 +71,7 @@ object Bench {
       // the driver's wall budget. SPARK_GRAFT_BENCH_RUNS=2 restores the
       // min-of-N local methodology.
       val timed = Seq.fill(runs)(timedOnce())
-      name -> ((math.min(warm, timed.min), () => timedOnce()))
+      name -> ((warm +: timed, () => timedOnce()))
     }
     // Stall repair: this host's CPU is intermittently stolen in bursts
     // lasting minutes (sampled /proc/stat steal at 6-10%/cpu during
@@ -83,12 +83,33 @@ object Bench {
     // ended. 2s is above the steady-state time of every query except the
     // end-to-end ingest demo, so steady-state runs re-measure only a
     // handful of entries (a few seconds of extra wall).
-    val repaired = results.map { case (name, (best, again)) =>
-      name -> (if (best > 2.0) math.min(best, again()) else best)
+    val sampled = results.map { case (name, (samples, again)) =>
+      name -> (if (samples.min > 2.0) samples :+ again() else samples)
     }
+    val repaired = sampled.map { case (name, samples) => name -> samples.min }
     val qs = repaired.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (repaired.nonEmpty) repaired.map(_._2).sum else 0.0
+    // Per-query max−min across every evaluation this run took (warm-up,
+    // the N timed passes, any repair pass) — the reader's direct
+    // evidence for "this number is host noise, not a plan regression":
+    // the same binary disagreeing with itself within ONE run bounds the
+    // host's contribution without needing any cross-run reference.
+    val spreads = sampled.map { case (name, samples) =>
+      name -> (samples.max - samples.min)
+    }
+    val spreadJson = spreads
+      .map { case (k, v) => "\"" + k + "\":" + String.format(
+        java.util.Locale.ROOT, "%.3f", Double.box(v)) }
+      .mkString("{", ",", "}")
+    // a query whose own samples disagree by more than max(0.25s, its
+    // best time) sat in a steal burst during at least one pass
+    val spreadSuspect = sampled.collect {
+      case (name, samples)
+          if samples.max - samples.min >
+            math.max(0.25, samples.min) =>
+        name
+    }.toSet
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Noise flagging: a single-run bench on this host can read 2-3× high
     // on regex/JIT-heavy queries with ZERO code change (the steal-burst
@@ -112,17 +133,17 @@ object Bench {
           else Map.empty
         } else Map.empty
       } catch { case _: Throwable => Map.empty }
-    val noiseSuspect = repaired.collect {
+    val noiseSuspect = (repaired.collect {
       case (name, v)
           if reference.get(name).exists(r => v > 2.0 * r && v - r > 0.25) =>
         name
-    }
+    }.toSet ++ spreadSuspect).toSeq.sorted
     val noiseJson = noiseSuspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     // spark_version in every artifact: round 7's 21-query break was a
     // Spark-lineage change, diagnosable from the JSON alone only if the
     // runtime version rides along.
     val ver = spark.version
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"noise_suspect":$noiseJson,"sf":"$sfDir","spark_version":"$ver"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadJson,"failed":$failedJson,"noise_suspect":$noiseJson,"sf":"$sfDir","spark_version":"$ver"}""")
     // The per-query line above can exceed the driver's tail-capture
     // window (~70 entries); repeat the total on a FINAL compact line —
     // no per-query map — so a machine-readable number always survives.
@@ -133,7 +154,7 @@ object Bench {
     // instead of parsing a tail.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_total.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"noise_suspect":$noiseJson,"sf":"$sfDir","spark_version":"$ver"}\n""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadJson,"failed":$failedJson,"noise_suspect":$noiseJson,"sf":"$sfDir","spark_version":"$ver"}\n""")
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_total.json write failed: ${e.getMessage}")
     }

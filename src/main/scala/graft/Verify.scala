@@ -6,6 +6,16 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // every query-written artifact (weight dumps, shard exports, index
+    // stores) goes under THIS run's out-dir: write-once and private, so
+    // no concurrent/interleaved run can overwrite what the driver's
+    // DuckDB compare replays (round-9 q124/q125 failure class); local
+    // VERIFY_ONLY iterations reuse the same outDir, so a previous full
+    // run's fixtures keep serving the unselected queries' oracles.
+    // MUST be pinned before ANY query-object touch: a lazily-initialized
+    // object could otherwise capture the per-process default.
+    graft.ingest.FixtureTables.root =
+      new java.io.File(outDir, "fixtures").getAbsolutePath
     // dir-dependent oracles (s03's centroid fixture) must describe THIS
     // verify run's sfDir when oracle_sql.json is dumped below
     graft.queries.Corpus.oracleSfDir = sfDir

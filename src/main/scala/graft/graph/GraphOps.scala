@@ -130,6 +130,7 @@ object GraphOps {
   def pageRankWeighted(edges: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
     val nodeSet = nodes.select(col("node")).localCheckpoint(true)
     val n = nodeSet.count()
+    require(n > 0, "pageRankWeighted requires a non-empty node set")
     val e = edges.select(col("src"), col("dst"), col("w"))
       .join(nodeSet.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
       .join(nodeSet.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
@@ -174,6 +175,8 @@ object GraphOps {
     val nodeSet = nodes.select(col("node")).localCheckpoint(true)
     val seedSet = seeds.select(col("node")).localCheckpoint(true)
     val nSeeds = seedSet.count()
+    require(nSeeds > 0,
+      "pageRankPersonalized requires a non-empty seed set")
     val e = edges.select(col("src"), col("dst")).withColumn("w", lit(1L))
       .join(nodeSet.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
       .join(nodeSet.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")

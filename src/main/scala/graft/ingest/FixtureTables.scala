@@ -18,10 +18,23 @@ import org.apache.spark.sql.functions._
   */
 object FixtureTables {
 
-  /** Stable absolute location the oracle SQL embeds via `read_parquet`. */
-  val root: String = new java.io.File(
+  /** Absolute location the oracle SQL embeds via `read_parquet` — the
+    * root for EVERY artifact a query writes and its oracle re-reads
+    * (payload raws, classifier weight dumps, shard exports, format
+    * round-trips, ANN index stores, media fixtures).
+    *
+    * PER-PROCESS unique by default, so two JVMs (a Bench interleaved
+    * with a Verify, or two Verify generations in the driver's harness)
+    * can never overwrite what the other's pending DuckDB compare will
+    * replay — the round-9 q124/q125 hash-mismatch class. [[graft.Verify]]
+    * pins it INTO ITS OWN OUTPUT DIRECTORY at startup (before any query
+    * or oracle-SQL generation runs), making each verify run's dumps
+    * write-once, private, and durable for the compare process that runs
+    * afterwards.
+    */
+  @volatile var root: String = new java.io.File(
     sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-    "graft_fixture_tables").getAbsolutePath
+    s"graft_fixture_tables_p${ProcessHandle.current().pid()}").getAbsolutePath
 
   @volatile private var writtenBy: SparkSession = _
 

@@ -734,18 +734,26 @@ object Corpus {
         col("a.tok") === col("b.tok") && col("a.p_name") < col("b.p_name"))
       .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"))
       .distinct()
-      .withColumn("__jw", graft.functions.JaroWinklerSimilarity(
-        col("name_a"), col("name_b")))
-      .where(col("__jw") >= 0.85)
-      .select(col("name_a"), col("name_b"), round(col("__jw"), 6).as("jw"))
+      // e-6-quantized score for BOTH the threshold and the report: the
+      // c05 rule — the 0.8499995 quantized boundary is unattainable by
+      // any exact JW rational, so a last-bit kernel difference between
+      // engines can't flip membership, and the reported jw_e6 integer
+      // is identical by construction (round 9: `round(jw, 6)` is the
+      // engine-divergent class)
+      .withColumn("jw_e6", floor(graft.functions.JaroWinklerSimilarity(
+        col("name_a"), col("name_b")) * lit(1000000.0) + lit(0.5)))
+      .where(col("jw_e6") >= 850000L)
+      .select(col("name_a"), col("name_b"), col("jw_e6"))
   }
 
   val d15_sql: String =
     """WITH nm AS (SELECT DISTINCT p_name FROM part)
       |SELECT a.p_name AS name_a, b.p_name AS name_b,
-      |  ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+      |  CAST(FLOOR(jaro_winkler_similarity(a.p_name, b.p_name)
+      |             * 1000000.0 + 0.5) AS BIGINT) AS jw_e6
       |FROM nm a JOIN nm b ON a.p_name < b.p_name
-      |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85""".stripMargin
+      |WHERE FLOOR(jaro_winkler_similarity(a.p_name, b.p_name)
+      |            * 1000000.0 + 0.5) >= 850000""".stripMargin
 
   /** Content fingerprint (min-md5 over word 8-gram shingles) per doc —
     * the winnowing-style signature used for fast copy detection.
@@ -1586,10 +1594,17 @@ object Corpus {
   private val d16PlaneCounts =
     scala.collection.concurrent.TrieMap[String, Int]()
 
+  /** The corpus-adaptive plane policy (s15's): pin expected bucket
+    * occupancy ≈ 30. Shared by the query AND the oracle fallback so
+    * the two sides cannot drift; DedupSpec asserts the fallback's
+    * assumed fixture size still matches the shipped fixture.
+    */
+  def d16AdaptivePlanes(nVectors: Long): Int = math.max(4,
+    math.ceil(math.log(nVectors / 30.0) / math.log(2.0)).toInt)
+
   val d16_embedding_neardups_lsh: Q = (s, dir) => {
     val e = t(s, dir, "embeddings")
-    val planes = math.max(4,
-      math.ceil(math.log(e.count() / 30.0) / math.log(2.0)).toInt)
+    val planes = d16AdaptivePlanes(e.count())
     d16PlaneCounts(dir) = planes
     Dedup.embeddingNearDups(e, "embedding", "vec_id", threshold = 0.5,
       dim = 64, planes = planes, tables = 64, bruteForce = false)
@@ -1597,9 +1612,14 @@ object Corpus {
   }
 
   def d16_sql: String = {
-    // the plane count the query actually used for oracleSfDir (5 at
-    // the 500-vector sf0.01 fixture — the adaptive formula's value)
-    val nPlanes = d16PlaneCounts.getOrElse(oracleSfDir, 5)
+    // the plane count the query ACTUALLY used for oracleSfDir: this
+    // lookup is genuinely lazy — `oracles` and `d16_sql` are defs, and
+    // Verify dumps oracle_sql.json only AFTER every query has run, so
+    // a full verify always replays the exact planes the query chose.
+    // The fallback (a VERIFY_ONLY subset that skipped d16) derives
+    // from the same shared formula at the sf0.01 fixture's documented
+    // 500-vector size, spec-pinned against fixture drift.
+    val nPlanes = d16PlaneCounts.getOrElse(oracleSfDir, d16AdaptivePlanes(500))
     val hp = Similarity.hyperplanes(dim = 64, planes = nPlanes, tables = 64)
     val planeRows = for {
       (tablePlanes, tIdx) <- hp.zipWithIndex
@@ -3440,13 +3460,24 @@ object Corpus {
     * micro-unit score (a pure projection — fixed-width buckets, no
     * quantile fit); per bucket the empirical positive rate (one IEEE
     * division of exact counts) sits next to the model's own predicted
-    * probability (the logistic of the exact mean logit, per-value
-    * round-9 quantized — the t29 transcendental discipline). One
-    * keyed aggregate over the scored frame; the report is
+    * probability. The logistic goes through
+    * [[graft.functions.PortableMath]] — round 9 proved
+    * `round(exp(…), 9)` is engine-divergent, so the mean logit and
+    * predicted rate are reported as exact e-9 integer units computed
+    * by the same correctly-rounded series on both sides. One keyed
+    * aggregate over the scored frame; the report is
     * bucket-count-bounded at any corpus size. A well-calibrated model
     * shows pred_rate ≈ emp_rate down the table; expected calibration
     * error is one weighted fold over these rows.
     */
+  private def q126Bindings: graft.functions.PortableMath.Bindings = {
+    import graft.functions.PortableMath._
+    Seq("__z" -> (Dual.col("__slu").toDouble / Dual.col("n_docs").toDouble /
+        Dual.lit(1000000.0))) :+
+      ("mean_logit_e9" -> roundedUnits(Dual.col("__z"), 9)) :++
+      logisticE9("__z", "pred_rate_e9")
+  }
+
   val q126_calibration: Q = (s, dir) => {
     val scored = qcScored(s, dir, q126WeightsPath(dir))
       .select(col("__logit_u"),
@@ -3458,17 +3489,16 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
         sum(col("__logit_u")).as("__slu"))
-    val meanLogit = col("__slu").cast("double") /
-      col("n_docs").cast("double") / lit(1000000.0)
-    g.select(col("bucket"), col("n_docs"), col("n_pos"),
-        round(meanLogit, 9).cast("decimal(18,9)").as("mean_logit"),
-        round(lit(1.0) / (lit(1.0) + exp(-meanLogit)), 9)
-          .cast("decimal(18,9)").as("pred_rate"),
+    graft.functions.PortableMath.withBindings(g, q126Bindings)
+      .select(col("bucket"), col("n_docs"), col("n_pos"),
+        col("mean_logit_e9"), col("pred_rate_e9"),
         (col("n_pos").cast("double") / col("n_docs").cast("double"))
           .as("emp_rate"))
   }
 
-  def q126_sql: String =
+  def q126_sql: String = {
+    val chain = graft.functions.PortableMath.sqlWithBindings(
+      "SELECT * FROM g", q126Bindings)
     s"""WITH w AS (SELECT bucket, w_u
        |  FROM read_parquet('${q126WeightsPath(oracleSfDir)}/*.parquet')),
        |t AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -3492,19 +3522,15 @@ object Corpus {
        |g AS (SELECT CAST(FLOOR(CAST(s_u AS DOUBLE) / 500000.0) AS BIGINT)
        |          AS bucket,
        |        COUNT(*) AS n_docs,
-       |        SUM(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
-       |        CAST(SUM(s_u) AS BIGINT) AS slu
-       |      FROM sc GROUP BY 1)
-       |SELECT bucket, CAST(n_docs AS BIGINT) AS n_docs,
-       |  CAST(n_pos AS BIGINT) AS n_pos,
-       |  CAST(ROUND(CAST(slu AS DOUBLE) / CAST(n_docs AS DOUBLE)
-       |             / 1000000.0, 9) AS DECIMAL(18,9)) AS mean_logit,
-       |  CAST(ROUND(1.0 / (1.0 + EXP(-(CAST(slu AS DOUBLE)
-       |                                / CAST(n_docs AS DOUBLE)
-       |                                / 1000000.0))), 9)
-       |       AS DECIMAL(18,9)) AS pred_rate,
-       |  CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE) AS emp_rate
-       |FROM g""".stripMargin
+       |        CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |        CAST(SUM(s_u) AS BIGINT) AS __slu
+       |      FROM sc GROUP BY 1),
+       |fin AS ($chain)
+       |SELECT bucket, n_docs, n_pos, mean_logit_e9, pred_rate_e9, emp_rate
+       |FROM (SELECT bucket, n_docs, n_pos, mean_logit_e9, pred_rate_e9,
+       |        CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE) AS emp_rate
+       |      FROM fin)""".stripMargin
+  }
 
   private def q128WeightsPath(dir: String): String = {
     val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -3917,10 +3943,14 @@ object Corpus {
     * back onto records, and survivorship + rollup are one keyed
     * aggregate each plus a broadcast-sized name join.
     */
-  val c05_entity_resolution: Q = (s, dir) => {
+  /** c05's name-level match graph — factored so GraphSpec can assert
+    * the closure converges within [[ErRounds]] on each shipped
+    * fixture (the oracle unrolls EXACTLY ErRounds; a future fixture
+    * with a longer min-label chain must fail a named test, not the
+    * hash compare).
+    */
+  private[graft] def c05NamePairs(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.JaroWinklerSimilarity
-    import org.apache.spark.sql.types.DecimalType
-    val dec2 = DecimalType(18, 2)
     val nm = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
     // each distinct name carries its min record key, so a name-level
     // min-label equals the record-level min-label of the lifted clique
@@ -3928,14 +3958,31 @@ object Corpus {
       .agg(min(col("p_partkey")).as("name_key"))
     val tok = names.select(col("name_key"), col("p_name"),
       explode(split(col("p_name"), " ")).as("tok"))
-    val pairs = tok.as("a").join(tok.as("b"),
+    tok.as("a").join(tok.as("b"),
         col("a.tok") === col("b.tok") &&
           col("a.name_key") < col("b.name_key"))
       .select(col("a.name_key").as("src"), col("b.name_key").as("dst"),
         col("a.p_name").as("__na"), col("b.p_name").as("__nb"))
       .distinct() // one JW evaluation per candidate pair, not per shared token
-      .where(JaroWinklerSimilarity(col("__na"), col("__nb")) >= 0.92)
+      // threshold on the e-6-quantized score, NOT the raw double: the
+      // decision boundary becomes 0.9199995, which no exact JW rational
+      // (denominator 30·l1·l2·m) can equal — the nearest attainable
+      // score is ≥ 1/(2·30·l1·l2·m·10⁶) away, orders of magnitude above
+      // a few-ulp kernel difference, so engines can never disagree on
+      // membership (round 9: raw `>= 0.92` flipped on the driver's
+      // data; margin is property-tested in JwProperties)
+      .where(floor(JaroWinklerSimilarity(col("__na"), col("__nb")) *
+        lit(1000000.0) + lit(0.5)) >= lit(920000L))
       .select(col("src"), col("dst"))
+  }
+
+  val c05_entity_resolution: Q = (s, dir) => {
+    import org.apache.spark.sql.types.DecimalType
+    val dec2 = DecimalType(18, 2)
+    val nm = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+    val names = nm.groupBy(col("p_name"))
+      .agg(min(col("p_partkey")).as("name_key"))
+    val pairs = c05NamePairs(s, dir)
     val cc = graft.graph.GraphOps.connectedComponents(pairs, ErRounds)
     // names with no cross-name match keep their own key (cc only
     // labels matched nodes); records inherit their name's entity
@@ -3962,7 +4009,7 @@ object Corpus {
         col("n_lineitems"), col("total_qty"))
   }
 
-  private val ErRounds = 8
+  private[graft] val ErRounds = 8
 
   val c05_sql: String = {
     val rounds = (1 to ErRounds).map { i =>
@@ -3976,7 +4023,8 @@ object Corpus {
     s"""WITH nm AS MATERIALIZED (SELECT p_partkey, p_name FROM part),
        |pr AS MATERIALIZED (SELECT a.p_partkey AS src, b.p_partkey AS dst
        |  FROM nm a JOIN nm b ON a.p_partkey < b.p_partkey
-       |  WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.92),
+       |  WHERE FLOOR(jaro_winkler_similarity(a.p_name, b.p_name)
+       |              * 1000000.0 + 0.5) >= 920000),
        |erbidir AS MATERIALIZED (SELECT src, dst FROM pr
        |  UNION ALL SELECT dst AS src, src AS dst FROM pr),
        |lab0 AS (SELECT p_partkey AS node, p_partkey AS label FROM nm),
@@ -4135,7 +4183,7 @@ object Corpus {
     * `aggregate(transform(...))`, so the rounded per-media norms are
     * bit-identical and the decimal sum is order-independent-exact.
     */
-  val m01_sql: String =
+  def m01_sql: String = // def: the path must resolve AT DUMP TIME
     s"""WITH f AS (SELECT media_id, kind, features::DOUBLE[] AS v
        |           FROM read_parquet('$m01FeaturePath/*.parquet')),
        |n AS (SELECT kind,

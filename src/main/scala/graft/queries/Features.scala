@@ -56,25 +56,28 @@ object Features {
     * `ASOF LEFT JOIN` with a strict `>` comparator — an entirely
     * different mechanism (binary-search probe vs our windowed scan),
     * so a hash match is strong evidence both engines implement the
-    * same point-in-time semantics. Lifetime value sums 2-decimal
-    * DECIMAL quantizations of the (2-decimal-valued) event doubles:
-    * order-independent-exact in both engines.
+    * same point-in-time semantics. Lifetime value is integer CENTS:
+    * ⌊value·100 + ½⌋ is one correctly-rounded multiply/add plus an
+    * exact floor, so every cent amount is bit-identical across
+    * engines for ANY double input (round-9 lesson: `round(value, 2)`
+    * is engine-divergent on non-2-decimal-representable doubles, and
+    * ~11% of the fixture's values are exactly that).
     */
   val q118_feature_store: Q = (s, dir) => {
     val ev = t(s, dir, "events")
       .groupBy(col("user_id"), col("ts"))
       .agg(
         count(lit(1)).as("__n"),
-        sum(round(col("value"), 2).cast(dec2)).as("__v"),
+        sum(floor(col("value") * lit(100.0) + lit(0.5))).as("__vc"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("__p"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val snap = ev
       .withColumn("n_events", sum(col("__n")).over(w))
-      .withColumn("lifetime_value", sum(col("__v")).over(w).cast(dec2))
+      .withColumn("lifetime_value_c", sum(col("__vc")).over(w))
       .withColumn("n_purchases", sum(col("__p")).over(w))
       .select(col("user_id"), col("ts").as("last_seen_ts"),
-        col("n_events"), col("lifetime_value"), col("n_purchases"))
+        col("n_events"), col("lifetime_value_c"), col("n_purchases"))
     val spine = t(s, dir, "orders").where(col("o_custkey") < 150)
       .select(col("o_orderkey"), col("o_custkey").as("user_id"),
         col("o_orderdate"), col("o_totalprice").as("label"))
@@ -83,7 +86,7 @@ object Features {
       .select(
         col("o_orderkey"), col("user_id"), col("o_orderdate"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
-        coalesce(col("lifetime_value"), lit(0).cast(dec2)).as("lifetime_value"),
+        coalesce(col("lifetime_value_c"), lit(0L)).as("lifetime_value_c"),
         coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
         col("last_seen_ts"),
         col("label"))
@@ -92,20 +95,20 @@ object Features {
   val q118_sql: String =
     """WITH ev AS (
       |  SELECT user_id, ts, COUNT(*) AS n,
-      |    SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS v,
+      |    CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS vc,
       |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
       |  FROM events GROUP BY user_id, ts),
       |snap AS (
       |  SELECT user_id, ts AS last_seen_ts,
       |    CAST(SUM(n) OVER w AS BIGINT) AS n_events,
-      |    CAST(SUM(v) OVER w AS DECIMAL(18,2)) AS lifetime_value,
+      |    CAST(SUM(vc) OVER w AS BIGINT) AS lifetime_value_c,
       |    CAST(SUM(p) OVER w AS BIGINT) AS n_purchases
       |  FROM ev
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
       |SELECT o.o_orderkey, o.o_custkey AS user_id, o.o_orderdate,
       |  COALESCE(f.n_events, 0) AS n_events,
-      |  COALESCE(f.lifetime_value, CAST(0 AS DECIMAL(18,2))) AS lifetime_value,
+      |  COALESCE(f.lifetime_value_c, 0) AS lifetime_value_c,
       |  COALESCE(f.n_purchases, 0) AS n_purchases,
       |  f.last_seen_ts,
       |  o.o_totalprice AS label
@@ -340,11 +343,14 @@ object Features {
     * on the same pass — never two scans); the per-bin PSI term
     * (p−q)·ln(p/q) uses +1 Laplace smoothing so fresh/vanished bins
     * stay finite. Exact-integer counts make p and q bit-identical
-    * across engines; the ln term follows t29's per-term
-    * round-9-to-DECIMAL discipline, so the shuffled total is
-    * order-independent. Output: the per-bin drift table (the artifact
-    * a reviewer reads) with the PSI total on every row (exact decimal
-    * sum of the quantized terms).
+    * across engines; the ln itself goes through
+    * [[graft.functions.PortableMath]] — ln(p/q) = ln a − ln b over
+    * the exact integers a = (n_ref+1)(C+B), b = (n_cur+1)(R+B), each
+    * ln stated ONCE and emitted to both engines as the same
+    * correctly-rounded-op series (round 9 proved `round(ln(…), 9)`
+    * is engine-divergent; the shared-bindings form cannot diverge).
+    * Output: the per-bin drift table (the artifact a reviewer reads)
+    * in exact e-9 integer units with the PSI total on every row.
     */
   /** The two-sided fixed-width histogram q122 derives from — ADDITIVE
     * per bin, so the streaming twin folds per-batch partials of this
@@ -360,6 +366,32 @@ object Features {
         sum(when(col("__ref"), 0L).otherwise(1L)).as("n_cur"))
   }
 
+  /** The PSI per-bin formula, stated ONCE for both engines: the
+    * smoothed shares p, q are IEEE divisions of exact integers, and
+    * ln(p/q) = ln a − ln b over the exact integer cross-products
+    * a = (n_ref+1)(C+B), b = (n_cur+1)(R+B) (each < 10¹⁵ within the
+    * documented per-window count bound), through the portable series.
+    * `psi_term_e9` is the term in exact 10⁻⁹ units.
+    */
+  private def psiBindings: graft.functions.PortableMath.Bindings = {
+    import graft.functions.PortableMath._
+    val one = Dual.litL(1L)
+    val refP = Dual.col("n_ref") + one
+    val curP = Dual.col("n_cur") + one
+    val refTot = Dual.col("__R") + Dual.col("__B")
+    val curTot = Dual.col("__C") + Dual.col("__B")
+    val pd = refP.toDouble / refTot.toDouble
+    val qd = curP.toDouble / curTot.toDouble
+    // names must be case-insensitively disjoint from the frame's
+    // __R/__C/__B: BOTH engines resolve identifiers case-insensitively
+    // (Spark withColumn replaces, DuckDB auto-renames) — "__b" here
+    // silently shadowed "__B" on each side differently
+    Seq("__aa" -> (refP * curTot), "__bb" -> (curP * refTot)) ++
+      lnPosBigint("__aa", "__lna") ++ lnPosBigint("__bb", "__lnb") :+
+      ("psi_term_e9" -> roundedUnits(
+        (pd - qd) * (Dual.col("__lna") - Dual.col("__lnb")), 9))
+  }
+
   /** The PSI report derived from a (bin, n_ref, n_cur) histogram —
     * shared verbatim by the batch query and the streaming monitor's
     * read side, so the streamed statistic EQUALS the batch one on the
@@ -369,45 +401,36 @@ object Features {
     val g = bins.localCheckpoint(true) // totals AND the final frame
     val tot = g.agg(sum(col("n_ref")).as("__R"), sum(col("n_cur")).as("__C"),
       count(lit(1)).as("__B"))
-    val pd = (col("n_ref") + lit(1L)).cast("double") /
-      (col("__R") + col("__B")).cast("double")
-    val qd = (col("n_cur") + lit(1L)).cast("double") /
-      (col("__C") + col("__B")).cast("double")
-    val term = round((pd - qd) * log(pd / qd), 9)
-      .cast(DecimalType(28, 9))
-    val perBin = g.crossJoin(broadcast(tot))
-      .select(col("bin"), col("n_ref"), col("n_cur"), term.as("psi_term"))
+    val perBin = graft.functions.PortableMath
+      .withBindings(g.crossJoin(broadcast(tot)), psiBindings)
+      .select(col("bin"), col("n_ref"), col("n_cur"), col("psi_term_e9"))
       .localCheckpoint(true) // consumed by the total AND the output
-    val psi = perBin.agg(sum(col("psi_term")).cast(DecimalType(38, 9))
-      .as("psi"))
+    val psi = perBin.agg(sum(col("psi_term_e9")).as("psi_e9"))
     perBin.crossJoin(broadcast(psi))
   }
 
   val q122_psi_drift: Q = (s, dir) =>
     psiFromBins(psiHistogram(t(s, dir, "events")))
 
-  val q122_sql: String =
-    """WITH e AS (SELECT (ts < TIMESTAMP '2024-01-16 00:00:00') AS ref,
-      |    CAST(FLOOR(value / 25.0) AS BIGINT) AS bin
-      |  FROM events),
-      |g AS (SELECT bin,
-      |    SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS n_ref,
-      |    SUM(CASE WHEN ref THEN 0 ELSE 1 END) AS n_cur
-      |  FROM e GROUP BY bin),
-      |tot AS (SELECT SUM(n_ref) AS r, SUM(n_cur) AS c, COUNT(*) AS b
-      |        FROM g),
-      |pb AS (SELECT bin, CAST(n_ref AS BIGINT) AS n_ref,
-      |    CAST(n_cur AS BIGINT) AS n_cur,
-      |    CAST(ROUND(
-      |      (CAST(n_ref + 1 AS DOUBLE) / CAST(r + b AS DOUBLE)
-      |       - CAST(n_cur + 1 AS DOUBLE) / CAST(c + b AS DOUBLE))
-      |      * LN((CAST(n_ref + 1 AS DOUBLE) / CAST(r + b AS DOUBLE))
-      |           / (CAST(n_cur + 1 AS DOUBLE) / CAST(c + b AS DOUBLE))),
-      |      9) AS DECIMAL(28,9)) AS psi_term
-      |  FROM g CROSS JOIN tot)
-      |SELECT bin, n_ref, n_cur, psi_term,
-      |  (SELECT CAST(SUM(psi_term) AS DECIMAL(38,9)) FROM pb) AS psi
-      |FROM pb""".stripMargin
+  val q122_sql: String = {
+    val crossed = "SELECT g.bin, g.n_ref, g.n_cur, " +
+      "CAST(tot.r AS BIGINT) AS __R, CAST(tot.c AS BIGINT) AS __C, " +
+      "tot.b AS __B FROM g CROSS JOIN tot"
+    val pb = graft.functions.PortableMath.sqlWithBindings(crossed, psiBindings)
+    s"""WITH e AS (SELECT (ts < TIMESTAMP '2024-01-16 00:00:00') AS ref,
+       |    CAST(FLOOR(value / 25.0) AS BIGINT) AS bin
+       |  FROM events),
+       |g AS (SELECT bin,
+       |    CAST(SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+       |    CAST(SUM(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+       |  FROM e GROUP BY bin),
+       |tot AS (SELECT SUM(n_ref) AS r, SUM(n_cur) AS c, COUNT(*) AS b
+       |        FROM g),
+       |pb AS ($pb)
+       |SELECT bin, n_ref, n_cur, psi_term_e9,
+       |  (SELECT CAST(SUM(psi_term_e9) AS BIGINT) FROM pb) AS psi_e9
+       |FROM pb""".stripMargin
+  }
 
   // ------------------------------------------------- target encoding
 
@@ -478,14 +501,39 @@ object Features {
     * contact and first purchase; durations roll up to the
     * calendar-bounded event-time frame, at-risk counts come from one
     * exclusive prefix, and the product Π(1 − dₖ/nₖ) runs as
-    * exp∘Σ∘ln with per-term round-12 DECIMAL quantization (the t29
-    * transcendental discipline). The dₖ = nₖ step (everyone
-    * remaining converts — S hits exactly 0) is guarded on BOTH
-    * sides: the zero term never reaches ln, and the cumulative-min
-    * flag pins survival to 0.0 from that step on — bit-equal across
-    * engines because 1 − d/n is exact when d = n.
+    * exp∘Σ∘ln where EVERY transcendental goes through
+    * [[graft.functions.PortableMath]]: each step's ln(1 − d/n) =
+    * ln(n−d) − ln(n) over exact integers, quantized to e-12 BIGINT
+    * units per term, summed exactly by the window, exponentiated by
+    * the portable series, and reported as survival in e-6 units —
+    * bit-identical across engines by construction. The dₖ = nₖ step
+    * (everyone remaining converts — S hits exactly 0) is guarded on
+    * BOTH sides: the ln input clamps to 1 (its value never shows —
+    * the cumulative-min flag pins survival to 0 from that step on,
+    * an exact integer comparison).
     */
+  private def kmLnBindings: graft.functions.PortableMath.Bindings = {
+    import graft.functions.PortableMath._
+    val surClamped = Dual.cases(
+      Seq((Dual.col("__sur0") < Dual.litL(1L)) -> Dual.litL(1L)),
+      Dual.col("__sur0"))
+    Seq("__sur" -> surClamped) ++
+      lnPosBigint("__sur", "__lns") ++ lnPosBigint("n_at_risk", "__lnr") :+
+      ("__qln_e12" -> roundedUnits(
+        Dual.col("__lns") - Dual.col("__lnr"), 12))
+  }
+
+  private def kmSurvivalBindings: graft.functions.PortableMath.Bindings = {
+    import graft.functions.PortableMath._
+    Seq("__z" -> (Dual.col("__se12").toDouble / Dual.lit(1e12))) ++
+      expBindings("__z", "__es") :+
+      ("survival_e6" -> Dual.cases(
+        Seq(DualCond(col("__pin"), "__pin") -> Dual.litL(0L)),
+        roundedUnits(Dual.col("__es"), 6)))
+  }
+
   val q130_kaplan_meier: Q = (s, dir) => {
+    import graft.functions.PortableMath
     val ev = t(s, dir, "events")
     val u = ev.groupBy(col("user_id")).agg(
       min(to_date(col("ts"))).as("__first"),
@@ -512,57 +560,56 @@ object Features {
       (col("__N") - coalesce(
         sum(col("n_events") + col("n_censored")).over(wEx), lit(0L)))
         .as("n_at_risk"))
-    val term = lit(1.0) -
-      col("n_events").cast("double") / col("n_at_risk").cast("double")
-    risk
+      .withColumn("__sur0", col("n_at_risk") - col("n_events"))
+    val summed = PortableMath.withBindings(risk, kmLnBindings)
       .select(col("t"), col("n_at_risk"), col("n_events"), col("n_censored"),
-        term.as("__term"),
-        when(term > 0, round(log(term), 12).cast("decimal(28,12)"))
-          .as("__qln"))
-      .select(col("t"), col("n_at_risk"), col("n_events"), col("n_censored"),
-        when(min(col("__term")).over(wCum) <= 0.0, lit(0.0))
-          .otherwise(round(exp(
-            sum(col("__qln")).over(wCum).cast("double")), 6))
-          .as("survival"))
+        (min(col("__sur0")).over(wCum) <= 0L).as("__pin"),
+        sum(col("__qln_e12")).over(wCum).as("__se12"))
+    PortableMath.withBindings(summed, kmSurvivalBindings)
+      .select(col("t"), col("n_at_risk"), col("n_events"),
+        col("n_censored"), col("survival_e6"))
   }
 
-  val q130_sql: String =
-    """WITH u AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS first_day,
-      |    CAST(MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS DATE)
-      |      AS purch_day
-      |  FROM events GROUP BY user_id),
-      |mx AS (SELECT CAST(MAX(ts) AS DATE) AS end_day FROM events),
-      |d AS (SELECT
-      |    CAST(CASE WHEN purch_day IS NOT NULL THEN purch_day - first_day
-      |              ELSE end_day - first_day END AS BIGINT) AS t,
-      |    CASE WHEN purch_day IS NOT NULL THEN 1 ELSE 0 END AS e
-      |  FROM u CROSS JOIN mx),
-      |g AS (SELECT t, CAST(SUM(e) AS BIGINT) AS n_events,
-      |    CAST(SUM(1 - e) AS BIGINT) AS n_censored
-      |  FROM d GROUP BY t),
-      |tot AS (SELECT CAST(SUM(n_events + n_censored) AS BIGINT) AS n
-      |        FROM g),
-      |r AS (SELECT t, n_events, n_censored,
-      |    CAST(tot.n - COALESCE(SUM(n_events + n_censored) OVER
-      |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-      |      0) AS BIGINT) AS n_at_risk
-      |  FROM g CROSS JOIN tot),
-      |s AS (SELECT t, n_at_risk, n_events, n_censored,
-      |    1.0 - CAST(n_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE)
-      |      AS term,
-      |    CASE WHEN 1.0 - CAST(n_events AS DOUBLE)
-      |              / CAST(n_at_risk AS DOUBLE) > 0
-      |         THEN CAST(ROUND(LN(1.0 - CAST(n_events AS DOUBLE)
-      |                / CAST(n_at_risk AS DOUBLE)), 12) AS DECIMAL(28,12))
-      |         ELSE NULL END AS qln
-      |  FROM r)
-      |SELECT t, n_at_risk, n_events, n_censored,
-      |  CASE WHEN MIN(term) OVER w <= 0.0 THEN 0.0
-      |       ELSE ROUND(EXP(CAST(SUM(qln) OVER w AS DOUBLE)), 6) END
-      |    AS survival
-      |FROM s
-      |WINDOW w AS (ORDER BY t
-      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+  val q130_sql: String = {
+    import graft.functions.PortableMath
+    val lnChain = PortableMath.sqlWithBindings(
+      "SELECT * FROM r", kmLnBindings)
+    val expChain = PortableMath.sqlWithBindings(
+      "SELECT * FROM s2", kmSurvivalBindings)
+    s"""WITH u AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS first_day,
+       |    CAST(MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS DATE)
+       |      AS purch_day
+       |  FROM events GROUP BY user_id),
+       |mx AS (SELECT CAST(MAX(ts) AS DATE) AS end_day FROM events),
+       |d AS (SELECT
+       |    CAST(CASE WHEN purch_day IS NOT NULL THEN purch_day - first_day
+       |              ELSE end_day - first_day END AS BIGINT) AS t,
+       |    CASE WHEN purch_day IS NOT NULL THEN 1 ELSE 0 END AS e
+       |  FROM u CROSS JOIN mx),
+       |g AS (SELECT t, CAST(SUM(e) AS BIGINT) AS n_events,
+       |    CAST(SUM(1 - e) AS BIGINT) AS n_censored
+       |  FROM d GROUP BY t),
+       |tot AS (SELECT CAST(SUM(n_events + n_censored) AS BIGINT) AS n
+       |        FROM g),
+       |r AS (SELECT t, n_events, n_censored,
+       |    CAST(tot.n - COALESCE(SUM(n_events + n_censored) OVER
+       |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) AS BIGINT) AS n_at_risk,
+       |    CAST(tot.n - COALESCE(SUM(n_events + n_censored) OVER
+       |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) AS BIGINT) - n_events AS __sur0
+       |  FROM g CROSS JOIN tot),
+       |s1 AS ($lnChain),
+       |s2 AS (SELECT t, n_at_risk, n_events, n_censored,
+       |    (MIN(__sur0) OVER w <= 0) AS __pin,
+       |    CAST(SUM(__qln_e12) OVER w AS BIGINT) AS __se12
+       |  FROM s1
+       |  WINDOW w AS (ORDER BY t
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |fin AS ($expChain)
+       |SELECT t, n_at_risk, n_events, n_censored, survival_e6
+       |FROM fin""".stripMargin
+  }
 
   // -------------------------------------------------- experimentation
 
@@ -573,28 +620,33 @@ object Features {
     * decimals, never observations). Variant assignment is the
     * standard deterministic key split (user_id parity — never a
     * random draw, the t05/t25 reproducibility rule); the metric is
-    * purchase value. Per variant ONE keyed aggregate collects
-    * (n, Σy, Σy²) with the 2-decimal values quantized losslessly to
-    * DECIMAL (squares widen scale, never round), so the folded sums
-    * are order-independent-exact; mean, Welch t and the
+    * purchase value in integer cents. Per variant ONE keyed aggregate
+    * collects (n, Σc, Σc²) over the exact cent integers, so the
+    * folded sums are order-independent-exact; mean, Welch t and the
     * Welch–Satterthwaite df then evaluate in doubles from exact
     * inputs with one written operation order — +, ×, / and sqrt are
     * all correctly rounded under IEEE-754, so the statistics match
     * bit-for-bit across engines with no output rounding.
     */
-  /** Variant-keyed sufficient statistics (n, Σy, Σy²) — ADDITIVE, so
-    * the streaming monitor folds per-batch partials of this exact
-    * shape ([[graft.streaming.StreamingIngest.abTestStream]]).
+  /** Variant-keyed sufficient statistics (n, Σcents, Σcents²) —
+    * ADDITIVE, so the streaming monitor folds per-batch partials of
+    * this exact shape
+    * ([[graft.streaming.StreamingIngest.abTestStream]]). The metric
+    * is integer CENTS (⌊value·100 + ½⌋ — the q118 engine-portable
+    * quantization; `round(value, 2)` is the round-9 divergence
+    * class), so both sums are exact integers: Σc as BIGINT, Σc² as
+    * DECIMAL(38,0) (a cents square is ≤ 10¹⁰; BIGINT would overflow
+    * the sum past ~10⁹ rows).
     */
   def abSufficientStats(events: DataFrame): DataFrame = {
-    val dec4 = DecimalType(28, 4)
+    val dec38 = DecimalType(38, 0)
     events
       .where(col("event_type") === "purchase")
       .select((pmod(col("user_id"), lit(2L)) === 0).as("variant_a"),
-        round(col("value"), 2).cast(dec2).as("__y"))
+        floor(col("value") * lit(100.0) + lit(0.5)).as("__c"))
       .groupBy(col("variant_a"))
-      .agg(count(lit(1)).as("n"), sum(col("__y")).as("s"),
-        sum((col("__y") * col("__y")).cast(dec4)).as("s2"))
+      .agg(count(lit(1)).as("n"), sum(col("__c")).as("s"),
+        sum((col("__c") * col("__c")).cast(dec38)).as("s2"))
   }
 
   /** The Welch readout derived from a (variant_a, n, s, s2) stats frame
@@ -607,14 +659,20 @@ object Features {
       col("s").as("__sa"), col("s2").as("__s2a"))
     val b = g.where(!col("variant_a")).select(col("n").as("n_b"),
       col("s").as("__sb"), col("s2").as("__s2b"))
+    // cents sums → currency-unit doubles: the integer sums are exact
+    // in both engines (< 2⁵³ within the documented window bound), and
+    // the /100, /10000 descaling is one correctly-rounded division
+    // stated identically in the oracle
     def d(c: Column): Column = c.cast("double")
+    def sD(c: Column): Column = c.cast("double") / lit(100.0)
+    def s2D(c: Column): Column = c.cast("double") / lit(10000.0)
     val crossed = a.crossJoin(b)
     val (na, nb) = (d(col("n_a")), d(col("n_b")))
-    val meanA = d(col("__sa")) / na
-    val meanB = d(col("__sb")) / nb
-    val varA = (d(col("__s2a")) - d(col("__sa")) * d(col("__sa")) / na) /
+    val meanA = sD(col("__sa")) / na
+    val meanB = sD(col("__sb")) / nb
+    val varA = (s2D(col("__s2a")) - sD(col("__sa")) * sD(col("__sa")) / na) /
       (na - lit(1.0))
-    val varB = (d(col("__s2b")) - d(col("__sb")) * d(col("__sb")) / nb) /
+    val varB = (s2D(col("__s2b")) - sD(col("__sb")) * sD(col("__sb")) / nb) /
       (nb - lit(1.0))
     val seA = varA / na
     val seB = varB / nb
@@ -632,18 +690,18 @@ object Features {
 
   val q127_sql: String =
     """WITH e AS (SELECT (user_id % 2 = 0) AS a,
-      |    CAST(ROUND(value, 2) AS DECIMAL(18,2)) AS y
+      |    CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
       |  FROM events WHERE event_type = 'purchase'),
-      |g AS (SELECT a, COUNT(*) AS n, SUM(y) AS s,
-      |    SUM(CAST(y * y AS DECIMAL(28,4))) AS s2
+      |g AS (SELECT a, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS s,
+      |    CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
       |  FROM e GROUP BY a),
       |m AS (SELECT
       |    (SELECT CAST(n AS BIGINT) FROM g WHERE a) AS n_a,
       |    (SELECT CAST(n AS BIGINT) FROM g WHERE NOT a) AS n_b,
-      |    (SELECT CAST(s AS DOUBLE) FROM g WHERE a) AS sa,
-      |    (SELECT CAST(s AS DOUBLE) FROM g WHERE NOT a) AS sb,
-      |    (SELECT CAST(s2 AS DOUBLE) FROM g WHERE a) AS s2a,
-      |    (SELECT CAST(s2 AS DOUBLE) FROM g WHERE NOT a) AS s2b),
+      |    (SELECT CAST(s AS DOUBLE) / 100.0 FROM g WHERE a) AS sa,
+      |    (SELECT CAST(s AS DOUBLE) / 100.0 FROM g WHERE NOT a) AS sb,
+      |    (SELECT CAST(s2 AS DOUBLE) / 10000.0 FROM g WHERE a) AS s2a,
+      |    (SELECT CAST(s2 AS DOUBLE) / 10000.0 FROM g WHERE NOT a) AS s2b),
       |w AS (SELECT n_a, n_b,
       |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
       |    sa / CAST(n_a AS DOUBLE) AS mean_a,

@@ -319,10 +319,11 @@ object GraphQueries {
     * resource-allocation index Σ_x 1/deg(x), and the neighborhood
     * Jaccard cn/(deg_a+deg_b−cn).
     *
-    * Determinism: RA terms quantize the (correctly-rounded) double
-    * 1/deg to DECIMAL(28,9) per-term before the shuffled sum (the t29
-    * discipline), Jaccard is a single IEEE division of exact integer
-    * casts, and the top-100 cut is totally ordered by
+    * Determinism: RA terms are the g01 fixed-point recipe —
+    * ⌊10⁹/deg⌋ is pure integer division in both engines (round 9
+    * proved `round(1.0/deg, 9)` is engine-divergent), summed as
+    * BIGINT e-9 units; Jaccard is a single IEEE division of exact
+    * integer casts, and the top-100 cut is totally ordered by
     * (cn, ra, a, b) — (a, b) is unique, so LIMIT is unambiguous in
     * both engines.
     */
@@ -338,8 +339,7 @@ object GraphQueries {
       .groupBy(col("a"), col("b"))
       .agg(
         count(lit(1)).as("common_neighbors"),
-        sum(round(lit(1.0) / col("deg_x"), 9)
-          .cast(org.apache.spark.sql.types.DecimalType(28, 9))).as("ra_index"))
+        sum(expr("1000000000L div deg_x")).as("ra_index_e9"))
       // existing edges are not predictions: eu is (src<dst)-oriented
       // and candidates are a<b, so one anti-join removes them all
       .join(eu.select(col("src").as("a"), col("dst").as("b")),
@@ -350,12 +350,11 @@ object GraphQueries {
       .select(
         col("a").as("part_a"), col("b").as("part_b"),
         col("common_neighbors"),
-        col("ra_index").cast(org.apache.spark.sql.types.DecimalType(28, 9))
-          .as("ra_index"),
+        col("ra_index_e9"),
         (col("common_neighbors").cast("double") /
           (col("deg_a") + col("deg_b") - col("common_neighbors")).cast("double"))
           .as("jaccard"))
-      .orderBy(col("common_neighbors").desc, col("ra_index").desc,
+      .orderBy(col("common_neighbors").desc, col("ra_index_e9").desc,
         col("part_a").asc, col("part_b").asc)
       .limit(100)
   }
@@ -368,20 +367,19 @@ object GraphQueries {
        |  FROM bidir e1 JOIN bidir e2
        |    ON e1.dst = e2.src AND e1.src < e2.dst),
        |scored AS (SELECT c.a, c.b, COUNT(*) AS common_neighbors,
-       |    SUM(CAST(ROUND(CAST(1 AS DOUBLE) / dx.deg, 9)
-       |             AS DECIMAL(28,9))) AS ra_index
+       |    CAST(SUM(1000000000 // dx.deg) AS BIGINT) AS ra_index_e9
        |  FROM cand c JOIN deg dx ON dx.node = c.x
        |  WHERE NOT EXISTS (SELECT 1 FROM eu e
        |                    WHERE e.src = c.a AND e.dst = c.b)
        |  GROUP BY c.a, c.b)
        |SELECT s.a AS part_a, s.b AS part_b, s.common_neighbors,
-       |  CAST(s.ra_index AS DECIMAL(28,9)) AS ra_index,
+       |  s.ra_index_e9,
        |  CAST(s.common_neighbors AS DOUBLE)
        |    / CAST(da.deg + db.deg - s.common_neighbors AS DOUBLE) AS jaccard
        |FROM scored s
        |JOIN deg da ON da.node = s.a
        |JOIN deg db ON db.node = s.b
-       |ORDER BY s.common_neighbors DESC, s.ra_index DESC, s.a, s.b
+       |ORDER BY s.common_neighbors DESC, s.ra_index_e9 DESC, s.a, s.b
        |LIMIT 100""".stripMargin
 
   val queries: Map[String, Q] = Map(

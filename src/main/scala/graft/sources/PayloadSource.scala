@@ -36,11 +36,16 @@ import graft.ingest.{Fixtures, PayloadReader}
   *     `main_parallel.py:230-251` fetch loop, distributed). Any scheme
   *     `java.net.URL` opens works — `https://` against a real API,
   *     `file://` in this zero-egress sandbox (how the spec drives it).
-  *     `fetchTimeoutMs` (default 30000) bounds connect+read;
+  *     `fetchTimeoutMs` (default 30000, the reference's
+  *     `main_parallel.py:246` timeout) bounds connect+read;
   *     `onError=fail` (default) lets the task fail and retry, while
-  *     `onError=envelope` degrades a failed fetch to an A14 error
-  *     envelope (`{"Error Message": …}`) so downstream dispatch treats
-  *     network failures exactly like API error payloads.
+  *     `onError=envelope` degrades a failed fetch — timeout, HTTP
+  *     4xx/5xx, refused connection — to an A14 error envelope
+  *     (`{"Error Message": …}`) so downstream dispatch treats network
+  *     failures exactly like API error payloads.
+  *     `maxRequestsPerMinute` paces request starts per executor JVM
+  *     ([[FetchRateLimiter]]) for rate-capped APIs — the reference
+  *     lives under a 5 req/min free tier (`main_parallel.py:469-470`).
   *   - no `path`/`urlTemplate`: the embedded fixture payloads;
   *     `endpoint` picks the `daily` / `daily2` (second-run) /
   *     `intraday` / `sma` set.
@@ -79,7 +84,8 @@ final case class FetchConfig(
     urlTemplate: String,
     symbols: Seq[String],
     timeoutMs: Int,
-    envelopeOnError: Boolean)
+    envelopeOnError: Boolean,
+    maxPerMinute: Option[Int])
 
 object FetchConfig {
   def from(properties: JMap[String, String]): Option[FetchConfig] = {
@@ -92,9 +98,45 @@ object FetchConfig {
         .split(",").map(_.trim).filter(_.nonEmpty).toSeq
       FetchConfig(tpl, symbols,
         Option(opts.get("fetchTimeoutMs")).map(_.toInt).getOrElse(30000),
-        Option(opts.get("onError")).contains("envelope"))
+        Option(opts.get("onError")).contains("envelope"),
+        Option(opts.get("maxRequestsPerMinute")).map(_.toInt))
     }
   }
+}
+
+/** Per-executor request pacing for the live mode — the reference's
+  * operating reality is a 5 req/min free-tier ceiling
+  * (`main_parallel.py:469-470`, reference `README.md:56`); without a
+  * throttle a multi-symbol read hits the limiter on the second task.
+  * A process-wide monotone schedule spaces request STARTS at
+  * 60s/maxPerMinute apart across ALL fetch tasks in the executor JVM
+  * (local mode = the whole job, matching the reference's single-node
+  * budget; on a multi-executor cluster the effective rate is
+  * perExecutor × executors — size the option accordingly, exactly like
+  * any per-executor connection budget).
+  */
+object FetchRateLimiter {
+  private var nextFreeNanos = 0L
+
+  /** Blocks until this request's scheduled slot; first caller is
+    * immediate, each subsequent start is ≥ 60s/perMinute after the
+    * previous one.
+    */
+  def acquire(perMinute: Int): Unit = {
+    require(perMinute > 0, s"maxRequestsPerMinute must be positive: $perMinute")
+    val intervalNs = 60000000000L / perMinute
+    val waitNs = synchronized {
+      val now = System.nanoTime()
+      val at = math.max(now, nextFreeNanos)
+      nextFreeNanos = at + intervalNs
+      at - now
+    }
+    if (waitNs > 0)
+      Thread.sleep(waitNs / 1000000L, (waitNs % 1000000L).toInt)
+  }
+
+  /** Test seam: forget the schedule so specs measure from a cold bucket. */
+  private[graft] def reset(): Unit = synchronized { nextFreeNanos = 0L }
 }
 
 final class PayloadTable(
@@ -147,8 +189,8 @@ final class PayloadScan(
       // live mode: one fetch task per symbol — the driver plans only
       // the symbol list; every byte moves executor-side
       f.symbols.map(sym => PayloadUrlPartition(
-        f.urlTemplate.replace("{symbol}", sym), f.timeoutMs, f.envelopeOnError)
-          : InputPartition).toArray
+        f.urlTemplate.replace("{symbol}", sym), f.timeoutMs, f.envelopeOnError,
+        f.maxPerMinute): InputPartition).toArray
     case (None, Some(dir)) =>
       val files = new java.io.File(dir).listFiles()
       require(files != null, s"not a readable payload directory: $dir")
@@ -176,7 +218,8 @@ final class PayloadScan(
 final case class PayloadDocPartition(doc: String) extends InputPartition
 final case class PayloadFilePartition(file: String) extends InputPartition
 final case class PayloadUrlPartition(
-    url: String, timeoutMs: Int, envelopeOnError: Boolean) extends InputPartition
+    url: String, timeoutMs: Int, envelopeOnError: Boolean,
+    maxPerMinute: Option[Int] = None) extends InputPartition
 
 final class PayloadReaderFactory(required: StructType)
     extends PartitionReaderFactory {
@@ -188,6 +231,7 @@ final class PayloadReaderFactory(required: StructType)
     */
   private def fetched(p: PayloadUrlPartition): String =
     try {
+      p.maxPerMinute.foreach(FetchRateLimiter.acquire)
       val conn = java.net.URI.create(p.url).toURL.openConnection()
       conn.setConnectTimeout(p.timeoutMs)
       conn.setReadTimeout(p.timeoutMs)

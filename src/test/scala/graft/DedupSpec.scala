@@ -295,4 +295,18 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.7, s"d16 recall $recall below floor (found " +
       s"${lsh.size} of ${exact.size} true pairs)")
   }
+
+  test("d16 oracle fallback plane count matches the adaptive formula on the shipped sf0.01 fixture") {
+    // d16_sql normally replays the EXACT plane count the query stored
+    // (lazy def chain — Verify dumps oracle SQL after every query
+    // runs); only a VERIFY_ONLY subset that skipped d16 uses the
+    // fallback, which assumes the sf0.01 embeddings fixture is still
+    // 500 vectors. If the fixture is ever regenerated at a different
+    // size, THIS test names the drift instead of a silent oracle skew.
+    val n = Tables(spark, "/root/testdata/sf0.01", "embeddings").count()
+    assert(graft.queries.Corpus.d16AdaptivePlanes(n) ==
+      graft.queries.Corpus.d16AdaptivePlanes(500),
+      s"sf0.01 embeddings fixture now has $n vectors; update the " +
+        "d16_sql fallback's documented size")
+  }
 }

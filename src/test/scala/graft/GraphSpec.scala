@@ -130,6 +130,25 @@ class GraphSpec extends SparkSpec {
       .where(col("a.label") =!= col("b.label")).count() == 0)
   }
 
+  test("c05 name-level closure converges within the ErRounds cap on each shipped fixture") {
+    // The c05 oracle unrolls EXACTLY ErRounds min-label rounds while
+    // the Spark loop early-exits at its fixpoint; agreement needs the
+    // fixture's match graph to converge inside the cap. Mirror of the
+    // g02 cap test so a longer-chained future fixture fails HERE, as a
+    // named test, instead of surfacing as a c05 hash mismatch that
+    // reads like an engine bug.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val pairs = graft.queries.Corpus.c05NamePairs(spark, dir)
+        .localCheckpoint(true)
+      val r = graft.queries.Corpus.ErRounds
+      val a = GraphOps.connectedComponents(pairs, maxRounds = r)
+      val b = GraphOps.connectedComponents(pairs, maxRounds = r + 1)
+      assert(a.as("a").join(b.as("b"), Seq("node"))
+        .where(col("a.label") =!= col("b.label")).count() == 0,
+        s"c05 closure not converged within $r rounds at $dir")
+    }
+  }
+
   test("triangles: one triangle plus a pendant edge") {
     // 1-2-3 triangle, 3-4 pendant.
     val e = edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))

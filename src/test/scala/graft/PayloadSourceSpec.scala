@@ -74,6 +74,103 @@ class PayloadSourceSpec extends SparkSpec {
     intercept[org.apache.spark.SparkException] { failing.count() }
   }
 
+  // ---- live HTTP transport (loopback server, fault injection) -------
+  //
+  // The reference's operational mode is requests.get over HTTP with a
+  // 30s timeout (main_parallel.py:230-251); file:// exercises only the
+  // happy path. A JDK loopback HttpServer drives the REAL HTTP stack —
+  // status codes, slow bodies, timeouts — through the A14 envelope
+  // path, zero-egress.
+
+  private def withHttpServer(test: (String, java.util.concurrent.ConcurrentLinkedQueue[Long]) => Unit): Unit = {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val hits = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.createContext("/q", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        hits.add(System.nanoTime())
+        val sym = ex.getRequestURI.getQuery.stripPrefix("symbol=")
+        def send(code: Int, body: String): Unit = {
+          val b = body.getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(code, b.length)
+          ex.getResponseBody.write(b)
+          ex.close()
+        }
+        sym match {
+          case "AAPL"  => send(200, Fixtures.dailyAapl)
+          case "MSFT"  => send(200, Fixtures.dailyMsft)
+          case "BOOM"  => send(500, "internal error")
+          case "LIMIT" => send(429, "rate limited")
+          case "SLOW" => // body slower than any sane read timeout
+            ex.sendResponseHeaders(200, 100)
+            Thread.sleep(5000)
+            ex.close()
+          case other => send(404, s"unknown $other")
+        }
+      }
+    })
+    server.start()
+    try test(s"http://127.0.0.1:${server.getAddress.getPort}", hits)
+    finally server.stop(0)
+  }
+
+  test("live HTTP transport: 200 bodies parse; 5xx/429/timeout degrade to A14 envelopes") {
+    withHttpServer { (base, _) =>
+      val v2 = spark.read.format("graft-payloads")
+        .option("urlTemplate", s"$base/q?symbol={symbol}")
+        .option("symbols", "AAPL,MSFT,BOOM,LIMIT,SLOW")
+        .option("fetchTimeoutMs", "500") // SLOW's body outlasts this
+        .option("onError", "envelope")
+        .load()
+      val rows = v2.select(v2("Error Message")).collect().map(_.getString(0))
+      assert(rows.length === 5)
+      val envelopes = rows.filter(_ != null)
+      // BOOM (500), LIMIT (429), SLOW (read timeout) — each one envelope
+      assert(envelopes.length === 3, envelopes.mkString("; "))
+      assert(envelopes.exists(_.contains("500")), envelopes.mkString("; "))
+      assert(envelopes.exists(_.contains("429")), envelopes.mkString("; "))
+      assert(envelopes.exists(e => e.toLowerCase.contains("timed out")
+        || e.contains("SocketTimeout")), envelopes.mkString("; "))
+      // the two good symbols normalize exactly like the fixture path
+      assert(normalizedSet(v2) === normalizedSet(
+        Fixtures.dailyPayloads(spark).where(
+          org.apache.spark.sql.functions.col("Error Message").isNull
+            && org.apache.spark.sql.functions.col("Note").isNull)))
+      // default onError=fail: the HTTP 500 must fail the task instead
+      val failing = spark.read.format("graft-payloads")
+        .option("urlTemplate", s"$base/q?symbol={symbol}")
+        .option("symbols", "BOOM")
+        .load()
+      intercept[org.apache.spark.SparkException] { failing.count() }
+    }
+  }
+
+  test("maxRequestsPerMinute paces fetch starts across a multi-symbol read") {
+    withHttpServer { (base, hits) =>
+      graft.sources.FetchRateLimiter.reset()
+      // 240/min = one request start per 250ms: 3 symbols ≥ 500ms total
+      val t0 = System.nanoTime()
+      val v2 = spark.read.format("graft-payloads")
+        .option("urlTemplate", s"$base/q?symbol={symbol}")
+        .option("symbols", "AAPL,MSFT,AAPL")
+        .option("maxRequestsPerMinute", "240")
+        .load()
+      assert(v2.where(v2("Error Message").isNull).count() === 3)
+      val wallMs = (System.nanoTime() - t0) / 1000000L
+      assert(wallMs >= 500, s"3 fetches at 240/min finished in ${wallMs}ms")
+      import scala.jdk.CollectionConverters._
+      val starts = hits.asScala.toSeq.sorted
+      assert(starts.length === 3)
+      // server-observed spacing ≥ interval minus scheduling slop
+      starts.sliding(2).foreach { w =>
+        assert(w(1) - w(0) >= 200000000L,
+          s"request spacing ${(w(1) - w(0)) / 1000000L}ms under the 250ms interval")
+      }
+    }
+  }
+
   test("column pruning is pushed into the payload scan") {
     val pruned = spark.read.format("graft-payloads").load()
       .select("Error Message")

@@ -951,7 +951,7 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     def asMap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getLong(0) ->
-        (r.getLong(1), r.getLong(2), r.getDecimal(3), r.getDecimal(4))).toMap
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     val streamed = asMap(StreamingIngest.currentPsi(spark, root).get)
     val batch = asMap(graft.queries.Features.q122_psi_drift(spark, dir))
     assert(streamed === batch)
