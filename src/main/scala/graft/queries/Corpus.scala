@@ -1933,16 +1933,26 @@ object Corpus {
 
   /** TF-IDF top terms per document — the keyword-extraction /
     * relevance-weighting stage of a curation pipeline. tf and df are
-    * exact integer aggregates; the idf log runs on identical doubles in
-    * both engines and ranking orders by the ROUNDED score (ties broken
-    * by token), so rank is engine-stable. Shape: explode (narrow) →
-    * (doc, token) aggregate → token aggregate → token-keyed join →
-    * per-doc rank window — every shuffle keyed, the N scalar broadcast.
+    * exact integer aggregates; the idf log is tf·(ln N − ln df) over
+    * exact integers through [[graft.functions.PortableMath]], reported
+    * in e-6 integer units (round(double·ln, 6) is the round-9
+    * engine-divergence class), and ranking orders by the quantized
+    * score (ties broken by token), so rank is engine-stable. Shape:
+    * explode (narrow) → (doc, token) aggregate → token aggregate →
+    * token-keyed join → per-doc rank window — every shuffle keyed,
+    * the N scalar broadcast.
     */
+  private def t14Bindings: graft.functions.PortableMath.Bindings = {
+    import graft.functions.PortableMath._
+    lnPosBigint("__nn", "__lnn") ++ lnPosBigint("df", "__lnd") :+
+      ("tfidf_e6" -> roundedUnits(Dual.col("tf").toDouble *
+        (Dual.col("__lnn") - Dual.col("__lnd")), 6))
+  }
+
   val t14_tfidf_terms: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, dir, "documents")
-    val n = docs.agg(countDistinct(col("doc_id")).as("__N"))
+    val n = docs.agg(countDistinct(col("doc_id")).as("__nn"))
     val tok = docs.select(col("doc_id"),
       explode(TextAnalysis.tokens(col("text"))).as("token"))
     val tf = tok.groupBy(col("doc_id"), col("token"))
@@ -1953,27 +1963,29 @@ object Corpus {
     // subtree and tokenizes every document a second time
     val wDf = Window.partitionBy(col("token"))
     val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("tfidf").desc, col("token").asc)
-    tf.withColumn("df", count(lit(1)).over(wDf))
-      .crossJoin(broadcast(n))
-      .withColumn("tfidf", round(col("tf") * log(col("__N") / col("df")), 6))
+      .orderBy(col("tfidf_e6").desc, col("token").asc)
+    graft.functions.PortableMath.withBindings(
+        tf.withColumn("df", count(lit(1)).over(wDf)).crossJoin(broadcast(n)),
+        t14Bindings)
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= 3)
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
-        col("tfidf"), col("rank"))
+        col("tfidf_e6"), col("rank"))
   }
 
-  val t14_sql: String =
+  def t14_sql: String = {
+    val chain = graft.functions.PortableMath.sqlWithBindings(
+      "SELECT doc_id, token, tf, df, nn AS __nn " +
+        "FROM tf JOIN df USING (token) CROSS JOIN n", t14Bindings)
     s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY doc_id, token),
        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
-       |n AS (SELECT COUNT(DISTINCT doc_id) AS N FROM documents),
-       |x AS (SELECT doc_id, token, tf, df,
-       |  ROUND(tf * ln(N::DOUBLE / df), 6) AS tfidf
-       | FROM tf JOIN df USING (token) CROSS JOIN n),
+       |n AS (SELECT COUNT(DISTINCT doc_id) AS nn FROM documents),
+       |x AS ($chain),
        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-       |  ORDER BY tfidf DESC, token ASC) AS rank FROM x)
-       |SELECT doc_id, token, tf, df, tfidf, rank FROM r WHERE rank <= 3""".stripMargin
+       |  ORDER BY tfidf_e6 DESC, token ASC) AS rank FROM x)
+       |SELECT doc_id, token, tf, df, tfidf_e6, rank FROM r WHERE rank <= 3""".stripMargin
+  }
 
   /** Corpus mixture weights: per (source, lang) slice, a
     * temperature-scaled sampling weight w ∝ n_docs^0.5 (τ=2 in the
@@ -2209,15 +2221,37 @@ object Corpus {
     * rows (the t14 recipe — no second tokenize pass), top-20 as a
     * TakeOrdered. The corpus-length branch is one count/sum aggregate.
     */
+  /** BM25 term scoring in exact e-6 units. The Robertson idf
+    * ln(1 + (N−df+½)/(df+½)) = ln(2N+2) − ln(2df+1) — a difference of
+    * portable lns over exact integers (the ×2 clears the halves); the
+    * avgdl normalizer is itself e-6-quantized before use so the whole
+    * per-term expression evaluates from engine-identical inputs.
+    */
+  private def t19Bindings: graft.functions.PortableMath.Bindings = {
+    import graft.functions.PortableMath._
+    val two = Dual.litL(2L)
+    val avgD = Dual.col("__avg6").toDouble / Dual.lit(1.0e6)
+    val tfD = Dual.col("tf").toDouble
+    val den = tfD + Dual.lit(1.2) * (Dual.lit(0.25) +
+      Dual.lit(0.75) * Dual.col("dl").toDouble / avgD)
+    Seq(
+      "__in" -> (two * (Dual.col("__nn") + Dual.litL(1L))),
+      "__idd" -> (two * Dual.col("df") + Dual.litL(1L)),
+      "__avg6" -> roundedUnits(
+        Dual.col("__sd").toDouble / Dual.col("__nn").toDouble, 6)) ++
+      lnPosBigint("__in", "__lni") ++ lnPosBigint("__idd", "__lnid") :+
+      ("__term_e6" -> roundedUnits(
+        (Dual.col("__lni") - Dual.col("__lnid")) * tfD * Dual.lit(2.2) / den,
+        6))
+  }
+
   val t19_bm25: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
     val qTerms = Seq("spark", "vector", "window")
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
       .withColumn("dl", size(col("__toks")).cast("long"))
-    val stats = toks.agg(count(lit(1)).as("__N"), sum(col("dl")).as("__sd"))
-      .withColumn("__avgdl",
-        round(col("__sd").cast("double") / col("__N"), 6))
+    val stats = toks.agg(count(lit(1)).as("__nn"), sum(col("dl")).as("__sd"))
     val tf = toks
       .select(col("doc_id"), col("dl"), explode(col("__toks")).as("token"))
       .where(col("token").isin(qTerms: _*))
@@ -2225,39 +2259,33 @@ object Corpus {
       .agg(count(lit(1)).as("tf"))
     val withDf = tf.withColumn("df",
       count(lit(1)).over(Window.partitionBy(col("token"))))
-    val idf = log(lit(1.0) +
-      (col("__N") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val den = col("tf") +
-      lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("__avgdl"))
-    withDf.crossJoin(broadcast(stats))
-      .withColumn("__term",
-        round(idf * col("tf") * lit(2.2) / den, 6).cast("decimal(18,6)"))
+    graft.functions.PortableMath
+      .withBindings(withDf.crossJoin(broadcast(stats)), t19Bindings)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"),
-        round(sum(col("__term")).cast("double"), 6).as("score"))
-      .orderBy(col("score").desc, col("doc_id").asc)
+        sum(col("__term_e6")).as("score_e6"))
+      .orderBy(col("score_e6").desc, col("doc_id").asc)
       .limit(20)
   }
 
-  val t19_sql: String =
+  def t19_sql: String = {
+    val chain = graft.functions.PortableMath.sqlWithBindings(
+      "SELECT doc_id, dl, tf, df, nn AS __nn, sd AS __sd " +
+        "FROM d CROSS JOIN st", t19Bindings)
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
-       |st AS (SELECT COUNT(*) AS N,
-       |  ROUND(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl FROM l),
+       |st AS (SELECT COUNT(*) AS nn, CAST(SUM(dl) AS BIGINT) AS sd FROM l),
        |x AS (SELECT doc_id, dl, unnest(toks) AS token FROM l),
        |tf AS (SELECT doc_id, dl, token, COUNT(*) AS tf FROM x
        |  WHERE token IN ('spark', 'vector', 'window')
        |  GROUP BY doc_id, dl, token),
        |d AS (SELECT *, COUNT(*) OVER (PARTITION BY token) AS df FROM tf),
-       |sc AS (SELECT doc_id,
-       |  CAST(ROUND(ln(1.0 + (N - df + 0.5) / (df + 0.5))
-       |    * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
-       |    AS DECIMAL(18,6)) AS term
-       |  FROM d CROSS JOIN st)
+       |sc AS ($chain)
        |SELECT doc_id, COUNT(*) AS n_terms,
-       |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS score
+       |  CAST(SUM(__term_e6) AS BIGINT) AS score_e6
        |FROM sc GROUP BY doc_id
-       |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+       |ORDER BY score_e6 DESC, doc_id ASC LIMIT 20""".stripMargin
+  }
 
   /** PII redaction sweep — the privacy-scrubbing stage every released
     * training corpus runs: detect and mask email addresses and phone
@@ -2350,31 +2378,53 @@ object Corpus {
     * math is bit-replayable. One (doc, token) aggregate then one doc
     * aggregate; both keyed, nothing global.
     */
+  private def t22TermBindings: graft.functions.PortableMath.Bindings = {
+    import graft.functions.PortableMath._
+    lnPosBigint("__c", "__lnc") :+
+      ("__t_e9" -> roundedUnits(
+        Dual.col("__c").toDouble * Dual.col("__lnc"), 9))
+  }
+
+  private def t22OutBindings: graft.functions.PortableMath.Bindings = {
+    import graft.functions.PortableMath._
+    lnPosBigint("n_tokens", "__lnt") :+
+      ("entropy_e6" -> roundedUnits(Dual.col("__lnt") -
+        (Dual.col("__s").toDouble / Dual.lit(1.0e9)) /
+          Dual.col("n_tokens").toDouble, 6))
+  }
+
   val t22_token_entropy: Q = (s, dir) => {
+    import graft.functions.PortableMath
     val c = t(s, dir, "documents")
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("__c"))
-    c.groupBy(col("doc_id"))
+    val g = PortableMath.withBindings(c, t22TermBindings)
+      .groupBy(col("doc_id"))
       .agg(sum(col("__c")).as("n_tokens"),
         count(lit(1)).as("n_distinct"),
-        sum(round(col("__c") * log(col("__c")), 9).cast("decimal(28,9)"))
-          .as("__s"))
+        sum(col("__t_e9")).as("__s"))
+    PortableMath.withBindings(g, t22OutBindings)
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-        round(log(col("n_tokens")) -
-          col("__s").cast("double") / col("n_tokens"), 6).as("entropy"))
+        col("entropy_e6"))
   }
 
-  val t22_sql: String =
+  def t22_sql: String = {
+    import graft.functions.PortableMath
+    val termChain = PortableMath.sqlWithBindings(
+      "SELECT doc_id, token, c AS __c FROM c", t22TermBindings)
+    val outChain = PortableMath.sqlWithBindings(
+      "SELECT * FROM a", t22OutBindings)
     s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
        |c AS (SELECT doc_id, token, COUNT(*) AS c FROM t GROUP BY doc_id, token),
-       |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |ct AS ($termChain),
+       |a AS (SELECT doc_id, CAST(SUM(__c) AS BIGINT) AS n_tokens,
        |    COUNT(*) AS n_distinct,
-       |    SUM(CAST(ROUND(c * ln(c), 9) AS DECIMAL(28,9))) AS s
-       |  FROM c GROUP BY doc_id)
-       |SELECT doc_id, n_tokens, n_distinct,
-       |  ROUND(ln(n_tokens) - CAST(s AS DOUBLE) / n_tokens, 6) AS entropy
-       |FROM a""".stripMargin
+       |    CAST(SUM(__t_e9) AS BIGINT) AS __s
+       |  FROM ct GROUP BY doc_id),
+       |f AS ($outChain)
+       |SELECT doc_id, n_tokens, n_distinct, entropy_e6 FROM f""".stripMargin
+  }
 
   /** Per-vector symmetric int8 quantization manifest — the compression
     * step that makes a 100 TB float32 embedding store servable (4×
@@ -2584,7 +2634,42 @@ object Corpus {
     * double expressions over those exact moments. Everything after the
     * one token aggregate runs on 200 rows.
     */
+  /** The log-log regression sums (t23/t41's shared shape) in exact
+    * e-12 integer units: ln rank/freq through the portable series,
+    * per-term quantization by exact floor — the whole fit replays
+    * bit-identically from four BIGINT sums.
+    */
+  private def zipfTermBindings: graft.functions.PortableMath.Bindings = {
+    import graft.functions.PortableMath._
+    lnPosBigint("__r", "__lr") ++ lnPosBigint("__f", "__lf") :+
+      ("__x_e12" -> roundedUnits(Dual.col("__lr"), 12)) :+
+      ("__y_e12" -> roundedUnits(Dual.col("__lf"), 12)) :+
+      ("__xx_e12" -> roundedUnits(Dual.col("__lr") * Dual.col("__lr"), 12)) :+
+      ("__xy_e12" -> roundedUnits(Dual.col("__lr") * Dual.col("__lf"), 12))
+  }
+
+  /** OLS slope/intercept over the e-12 sums, reported in e-6 units —
+    * doubles derived from exact integers with one written order.
+    */
+  private def zipfOutBindings(
+      slopeName: String, interceptName: String)
+      : graft.functions.PortableMath.Bindings = {
+    import graft.functions.PortableMath._
+    val e12 = Dual.lit(1.0e12)
+    val nD = Dual.col("n").toDouble
+    val sx = Dual.col("sx").toDouble / e12
+    val sy = Dual.col("sy").toDouble / e12
+    val sxx = Dual.col("sxx").toDouble / e12
+    val sxy = Dual.col("sxy").toDouble / e12
+    val slope = Dual.col("__slp")
+    Seq(
+      "__slp" -> ((nD * sxy - sx * sy) / (nD * sxx - sx * sx)),
+      slopeName -> roundedUnits(slope, 6),
+      interceptName -> roundedUnits((sy - slope * sx) / nD, 6))
+  }
+
   val t23_zipf_slope: Q = (s, dir) => {
+    import graft.functions.PortableMath
     val k = 200
     val ranked = t(s, dir, "documents")
       .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
@@ -2593,49 +2678,35 @@ object Corpus {
       .withColumn("__r", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(pmod(col("__f"), lit(1)))  // deliberate: k collected rows
-          .orderBy(col("__f").desc, col("token").asc)))
-    def dec(c: org.apache.spark.sql.Column) =
-      round(c, 12).cast("decimal(28,12)")
-    val m = ranked.agg(
+          .orderBy(col("__f").desc, col("token").asc)).cast("long"))
+    val m = PortableMath.withBindings(ranked, zipfTermBindings).agg(
       count(lit(1)).as("n"),
-      sum(dec(log(col("__r")))).as("sx"),
-      sum(dec(log(col("__f")))).as("sy"),
-      sum(dec(log(col("__r")) * log(col("__r")))).as("sxx"),
-      sum(dec(log(col("__r")) * log(col("__f")))).as("sxy"))
-    m.select(col("n"),
-      round((col("n") * col("sxy").cast("double") -
-          col("sx").cast("double") * col("sy").cast("double")) /
-        (col("n") * col("sxx").cast("double") -
-          col("sx").cast("double") * col("sx").cast("double")), 6)
-        .as("zipf_slope"),
-      round((col("sy").cast("double") -
-          ((col("n") * col("sxy").cast("double") -
-            col("sx").cast("double") * col("sy").cast("double")) /
-          (col("n") * col("sxx").cast("double") -
-            col("sx").cast("double") * col("sx").cast("double"))) *
-          col("sx").cast("double")) / col("n"), 6).as("intercept"))
+      sum(col("__x_e12")).as("sx"), sum(col("__y_e12")).as("sy"),
+      sum(col("__xx_e12")).as("sxx"), sum(col("__xy_e12")).as("sxy"))
+    PortableMath
+      .withBindings(m, zipfOutBindings("zipf_slope_e6", "intercept_e6"))
+      .select(col("n"), col("zipf_slope_e6"), col("intercept_e6"))
   }
 
-  val t23_sql: String =
+  def t23_sql: String = {
+    import graft.functions.PortableMath
+    val termChain = PortableMath.sqlWithBindings(
+      "SELECT f AS __f, r AS __r FROM r", zipfTermBindings)
+    val outChain = PortableMath.sqlWithBindings(
+      "SELECT * FROM m", zipfOutBindings("zipf_slope_e6", "intercept_e6"))
     s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents),
        |f AS (SELECT token, COUNT(*) AS f FROM t GROUP BY token
        |  ORDER BY f DESC, token ASC LIMIT 200),
        |r AS (SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, token ASC) AS r FROM f),
+       |rt AS ($termChain),
        |m AS (SELECT COUNT(*) AS n,
-       |    SUM(CAST(ROUND(ln(r), 12) AS DECIMAL(28,12))) AS sx,
-       |    SUM(CAST(ROUND(ln(f), 12) AS DECIMAL(28,12))) AS sy,
-       |    SUM(CAST(ROUND(ln(r) * ln(r), 12) AS DECIMAL(28,12))) AS sxx,
-       |    SUM(CAST(ROUND(ln(r) * ln(f), 12) AS DECIMAL(28,12))) AS sxy
-       |  FROM r)
-       |SELECT n,
-       |  ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-       |    / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
-       |    AS zipf_slope,
-       |  ROUND((CAST(sy AS DOUBLE)
-       |    - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-       |      / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-       |      * CAST(sx AS DOUBLE)) / n, 6) AS intercept
-       |FROM m""".stripMargin
+       |    CAST(SUM(__x_e12) AS BIGINT) AS sx,
+       |    CAST(SUM(__y_e12) AS BIGINT) AS sy,
+       |    CAST(SUM(__xx_e12) AS BIGINT) AS sxx,
+       |    CAST(SUM(__xy_e12) AS BIGINT) AS sxy
+       |  FROM rt)
+       |SELECT n, zipf_slope_e6, intercept_e6 FROM ($outChain)""".stripMargin
+  }
 
   /** BPE-training inner loop: adjacent character-pair frequencies over
     * the token VOCABULARY weighted by token frequency — the statistic a
@@ -2917,29 +2988,51 @@ object Corpus {
       .agg(count(lit(1)).as("__cd"))
     val vocab = perDocTok.groupBy(col("token")).agg(sum(col("__cd")).as("__cw"))
     val totals = vocab.agg(sum(col("__cw")).as("__n"), count(lit(1)).as("__v"))
-    perDocTok
-      .join(vocab, Seq("token"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("__cd")).as("n_tokens"),
-        sum(round(col("__cd") * log(col("__cw") + lit(1)), 9)
-          .cast("decimal(28,9)")).as("__s"))
+    val terms = graft.functions.PortableMath.withBindings(
+      perDocTok.join(vocab, Seq("token"))
+        .withColumn("__cw1", col("__cw") + lit(1L)),
+      t29TermBindings)
+    val g = terms.groupBy(col("doc_id"))
+      .agg(sum(col("__cd")).as("n_tokens"), sum(col("__t_e9")).as("__s"))
       .crossJoin(broadcast(totals))
-      .select(col("doc_id"), col("n_tokens"),
-        round(log(col("__n") + col("__v")) -
-          col("__s").cast("double") / col("n_tokens"), 6).as("xent"))
+      .withColumn("__nv", col("__n") + col("__v"))
+    graft.functions.PortableMath.withBindings(g, t29OutBindings)
+      .select(col("doc_id"), col("n_tokens"), col("xent_e6"))
   }
 
-  val t29_sql: String =
+  private def t29TermBindings: graft.functions.PortableMath.Bindings = {
+    import graft.functions.PortableMath._
+    lnPosBigint("__cw1", "__lnw") :+
+      ("__t_e9" -> roundedUnits(
+        Dual.col("__cd").toDouble * Dual.col("__lnw"), 9))
+  }
+
+  private def t29OutBindings: graft.functions.PortableMath.Bindings = {
+    import graft.functions.PortableMath._
+    lnPosBigint("__nv", "__lnv") :+
+      ("xent_e6" -> roundedUnits(Dual.col("__lnv") -
+        (Dual.col("__s").toDouble / Dual.lit(1.0e9)) /
+          Dual.col("n_tokens").toDouble, 6))
+  }
+
+  def t29_sql: String = {
+    import graft.functions.PortableMath
+    val termChain = PortableMath.sqlWithBindings(
+      "SELECT doc_id, cd AS __cd, cw + 1 AS __cw1 FROM d JOIN v USING (token)",
+      t29TermBindings)
+    val outChain = PortableMath.sqlWithBindings(
+      "SELECT a.*, n + vsz AS __nv FROM a CROSS JOIN tot", t29OutBindings)
     s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
        |v AS (SELECT token, COUNT(*) AS cw FROM t GROUP BY token),
        |tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS n, COUNT(*) AS vsz FROM v),
        |d AS (SELECT doc_id, token, COUNT(*) AS cd FROM t GROUP BY doc_id, token),
-       |a AS (SELECT doc_id, CAST(SUM(cd) AS BIGINT) AS n_tokens,
-       |    SUM(CAST(ROUND(cd * ln(cw + 1), 9) AS DECIMAL(28,9))) AS s
-       |  FROM d JOIN v USING (token) GROUP BY doc_id)
-       |SELECT doc_id, n_tokens,
-       |  ROUND(ln(n + vsz) - CAST(s AS DOUBLE) / n_tokens, 6) AS xent
-       |FROM a CROSS JOIN tot""".stripMargin
+       |dt AS ($termChain),
+       |a AS (SELECT doc_id, CAST(SUM(__cd) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(__t_e9) AS BIGINT) AS __s
+       |  FROM dt GROUP BY doc_id),
+       |f AS ($outChain)
+       |SELECT doc_id, n_tokens, xent_e6 FROM f""".stripMargin
+  }
 
   /** Bigram-LM cross-entropy — t29's conditional-probability upgrade
     * (one step toward the n-gram KenLM scoring CCNet actually runs):
@@ -2975,20 +3068,44 @@ object Corpus {
     val c1 = c2.groupBy(col("__prev")).agg(sum(col("__c2")).as("__c1"))
     val vocab = c2.agg(
       countDistinct(split(col("bigram"), " ").getItem(1)).as("__v"))
-    perDocBg
-      .join(c2, Seq("bigram"))
-      .join(c1, Seq("__prev"))
-      .crossJoin(broadcast(vocab))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("__cd")).as("n_bigrams"),
-        sum(round(col("__cd") *
-            (log(col("__c1") + col("__v")) - log(col("__c2") + lit(1))), 9)
-          .cast("decimal(28,9)")).as("__s"))
-      .select(col("doc_id"), col("n_bigrams"),
-        round(col("__s").cast("double") / col("n_bigrams"), 6).as("xent2"))
+    val terms = graft.functions.PortableMath.withBindings(
+      perDocBg
+        .join(c2, Seq("bigram"))
+        .join(c1, Seq("__prev"))
+        .crossJoin(broadcast(vocab))
+        .withColumn("__ctx", col("__c1") + col("__v"))
+        .withColumn("__evt", col("__c2") + lit(1L)),
+      t30TermBindings)
+    graft.functions.PortableMath.withBindings(
+        terms.groupBy(col("doc_id"))
+          .agg(sum(col("__cd")).as("n_bigrams"),
+            sum(col("__t_e9")).as("__s")),
+        t30OutBindings)
+      .select(col("doc_id"), col("n_bigrams"), col("xent2_e6"))
   }
 
-  val t30_sql: String =
+  private def t30TermBindings: graft.functions.PortableMath.Bindings = {
+    import graft.functions.PortableMath._
+    lnPosBigint("__ctx", "__lnx") ++ lnPosBigint("__evt", "__lne") :+
+      ("__t_e9" -> roundedUnits(Dual.col("__cd").toDouble *
+        (Dual.col("__lnx") - Dual.col("__lne")), 9))
+  }
+
+  private def t30OutBindings: graft.functions.PortableMath.Bindings = {
+    import graft.functions.PortableMath._
+    Seq("xent2_e6" -> roundedUnits(
+      (Dual.col("__s").toDouble / Dual.lit(1.0e9)) /
+        Dual.col("n_bigrams").toDouble, 6))
+  }
+
+  def t30_sql: String = {
+    import graft.functions.PortableMath
+    val termChain = PortableMath.sqlWithBindings(
+      "SELECT doc_id, cd AS __cd, c1 + vsz AS __ctx, c2 + 1 AS __evt " +
+        "FROM d JOIN c2 USING (bigram) JOIN c1 USING (prev) CROSS JOIN v",
+      t30TermBindings)
+    val outChain = PortableMath.sqlWithBindings(
+      "SELECT * FROM a", t30OutBindings)
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |i AS (SELECT doc_id, toks,
        |    unnest(generate_series(2, len(toks))) AS i FROM t),
@@ -2999,14 +3116,13 @@ object Corpus {
        |    CAST(SUM(cd) AS BIGINT) AS c2 FROM d GROUP BY bigram),
        |c1 AS (SELECT prev, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY prev),
        |v AS (SELECT COUNT(DISTINCT split_part(bigram, ' ', 2)) AS vsz FROM c2),
-       |a AS (SELECT doc_id, CAST(SUM(cd) AS BIGINT) AS n_bigrams,
-       |    SUM(CAST(ROUND(cd * (ln(c1 + vsz) - ln(c2 + 1)), 9)
-       |      AS DECIMAL(28,9))) AS s
-       |  FROM d JOIN c2 USING (bigram) JOIN c1 USING (prev) CROSS JOIN v
-       |  GROUP BY doc_id)
-       |SELECT doc_id, n_bigrams,
-       |  ROUND(CAST(s AS DOUBLE) / n_bigrams, 6) AS xent2
-       |FROM a""".stripMargin
+       |dt AS ($termChain),
+       |a AS (SELECT doc_id, CAST(SUM(__cd) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(__t_e9) AS BIGINT) AS __s
+       |  FROM dt GROUP BY doc_id),
+       |f AS ($outChain)
+       |SELECT doc_id, n_bigrams, xent2_e6 FROM f""".stripMargin
+  }
 
   /** Contrastive image–text pair assembly — the dataset-construction
     * step a multimodal (CLIP-style) training pipeline runs: each image
@@ -3832,33 +3948,33 @@ object Corpus {
     val w = Window.partitionBy(pmod(col("bucket"), lit(1)))
       .orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the t23 log-log OLS machinery reused verbatim: x = ln cumulative
+    // tokens, y = ln cumulative vocabulary, exact e-12 term units
     val pts = tokensPerBucket
       .join(newVocabPerBucket, Seq("bucket"), "full_outer")
       .select(col("bucket"), coalesce(col("toks"), lit(0L)).as("toks"),
         coalesce(col("newv"), lit(0L)).as("newv"))
       .select(col("bucket"),
-        sum(col("toks")).over(w).as("__n"),
-        sum(col("newv")).over(w).as("__v"))
-      .where(col("__n") > 0 && col("__v") > 0)
-    def dec(c: org.apache.spark.sql.Column) =
-      round(c, 12).cast("decimal(28,12)")
-    val lx = log(col("__n"))
-    val ly = log(col("__v"))
-    val m = pts.agg(
-      count(lit(1)).as("n_points"),
-      sum(dec(lx)).as("sx"), sum(dec(ly)).as("sy"),
-      sum(dec(lx * lx)).as("sxx"), sum(dec(lx * ly)).as("sxy"))
-    val slope = (col("n_points") * col("sxy").cast("double") -
-        col("sx").cast("double") * col("sy").cast("double")) /
-      (col("n_points") * col("sxx").cast("double") -
-        col("sx").cast("double") * col("sx").cast("double"))
-    m.select(col("n_points"),
-      round(slope, 6).as("heaps_beta"),
-      round((col("sy").cast("double") - slope * col("sx").cast("double")) /
-        col("n_points"), 6).as("log_k"))
+        sum(col("toks")).over(w).as("__r"),
+        sum(col("newv")).over(w).as("__f"))
+      .where(col("__r") > 0 && col("__f") > 0)
+    val m = graft.functions.PortableMath
+      .withBindings(pts, zipfTermBindings).agg(
+        count(lit(1)).as("n"),
+        sum(col("__x_e12")).as("sx"), sum(col("__y_e12")).as("sy"),
+        sum(col("__xx_e12")).as("sxx"), sum(col("__xy_e12")).as("sxy"))
+    graft.functions.PortableMath
+      .withBindings(m, zipfOutBindings("heaps_beta_e6", "log_k_e6"))
+      .select(col("n").as("n_points"), col("heaps_beta_e6"),
+        col("log_k_e6"))
   }
 
-  val t41_sql: String =
+  def t41_sql: String = {
+    val t41TermChain = graft.functions.PortableMath.sqlWithBindings(
+      "SELECT ncum AS __r, vcum AS __f FROM cc WHERE ncum > 0 AND vcum > 0",
+      zipfTermBindings)
+    val t41OutChain = graft.functions.PortableMath.sqlWithBindings(
+      "SELECT * FROM m", zipfOutBindings("heaps_beta_e6", "log_k_e6"))
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |mx AS (SELECT CAST(MAX(doc_id) AS DOUBLE) AS mx FROM t),
        |tb AS (SELECT CAST(FLOOR(CAST(doc_id AS DOUBLE) * 64.0 / (mx + 1.0))
@@ -3879,32 +3995,15 @@ object Corpus {
        |         CAST(SUM(newv) OVER w AS BIGINT) AS vcum
        |       FROM cb WINDOW w AS (ORDER BY bucket
        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-       |pt AS (SELECT
-       |         CAST(ROUND(LN(CAST(ncum AS DOUBLE)), 12)
-       |              AS DECIMAL(28,12)) AS x,
-       |         CAST(ROUND(LN(CAST(vcum AS DOUBLE)), 12)
-       |              AS DECIMAL(28,12)) AS y,
-       |         CAST(ROUND(LN(CAST(ncum AS DOUBLE))
-       |                    * LN(CAST(ncum AS DOUBLE)), 12)
-       |              AS DECIMAL(28,12)) AS xx,
-       |         CAST(ROUND(LN(CAST(ncum AS DOUBLE))
-       |                    * LN(CAST(vcum AS DOUBLE)), 12)
-       |              AS DECIMAL(28,12)) AS xy
-       |       FROM cc WHERE ncum > 0 AND vcum > 0),
-       |m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
-       |        SUM(xx) AS sxx, SUM(xy) AS sxy FROM pt)
-       |SELECT CAST(n AS BIGINT) AS n_points,
-       |  ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
-       |         * CAST(sy AS DOUBLE))
-       |        / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
-       |           * CAST(sx AS DOUBLE)), 6) AS heaps_beta,
-       |  ROUND((CAST(sy AS DOUBLE)
-       |         - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
-       |             * CAST(sy AS DOUBLE))
-       |            / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
-       |               * CAST(sx AS DOUBLE)))
-       |           * CAST(sx AS DOUBLE)) / n, 6) AS log_k
-       |FROM m""".stripMargin
+       |pt AS ($t41TermChain),
+       |m AS (SELECT COUNT(*) AS n,
+       |        CAST(SUM(__x_e12) AS BIGINT) AS sx,
+       |        CAST(SUM(__y_e12) AS BIGINT) AS sy,
+       |        CAST(SUM(__xx_e12) AS BIGINT) AS sxx,
+       |        CAST(SUM(__xy_e12) AS BIGINT) AS sxy FROM pt)
+       |SELECT CAST(n AS BIGINT) AS n_points, heaps_beta_e6, log_k_e6
+       |FROM ($t41OutChain)""".stripMargin
+  }
 
   /** c05: entity-resolution capstone — the full MDM pipeline as one
     * composed query: token blocking (d15's candidate generation) →

@@ -1830,31 +1830,48 @@ object Extensions {
       .select(substring(col("o_totalprice").cast(dec2).cast("string"), 1, 1)
         .as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
-    digits.crossJoin(broadcast(totals))
+    graft.functions.PortableMath
+      .withBindings(digits.crossJoin(broadcast(totals)), q95Bindings)
       .select(col("digit"), col("n_orders"),
-        round(col("n_orders").cast("double") / col("__n"), 6).as("observed"),
-        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
-          .as("benford"),
-        round(pow(col("n_orders").cast("double") / col("__n") -
-            log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 2) /
-          log10(lit(1.0) + lit(1.0) / col("digit").cast("double")) *
-          col("__n"), 6).as("chi2_term"))
+        col("observed_e6"), col("benford_e6"), col("chi2_term_e6"))
   }
 
-  val q95_sql: String =
-    """WITH d AS (
-      |  SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
-      |           AS digit
-      |  FROM orders WHERE o_totalprice >= 1),
-      |g AS (SELECT digit, COUNT(*) AS n_orders FROM d GROUP BY 1),
-      |t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS n FROM g)
-      |SELECT digit, n_orders,
-      |  ROUND(CAST(n_orders AS DOUBLE) / n, 6) AS observed,
-      |  ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford,
-      |  ROUND(POW(CAST(n_orders AS DOUBLE) / n
-      |      - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 2)
-      |    / log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * n, 6) AS chi2_term
-      |FROM g CROSS JOIN t""".stripMargin
+  /** Benford expectation log₁₀(1 + 1/d) for d ∈ 1..9 folded to NINE
+    * generation-time double literals (no runtime transcendental at
+    * all — the engines just select the same constant); the χ² term is
+    * then +,−,×,/ over engine-identical doubles, quantized by exact
+    * floor. `round(log10(…), 6)` was the round-9 divergence class.
+    */
+  private def q95Bindings: graft.functions.PortableMath.Bindings = {
+    import graft.functions.PortableMath._
+    val ben = Dual.cases(
+      (1 to 8).map { d =>
+        DualCond(col("digit") === lit(d.toString), s"(digit = '$d')") ->
+          Dual.lit(math.log10(1.0 + 1.0 / d))
+      },
+      Dual.lit(math.log10(1.0 + 1.0 / 9)))
+    val obs = Dual.col("n_orders").toDouble / Dual.col("__n").toDouble
+    val dev = obs - Dual.col("__ben")
+    Seq(
+      "__ben" -> ben,
+      "observed_e6" -> roundedUnits(obs, 6),
+      "benford_e6" -> roundedUnits(Dual.col("__ben"), 6),
+      "chi2_term_e6" -> roundedUnits(
+        dev * dev / Dual.col("__ben") * Dual.col("__n").toDouble, 6))
+  }
+
+  def q95_sql: String = {
+    val chain = graft.functions.PortableMath.sqlWithBindings(
+      "SELECT digit, n_orders, n AS __n FROM g CROSS JOIN t", q95Bindings)
+    s"""WITH d AS (
+       |  SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+       |           AS digit
+       |  FROM orders WHERE o_totalprice >= 1),
+       |g AS (SELECT digit, COUNT(*) AS n_orders FROM d GROUP BY 1),
+       |t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS n FROM g)
+       |SELECT digit, n_orders, observed_e6, benford_e6, chi2_term_e6
+       |FROM ($chain)""".stripMargin
+  }
 
   /** TPC-H Q14 (promotion effect): the share of one month's discounted
     * revenue attributable to PROMO parts — the classic conditional-
