@@ -90,24 +90,32 @@ object Bench {
     val qs = repaired.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (repaired.nonEmpty) repaired.map(_._2).sum else 0.0
-    // Per-query max−min across every evaluation this run took (warm-up,
-    // the N timed passes, any repair pass) — the reader's direct
-    // evidence for "this number is host noise, not a plan regression":
-    // the same binary disagreeing with itself within ONE run bounds the
-    // host's contribution without needing any cross-run reference.
+    // Per-query max−min across the STEADY-STATE evaluations only (the
+    // N timed passes + any repair pass) — the reader's direct evidence
+    // for "this number is host noise, not a plan regression": the same
+    // binary disagreeing with itself within ONE run bounds the host's
+    // contribution. The warm-up pass is EXCLUDED: it absorbs per-query
+    // codegen/JIT/IO-cache cost by design, so including it flagged
+    // every fast query (33 noise_suspect entries in BENCH_r10) and
+    // diluted the steal-burst signal this exists to carry. With a
+    // single timed pass and no repair the within-run spread is 0 —
+    // the cross-run reference check below carries the signal instead.
     val spreads = sampled.map { case (name, samples) =>
-      name -> (samples.max - samples.min)
+      val steady = samples.drop(1) // samples(0) is the warm-up
+      name -> (steady.max - steady.min)
     }
     val spreadJson = spreads
       .map { case (k, v) => "\"" + k + "\":" + String.format(
         java.util.Locale.ROOT, "%.3f", Double.box(v)) }
       .mkString("{", ",", "}")
-    // a query whose own samples disagree by more than max(0.25s, its
-    // best time) sat in a steal burst during at least one pass
+    // a query whose steady-state samples disagree by more than
+    // max(0.25s, its best time) sat in a steal burst during a pass
     val spreadSuspect = sampled.collect {
       case (name, samples)
-          if samples.max - samples.min >
-            math.max(0.25, samples.min) =>
+          if {
+            val steady = samples.drop(1)
+            steady.max - steady.min > math.max(0.25, samples.min)
+          } =>
         name
     }.toSet
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

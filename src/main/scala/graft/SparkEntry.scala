@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.Extensions.queries ++
     graft.queries.TpcH.queries ++
     graft.queries.GraphQueries.queries ++
-    graft.queries.Features.queries
+    graft.queries.Features.queries ++
+    graft.queries.HashProbes.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -33,5 +34,6 @@ object SparkEntry {
     graft.queries.Extensions.oracles ++
     graft.queries.TpcH.oracles ++
     graft.queries.GraphQueries.oracles ++
-    graft.queries.Features.oracles
+    graft.queries.Features.oracles ++
+    graft.queries.HashProbes.oracles
 }

@@ -14,8 +14,13 @@ object Verify {
     // run's fixtures keep serving the unselected queries' oracles.
     // MUST be pinned before ANY query-object touch: a lazily-initialized
     // object could otherwise capture the per-process default.
+    // SIBLING of outDir, not inside it: the driver's compare sweep
+    // parquet-reads EVERY outDir subdirectory as a query result, and the
+    // fixture root holds non-parquet dumps too (q84's CSV round trip) —
+    // round 10's <outDir>/fixtures placement produced a bogus errored
+    // 'fixtures' row in CORRECTNESS_r10.json.
     graft.ingest.FixtureTables.root =
-      new java.io.File(outDir, "fixtures").getAbsolutePath
+      new java.io.File(outDir + ".fixtures").getAbsolutePath
     // dir-dependent oracles (s03's centroid fixture) must describe THIS
     // verify run's sfDir when oracle_sql.json is dumped below
     graft.queries.Corpus.oracleSfDir = sfDir
@@ -38,6 +43,7 @@ object Verify {
     val selected = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.exists(n.startsWith))
     }
+    val failed = scala.collection.mutable.ListBuffer[String]()
     selected.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
@@ -46,9 +52,17 @@ object Verify {
         System.err.println(
           f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
       }
     }
+    // a query that throws (e.g. at analysis, after a column rename)
+    // silently VANISHES from the correctness surface otherwise — round
+    // 10's s11 breakage was only visible by diffing key sets across
+    // rounds. Dump everything first, then fail loudly.
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size} UNRUNNABLE QUERIES: ${failed.mkString(", ")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -70,5 +84,6 @@ object Verify {
       s"""{"spark_version":"${spark.version}","sf_dir":${q(sfDir)}}\n""")
     System.err.println(s"[verify] spark_version=${spark.version}")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -4098,8 +4098,12 @@ object Corpus {
       .agg(
         countDistinct(col("node")).as("n_members"),
         count(col("l_quantity")).as("n_lineitems"),
+        // DECIMAL(18,2), not (28,2): quantities are ≤50 per line, so the
+        // per-entity sum sits far inside 16 digits even at 1000× sf0.1;
+        // ≤(18,x) decimals are driver-hash-proven (229 green boundaries)
+        // while wide decimals red-hashed twice despite identical replays.
         coalesce(sum(col("l_quantity").cast(dec2)), lit(0).cast(dec2))
-          .cast(DecimalType(28, 2)).as("total_qty"))
+          .cast(dec2).as("total_qty"))
     rolled.join(
         nm.select(col("p_partkey").as("entity_id"),
           col("p_name").as("canonical_name")),
@@ -4132,7 +4136,7 @@ object Corpus {
        |    COUNT(DISTINCT la.node) AS n_members,
        |    COUNT(li.l_quantity) AS n_lineitems,
        |    CAST(COALESCE(SUM(CAST(li.l_quantity AS DECIMAL(18,2))),
-       |                  CAST(0 AS DECIMAL(18,2))) AS DECIMAL(28,2))
+       |                  CAST(0 AS DECIMAL(18,2))) AS DECIMAL(18,2))
        |      AS total_qty
        |  FROM lab$ErRounds la
        |  LEFT JOIN lineitem li ON li.l_partkey = la.node
@@ -4758,10 +4762,10 @@ object Corpus {
     */
   val s11_hybrid_rrf: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
-    val lex = t19_bm25(s, dir) // top-20 (doc_id, n_terms, score)
+    val lex = t19_bm25(s, dir) // top-20 (doc_id, n_terms, score_e6)
       .withColumn("rank_lex", row_number().over(
         Window.partitionBy(pmod(col("doc_id"), lit(1))) // deliberate: 20 rows
-          .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+          .orderBy(col("score_e6").desc, col("doc_id").asc)).cast("long"))
       .select(col("doc_id").as("id"), col("rank_lex"))
     val e = t(s, dir, "embeddings")
     val vec = Similarity.bruteForceTopK(e.where(col("vec_id") === 0), e,
@@ -4780,24 +4784,25 @@ object Corpus {
 
   val s11_sql: String = {
     val vecCos = cosSql.replace("a.v", "ea.v").replace("b.v", "eb.v")
+    // lexical branch = t19's portable BM25 chain verbatim (same bindings
+    // object), so query and oracle rank by the SAME e-6-quantized score
+    val chain = graft.functions.PortableMath.sqlWithBindings(
+      "SELECT doc_id, dl, tf, df, nn AS __nn, sd AS __sd " +
+        "FROM d CROSS JOIN st", t19Bindings)
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t),
-       |st AS (SELECT COUNT(*) AS N,
-       |  ROUND(CAST(SUM(dl) AS DOUBLE) / COUNT(*), 6) AS avgdl FROM l),
+       |st AS (SELECT COUNT(*) AS nn, CAST(SUM(dl) AS BIGINT) AS sd FROM l),
        |x AS (SELECT doc_id, dl, unnest(toks) AS token FROM l),
        |tf AS (SELECT doc_id, dl, token, COUNT(*) AS tf FROM x
        |  WHERE token IN ('spark', 'vector', 'window')
        |  GROUP BY doc_id, dl, token),
        |d AS (SELECT *, COUNT(*) OVER (PARTITION BY token) AS df FROM tf),
-       |sc AS (SELECT doc_id,
-       |  CAST(ROUND(ln(1.0 + (N - df + 0.5) / (df + 0.5))
-       |    * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
-       |    AS DECIMAL(18,6)) AS term
-       |  FROM d CROSS JOIN st),
-       |lexagg AS (SELECT doc_id, ROUND(CAST(SUM(term) AS DOUBLE), 6) AS score
-       |  FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20),
+       |sc AS ($chain),
+       |lexagg AS (SELECT doc_id, CAST(SUM(__term_e6) AS BIGINT) AS score_e6
+       |  FROM sc GROUP BY doc_id
+       |  ORDER BY score_e6 DESC, doc_id ASC LIMIT 20),
        |lex AS (SELECT doc_id AS id,
-       |  ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank_lex
+       |  ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id ASC) AS rank_lex
        |  FROM lexagg),
        |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |vsc AS (SELECT eb.vec_id AS id, $vecCos AS cos

@@ -149,6 +149,31 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("c05 token blocking loses no 0.92-pair on each shipped fixture") {
+    // c05's Spark side generates candidates by shared-token blocking
+    // while its oracle scores the brute-force cross join — the hash
+    // match is only sound if blocking drops NO pair at the threshold.
+    // Pin that with data on every shipped fixture: a future corpus
+    // where a ≥0.92 name pair shares no whitespace token must fail
+    // HERE, as a named test, not as a c05 hash mismatch.
+    import graft.functions.JaroWinklerSimilarity
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val names = Tables(spark, dir, "part")
+        .groupBy(col("p_name")).agg(min(col("p_partkey")).as("name_key"))
+        .localCheckpoint(true) // name frame is catalog-small by design
+      val blocked = graft.queries.Corpus.c05NamePairs(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = names.as("a").crossJoin(names.as("b"))
+        .where(col("a.name_key") < col("b.name_key"))
+        .where(floor(JaroWinklerSimilarity(col("a.p_name"), col("b.p_name"))
+          * lit(1000000.0) + lit(0.5)) >= lit(920000L))
+        .select(col("a.name_key"), col("b.name_key"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(blocked == brute,
+        s"$dir: blocked-only=${blocked -- brute} missed=${brute -- blocked}")
+    }
+  }
+
   test("triangles: one triangle plus a pendant edge") {
     // 1-2-3 triangle, 3-4 pendant.
     val e = edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))

@@ -67,21 +67,28 @@ class PipelineEvalSpec extends SparkSpec {
   test("q122 PSI total equals the exact per-bin fold and is non-negative") {
     val rows = graft.queries.Features.q122_psi_drift(spark, sfDir).collect()
     assert(rows.nonEmpty)
-    val psi = rows.head.getDecimal(4)
-    assert(rows.forall(_.getDecimal(4) == psi), "psi total repeats per row")
-    val bins = rows.map(r => (r.getLong(1), r.getLong(2)))
+    // e-9 integer units since the PortableMath migration: psi_e9 is the
+    // EXACT sum of the per-bin psi_term_e9 longs (order-independent)
+    val psi = rows.head.getLong(4)
+    assert(rows.forall(_.getLong(4) == psi), "psi total repeats per row")
+    assert(rows.map(_.getLong(3)).sum == psi,
+      "psi_e9 is exactly the sum of the per-bin terms")
+    val bins = rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
     val (rTot, cTot, b) =
       (bins.map(_._1).sum, bins.map(_._2).sum, bins.length)
-    val expected = bins.map { case (nr, nc) =>
+    bins.foreach { case (nr, nc, termE9) =>
       val p = (nr + 1).toDouble / (rTot + b).toDouble
       val q = (nc + 1).toDouble / (cTot + b).toDouble
-      BigDecimal((p - q) * math.log(p / q))
-        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
-    }.sum
-    assert(BigDecimal(psi) == expected,
-      s"psi=$psi driver-side fold=$expected")
-    // (p−q)·ln(p/q) ≥ 0 termwise, so PSI is a true divergence
-    assert(BigDecimal(psi) >= 0)
+      val expected =
+        math.floor((p - q) * math.log(p / q) * 1e9 + 0.5).toLong
+      // libm ln vs the portable series agree to ~1e-13 relative — at
+      // most one e-9 unit apart at a rounding boundary
+      assert(math.abs(termE9 - expected) <= 1L,
+        s"bin ($nr,$nc): term_e9=$termE9 libm fold=$expected")
+      // (p−q)·ln(p/q) ≥ 0 termwise, so PSI is a true divergence
+      assert(termE9 >= 0L)
+    }
+    assert(psi >= 0L)
   }
 
   test("q123 encoding is the out-of-fold smoothed mean, leakage-free") {
@@ -139,15 +146,15 @@ class PipelineEvalSpec extends SparkSpec {
       assert(nPos >= 0 && nPos <= n)
       val emp = r.getDouble(5)
       assert(emp == nPos.toDouble / n.toDouble, "empirical rate exact")
-      val pred = r.getDecimal(4)
-      assert(pred.doubleValue >= 0.0 && pred.doubleValue <= 1.0)
+      // pred_rate_e9: the portable logistic in e-9 integer units
+      val predE9 = r.getLong(4)
+      assert(predE9 >= 0L && predE9 <= 1000000000L)
     }
     // a distilled model of a realizable rule should calibrate well:
     // weighted |pred − emp| (the ECE fold over this report) is small
     val ece = rows.map { r =>
       r.getLong(1).toDouble / total *
-        math.abs(r.getDecimal(4).doubleValue -
-          r.getDouble(5))
+        math.abs(r.getLong(4).toDouble / 1e9 - r.getDouble(5))
     }.sum
     assert(ece < 0.15, s"expected calibration error too large: $ece")
   }
@@ -183,7 +190,7 @@ class PipelineEvalSpec extends SparkSpec {
   test("t41 Heaps fit flags the synthetic corpus's fixed vocabulary") {
     val r = graft.queries.Corpus.t41_heaps_law(spark, sfDir).collect()(0)
     assert(r.getLong(0) > 8, "enough non-empty checkpoint buckets")
-    val beta = r.getDouble(1)
+    val beta = r.getLong(1).toDouble / 1e6 // heaps_beta_e6 integer units
     // natural text sits near β ≈ 0.4–0.6; the fixtures draw from a
     // small FIXED vocabulary, so nearly all of it appears in the first
     // bucket and growth flattens — the corpus-QA signal this statistic
@@ -195,7 +202,7 @@ class PipelineEvalSpec extends SparkSpec {
     val vocab = Tables(spark, sfDir, "documents")
       .select(explode(graft.text.TextAnalysis.tokens(col("text"))))
       .distinct().count()
-    val kEst = math.exp(r.getDouble(2))
+    val kEst = math.exp(r.getLong(2).toDouble / 1e6) // log_k_e6 units
     assert(kEst > vocab / 10.0 && kEst < vocab * 10.0,
       s"K=$kEst vs true vocabulary $vocab")
   }
@@ -204,27 +211,32 @@ class PipelineEvalSpec extends SparkSpec {
     val rows = graft.queries.Features.q130_kaplan_meier(spark, sfDir)
       .collect().sortBy(_.getLong(0))
     assert(rows.nonEmpty)
-    // replay the estimator by hand from the query's own counts
+    // replay the estimator by hand from the query's own counts, in the
+    // engine's own e-unit discipline: per-step ln(1−d/n) = ln(n−d)−ln(n)
+    // quantized to e-12 longs, summed exactly, exp'd, reported at e-6
     var atRisk = rows.map(r => r.getLong(2) + r.getLong(3)).sum
-    var sLog = BigDecimal(0)
+    var se12 = 0L
     var dead = false
     rows.foreach { r =>
       val (t, n, d, c) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
       assert(n == atRisk, s"at-risk at t=$t")
-      val term = 1.0 - d.toDouble / n.toDouble
-      if (term <= 0.0) dead = true
-      else sLog += BigDecimal(math.log(term))
-        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      if (n - d <= 0L) dead = true // the cumulative pin, from here on
+      if (!dead)
+        se12 += math.floor(
+          (math.log((n - d).toDouble) - math.log(n.toDouble)) * 1e12 + 0.5)
+          .toLong
       val expected =
-        if (dead) 0.0
-        else BigDecimal(math.exp(sLog.toDouble))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      assert(r.getDouble(4) == expected, s"survival at t=$t")
+        if (dead) 0L
+        else math.floor(math.exp(se12.toDouble / 1e12) * 1e6 + 0.5).toLong
+      // libm vs the portable series: ≤1 e-unit apart at a boundary
+      assert(math.abs(r.getLong(4) - expected) <= 1L,
+        s"survival at t=$t: got ${r.getLong(4)} libm fold=$expected")
       atRisk -= d + c // censored leave the denominator, never the numerator
     }
     // survival is monotone non-increasing from 1 downward
-    val surv = rows.map(_.getDouble(4))
-    assert(surv.head <= 1.0 && surv.zip(surv.tail).forall { case (a, b) => b <= a })
+    val surv = rows.map(_.getLong(4))
+    assert(surv.head <= 1000000L &&
+      surv.zip(surv.tail).forall { case (a, b) => b <= a })
   }
 
   test("t40 χ² report is well-formed and correctly ordered") {

@@ -101,7 +101,11 @@ class SimilaritySpec extends SparkSpec {
     val executed = stored.queryExecution.executedPlan
     stored.collect() // execute THIS plan so its scan owns the metrics
     go(executed)
-    val listScan = scans.find(_.toString.contains("lists"))
+    // match on the scan's actual root paths, NOT its toString: Spark
+    // truncates the rendered location, and a long fixture root cuts it
+    // off before the "/lists" suffix (round-10 false failure)
+    val listScan = scans.find(_.relation.location.rootPaths
+        .exists(_.toString.contains("/lists")))
       .getOrElse(fail(s"no lists scan in:\n$executed"))
     val readPartitions = listScan.metrics("numPartitions").value
     // 3 queries × nProbe=2 probe at most 6 of the >1 list directories;
@@ -153,7 +157,8 @@ class SimilaritySpec extends SparkSpec {
       val executed = stored.queryExecution.executedPlan
       stored.collect() // execute THIS plan so its scan owns the metrics
       go(executed)
-      val bucketScan = scans.find(_.toString.contains("buckets"))
+      val bucketScan = scans.find(_.relation.location.rootPaths
+          .exists(_.toString.contains("/buckets")))
         .getOrElse(fail(s"no buckets scan in:\n$executed"))
       val readPartitions = bucketScan.metrics("numPartitions").value
       // 3 probes × 4 tables touch at most 12 of the prefix directories
@@ -187,7 +192,11 @@ class SimilaritySpec extends SparkSpec {
       case other => other.children.foreach(go)
     }
     go(executed)
-    val listScan = scans.find(_.toString.contains("lists"))
+    // match on the scan's actual root paths, NOT its toString: Spark
+    // truncates the rendered location, and a long fixture root cuts it
+    // off before the "/lists" suffix (round-10 false failure)
+    val listScan = scans.find(_.relation.location.rootPaths
+        .exists(_.toString.contains("/lists")))
       .getOrElse(fail(s"no lists scan in:\n$executed"))
     val readPartitions = listScan.metrics("numPartitions").value
     assert(readPartitions < listDirs.size.toLong,
