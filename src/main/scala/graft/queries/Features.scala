@@ -718,9 +718,133 @@ object Features {
       |    / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)) AS welch_df
       |FROM w""".stripMargin
 
+  // -------------------------------------------- rank correlation
+
+  /** Exact average ranks (doubled, so ties' half-ranks stay BIGINT)
+    * for one numeric column, scale-safely: collapse to the
+    * distinct-value frame (one keyed aggregate, map-side combined),
+    * then the q121/t16 two-level prefix — per-bucket subtotals, an
+    * exclusive prefix over the domain-bounded bucket frame (the
+    * constant-key window touches only ~range/step rows at ANY corpus
+    * size), and a within-bucket running count. 2·avgrank(v) =
+    * 2·N₍₌₎(v) is exact integer arithmetic end to end.
+    */
+  private def rank2Frame(
+      pairs: DataFrame, v: String, bucketStep: Double): DataFrame = {
+    val g = pairs.groupBy(col(v)).agg(count(lit(1)).as("__c"))
+      .withColumn("__bucket",
+        floor(col(v).cast("double") / lit(bucketStep)))
+      .localCheckpoint(true) // consumed by the bucket prefix AND the join
+    val wB = Window.partitionBy(pmod(col("__bucket"), lit(1)))
+      .orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pref = g.groupBy(col("__bucket")).agg(sum(col("__c")).as("__bc"))
+      .select(col("__bucket"),
+        coalesce(sum(col("__bc")).over(wB), lit(0L)).as("__start"))
+    val wIn = Window.partitionBy(col("__bucket")).orderBy(col(v))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.join(broadcast(pref), "__bucket")
+      .select(col(v),
+        (lit(2L) * (col("__start") +
+          coalesce(sum(col("__c")).over(wIn), lit(0L)))
+          + col("__c") + lit(1L)).as("__r2"))
+  }
+
+  /** q131: Spearman rank correlation — the feature-screening step of
+    * a training pipeline (does this candidate feature move
+    * MONOTONICALLY with the label?), which Pearson misses whenever
+    * the relation is nonlinear and a global sort makes naive at
+    * corpus scale. Ranks are exact average ranks with tie
+    * correction, computed WITHOUT a global sort (the q121 two-level
+    * prefix over the distinct-value frame); doubled ranks keep the
+    * tie half-steps in BIGINT. ρ is then Pearson over the integer
+    * rank pairs: DECIMAL(19,0)×DECIMAL(19,0) products sum exactly as
+    * DECIMAL(38,0) in both engines (the q121 numerator rule, exact
+    * to ~2.9e12 rows), sums cross to double through a STRING cast
+    * (the q47 rule — single correctly-rounded conversion in both
+    * engines), and the final formula is fixed-order IEEE arithmetic
+    * ending in a correctly-rounded sqrt — bit-identical across
+    * engines. Output boundary: STRING + BIGINT + DOUBLE only (the
+    * round-11 driver-hash policy). The oracle replays the identical
+    * rank definition through DuckDB's naive global window — same
+    * exact integers, independent plan.
+    */
+  val q131_spearman: Q = (s, dir) => {
+    val d19 = DecimalType(19, 0)
+    def d(c: Column): Column = c.cast("string").cast("double")
+    val li = t(s, dir, "lineitem")
+    val features = Seq( // (report name, column, rank bucket step)
+      ("l_quantity", 8.0), ("l_discount", 0.01))
+    // the label's rank frame is feature-independent: build it ONCE
+    // (rank2Frame localCheckpoints, so both branches reuse the
+    // materialized frame instead of re-ranking the label per feature)
+    val ry = rank2Frame(
+      li.select(col("l_extendedprice").as("__y")), "__y",
+      bucketStep = 1024.0).withColumnRenamed("__r2", "__b")
+    val branches = features.map { case (x, step) =>
+      val pairs = li.select(col(x).as("__x"),
+        col("l_extendedprice").as("__y"))
+      val ranked = pairs
+        .join(rank2Frame(pairs, "__x", step)
+          .withColumnRenamed("__r2", "__a"), "__x")
+        .join(ry, "__y")
+      val m = ranked.agg(
+        count(lit(1)).as("n_pairs"),
+        d(sum(col("__a").cast(d19))).as("__sa"),
+        d(sum(col("__b").cast(d19))).as("__sb"),
+        d(sum(col("__a").cast(d19) * col("__b").cast(d19))).as("__sab"),
+        d(sum(col("__a").cast(d19) * col("__a").cast(d19))).as("__saa"),
+        d(sum(col("__b").cast(d19) * col("__b").cast(d19))).as("__sbb"))
+      val n = col("n_pairs").cast("double")
+      val cov = n * col("__sab") - col("__sa") * col("__sb")
+      val vx = n * col("__saa") - col("__sa") * col("__sa")
+      val vy = n * col("__sbb") - col("__sb") * col("__sb")
+      m.select(lit(x).as("feature"), col("n_pairs"),
+        when(vx <= 0 || vy <= 0, lit(null).cast("double"))
+          .otherwise(cov / sqrt(vx * vy)).as("rho"))
+    }
+    branches.reduce(_ unionByName _)
+  }
+
+  private def q131BranchSql(x: String): String =
+    s"""SELECT '$x' AS feature, CAST(n AS BIGINT) AS n_pairs,
+       |  CASE WHEN CAST(n AS DOUBLE) * saa - sa * sa <= 0
+       |         OR CAST(n AS DOUBLE) * sbb - sb * sb <= 0 THEN NULL
+       |       ELSE (CAST(n AS DOUBLE) * sab - sa * sb)
+       |         / sqrt((CAST(n AS DOUBLE) * saa - sa * sa)
+       |              * (CAST(n AS DOUBLE) * sbb - sb * sb)) END AS rho
+       |FROM (
+       |  WITH p AS (SELECT $x AS x, l_extendedprice AS y FROM lineitem),
+       |  gx AS (SELECT x, COUNT(*) AS c FROM p GROUP BY x),
+       |  rx AS (SELECT x, CAST(2 * COALESCE(SUM(c) OVER
+       |      (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) + c + 1 AS BIGINT) AS a FROM gx),
+       |  gy AS (SELECT y, COUNT(*) AS c FROM p GROUP BY y),
+       |  ry AS (SELECT y, CAST(2 * COALESCE(SUM(c) OVER
+       |      (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) + c + 1 AS BIGINT) AS b FROM gy),
+       |  j AS (SELECT a, b FROM p JOIN rx USING (x) JOIN ry USING (y))
+       |  SELECT COUNT(*) AS n,
+       |    CAST(CAST(SUM(CAST(a AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE)
+       |      AS sa,
+       |    CAST(CAST(SUM(CAST(b AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE)
+       |      AS sb,
+       |    CAST(CAST(SUM(CAST(a AS DECIMAL(19,0)) * CAST(b AS DECIMAL(19,0)))
+       |      AS VARCHAR) AS DOUBLE) AS sab,
+       |    CAST(CAST(SUM(CAST(a AS DECIMAL(19,0)) * CAST(a AS DECIMAL(19,0)))
+       |      AS VARCHAR) AS DOUBLE) AS saa,
+       |    CAST(CAST(SUM(CAST(b AS DECIMAL(19,0)) * CAST(b AS DECIMAL(19,0)))
+       |      AS VARCHAR) AS DOUBLE) AS sbb
+       |  FROM j)""".stripMargin
+
+  def q131_sql: String =
+    Seq("l_quantity", "l_discount").map(q131BranchSql)
+      .mkString("", "\nUNION ALL\n", "")
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, Q] = Map(
+    "q131_spearman"       -> q131_spearman,
     "q118_feature_store"  -> q118_feature_store,
     "q119_k_anonymity"    -> q119_k_anonymity,
     "q120_ols_multi"      -> q120_ols_multi,
@@ -731,6 +855,7 @@ object Features {
     "q127_ab_test"        -> q127_ab_test)
 
   val oracles: Map[String, String] = Map(
+    "q131_spearman"       -> q131_sql,
     "q118_feature_store"  -> q118_sql,
     "q119_k_anonymity"    -> q119_sql,
     "q120_ols_multi"      -> q120_sql,

@@ -122,6 +122,54 @@ class PipelineEvalSpec extends SparkSpec {
     }
   }
 
+  test("q131 Spearman equals the brute-force tied-rank fold; ties are average-ranked") {
+    // tiny lineitem with deliberate ties in every column: quantity 2
+    // twice, discount 0.00/0.02 twice, price 30.00 twice
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q131").toString
+    val rows = Seq(
+      (1L, BigDecimal(1), BigDecimal(0.00), BigDecimal(10.00)),
+      (2L, BigDecimal(2), BigDecimal(0.00), BigDecimal(20.00)),
+      (3L, BigDecimal(2), BigDecimal(0.01), BigDecimal(30.00)),
+      (4L, BigDecimal(3), BigDecimal(0.02), BigDecimal(30.00)),
+      (5L, BigDecimal(5), BigDecimal(0.02), BigDecimal(5.00)))
+    rows.toDF("l_orderkey", "l_quantity", "l_discount", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    // brute-force tied average ranks (doubled, exact integers), then
+    // the same fixed-order moment formula — the query's own definition
+    // restated driver-side over raw values
+    def rank2(xs: Seq[BigDecimal]): Seq[Long] =
+      xs.map { x =>
+        2L * xs.count(_ < x) + xs.count(_ == x) + 1L
+      }
+    def rho(a: Seq[Long], b: Seq[Long]): Double = {
+      val n = a.length.toDouble
+      val sa = a.sum.toDouble; val sb = b.sum.toDouble
+      val sab = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+      val saa = a.map(x => x * x).sum.toDouble
+      val sbb = b.map(x => x * x).sum.toDouble
+      (n * sab - sa * sb) /
+        math.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+    }
+    val q = rows.map(_._2); val d = rows.map(_._3); val p = rows.map(_._4)
+    val expected = Map(
+      "l_quantity" -> rho(rank2(q), rank2(p)),
+      "l_discount" -> rho(rank2(d), rank2(p)))
+    val got = graft.queries.Features.q131_spearman(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (f, (n, r)) =>
+      assert(n == 5L, s"$f n_pairs")
+      assert(math.abs(r - expected(f)) < 1e-12,
+        s"$f: got $r want ${expected(f)}")
+    }
+    // a perfectly monotone feature must score ρ = 1 (up to one ulp of
+    // the sqrt-of-square), and reversing it −1
+    val mono = rank2(p)
+    assert(math.abs(rho(mono, mono) - 1.0) < 1e-15)
+    assert(math.abs(rho(mono, mono.map(-_)) + 1.0) < 1e-15)
+  }
+
   test("q124 manifest covers the corpus exactly across 16 shards") {
     val m = graft.queries.Extensions.q124_shard_manifest(spark, sfDir)
       .collect()
