@@ -44,6 +44,11 @@ object Corpus {
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
 
+  /** The oracle token-stream fragment for queries living outside this
+    * object (q132's Gini report) — one definition, every consumer.
+    */
+  private[queries] def toksSqlPublic: String = toksSql
+
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 

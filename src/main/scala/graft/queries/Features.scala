@@ -841,10 +841,105 @@ object Features {
     Seq("l_quantity", "l_discount").map(q131BranchSql)
       .mkString("", "\nUNION ALL\n", "")
 
+  // --------------------------------------- corpus concentration
+
+  /** q132: Lorenz curve + Gini of the per-document token distribution
+    * — the corpus-concentration QA every mixture decision consults
+    * (is the token mass dominated by a few giant documents, or spread
+    * evenly? a high Gini means dedup/quota decisions act on a heavy
+    * tail). One row per DISTINCT token count — the report is bounded
+    * by the doc-length domain, never the corpus size — carrying the
+    * cumulative document count, the cumulative token share (the
+    * Lorenz curve at value granularity), and the corpus Gini repeated
+    * per row (the q122 total-on-every-row shape).
+    *
+    * Exactness: with tied values average-ranked, 2·Σᵢ i·xᵢ =
+    * Σ_v v·c·(2·N₍₌₎ + c + 1), all integers; the per-value products
+    * stay in BIGINT while v·c < 2⁶³ (v ≤ 10⁶ tokens/doc, c ≤ 10¹²
+    * docs — documented bound), and the corpus sum runs as
+    * DECIMAL(19,0)×DECIMAL(19,0) → DECIMAL(38,0) (the q121 rule).
+    * G = num/(n·S) − (n+1)/n and the shares are then fixed-order IEEE
+    * divisions of exact integers (decimals cross to double via the
+    * q47 string cast) — bit-identical across engines. Prefixes run as
+    * the two-level bucket prefix over the distinct-count frame, so
+    * the only constant-key window touches ~max_doclen/64 rows at any
+    * corpus size.
+    */
+  val q132_token_gini: Q = (s, dir) => {
+    val d19 = DecimalType(19, 0)
+    def d(c: Column): Column = c.cast("string").cast("double")
+    val g = t(s, dir, "documents")
+      .select(size(graft.text.TextAnalysis.tokens(col("text")))
+        .cast("long").as("n_tokens"))
+      .groupBy(col("n_tokens")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("__bucket",
+        floor(col("n_tokens").cast("double") / lit(64.0)))
+      .localCheckpoint(true) // prefix, totals, and the final frame
+    val wB = Window.partitionBy(pmod(col("__bucket"), lit(1)))
+      .orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pref = g.groupBy(col("__bucket"))
+      .agg(sum(col("n_docs")).as("__bc"),
+        sum(col("n_tokens") * col("n_docs")).as("__bw"))
+      .select(col("__bucket"),
+        coalesce(sum(col("__bc")).over(wB), lit(0L)).as("__startc"),
+        coalesce(sum(col("__bw")).over(wB), lit(0L)).as("__startw"))
+    val wIn = Window.partitionBy(col("__bucket")).orderBy(col("n_tokens"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val p = g.join(broadcast(pref), "__bucket")
+      .select(col("n_tokens"), col("n_docs"),
+        (col("__startc") +
+          coalesce(sum(col("n_docs")).over(wIn), lit(0L))).as("__exc"),
+        (col("__startw") + coalesce(
+          sum(col("n_tokens") * col("n_docs")).over(wIn), lit(0L)))
+          .as("__exw"))
+      .localCheckpoint(true) // consumed by the totals AND the output
+    val tot = p.agg(
+      sum(col("n_docs")).as("__n"),
+      sum(col("n_tokens") * col("n_docs")).as("__s"),
+      d(sum((col("n_tokens") * col("n_docs")).cast(d19) *
+        (lit(2L) * col("__exc") + col("n_docs") + lit(1L)).cast(d19)))
+        .as("__num"))
+    val nD = col("__n").cast("double")
+    val sD = col("__s").cast("double")
+    p.crossJoin(broadcast(tot))
+      .select(col("n_tokens"), col("n_docs"),
+        (col("__exc") + col("n_docs")).as("cum_docs"),
+        ((col("__exw") + col("n_tokens") * col("n_docs")).cast("double")
+          / sD).as("cum_token_share"),
+        (col("__num") / (nD * sD) - (nD + lit(1.0)) / nD).as("gini"))
+  }
+
+  def q132_sql: String = {
+    val toksSql = graft.queries.Corpus.toksSqlPublic
+    s"""WITH t AS (SELECT CAST(len($toksSql) AS BIGINT) AS n_tokens
+       |           FROM documents),
+       |g AS (SELECT n_tokens, COUNT(*) AS n_docs FROM t GROUP BY n_tokens),
+       |p AS (SELECT n_tokens, CAST(n_docs AS BIGINT) AS n_docs,
+       |    CAST(COALESCE(SUM(n_docs) OVER w, 0) AS BIGINT) AS exc,
+       |    CAST(COALESCE(SUM(n_tokens * n_docs) OVER w, 0) AS BIGINT) AS exw
+       |  FROM g WINDOW w AS (ORDER BY n_tokens
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+       |    CAST(SUM(n_tokens * n_docs) AS BIGINT) AS s,
+       |    CAST(CAST(SUM(CAST(n_tokens * n_docs AS DECIMAL(19,0))
+       |      * CAST(2 * exc + n_docs + 1 AS DECIMAL(19,0)))
+       |      AS VARCHAR) AS DOUBLE) AS num
+       |  FROM p)
+       |SELECT n_tokens, n_docs,
+       |  CAST(exc + n_docs AS BIGINT) AS cum_docs,
+       |  CAST(exw + n_tokens * n_docs AS DOUBLE) / CAST(s AS DOUBLE)
+       |    AS cum_token_share,
+       |  num / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+       |    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+       |FROM p CROSS JOIN tot""".stripMargin
+  }
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, Q] = Map(
     "q131_spearman"       -> q131_spearman,
+    "q132_token_gini"     -> q132_token_gini,
     "q118_feature_store"  -> q118_feature_store,
     "q119_k_anonymity"    -> q119_k_anonymity,
     "q120_ols_multi"      -> q120_ols_multi,
@@ -856,6 +951,7 @@ object Features {
 
   val oracles: Map[String, String] = Map(
     "q131_spearman"       -> q131_sql,
+    "q132_token_gini"     -> q132_sql,
     "q118_feature_store"  -> q118_sql,
     "q119_k_anonymity"    -> q119_sql,
     "q120_ols_multi"      -> q120_sql,

@@ -170,6 +170,35 @@ class PipelineEvalSpec extends SparkSpec {
     assert(math.abs(rho(mono, mono.map(-_)) + 1.0) < 1e-15)
   }
 
+  test("q132 Gini equals the mean-absolute-difference fold; the Lorenz curve is a valid CDF pair") {
+    // independent identity: G = Σᵢⱼ|xᵢ−xⱼ| / (2·n·S) — no ranks at all,
+    // so it cross-checks the rank-sum formulation including ties
+    val rows = graft.queries.Features.q132_token_gini(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    val xs = rows.flatMap(r => Seq.fill(r.getLong(1).toInt)(r.getLong(0)))
+    val n = xs.length.toLong
+    val s = xs.sum
+    val mad = (for (a <- xs; b <- xs) yield math.abs(a - b)).map(BigInt(_)).sum
+    val brute = mad.toDouble / (2.0 * n.toDouble * s.toDouble)
+    val gini = rows.head.getDouble(4)
+    assert(rows.forall(_.getDouble(4) == gini), "gini repeats per row")
+    assert(math.abs(gini - brute) < 1e-12, s"gini=$gini brute=$brute")
+    assert(gini >= 0.0 && gini < 1.0)
+    // Lorenz validity: cum_docs hits n exactly, share hits 1.0 exactly,
+    // both monotone, and share(v) lags the population fraction (the
+    // curve sits under the diagonal for an ascending-sorted positive x)
+    assert(rows.last.getLong(2) == n)
+    assert(rows.last.getDouble(3) == 1.0)
+    val cd = rows.map(_.getLong(2)); val cs = rows.map(_.getDouble(3))
+    assert(cd.zip(cd.tail).forall { case (a, b) => b > a })
+    assert(cs.zip(cs.tail).forall { case (a, b) => b > a })
+    rows.init.foreach { r =>
+      assert(r.getDouble(3) <= r.getLong(2).toDouble / n.toDouble + 1e-12,
+        s"Lorenz must sit under the diagonal at v=${r.getLong(0)}")
+    }
+  }
+
   test("q124 manifest covers the corpus exactly across 16 shards") {
     val m = graft.queries.Extensions.q124_shard_manifest(spark, sfDir)
       .collect()

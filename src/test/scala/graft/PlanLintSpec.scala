@@ -86,7 +86,10 @@ class PlanLintSpec extends SparkSpec {
       // t41: both bucket rollups cross a broadcast 1-row max-id frame
       "t41_heaps_law",
       // q130: two broadcast 1-row crosses (observation end; N total)
-      "q130_kaplan_meier")
+      "q130_kaplan_meier",
+      // q132: the distinct-count Lorenz frame crosses a broadcast
+      // 1-row (n, S, gini-numerator) totals frame — the q122 shape
+      "q132_token_gini")
 
   // queries allowed to window >minRows rows on a <minKeys-value key —
   // empty by design; adding here requires an in-source justification
