@@ -935,11 +935,118 @@ object Features {
        |FROM p CROSS JOIN tot""".stripMargin
   }
 
+  // ----------------------------------------------- bootstrap CI
+
+  /** Cumulative Poisson(1) thresholds scaled to the 60-bit hash
+    * domain: doc i's multiplicity in replicate b is the k with
+    * F(k−1) ≤ h/2⁶⁰ < F(k), realized as exact integer compares
+    * against these GENERATION-TIME literals (the PortableMath
+    * s·ln10 precedent) — no runtime transcendental on either engine.
+    * The k>8 tail (mass < 1e-6) collapses into k=8 deterministically.
+    */
+  private val poissonThresholds60: Seq[Long] = {
+    val e1 = math.exp(-1.0)
+    val fact = Seq(1.0, 1.0, 2.0, 6.0, 24.0, 120.0, 720.0, 5040.0)
+    fact.scanLeft(0.0)((cum, f) => cum + e1 / f).tail // F(0)..F(7)
+      .map(f => math.floor(f * math.pow(2.0, 60)).toLong)
+  }
+
+  /** q133: deterministic Poisson-bootstrap confidence interval for a
+    * corpus statistic (mean tokens per document) — the error bar a
+    * release report puts next to every headline number. Classic
+    * with-replacement resampling needs a global multinomial draw; the
+    * Poisson bootstrap (each doc enters replicate b with multiplicity
+    * ~ Poisson(1)) is its scale-form — embarrassingly parallel, one
+    * map-side-combined aggregate per replicate — and made
+    * REPRODUCIBLE here by deriving the multiplicity from
+    * hash64(doc_id:b) (the t28 md5-prefix parity, identical in both
+    * engines) compared against precomputed integer thresholds.
+    * Output: one row per replicate (B = 64) with its effective count
+    * and mean, plus the point estimate and the nearest-rank
+    * 2.5%/97.5% percentile CI repeated per row (the q122
+    * total-on-every-row shape). Replicate means are IEEE divisions of
+    * exact integer sums (string-crossed), so the cross-engine rank
+    * order — and therefore the CI — is bit-stable; the only windows
+    * run over the B-row replicate frame (constant-key, 64 rows by
+    * construction at any corpus size). Exactness bound: Σ m·x per
+    * replicate stays in DECIMAL(29,0) via DECIMAL(19,0) casts.
+    */
+  val q133_bootstrap_ci: Q = (s, dir) => {
+    val d19 = DecimalType(19, 0)
+    def d(c: Column): Column = c.cast("string").cast("double")
+    val reps = 64
+    val mult = {
+      val h = graft.functions.KmvSketch.hash64(
+        concat_ws(":", col("doc_id"), col("b")))
+      poissonThresholds60.zipWithIndex.reverse
+        .foldLeft(lit(8L)) { case (els, (thr, k)) =>
+          when(h < lit(thr), lit(k.toLong)).otherwise(els)
+        }
+    }
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(graft.text.TextAnalysis.tokens(col("text")))
+          .cast("long").as("__x"))
+    val base = docs.agg(count(lit(1)).as("n_docs"),
+      (d(sum(col("__x").cast(d19))) / count(lit(1)).cast("double"))
+        .as("mean"))
+    val repMeans = docs
+      .select(col("doc_id"), col("__x"),
+        explode(sequence(lit(0L), lit(reps - 1L))).as("b"))
+      .withColumn("__m", mult)
+      .groupBy(col("b"))
+      .agg(sum(col("__m")).as("n_eff"),
+        (d(sum((col("__m") * col("__x")).cast(d19)))
+          / sum(col("__m")).cast("double")).as("mean_b"))
+      .localCheckpoint(true) // consumed by the rank frame AND the output
+    val wR = Window.partitionBy(pmod(col("b"), lit(1))) // deliberate: 64 rows
+      .orderBy(col("mean_b").asc, col("b").asc)
+    val ci = repMeans
+      .withColumn("__r", row_number().over(wR))
+      .agg( // nearest-rank percentiles: ceil(0.025·64)=2, ceil(0.975·64)=63
+        max(when(col("__r") === 2, col("mean_b"))).as("ci_lo"),
+        max(when(col("__r") === 63, col("mean_b"))).as("ci_hi"))
+    repMeans.crossJoin(broadcast(base)).crossJoin(broadcast(ci))
+      .select(col("b"), col("n_eff"), col("mean_b"),
+        col("n_docs"), col("mean"), col("ci_lo"), col("ci_hi"))
+  }
+
+  def q133_sql: String = {
+    val toksSql = graft.queries.Corpus.toksSqlPublic
+    val caseSql = poissonThresholds60.zipWithIndex
+      .map { case (thr, k) => s"WHEN h < $thr THEN $k" }
+      .mkString("CASE ", " ", " ELSE 8 END")
+    s"""WITH docs AS (SELECT doc_id,
+       |    CAST(len($toksSql) AS BIGINT) AS x FROM documents),
+       |base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(CAST(SUM(CAST(x AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE) AS mean
+       |  FROM docs),
+       |e AS (SELECT doc_id, x, unnest(generate_series(0, 63)) AS b
+       |      FROM docs),
+       |h AS (SELECT b, x,
+       |    ('0x' || substr(md5(doc_id::VARCHAR || ':' || b::VARCHAR), 1, 15))
+       |      ::BIGINT AS h
+       |  FROM e),
+       |m AS (SELECT b, x, $caseSql AS m FROM h),
+       |r AS (SELECT CAST(b AS BIGINT) AS b, CAST(SUM(m) AS BIGINT) AS n_eff,
+       |    CAST(CAST(SUM(CAST(m * x AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE)
+       |      / CAST(SUM(m) AS DOUBLE) AS mean_b
+       |  FROM m GROUP BY b),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY mean_b ASC, b ASC)
+       |         AS rn FROM r),
+       |ci AS (SELECT MAX(CASE WHEN rn = 2 THEN mean_b END) AS ci_lo,
+       |    MAX(CASE WHEN rn = 63 THEN mean_b END) AS ci_hi FROM rk)
+       |SELECT b, n_eff, mean_b, n_docs, mean, ci_lo, ci_hi
+       |FROM r CROSS JOIN base CROSS JOIN ci""".stripMargin
+  }
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, Q] = Map(
     "q131_spearman"       -> q131_spearman,
     "q132_token_gini"     -> q132_token_gini,
+    "q133_bootstrap_ci"   -> q133_bootstrap_ci,
     "q118_feature_store"  -> q118_feature_store,
     "q119_k_anonymity"    -> q119_k_anonymity,
     "q120_ols_multi"      -> q120_ols_multi,
@@ -952,6 +1059,7 @@ object Features {
   val oracles: Map[String, String] = Map(
     "q131_spearman"       -> q131_sql,
     "q132_token_gini"     -> q132_sql,
+    "q133_bootstrap_ci"   -> q133_sql,
     "q118_feature_store"  -> q118_sql,
     "q119_k_anonymity"    -> q119_sql,
     "q120_ols_multi"      -> q120_sql,

@@ -199,6 +199,36 @@ class PipelineEvalSpec extends SparkSpec {
     }
   }
 
+  test("q133 bootstrap CI is the nearest-rank fold of its own replicates; resampling is calibrated") {
+    val rows = graft.queries.Features.q133_bootstrap_ci(spark, sfDir)
+      .collect()
+    assert(rows.length == 64, "one row per replicate")
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (0L until 64L),
+      "replicate ids 0..63")
+    val nDocs = rows.head.getLong(3)
+    val mean = rows.head.getDouble(4)
+    // the point estimate is the exact corpus mean
+    val xs = Tables(spark, sfDir, "documents")
+      .select(size(graft.text.TextAnalysis.tokens(col("text"))).cast("long"))
+      .collect().map(_.getLong(0))
+    assert(nDocs == xs.length.toLong)
+    assert(mean == xs.sum.toDouble / xs.length.toDouble)
+    // CI = nearest-rank 2.5%/97.5% of the replicate means themselves
+    val sortedMeans = rows.map(r => (r.getDouble(2), r.getLong(0))).sorted
+    assert(rows.forall(_.getDouble(5) == sortedMeans(1)._1), "ci_lo = rank 2")
+    assert(rows.forall(_.getDouble(6) == sortedMeans(62)._1), "ci_hi = rank 63")
+    assert(sortedMeans.head._1 <= rows.head.getDouble(5) &&
+      rows.head.getDouble(5) < rows.head.getDouble(6) &&
+      rows.head.getDouble(6) <= sortedMeans.last._1)
+    // Poisson(1) calibration: total effective mass ≈ n·B (each doc
+    // contributes multiplicity of mean 1 per replicate); loose bound so
+    // a regenerated fixture can't break it, tight enough to catch a
+    // mis-scaled threshold table
+    val totalEff = rows.map(_.getLong(1)).sum.toDouble
+    assert(math.abs(totalEff / (nDocs.toDouble * 64.0) - 1.0) < 0.1,
+      s"effective mass $totalEff vs ${nDocs * 64}")
+  }
+
   test("q124 manifest covers the corpus exactly across 16 shards") {
     val m = graft.queries.Extensions.q124_shard_manifest(spark, sfDir)
       .collect()

@@ -89,7 +89,10 @@ class PlanLintSpec extends SparkSpec {
       "q130_kaplan_meier",
       // q132: the distinct-count Lorenz frame crosses a broadcast
       // 1-row (n, S, gini-numerator) totals frame — the q122 shape
-      "q132_token_gini")
+      "q132_token_gini",
+      // q133: the 64-row replicate frame crosses two broadcast 1-row
+      // frames (point estimate; percentile CI) — the q127 shape
+      "q133_bootstrap_ci")
 
   // queries allowed to window >minRows rows on a <minKeys-value key —
   // empty by design; adding here requires an in-source justification
