@@ -1041,12 +1041,163 @@ object Features {
        |FROM r CROSS JOIN base CROSS JOIN ci""".stripMargin
   }
 
+  // ------------------------------------- vocabulary projection
+
+  /** q134: vocabulary-richness projection — Chao1 (V + F₁²/(2F₂), the
+    * abundance-based lower bound on the unseen-inclusive vocabulary)
+    * and the Good–Turing unseen-mass estimate (F₁/N, the probability
+    * the NEXT token is a new type) from the corpus frequency-of-
+    * frequencies. Together they answer the scaling question every
+    * tokenizer/vocab decision needs: how much vocabulary is this
+    * corpus still hiding? t41's Heaps fit extrapolates the growth
+    * CURVE; this is the closed-form abundance estimate from one
+    * snapshot. Two keyed aggregates (token counts → count-of-counts),
+    * both map-side combined; every statistic is an exact integer
+    * until the two final fixed-order IEEE divisions, so the report is
+    * bit-identical across engines with no quantization needed. The
+    * F₂=0 degenerate case uses the standard (F₁(F₁−1))/2 fallback,
+    * guarded identically on both sides by exact integer compares.
+    */
+  val q134_vocab_richness: Q = (s, dir) => {
+    def d(c: Column): Column = c.cast("string").cast("double")
+    val counts = t(s, dir, "documents")
+      .select(explode(graft.text.TextAnalysis.tokens(col("text")))
+        .as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("__c"))
+    val m = counts.agg(
+      count(lit(1)).as("n_types"),
+      sum(col("__c")).as("n_tokens"),
+      sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("f1"),
+      sum(when(col("__c") === 2L, 1L).otherwise(0L)).as("f2"))
+    val f1 = col("f1").cast("double")
+    val f2 = col("f2").cast("double")
+    m.select(col("n_types"), col("n_tokens"), col("f1"), col("f2"),
+      (col("n_types").cast("double") +
+        when(col("f2") > 0L, f1 * f1 / (lit(2.0) * f2))
+          .otherwise(f1 * (f1 - lit(1.0)) / lit(2.0))).as("chao1"),
+      (f1 / d(col("n_tokens"))).as("gt_unseen_mass"))
+  }
+
+  def q134_sql: String = {
+    val toksSql = graft.queries.Corpus.toksSqlPublic
+    s"""WITH t AS (SELECT unnest($toksSql) AS token FROM documents),
+       |g AS (SELECT token, COUNT(*) AS c FROM t GROUP BY token),
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+       |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+       |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+       |  FROM g)
+       |SELECT n_types, n_tokens, f1, f2,
+       |  CAST(n_types AS DOUBLE) + CASE WHEN f2 > 0
+       |    THEN CAST(f1 AS DOUBLE) * CAST(f1 AS DOUBLE)
+       |         / (2.0 * CAST(f2 AS DOUBLE))
+       |    ELSE CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0) / 2.0 END
+       |    AS chao1,
+       |  CAST(f1 AS DOUBLE) / CAST(CAST(n_tokens AS VARCHAR) AS DOUBLE)
+       |    AS gt_unseen_mass
+       |FROM m""".stripMargin
+  }
+
+  // ------------------------------------------------- KS drift test
+
+  /** q135: two-sample Kolmogorov–Smirnov drift test — q122's PSI
+    * companion on the SAME reference/current split: PSI reports a
+    * binned divergence magnitude, KS tests the raw (unbinned)
+    * distributions with a significance threshold, catching shifts
+    * that fall between PSI's bin edges. The statistic is exact by
+    * construction: D = max over distinct values of
+    * |cumRef·N_cur − cumCur·N_ref| / (N_ref·N_cur), with the
+    * numerator kept as DECIMAL(19,0)×DECIMAL(19,0) → DECIMAL(38,0)
+    * integers (the q121 rule) so the max — the order statistic the
+    * test hinges on — is computed over exact values, never floats;
+    * only the final ratio and the asymptotic critical value
+    * c(0.05)·√((n+m)/(nm)) are fixed-order IEEE (sqrt is a correctly
+    * rounded op). Cumulatives run as the two-level bucket prefix
+    * over the distinct-value frame (the q122 bin geometry bounds the
+    * constant-key window at any corpus size); one scan, two keyed
+    * aggregates, one max.
+    */
+  val q135_ks_drift: Q = (s, dir) => {
+    val d19 = DecimalType(19, 0)
+    def d(c: Column): Column = c.cast("string").cast("double")
+    val split = lit("2024-01-16 00:00:00").cast("timestamp")
+    val g = t(s, dir, "events")
+      .select((col("ts") < split).as("__ref"), col("value").as("v"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("__ref"), 1L).otherwise(0L)).as("__cr"),
+        sum(when(col("__ref"), 0L).otherwise(1L)).as("__cc"))
+      .withColumn("__bucket", floor(col("v") / lit(25.0)).cast("long"))
+      .localCheckpoint(true) // prefix, totals, and the max fold
+    val wB = Window.partitionBy(pmod(col("__bucket"), lit(1)))
+      .orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pref = g.groupBy(col("__bucket"))
+      .agg(sum(col("__cr")).as("__br"), sum(col("__cc")).as("__bc"))
+      .select(col("__bucket"),
+        coalesce(sum(col("__br")).over(wB), lit(0L)).as("__sr"),
+        coalesce(sum(col("__bc")).over(wB), lit(0L)).as("__sc"))
+    val wIn = Window.partitionBy(col("__bucket")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g.join(broadcast(pref), "__bucket")
+      .select(
+        (col("__sr") + sum(col("__cr")).over(wIn)).as("__cumr"),
+        (col("__sc") + sum(col("__cc")).over(wIn)).as("__cumc"))
+    val tot = g.agg(sum(col("__cr")).as("n_ref"),
+      sum(col("__cc")).as("n_cur"))
+    val num = cum.crossJoin(broadcast(tot))
+      .select(abs(col("__cumr").cast(d19) * col("n_cur").cast(d19) -
+        col("__cumc").cast(d19) * col("n_ref").cast(d19)).as("__diff"))
+      .agg(max(col("__diff")).as("__maxdiff"))
+    val nr = col("n_ref").cast("double")
+    val nc = col("n_cur").cast("double")
+    val dStat = d(col("__maxdiff")) / (nr * nc)
+    val crit = lit(1.3581) * sqrt((nr + nc) / (nr * nc)) // c(α=0.05)
+    tot.crossJoin(broadcast(num))
+      .select(col("n_ref"), col("n_cur"),
+        dStat.as("d_stat"), crit.as("critical_05"),
+        (dStat > crit).as("drift_detected"))
+  }
+
+  def q135_sql: String =
+    """WITH e AS (SELECT (ts < TIMESTAMP '2024-01-16 00:00:00') AS ref,
+      |    value AS v FROM events),
+      |g AS (SELECT v,
+      |    CAST(SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+      |    CAST(SUM(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS cc
+      |  FROM e GROUP BY v),
+      |c AS (SELECT
+      |    CAST(SUM(cr) OVER w AS BIGINT) AS cumr,
+      |    CAST(SUM(cc) OVER w AS BIGINT) AS cumc
+      |  FROM g WINDOW w AS (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS n_ref,
+      |    CAST(SUM(cc) AS BIGINT) AS n_cur FROM g),
+      |num AS (SELECT MAX(ABS(CAST(cumr AS DECIMAL(19,0))
+      |      * CAST(n_cur AS DECIMAL(19,0))
+      |      - CAST(cumc AS DECIMAL(19,0)) * CAST(n_ref AS DECIMAL(19,0))))
+      |    AS maxdiff
+      |  FROM c CROSS JOIN tot)
+      |SELECT n_ref, n_cur,
+      |  CAST(CAST(maxdiff AS VARCHAR) AS DOUBLE)
+      |    / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)) AS d_stat,
+      |  1.3581E0 * sqrt((CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE))
+      |    / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)))
+      |    AS critical_05,
+      |  CAST(CAST(maxdiff AS VARCHAR) AS DOUBLE)
+      |    / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))
+      |  > 1.3581E0 * sqrt((CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE))
+      |    / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)))
+      |    AS drift_detected
+      |FROM tot CROSS JOIN num""".stripMargin
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, Q] = Map(
     "q131_spearman"       -> q131_spearman,
     "q132_token_gini"     -> q132_token_gini,
     "q133_bootstrap_ci"   -> q133_bootstrap_ci,
+    "q134_vocab_richness" -> q134_vocab_richness,
+    "q135_ks_drift"       -> q135_ks_drift,
     "q118_feature_store"  -> q118_feature_store,
     "q119_k_anonymity"    -> q119_k_anonymity,
     "q120_ols_multi"      -> q120_ols_multi,
@@ -1060,6 +1211,8 @@ object Features {
     "q131_spearman"       -> q131_sql,
     "q132_token_gini"     -> q132_sql,
     "q133_bootstrap_ci"   -> q133_sql,
+    "q134_vocab_richness" -> q134_sql,
+    "q135_ks_drift"       -> q135_sql,
     "q118_feature_store"  -> q118_sql,
     "q119_k_anonymity"    -> q119_sql,
     "q120_ols_multi"      -> q120_sql,

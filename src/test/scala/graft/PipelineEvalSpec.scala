@@ -229,6 +229,58 @@ class PipelineEvalSpec extends SparkSpec {
       s"effective mass $totalEff vs ${nDocs * 64}")
   }
 
+  test("q134 Chao1 and Good-Turing match the hand fold, including the F2=0 fallback") {
+    import spark.implicits._
+    // a=2, b=1, c=2, d=1 → V=4, N=6, F1=2, F2=2 → chao1 = 4 + 2²/(2·2)
+    val dir1 = java.nio.file.Files.createTempDirectory("graft_q134a").toString
+    Seq((1L, "a a b c"), (2L, "c d")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir1/documents.parquet")
+    val r1 = graft.queries.Features.q134_vocab_richness(spark, dir1)
+      .collect()(0)
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3)) ==
+      ((4L, 6L, 2L, 2L)))
+    assert(r1.getDouble(4) == 4.0 + 4.0 / 4.0, "chao1")
+    assert(r1.getDouble(5) == 2.0 / 6.0, "good-turing unseen mass")
+    // all singletons, F2=0 → the F1(F1−1)/2 fallback
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_q134b").toString
+    Seq((1L, "a b")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val r2 = graft.queries.Features.q134_vocab_richness(spark, dir2)
+      .collect()(0)
+    assert(r2.getDouble(4) == 2.0 + 2.0 * 1.0 / 2.0, "chao1 fallback")
+    // the shipped fixtures draw from a FIXED vocabulary: the projection
+    // must saturate (chao1 = V, unseen mass 0) — the q132/t41 QA signal
+    val r3 = graft.queries.Features.q134_vocab_richness(spark, sfDir)
+      .collect()(0)
+    assert(r3.getDouble(4) == r3.getLong(0).toDouble &&
+      r3.getDouble(5) == 0.0,
+      "fixed-vocab corpus must project zero unseen vocabulary")
+  }
+
+  test("q135 KS statistic equals the exact cross-multiplied CDF-gap fold") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q135").toString
+    val ref = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val cur = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    (Seq(1.0, 2.0, 2.0, 5.0).map((ref, _)) ++
+      Seq(2.0, 3.0, 5.0, 5.0, 9.0).map((cur, _)))
+      .toDF("ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.queries.Features.q135_ks_drift(spark, dir).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((4L, 5L)))
+    // hand fold: distinct v = 1,2,3,5,9; max |cumR·5 − cumC·4| = 11 at
+    // v=2 (cumR=3, cumC=1) → D = 11/20
+    assert(r.getDouble(2) == 11.0 / 20.0, s"d_stat=${r.getDouble(2)}")
+    val crit = 1.3581 * math.sqrt((4.0 + 5.0) / (4.0 * 5.0))
+    assert(r.getDouble(3) == crit)
+    assert(r.getBoolean(4) == (11.0 / 20.0 > crit))
+    // same-distribution split on the real fixture must NOT flag drift
+    val real = graft.queries.Features.q135_ks_drift(spark, sfDir)
+      .collect()(0)
+    assert(!real.getBoolean(4),
+      s"no drift expected on the identically-generated split: $real")
+  }
+
   test("q124 manifest covers the corpus exactly across 16 shards") {
     val m = graft.queries.Extensions.q124_shard_manifest(spark, sfDir)
       .collect()

@@ -92,7 +92,10 @@ class PlanLintSpec extends SparkSpec {
       "q132_token_gini",
       // q133: the 64-row replicate frame crosses two broadcast 1-row
       // frames (point estimate; percentile CI) — the q127 shape
-      "q133_bootstrap_ci")
+      "q133_bootstrap_ci",
+      // q135: the cumulative frame crosses the broadcast 1-row totals,
+      // and the 1-row report crosses the 1-row max — the q127 shape
+      "q135_ks_drift")
 
   // queries allowed to window >minRows rows on a <minKeys-value key —
   // empty by design; adding here requires an in-source justification
