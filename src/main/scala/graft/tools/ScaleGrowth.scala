@@ -387,7 +387,23 @@ object ScaleGrowth {
       "t07_sequence_pack", "t16_corpus_positions",
       //  - t41: first-occurrence vocab rollup (one token-keyed min-agg;
       //    vocabulary grows with the salted corpus like t29's)
-      "t41_heaps_law")
+      "t41_heaps_law",
+      // round 11 (eval additions):
+      //  - q131: Spearman — lineitem replicas repeat the same values,
+      //    so the distinct-value rank frames stay FIXED while the
+      //    row-side rank joins and moment aggregate carry 10× (the
+      //    regime the two-level rank machinery exists for; a hidden
+      //    global sort would read ≥1.0 with a superlinear constant)
+      //  - q132: Lorenz/Gini — doc-length domain ~fixed under salting;
+      //    scan + distinct-count agg carry the growth
+      //  - q133: Poisson bootstrap — 64× explode of 10× docs collapsed
+      //    map-side to 64 rows; pure scan×B, the flattest heavy shape
+      //  - q134: count-of-counts — token vocab grows with the salted
+      //    corpus (t29's regime), the F-of-F rollup stays tiny
+      //  - q135: KS — event values repeat across replicas, distinct
+      //    frame fixed, counts 10×; scan + fixed prefix
+      "q131_spearman", "q132_token_gini", "q133_bootstrap_ci",
+      "q134_vocab_richness", "q135_ks_drift")
       .filter(q => onlyPrefixes.forall(_.exists(q.startsWith)))
     // queries measured on the disjoint-copy graph dirs (see above)
     val graphDirQs = Set("g01_pagerank", "g02_components", "g03_triangles",
