@@ -1117,15 +1117,29 @@ object Features {
     * constant-key window at any corpus size); one scan, two keyed
     * aggregates, one max.
     */
-  val q135_ks_drift: Q = (s, dir) => {
-    val d19 = DecimalType(19, 0)
-    def d(c: Column): Column = c.cast("string").cast("double")
+  /** The additive per-value (ref, cur) counts q135 derives from —
+    * one row per distinct value, summable across micro-batches, so
+    * the streaming twin folds per-batch partials of this exact shape
+    * ([[graft.streaming.StreamingIngest.ksDriftStream]]).
+    */
+  def ksValueCounts(events: DataFrame): DataFrame = {
     val split = lit("2024-01-16 00:00:00").cast("timestamp")
-    val g = t(s, dir, "events")
+    events
       .select((col("ts") < split).as("__ref"), col("value").as("v"))
       .groupBy(col("v"))
       .agg(sum(when(col("__ref"), 1L).otherwise(0L)).as("__cr"),
         sum(when(col("__ref"), 0L).otherwise(1L)).as("__cc"))
+  }
+
+  /** The KS report derived from a (v, __cr, __cc) count frame —
+    * shared verbatim by the batch query and the streaming monitor's
+    * read side, so the streamed statistic EQUALS the batch one on the
+    * union of batches (spec-asserted).
+    */
+  def ksFromCounts(counts: DataFrame): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    def d(c: Column): Column = c.cast("string").cast("double")
+    val g = counts
       .withColumn("__bucket", floor(col("v") / lit(25.0)).cast("long"))
       .localCheckpoint(true) // prefix, totals, and the max fold
     val wB = Window.partitionBy(pmod(col("__bucket"), lit(1)))
@@ -1157,6 +1171,9 @@ object Features {
         dStat.as("d_stat"), crit.as("critical_05"),
         (dStat > crit).as("drift_detected"))
   }
+
+  val q135_ks_drift: Q = (s, dir) =>
+    ksFromCounts(ksValueCounts(t(s, dir, "events")))
 
   def q135_sql: String =
     """WITH e AS (SELECT (ts < TIMESTAMP '2024-01-16 00:00:00') AS ref,

@@ -811,6 +811,55 @@ object StreamingIngest {
     priorGeneration(spark, statsRoot, Long.MaxValue).map(p =>
       graft.queries.Features.psiFromBins(spark.read.parquet(s"$p/bins")))
 
+  /** Continuously maintained KS drift monitor — the streaming face of
+    * q135 (the significance-tested companion to [[psiDriftStream]]:
+    * PSI reports a binned divergence magnitude online, this one tests
+    * the raw distributions). Per-value (ref, cur) counts are ADDITIVE,
+    * so each micro-batch folds
+    * [[graft.queries.Features.ksValueCounts]]'s partial into the
+    * previous generation by summation (the [[cusumStream]] replay
+    * protocol); the KS max-gap is an order statistic over the folded
+    * CDF — a function of the totals alone — so [[currentKs]] derives
+    * the report at read time through the SAME
+    * [[graft.queries.Features.ksFromCounts]] the batch query uses,
+    * making streamed ≡ batch exact on the union of batches
+    * (spec-asserted), late/out-of-order events included. The
+    * generation frame is distinct-value-bounded, never event-volume-
+    * bounded.
+    */
+  def ksDriftStream(
+      events: DataFrame, // streaming frame with ts + value columns
+      statsRoot: String,
+      checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          val spark = batch.sparkSession
+          val part = graft.queries.Features.ksValueCounts(batch.toDF())
+          val merged = priorGeneration(spark, statsRoot, batchId) match {
+            case Some(p) =>
+              spark.read.parquet(s"$p/vals").unionByName(part)
+                .groupBy(col("v"))
+                .agg(sum(col("__cr")).as("__cr"),
+                  sum(col("__cc")).as("__cc"))
+            case None => part
+          }
+          merged.write.mode("overwrite")
+            .parquet(s"$statsRoot/gen-$batchId/vals")
+          ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+
+  /** q135's exact KS report derived from the newest folded counts, or
+    * None before the first batch lands.
+    */
+  def currentKs(spark: SparkSession, statsRoot: String): Option[DataFrame] =
+    priorGeneration(spark, statsRoot, Long.MaxValue).map(p =>
+      graft.queries.Features.ksFromCounts(spark.read.parquet(s"$p/vals")))
+
   /** Continuously maintained experiment readout — the streaming face
     * of q127's Welch A/B test (the live experimentation dashboard:
     * significance updates as purchase events arrive, instead of at a

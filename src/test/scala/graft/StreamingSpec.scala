@@ -958,6 +958,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("ksDriftStream: folded value counts derive exactly q135, out-of-order batches included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val base = Files.createTempDirectory("graft_ks_stream").toString
+    val root = s"$base/ks"; val ckpt = s"$base/ckpt"
+    val evs = graft.Tables(spark, dir, "events")
+      .select(col("ts"), col("value"))
+      .collect().map(r => (r.getTimestamp(0), r.getDouble(1)))
+    // SHUFFLED batches: the additive per-value fold must not care
+    // about arrival order (the max-gap derives at read time)
+    val shuffled = new scala.util.Random(17).shuffle(evs.toSeq)
+    val stream = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = StreamingIngest.ksDriftStream(
+      stream.toDF().toDF("ts", "value"), root, ckpt)
+    shuffled.grouped(math.max(shuffled.length / 3, 1)).foreach { chunk =>
+      stream.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def asRow(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect()(0)
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4))
+    }
+    val streamed = asRow(StreamingIngest.currentKs(spark, root).get)
+    val batch = asRow(graft.queries.Features.q135_ks_drift(spark, dir))
+    assert(streamed === batch)
+    assert(streamed._1 > 0 && streamed._2 > 0)
+  }
+
   test("abTestStream: folded sufficient statistics derive exactly q127, out-of-order batches included") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
