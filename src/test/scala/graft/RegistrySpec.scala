@@ -72,4 +72,24 @@ class RegistrySpec extends SparkSpec {
     assert(rowsOnly.isEmpty,
       s"queries with no oracleSql entry (rows-only check): $rowsOnly")
   }
+
+  test("no registry key collides across the per-family maps") {
+    // SparkEntry merges the family maps with ++, which silently DROPS
+    // the earlier entry on a key collision — a new query reusing an
+    // existing name would shrink the verified surface with no error
+    // anywhere. Sum-of-parts must equal the merged size.
+    val parts = Seq(
+      graft.queries.Relational.queries, graft.queries.Stock.queries,
+      graft.queries.Corpus.queries, graft.queries.Advanced.queries,
+      graft.queries.Extensions.queries, graft.queries.TpcH.queries,
+      graft.queries.GraphQueries.queries, graft.queries.Features.queries,
+      graft.queries.HashProbes.queries)
+    val total = parts.map(_.size).sum
+    val merged = SparkEntry.queries.size
+    assert(total == merged, {
+      val dupes = parts.flatMap(_.keys)
+        .groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+      s"registry key collision(s) across family maps: ${dupes.toSeq.sorted}"
+    })
+  }
 }
