@@ -729,7 +729,7 @@ object Features {
     * size), and a within-bucket running count. 2·avgrank(v) =
     * 2·N₍₌₎(v) is exact integer arithmetic end to end.
     */
-  private def rank2Frame(
+  private[graft] def rank2Frame(
       pairs: DataFrame, v: String, bucketStep: Double): DataFrame = {
     val g = pairs.groupBy(col(v)).agg(count(lit(1)).as("__c"))
       .withColumn("__bucket",

@@ -141,4 +141,48 @@ object AnalyticProperties extends Properties("graft.analytic") {
       val folded = takeK((takeK(b0.map(_._1)) ++ takeK(b1.map(_._1))).distinct)
       folded == takeK(rows)
     }
+
+  property("rank2Frame ≡ brute-force doubled average ranks for arbitrary multisets") =
+    Prop.forAll(
+      Gen.listOfN(8, Gen.choose(1, 40).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(-50L, 50L)))),
+      Gen.oneOf(1.0, 7.0, 64.0)) { (cases, step) =>
+      // the q131/q132 rank machinery in the abstract: for ANY value
+      // multiset and ANY bucket step, the two-level prefix must yield
+      // 2·avgrank(v) = 2·|{x < v}| + |{x = v}| + 1 — bucketing is a
+      // plan-shape choice, never a semantics choice
+      val df = cases.zipWithIndex
+        .flatMap { case (xs, i) => xs.map(x => (i.toLong, x)) }
+        .toDF("case_id", "v")
+      val got = cases.zipWithIndex.forall { case (xs, i) =>
+        val one = df.where(col("case_id") === i.toLong).select(col("v"))
+        val ranks = graft.queries.Features.rank2Frame(one, "v", step)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        xs.distinct.forall { v =>
+          ranks(v) == 2L * xs.count(_ < v) + xs.count(_ == v) + 1L
+        }
+      }
+      got
+    }
+
+  property("ksFromCounts D-statistic ≡ the classic max|F1−F2| fold on arbitrary samples") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.choose(0, 200).map(_ / 2.0)),
+      Gen.nonEmptyListOf(Gen.choose(0, 200).map(_ / 2.0))) { (ref, cur) =>
+      // timestamps straddle ksValueCounts' fixed 2024-01-16 split
+      val before = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+      val after = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+      val ev = (ref.map((before, _)) ++ cur.map((after, _)))
+        .toDF("ts", "value")
+      val r = graft.queries.Features
+        .ksFromCounts(graft.queries.Features.ksValueCounts(ev))
+        .collect()(0)
+      val vs = (ref ++ cur).distinct
+      val brute = vs.map { v =>
+        math.abs(ref.count(_ <= v).toDouble / ref.length -
+          cur.count(_ <= v).toDouble / cur.length)
+      }.max
+      r.getLong(0) == ref.length.toLong && r.getLong(1) == cur.length.toLong &&
+        math.abs(r.getDouble(2) - brute) < 1e-12
+    }
 }
