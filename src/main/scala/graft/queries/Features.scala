@@ -1207,9 +1207,99 @@ object Features {
       |    AS drift_detected
       |FROM tot CROSS JOIN num""".stripMargin
 
+  // ------------------------------------------------- rater agreement
+
+  /** q136: Cohen's kappa — chance-corrected agreement between two
+    * labelers, the QA gate every labeled/weak-supervision dataset
+    * passes before its labels are trusted (raw percent agreement
+    * overstates quality whenever the label marginals are skewed,
+    * which corpus labels always are). The two deterministic labelers
+    * here are the stopword-density rule (t38's reference label) and a
+    * length rule — exactly the weak-supervision shape (two noisy
+    * heuristics whose agreement structure decides whether to ensemble
+    * them). One scan, one 4-cell exact contingency aggregate;
+    * po = (a+d)/n and pe = (rowA·colA + rowB·colB)/n² are fixed-order
+    * IEEE on exact integers (the n² cross products stay in
+    * DECIMAL(19,0)×(19,0) → string-crossed doubles, the q121/q47
+    * rules), so κ is bit-identical across engines at any corpus size.
+    */
+  val q136_cohens_kappa: Q = (s, dir) => {
+    val d19 = DecimalType(19, 0)
+    def d(c: Column): Column = c.cast("string").cast("double")
+    val toks = graft.text.TextAnalysis.tokens(col("text"))
+    val labeled = t(s, dir, "documents")
+      .select(
+        (size(filter(toks, t => t === "the" || t === "a")) * lit(100L) >
+          size(toks) * lit(6L)).as("__la"),
+        (size(toks) >= lit(50)).as("__lb"))
+    val m = labeled.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("__la") && col("__lb"), 1L).otherwise(0L)).as("n_pp"),
+      sum(when(col("__la") && !col("__lb"), 1L).otherwise(0L)).as("n_pn"),
+      sum(when(!col("__la") && col("__lb"), 1L).otherwise(0L)).as("n_np"),
+      sum(when(!col("__la") && !col("__lb"), 1L).otherwise(0L)).as("n_nn"))
+    val n = col("n_docs").cast("double")
+    val po = (col("n_pp") + col("n_nn")).cast("double") / n
+    val pe = (d((col("n_pp") + col("n_pn")).cast(d19) *
+        (col("n_pp") + col("n_np")).cast(d19)) +
+      d((col("n_np") + col("n_nn")).cast(d19) *
+        (col("n_pn") + col("n_nn")).cast(d19))) / (n * n)
+    m.select(col("n_docs"), col("n_pp"), col("n_pn"), col("n_np"),
+      col("n_nn"), po.as("po"), pe.as("pe"),
+      when(pe === 1.0, lit(null).cast("double"))
+        .otherwise((po - pe) / (lit(1.0) - pe)).as("kappa"))
+  }
+
+  def q136_sql: String = {
+    val toksSql = graft.queries.Corpus.toksSqlPublic
+    s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+       |l AS (SELECT
+       |    (CAST(len(list_filter(toks, x -> x IN ('the', 'a')))
+       |       AS BIGINT) * 100 > CAST(len(toks) AS BIGINT) * 6) AS la,
+       |    (len(toks) >= 50) AS lb
+       |  FROM t),
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN la AND lb THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_pp,
+       |    CAST(SUM(CASE WHEN la AND NOT lb THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_pn,
+       |    CAST(SUM(CASE WHEN NOT la AND lb THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_np,
+       |    CAST(SUM(CASE WHEN NOT la AND NOT lb THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_nn
+       |  FROM l)
+       |SELECT n_docs, n_pp, n_pn, n_np, n_nn,
+       |  CAST(n_pp + n_nn AS DOUBLE) / CAST(n_docs AS DOUBLE) AS po,
+       |  (CAST(CAST(CAST(n_pp + n_pn AS DECIMAL(19,0))
+       |      * CAST(n_pp + n_np AS DECIMAL(19,0)) AS VARCHAR) AS DOUBLE)
+       |   + CAST(CAST(CAST(n_np + n_nn AS DECIMAL(19,0))
+       |      * CAST(n_pn + n_nn AS DECIMAL(19,0)) AS VARCHAR) AS DOUBLE))
+       |    / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)) AS pe,
+       |  CASE WHEN (CAST(CAST(CAST(n_pp + n_pn AS DECIMAL(19,0))
+       |      * CAST(n_pp + n_np AS DECIMAL(19,0)) AS VARCHAR) AS DOUBLE)
+       |   + CAST(CAST(CAST(n_np + n_nn AS DECIMAL(19,0))
+       |      * CAST(n_pn + n_nn AS DECIMAL(19,0)) AS VARCHAR) AS DOUBLE))
+       |    / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)) = 1.0
+       |    THEN NULL
+       |    ELSE (CAST(n_pp + n_nn AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |      - (CAST(CAST(CAST(n_pp + n_pn AS DECIMAL(19,0))
+       |          * CAST(n_pp + n_np AS DECIMAL(19,0)) AS VARCHAR) AS DOUBLE)
+       |       + CAST(CAST(CAST(n_np + n_nn AS DECIMAL(19,0))
+       |          * CAST(n_pn + n_nn AS DECIMAL(19,0)) AS VARCHAR) AS DOUBLE))
+       |        / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+       |      / (1.0 - (CAST(CAST(CAST(n_pp + n_pn AS DECIMAL(19,0))
+       |          * CAST(n_pp + n_np AS DECIMAL(19,0)) AS VARCHAR) AS DOUBLE)
+       |       + CAST(CAST(CAST(n_np + n_nn AS DECIMAL(19,0))
+       |          * CAST(n_pn + n_nn AS DECIMAL(19,0)) AS VARCHAR) AS DOUBLE))
+       |        / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))) END
+       |    AS kappa
+       |FROM m""".stripMargin
+  }
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, Q] = Map(
+    "q136_cohens_kappa"   -> q136_cohens_kappa,
     "q131_spearman"       -> q131_spearman,
     "q132_token_gini"     -> q132_token_gini,
     "q133_bootstrap_ci"   -> q133_bootstrap_ci,
@@ -1230,6 +1320,7 @@ object Features {
     "q133_bootstrap_ci"   -> q133_sql,
     "q134_vocab_richness" -> q134_sql,
     "q135_ks_drift"       -> q135_sql,
+    "q136_cohens_kappa"   -> q136_sql,
     "q118_feature_store"  -> q118_sql,
     "q119_k_anonymity"    -> q119_sql,
     "q120_ols_multi"      -> q120_sql,

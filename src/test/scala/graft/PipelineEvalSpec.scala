@@ -281,6 +281,35 @@ class PipelineEvalSpec extends SparkSpec {
       s"no drift expected on the identically-generated split: $real")
   }
 
+  test("q136 kappa matches the exact contingency fold; perfect and degenerate agreement pinned") {
+    import spark.implicits._
+    // one doc per contingency cell: (la, lb) = (P,N), (N,P), (P,P), (N,N)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q136").toString
+    val longStop = Seq.fill(60)("the").mkString(" ")  // la (100% stop), lb (60 ≥ 50)
+    val longPlain = (1 to 60).map(i => s"w$i").mkString(" ") // ¬la, lb
+    Seq((1L, "the a the a"), (2L, longPlain), (3L, longStop), (4L, "x y"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = graft.queries.Features.q136_cohens_kappa(spark, dir).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((4L, 1L, 1L, 1L, 1L)))
+    assert(r.getDouble(5) == 0.5, "po")   // 2 of 4 agree
+    assert(r.getDouble(6) == 0.5, "pe")   // balanced marginals
+    assert(r.getDouble(7) == 0.0, "independent raters → κ = 0")
+    // perfect agreement on both cells → κ = 1 exactly
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_q136b").toString
+    Seq((1L, longStop), (2L, "x y")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val r2 = graft.queries.Features.q136_cohens_kappa(spark, dir2).collect()(0)
+    assert(r2.getDouble(5) == 1.0 && r2.getDouble(7) == 1.0)
+    // all mass in one cell → pe = 1, κ undefined → NULL, never NaN
+    val dir3 = java.nio.file.Files.createTempDirectory("graft_q136c").toString
+    Seq((1L, longStop), (2L, longStop)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir3/documents.parquet")
+    val r3 = graft.queries.Features.q136_cohens_kappa(spark, dir3).collect()(0)
+    assert(r3.getDouble(6) == 1.0 && r3.isNullAt(7))
+  }
+
   test("q124 manifest covers the corpus exactly across 16 shards") {
     val m = graft.queries.Extensions.q124_shard_manifest(spark, sfDir)
       .collect()
