@@ -403,7 +403,10 @@ object ScaleGrowth {
       //  - q135: KS — event values repeat across replicas, distinct
       //    frame fixed, counts 10×; scan + fixed prefix
       "q131_spearman", "q132_token_gini", "q133_bootstrap_ci",
-      "q134_vocab_richness", "q135_ks_drift")
+      "q134_vocab_richness", "q135_ks_drift",
+      //  - q136: kappa — scan + one 4-cell exact contingency agg (the
+      //    q120 fixed-cardinality regime, flattest shape there is)
+      "q136_cohens_kappa")
       .filter(q => onlyPrefixes.forall(_.exists(q.startsWith)))
     // queries measured on the disjoint-copy graph dirs (see above)
     val graphDirQs = Set("g01_pagerank", "g02_components", "g03_triangles",
