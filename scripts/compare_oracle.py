@@ -112,25 +112,30 @@ def main(sf_dir, out_dir):
         # would fail the local gate for doing their job.
         if ok and not name.startswith("h0"):
             try:
-                import decimal as _dec
                 import struct as _struct
                 dec_cols = [c for c in duck_cols
                             if (duck_types.get(c) or "").startswith("DECIMAL")]
-                for c in dec_cols:
-                    pairs = con.sql(
-                        f'SELECT "{c}", CAST("{c}" AS DOUBLE) FROM ({sql})'
-                    ).fetchall()
-                    for exact_v, duck_f in pairs:
-                        if exact_v is None:
-                            continue
-                        if _struct.pack("<d", float(exact_v)) != \
-                           _struct.pack("<d", duck_f):
-                            print(f"FAIL {name}: driver-float hazard on "
-                                  f"'{c}': {exact_v} -> duckdb {duck_f!r} "
-                                  f"vs exact {float(exact_v)!r} — re-type "
-                                  "the boundary (BIGINT e-units or keep "
-                                  "unscaled < 2^53)")
-                            ok = False
+                if dec_cols:
+                    # ONE extra oracle execution regardless of how many
+                    # decimal columns: select every column next to its
+                    # CAST AS DOUBLE twin
+                    sel = ", ".join(
+                        f'"{c}", CAST("{c}" AS DOUBLE)' for c in dec_cols)
+                    rows = con.sql(f"SELECT {sel} FROM ({sql})").fetchall()
+                    for row in rows:
+                        for i, c in enumerate(dec_cols):
+                            exact_v, duck_f = row[2 * i], row[2 * i + 1]
+                            if exact_v is None:
+                                continue
+                            if _struct.pack("<d", float(exact_v)) != \
+                               _struct.pack("<d", duck_f):
+                                print(f"FAIL {name}: driver-float hazard on "
+                                      f"'{c}': {exact_v} -> duckdb {duck_f!r} "
+                                      f"vs exact {float(exact_v)!r} — re-type "
+                                      "the boundary (BIGINT e-units or keep "
+                                      "unscaled < 2^53)")
+                                ok = False
+                        if not ok:
                             break
             except Exception as e:
                 print(f"WARN {name}: driver-float hazard check errored: {e}")

@@ -102,7 +102,7 @@ object Bench {
     // the cross-run reference check below carries the signal instead.
     val spreads = sampled.map { case (name, samples) =>
       val steady = samples.drop(1) // samples(0) is the warm-up
-      name -> (steady.max - steady.min)
+      name -> (if (steady.isEmpty) 0.0 else steady.max - steady.min)
     }
     val spreadJson = spreads
       .map { case (k, v) => "\"" + k + "\":" + String.format(
@@ -114,7 +114,8 @@ object Bench {
       case (name, samples)
           if {
             val steady = samples.drop(1)
-            steady.max - steady.min > math.max(0.25, samples.min)
+            steady.nonEmpty &&
+              steady.max - steady.min > math.max(0.25, samples.min)
           } =>
         name
     }.toSet

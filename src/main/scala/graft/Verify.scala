@@ -19,8 +19,14 @@ object Verify {
     // fixture root holds non-parquet dumps too (q84's CSV round trip) —
     // round 10's <outDir>/fixtures placement produced a bogus errored
     // 'fixtures' row in CORRECTNESS_r10.json.
-    graft.ingest.FixtureTables.root =
-      new java.io.File(outDir + ".fixtures").getAbsolutePath
+    // built from (parent, name + suffix), not string concat: a
+    // trailing slash on outDir would make "outDir + .fixtures" resolve
+    // INSIDE outDir and reintroduce the bug
+    graft.ingest.FixtureTables.root = {
+      val od = new java.io.File(outDir).getAbsoluteFile
+      new java.io.File(od.getParentFile, od.getName + ".fixtures")
+        .getAbsolutePath
+    }
     // dir-dependent oracles (s03's centroid fixture) must describe THIS
     // verify run's sfDir when oracle_sql.json is dumped below
     graft.queries.Corpus.oracleSfDir = sfDir

@@ -729,25 +729,47 @@ object Features {
     * size), and a within-bucket running count. 2·avgrank(v) =
     * 2·N₍₌₎(v) is exact integer arithmetic end to end.
     */
+  /** The two-level exclusive prefix itself, stated ONCE (q131's ranks,
+    * q132's Lorenz cumulatives, q135's CDFs all derive from it): for
+    * each row of `g`, each measure's sum over all rows strictly
+    * earlier in `order` — per-bucket subtotals, an exclusive prefix
+    * over the bucket frame (the only constant-key window, bounded by
+    * the bucket domain at any corpus size), and a within-bucket
+    * exclusive running sum, joined back broadcast. `bucket` must be
+    * monotone in `order`. Callers materialize `g` if they consume it
+    * again. Scalacheck-pinned through [[rank2Frame]].
+    */
+  private[graft] def exclusivePrefix(
+      g: DataFrame, order: String, bucket: String,
+      measures: Seq[(String, String)]): DataFrame = {
+    val wB = Window.partitionBy(pmod(col(bucket), lit(1)))
+      .orderBy(col(bucket))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bAgg = g.groupBy(col(bucket)).agg(
+      sum(col(measures.head._2)).as(s"__b${measures.head._1}"),
+      measures.tail.map { case (o, i) => sum(col(i)).as(s"__b$o") }: _*)
+    val pref = bAgg.select(
+      col(bucket) +: measures.map { case (o, _) =>
+        coalesce(sum(col(s"__b$o")).over(wB), lit(0L)).as(s"__s$o")
+      }: _*)
+    val wIn = Window.partitionBy(col(bucket)).orderBy(col(order))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    measures.foldLeft(g.join(broadcast(pref), bucket)) {
+      case (df, (o, i)) =>
+        df.withColumn(o,
+          col(s"__s$o") + coalesce(sum(col(i)).over(wIn), lit(0L)))
+    }.drop(measures.map(m => s"__s${m._1}"): _*)
+  }
+
   private[graft] def rank2Frame(
       pairs: DataFrame, v: String, bucketStep: Double): DataFrame = {
     val g = pairs.groupBy(col(v)).agg(count(lit(1)).as("__c"))
       .withColumn("__bucket",
         floor(col(v).cast("double") / lit(bucketStep)))
       .localCheckpoint(true) // consumed by the bucket prefix AND the join
-    val wB = Window.partitionBy(pmod(col("__bucket"), lit(1)))
-      .orderBy(col("__bucket"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val pref = g.groupBy(col("__bucket")).agg(sum(col("__c")).as("__bc"))
-      .select(col("__bucket"),
-        coalesce(sum(col("__bc")).over(wB), lit(0L)).as("__start"))
-    val wIn = Window.partitionBy(col("__bucket")).orderBy(col(v))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    g.join(broadcast(pref), "__bucket")
+    exclusivePrefix(g, v, "__bucket", Seq("__exc" -> "__c"))
       .select(col(v),
-        (lit(2L) * (col("__start") +
-          coalesce(sum(col("__c")).over(wIn), lit(0L)))
-          + col("__c") + lit(1L)).as("__r2"))
+        (lit(2L) * col("__exc") + col("__c") + lit(1L)).as("__r2"))
   }
 
   /** q131: Spearman rank correlation — the feature-screening step of
@@ -872,27 +894,13 @@ object Features {
       .select(size(graft.text.TextAnalysis.tokens(col("text")))
         .cast("long").as("n_tokens"))
       .groupBy(col("n_tokens")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("__w", col("n_tokens") * col("n_docs"))
       .withColumn("__bucket",
         floor(col("n_tokens").cast("double") / lit(64.0)))
-      .localCheckpoint(true) // prefix, totals, and the final frame
-    val wB = Window.partitionBy(pmod(col("__bucket"), lit(1)))
-      .orderBy(col("__bucket"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val pref = g.groupBy(col("__bucket"))
-      .agg(sum(col("n_docs")).as("__bc"),
-        sum(col("n_tokens") * col("n_docs")).as("__bw"))
-      .select(col("__bucket"),
-        coalesce(sum(col("__bc")).over(wB), lit(0L)).as("__startc"),
-        coalesce(sum(col("__bw")).over(wB), lit(0L)).as("__startw"))
-    val wIn = Window.partitionBy(col("__bucket")).orderBy(col("n_tokens"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val p = g.join(broadcast(pref), "__bucket")
-      .select(col("n_tokens"), col("n_docs"),
-        (col("__startc") +
-          coalesce(sum(col("n_docs")).over(wIn), lit(0L))).as("__exc"),
-        (col("__startw") + coalesce(
-          sum(col("n_tokens") * col("n_docs")).over(wIn), lit(0L)))
-          .as("__exw"))
+      .localCheckpoint(true) // consumed by the bucket prefix AND the join
+    val p = exclusivePrefix(g, "n_tokens", "__bucket",
+        Seq("__exc" -> "n_docs", "__exw" -> "__w"))
+      .select(col("n_tokens"), col("n_docs"), col("__exc"), col("__exw"))
       .localCheckpoint(true) // consumed by the totals AND the output
     val tot = p.agg(
       sum(col("n_docs")).as("__n"),
@@ -1142,20 +1150,12 @@ object Features {
     val g = counts
       .withColumn("__bucket", floor(col("v") / lit(25.0)).cast("long"))
       .localCheckpoint(true) // prefix, totals, and the max fold
-    val wB = Window.partitionBy(pmod(col("__bucket"), lit(1)))
-      .orderBy(col("__bucket"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val pref = g.groupBy(col("__bucket"))
-      .agg(sum(col("__cr")).as("__br"), sum(col("__cc")).as("__bc"))
-      .select(col("__bucket"),
-        coalesce(sum(col("__br")).over(wB), lit(0L)).as("__sr"),
-        coalesce(sum(col("__bc")).over(wB), lit(0L)).as("__sc"))
-    val wIn = Window.partitionBy(col("__bucket")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = g.join(broadcast(pref), "__bucket")
+    // inclusive CDF = the shared exclusive prefix + the value's own count
+    val cum = exclusivePrefix(g, "v", "__bucket",
+        Seq("__exr" -> "__cr", "__exc2" -> "__cc"))
       .select(
-        (col("__sr") + sum(col("__cr")).over(wIn)).as("__cumr"),
-        (col("__sc") + sum(col("__cc")).over(wIn)).as("__cumc"))
+        (col("__exr") + col("__cr")).as("__cumr"),
+        (col("__exc2") + col("__cc")).as("__cumc"))
     val tot = g.agg(sum(col("__cr")).as("n_ref"),
       sum(col("__cc")).as("n_cur"))
     val num = cum.crossJoin(broadcast(tot))

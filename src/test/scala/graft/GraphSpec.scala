@@ -158,6 +158,7 @@ class GraphSpec extends SparkSpec {
     // HERE, as a named test, not as a c05 hash mismatch.
     import graft.functions.JaroWinklerSimilarity
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      assume(new java.io.File(s"$dir/part.parquet").exists())
       val names = Tables(spark, dir, "part")
         .groupBy(col("p_name")).agg(min(col("p_partkey")).as("name_key"))
         .localCheckpoint(true) // name frame is catalog-small by design
