@@ -96,49 +96,29 @@ def main(sf_dir, out_dir):
             bad = [(a, b) for a, b in zip(spark_rows, duck_rows) if a != b][:3]
             print(f"FAIL {name}: value mismatch, first diffs: {bad}")
             ok = False
-        # Driver-float hazard (round-11 finding): DuckDB's pandas/double
-        # conversion of a DECIMAL goes int128->double THEN /10^scale —
-        # TWO roundings — while an exact decimal->double conversion (what
-        # pyarrow/python do for the Spark-side values) rounds once. For
-        # unscaled magnitudes > 2^53 the two paths can differ by 1 ulp
-        # (measured: DECIMAL(28,2) '99999999999999999999999999.99' ->
-        # 9.999999999999999e+25 via DuckDB vs 1e+26 exact), which is
-        # invisible to this value-level compare but flips any downstream
-        # float64-based hash. Flag every decimal output value whose two
-        # conversions disagree bitwise.
-        # h* probes are EXEMPT: they exist to carry hazard-triggering
-        # literals into the driver's compare (h02 embeds the measured
-        # divergent DECIMAL(28,2) value on purpose) — flagging them here
-        # would fail the local gate for doing their job.
+        # Boundary-type policy gate (round-11 verdict): the driver's hash
+        # red-flagged EVERY decimal probe (h01-h04, all four precisions;
+        # only the DOUBLE+BIGINT control h05 greened), so the repo policy
+        # is NO DECIMAL at any result boundary — BIGINT e-units,
+        # string-crossed DOUBLE, or STRING; DECIMAL stays a compute-only
+        # type. Enforce the policy HERE so a future decimal boundary
+        # fails the local gate immediately instead of surfacing as an
+        # unexplained driver hash-red a round later. This also replaces
+        # the round-11 per-value hazard re-query (one full extra oracle
+        # execution per decimal-bounded query): with zero decimal
+        # boundaries allowed, there is nothing left to value-scan.
+        # h* probes are EXEMPT: they exist to carry decimal values into
+        # the driver's compare on purpose.
         if ok and not name.startswith("h0"):
-            try:
-                import struct as _struct
-                dec_cols = [c for c in duck_cols
-                            if (duck_types.get(c) or "").startswith("DECIMAL")]
-                if dec_cols:
-                    # ONE extra oracle execution regardless of how many
-                    # decimal columns: select every column next to its
-                    # CAST AS DOUBLE twin
-                    sel = ", ".join(
-                        f'"{c}", CAST("{c}" AS DOUBLE)' for c in dec_cols)
-                    rows = con.sql(f"SELECT {sel} FROM ({sql})").fetchall()
-                    for row in rows:
-                        for i, c in enumerate(dec_cols):
-                            exact_v, duck_f = row[2 * i], row[2 * i + 1]
-                            if exact_v is None:
-                                continue
-                            if _struct.pack("<d", float(exact_v)) != \
-                               _struct.pack("<d", duck_f):
-                                print(f"FAIL {name}: driver-float hazard on "
-                                      f"'{c}': {exact_v} -> duckdb {duck_f!r} "
-                                      f"vs exact {float(exact_v)!r} — re-type "
-                                      "the boundary (BIGINT e-units or keep "
-                                      "unscaled < 2^53)")
-                                ok = False
-                        if not ok:
-                            break
-            except Exception as e:
-                print(f"WARN {name}: driver-float hazard check errored: {e}")
+            dec_cols = [c for c in duck_cols
+                        if (duck_types.get(c) or "").startswith("DECIMAL")]
+            if dec_cols:
+                print(f"FAIL {name}: DECIMAL at result boundary "
+                      f"({', '.join(dec_cols)}) — policy since r11: no "
+                      "DECIMAL leaves any result boundary (driver hash "
+                      "red-flagged all four decimal probes); emit BIGINT "
+                      "e-units, a string-crossed DOUBLE, or STRING")
+                ok = False
         if ok:
             print(f"PASS {name} ({len(spark_rows)} rows)")
             n_pass += 1

@@ -90,6 +90,15 @@ object Verify {
       s"""{"spark_version":"${spark.version}","sf_dir":${q(sfDir)}}\n""")
     System.err.println(s"[verify] spark_version=${spark.version}")
     spark.stop()
-    if (failed.nonEmpty) sys.exit(1)
+    // Exit semantics: the UNRUNNABLE summary above is always printed,
+    // but the non-zero exit is opt-in. If the round driver treated a
+    // non-zero Verify exit as a whole-round abort, ONE flaky query
+    // would zero a 245-query surface that still produced 244 perfectly
+    // comparable dumps — the asymmetry is catastrophic, so the driver
+    // path defaults to exit 0 + loud stderr. The local validation loop
+    // (and CI wrappers) set SPARK_GRAFT_VERIFY_STRICT=1 to keep the
+    // round-11 fail-fast behavior where a non-zero exit is safe.
+    if (failed.nonEmpty && sys.env.get("SPARK_GRAFT_VERIFY_STRICT")
+          .contains("1")) sys.exit(1)
   }
 }

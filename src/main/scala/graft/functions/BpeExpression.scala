@@ -17,8 +17,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * generated code is one virtual call per row (the graft_winnow
   * pattern), so the whole projection stays inside whole-stage codegen
   * regardless of table size.
+  *
+  * `marked = true` emits the Sennrich et al. continuation notation:
+  * every NON-final subword of a word carries the "@@" suffix, which
+  * makes the flattened stream losslessly decodable — rejoin with
+  * spaces, delete every `"@@ "`, and the original token stream
+  * reappears (t42's round-trip contract; the unmarked stream cannot
+  * be decoded because word boundaries are gone).
   */
-case class BpeSubwords(child: Expression, merges: graft.text.Bpe.Merges)
+case class BpeSubwords(child: Expression, merges: graft.text.Bpe.Merges,
+    marked: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -41,7 +49,9 @@ case class BpeSubwords(child: Expression, merges: graft.text.Bpe.Merges)
         val subs = merges.encodeWord(w.toString)
         var j = 0
         while (j < subs.length) {
-          out += UTF8String.fromString(subs(j))
+          val sub =
+            if (marked && j < subs.length - 1) subs(j) + "@@" else subs(j)
+          out += UTF8String.fromString(sub)
           j += 1
         }
       }
@@ -67,4 +77,9 @@ case class BpeSubwords(child: Expression, merges: graft.text.Bpe.Merges)
 object BpeSubwords {
   def apply(tokens: Column, merges: graft.text.Bpe.Merges): Column =
     Bridge.column(BpeSubwords(Bridge.expression(tokens), merges))
+
+  /** The continuation-marked stream (t42's decodable encoding). */
+  def marked(tokens: Column, merges: graft.text.Bpe.Merges): Column =
+    Bridge.column(
+      BpeSubwords(Bridge.expression(tokens), merges, marked = true))
 }

@@ -642,7 +642,13 @@ object Corpus {
         md5(concat_ws(" ", col("__subs"))).as("subword_md5"))
   }
 
-  def t37_sql: String =
+  /** The shared recursive-CTE prefix of the BPE oracles: merge table +
+    * per-doc token positions + per-TYPE segmentation (token → syms,
+    * leftmost-lowest-rank, one merge per step). t37 (flat stream) and
+    * t42 (marked round-trip) both state their report over `tokpos` +
+    * `fin` — one definition of the replayed apply rule, two consumers.
+    */
+  private def bpeSegPrefixSql: String =
     s"""WITH RECURSIVE
        |mg AS (SELECT rank, lft, rgt
        |       FROM read_parquet('${bpeMergesPath(oracleSfDir)}/*.parquet')),
@@ -675,7 +681,10 @@ object Corpus {
        |),
        |fin AS (SELECT token, syms FROM (
        |  SELECT token, syms, ROW_NUMBER() OVER (PARTITION BY token
-       |      ORDER BY iter DESC) AS rn FROM enc) WHERE rn = 1),
+       |      ORDER BY iter DESC) AS rn FROM enc) WHERE rn = 1)""".stripMargin
+
+  def t37_sql: String =
+    s"""$bpeSegPrefixSql,
        |agg AS (SELECT tp.doc_id,
        |    COUNT(*) AS n_tokens,
        |    CAST(SUM(len(f.syms)) AS BIGINT) AS n_subwords,
@@ -690,6 +699,72 @@ object Corpus {
        |       ELSE ROUND(CAST(a.n_subwords AS DOUBLE) / a.n_tokens, 6)
        |  END AS fertility,
        |  md5(COALESCE(a.joined, '')) AS subword_md5
+       |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  /** t42: BPE DECODE — the inverse t37 never had, closing the
+    * tokenizer round-trip. The flattened t37 stream is not decodable
+    * (word boundaries are gone), so the encode side emits the
+    * standard Sennrich et al. continuation notation instead: every
+    * non-final subword of a word carries the "@@" suffix
+    * ([[graft.functions.BpeSubwords.marked]]). Decode is then a pure
+    * string rewrite — join the stream with spaces and delete every
+    * `"@@ "` — identical in both engines, and `encode ∘ decode = id`
+    * becomes checkable: the query reports the decoded stream's md5
+    * AND a per-document `roundtrip_ok` that both engines must agree
+    * on (scalacheck additionally proves the identity for arbitrary
+    * marker-free token arrays under arbitrary trained tables; a
+    * token that itself contains "@@" is the notation's documented
+    * blind spot, absent from the whitespace-token corpus).
+    *
+    * Same scale shape as t37: one narrow projection, the merge table
+    * rides into codegen as a reference object, no shuffle. The
+    * oracle replays segmentation through the shared
+    * [[bpeSegPrefixSql]] recursive CTE, marks per TYPE, reassembles
+    * per document in token order, and decodes with the same one-line
+    * rewrite — so a hash match proves the marked stream, the decode
+    * rule, and the round-trip verdict all agree cross-engine.
+    */
+  val t42_bpe_roundtrip: Q = (s, dir) => {
+    val m = bpeModel(s, dir)
+    t(s, dir, "documents").transform(spreadScan)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+      .withColumn("__marked",
+        graft.functions.BpeSubwords.marked(col("__toks"), m))
+      .withColumn("__stream", concat_ws(" ", col("__marked")))
+      .withColumn("__decoded", expr("replace(__stream, '@@ ', '')"))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(col("__marked")).cast("long").as("n_subwords"),
+        (size(col("__marked")) - size(col("__toks"))).cast("long")
+          .as("n_continuations"),
+        md5(col("__decoded")).as("decoded_md5"),
+        (col("__decoded") === concat_ws(" ", col("__toks")))
+          .as("roundtrip_ok"))
+  }
+
+  def t42_sql: String =
+    s"""$bpeSegPrefixSql,
+       |mk AS (SELECT token, CAST(len(syms) AS BIGINT) AS nsub,
+       |    CASE WHEN len(syms) <= 1 THEN array_to_string(syms, ' ')
+       |         ELSE array_to_string(list_transform(
+       |                syms[1:len(syms) - 1], x -> x || '@@'), ' ')
+       |              || ' ' || syms[len(syms)] END AS mkstr
+       |  FROM fin),
+       |agg AS (SELECT tp.doc_id,
+       |    COUNT(*) AS n_tokens,
+       |    CAST(SUM(k.nsub) AS BIGINT) AS n_subwords,
+       |    string_agg(k.mkstr, ' ' ORDER BY tp.pos) AS stream,
+       |    string_agg(tp.token, ' ' ORDER BY tp.pos) AS orig
+       |  FROM tokpos tp JOIN mk k ON k.token = tp.token
+       |  GROUP BY tp.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(a.n_subwords, 0) AS BIGINT) AS n_subwords,
+       |  CAST(COALESCE(a.n_subwords, 0) - COALESCE(a.n_tokens, 0)
+       |    AS BIGINT) AS n_continuations,
+       |  md5(replace(COALESCE(a.stream, ''), '@@ ', '')) AS decoded_md5,
+       |  replace(COALESCE(a.stream, ''), '@@ ', '')
+       |    = COALESCE(a.orig, '') AS roundtrip_ok
        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
   /** Lossless edit-distance similarity join over the customer-name
@@ -4019,15 +4094,19 @@ object Corpus {
     * library piece) → survivorship (oldest-record rule: the min-key
     * member donates the canonical name) → and the step that makes ER
     * USEFUL: re-keying the fact table to entities (lineitem activity
-    * rolled up per resolved entity, decimal-exact).
+    * rolled up per resolved entity, decimal-exact in compute, BIGINT
+    * e-2 at the boundary).
     *
-    * The oracle replays matching BRUTE-FORCE (no blocking) with
+    * The oracle replays the SAME name-level token blocking with
     * DuckDB's own `jaro_winkler_similarity` and unrolls the closure
     * [[ErRounds]] rounds (g02's MATERIALIZED-CTE pattern), so the
-    * hash match proves (a) token blocking loses no 0.92-pair on this
-    * corpus, (b) the distributed min-label loop reaches the same
-    * fixpoint as the sequential unroll, and (c) the survivorship +
-    * rollup arithmetic agrees to the last decimal. The Spark loop
+    * hash match proves (a) the two engines agree on every blocked
+    * candidate's 0.92 decision, (b) the distributed min-label loop
+    * reaches the same fixpoint as the sequential unroll, and (c) the
+    * survivorship + rollup arithmetic agrees exactly. Blocking
+    * losslessness (blocked ≡ brute force) moved to a named GraphSpec
+    * test over the shipped fixtures — structural parity in the
+    * oracle, semantic completeness in the spec. The Spark loop
     * early-exits on convergence; converged rounds are identity, so
     * any unroll ≥ the convergence round matches.
     *
@@ -4042,7 +4121,9 @@ object Corpus {
     * all — a record-level candidate join would be Σ|name-group|²
     * ≈ all-pairs, measured minutes at sf0.1 vs sub-second here).
     * Blocking is one explode + equi-join on the name frame (never
-    * n² — only the ORACLE is brute-force); closure is the capped
+    * n² — GraphSpec's brute-force fixture test guards completeness,
+    * and a DuckDB audit of the driver's sf0.01 confirmed all eight
+    * brute-force 0.92-pairs share a token); closure is the capped
     * keyed-aggregate loop over name keys; the label map broadcasts
     * back onto records, and survivorship + rollup are one keyed
     * aggregate each plus a broadcast-sized name join.
@@ -4103,22 +4184,37 @@ object Corpus {
       .agg(
         countDistinct(col("node")).as("n_members"),
         count(col("l_quantity")).as("n_lineitems"),
-        // DECIMAL(18,2), not (28,2): quantities are ≤50 per line, so the
-        // per-entity sum sits far inside 16 digits even at 1000× sf0.1;
-        // ≤(18,x) decimals are driver-hash-proven (229 green boundaries)
-        // while wide decimals red-hashed twice despite identical replays.
-        coalesce(sum(col("l_quantity").cast(dec2)), lit(0).cast(dec2))
-          .cast(dec2).as("total_qty"))
+        // BIGINT e-2 units, not DECIMAL: the round-11 probes falsified
+        // "DECIMAL(18,2) is safe" at the type level (h01 red with a
+        // >2^53-unscaled extreme; no other green query emits decimal at
+        // its boundary at all). Policy since r11: NO DECIMAL at any
+        // result boundary. The sum itself stays exact DECIMAL —
+        // l_quantity carries <=2 decimals, so x100 is an integer count
+        // of e-2 units far below 2^63 even at 1000x sf0.1 — and only
+        // the final integer crosses the boundary (the q125 recipe).
+        coalesce((sum(col("l_quantity").cast(dec2)) * lit(100))
+          .cast("long"), lit(0L)).as("total_qty_e2"))
     rolled.join(
         nm.select(col("p_partkey").as("entity_id"),
           col("p_name").as("canonical_name")),
         "entity_id")
       .select(col("entity_id"), col("n_members"), col("canonical_name"),
-        col("n_lineitems"), col("total_qty"))
+        col("n_lineitems"), col("total_qty_e2"))
   }
 
   private[graft] val ErRounds = 8
 
+  /** The oracle mirrors the Spark plan's NAME-LEVEL shape since round
+    * 12: candidates come from the same shared-token blocking (not a
+    * record-level brute-force cross join), the min-label closure runs
+    * over name keys, and labels lift to records through the name map.
+    * Structural parity removes the candidate-set seam from the hash
+    * compare entirely; what keeps the oracle honest is the named
+    * GraphSpec test proving blocked ≡ brute-force on every shipped
+    * fixture (and a round-12 DuckDB audit of the driver's own sf0.01:
+    * all 8 brute-force 0.92-pairs share a token — blocking lossless).
+    * Boundary: BIGINT e-2 (no DECIMAL leaves any result boundary).
+    */
   val c05_sql: String = {
     val rounds = (1 to ErRounds).map { i =>
       s"""lab$i AS MATERIALIZED (SELECT l.node,
@@ -4129,27 +4225,172 @@ object Corpus {
          |  GROUP BY l.node, l.label)""".stripMargin
     }.mkString(",\n")
     s"""WITH nm AS MATERIALIZED (SELECT p_partkey, p_name FROM part),
-       |pr AS MATERIALIZED (SELECT a.p_partkey AS src, b.p_partkey AS dst
-       |  FROM nm a JOIN nm b ON a.p_partkey < b.p_partkey
-       |  WHERE FLOOR(jaro_winkler_similarity(a.p_name, b.p_name)
+       |names AS MATERIALIZED (SELECT p_name,
+       |    MIN(p_partkey) AS name_key FROM nm GROUP BY 1),
+       |tok AS MATERIALIZED (SELECT name_key, p_name,
+       |    unnest(string_split(p_name, ' ')) AS tok FROM names),
+       |cand AS MATERIALIZED (SELECT DISTINCT a.name_key AS src,
+       |    b.name_key AS dst, a.p_name AS na, b.p_name AS nb
+       |  FROM tok a JOIN tok b
+       |    ON a.tok = b.tok AND a.name_key < b.name_key),
+       |pr AS MATERIALIZED (SELECT src, dst FROM cand
+       |  WHERE FLOOR(jaro_winkler_similarity(na, nb)
        |              * 1000000.0 + 0.5) >= 920000),
        |erbidir AS MATERIALIZED (SELECT src, dst FROM pr
        |  UNION ALL SELECT dst AS src, src AS dst FROM pr),
-       |lab0 AS (SELECT p_partkey AS node, p_partkey AS label FROM nm),
+       |lab0 AS (SELECT name_key AS node, name_key AS label FROM names),
        |$rounds,
-       |rolled AS (SELECT la.label AS entity_id,
-       |    COUNT(DISTINCT la.node) AS n_members,
+       |reclab AS MATERIALIZED (SELECT nm.p_partkey,
+       |    la.label AS entity_id
+       |  FROM nm JOIN names n ON n.p_name = nm.p_name
+       |  JOIN lab$ErRounds la ON la.node = n.name_key),
+       |rolled AS (SELECT la.entity_id,
+       |    COUNT(DISTINCT la.p_partkey) AS n_members,
        |    COUNT(li.l_quantity) AS n_lineitems,
-       |    CAST(COALESCE(SUM(CAST(li.l_quantity AS DECIMAL(18,2))),
-       |                  CAST(0 AS DECIMAL(18,2))) AS DECIMAL(18,2))
-       |      AS total_qty
-       |  FROM lab$ErRounds la
-       |  LEFT JOIN lineitem li ON li.l_partkey = la.node
+       |    CAST(COALESCE(
+       |        SUM(CAST(li.l_quantity AS DECIMAL(18,2))) * 100, 0)
+       |      AS BIGINT) AS total_qty_e2
+       |  FROM reclab la
+       |  LEFT JOIN lineitem li ON li.l_partkey = la.p_partkey
        |  GROUP BY 1)
        |SELECT r.entity_id, r.n_members, n.p_name AS canonical_name,
-       |  r.n_lineitems, r.total_qty
+       |  r.n_lineitems, r.total_qty_e2
        |FROM rolled r JOIN nm n ON n.p_partkey = r.entity_id""".stripMargin
   }
+
+  /** c06's release budget: fixed-size release, independent of corpus
+    * growth (the budget is what a training run consumes, not a corpus
+    * fraction). Below every fixture's deduped size, so Hamilton quotas
+    * never exceed their source's candidate count in practice — and the
+    * LEAST() clamp makes even that case well-defined.
+    */
+  private[graft] val C06Budget = 200L
+
+  /** c06: training-mix release capstone — the end-to-end "cut a
+    * training batch" pipeline, chaining four individually-green
+    * operators under ONE oracle for the first time:
+    * exact dedup (d01's min-id survivorship) → integer quota
+    * allocation over the DEDUPED per-source counts ([[hamiltonQuotas]],
+    * t36 — dedup first, or the quota shares are inflated by dup mass)
+    * → deterministic per-source sampling (each source's `final_quota`
+    * smallest `hash64(doc_id)` — the t28/q73 hash-order rule: a pure
+    * function of the data, no RNG, bit-replayable) → sequence packing
+    * of the selected mix into 2048-token windows
+    * ([[graft.operators.Pack.concatChunk]], t07) → a per-source release
+    * manifest with the q124 checksum discipline
+    * (`bit_xor(hash64(doc_id:text))`, duplicate-sensitive, BIGINT).
+    *
+    * Scale shape: the corpus is touched exactly twice — the dedup
+    * groupBy on text and one narrow projection computing per-doc
+    * token counts and hashes, after which `localCheckpoint` pins a
+    * compact (id, source, 3×BIGINT) frame and the text column never
+    * travels again. Selection avoids the per-source sort funnel: the
+    * quota-th smallest hash per source comes from the KMV fold
+    * ([[graft.functions.KmvSketch.kmvHashes]] — bounded ≤budget state,
+    * map-side combined, mergeable min-k), broadcast back as a
+    * threshold filter. Packing windows run over ≤quota rows per
+    * source — bounded by construction. In production the deduped
+    * selection would also be WRITTEN as a shard export (q124's job);
+    * the manifest here recomputes it to keep the query self-contained.
+    * Hash-distinctness caveat: threshold selection assumes no 60-bit
+    * md5-prefix collision among a source's doc_ids (P ≈ n²/2⁶¹; the
+    * q86 KMV discipline makes the same assumption).
+    */
+  val c06_training_mix_release: Q = (s, dir) => {
+    import graft.functions.KmvSketch
+    val docs = t(s, dir, "documents").transform(spreadScan)
+      .select(col("doc_id"), col("source"), col("text"))
+    val surv = docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val dd = docs.join(surv, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        KmvSketch.hash64(concat_ws(":", col("doc_id"), col("text")))
+          .as("__ck"),
+        KmvSketch.hash64(col("doc_id")).as("__h"))
+      .localCheckpoint(true) // quota count + threshold fold + selection
+    val quotas = hamiltonQuotas(
+      dd.groupBy(col("source")).agg(count(lit(1)).as("n_docs")),
+      budget = C06Budget)
+      .select(col("source"), col("n_docs"), col("final_quota"))
+      .localCheckpoint(true) // threshold pick AND the manifest join
+    val thrs = dd.groupBy(col("source"))
+      .agg(KmvSketch.kmvHashes(col("__h"), C06Budget.toInt).as("__hs"))
+      .join(broadcast(quotas), Seq("source"))
+      .select(col("source"),
+        when(col("final_quota") <= 0, lit(-1L)) // 60-bit hashes are ≥ 0
+          .otherwise(element_at(col("__hs"),
+            least(col("final_quota"), col("n_docs")).cast("int")))
+          .as("__thr"))
+    val sel = dd.join(broadcast(thrs), Seq("source"))
+      .where(col("__h") <= col("__thr"))
+    val packed = graft.operators.Pack.concatChunk(
+      sel, Seq("source"), "doc_id", "n_tokens", capacity = 2048L)
+    val mani = packed.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        countDistinct(col("pack_id")).as("n_packs"),
+        expr("bit_xor(__ck)").as("checksum"))
+    quotas.join(mani, Seq("source"), "left")
+      .select(col("source"),
+        col("n_docs").as("n_candidates"),
+        col("final_quota"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("sum_tokens"), lit(0L)).as("sum_tokens"),
+        coalesce(col("n_packs"), lit(0L)).as("n_packs"),
+        coalesce(col("checksum"), lit(0L)).as("checksum"))
+  }
+
+  val c06_sql: String =
+    s"""WITH surv AS (SELECT MIN(doc_id) AS doc_id FROM documents
+       |  GROUP BY text),
+       |dd AS MATERIALIZED (SELECT d.doc_id, d.source,
+       |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+       |    ('0x' || substr(md5(d.doc_id::VARCHAR || ':' || d.text), 1, 15))
+       |      ::BIGINT AS ck,
+       |    ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT AS h
+       |  FROM documents d JOIN surv USING (doc_id)),
+       |s AS (SELECT source, COUNT(*) AS n_docs FROM dd GROUP BY 1),
+       |t2 AS (SELECT source, n_docs, SUM(n_docs) OVER () AS total FROM s),
+       |sh AS (SELECT source, n_docs,
+       |    CAST((n_docs * $C06Budget) // total AS BIGINT) AS base_quota,
+       |    CAST((n_docs * $C06Budget) % total AS BIGINT) AS remainder
+       |  FROM t2),
+       |r AS (SELECT *, $C06Budget - SUM(base_quota) OVER () AS leftover,
+       |    ROW_NUMBER() OVER (ORDER BY remainder DESC, source) AS rnk
+       |  FROM sh),
+       |q AS (SELECT source, n_docs, CAST(base_quota
+       |    + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+       |    AS final_quota FROM r),
+       |rk AS (SELECT source, h,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+       |  FROM dd),
+       |thr AS (SELECT q.source,
+       |    COALESCE(MAX(CASE WHEN rk.rn = LEAST(q.final_quota, q.n_docs)
+       |                 THEN rk.h END), -1) AS thr
+       |  FROM q LEFT JOIN rk USING (source) GROUP BY q.source),
+       |sel AS (SELECT dd.* FROM dd JOIN thr USING (source)
+       |  WHERE dd.h <= thr.thr),
+       |o AS (SELECT source, n_tokens, ck,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS start_offset
+       |  FROM sel),
+       |p AS (SELECT source, n_tokens, ck,
+       |    CAST(start_offset // 2048 AS BIGINT) AS pack_id FROM o),
+       |m AS (SELECT source, COUNT(*) AS n_selected,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       |    CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs,
+       |    bit_xor(ck) AS checksum
+       |  FROM p GROUP BY source)
+       |SELECT q.source, q.n_docs AS n_candidates, q.final_quota,
+       |  CAST(COALESCE(m.n_selected, 0) AS BIGINT) AS n_selected,
+       |  CAST(COALESCE(m.sum_tokens, 0) AS BIGINT) AS sum_tokens,
+       |  CAST(COALESCE(m.n_packs, 0) AS BIGINT) AS n_packs,
+       |  CAST(COALESCE(m.checksum, 0) AS BIGINT) AS checksum
+       |FROM q LEFT JOIN m USING (source)""".stripMargin
 
   private def c04Root: String = s"${graft.ingest.FixtureTables.root}/c04"
 
@@ -4281,8 +4522,14 @@ object Corpus {
           lit(0.0), (acc, x) => acc + x)).as("norm"))
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n_media"),
-        sum(round(col("norm"), 6).cast("decimal(18,6)"))
-          .cast("decimal(38,6)").as("sum_feature_norm"))
+        // BIGINT e-6 units (round-12 sweep: this was the last DECIMAL
+        // output boundary the r11 migrations missed — driver-green on
+        // its small values, but the no-DECIMAL-boundary policy is
+        // absolute and compare_oracle.py now enforces it). The decimal
+        // SUM stays the exact compute type; ×10⁶ is integral by
+        // construction, so the BIGINT crossing is exact.
+        (sum(round(col("norm"), 6).cast("decimal(18,6)")) * lit(1000000))
+          .cast("long").as("sum_feature_norm_e6"))
   }
 
   /** DuckDB replay downstream of the stub decode (see
@@ -4298,8 +4545,8 @@ object Corpus {
        |  sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS norm
        | FROM f)
        |SELECT kind, COUNT(*) AS n_media,
-       |  CAST(SUM(CAST(ROUND(norm, 6) AS DECIMAL(18,6))) AS DECIMAL(38,6))
-       |    AS sum_feature_norm
+       |  CAST(SUM(CAST(ROUND(norm, 6) AS DECIMAL(18,6))) * 1000000
+       |    AS BIGINT) AS sum_feature_norm_e6
        |FROM n GROUP BY kind""".stripMargin
 
   /** Frame-sampling manifest over the synthetic video corpus — the
@@ -5482,6 +5729,7 @@ object Corpus {
     "t35_winnowing"         -> t35_winnowing,
     "t36_quota_allocation"  -> t36_quota_allocation,
     "t37_bpe_encode"        -> t37_bpe_encode,
+    "t42_bpe_roundtrip"     -> t42_bpe_roundtrip,
     "t38_quality_classifier" -> t38_quality_classifier,
     "t39_collocations"      -> t39_collocations,
     "t40_chi2_terms"        -> t40_chi2_terms,
@@ -5490,6 +5738,7 @@ object Corpus {
     "q126_calibration"      -> q126_calibration,
     "q128_auc_by_slice"     -> q128_auc_by_slice,
     "c05_entity_resolution" -> c05_entity_resolution,
+    "c06_training_mix_release" -> c06_training_mix_release,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -5577,6 +5826,7 @@ object Corpus {
     "t35_winnowing"         -> t35_sql,
     "t36_quota_allocation"  -> t36_sql,
     "t37_bpe_encode"        -> t37_sql,
+    "t42_bpe_roundtrip"     -> t42_sql,
     "t38_quality_classifier" -> t38_sql,
     "t39_collocations"      -> t39_sql,
     "t40_chi2_terms"        -> t40_sql,
@@ -5585,6 +5835,7 @@ object Corpus {
     "q126_calibration"      -> q126_sql,
     "q128_auc_by_slice"     -> q128_sql,
     "c05_entity_resolution" -> c05_sql,
+    "c06_training_mix_release" -> c06_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,

@@ -1207,7 +1207,14 @@ object Extensions {
         pmod(col("doc_id"), lit(16L)).as("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
     s.read.parquet(path)
-      .withColumn("__h", graft.functions.KmvSketch.hash64(col("text")))
+      // hash the (doc_id, text) PAIR, not the bare text: XOR
+      // self-cancels, so folding per-text hashes would make any even
+      // count of identical texts invisible to the checksum (a
+      // duplicated-or-pairwise-lost shard would still verify). Keying
+      // by doc_id gives every row a distinct contribution, so the
+      // checksum now catches duplicate and dropped rows alike.
+      .withColumn("__h", graft.functions.KmvSketch.hash64(
+        concat_ws(":", col("doc_id"), col("text"))))
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("min_id"),
@@ -1224,7 +1231,8 @@ object Extensions {
   def q124_sql: String =
     s"""SELECT CAST(shard AS BIGINT) AS shard, COUNT(*) AS n_docs,
        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
-       |  bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT) AS checksum
+       |  bit_xor(('0x' || substr(md5(
+       |    doc_id::VARCHAR || ':' || text), 1, 15))::BIGINT) AS checksum
        |FROM read_parquet(
        |  '${shardExportPath(graft.queries.Corpus.oracleSfDir)}/*/*.parquet',
        |  hive_partitioning = true)

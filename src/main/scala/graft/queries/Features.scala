@@ -763,7 +763,14 @@ object Features {
 
   private[graft] def rank2Frame(
       pairs: DataFrame, v: String, bucketStep: Double): DataFrame = {
-    val g = pairs.groupBy(col(v)).agg(count(lit(1)).as("__c"))
+    // NULLs must never reach the window ordering: Spark's groupBy keeps
+    // a NULL group and its ASC windows sort NULLs FIRST (the null
+    // group's count would shift every non-null exclusive prefix), while
+    // the DuckDB oracles sort NULLs LAST. The equi-join back to the
+    // pair frame drops NULL keys anyway, so filtering here changes no
+    // joined result — it only removes the cross-engine rank hazard.
+    val g = pairs.where(col(v).isNotNull)
+      .groupBy(col(v)).agg(count(lit(1)).as("__c"))
       .withColumn("__bucket",
         floor(col(v).cast("double") / lit(bucketStep)))
       .localCheckpoint(true) // consumed by the bucket prefix AND the join
@@ -837,11 +844,13 @@ object Features {
        |              * (CAST(n AS DOUBLE) * sbb - sb * sb)) END AS rho
        |FROM (
        |  WITH p AS (SELECT $x AS x, l_extendedprice AS y FROM lineitem),
-       |  gx AS (SELECT x, COUNT(*) AS c FROM p GROUP BY x),
+       |  gx AS (SELECT x, COUNT(*) AS c FROM p
+       |         WHERE x IS NOT NULL GROUP BY x),
        |  rx AS (SELECT x, CAST(2 * COALESCE(SUM(c) OVER
        |      (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
        |      0) + c + 1 AS BIGINT) AS a FROM gx),
-       |  gy AS (SELECT y, COUNT(*) AS c FROM p GROUP BY y),
+       |  gy AS (SELECT y, COUNT(*) AS c FROM p
+       |         WHERE y IS NOT NULL GROUP BY y),
        |  ry AS (SELECT y, CAST(2 * COALESCE(SUM(c) OVER
        |      (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
        |      0) + c + 1 AS BIGINT) AS b FROM gy),
@@ -1008,7 +1017,13 @@ object Features {
           / sum(col("__m")).cast("double")).as("mean_b"))
       .localCheckpoint(true) // consumed by the rank frame AND the output
     val wR = Window.partitionBy(pmod(col("b"), lit(1))) // deliberate: 64 rows
-      .orderBy(col("mean_b").asc, col("b").asc)
+      // NULLS LAST explicitly: a replicate whose Poisson multiplicities
+      // are all zero (P = e^-n per replicate — degenerate corpora only)
+      // has n_eff=0 and a NULL mean_b; Spark's ASC default is NULLS
+      // FIRST while DuckDB's is NULLS LAST, so without this the
+      // rank-2/rank-63 CI picks diverge cross-engine exactly when the
+      // degenerate case fires.
+      .orderBy(col("mean_b").asc_nulls_last, col("b").asc)
     val ci = repMeans
       .withColumn("__r", row_number().over(wR))
       .agg( // nearest-rank percentiles: ceil(0.025·64)=2, ceil(0.975·64)=63
@@ -1041,8 +1056,8 @@ object Features {
        |    CAST(CAST(SUM(CAST(m * x AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE)
        |      / CAST(SUM(m) AS DOUBLE) AS mean_b
        |  FROM m GROUP BY b),
-       |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY mean_b ASC, b ASC)
-       |         AS rn FROM r),
+       |rk AS (SELECT *, ROW_NUMBER() OVER
+       |         (ORDER BY mean_b ASC NULLS LAST, b ASC) AS rn FROM r),
        |ci AS (SELECT MAX(CASE WHEN rn = 2 THEN mean_b END) AS ci_lo,
        |    MAX(CASE WHEN rn = 63 THEN mean_b END) AS ci_hi FROM rk)
        |SELECT b, n_eff, mean_b, n_docs, mean, ci_lo, ci_hi
@@ -1133,6 +1148,10 @@ object Features {
   def ksValueCounts(events: DataFrame): DataFrame = {
     val split = lit("2024-01-16 00:00:00").cast("timestamp")
     events
+      // a NULL value has no place in a CDF; see rank2Frame on why NULL
+      // keys must not reach the prefix windows (Spark NULLS FIRST vs
+      // DuckDB NULLS LAST would shift every cumulative count)
+      .where(col("value").isNotNull)
       .select((col("ts") < split).as("__ref"), col("value").as("v"))
       .groupBy(col("v"))
       .agg(sum(when(col("__ref"), 1L).otherwise(0L)).as("__cr"),
@@ -1181,7 +1200,7 @@ object Features {
       |g AS (SELECT v,
       |    CAST(SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS cr,
       |    CAST(SUM(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS cc
-      |  FROM e GROUP BY v),
+      |  FROM e WHERE v IS NOT NULL GROUP BY v),
       |c AS (SELECT
       |    CAST(SUM(cr) OVER w AS BIGINT) AS cumr,
       |    CAST(SUM(cc) OVER w AS BIGINT) AS cumc

@@ -26,8 +26,19 @@ object HashProbes {
   private case class Probe(name: String, cast: String, vals: Seq[String])
 
   private val probes = Seq(
-    Probe("h01_probe_dec18_2", "DECIMAL(18,2)",
-      Seq("0.00", "-12345.67", "9999999999999999.99")),
+    // h01 split (round 12): r11 came back h01–h04 ALL red / h05 green,
+    // but every probe mixed small values with its type's >2^53-unscaled
+    // magnitude extreme under ONE hash — so the round proved the
+    // divergence is decimal-specific and magnitude-triggered, yet could
+    // not say whether SMALL-value decimals are driver-safe. h01a (small
+    // values only) vs h01b (the extreme alone) separates the two: h01a
+    // green ⇒ small-value decimals hash fine and only magnitude is
+    // hazardous; h01a red ⇒ the decimal TYPE is mishandled wholesale
+    // and any decimal output column must hard-fail the local mimic.
+    Probe("h01a_probe_dec18_2_small", "DECIMAL(18,2)",
+      Seq("0.00", "-12345.67", "1234.56")),
+    Probe("h01b_probe_dec18_2_extreme", "DECIMAL(18,2)",
+      Seq("9999999999999999.99")),
     Probe("h02_probe_dec28_2", "DECIMAL(28,2)",
       Seq("0.00", "-1234567890123456789012345.67",
         "99999999999999999999999999.99")),

@@ -79,4 +79,40 @@ class BpeSpec extends SparkSpec {
       assert(m.encodeWord(w).mkString == w, s"lossy segmentation of $w")
     }
   }
+
+  test("marked encode ∘ decode = id for arbitrary marker-free streams and tables") {
+    // the t42 contract, driven by 200 seeded-random (vocab, merges,
+    // token stream) triples: mark non-final subwords with "@@", join
+    // with spaces, delete every "@@ " — the original stream reappears.
+    val rng = new scala.util.Random(42)
+    val alpha = "abcdef"
+    def word(): String =
+      (0 until (1 + rng.nextInt(8))).map(_ => alpha(rng.nextInt(alpha.length))).mkString
+    (0 until 200).foreach { trial =>
+      val vocab = Seq.fill(1 + rng.nextInt(10))(word())
+        .map(w => (w, (1 + rng.nextInt(5)).toLong))
+      val m = Bpe.train(vocab, nMerges = rng.nextInt(20))
+      val toks = Seq.fill(rng.nextInt(12))(word())
+      val marked = toks.flatMap { w =>
+        val subs = m.encodeWord(w)
+        subs.zipWithIndex.map { case (s, i) =>
+          if (i < subs.length - 1) s + "@@" else s
+        }
+      }
+      val decoded = marked.mkString(" ").replace("@@ ", "")
+      assert(decoded == toks.mkString(" "),
+        s"trial $trial: round-trip broke for $toks via $marked")
+    }
+  }
+
+  test("t42 round-trip verdict holds corpus-wide on the shipped fixture") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val out = graft.SparkEntry.queries("t42_bpe_roundtrip")(spark, dir)
+    assert(out.where(!col("roundtrip_ok")).count() == 0,
+      "a whitespace-token corpus without '@' must round-trip everywhere")
+    // the marked stream really is longer where merges stopped short of
+    // whole words: continuations = subwords - tokens, non-negative
+    assert(out.where(col("n_continuations") < 0).count() == 0)
+  }
 }

@@ -95,7 +95,11 @@ class PlanLintSpec extends SparkSpec {
       "q133_bootstrap_ci",
       // q135: the cumulative frame crosses the broadcast 1-row totals,
       // and the 1-row report crosses the 1-row max — the q127 shape
-      "q135_ks_drift")
+      "q135_ks_drift",
+      // c06: the hamiltonQuotas crosses (broadcast 1-row corpus total
+      // and 1-row leftover against the catalog-small source frame) —
+      // the t36 shape, re-used by composition
+      "c06_training_mix_release")
 
   // queries allowed to window >minRows rows on a <minKeys-value key —
   // empty by design; adding here requires an in-source justification

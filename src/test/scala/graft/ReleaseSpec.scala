@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** c06 training-mix release capstone invariants — the composition
+  * contracts the hash compare alone can't name: the Hamilton budget
+  * identity survives the dedup→quota chain, selection takes exactly
+  * the clamped quota, packing is consistent with the token mass, and
+  * the whole pipeline is a pure function of the data (bit-identical
+  * re-runs).
+  */
+class ReleaseSpec extends SparkSpec {
+
+  private val dirs =
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+      .filter(d => new java.io.File(s"$d/documents.parquet").exists())
+
+  test("c06: quota budget identity and exact clamped selection on each fixture") {
+    assume(dirs.nonEmpty)
+    dirs.foreach { dir =>
+      val out = SparkEntry.queries("c06_training_mix_release")(spark, dir)
+        .select("source", "n_candidates", "final_quota", "n_selected",
+          "sum_tokens", "n_packs")
+        .collect()
+      val budget = graft.queries.Corpus.C06Budget
+      assert(out.map(_.getLong(2)).sum == budget,
+        s"$dir: Hamilton quotas must sum exactly to the budget")
+      out.foreach { r =>
+        val (cand, quota, selected) =
+          (r.getLong(1), r.getLong(2), r.getLong(3))
+        assert(selected == math.min(quota, cand),
+          s"$dir/${r.getString(0)}: selection must take exactly " +
+            s"min(final_quota, n_candidates)")
+        val (sumTok, nPacks) = (r.getLong(4), r.getLong(5))
+        if (selected == 0) assert(nPacks == 0 && sumTok == 0)
+        else {
+          // pack ids live in [0, (sum_tokens-1) div 2048]; each pack id
+          // is claimed by at least one STARTING doc only when no doc
+          // spans a whole window, so the count is bounded both ways
+          assert(nPacks >= 1 && nPacks <= selected,
+            s"$dir/${r.getString(0)}: pack count out of range")
+          assert(nPacks <= (sumTok - 1) / 2048 + 1,
+            s"$dir/${r.getString(0)}: more packs than the token mass spans")
+        }
+      }
+    }
+  }
+
+  test("c06: dedup leg feeds quotas — candidates equal distinct texts") {
+    assume(dirs.nonEmpty)
+    dirs.foreach { dir =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val distinctTexts = docs.select("text").distinct().count()
+      val out = SparkEntry.queries("c06_training_mix_release")(spark, dir)
+      assert(out.agg(sum("n_candidates")).head.getLong(0) == distinctTexts,
+        s"$dir: per-source candidates must sum to the deduped corpus size")
+    }
+  }
+
+  test("c06: the release is a pure function of the data (re-run bit-identical)") {
+    assume(dirs.nonEmpty)
+    val dir = dirs.head
+    val q = SparkEntry.queries("c06_training_mix_release")
+    val a = q(spark, dir).orderBy("source").collect().toSeq
+    val b = q(spark, dir).orderBy("source").collect().toSeq
+    assert(a == b, "hash-order sampling must be deterministic across runs")
+  }
+}
