@@ -1315,10 +1315,207 @@ object Features {
        |FROM m""".stripMargin
   }
 
+  // --------------------------------------------- rank-sum drift
+
+  /** q137: Mann–Whitney U (Wilcoxon rank-sum) — q135's
+    * LOCATION-sensitive companion: KS asks "did the distribution
+    * change anywhere?", the rank-sum test asks the release question
+    * "did the typical value SHIFT?" (robust to outliers where a
+    * t-test is not). Derived from the SAME additive (value, ref
+    * count, cur count) frame as q135 ([[ksValueCounts]] — so the
+    * streaming fold that maintains KS maintains this test for free),
+    * with exact tie-corrected average ranks from the two-level bucket
+    * prefix (doubled ranks keep the tie half-steps integer; the q131
+    * machinery over the COMBINED sample). The doubled rank-sum and
+    * the tie correction Σ(t³−t) are exact integers summed as
+    * decimals (t ≤ 10¹² documented via the DECIMAL(12,0) cast — the
+    * q132-style domain bound), crossed to double through the q47
+    * string cast; U, the tie-corrected variance, and z are then
+    * fixed-order IEEE ending in a correctly-rounded sqrt —
+    * bit-identical across engines, so even the 1.96 threshold verdict
+    * can never disagree. The oracle replays the identical definition
+    * through DuckDB's naive global window — same exact integers,
+    * independent plan.
+    */
+  /** The rank-sum report derived from a (v, __cr, __cc) count frame —
+    * [[ksValueCounts]]'s shape, so the SAME additive per-batch fold
+    * that maintains the KS monitor maintains this test (scalacheck
+    * pins the statistic against the classic brute-force ranks).
+    */
+  def mannWhitneyFromCounts(counts: DataFrame): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    val d12 = DecimalType(12, 0)
+    def d(c: Column): Column = c.cast("string").cast("double")
+    val g = counts
+      .withColumn("__c", col("__cr") + col("__cc"))
+      .withColumn("__bucket", floor(col("v") / lit(25.0)).cast("long"))
+      .localCheckpoint(true) // bucket prefix AND the per-value join
+    val pref = exclusivePrefix(g, "v", "__bucket", Seq("__exc" -> "__c"))
+      .withColumn("__r2", lit(2L) * col("__exc") + col("__c") + lit(1L))
+    val m = pref.agg(
+      sum(col("__cr")).as("n_ref"),
+      sum(col("__cc")).as("n_cur"),
+      d(sum(col("__cr").cast(d19) * col("__r2").cast(d19))).as("__r1x2"),
+      d(sum(col("__c").cast(d12) * col("__c").cast(d12)
+          * col("__c").cast(d12) - col("__c").cast(d12))).as("__tc"))
+    val nr = col("n_ref").cast("double")
+    val nc = col("n_cur").cast("double")
+    val n = nr + nc
+    // __r1x2 is the DOUBLED ref rank-sum, so 2·R1 − n1(n1+1) = 2·U1:
+    // halving last keeps every prior step exact-integer-valued
+    val u = (col("__r1x2") - nr * (nr + lit(1.0))) / lit(2.0)
+    val varU = nr * nc / lit(12.0) *
+      ((n + lit(1.0)) - col("__tc") / (n * (n - lit(1.0))))
+    val z = (u - nr * nc / lit(2.0)) / sqrt(varU)
+    val degenerate =
+      col("n_ref") === 0 || col("n_cur") === 0 || varU <= lit(0.0)
+    m.select(col("n_ref"), col("n_cur"), u.as("u_stat"),
+      when(degenerate, lit(null).cast("double")).otherwise(z)
+        .as("z_score"),
+      when(degenerate, lit(null).cast("boolean"))
+        .otherwise(abs(z) > lit(1.959964)).as("drift_detected"))
+  }
+
+  val q137_mannwhitney: Q = (s, dir) =>
+    mannWhitneyFromCounts(ksValueCounts(t(s, dir, "events")))
+
+  def q137_sql: String = {
+    val nr = "CAST(n_ref AS DOUBLE)"
+    val nc = "CAST(n_cur AS DOUBLE)"
+    val n = s"($nr + $nc)"
+    val u = s"((r1x2 - $nr * ($nr + 1.0)) / 2.0)"
+    val varU = s"($nr * $nc / 12.0 * (($n + 1.0) - tc / ($n * ($n - 1.0))))"
+    val z = s"(($u - $nr * $nc / 2.0) / sqrt($varU))"
+    val degen = s"(n_ref = 0 OR n_cur = 0 OR $varU <= 0.0)"
+    s"""WITH e AS (SELECT (ts < TIMESTAMP '2024-01-16 00:00:00') AS ref,
+       |    value AS v FROM events),
+       |g AS (SELECT v,
+       |    CAST(SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+       |    CAST(SUM(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS cc
+       |  FROM e WHERE v IS NOT NULL GROUP BY v),
+       |r AS (SELECT cr, cc, cr + cc AS c,
+       |    CAST(2 * COALESCE(SUM(cr + cc) OVER (ORDER BY v
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      + (cr + cc) + 1 AS BIGINT) AS r2
+       |  FROM g),
+       |m AS (SELECT CAST(SUM(cr) AS BIGINT) AS n_ref,
+       |    CAST(SUM(cc) AS BIGINT) AS n_cur,
+       |    CAST(CAST(SUM(CAST(cr AS DECIMAL(19,0))
+       |        * CAST(r2 AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE)
+       |      AS r1x2,
+       |    CAST(CAST(SUM(CAST(c AS DECIMAL(12,0)) * CAST(c AS DECIMAL(12,0))
+       |        * CAST(c AS DECIMAL(12,0)) - CAST(c AS DECIMAL(12,0)))
+       |      AS VARCHAR) AS DOUBLE) AS tc
+       |  FROM r)
+       |SELECT n_ref, n_cur, $u AS u_stat,
+       |  CASE WHEN $degen THEN NULL ELSE $z END AS z_score,
+       |  CASE WHEN $degen THEN NULL
+       |       ELSE abs($z) > 1.959964E0 END AS drift_detected
+       |FROM m""".stripMargin
+  }
+
+  // ------------------------------------------- rank correlation II
+
+  /** q138: Kendall τ-b — q131's PAIRWISE sibling: Spearman correlates
+    * the rank VALUES, Kendall counts concordant vs discordant PAIRS
+    * (more robust to a few wild ranks, the standard second opinion in
+    * feature screening). Exact Kendall on a continuous column is an
+    * inversion count (a merge-sort, not expressible as bounded
+    * dataflow); on DISCRETIZED features — the case that matters for
+    * screening binned/categorical features — the corpus collapses
+    * into one (x, y) cell-count aggregate and every pair statistic is
+    * a fold over the |X|·|Y| grid (50·11 here; domain-bounded at any
+    * corpus size — the q132 argument). The cell-pair theta join is
+    * |grid|², CONSTANT in corpus size, never row×row. Concordant /
+    * discordant mass and all three tie terms are exact
+    * DECIMAL(19,0)×DECIMAL(19,0) integer sums crossed to double via
+    * the q47 string cast; τ-b's final arithmetic is fixed-order IEEE
+    * ending in a correctly-rounded sqrt. The oracle replays the same
+    * grid reduction in DuckDB (the grid IS the statistic's canonical
+    * scale form; cross-engine independence lives in the two engines'
+    * full plans plus the exact integer arithmetic).
+    */
+  val q138_kendall_tau: Q = (s, dir) => {
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    def d(c: Column): Column = c.cast("string").cast("double")
+    val cells = t(s, dir, "lineitem")
+      .groupBy(col("l_quantity").as("x"), col("l_discount").as("y"))
+      .agg(count(lit(1)).as("nc"))
+      .localCheckpoint(true) // pair join (twice-read) + marginals + total
+    val pairs = cells.as("a").join(broadcast(cells.as("b")),
+        col("a.x") < col("b.x"))
+      .select((col("a.nc").cast(d19) * col("b.nc").cast(d19)).as("__p"),
+        col("a.y").as("__ya"), col("b.y").as("__yb"))
+    val cd = pairs.agg(
+      d(sum(when(col("__ya") < col("__yb"), col("__p"))
+        .otherwise(lit(0).cast(d38)))).as("__c"),
+      d(sum(when(col("__ya") > col("__yb"), col("__p"))
+        .otherwise(lit(0).cast(d38)))).as("__d"))
+    val tx = cells.groupBy(col("x")).agg(sum(col("nc")).as("__m"))
+      .agg(d(sum(col("__m").cast(d19) * (col("__m") - lit(1L)).cast(d19)))
+        .as("__tx2"))
+    val ty = cells.groupBy(col("y")).agg(sum(col("nc")).as("__m"))
+      .agg(d(sum(col("__m").cast(d19) * (col("__m") - lit(1L)).cast(d19)))
+        .as("__ty2"))
+    val tot = cells.agg(sum(col("nc")).as("n_rows"),
+      count(lit(1)).as("n_cells"),
+      d(sum(col("nc")).cast(d19) * (sum(col("nc")) - lit(1L)).cast(d19))
+        .as("__n02"))
+    // doubled tie/pair counts halve LAST (2·n0 = n(n−1) etc.), so the
+    // subtraction n0 − t happens on exact integer-valued doubles
+    val dx = (col("__n02") - col("__tx2")) / lit(2.0)
+    val dy = (col("__n02") - col("__ty2")) / lit(2.0)
+    val tau = (col("__c") - col("__d")) / sqrt(dx * dy)
+    tot.crossJoin(broadcast(cd)).crossJoin(broadcast(tx))
+      .crossJoin(broadcast(ty))
+      .select(col("n_rows"), col("n_cells"),
+        col("__c").as("concordant"), col("__d").as("discordant"),
+        when(dx <= lit(0.0) || dy <= lit(0.0), lit(null).cast("double"))
+          .otherwise(tau).as("tau_b"))
+  }
+
+  def q138_sql: String = {
+    val dx = "((n02 - tx2) / 2.0)"
+    val dy = "((n02 - ty2) / 2.0)"
+    val tau = s"((c - d) / sqrt($dx * $dy))"
+    s"""WITH cells AS (SELECT l_quantity AS x, l_discount AS y,
+       |    CAST(COUNT(*) AS BIGINT) AS nc
+       |  FROM lineitem GROUP BY 1, 2),
+       |cd AS (SELECT
+       |    CAST(CAST(SUM(CASE WHEN a.y < b.y
+       |        THEN CAST(a.nc AS DECIMAL(19,0)) * CAST(b.nc AS DECIMAL(19,0))
+       |        ELSE CAST(0 AS DECIMAL(38,0)) END) AS VARCHAR) AS DOUBLE)
+       |      AS c,
+       |    CAST(CAST(SUM(CASE WHEN a.y > b.y
+       |        THEN CAST(a.nc AS DECIMAL(19,0)) * CAST(b.nc AS DECIMAL(19,0))
+       |        ELSE CAST(0 AS DECIMAL(38,0)) END) AS VARCHAR) AS DOUBLE)
+       |      AS d
+       |  FROM cells a JOIN cells b ON a.x < b.x),
+       |tx AS (SELECT CAST(CAST(SUM(CAST(m AS DECIMAL(19,0))
+       |      * CAST(m - 1 AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS tx2
+       |  FROM (SELECT CAST(SUM(nc) AS BIGINT) AS m FROM cells GROUP BY x)),
+       |ty AS (SELECT CAST(CAST(SUM(CAST(m AS DECIMAL(19,0))
+       |      * CAST(m - 1 AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS ty2
+       |  FROM (SELECT CAST(SUM(nc) AS BIGINT) AS m FROM cells GROUP BY y)),
+       |tot AS (SELECT CAST(SUM(nc) AS BIGINT) AS n_rows,
+       |    CAST(COUNT(*) AS BIGINT) AS n_cells,
+       |    CAST(CAST(CAST(SUM(nc) AS DECIMAL(19,0))
+       |      * CAST(SUM(nc) - 1 AS DECIMAL(19,0)) AS VARCHAR) AS DOUBLE)
+       |      AS n02
+       |  FROM cells)
+       |SELECT n_rows, n_cells, c AS concordant, d AS discordant,
+       |  CASE WHEN $dx <= 0.0 OR $dy <= 0.0 THEN NULL
+       |       ELSE $tau END AS tau_b
+       |FROM tot CROSS JOIN cd CROSS JOIN tx CROSS JOIN ty""".stripMargin
+  }
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, Q] = Map(
     "q136_cohens_kappa"   -> q136_cohens_kappa,
+    "q137_mannwhitney"    -> q137_mannwhitney,
+    "q138_kendall_tau"    -> q138_kendall_tau,
     "q131_spearman"       -> q131_spearman,
     "q132_token_gini"     -> q132_token_gini,
     "q133_bootstrap_ci"   -> q133_bootstrap_ci,
@@ -1340,6 +1537,8 @@ object Features {
     "q134_vocab_richness" -> q134_sql,
     "q135_ks_drift"       -> q135_sql,
     "q136_cohens_kappa"   -> q136_sql,
+    "q137_mannwhitney"    -> q137_sql,
+    "q138_kendall_tau"    -> q138_sql,
     "q118_feature_store"  -> q118_sql,
     "q119_k_anonymity"    -> q119_sql,
     "q120_ols_multi"      -> q120_sql,

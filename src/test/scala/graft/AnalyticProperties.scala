@@ -185,4 +185,39 @@ object AnalyticProperties extends Properties("graft.analytic") {
       r.getLong(0) == ref.length.toLong && r.getLong(1) == cur.length.toLong &&
         math.abs(r.getDouble(2) - brute) < 1e-12
     }
+
+  property("mannWhitneyFromCounts ≡ classic tie-corrected U and z on arbitrary samples") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.choose(0, 40).map(_ / 2.0)),
+      Gen.nonEmptyListOf(Gen.choose(0, 40).map(_ / 2.0))) { (ref, cur) =>
+      val before = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+      val after = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+      val ev = (ref.map((before, _)) ++ cur.map((after, _)))
+        .toDF("ts", "value")
+      val r = graft.queries.Features
+        .mannWhitneyFromCounts(graft.queries.Features.ksValueCounts(ev))
+        .collect()(0)
+      val all = ref ++ cur
+      // classic doubled average ranks (exact integers): 2·rank(v) =
+      // 2·|{<v}| + |{=v}| + 1, so the doubled ref rank-sum is integral
+      val r1x2 = ref.map(v =>
+        2L * all.count(_ < v) + all.count(_ == v) + 1L).sum
+      val (n1, n2) = (ref.length.toLong, cur.length.toLong)
+      val uBrute = (r1x2 - n1 * (n1 + 1)).toDouble / 2.0
+      val n = (n1 + n2).toDouble
+      val tc = all.groupBy(identity).values
+        .map(g => { val t = g.size.toLong; t * t * t - t }).sum
+      val varU = n1 * n2 / 12.0 * ((n + 1.0) - tc / (n * (n - 1.0)))
+      val uOk = r.getDouble(2) == uBrute // both exact halves of integers
+      val zOk =
+        if (varU <= 0) r.isNullAt(3) && r.isNullAt(4)
+        else {
+          val zBrute = (uBrute - n1 * n2 / 2.0) / math.sqrt(varU)
+          // the flag is checked against the ENGINE's z (zBrute can sit
+          // 1e-13 across the threshold without being a bug)
+          math.abs(r.getDouble(3) - zBrute) < 1e-12 &&
+            r.getBoolean(4) == (math.abs(r.getDouble(3)) > 1.959964)
+        }
+      r.getLong(0) == n1 && r.getLong(1) == n2 && uOk && zOk
+    }
 }

@@ -99,7 +99,12 @@ class PlanLintSpec extends SparkSpec {
       // c06: the hamiltonQuotas crosses (broadcast 1-row corpus total
       // and 1-row leftover against the catalog-small source frame) —
       // the t36 shape, re-used by composition
-      "c06_training_mix_release")
+      "c06_training_mix_release",
+      // q138: the cell-pair theta join runs over the domain-bounded
+      // (x, y) grid (50·11 cells at ANY corpus size — the corpus
+      // collapsed into one groupBy first), plus three broadcast 1-row
+      // crosses for the report — never row×row
+      "q138_kendall_tau")
 
   // queries allowed to window >minRows rows on a <minKeys-value key —
   // empty by design; adding here requires an in-source justification
