@@ -1510,12 +1510,151 @@ object Features {
        |FROM tot CROSS JOIN cd CROSS JOIN tx CROSS JOIN ty""".stripMargin
   }
 
+  // ------------------------------------------- drift dashboard
+
+  /** q139: the drift DASHBOARD — q135's KS and q137's rank-sum test
+    * per segment (event_type), one row per slice. Global monitors
+    * routinely stay green while one segment drifts (mix shifts cancel
+    * in aggregate), so the production shape is always per-slice; this
+    * is the grouped form of both tests over ONE shared scan. The
+    * grouped two-level prefix keys every window by the slice: the
+    * bucket-prefix window holds buckets-per-slice rows (the q135 bin
+    * geometry — value-range/25, never corpus-size) and the
+    * within-bucket window is (slice, bucket)-keyed, so no window ever
+    * funnels a slice's whole row count. Both statistics fold from the
+    * same (slice, value, ref, cur) count frame in ONE keyed aggregate:
+    * the KS cross-multiplied max and the doubled rank-sum + tie
+    * correction are exact integers (DECIMAL sums, q47 string-crossed),
+    * and the final D/crit/U/z arithmetic is the q135/q137 fixed-order
+    * IEEE — bit-identical across engines, thresholds included. The
+    * oracle replays per-slice naive global windows — same integers,
+    * independent plan.
+    */
+  val q139_drift_by_slice: Q = (s, dir) => {
+    val d19 = DecimalType(19, 0)
+    val d12 = DecimalType(12, 0)
+    def d(c: Column): Column = c.cast("string").cast("double")
+    val split = lit("2024-01-16 00:00:00").cast("timestamp")
+    val g = t(s, dir, "events")
+      .where(col("value").isNotNull) // NULLs never reach the windows
+      .select(col("event_type").as("slice"),
+        (col("ts") < split).as("__ref"), col("value").as("v"))
+      .groupBy(col("slice"), col("v"))
+      .agg(sum(when(col("__ref"), 1L).otherwise(0L)).as("__cr"),
+        sum(when(col("__ref"), 0L).otherwise(1L)).as("__cc"))
+      .withColumn("__c", col("__cr") + col("__cc"))
+      .withColumn("__bucket", floor(col("v") / lit(25.0)).cast("long"))
+      .localCheckpoint(true) // bucket prefix AND the per-value join
+    val bAgg = g.groupBy(col("slice"), col("__bucket"))
+      .agg(sum(col("__c")).as("__bc"), sum(col("__cr")).as("__bcr"),
+        sum(col("__cc")).as("__bcc"))
+    val wB = Window.partitionBy(col("slice")).orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pref = bAgg.select(col("slice"), col("__bucket"),
+      coalesce(sum(col("__bc")).over(wB), lit(0L)).as("__sc"),
+      coalesce(sum(col("__bcr")).over(wB), lit(0L)).as("__scr"),
+      coalesce(sum(col("__bcc")).over(wB), lit(0L)).as("__scc"))
+    val wIn = Window.partitionBy(col("slice"), col("__bucket"))
+      .orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rows = g.join(broadcast(pref), Seq("slice", "__bucket"))
+      .withColumn("__excC",
+        col("__sc") + coalesce(sum(col("__c")).over(wIn), lit(0L)))
+      .withColumn("__excR",
+        col("__scr") + coalesce(sum(col("__cr")).over(wIn), lit(0L)))
+      .withColumn("__excU",
+        col("__scc") + coalesce(sum(col("__cc")).over(wIn), lit(0L)))
+      .withColumn("__r2", lit(2L) * col("__excC") + col("__c") + lit(1L))
+      .withColumn("__cumr", col("__excR") + col("__cr"))
+      .withColumn("__cumc", col("__excU") + col("__cc"))
+    val tot = g.groupBy(col("slice"))
+      .agg(sum(col("__cr")).as("n_ref"), sum(col("__cc")).as("n_cur"))
+    val m = rows.join(broadcast(tot), Seq("slice"))
+      .groupBy(col("slice"))
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+        d(max(abs(col("__cumr").cast(d19) * col("n_cur").cast(d19)
+          - col("__cumc").cast(d19) * col("n_ref").cast(d19))))
+          .as("__maxdiff"),
+        d(sum(col("__cr").cast(d19) * col("__r2").cast(d19))).as("__r1x2"),
+        d(sum(col("__c").cast(d12) * col("__c").cast(d12)
+            * col("__c").cast(d12) - col("__c").cast(d12))).as("__tc"))
+    val nr = col("n_ref").cast("double")
+    val nc = col("n_cur").cast("double")
+    val n = nr + nc
+    val dStat = col("__maxdiff") / (nr * nc)
+    val crit = lit(1.3581) * sqrt((nr + nc) / (nr * nc)) // c(α=0.05)
+    val u = (col("__r1x2") - nr * (nr + lit(1.0))) / lit(2.0)
+    val varU = nr * nc / lit(12.0) *
+      ((n + lit(1.0)) - col("__tc") / (n * (n - lit(1.0))))
+    val z = (u - nr * nc / lit(2.0)) / sqrt(varU)
+    val degenerate =
+      col("n_ref") === 0 || col("n_cur") === 0 || varU <= lit(0.0)
+    m.select(col("slice"), col("n_ref"), col("n_cur"),
+      dStat.as("d_stat"), crit.as("ks_critical_05"),
+      (dStat > crit).as("ks_drift"),
+      u.as("u_stat"),
+      when(degenerate, lit(null).cast("double")).otherwise(z)
+        .as("z_score"),
+      when(degenerate, lit(null).cast("boolean"))
+        .otherwise(abs(z) > lit(1.959964)).as("mw_drift"))
+  }
+
+  def q139_sql: String = {
+    val nr = "CAST(n_ref AS DOUBLE)"
+    val nc = "CAST(n_cur AS DOUBLE)"
+    val n = s"($nr + $nc)"
+    val dStat = s"(maxdiff / ($nr * $nc))"
+    val crit = s"(1.3581 * sqrt(($nr + $nc) / ($nr * $nc)))"
+    val u = s"((r1x2 - $nr * ($nr + 1.0)) / 2.0)"
+    val varU = s"($nr * $nc / 12.0 * (($n + 1.0) - tc / ($n * ($n - 1.0))))"
+    val z = s"(($u - $nr * $nc / 2.0) / sqrt($varU))"
+    val degen = s"(n_ref = 0 OR n_cur = 0 OR $varU <= 0.0)"
+    s"""WITH e AS (SELECT event_type AS slice,
+       |    (ts < TIMESTAMP '2024-01-16 00:00:00') AS ref, value AS v
+       |  FROM events),
+       |g AS (SELECT slice, v,
+       |    CAST(SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+       |    CAST(SUM(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS cc
+       |  FROM e WHERE v IS NOT NULL GROUP BY slice, v),
+       |r AS (SELECT slice, cr, cc, cr + cc AS c,
+       |    CAST(2 * COALESCE(SUM(cr + cc) OVER wx, 0) + (cr + cc) + 1
+       |      AS BIGINT) AS r2,
+       |    CAST(SUM(cr) OVER wi AS BIGINT) AS cumr,
+       |    CAST(SUM(cc) OVER wi AS BIGINT) AS cumc
+       |  FROM g WINDOW wx AS (PARTITION BY slice ORDER BY v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |  wi AS (PARTITION BY slice ORDER BY v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |tot AS (SELECT slice, CAST(SUM(cr) AS BIGINT) AS n_ref,
+       |    CAST(SUM(cc) AS BIGINT) AS n_cur FROM g GROUP BY slice),
+       |m AS (SELECT r.slice, MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur,
+       |    CAST(CAST(MAX(ABS(CAST(cumr AS DECIMAL(19,0))
+       |        * CAST(n_cur AS DECIMAL(19,0))
+       |        - CAST(cumc AS DECIMAL(19,0)) * CAST(n_ref AS DECIMAL(19,0))))
+       |      AS VARCHAR) AS DOUBLE) AS maxdiff,
+       |    CAST(CAST(SUM(CAST(cr AS DECIMAL(19,0))
+       |        * CAST(r2 AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS r1x2,
+       |    CAST(CAST(SUM(CAST(c AS DECIMAL(12,0)) * CAST(c AS DECIMAL(12,0))
+       |        * CAST(c AS DECIMAL(12,0)) - CAST(c AS DECIMAL(12,0)))
+       |      AS VARCHAR) AS DOUBLE) AS tc
+       |  FROM r JOIN tot ON tot.slice = r.slice GROUP BY r.slice)
+       |SELECT slice, n_ref, n_cur,
+       |  $dStat AS d_stat, $crit AS ks_critical_05,
+       |  $dStat > $crit AS ks_drift,
+       |  $u AS u_stat,
+       |  CASE WHEN $degen THEN NULL ELSE $z END AS z_score,
+       |  CASE WHEN $degen THEN NULL
+       |       ELSE abs($z) > 1.959964E0 END AS mw_drift
+       |FROM m""".stripMargin
+  }
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, Q] = Map(
     "q136_cohens_kappa"   -> q136_cohens_kappa,
     "q137_mannwhitney"    -> q137_mannwhitney,
     "q138_kendall_tau"    -> q138_kendall_tau,
+    "q139_drift_by_slice" -> q139_drift_by_slice,
     "q131_spearman"       -> q131_spearman,
     "q132_token_gini"     -> q132_token_gini,
     "q133_bootstrap_ci"   -> q133_bootstrap_ci,
@@ -1539,6 +1678,7 @@ object Features {
     "q136_cohens_kappa"   -> q136_sql,
     "q137_mannwhitney"    -> q137_sql,
     "q138_kendall_tau"    -> q138_sql,
+    "q139_drift_by_slice" -> q139_sql,
     "q118_feature_store"  -> q118_sql,
     "q119_k_anonymity"    -> q119_sql,
     "q120_ols_multi"      -> q120_sql,

@@ -57,6 +57,36 @@ class ReleaseSpec extends SparkSpec {
     }
   }
 
+  test("c06: selection thresholds are mergeable — per-batch KMV folds ≡ full corpus") {
+    // the incremental face of the release pipeline: the per-source
+    // quota-th-smallest-hash state is a KMV min-k sketch, so a
+    // continuous corpus maintains it by folding per-batch sketches
+    // (min-k of a union = min-k of the min-k's) instead of rescanning
+    // history. Split the corpus by doc_id parity, fold the two
+    // per-source sketches, and demand bit-equality with the one-shot
+    // full-corpus fold.
+    assume(dirs.nonEmpty)
+    val dir = dirs.head
+    import graft.functions.KmvSketch
+    val k = graft.queries.Corpus.C06Budget.toInt
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        KmvSketch.hash64(col("doc_id")).as("__h"))
+    def sketch(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("source")).agg(KmvSketch.kmvHashes(col("__h"), k).as("hs"))
+    val full = sketch(docs).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val a = sketch(docs.where(col("doc_id") % 2 === 0)).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val b = sketch(docs.where(col("doc_id") % 2 === 1)).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    full.foreach { case (src, hs) =>
+      val folded = (a.getOrElse(src, Seq.empty) ++ b.getOrElse(src, Seq.empty))
+        .distinct.sorted.take(k)
+      assert(folded == hs, s"$src: folded per-batch sketches != full fold")
+    }
+  }
+
   test("c06: the release is a pure function of the data (re-run bit-identical)") {
     assume(dirs.nonEmpty)
     val dir = dirs.head
