@@ -4280,11 +4280,17 @@ object Corpus {
     * manifest with the q124 checksum discipline
     * (`bit_xor(hash64(doc_id:text))`, duplicate-sensitive, BIGINT).
     *
-    * Scale shape: the corpus is touched exactly twice — the dedup
-    * groupBy on text and one narrow projection computing per-doc
-    * token counts and hashes, after which `localCheckpoint` pins a
-    * compact (id, source, 3×BIGINT) frame and the text column never
-    * travels again. Selection avoids the per-source sort funnel: the
+    * Scale shape: the corpus is touched exactly ONCE — a narrow
+    * projection computing per-doc token counts and hashes — and the
+    * dedup fold shuffles on the 60-bit text HASH (8-byte key, never
+    * document bodies); `localCheckpoint` then pins a compact
+    * (id, source, 3×BIGINT) survivor frame and text never travels
+    * again. The fold is ASSOCIATIVE (min-by of a union = min-by of
+    * the min-bys), so the streaming twin
+    * ([[graft.streaming.StreamingIngest.releaseStream]]) maintains
+    * the survivor set per micro-batch in O(Δ) and derives the SAME
+    * release at read time through [[releaseFromSurvivors]].
+    * Selection avoids the per-source sort funnel: the
     * quota-th smallest hash per source comes from the KMV fold
     * ([[graft.functions.KmvSketch.kmvHashes]] — bounded ≤budget state,
     * map-side combined, mergeable min-k), broadcast back as a
@@ -4296,27 +4302,55 @@ object Corpus {
     * md5-prefix collision among a source's doc_ids (P ≈ n²/2⁶¹; the
     * q86 KMV discipline makes the same assumption).
     */
-  val c06_training_mix_release: Q = (s, dir) => {
+  /** The min-doc-id survivor fold over compact per-doc rows keyed by
+    * the 60-bit text hash — ASSOCIATIVE (min-by of a union is min-by
+    * of the min-bys), which is what lets the streaming twin maintain
+    * the survivor set by folding per-batch partials
+    * ([[graft.streaming.StreamingIngest.releaseStream]]) instead of
+    * rescanning history. Keying dedup on `hash64(text)` instead of the
+    * raw text also means the dedup SHUFFLE carries an 8-byte key, not
+    * document bodies — the right exchange at 100 TB (collision odds
+    * are the documented q86 KMV class, ≈ n²/2⁶¹).
+    */
+  private[graft] def c06FoldSurvivors(rows: DataFrame): DataFrame =
+    rows.groupBy(col("__htext"))
+      .agg(min_by(struct(col("doc_id"), col("source"), col("n_tokens"),
+        col("__ck"), col("__h")), col("doc_id")).as("__s"))
+      .select(col("__htext"), col("__s.doc_id"), col("__s.source"),
+        col("__s.n_tokens"), col("__s.__ck"), col("__s.__h"))
+
+  /** One batch's survivor partial: the corpus touched ONCE — a narrow
+    * projection computing per-doc token counts and hashes — then the
+    * associative fold. Raw text never leaves this function.
+    */
+  private[graft] def c06SurvivorPartial(docs: DataFrame): DataFrame = {
     import graft.functions.KmvSketch
-    val docs = t(s, dir, "documents").transform(spreadScan)
-      .select(col("doc_id"), col("source"), col("text"))
-    val surv = docs.groupBy(col("text"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val dd = docs.join(surv, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("source"),
-        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
-        KmvSketch.hash64(concat_ws(":", col("doc_id"), col("text")))
-          .as("__ck"),
-        KmvSketch.hash64(col("doc_id")).as("__h"))
+    c06FoldSurvivors(docs.select(
+      KmvSketch.hash64(col("text")).as("__htext"),
+      col("doc_id"), col("source"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+      KmvSketch.hash64(concat_ws(":", col("doc_id"), col("text")))
+        .as("__ck"),
+      KmvSketch.hash64(col("doc_id")).as("__h")))
+  }
+
+  /** The release tail over a survivor frame (columns doc_id, source,
+    * n_tokens, __ck, __h) — shared verbatim by the batch query and the
+    * streaming monitor's read side, so the stream-maintained release
+    * EQUALS the batch one on the union of batches (spec-asserted).
+    */
+  def releaseFromSurvivors(
+      survivors: DataFrame, budget: Long = C06Budget): DataFrame = {
+    import graft.functions.KmvSketch
+    val dd = survivors
       .localCheckpoint(true) // quota count + threshold fold + selection
     val quotas = hamiltonQuotas(
       dd.groupBy(col("source")).agg(count(lit(1)).as("n_docs")),
-      budget = C06Budget)
+      budget = budget)
       .select(col("source"), col("n_docs"), col("final_quota"))
       .localCheckpoint(true) // threshold pick AND the manifest join
     val thrs = dd.groupBy(col("source"))
-      .agg(KmvSketch.kmvHashes(col("__h"), C06Budget.toInt).as("__hs"))
+      .agg(KmvSketch.kmvHashes(col("__h"), budget.toInt).as("__hs"))
       .join(broadcast(quotas), Seq("source"))
       .select(col("source"),
         when(col("final_quota") <= 0, lit(-1L)) // 60-bit hashes are ≥ 0
@@ -4341,6 +4375,12 @@ object Corpus {
         coalesce(col("n_packs"), lit(0L)).as("n_packs"),
         coalesce(col("checksum"), lit(0L)).as("checksum"))
   }
+
+  val c06_training_mix_release: Q = (s, dir) =>
+    releaseFromSurvivors(
+      c06SurvivorPartial(t(s, dir, "documents").transform(spreadScan)
+        .select(col("doc_id"), col("source"), col("text")))
+        .drop("__htext"))
 
   val c06_sql: String =
     s"""WITH surv AS (SELECT MIN(doc_id) AS doc_id FROM documents

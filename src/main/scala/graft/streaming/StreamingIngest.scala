@@ -860,6 +860,57 @@ object StreamingIngest {
     priorGeneration(spark, statsRoot, Long.MaxValue).map(p =>
       graft.queries.Features.ksFromCounts(spark.read.parquet(s"$p/vals")))
 
+  /** Continuously maintained training-mix release — the streaming face
+    * of c06 (a corpus that grows all day, a release manifest that is
+    * always current). The survivor state is the min-doc-id-per-text
+    * fold keyed on the 60-bit text hash, which is ASSOCIATIVE
+    * ([[graft.queries.Corpus.c06FoldSurvivors]]): each micro-batch
+    * computes its own compact survivor partial (raw text never enters
+    * the state) and folds it into the previous generation — O(Δ) work
+    * per batch, state bounded by DISTINCT texts, the same class as a
+    * persisted dedup table. Quotas, thresholds, packing, and the
+    * manifest are all functions of the survivor set alone, so
+    * [[currentRelease]] derives the report at read time through the
+    * SAME [[graft.queries.Corpus.releaseFromSurvivors]] the batch
+    * query uses — streamed ≡ batch exact on the union of batches
+    * (spec-asserted), cross-batch duplicate texts included: a batch-2
+    * duplicate of a batch-1 text collapses in the fold exactly as it
+    * would in one scan.
+    */
+  def releaseStream(
+      docs: DataFrame, // streaming frame: doc_id + source + text
+      statsRoot: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          val spark = batch.sparkSession
+          val part = graft.queries.Corpus.c06SurvivorPartial(batch.toDF())
+          val merged = priorGeneration(spark, statsRoot, batchId) match {
+            case Some(p) =>
+              graft.queries.Corpus.c06FoldSurvivors(
+                spark.read.parquet(s"$p/surv").unionByName(part))
+            case None => part
+          }
+          merged.write.mode("overwrite")
+            .parquet(s"$statsRoot/gen-$batchId/surv")
+          ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+
+  /** c06's exact release manifest derived from the newest folded
+    * survivor set, or None before the first batch lands.
+    */
+  def currentRelease(
+      spark: SparkSession, statsRoot: String,
+      budget: Long = graft.queries.Corpus.C06Budget): Option[DataFrame] =
+    priorGeneration(spark, statsRoot, Long.MaxValue).map(p =>
+      graft.queries.Corpus.releaseFromSurvivors(
+        spark.read.parquet(s"$p/surv").drop("__htext"), budget))
+
   /** Continuously maintained experiment readout — the streaming face
     * of q127's Welch A/B test (the live experimentation dashboard:
     * significance updates as purchase events arrive, instead of at a

@@ -1022,6 +1022,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("releaseStream: folded survivor sets derive exactly the batch release, cross-batch duplicates included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_release_stream").toString
+    val root = s"$base/rel"; val ckpt = s"$base/ckpt"
+    // synthetic corpus with PLANTED duplicate texts: ids 1..90, six
+    // sources, every text shared by three ids — after shuffling into
+    // three batches, duplicates straddle batch boundaries, which is
+    // precisely what a per-batch-only dedup would get wrong
+    val docs = (1L to 90L).map { id =>
+      (id, s"src${id % 6}", s"some shared text number ${id % 30} padding tokens here")
+    }
+    val budget = 20L
+    val shuffled = new scala.util.Random(29).shuffle(docs)
+    val stream = MemoryStream[(Long, String, String)]
+    val q = StreamingIngest.releaseStream(
+      stream.toDF().toDF("doc_id", "source", "text"), root, ckpt)
+    shuffled.grouped(30).foreach { chunk =>
+      stream.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("source").collect().toSeq
+    val streamed = rows(
+      StreamingIngest.currentRelease(spark, root, budget).get)
+    val batch = rows(graft.queries.Corpus.releaseFromSurvivors(
+      graft.queries.Corpus.c06SurvivorPartial(
+        docs.toDF("doc_id", "source", "text")).drop("__htext"), budget))
+    assert(streamed === batch)
+    // the planted duplicates really collapsed: 30 distinct texts
+    assert(streamed.map(_.getLong(1)).sum == 30L)
+    // and the Hamilton budget identity survives the streamed state
+    assert(streamed.map(_.getLong(2)).sum == budget)
+  }
+
   test("streamingNearDupAdmission: self-dedup + corpus filter; admitted generations append") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
