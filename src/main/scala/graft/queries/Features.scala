@@ -1435,23 +1435,28 @@ object Features {
     * scale form; cross-engine independence lives in the two engines'
     * full plans plus the exact integer arithmetic).
     */
-  val q138_kendall_tau: Q = (s, dir) => {
+  /** τ-b from raw (x, y) pairs — factored so scalacheck can drive it
+    * with arbitrary samples against the brute-force pair count.
+    */
+  def kendallFromPairs(xy: DataFrame): DataFrame = {
     val d19 = DecimalType(19, 0)
     val d38 = DecimalType(38, 0)
     def d(c: Column): Column = c.cast("string").cast("double")
-    val cells = t(s, dir, "lineitem")
-      .groupBy(col("l_quantity").as("x"), col("l_discount").as("y"))
+    val cells = xy
+      .groupBy(col("x"), col("y"))
       .agg(count(lit(1)).as("nc"))
       .localCheckpoint(true) // pair join (twice-read) + marginals + total
     val pairs = cells.as("a").join(broadcast(cells.as("b")),
         col("a.x") < col("b.x"))
       .select((col("a.nc").cast(d19) * col("b.nc").cast(d19)).as("__p"),
         col("a.y").as("__ya"), col("b.y").as("__yb"))
+    // COALESCE 0: a corpus whose x never varies has an EMPTY pair set,
+    // and zero concordant pairs is a count, not an unknown
     val cd = pairs.agg(
-      d(sum(when(col("__ya") < col("__yb"), col("__p"))
-        .otherwise(lit(0).cast(d38)))).as("__c"),
-      d(sum(when(col("__ya") > col("__yb"), col("__p"))
-        .otherwise(lit(0).cast(d38)))).as("__d"))
+      coalesce(d(sum(when(col("__ya") < col("__yb"), col("__p"))
+        .otherwise(lit(0).cast(d38)))), lit(0.0)).as("__c"),
+      coalesce(d(sum(when(col("__ya") > col("__yb"), col("__p"))
+        .otherwise(lit(0).cast(d38)))), lit(0.0)).as("__d"))
     val tx = cells.groupBy(col("x")).agg(sum(col("nc")).as("__m"))
       .agg(d(sum(col("__m").cast(d19) * (col("__m") - lit(1L)).cast(d19)))
         .as("__tx2"))
@@ -1475,6 +1480,10 @@ object Features {
           .otherwise(tau).as("tau_b"))
   }
 
+  val q138_kendall_tau: Q = (s, dir) =>
+    kendallFromPairs(t(s, dir, "lineitem")
+      .select(col("l_quantity").as("x"), col("l_discount").as("y")))
+
   def q138_sql: String = {
     val dx = "((n02 - tx2) / 2.0)"
     val dy = "((n02 - ty2) / 2.0)"
@@ -1483,14 +1492,14 @@ object Features {
        |    CAST(COUNT(*) AS BIGINT) AS nc
        |  FROM lineitem GROUP BY 1, 2),
        |cd AS (SELECT
-       |    CAST(CAST(SUM(CASE WHEN a.y < b.y
+       |    COALESCE(CAST(CAST(SUM(CASE WHEN a.y < b.y
        |        THEN CAST(a.nc AS DECIMAL(19,0)) * CAST(b.nc AS DECIMAL(19,0))
-       |        ELSE CAST(0 AS DECIMAL(38,0)) END) AS VARCHAR) AS DOUBLE)
-       |      AS c,
-       |    CAST(CAST(SUM(CASE WHEN a.y > b.y
+       |        ELSE CAST(0 AS DECIMAL(38,0)) END) AS VARCHAR) AS DOUBLE),
+       |      0.0) AS c,
+       |    COALESCE(CAST(CAST(SUM(CASE WHEN a.y > b.y
        |        THEN CAST(a.nc AS DECIMAL(19,0)) * CAST(b.nc AS DECIMAL(19,0))
-       |        ELSE CAST(0 AS DECIMAL(38,0)) END) AS VARCHAR) AS DOUBLE)
-       |      AS d
+       |        ELSE CAST(0 AS DECIMAL(38,0)) END) AS VARCHAR) AS DOUBLE),
+       |      0.0) AS d
        |  FROM cells a JOIN cells b ON a.x < b.x),
        |tx AS (SELECT CAST(CAST(SUM(CAST(m AS DECIMAL(19,0))
        |      * CAST(m - 1 AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE) AS tx2
@@ -1530,18 +1539,32 @@ object Features {
     * oracle replays per-slice naive global windows — same integers,
     * independent plan.
     */
-  val q139_drift_by_slice: Q = (s, dir) => {
-    val d19 = DecimalType(19, 0)
-    val d12 = DecimalType(12, 0)
-    def d(c: Column): Column = c.cast("string").cast("double")
+  /** The additive per-(slice, value) (ref, cur) counts q139 derives
+    * from — [[ksValueCounts]]'s grouped sibling, summable across
+    * micro-batches, so the streaming twin folds per-batch partials of
+    * this exact shape
+    * ([[graft.streaming.StreamingIngest.driftBySliceStream]]).
+    */
+  def sliceValueCounts(events: DataFrame): DataFrame = {
     val split = lit("2024-01-16 00:00:00").cast("timestamp")
-    val g = t(s, dir, "events")
+    events
       .where(col("value").isNotNull) // NULLs never reach the windows
       .select(col("event_type").as("slice"),
         (col("ts") < split).as("__ref"), col("value").as("v"))
       .groupBy(col("slice"), col("v"))
       .agg(sum(when(col("__ref"), 1L).otherwise(0L)).as("__cr"),
         sum(when(col("__ref"), 0L).otherwise(1L)).as("__cc"))
+  }
+
+  /** The per-slice drift dashboard derived from a (slice, v, __cr,
+    * __cc) count frame — shared verbatim by the batch query and the
+    * streaming monitor's read side (spec-asserted streamed ≡ batch).
+    */
+  def driftFromSliceCounts(counts: DataFrame): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    val d12 = DecimalType(12, 0)
+    def d(c: Column): Column = c.cast("string").cast("double")
+    val g = counts
       .withColumn("__c", col("__cr") + col("__cc"))
       .withColumn("__bucket", floor(col("v") / lit(25.0)).cast("long"))
       .localCheckpoint(true) // bucket prefix AND the per-value join
@@ -1598,6 +1621,9 @@ object Features {
       when(degenerate, lit(null).cast("boolean"))
         .otherwise(abs(z) > lit(1.959964)).as("mw_drift"))
   }
+
+  val q139_drift_by_slice: Q = (s, dir) =>
+    driftFromSliceCounts(sliceValueCounts(t(s, dir, "events")))
 
   def q139_sql: String = {
     val nr = "CAST(n_ref AS DOUBLE)"

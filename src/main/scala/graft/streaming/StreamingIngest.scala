@@ -860,6 +860,54 @@ object StreamingIngest {
     priorGeneration(spark, statsRoot, Long.MaxValue).map(p =>
       graft.queries.Features.ksFromCounts(spark.read.parquet(s"$p/vals")))
 
+  /** Continuously maintained PER-SLICE drift dashboard — the streaming
+    * face of q139 (the production monitor: per-segment KS + rank-sum
+    * significance that updates as events arrive). Per-(slice, value)
+    * (ref, cur) counts are ADDITIVE
+    * ([[graft.queries.Features.sliceValueCounts]]), so each
+    * micro-batch folds by summation exactly like [[ksDriftStream]],
+    * and [[currentDriftBySlice]] derives the whole dashboard at read
+    * time through the SAME
+    * [[graft.queries.Features.driftFromSliceCounts]] the batch query
+    * uses — streamed ≡ batch exact on the union of batches
+    * (spec-asserted). The generation frame is bounded by slices ×
+    * distinct values, never event volume.
+    */
+  def driftBySliceStream(
+      events: DataFrame, // streaming frame: ts + event_type + value
+      statsRoot: String,
+      checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          val spark = batch.sparkSession
+          val part = graft.queries.Features.sliceValueCounts(batch.toDF())
+          val merged = priorGeneration(spark, statsRoot, batchId) match {
+            case Some(p) =>
+              spark.read.parquet(s"$p/svals").unionByName(part)
+                .groupBy(col("slice"), col("v"))
+                .agg(sum(col("__cr")).as("__cr"),
+                  sum(col("__cc")).as("__cc"))
+            case None => part
+          }
+          merged.write.mode("overwrite")
+            .parquet(s"$statsRoot/gen-$batchId/svals")
+          ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+
+  /** q139's exact per-slice dashboard derived from the newest folded
+    * counts, or None before the first batch lands.
+    */
+  def currentDriftBySlice(
+      spark: SparkSession, statsRoot: String): Option[DataFrame] =
+    priorGeneration(spark, statsRoot, Long.MaxValue).map(p =>
+      graft.queries.Features.driftFromSliceCounts(
+        spark.read.parquet(s"$p/svals")))
+
   /** Continuously maintained training-mix release — the streaming face
     * of c06 (a corpus that grows all day, a release manifest that is
     * always current). The survivor state is the min-doc-id-per-text

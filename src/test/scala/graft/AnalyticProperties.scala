@@ -220,4 +220,34 @@ object AnalyticProperties extends Properties("graft.analytic") {
         }
       r.getLong(0) == n1 && r.getLong(1) == n2 && uOk && zOk
     }
+
+  property("kendallFromPairs ≡ brute-force pair counting on arbitrary samples") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 8), Gen.choose(0, 5)))) { xy0 =>
+      // shrinking can bypass nonEmptyListOf; the operator's domain is
+      // a non-empty corpus, so pin the degenerate shrink to 1 row
+      val xy = if (xy0.isEmpty) List((1, 1)) else xy0
+      val r = graft.queries.Features
+        .kendallFromPairs(xy.toDF("x", "y"))
+        .collect()(0)
+      val n = xy.length.toLong
+      var c = 0L; var d = 0L
+      for (i <- xy.indices; j <- (i + 1) until xy.length) {
+        val s = (xy(i)._1 - xy(j)._1).sign * (xy(i)._2 - xy(j)._2).sign
+        if (s > 0) c += 1 else if (s < 0) d += 1
+      }
+      val tx = xy.groupBy(_._1).values
+        .map(g => { val t = g.size.toLong; t * (t - 1) }).sum
+      val ty = xy.groupBy(_._2).values
+        .map(g => { val t = g.size.toLong; t * (t - 1) }).sum
+      val n02 = n * (n - 1)
+      val dx = (n02 - tx).toDouble / 2.0
+      val dy = (n02 - ty).toDouble / 2.0
+      val cOk = r.getDouble(2) == c.toDouble && r.getDouble(3) == d.toDouble
+      val tauOk =
+        if (dx <= 0 || dy <= 0) r.isNullAt(4)
+        else math.abs(
+          r.getDouble(4) - (c - d).toDouble / math.sqrt(dx * dy)) < 1e-12
+      r.getLong(0) == n && cOk && tauOk
+    }
 }

@@ -1022,6 +1022,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("driftBySliceStream: folded per-slice counts derive exactly q139, out-of-order batches included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val base = Files.createTempDirectory("graft_slice_stream").toString
+    val root = s"$base/slices"; val ckpt = s"$base/ckpt"
+    val evs = graft.Tables(spark, dir, "events")
+      .select(col("ts"), col("event_type"), col("value"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+    val shuffled = new scala.util.Random(23).shuffle(evs.toSeq)
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = StreamingIngest.driftBySliceStream(
+      stream.toDF().toDF("ts", "event_type", "value"), root, ckpt)
+    shuffled.grouped(math.max(shuffled.length / 3, 1)).foreach { chunk =>
+      stream.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("slice").collect().toSeq
+    val streamed = rows(StreamingIngest.currentDriftBySlice(spark, root).get)
+    val batch = rows(graft.queries.Features.q139_drift_by_slice(spark, dir))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("releaseStream: folded survivor sets derive exactly the batch release, cross-batch duplicates included") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
