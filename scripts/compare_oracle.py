@@ -63,6 +63,11 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         ok = True
+        # Reset per query: the boundary-policy gate below reads duck_types,
+        # and without this a DESCRIBE failure would either NameError the
+        # whole run (first query) or silently gate THIS query against the
+        # PREVIOUS query's schema (loop-scope leakage).
+        duck_types = {}
         # The driver's hash compare is TYPE-sensitive: DuckDB SUM(int) ->
         # HUGEINT vs Spark BIGINT fails it even when values stringify the
         # same. Compare dtypes per column and fail on numeric-width diffs.

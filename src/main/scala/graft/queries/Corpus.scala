@@ -496,21 +496,34 @@ object Corpus {
           .as("final_quota"))
   }
 
+  /** The largest-remainder CTE chain over a `(source, n_docs)`
+    * relation named `$src` — ONE statement of the allocation spliced
+    * by BOTH Hamilton oracles (t36 and c06): two textual copies would
+    * let a future tie-break or integer-division edit silently fork
+    * the two allocations. Ends in `q(source, n_docs, base_quota,
+    * remainder, final_quota)`.
+    */
+  private def hamiltonSqlCtes(src: String, budget: Long): String =
+    s"""ht AS (SELECT source, n_docs, SUM(n_docs) OVER () AS total
+       |  FROM $src),
+       |hsh AS (SELECT source, n_docs,
+       |    CAST((n_docs * $budget) // total AS BIGINT) AS base_quota,
+       |    CAST((n_docs * $budget) % total AS BIGINT) AS remainder
+       |  FROM ht),
+       |hr AS (SELECT *, $budget - SUM(base_quota) OVER () AS leftover,
+       |    ROW_NUMBER() OVER (ORDER BY remainder DESC, source) AS rnk
+       |  FROM hsh),
+       |q AS (SELECT source, n_docs, base_quota, remainder,
+       |    CAST(base_quota + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END
+       |      AS BIGINT) AS final_quota
+       |  FROM hr)""".stripMargin
+
   val t36_sql: String =
-    """WITH s AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
-      |t AS (SELECT source, n_docs, SUM(n_docs) OVER () AS total FROM s),
-      |sh AS (SELECT source, n_docs,
-      |         CAST((n_docs * 1000) // total AS BIGINT) AS base_quota,
-      |         CAST((n_docs * 1000) % total AS BIGINT) AS remainder
-      |       FROM t),
-      |r AS (SELECT *,
-      |        1000 - SUM(base_quota) OVER () AS leftover,
-      |        ROW_NUMBER() OVER (ORDER BY remainder DESC, source) AS rnk
-      |      FROM sh)
-      |SELECT source, n_docs, base_quota, remainder,
-      |  CAST(base_quota + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END
-      |    AS BIGINT) AS final_quota
-      |FROM r""".stripMargin
+    s"""WITH s AS (SELECT source, COUNT(*) AS n_docs
+       |  FROM documents GROUP BY 1),
+       |${hamiltonSqlCtes("s", budget = 1000L)}
+       |SELECT source, n_docs, base_quota, remainder, final_quota
+       |FROM q""".stripMargin
 
   /** Winnowing copy detection — the pair-finding face of t35: explode
     * each document's winnow fingerprints into an inverted index, drop
@@ -4354,8 +4367,16 @@ object Corpus {
       .join(broadcast(quotas), Seq("source"))
       .select(col("source"),
         when(col("final_quota") <= 0, lit(-1L)) // 60-bit hashes are ≥ 0
+          // clamp by the sketch's DISTINCT size too: under a 60-bit
+          // collision within a source the KMV array is shorter than
+          // least(quota, n_docs), and an out-of-range element_at would
+          // NULL the threshold and silently drop the source's ENTIRE
+          // selection. With the clamp, a collision merely admits the
+          // collided duplicates past the quota — graceful, and the
+          // oracle states the identical distinct-rank rule.
           .otherwise(element_at(col("__hs"),
-            least(col("final_quota"), col("n_docs")).cast("int")))
+            least(col("final_quota"), col("n_docs"), size(col("__hs")))
+              .cast("int")))
           .as("__thr"))
     val sel = dd.join(broadcast(thrs), Seq("source"))
       .where(col("__h") <= col("__thr"))
@@ -4392,22 +4413,14 @@ object Corpus {
        |    ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT AS h
        |  FROM documents d JOIN surv USING (doc_id)),
        |s AS (SELECT source, COUNT(*) AS n_docs FROM dd GROUP BY 1),
-       |t2 AS (SELECT source, n_docs, SUM(n_docs) OVER () AS total FROM s),
-       |sh AS (SELECT source, n_docs,
-       |    CAST((n_docs * $C06Budget) // total AS BIGINT) AS base_quota,
-       |    CAST((n_docs * $C06Budget) % total AS BIGINT) AS remainder
-       |  FROM t2),
-       |r AS (SELECT *, $C06Budget - SUM(base_quota) OVER () AS leftover,
-       |    ROW_NUMBER() OVER (ORDER BY remainder DESC, source) AS rnk
-       |  FROM sh),
-       |q AS (SELECT source, n_docs, CAST(base_quota
-       |    + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT)
-       |    AS final_quota FROM r),
+       |${hamiltonSqlCtes("s", budget = C06Budget)},
        |rk AS (SELECT source, h,
-       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
-       |  FROM dd),
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn,
+       |    COUNT(*) OVER (PARTITION BY source) AS dcnt
+       |  FROM (SELECT DISTINCT source, h FROM dd)),
        |thr AS (SELECT q.source,
-       |    COALESCE(MAX(CASE WHEN rk.rn = LEAST(q.final_quota, q.n_docs)
+       |    COALESCE(MAX(CASE WHEN rk.rn =
+       |                   LEAST(q.final_quota, q.n_docs, rk.dcnt)
        |                 THEN rk.h END), -1) AS thr
        |  FROM q LEFT JOIN rk USING (source) GROUP BY q.source),
        |sel AS (SELECT dd.* FROM dd JOIN thr USING (source)

@@ -31,6 +31,18 @@ object Features {
 
   private val dec2 = DecimalType(18, 2)
 
+  /** The drift family's fixed ref/cur split instant — ONE definition
+    * for the PSI histogram, the KS/rank-sum counts, and the per-slice
+    * dashboard, Scala AND SQL (four Scala literals plus four SQL
+    * literals previously restated it; updating some-but-not-all would
+    * make sibling monitors classify the same event into different
+    * sides with no local test failing). Declared in the object header
+    * because `val` oracles (q122_sql) interpolate it at init time.
+    */
+  private[graft] val DriftSplitSql = "2024-01-16 00:00:00"
+  private[graft] def driftSplit: Column =
+    lit(DriftSplitSql).cast("timestamp")
+
   // ---------------------------------------------------- feature store
 
   /** q118: point-in-time training-set assembly (the feature-store
@@ -357,7 +369,7 @@ object Features {
     * exact shape ([[graft.streaming.StreamingIngest.psiDriftStream]]).
     */
   def psiHistogram(events: DataFrame): DataFrame = {
-    val split = lit("2024-01-16 00:00:00").cast("timestamp")
+    val split = driftSplit
     events
       .select((col("ts") < split).as("__ref"),
         floor(col("value") / lit(25.0)).cast("long").as("bin"))
@@ -417,7 +429,7 @@ object Features {
       "CAST(tot.r AS BIGINT) AS __R, CAST(tot.c AS BIGINT) AS __C, " +
       "tot.b AS __B FROM g CROSS JOIN tot"
     val pb = graft.functions.PortableMath.sqlWithBindings(crossed, psiBindings)
-    s"""WITH e AS (SELECT (ts < TIMESTAMP '2024-01-16 00:00:00') AS ref,
+    s"""WITH e AS (SELECT (ts < TIMESTAMP '$DriftSplitSql') AS ref,
        |    CAST(FLOOR(value / 25.0) AS BIGINT) AS bin
        |  FROM events),
        |g AS (SELECT bin,
@@ -1145,8 +1157,82 @@ object Features {
     * the streaming twin folds per-batch partials of this exact shape
     * ([[graft.streaming.StreamingIngest.ksDriftStream]]).
     */
+  /** Shared KS tail over an aggregated frame carrying n_ref, n_cur,
+    * and a string-crossed `__maxdiff` — (d_stat, critical, flag), ONE
+    * definition for q135 and q139. One-sided data (n_ref or n_cur =
+    * 0) must yield NULL, not IEEE debris: Spark would compute d_stat
+    * = 0/0 = NaN and crit = ∞ with `NaN > ∞` = TRUE (NaN sorts last),
+    * while DuckDB's 0.0/0.0 is NULL — a silent cross-engine flip plus
+    * a spurious "drift detected" on exactly the slice a dashboard
+    * must not mis-report.
+    */
+  private def ksTail: (Column, Column, Column) = {
+    val nr = col("n_ref").cast("double")
+    val nc = col("n_cur").cast("double")
+    val degen = col("n_ref") === 0 || col("n_cur") === 0
+    val dStat = col("__maxdiff") / (nr * nc)
+    val crit = lit(1.3581) * sqrt((nr + nc) / (nr * nc)) // c(α=0.05)
+    (when(degen, lit(null).cast("double")).otherwise(dStat),
+      when(degen, lit(null).cast("double")).otherwise(crit),
+      when(degen, lit(null).cast("boolean")).otherwise(dStat > crit))
+  }
+
+  /** The same three KS outputs as SQL snippets (the dialect half of
+    * [[ksTail]]); `maxdiff` is the caller's already-crossed DOUBLE
+    * expression.
+    */
+  private def ksSqlSnippets(maxdiff: String): (String, String, String) = {
+    val nr = "CAST(n_ref AS DOUBLE)"
+    val nc = "CAST(n_cur AS DOUBLE)"
+    val dStat = s"($maxdiff / ($nr * $nc))"
+    val crit = s"(1.3581E0 * sqrt(($nr + $nc) / ($nr * $nc)))"
+    val degen = "(n_ref = 0 OR n_cur = 0)"
+    (s"CASE WHEN $degen THEN NULL ELSE $dStat END",
+      s"CASE WHEN $degen THEN NULL ELSE $crit END",
+      s"CASE WHEN $degen THEN NULL ELSE $dStat > $crit END")
+  }
+
+  /** Shared Mann–Whitney tail over an aggregated frame carrying
+    * n_ref, n_cur, `__r1x2` (doubled ref rank-sum, string-crossed)
+    * and `__tc` (Σ t³−t, string-crossed) — (u_stat, z_score, flag),
+    * ONE definition for q137 and q139: a fix to the tie correction or
+    * the threshold applied to one copy but not the other would be a
+    * silent q137-vs-q139 disagreement.
+    */
+  private def mwTail: (Column, Column, Column) = {
+    val nr = col("n_ref").cast("double")
+    val nc = col("n_cur").cast("double")
+    val n = nr + nc
+    // __r1x2 is the DOUBLED ref rank-sum, so 2·R1 − n1(n1+1) = 2·U1:
+    // halving last keeps every prior step exact-integer-valued
+    val u = (col("__r1x2") - nr * (nr + lit(1.0))) / lit(2.0)
+    val varU = nr * nc / lit(12.0) *
+      ((n + lit(1.0)) - col("__tc") / (n * (n - lit(1.0))))
+    val z = (u - nr * nc / lit(2.0)) / sqrt(varU)
+    val degen =
+      col("n_ref") === 0 || col("n_cur") === 0 || varU <= lit(0.0)
+    (u, when(degen, lit(null).cast("double")).otherwise(z),
+      when(degen, lit(null).cast("boolean"))
+        .otherwise(abs(z) > lit(1.959964)))
+  }
+
+  /** The same three rank-sum outputs as SQL snippets over columns
+    * named r1x2 / tc / n_ref / n_cur (the dialect half of [[mwTail]]).
+    */
+  private def mwSqlSnippets: (String, String, String) = {
+    val nr = "CAST(n_ref AS DOUBLE)"
+    val nc = "CAST(n_cur AS DOUBLE)"
+    val n = s"($nr + $nc)"
+    val u = s"((r1x2 - $nr * ($nr + 1.0)) / 2.0)"
+    val varU = s"($nr * $nc / 12.0 * (($n + 1.0) - tc / ($n * ($n - 1.0))))"
+    val z = s"(($u - $nr * $nc / 2.0) / sqrt($varU))"
+    val degen = s"(n_ref = 0 OR n_cur = 0 OR $varU <= 0.0)"
+    (u, s"CASE WHEN $degen THEN NULL ELSE $z END",
+      s"CASE WHEN $degen THEN NULL ELSE abs($z) > 1.959964E0 END")
+  }
+
   def ksValueCounts(events: DataFrame): DataFrame = {
-    val split = lit("2024-01-16 00:00:00").cast("timestamp")
+    val split = driftSplit
     events
       // a NULL value has no place in a CDF; see rank2Frame on why NULL
       // keys must not reach the prefix windows (Spark NULLS FIRST vs
@@ -1180,22 +1266,21 @@ object Features {
     val num = cum.crossJoin(broadcast(tot))
       .select(abs(col("__cumr").cast(d19) * col("n_cur").cast(d19) -
         col("__cumc").cast(d19) * col("n_ref").cast(d19)).as("__diff"))
-      .agg(max(col("__diff")).as("__maxdiff"))
-    val nr = col("n_ref").cast("double")
-    val nc = col("n_cur").cast("double")
-    val dStat = d(col("__maxdiff")) / (nr * nc)
-    val crit = lit(1.3581) * sqrt((nr + nc) / (nr * nc)) // c(α=0.05)
+      .agg(d(max(col("__diff"))).as("__maxdiff"))
+    val (dStat, crit, flag) = ksTail
     tot.crossJoin(broadcast(num))
       .select(col("n_ref"), col("n_cur"),
         dStat.as("d_stat"), crit.as("critical_05"),
-        (dStat > crit).as("drift_detected"))
+        flag.as("drift_detected"))
   }
 
   val q135_ks_drift: Q = (s, dir) =>
     ksFromCounts(ksValueCounts(t(s, dir, "events")))
 
-  def q135_sql: String =
-    """WITH e AS (SELECT (ts < TIMESTAMP '2024-01-16 00:00:00') AS ref,
+  def q135_sql: String = {
+    val (dStat, crit, flag) =
+      ksSqlSnippets("CAST(CAST(maxdiff AS VARCHAR) AS DOUBLE)")
+    s"""WITH e AS (SELECT (ts < TIMESTAMP '$DriftSplitSql') AS ref,
       |    value AS v FROM events),
       |g AS (SELECT v,
       |    CAST(SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS cr,
@@ -1214,17 +1299,11 @@ object Features {
       |    AS maxdiff
       |  FROM c CROSS JOIN tot)
       |SELECT n_ref, n_cur,
-      |  CAST(CAST(maxdiff AS VARCHAR) AS DOUBLE)
-      |    / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)) AS d_stat,
-      |  1.3581E0 * sqrt((CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE))
-      |    / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)))
-      |    AS critical_05,
-      |  CAST(CAST(maxdiff AS VARCHAR) AS DOUBLE)
-      |    / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))
-      |  > 1.3581E0 * sqrt((CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE))
-      |    / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)))
-      |    AS drift_detected
+      |  $dStat AS d_stat,
+      |  $crit AS critical_05,
+      |  $flag AS drift_detected
       |FROM tot CROSS JOIN num""".stripMargin
+  }
 
   // ------------------------------------------------- rater agreement
 
@@ -1358,36 +1437,17 @@ object Features {
       d(sum(col("__cr").cast(d19) * col("__r2").cast(d19))).as("__r1x2"),
       d(sum(col("__c").cast(d12) * col("__c").cast(d12)
           * col("__c").cast(d12) - col("__c").cast(d12))).as("__tc"))
-    val nr = col("n_ref").cast("double")
-    val nc = col("n_cur").cast("double")
-    val n = nr + nc
-    // __r1x2 is the DOUBLED ref rank-sum, so 2·R1 − n1(n1+1) = 2·U1:
-    // halving last keeps every prior step exact-integer-valued
-    val u = (col("__r1x2") - nr * (nr + lit(1.0))) / lit(2.0)
-    val varU = nr * nc / lit(12.0) *
-      ((n + lit(1.0)) - col("__tc") / (n * (n - lit(1.0))))
-    val z = (u - nr * nc / lit(2.0)) / sqrt(varU)
-    val degenerate =
-      col("n_ref") === 0 || col("n_cur") === 0 || varU <= lit(0.0)
+    val (u, z, flag) = mwTail
     m.select(col("n_ref"), col("n_cur"), u.as("u_stat"),
-      when(degenerate, lit(null).cast("double")).otherwise(z)
-        .as("z_score"),
-      when(degenerate, lit(null).cast("boolean"))
-        .otherwise(abs(z) > lit(1.959964)).as("drift_detected"))
+      z.as("z_score"), flag.as("drift_detected"))
   }
 
   val q137_mannwhitney: Q = (s, dir) =>
     mannWhitneyFromCounts(ksValueCounts(t(s, dir, "events")))
 
   def q137_sql: String = {
-    val nr = "CAST(n_ref AS DOUBLE)"
-    val nc = "CAST(n_cur AS DOUBLE)"
-    val n = s"($nr + $nc)"
-    val u = s"((r1x2 - $nr * ($nr + 1.0)) / 2.0)"
-    val varU = s"($nr * $nc / 12.0 * (($n + 1.0) - tc / ($n * ($n - 1.0))))"
-    val z = s"(($u - $nr * $nc / 2.0) / sqrt($varU))"
-    val degen = s"(n_ref = 0 OR n_cur = 0 OR $varU <= 0.0)"
-    s"""WITH e AS (SELECT (ts < TIMESTAMP '2024-01-16 00:00:00') AS ref,
+    val (u, z, flag) = mwSqlSnippets
+    s"""WITH e AS (SELECT (ts < TIMESTAMP '$DriftSplitSql') AS ref,
        |    value AS v FROM events),
        |g AS (SELECT v,
        |    CAST(SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS cr,
@@ -1408,9 +1468,8 @@ object Features {
        |      AS VARCHAR) AS DOUBLE) AS tc
        |  FROM r)
        |SELECT n_ref, n_cur, $u AS u_stat,
-       |  CASE WHEN $degen THEN NULL ELSE $z END AS z_score,
-       |  CASE WHEN $degen THEN NULL
-       |       ELSE abs($z) > 1.959964E0 END AS drift_detected
+       |  $z AS z_score,
+       |  $flag AS drift_detected
        |FROM m""".stripMargin
   }
 
@@ -1546,7 +1605,7 @@ object Features {
     * ([[graft.streaming.StreamingIngest.driftBySliceStream]]).
     */
   def sliceValueCounts(events: DataFrame): DataFrame = {
-    val split = lit("2024-01-16 00:00:00").cast("timestamp")
+    val split = driftSplit
     events
       .where(col("value").isNotNull) // NULLs never reach the windows
       .select(col("event_type").as("slice"),
@@ -1601,42 +1660,25 @@ object Features {
         d(sum(col("__cr").cast(d19) * col("__r2").cast(d19))).as("__r1x2"),
         d(sum(col("__c").cast(d12) * col("__c").cast(d12)
             * col("__c").cast(d12) - col("__c").cast(d12))).as("__tc"))
-    val nr = col("n_ref").cast("double")
-    val nc = col("n_cur").cast("double")
-    val n = nr + nc
-    val dStat = col("__maxdiff") / (nr * nc)
-    val crit = lit(1.3581) * sqrt((nr + nc) / (nr * nc)) // c(α=0.05)
-    val u = (col("__r1x2") - nr * (nr + lit(1.0))) / lit(2.0)
-    val varU = nr * nc / lit(12.0) *
-      ((n + lit(1.0)) - col("__tc") / (n * (n - lit(1.0))))
-    val z = (u - nr * nc / lit(2.0)) / sqrt(varU)
-    val degenerate =
-      col("n_ref") === 0 || col("n_cur") === 0 || varU <= lit(0.0)
+    // shared tails: the same guarded statistics q135/q137 emit — a
+    // one-sided slice (every event on one side of the split) yields
+    // NULL across the board, never NaN/∞ IEEE debris (see [[ksTail]])
+    val (dStat, ksCrit, ksFlag) = ksTail
+    val (u, z, mwFlag) = mwTail
     m.select(col("slice"), col("n_ref"), col("n_cur"),
-      dStat.as("d_stat"), crit.as("ks_critical_05"),
-      (dStat > crit).as("ks_drift"),
-      u.as("u_stat"),
-      when(degenerate, lit(null).cast("double")).otherwise(z)
-        .as("z_score"),
-      when(degenerate, lit(null).cast("boolean"))
-        .otherwise(abs(z) > lit(1.959964)).as("mw_drift"))
+      dStat.as("d_stat"), ksCrit.as("ks_critical_05"),
+      ksFlag.as("ks_drift"),
+      u.as("u_stat"), z.as("z_score"), mwFlag.as("mw_drift"))
   }
 
   val q139_drift_by_slice: Q = (s, dir) =>
     driftFromSliceCounts(sliceValueCounts(t(s, dir, "events")))
 
   def q139_sql: String = {
-    val nr = "CAST(n_ref AS DOUBLE)"
-    val nc = "CAST(n_cur AS DOUBLE)"
-    val n = s"($nr + $nc)"
-    val dStat = s"(maxdiff / ($nr * $nc))"
-    val crit = s"(1.3581 * sqrt(($nr + $nc) / ($nr * $nc)))"
-    val u = s"((r1x2 - $nr * ($nr + 1.0)) / 2.0)"
-    val varU = s"($nr * $nc / 12.0 * (($n + 1.0) - tc / ($n * ($n - 1.0))))"
-    val z = s"(($u - $nr * $nc / 2.0) / sqrt($varU))"
-    val degen = s"(n_ref = 0 OR n_cur = 0 OR $varU <= 0.0)"
+    val (dStat, ksCrit, ksFlag) = ksSqlSnippets("maxdiff")
+    val (u, z, mwFlag) = mwSqlSnippets
     s"""WITH e AS (SELECT event_type AS slice,
-       |    (ts < TIMESTAMP '2024-01-16 00:00:00') AS ref, value AS v
+       |    (ts < TIMESTAMP '$DriftSplitSql') AS ref, value AS v
        |  FROM events),
        |g AS (SELECT slice, v,
        |    CAST(SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS cr,
@@ -1665,12 +1707,11 @@ object Features {
        |      AS VARCHAR) AS DOUBLE) AS tc
        |  FROM r JOIN tot ON tot.slice = r.slice GROUP BY r.slice)
        |SELECT slice, n_ref, n_cur,
-       |  $dStat AS d_stat, $crit AS ks_critical_05,
-       |  $dStat > $crit AS ks_drift,
+       |  $dStat AS d_stat, $ksCrit AS ks_critical_05,
+       |  $ksFlag AS ks_drift,
        |  $u AS u_stat,
-       |  CASE WHEN $degen THEN NULL ELSE $z END AS z_score,
-       |  CASE WHEN $degen THEN NULL
-       |       ELSE abs($z) > 1.959964E0 END AS mw_drift
+       |  $z AS z_score,
+       |  $mwFlag AS mw_drift
        |FROM m""".stripMargin
   }
 

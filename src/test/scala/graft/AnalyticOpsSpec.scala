@@ -253,4 +253,32 @@ class AnalyticOpsSpec extends SparkSpec {
       assert(q >= math.floor(exact) && q <= math.ceil(exact), s"$src: $q vs $exact")
     }
   }
+
+  test("drift statistics NULL out on one-sided data instead of emitting NaN/Inf") {
+    // the q139 hazard: a slice whose events all fall on one side of
+    // the split has n_ref = 0 (or n_cur = 0). Unguarded, Spark's
+    // d_stat = 0/0 = NaN and crit = Inf with NaN > Inf = TRUE — a
+    // spurious drift verdict AND a cross-engine flip (DuckDB's
+    // 0.0/0.0 is NULL). The shared guarded tails must yield NULL for
+    // every statistic on that slice, for KS and rank-sum alike.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val after = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    val oneSided = Seq.tabulate(8)(i =>
+      (after, "only_cur", (i % 3).toDouble + 1.0))
+      .toDF("ts", "event_type", "value")
+    val slice = graft.queries.Features
+      .driftFromSliceCounts(
+        graft.queries.Features.sliceValueCounts(oneSided))
+      .collect()(0)
+    assert(slice.getLong(1) == 0L && slice.getLong(2) == 8L)
+    Seq(3, 4, 5, 7, 8).foreach(i => // d_stat, crit, ks_drift, z, mw_drift
+      assert(slice.isNullAt(i), s"column $i must be NULL on one-sided data"))
+    val global = graft.queries.Features
+      .ksFromCounts(graft.queries.Features.ksValueCounts(
+        oneSided.select(col("ts"), col("value"))))
+      .collect()(0)
+    Seq(2, 3, 4).foreach(i =>
+      assert(global.isNullAt(i), s"q135 column $i must be NULL one-sided"))
+  }
 }
