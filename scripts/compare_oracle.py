@@ -39,8 +39,20 @@ def main(sf_dir, out_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Names that THREW in the producing Verify run: hard-fail them even
+    # when a stale dump from an earlier full run still sits in out_dir —
+    # comparing the stale parquet would green a query that no longer runs.
+    verify_failed = set()
+    marker = f"{out_dir}/_verify_failed.json"
+    if os.path.isfile(marker):
+        verify_failed = set(json.load(open(marker)))
     n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
+        if name in verify_failed:
+            print(f"FAIL {name}: query FAILED in the producing Verify run "
+                  "(see its stderr); any dump present is stale")
+            n_fail += 1
+            continue
         # A partial Verify run (SPARK_GRAFT_VERIFY_ONLY=...) dumps only
         # the selected queries; compare what was dumped, skip the rest.
         if not os.path.isdir(f"{out_dir}/{name}"):
@@ -68,6 +80,7 @@ def main(sf_dir, out_dir):
         # whole run (first query) or silently gate THIS query against the
         # PREVIOUS query's schema (loop-scope leakage).
         duck_types = {}
+        type_check_ok = False
         # The driver's hash compare is TYPE-sensitive: DuckDB SUM(int) ->
         # HUGEINT vs Spark BIGINT fails it even when values stringify the
         # same. Compare dtypes per column and fail on numeric-width diffs.
@@ -89,8 +102,14 @@ def main(sf_dir, out_dir):
                     ok = False
                 elif st != dt:
                     print(f"WARN {name}: type diff on '{c}': spark={st} duck={dt}")
+            type_check_ok = True
         except Exception as e:
-            print(f"WARN {name}: type check errored: {e}")
+            # r12 advisor: a DESCRIBE failure used to leave duck_types={}
+            # and the decimal-boundary gate below silently no-oped — the
+            # exact class of miss the gate exists to catch. An unverifiable
+            # boundary is a FAIL, not a WARN.
+            print(f"FAIL {name}: type check errored (boundary policy "
+                  f"unverifiable): {e}")
         if spark_cols != duck_cols:
             print(f"FAIL {name}: columns spark={spark_cols} duck={duck_cols}")
             ok = False
@@ -115,6 +134,8 @@ def main(sf_dir, out_dir):
         # h* probes are EXEMPT: they exist to carry decimal values into
         # the driver's compare on purpose.
         if ok and not name.startswith("h0"):
+            if not type_check_ok:
+                ok = False  # FAIL already printed by the except above
             dec_cols = [c for c in duck_cols
                         if (duck_types.get(c) or "").startswith("DECIMAL")]
             if dec_cols:

@@ -84,6 +84,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Failure marker (r12 advisor): the lenient exit default means a
+    // wrapper that only checks the exit code could miss a thrown query.
+    // The marker makes that impossible at the COMPARE layer instead:
+    // scripts/compare_oracle.py hard-fails every name listed here (even
+    // if a stale dump from a previous full run still exists), so a
+    // failed query can never read as green locally. A plain file, not a
+    // directory — the driver's sweep only parquet-reads subdirectories.
+    Files.writeString(Paths.get(s"$outDir/_verify_failed.json"),
+      failed.map(q).mkString("[", ",", "]"))
     // runtime-version sidecar (see Bench): keeps correctness artifacts
     // diagnosable when the Spark lineage moves under the repo
     Files.writeString(Paths.get(s"$outDir/runtime.json"),

@@ -25,29 +25,20 @@ object HashProbes {
 
   private case class Probe(name: String, cast: String, vals: Seq[String])
 
-  private val probes = Seq(
-    // h01 split (round 12): r11 came back h01–h04 ALL red / h05 green,
-    // but every probe mixed small values with its type's >2^53-unscaled
-    // magnitude extreme under ONE hash — so the round proved the
-    // divergence is decimal-specific and magnitude-triggered, yet could
-    // not say whether SMALL-value decimals are driver-safe. h01a (small
-    // values only) vs h01b (the extreme alone) separates the two: h01a
-    // green ⇒ small-value decimals hash fine and only magnitude is
-    // hazardous; h01a red ⇒ the decimal TYPE is mishandled wholesale
-    // and any decimal output column must hard-fail the local mimic.
-    Probe("h01a_probe_dec18_2_small", "DECIMAL(18,2)",
-      Seq("0.00", "-12345.67", "1234.56")),
-    Probe("h01b_probe_dec18_2_extreme", "DECIMAL(18,2)",
-      Seq("9999999999999999.99")),
-    Probe("h02_probe_dec28_2", "DECIMAL(28,2)",
-      Seq("0.00", "-1234567890123456789012345.67",
-        "99999999999999999999999999.99")),
-    Probe("h03_probe_dec38_0", "DECIMAL(38,0)",
-      Seq("0", "-12345678901234567890123456789012345678",
-        "99999999999999999999999999999999999999")),
-    Probe("h04_probe_dec38_6", "DECIMAL(38,6)",
-      Seq("0.000000", "-123.456789",
-        "99999999999999999999999999999999.999999")))
+  // RETIRED (round 13): the decimal probes h01a/h01b/h02/h03/h04 ran in
+  // rounds 11–12 and answered their question decisively — ALL FOUR
+  // decimal precisions red-hash in the driver compare, INCLUDING the
+  // small-value-only h01a, so the driver hash mishandles the DECIMAL
+  // type wholesale (not just >2^53 magnitudes). That verdict is the
+  // permanent record in README §Round 11/12, and it is mechanically
+  // enforced two ways: scripts/compare_oracle.py hard-fails any query
+  // with a DECIMAL output column, and the repo-wide "no DECIMAL at any
+  // result boundary" policy (BIGINT e-units / string-crossed DOUBLE /
+  // STRING). Carrying five permanently-red rows in every CORRECTNESS
+  // file invited misreading (a naive scan saw 245/250), so the probes
+  // are unregistered; only the DOUBLE+BIGINT green control h05 remains
+  // to prove the probe plumbing itself still round-trips.
+  private val probes = Seq.empty[Probe]
 
   /** The shared statement: ANSI VALUES + explicit casts, one written
     * form both engines parse (ids BIGINT so the schemas agree).
