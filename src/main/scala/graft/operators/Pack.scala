@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -47,4 +47,52 @@ object Pack {
       .withColumn("pack_id", expr(s"start_offset div ${capacity}L"))
       .withColumn("pack_offset", col("start_offset") % capacity)
   }
+
+  /** Best-fit-decreasing bin loads over a BOUNDED group's item weights
+    * — the no-split packing policy (each doc wholly inside one bin, so
+    * bins carry padding waste; concat-and-chunk has zero waste but
+    * splits docs). Input: an `array<bigint>` of weights in any order;
+    * output: the final bin-load `array<bigint>`, ascending.
+    *
+    * The classical BFD rule, restated so a plain fold (no positional
+    * index bookkeeping) computes it: process weights in DESCENDING
+    * order; for each weight the candidate bins are those with
+    * `load + w <= capacity`, and best-fit picks the FULLEST candidate
+    * (ties by bin index don't matter — equal loads are interchangeable,
+    * so the bin STATE is a multiset and we keep it as a sorted array).
+    * With bins sorted ascending the candidates are exactly a PREFIX of
+    * the array and the best fit is that prefix's last element — one
+    * `filter` + one `element_at` per step, then remove-and-reinsert
+    * keeps the array sorted. A weight above `capacity` opens its own
+    * (overfull) bin, deterministically, same as the SQL replay.
+    *
+    * Everything is Catalyst higher-order functions over an
+    * `aggregate` fold — exact integers end-to-end, bit-replayable by
+    * the DuckDB recursive CTE that states the identical rule. The
+    * fold is O(n² log n) in the GROUP size, which is why callers must
+    * bound the group (c06/t44: per-source selection ≤ quota ≤ budget);
+    * the 100 TB shape is many bounded groups in parallel, never one
+    * global fold.
+    */
+  def bfdBinLoads(weights: Column, capacity: Long): Column = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val desc = reverse(array_sort(weights))
+    val emptyBins = lit(Array.empty[Long])
+    aggregate(desc, emptyBins, (bins, w) => {
+      val nf = size(filter(bins, b => b + w <= lit(capacity)))
+      when(nf === 0, array_sort(concat(bins, array(w))))
+        .otherwise(array_sort(concat(
+          slice(bins, lit(1), nf - 1),
+          slice(bins, nf + 1, size(bins) - nf),
+          array(element_at(bins, nf) + w))))
+    })
+  }
+
+  /** Σ per-bin padding waste of a bin-load array: `max(0, cap − load)`
+    * summed — overfull single-item bins contribute zero rather than
+    * negative waste.
+    */
+  def binWaste(loads: Column, capacity: Long): Column =
+    aggregate(loads, lit(0L),
+      (acc, b) => acc + greatest(lit(0L), lit(capacity) - b))
 }

@@ -4226,6 +4226,12 @@ object Corpus {
     * GraphSpec test proving blocked ≡ brute-force on every shipped
     * fixture (and a round-12 DuckDB audit of the driver's own sf0.01:
     * all 8 brute-force 0.92-pairs share a token — blocking lossless).
+    * Round 13 (advisor): the oracle additionally probes losslessness
+    * on WHATEVER corpus the compare runs — `resid` brute-forces the
+    * catalog-small distinct-NAME pairs (|names|², 64 names at sf0.1;
+    * never the record level) and, if any ≥0.92 pair shares no token,
+    * injects a sentinel row the Spark side never emits, turning lossy
+    * blocking into a visible hash red instead of a silent agreement.
     * Boundary: BIGINT e-2 (no DECIMAL leaves any result boundary).
     */
   val c05_sql: String = {
@@ -4265,10 +4271,21 @@ object Corpus {
        |      AS BIGINT) AS total_qty_e2
        |  FROM reclab la
        |  LEFT JOIN lineitem li ON li.l_partkey = la.p_partkey
-       |  GROUP BY 1)
+       |  GROUP BY 1),
+       |resid AS (SELECT COUNT(*) AS n FROM names a, names b
+       |  WHERE a.name_key < b.name_key
+       |    AND FLOOR(jaro_winkler_similarity(a.p_name, b.p_name)
+       |              * 1000000.0 + 0.5) >= 920000
+       |    AND len(list_intersect(string_split(a.p_name, ' '),
+       |                           string_split(b.p_name, ' '))) = 0)
        |SELECT r.entity_id, r.n_members, n.p_name AS canonical_name,
        |  r.n_lineitems, r.total_qty_e2
-       |FROM rolled r JOIN nm n ON n.p_partkey = r.entity_id""".stripMargin
+       |FROM rolled r JOIN nm n ON n.p_partkey = r.entity_id
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), resid.n,
+       |  'LOSSY BLOCKING: >=0.92 brute-force pair outside candidate set',
+       |  CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |FROM resid WHERE resid.n > 0""".stripMargin
   }
 
   /** c06's release budget: fixed-size release, independent of corpus
@@ -4347,13 +4364,15 @@ object Corpus {
       KmvSketch.hash64(col("doc_id")).as("__h")))
   }
 
-  /** The release tail over a survivor frame (columns doc_id, source,
-    * n_tokens, __ck, __h) — shared verbatim by the batch query and the
-    * streaming monitor's read side, so the stream-maintained release
-    * EQUALS the batch one on the union of batches (spec-asserted).
+  /** c06's quota-capped selection over a survivor frame — factored
+    * out of [[releaseFromSurvivors]] so t44's best-fit-decreasing
+    * packing report runs over the SAME selected mix (one statement of
+    * the dedup→quota→threshold rule, two consumers). Returns
+    * (selected rows, quotas frame); `quotas` is localCheckpoint-pinned
+    * so both consumers reuse it without recompute.
     */
-  def releaseFromSurvivors(
-      survivors: DataFrame, budget: Long = C06Budget): DataFrame = {
+  private[graft] def c06Selection(
+      survivors: DataFrame, budget: Long): (DataFrame, DataFrame) = {
     import graft.functions.KmvSketch
     val dd = survivors
       .localCheckpoint(true) // quota count + threshold fold + selection
@@ -4380,13 +4399,42 @@ object Corpus {
           .as("__thr"))
     val sel = dd.join(broadcast(thrs), Seq("source"))
       .where(col("__h") <= col("__thr"))
+    (sel, quotas)
+  }
+
+  /** The release tail over a survivor frame (columns doc_id, source,
+    * n_tokens, __ck, __h) — shared verbatim by the batch query and the
+    * streaming monitor's read side, so the stream-maintained release
+    * EQUALS the batch one on the union of batches (spec-asserted).
+    * Round 13: the manifest additionally reports the packing-policy
+    * comparison — `n_bins_bfd`/`waste_bfd` from the no-split
+    * best-fit-decreasing layout ([[graft.operators.Pack.bfdBinLoads]];
+    * the per-source fold is bounded by the quota, so the collect_list
+    * is ≤ budget rows by construction) against `waste_greedy`, the
+    * concat-and-chunk stream's last-pack tail
+    * (`ceil(sum/2048)·2048 − sum`). BFD pays waste to keep documents
+    * unsplit; greedy pays splits to keep waste at one tail — the
+    * manifest now prices that trade per source.
+    */
+  def releaseFromSurvivors(
+      survivors: DataFrame, budget: Long = C06Budget): DataFrame = {
+    val (sel, quotas) = c06Selection(survivors, budget)
     val packed = graft.operators.Pack.concatChunk(
       sel, Seq("source"), "doc_id", "n_tokens", capacity = 2048L)
     val mani = packed.groupBy(col("source"))
       .agg(count(lit(1)).as("n_selected"),
         sum(col("n_tokens")).as("sum_tokens"),
         countDistinct(col("pack_id")).as("n_packs"),
-        expr("bit_xor(__ck)").as("checksum"))
+        expr("bit_xor(__ck)").as("checksum"),
+        // bounded by construction: ≤ final_quota ≤ budget weights
+        collect_list(col("n_tokens")).as("__ws"))
+      .withColumn("__loads",
+        graft.operators.Pack.bfdBinLoads(col("__ws"), capacity = 2048L))
+      .withColumn("n_bins_bfd", size(col("__loads")).cast("long"))
+      .withColumn("waste_bfd",
+        graft.operators.Pack.binWaste(col("__loads"), capacity = 2048L))
+      .withColumn("waste_greedy",
+        expr("((sum_tokens + 2047L) div 2048L) * 2048L") - col("sum_tokens"))
     quotas.join(mani, Seq("source"), "left")
       .select(col("source"),
         col("n_docs").as("n_candidates"),
@@ -4394,7 +4442,10 @@ object Corpus {
         coalesce(col("n_selected"), lit(0L)).as("n_selected"),
         coalesce(col("sum_tokens"), lit(0L)).as("sum_tokens"),
         coalesce(col("n_packs"), lit(0L)).as("n_packs"),
-        coalesce(col("checksum"), lit(0L)).as("checksum"))
+        coalesce(col("checksum"), lit(0L)).as("checksum"),
+        coalesce(col("n_bins_bfd"), lit(0L)).as("n_bins_bfd"),
+        coalesce(col("waste_bfd"), lit(0L)).as("waste_bfd"),
+        coalesce(col("waste_greedy"), lit(0L)).as("waste_greedy"))
   }
 
   val c06_training_mix_release: Q = (s, dir) =>
@@ -4403,8 +4454,15 @@ object Corpus {
         .select(col("doc_id"), col("source"), col("text")))
         .drop("__htext"))
 
-  val c06_sql: String =
-    s"""WITH surv AS (SELECT MIN(doc_id) AS doc_id FROM documents
+  /** ONE statement of c06's dedup → Hamilton-quota → KMV-threshold
+    * selection as DuckDB CTEs, ending in `sel(doc_id, source,
+    * n_tokens, ck, h)` + `q(source, n_docs, …, final_quota)` — spliced
+    * by BOTH the c06 and t44 oracles, exactly as the Spark side shares
+    * [[c06Selection]]: a textual fork here could silently diverge the
+    * two selections.
+    */
+  private def c06SelectionSqlCtes(budget: Long): String =
+    s"""surv AS (SELECT MIN(doc_id) AS doc_id FROM documents
        |  GROUP BY text),
        |dd AS MATERIALIZED (SELECT d.doc_id, d.source,
        |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
@@ -4413,7 +4471,7 @@ object Corpus {
        |    ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT AS h
        |  FROM documents d JOIN surv USING (doc_id)),
        |s AS (SELECT source, COUNT(*) AS n_docs FROM dd GROUP BY 1),
-       |${hamiltonSqlCtes("s", budget = C06Budget)},
+       |${hamiltonSqlCtes("s", budget = budget)},
        |rk AS (SELECT source, h,
        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn,
        |    COUNT(*) OVER (PARTITION BY source) AS dcnt
@@ -4423,8 +4481,48 @@ object Corpus {
        |                   LEAST(q.final_quota, q.n_docs, rk.dcnt)
        |                 THEN rk.h END), -1) AS thr
        |  FROM q LEFT JOIN rk USING (source) GROUP BY q.source),
-       |sel AS (SELECT dd.* FROM dd JOIN thr USING (source)
-       |  WHERE dd.h <= thr.thr),
+       |sel AS MATERIALIZED (SELECT dd.* FROM dd JOIN thr USING (source)
+       |  WHERE dd.h <= thr.thr)""".stripMargin
+
+  /** The best-fit-decreasing fold over `sel`'s per-source weights as a
+    * DuckDB recursive CTE — the EXACT rule
+    * [[graft.operators.Pack.bfdBinLoads]] states in Catalyst
+    * higher-order functions: weights descend, bins stay a sorted
+    * ascending list, the fitting bins are a prefix of that list, best
+    * fit is the prefix's last element, remove-and-reinsert keeps the
+    * sort. One row per (source, step); the recursion depth is the
+    * per-source selection size, bounded by the quota. Ends in
+    * `binfin(source, bins)`.
+    */
+  private def bfdSqlCtes(cap: Long): String =
+    s"""bw AS (SELECT source, n_tokens,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |                       ORDER BY n_tokens DESC, doc_id) AS rn
+       |  FROM sel),
+       |bfd AS (
+       |  SELECT source, 0 AS rn, CAST([] AS BIGINT[]) AS bins
+       |  FROM (SELECT DISTINCT source FROM sel)
+       |  UNION ALL
+       |  SELECT j.source, j.rn,
+       |    CASE WHEN j.nf = 0
+       |         THEN list_sort(list_append(j.bins, j.w))
+       |         ELSE list_sort(list_concat(
+       |                list_concat(j.bins[1:j.nf - 1], j.bins[j.nf + 1:]),
+       |                [j.bins[j.nf] + j.w])) END AS bins
+       |  FROM (
+       |    SELECT b.source, b.rn + 1 AS rn, b.bins, w.n_tokens AS w,
+       |      len(list_filter(b.bins, x -> x + w.n_tokens <= $cap)) AS nf
+       |    FROM bfd b JOIN bw w ON w.source = b.source AND w.rn = b.rn + 1
+       |  ) j
+       |),
+       |binfin AS (SELECT source, bins FROM (
+       |  SELECT source, bins,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY rn DESC) AS r
+       |  FROM bfd) WHERE r = 1)""".stripMargin
+
+  val c06_sql: String =
+    s"""WITH RECURSIVE
+       |${c06SelectionSqlCtes(C06Budget)},
        |o AS (SELECT source, n_tokens, ck,
        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
        |      ORDER BY doc_id
@@ -4433,6 +4531,11 @@ object Corpus {
        |  FROM sel),
        |p AS (SELECT source, n_tokens, ck,
        |    CAST(start_offset // 2048 AS BIGINT) AS pack_id FROM o),
+       |${bfdSqlCtes(2048L)},
+       |bm AS (SELECT source, CAST(len(bins) AS BIGINT) AS n_bins_bfd,
+       |    CAST(list_sum(list_transform(bins,
+       |      x -> GREATEST(0, 2048 - x))) AS BIGINT) AS waste_bfd
+       |  FROM binfin),
        |m AS (SELECT source, COUNT(*) AS n_selected,
        |    CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
        |    CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs,
@@ -4442,8 +4545,75 @@ object Corpus {
        |  CAST(COALESCE(m.n_selected, 0) AS BIGINT) AS n_selected,
        |  CAST(COALESCE(m.sum_tokens, 0) AS BIGINT) AS sum_tokens,
        |  CAST(COALESCE(m.n_packs, 0) AS BIGINT) AS n_packs,
-       |  CAST(COALESCE(m.checksum, 0) AS BIGINT) AS checksum
-       |FROM q LEFT JOIN m USING (source)""".stripMargin
+       |  CAST(COALESCE(m.checksum, 0) AS BIGINT) AS checksum,
+       |  CAST(COALESCE(b.n_bins_bfd, 0) AS BIGINT) AS n_bins_bfd,
+       |  CAST(COALESCE(b.waste_bfd, 0) AS BIGINT) AS waste_bfd,
+       |  CAST(COALESCE(((m.sum_tokens + 2047) // 2048) * 2048
+       |       - m.sum_tokens, 0) AS BIGINT) AS waste_greedy
+       |FROM q LEFT JOIN m USING (source) LEFT JOIN bm b USING (source)""".stripMargin
+
+  /** t44: best-fit-decreasing sequence packing — the NO-SPLIT policy
+    * t07/c06's concat-and-chunk deliberately isn't: every document
+    * lands wholly inside one fixed-capacity bin (an SFT/eval batch
+    * can't split a sample across contexts), so the layout pays padding
+    * waste instead of document splits. Policy: weights descend, each
+    * takes the FULLEST bin it fits ([[graft.operators.Pack.bfdBinLoads]]
+    * — deterministic, RNG-free, exact integers). Runs over the SAME
+    * quota-capped selection as c06 ([[c06Selection]]), which is what
+    * BOUNDS the per-source fold: ≤ final_quota ≤ budget weights per
+    * group, so the collect_list state is bounded by construction and
+    * the 100 TB shape is many independent bounded groups in parallel.
+    * Output prices the policy trade per source — BFD bins/waste vs the
+    * greedy concat-chunk stream's single last-pack tail — and
+    * `bins_md5` hashes the FULL final bin-load multiset, so the oracle
+    * compare certifies every step of the fold, not just the counts.
+    * The oracle replays selection through the shared
+    * [[c06SelectionSqlCtes]] and the fold through [[bfdSqlCtes]]'s
+    * recursive CTE (same descending order, same sorted-prefix rule).
+    */
+  val t44_bestfit_pack: Q = (s, dir) => {
+    val (sel, _) = c06Selection(
+      c06SurvivorPartial(t(s, dir, "documents").transform(spreadScan)
+        .select(col("doc_id"), col("source"), col("text")))
+        .drop("__htext"),
+      budget = C06Budget)
+    sel.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        // bounded by construction: ≤ final_quota ≤ C06Budget weights
+        collect_list(col("n_tokens")).as("__ws"))
+      .withColumn("__loads",
+        graft.operators.Pack.bfdBinLoads(col("__ws"), capacity = 2048L))
+      .select(col("source"), col("n_selected"), col("sum_tokens"),
+        size(col("__loads")).cast("long").as("n_bins_bfd"),
+        graft.operators.Pack.binWaste(col("__loads"), capacity = 2048L)
+          .as("waste_bfd"),
+        element_at(col("__loads"), size(col("__loads")))
+          .as("max_bin_load"),
+        md5(array_join(transform(col("__loads"), _.cast("string")), ","))
+          .as("bins_md5"),
+        expr("(sum_tokens + 2047L) div 2048L").as("n_packs_greedy"),
+        (expr("((sum_tokens + 2047L) div 2048L) * 2048L")
+          - col("sum_tokens")).as("waste_greedy"))
+  }
+
+  val t44_sql: String =
+    s"""WITH RECURSIVE
+       |${c06SelectionSqlCtes(C06Budget)},
+       |${bfdSqlCtes(2048L)},
+       |agg AS (SELECT source, COUNT(*) AS n_selected,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+       |  FROM sel GROUP BY 1)
+       |SELECT a.source, a.n_selected, a.sum_tokens,
+       |  CAST(len(f.bins) AS BIGINT) AS n_bins_bfd,
+       |  CAST(list_sum(list_transform(f.bins,
+       |    x -> GREATEST(0, 2048 - x))) AS BIGINT) AS waste_bfd,
+       |  f.bins[len(f.bins)] AS max_bin_load,
+       |  md5(array_to_string(f.bins, ',')) AS bins_md5,
+       |  CAST((a.sum_tokens + 2047) // 2048 AS BIGINT) AS n_packs_greedy,
+       |  CAST(((a.sum_tokens + 2047) // 2048) * 2048 - a.sum_tokens
+       |    AS BIGINT) AS waste_greedy
+       |FROM agg a JOIN binfin f USING (source)""".stripMargin
 
   private def c04Root: String = s"${graft.ingest.FixtureTables.root}/c04"
 
@@ -5783,6 +5953,7 @@ object Corpus {
     "t36_quota_allocation"  -> t36_quota_allocation,
     "t37_bpe_encode"        -> t37_bpe_encode,
     "t42_bpe_roundtrip"     -> t42_bpe_roundtrip,
+    "t44_bestfit_pack"      -> t44_bestfit_pack,
     "t38_quality_classifier" -> t38_quality_classifier,
     "t39_collocations"      -> t39_collocations,
     "t40_chi2_terms"        -> t40_chi2_terms,
@@ -5880,6 +6051,7 @@ object Corpus {
     "t36_quota_allocation"  -> t36_sql,
     "t37_bpe_encode"        -> t37_sql,
     "t42_bpe_roundtrip"     -> t42_sql,
+    "t44_bestfit_pack"      -> t44_sql,
     "t38_quality_classifier" -> t38_sql,
     "t39_collocations"      -> t39_sql,
     "t40_chi2_terms"        -> t40_sql,

@@ -100,6 +100,9 @@ class PlanLintSpec extends SparkSpec {
       // and 1-row leftover against the catalog-small source frame) —
       // the t36 shape, re-used by composition
       "c06_training_mix_release",
+      // t44: reuses c06's selection stage verbatim (c06Selection), so
+      // it inherits the same hamiltonQuotas 1-row/catalog-small crosses
+      "t44_bestfit_pack",
       // q138: the cell-pair theta join runs over the domain-bounded
       // (x, y) grid (50·11 cells at ANY corpus size — the corpus
       // collapsed into one groupBy first), plus three broadcast 1-row

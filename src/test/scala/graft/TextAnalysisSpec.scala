@@ -112,6 +112,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(packed(("de", 2L)) == (2048L, 1L, 0L))
   }
 
+  test("bfdBinLoads matches a reference best-fit-decreasing fold (seeded sweep)") {
+    // reference: the textbook rule with explicit positional bins — the
+    // Catalyst fold keeps only the sorted load multiset, which must
+    // evolve identically (equal loads are interchangeable)
+    def refBfd(ws: Seq[Long], cap: Long): Seq[Long] = {
+      val bins = scala.collection.mutable.ArrayBuffer[Long]()
+      ws.sorted(Ordering[Long].reverse).foreach { w =>
+        val fits = bins.zipWithIndex.filter { case (b, _) => b + w <= cap }
+        if (fits.isEmpty) bins += w
+        else { val i = fits.maxBy { case (b, i) => (b, -i) }._2; bins(i) += w }
+      }
+      bins.sorted.toSeq
+    }
+    val rnd = new scala.util.Random(13)
+    val cases = (1 to 40).map { i =>
+      val n = 1 + rnd.nextInt(40)
+      // weights up to 3000 — some exceed the 2048 capacity on purpose
+      // (an overfull weight must open its own bin, not loop or drop)
+      (i.toLong, Seq.fill(n)(1L + rnd.nextInt(3000)))
+    } :+ (0L, Seq.empty[Long])
+    val out = cases.toDF("id", "ws")
+      .withColumn("loads",
+        graft.operators.Pack.bfdBinLoads(col("ws"), capacity = 2048L))
+      .withColumn("waste",
+        graft.operators.Pack.binWaste(col("loads"), capacity = 2048L))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Long](2), r.getLong(3))))
+      .toMap
+    cases.foreach { case (id, ws) =>
+      val expect = refBfd(ws, 2048L)
+      assert(out(id)._1 == expect, s"case $id: ws=$ws")
+      assert(out(id)._2 ==
+        expect.map(b => math.max(0L, 2048L - b)).sum, s"waste $id")
+    }
+  }
+
   test("t29 unigram cross-entropy matches the hand-computed add-one LM on a tiny corpus") {
     // corpus: doc1 = "a a b", doc2 = "a c" → c(a)=3, c(b)=c(c)=1,
     // N=5, V=3; xent = ln(N+V) − Σ c_d(w)·ln(c(w)+1) / n_d with the
