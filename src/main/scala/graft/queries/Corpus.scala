@@ -4615,6 +4615,153 @@ object Corpus {
        |    AS BIGINT) AS waste_greedy
        |FROM agg a JOIN binfin f USING (source)""".stripMargin
 
+  /** c07: SFT/instruction-mix assembly — the SUPERVISED sibling of
+    * c06's pre-training mix: role-tagged conversations are assembled
+    * from the events stream, rendered through a chat template, packed
+    * into fixed contexts, and each sample carries its LOSS-MASK span
+    * offsets (the integer [start:end) ranges of the assistant turns
+    * inside the packed token stream — what a supervised trainer masks
+    * everything else out with).
+    *
+    * Construction (all deterministic, integer/string boundaries only):
+    * a conversation is one user's events in one epoch-week
+    * (`unix_micros div 7·86400·10⁶` — pure integer arithmetic both
+    * engines replay exactly; a 30-min session gap makes 95% of the
+    * fixture's conversations single-turn, so the grouping key is the
+    * week); turns order by (ts, event_id); role is a fixed
+    * event_type map (signup→system, view/click→user, the rest→
+    * assistant); each turn renders as
+    * `<|role|> content <|end|>` with content = event_type repeated
+    * 1 + (k mod 4) times (k = the digits in props) so turn lengths
+    * vary; token counts run through the SAME whitespace tokenizer as
+    * every t-operator. Offsets are two stacked integer prefix sums —
+    * turn-in-conversation (rel_start) and conversation-in-user-stream
+    * ([[graft.operators.Pack.concatChunk]] per user, capacity 2048) —
+    * so a loss span is `pack start_offset + rel_start`.
+    *
+    * Scale shape: one narrow projection over events, two keyed
+    * windows ((user, week) then user — both data-scaling keys), one
+    * keyed aggregate, one keyed join back for the spans. The
+    * collect_list state is ONE conversation's turns — an SFT sample
+    * must fit in a context by definition, the same boundedness class
+    * as a document's text. `conv_md5` hashes the fully rendered
+    * conversation, so the oracle compare certifies the template
+    * rendering and turn order, not just the counts; `loss_spans` is
+    * the ';'-joined 'start:end' list, certifying every mask offset.
+    */
+  val c07_sft_assembly: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val turns = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("props"))
+      .withColumn("conv_week", expr("unix_micros(ts) div 604800000000L"))
+      .withColumn("role",
+        when(col("event_type") === "signup", lit("system"))
+          .when(col("event_type").isin("view", "click"), lit("user"))
+          .otherwise(lit("assistant")))
+      .withColumn("__k",
+        coalesce(regexp_extract(col("props"), "([0-9]+)", 1).cast("long"),
+          lit(0L)))
+      .withColumn("rendered",
+        concat(lit("<|"), col("role"), lit("|> "),
+          array_join(array_repeat(col("event_type"),
+            (lit(1L) + pmod(col("__k"), lit(4L))).cast("int")), " "),
+          lit(" <|end|>")))
+      .withColumn("n_turn_tokens",
+        size(TextAnalysis.tokens(col("rendered"))).cast("long"))
+    val convW = Window
+      .partitionBy(col("user_id"), col("conv_week"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = turns.withColumn("rel_start",
+      coalesce(sum(col("n_turn_tokens")).over(convW), lit(0L)))
+    val convs = offs.groupBy(col("user_id"), col("conv_week"))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(col("n_turn_tokens")).as("n_tokens"),
+        sum(when(col("role") === "assistant", 1L).otherwise(0L))
+          .as("n_assistant_turns"),
+        sum(when(col("role") === "assistant", col("n_turn_tokens"))
+          .otherwise(0L)).as("loss_tokens"),
+        // one conversation's turns — context-bounded by definition
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("rel_start"), col("rendered")))),
+          _.getField("rendered")), " ")).as("conv_md5"))
+    val packed = graft.operators.Pack.concatChunk(
+      convs, Seq("user_id"), "conv_week", "n_tokens", capacity = 2048L)
+    val spans = offs.where(col("role") === "assistant")
+      .join(packed.select(col("user_id"), col("conv_week"),
+        col("start_offset")), Seq("user_id", "conv_week"))
+      .withColumn("abs_start", col("start_offset") + col("rel_start"))
+      .withColumn("abs_end", col("abs_start") + col("n_turn_tokens"))
+      .groupBy(col("user_id"), col("conv_week"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("abs_start"), col("abs_end")))),
+        st => concat(st.getField("abs_start").cast("string"), lit(":"),
+          st.getField("abs_end").cast("string"))), ";").as("loss_spans"))
+    packed.join(spans, Seq("user_id", "conv_week"), "left")
+      .select(col("user_id"), col("conv_week"), col("n_turns"),
+        col("n_tokens"), col("n_assistant_turns"), col("loss_tokens"),
+        col("pack_id"), col("pack_offset"),
+        coalesce(col("loss_spans"), lit("")).as("loss_spans"),
+        col("conv_md5"))
+  }
+
+  val c07_sql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |    event_type, props FROM events),
+      |tu AS (SELECT *,
+      |    CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS conv_week,
+      |    CASE event_type WHEN 'signup' THEN 'system'
+      |         WHEN 'view' THEN 'user' WHEN 'click' THEN 'user'
+      |         ELSE 'assistant' END AS role,
+      |    COALESCE(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT), 0)
+      |      AS k
+      |  FROM e),
+      |r AS (SELECT *,
+      |    '<|' || role || '|> ' ||
+      |    array_to_string(list_transform(
+      |      generate_series(1, CAST(1 + k % 4 AS INT)), x -> event_type),
+      |      ' ') || ' <|end|>' AS rendered
+      |  FROM tu),
+      |tok AS (SELECT *,
+      |    CAST(len(list_filter(string_split_regex(lower(rendered), '\s+'),
+      |      x -> x <> '')) AS BIGINT) AS n_turn_tokens
+      |  FROM r),
+      |off AS (SELECT *,
+      |    CAST(COALESCE(SUM(n_turn_tokens) OVER (
+      |      PARTITION BY user_id, conv_week ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS rel_start
+      |  FROM tok),
+      |conv AS (SELECT user_id, conv_week,
+      |    COUNT(*) AS n_turns,
+      |    CAST(SUM(n_turn_tokens) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_assistant_turns,
+      |    CAST(SUM(CASE WHEN role = 'assistant' THEN n_turn_tokens
+      |                  ELSE 0 END) AS BIGINT) AS loss_tokens,
+      |    md5(string_agg(rendered, ' ' ORDER BY rel_start)) AS conv_md5
+      |  FROM off GROUP BY 1, 2),
+      |pk AS (SELECT *,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY user_id
+      |      ORDER BY conv_week
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS start_offset
+      |  FROM conv),
+      |pp AS (SELECT *, CAST(start_offset // 2048 AS BIGINT) AS pack_id,
+      |    CAST(start_offset % 2048 AS BIGINT) AS pack_offset FROM pk),
+      |sp AS (SELECT o.user_id, o.conv_week,
+      |    string_agg(
+      |      (p.start_offset + o.rel_start)::VARCHAR || ':' ||
+      |      (p.start_offset + o.rel_start + o.n_turn_tokens)::VARCHAR,
+      |      ';' ORDER BY o.rel_start) AS loss_spans
+      |  FROM off o JOIN pp p USING (user_id, conv_week)
+      |  WHERE o.role = 'assistant' GROUP BY 1, 2)
+      |SELECT p.user_id, p.conv_week, p.n_turns, p.n_tokens,
+      |  p.n_assistant_turns, p.loss_tokens, p.pack_id, p.pack_offset,
+      |  COALESCE(s.loss_spans, '') AS loss_spans, p.conv_md5
+      |FROM pp p LEFT JOIN sp s USING (user_id, conv_week)""".stripMargin
+
   private def c04Root: String = s"${graft.ingest.FixtureTables.root}/c04"
 
   /** Multimodal curation capstone — the c02 keep/drop composition
@@ -5963,6 +6110,7 @@ object Corpus {
     "q128_auc_by_slice"     -> q128_auc_by_slice,
     "c05_entity_resolution" -> c05_entity_resolution,
     "c06_training_mix_release" -> c06_training_mix_release,
+    "c07_sft_assembly"      -> c07_sft_assembly,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -6061,6 +6209,7 @@ object Corpus {
     "q128_auc_by_slice"     -> q128_sql,
     "c05_entity_resolution" -> c05_sql,
     "c06_training_mix_release" -> c06_sql,
+    "c07_sft_assembly"      -> c07_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,
