@@ -780,6 +780,150 @@ object Corpus {
        |    = COALESCE(a.orig, '') AS roundtrip_ok
        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  // ------------------------------------------------- t43 unigram-LM
+
+  private val unigramModels =
+    scala.collection.concurrent.TrieMap[String, graft.text.Unigram.Model]()
+
+  private def unigramModelPath(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${graft.ingest.FixtureTables.root}/unigram_model_$key.parquet"
+  }
+
+  /** The fixed unigram-LM piece-length cap — a train-time parameter
+    * (not data-derived), so both the expression and the oracle's
+    * recursive CTE state it as the same literal.
+    */
+  private val UnigramMaxPieceLen = 6
+
+  private def unigramModel(s: SparkSession, dir: String): graft.text.Unigram.Model =
+    unigramModels.getOrElseUpdate(dir, {
+      // the SAME bounded training sample discipline as bpeModel: the
+      // corpus word-frequency table capped at 4096 rows by
+      // (freq desc, token asc) — one keyed aggregate + a driver fit
+      val vocab = t(s, dir, "documents")
+        .select(explode_outer(TextAnalysis.tokens(col("text"))).as("token"))
+        .where(col("token").isNotNull)
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token").asc)
+        .limit(4096)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val m = graft.text.Unigram.train(vocab,
+        vocabSize = 512, maxPieceLen = UnigramMaxPieceLen, iters = 3)
+      import s.implicits._
+      m.pieces.indices.map(i => (m.pieces(i), m.costs(i)))
+        .toDF("piece", "cost")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(unigramModelPath(dir))
+      m
+    })
+
+  /** t43: unigram-LM (SentencePiece-style) tokenization
+    * ([[graft.text.Unigram]] — Kudo ACL 2018), closing the tokenizer
+    * family next to t37/t42's BPE: a piece table is EM-fit on the
+    * corpus's bounded word-frequency sample, dumped with its INTEGER
+    * costs for the oracle, and applied to every document by the
+    * native [[graft.functions.UnigramEncode]] expression — Viterbi
+    * min-cost segmentation in pure integer arithmetic (ties to the
+    * smallest start position), so both engines reach identical
+    * segmentations with no float seam. Output per document: token and
+    * piece counts, fertility, the summed Viterbi cost (`total_cost`
+    * certifies DP minimality agreement, not just piece counts), and
+    * the md5 of the full piece stream.
+    *
+    * One narrow projection over the corpus (the fit is driver-side
+    * and amortized, the table rides into codegen as a reference
+    * object); no shuffle at any scale. The oracle replays the DP as a
+    * DuckDB recursive CTE over the DISTINCT token vocabulary
+    * (segmentation is per-type): position by position, each step
+    * scores the ≤ [[UnigramMaxPieceLen]] candidate starts against the
+    * dumped table (single-char misses fall back to the unk cost =
+    * max cost + 10⁶, the exact train-time definition, restated in SQL
+    * from the dump itself so the oracle has no side-channel), keeps
+    * the (cost, start) minimum by window rank, and carries the dp and
+    * segmentation arrays forward.
+    */
+  val t43_unigram_encode: Q = (s, dir) => {
+    val m = unigramModel(s, dir)
+    t(s, dir, "documents").transform(spreadScan)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+      .withColumn("__enc", graft.functions.UnigramEncode(col("__toks"), m))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(col("__enc").getField("pieces")).cast("long").as("n_pieces"),
+        when(size(col("__toks")) === 0, lit(0.0))
+          .otherwise(round(
+            size(col("__enc").getField("pieces")).cast("double") /
+              size(col("__toks")), 6))
+          .as("fertility"),
+        col("__enc").getField("cost").as("total_cost"),
+        md5(concat_ws(" ", col("__enc").getField("pieces"))).as("piece_md5"))
+  }
+
+  def t43_sql: String = {
+    val L = UnigramMaxPieceLen
+    s"""WITH RECURSIVE
+       |vm AS (SELECT piece, cost
+       |       FROM read_parquet('${unigramModelPath(oracleSfDir)}/*.parquet')),
+       |uk AS (SELECT MAX(cost) + 1000000 AS unk FROM vm),
+       |t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tp0 AS (SELECT doc_id, toks,
+       |          unnest(generate_series(1, len(toks))) AS pos FROM t),
+       |tokpos AS (SELECT doc_id, pos, toks[pos] AS token FROM tp0),
+       |vocab AS (SELECT DISTINCT token FROM tokpos),
+       |vit AS (
+       |  SELECT token, 0 AS i, CAST([0] AS BIGINT[]) AS dp,
+       |         CAST([''] AS VARCHAR[]) AS seg
+       |  FROM vocab
+       |  UNION ALL
+       |  SELECT token, p AS i, list_append(dp, cand) AS dp,
+       |         list_append(seg, nseg) AS seg
+       |  FROM (
+       |    SELECT token, p, dp, seg, cand, nseg,
+       |      ROW_NUMBER() OVER (PARTITION BY token, p
+       |                         ORDER BY cand, j) AS rn
+       |    FROM (
+       |      SELECT y.token, y.p, y.dp, y.seg, y.j,
+       |        y.dp[y.j] + COALESCE(m.cost,
+       |          CASE WHEN y.p = y.j THEN uk.unk END) AS cand,
+       |        CASE WHEN y.j = 1
+       |             THEN substr(y.token, y.j, y.p - y.j + 1)
+       |             ELSE y.seg[y.j] || ' ' ||
+       |                  substr(y.token, y.j, y.p - y.j + 1)
+       |        END AS nseg
+       |      FROM (
+       |        SELECT v.token, v.i + 1 AS p, v.dp, v.seg,
+       |          unnest(generate_series(GREATEST(1, v.i + 2 - $L),
+       |                                 v.i + 1)) AS j
+       |        FROM vit v WHERE v.i < length(v.token)
+       |      ) y
+       |      CROSS JOIN uk
+       |      LEFT JOIN vm m
+       |        ON m.piece = substr(y.token, y.j, y.p - y.j + 1)
+       |    ) WHERE cand IS NOT NULL
+       |  ) WHERE rn = 1
+       |),
+       |fin AS (SELECT token, dp[length(token) + 1] AS cost,
+       |    seg[length(token) + 1] AS pieces
+       |  FROM vit WHERE i = length(token)),
+       |agg AS (SELECT tp.doc_id, COUNT(*) AS n_tokens,
+       |    CAST(SUM(len(string_split(f.pieces, ' '))) AS BIGINT)
+       |      AS n_pieces,
+       |    CAST(SUM(f.cost) AS BIGINT) AS total_cost,
+       |    string_agg(f.pieces, ' ' ORDER BY tp.pos) AS joined
+       |  FROM tokpos tp JOIN fin f ON f.token = tp.token
+       |  GROUP BY tp.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+       |  CASE WHEN COALESCE(a.n_tokens, 0) = 0 THEN 0.0
+       |       ELSE ROUND(CAST(a.n_pieces AS DOUBLE) / a.n_tokens, 6)
+       |  END AS fertility,
+       |  CAST(COALESCE(a.total_cost, 0) AS BIGINT) AS total_cost,
+       |  md5(COALESCE(a.joined, '')) AS piece_md5
+       |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+  }
+
   /** Lossless edit-distance similarity join over the customer-name
     * column ([[Dedup.edJoin]] — the FastSS deletion-neighborhood
     * join at d=1): every name pair within Levenshtein distance 1,
@@ -6100,6 +6244,7 @@ object Corpus {
     "t36_quota_allocation"  -> t36_quota_allocation,
     "t37_bpe_encode"        -> t37_bpe_encode,
     "t42_bpe_roundtrip"     -> t42_bpe_roundtrip,
+    "t43_unigram_encode"    -> t43_unigram_encode,
     "t44_bestfit_pack"      -> t44_bestfit_pack,
     "t38_quality_classifier" -> t38_quality_classifier,
     "t39_collocations"      -> t39_collocations,
@@ -6199,6 +6344,7 @@ object Corpus {
     "t36_quota_allocation"  -> t36_sql,
     "t37_bpe_encode"        -> t37_sql,
     "t42_bpe_roundtrip"     -> t42_sql,
+    "t43_unigram_encode"    -> t43_sql,
     "t44_bestfit_pack"      -> t44_sql,
     "t38_quality_classifier" -> t38_sql,
     "t39_collocations"      -> t39_sql,
