@@ -4793,9 +4793,17 @@ object Corpus {
     * rendering and turn order, not just the counts; `loss_spans` is
     * the ';'-joined 'start:end' list, certifying every mask offset.
     */
-  val c07_sft_assembly: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
-    val turns = t(s, dir, "events")
+  /** c07's per-event turn extraction — a STATELESS row map (week key,
+    * role map, template rendering, token count), factored out so the
+    * streaming twin can maintain the turn store per micro-batch while
+    * [[sftFromTurns]] assembles conversations at read time. Keeping
+    * assembly OUT of this stage is what makes the twin exact under
+    * out-of-order arrival: a late turn re-slots into its conversation
+    * and every downstream offset moves — which only works if offsets
+    * are derived from the turn SET, never carried in state.
+    */
+  private[graft] def c07TurnFrame(events: DataFrame): DataFrame =
+    events
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"), col("props"))
       .withColumn("conv_week", expr("unix_micros(ts) div 604800000000L"))
@@ -4813,6 +4821,17 @@ object Corpus {
           lit(" <|end|>")))
       .withColumn("n_turn_tokens",
         size(TextAnalysis.tokens(col("rendered"))).cast("long"))
+      .select(col("user_id"), col("conv_week"), col("ts"), col("event_id"),
+        col("role"), col("rendered"), col("n_turn_tokens"))
+
+  /** The assembly tail over a turn frame — shared verbatim by the
+    * batch query and the streaming monitor's read side
+    * ([[graft.streaming.StreamingIngest.currentSftAssembly]]), so the
+    * stream-maintained assembly EQUALS the batch one on the union of
+    * batches, late cross-batch turns included (spec-asserted).
+    */
+  def sftFromTurns(turns: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val convW = Window
       .partitionBy(col("user_id"), col("conv_week"))
       .orderBy(col("ts").asc, col("event_id").asc)
@@ -4849,6 +4868,9 @@ object Corpus {
         coalesce(col("loss_spans"), lit("")).as("loss_spans"),
         col("conv_md5"))
   }
+
+  val c07_sft_assembly: Q = (s, dir) =>
+    sftFromTurns(c07TurnFrame(t(s, dir, "events")))
 
   val c07_sql: String =
     """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,

@@ -959,6 +959,56 @@ object StreamingIngest {
       graft.queries.Corpus.releaseFromSurvivors(
         spark.read.parquet(s"$p/surv").drop("__htext"), budget))
 
+  /** Continuously maintained SFT assembly — the streaming face of c07
+    * (conversations that grow as events arrive, loss-mask offsets that
+    * are always current). Turn extraction
+    * ([[graft.queries.Corpus.c07TurnFrame]]) is a STATELESS row map,
+    * so the state is simply the compact turn store (no raw props, no
+    * offsets); each micro-batch appends its turns to the previous
+    * generation. Assembly — turn order, prefix-sum offsets, packing,
+    * spans — happens at READ time through the SAME
+    * [[graft.queries.Corpus.sftFromTurns]] the batch query uses, which
+    * is the load-bearing design point: a LATE turn (an old week's
+    * event arriving batches later) re-slots into its conversation and
+    * moves every downstream offset in that user's stream, which no
+    * carried-offset state could get right — streamed ≡ batch exact on
+    * the union of batches, out-of-order arrivals included
+    * (spec-asserted). The per-batch rewrite is O(accumulated turns)
+    * here for replay simplicity; at production scale the turn store is
+    * a week-partitioned table and a batch rewrites only the (user,
+    * week) partitions it touches — closed weeks are immutable.
+    */
+  def sftAssemblyStream(
+      events: DataFrame, // streaming frame: events-shaped rows
+      statsRoot: String,
+      checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          val spark = batch.sparkSession
+          val part = graft.queries.Corpus.c07TurnFrame(batch.toDF())
+          val merged = priorGeneration(spark, statsRoot, batchId) match {
+            case Some(p) =>
+              spark.read.parquet(s"$p/turns").unionByName(part)
+            case None => part
+          }
+          merged.write.mode("overwrite")
+            .parquet(s"$statsRoot/gen-$batchId/turns")
+          ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+
+  /** c07's exact assembly derived from the newest turn store, or None
+    * before the first batch lands.
+    */
+  def currentSftAssembly(
+      spark: SparkSession, statsRoot: String): Option[DataFrame] =
+    priorGeneration(spark, statsRoot, Long.MaxValue).map(p =>
+      graft.queries.Corpus.sftFromTurns(spark.read.parquet(s"$p/turns")))
+
   /** Continuously maintained experiment readout — the streaming face
     * of q127's Welch A/B test (the live experimentation dashboard:
     * significance updates as purchase events arrive, instead of at a

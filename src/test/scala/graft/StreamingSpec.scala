@@ -1088,6 +1088,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.getLong(2)).sum == budget)
   }
 
+  test("sftAssemblyStream: read-time assembly equals batch c07, late cross-batch turns included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sft_stream").toString
+    val root = s"$base/sft"; val ckpt = s"$base/ckpt"
+    val types = Seq("view", "click", "purchase", "error", "signup")
+    val t0 = 1704067200000000L // 2024-01-01T00:00Z in micros
+    // 80 events, 5 users, ~2 weeks — every role in every conversation
+    val events = (1L to 80L).map { id =>
+      val ts = new java.sql.Timestamp((t0 + id * 7200L * 1000000L) / 1000L)
+      (id % 5, ts, id, types((id % 5).toInt), s"""{"k": ${id % 7}}""")
+    }
+    // seeded shuffle into three batches: early-timestamp turns land in
+    // LATER batches, so conversations re-assemble and every downstream
+    // offset in the affected user streams must move — the case a
+    // carried-offset state would get wrong
+    val shuffled = new scala.util.Random(31).shuffle(events)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String, String)]
+    val q = StreamingIngest.sftAssemblyStream(
+      stream.toDF().toDF("user_id", "ts", "event_id", "event_type", "props"),
+      root, ckpt)
+    shuffled.grouped(27).foreach { chunk =>
+      stream.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("user_id", "conv_week").collect().toSeq
+    val streamed = rows(StreamingIngest.currentSftAssembly(spark, root).get)
+    val batch = rows(graft.queries.Corpus.sftFromTurns(
+      graft.queries.Corpus.c07TurnFrame(
+        events.toDF("user_id", "ts", "event_id", "event_type", "props"))))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // the fixture really exercises the mask: some spans strings carry
+    // multiple ranges and offsets reach past the first turn
+    assert(streamed.exists(_.getString(8).contains(";")))
+  }
+
   test("streamingNearDupAdmission: self-dedup + corpus filter; admitted generations append") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
