@@ -4759,6 +4759,63 @@ object Corpus {
        |    AS BIGINT) AS waste_greedy
        |FROM agg a JOIN binfin f USING (source)""".stripMargin
 
+  /** t45: deterministic epoch reshuffling — multi-epoch training wants
+    * a DIFFERENT data order every epoch without materializing (or even
+    * being able to hold) a permutation of the corpus. The standard
+    * trick at scale: order/shard epoch e by `hash(doc_id : e)` — a pure
+    * function of the data and the epoch number, so any worker can
+    * compute its shard independently, re-runs are bit-identical, and
+    * no shuffle state persists between epochs. The query reports each
+    * epoch's 16-way hash-range shard layout (bucket = top 4 bits of
+    * the 60-bit hash): doc/token counts per (epoch, bucket) plus the
+    * q124-discipline `bit_xor(hash64(doc_id))` membership checksum —
+    * so the oracle certifies WHICH docs land in every shard of every
+    * epoch, not just how many. Invariants a spec pins: each epoch's
+    * bucket xor folds to the SAME corpus checksum (every epoch is a
+    * permutation of the same corpus) while the per-bucket layouts
+    * differ between epochs (it actually reshuffles).
+    *
+    * Scale shape: one corpus scan, an `explode` over the constant
+    * epoch list (never a join), one keyed aggregate — the epoch factor
+    * multiplies rows by a small constant, exactly like running the
+    * epochs themselves.
+    */
+  val t45_epoch_shuffle: Q = (s, dir) => {
+    import graft.functions.KmvSketch
+    val epochs = 3L
+    t(s, dir, "documents").transform(spreadScan)
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        KmvSketch.hash64(col("doc_id")).as("__ck"))
+      .withColumn("epoch", explode(sequence(lit(0L), lit(epochs - 1L))))
+      .withColumn("__h",
+        KmvSketch.hash64(concat_ws(":", col("doc_id"), col("epoch"))))
+      // 60-bit hash → top 4 bits: 16 equal hash-range buckets
+      .withColumn("bucket", expr(s"__h div ${1L << 56}L"))
+      .groupBy(col("epoch"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        expr("bit_xor(__ck)").as("checksum"))
+  }
+
+  val t45_sql: String =
+    s"""WITH d AS (SELECT doc_id,
+       |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+       |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS ck
+       |  FROM documents),
+       |x AS (SELECT d.*, e.epoch FROM d CROSS JOIN
+       |  (SELECT unnest(generate_series(0, 2)) AS epoch) e),
+       |b AS (SELECT epoch, n_tokens, ck,
+       |    CAST((('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+       |      epoch::VARCHAR), 1, 15))::BIGINT) // ${1L << 56}
+       |      AS BIGINT) AS bucket
+       |  FROM x)
+       |SELECT CAST(epoch AS BIGINT) AS epoch, bucket,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(bit_xor(ck) AS BIGINT) AS checksum
+       |FROM b GROUP BY 1, 2""".stripMargin
+
   /** c07: SFT/instruction-mix assembly — the SUPERVISED sibling of
     * c06's pre-training mix: role-tagged conversations are assembled
     * from the events stream, rendered through a chat template, packed
@@ -5215,8 +5272,12 @@ object Corpus {
     s"${graft.ingest.FixtureTables.root}/ivf_centroids_$key.parquet"
   }
 
-  val s03_ivf_topk: Q = (s, dir) => {
-    val idx = ivfIndexes.getOrElseUpdate(dir, {
+  /** The s03 IVF index, built once per dir and dumped for the oracle —
+    * factored out so s19's recall eval searches the SAME index (and
+    * a subset run of either query produces the centroid fixture).
+    */
+  private def s03Index(s: SparkSession, dir: String): Similarity.IvfIndex =
+    ivfIndexes.getOrElseUpdate(dir, {
       // nLists = 0 → corpus-proportional (floor 16, so = 16 at every sf
       // fixture; grows with the corpus at 10×+ — see adaptiveNLists)
       val built = Similarity.IvfIndex.build(
@@ -5229,11 +5290,13 @@ object Corpus {
         .coalesce(1).write.mode("overwrite").parquet(ivfCentroidPath(dir))
       built
     })
-    idx.search(t(s, dir, "embeddings").where(col("vec_id") < 5),
+
+  val s03_ivf_topk: Q = (s, dir) =>
+    s03Index(s, dir)
+      .search(t(s, dir, "embeddings").where(col("vec_id") < 5),
         "vec_id", "embedding", k = 10, nProbe = 8)
       .select(col("query_id"), col("neighbor_id"),
         round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
-  }
 
   /** DuckDB replay of everything downstream of the k-means fit. The
     * squared distance mirrors [[Similarity.IvfIndex.sqDist]]'s exact
@@ -5241,9 +5304,15 @@ object Corpus {
     * sequential left-to-right — and the (d, list_id) ROW_NUMBER order
     * mirrors the array_sort((d, i) struct) tie-break.
     */
-  def s03_sql: String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |ctr AS (SELECT list_id, centroid
+  /** The IVF candidate-generation CTE chain (fitted-centroid read →
+    * exact-op-order assignment → probe lists → candidate pairs),
+    * requiring an `e(vec_id, v)` CTE in scope and ending in
+    * `cand(query_id, neighbor_id)` — spliced by BOTH the s03 oracle
+    * and s19's recall eval, exactly as the Spark side shares
+    * [[s03Index]].
+    */
+  private def s03CoreSqlCtes: String =
+    s"""ctr AS (SELECT list_id, centroid
        |        FROM read_parquet('${ivfCentroidPath(oracleSfDir)}/*.parquet')),
        |dist AS (SELECT e.vec_id, c.list_id,
        |  ((list_reduce(list_transform(generate_series(1, 64),
@@ -5263,7 +5332,11 @@ object Corpus {
        |  FROM dist WHERE vec_id < 5) WHERE rn <= 8),
        |cand AS (SELECT DISTINCT query_id, neighbor_id
        | FROM probe JOIN assign USING (list_id)
-       | WHERE neighbor_id <> query_id),
+       | WHERE neighbor_id <> query_id)""".stripMargin
+
+  def s03_sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$s03CoreSqlCtes,
        |sc AS (SELECT query_id, neighbor_id, $cosSql AS cos
        | FROM cand JOIN e a ON a.vec_id = query_id
        |           JOIN e b ON b.vec_id = neighbor_id),
@@ -5273,6 +5346,71 @@ object Corpus {
        | FROM sc)
        |SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rank
        |FROM r WHERE rank <= 10""".stripMargin
+
+  /** s19: ANN recall@k — the index-quality eval every serving stack
+    * runs before trusting an approximate index: per probe query, how
+    * much of the EXACT cosine top-10 (the s01 baseline) does the s03
+    * IVF index return at nProbe=8? Both sides are deterministic
+    * pipelines this registry already hash-checks individually; s19
+    * composes them under ONE oracle, so the recall NUMBER itself — not
+    * just each side — is engine-independent. SimilaritySpec's recall
+    * floor (0.9 at this configuration) guards quality; s19 puts the
+    * per-query figure on the dashboard. `recall` is a single division
+    * of exact integers (bit-identical cross-engine).
+    *
+    * Scale shape: the exact side is the s01 broadcast-probe scan
+    * (|probes| fixed); the IVF side touches 8 of nLists inverted
+    * lists; the recall join is ≤ k·|probes| rows. At 100 TB the exact
+    * baseline runs on a SAMPLE of queries by construction (5 probes
+    * here) — recall eval never brute-forces the whole corpus per
+    * query, it brute-forces per PROBE, which is the standard recipe.
+    */
+  val s19_ann_recall: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val exact = Similarity.bruteForceTopK(
+        e.where(col("vec_id") < 5), e,
+        "vec_id", "embedding", "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = s03Index(s, dir)
+      .search(e.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, nProbe = 8)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), lit(10L).as("k"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_exact"))
+          .as("recall"))
+  }
+
+  def s19_sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |xc AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    $cosSql AS cos
+       | FROM e a JOIN e b ON b.vec_id <> a.vec_id WHERE a.vec_id < 5),
+       |xr AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM xc) WHERE rank <= 10),
+       |$s03CoreSqlCtes,
+       |ac AS (SELECT query_id, neighbor_id, $cosSql AS cos
+       | FROM cand JOIN e a ON a.vec_id = query_id
+       |           JOIN e b ON b.vec_id = neighbor_id),
+       |ar AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM ac) WHERE rank <= 10),
+       |hx AS (SELECT query_id, COUNT(*) AS n_exact FROM xr GROUP BY 1),
+       |hh AS (SELECT x.query_id, COUNT(*) AS n_hits
+       | FROM xr x JOIN ar a USING (query_id, neighbor_id) GROUP BY 1)
+       |SELECT hx.query_id, CAST(10 AS BIGINT) AS k, hx.n_exact,
+       |  CAST(COALESCE(hh.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(COALESCE(hh.n_hits, 0) AS DOUBLE) / hx.n_exact AS recall
+       |FROM hx LEFT JOIN hh USING (query_id)""".stripMargin
 
   /** Filtered ANN — vector search under a metadata predicate (the
     * retrieval-serving shape: "nearest neighbors WHERE label ∈ …").
@@ -6268,6 +6406,7 @@ object Corpus {
     "t42_bpe_roundtrip"     -> t42_bpe_roundtrip,
     "t43_unigram_encode"    -> t43_unigram_encode,
     "t44_bestfit_pack"      -> t44_bestfit_pack,
+    "t45_epoch_shuffle"     -> t45_epoch_shuffle,
     "t38_quality_classifier" -> t38_quality_classifier,
     "t39_collocations"      -> t39_collocations,
     "t40_chi2_terms"        -> t40_chi2_terms,
@@ -6310,7 +6449,8 @@ object Corpus {
     "s15_knn_graph"         -> s15_knn_graph,
     "s16_index_health"      -> s16_index_health,
     "s17_pq_ann"            -> s17_pq_ann,
-    "s18_ivfpq_ann"         -> s18_ivfpq_ann)
+    "s18_ivfpq_ann"         -> s18_ivfpq_ann,
+    "s19_ann_recall"        -> s19_ann_recall)
 
   // def, not val: s03_sql embeds the per-dir centroid fixture path for
   // the CURRENT `oracleSfDir`, so the map must be rebuilt at dump time.
@@ -6368,6 +6508,7 @@ object Corpus {
     "t42_bpe_roundtrip"     -> t42_sql,
     "t43_unigram_encode"    -> t43_sql,
     "t44_bestfit_pack"      -> t44_sql,
+    "t45_epoch_shuffle"     -> t45_sql,
     "t38_quality_classifier" -> t38_sql,
     "t39_collocations"      -> t39_sql,
     "t40_chi2_terms"        -> t40_sql,
@@ -6411,5 +6552,6 @@ object Corpus {
     "s15_knn_graph"         -> s15_sql,
     "s16_index_health"      -> s16_sql,
     "s17_pq_ann"            -> s17_sql,
-    "s18_ivfpq_ann"         -> s18_sql)
+    "s18_ivfpq_ann"         -> s18_sql,
+    "s19_ann_recall"        -> s19_sql)
 }

@@ -103,6 +103,9 @@ class PlanLintSpec extends SparkSpec {
       // t44: reuses c06's selection stage verbatim (c06Selection), so
       // it inherits the same hamiltonQuotas 1-row/catalog-small crosses
       "t44_bestfit_pack",
+      // s19: composes s01's broadcast-probe exact baseline with s03's
+      // IVF search, inheriting both queries' justified shapes
+      "s19_ann_recall",
       // q138: the cell-pair theta join runs over the domain-bounded
       // (x, y) grid (50·11 cells at ANY corpus size — the corpus
       // collapsed into one groupBy first), plus three broadcast 1-row

@@ -148,6 +148,26 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("t45 epoch shuffle: every epoch is a permutation of the same corpus, layouts differ") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val out = graft.queries.Corpus.queries("t45_epoch_shuffle")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    val byEpoch = out.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0L, 1L, 2L))
+    // permutation invariant: every epoch folds to the same corpus
+    // checksum (xor of bucket checksums) and the same doc count
+    val folds = byEpoch.view.mapValues(rs =>
+      (rs.map(_._3).sum, rs.map(_._4).reduce(_ ^ _))).toMap
+    assert(folds.values.toSet.size == 1,
+      s"epochs disagree on corpus membership: $folds")
+    // reshuffle invariant: at least one bucket's membership checksum
+    // differs between epochs (the layouts are genuinely re-dealt)
+    val layout = (e: Long) => byEpoch(e).map(r => r._2 -> r._4).toMap
+    assert(layout(0L) != layout(1L) && layout(1L) != layout(2L))
+  }
+
   test("t29 unigram cross-entropy matches the hand-computed add-one LM on a tiny corpus") {
     // corpus: doc1 = "a a b", doc2 = "a c" → c(a)=3, c(b)=c(c)=1,
     // N=5, V=3; xent = ln(N+V) − Σ c_d(w)·ln(c(w)+1) / n_d with the
