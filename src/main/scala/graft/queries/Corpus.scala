@@ -4780,10 +4780,15 @@ object Corpus {
     * multiplies rows by a small constant, exactly like running the
     * epochs themselves.
     */
-  val t45_epoch_shuffle: Q = (s, dir) => {
+  /** One batch's (epoch, bucket) layout partial — counts, token sums,
+    * and xor membership checksums are all ASSOCIATIVE+COMMUTATIVE, so
+    * the streaming twin folds per-batch partials by the same aggregate
+    * ([[foldEpochShuffle]]) and stays exact as the corpus grows.
+    */
+  private[graft] def epochShufflePartial(docs: DataFrame): DataFrame = {
     import graft.functions.KmvSketch
     val epochs = 3L
-    t(s, dir, "documents").transform(spreadScan)
+    docs
       .select(col("doc_id"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
         KmvSketch.hash64(col("doc_id")).as("__ck"))
@@ -4797,6 +4802,19 @@ object Corpus {
         sum(col("n_tokens")).as("sum_tokens"),
         expr("bit_xor(__ck)").as("checksum"))
   }
+
+  /** Fold of (epoch, bucket) partials — the SAME shape as the partial
+    * aggregate (Σ, Σ, xor), shared by the batch query (a no-op fold of
+    * one partial) and the streaming monitor's generations.
+    */
+  def foldEpochShuffle(parts: DataFrame): DataFrame =
+    parts.groupBy(col("epoch"), col("bucket"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_tokens")).as("sum_tokens"),
+        expr("bit_xor(checksum)").as("checksum"))
+
+  val t45_epoch_shuffle: Q = (s, dir) =>
+    epochShufflePartial(t(s, dir, "documents").transform(spreadScan))
 
   val t45_sql: String =
     s"""WITH d AS (SELECT doc_id,

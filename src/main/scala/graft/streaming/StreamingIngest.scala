@@ -1009,6 +1009,49 @@ object StreamingIngest {
     priorGeneration(spark, statsRoot, Long.MaxValue).map(p =>
       graft.queries.Corpus.sftFromTurns(spark.read.parquet(s"$p/turns")))
 
+  /** Continuously maintained epoch-shard layout — the streaming face
+    * of t45 (a corpus that grows all day, epoch shard manifests that
+    * are always current). Every column of the layout is
+    * ASSOCIATIVE+COMMUTATIVE (counts and token sums add, membership
+    * checksums xor), so each micro-batch folds
+    * [[graft.queries.Corpus.epochShufflePartial]]'s compact partial
+    * into the previous generation through the SAME
+    * [[graft.queries.Corpus.foldEpochShuffle]] the read side uses —
+    * O(Δ) work per batch, state bounded at epochs × buckets rows,
+    * streamed ≡ batch exact on the union of batches (spec-asserted).
+    */
+  def epochShuffleStream(
+      docs: DataFrame, // streaming frame: doc_id + text
+      statsRoot: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          val spark = batch.sparkSession
+          val part = graft.queries.Corpus.epochShufflePartial(batch.toDF())
+          val merged = priorGeneration(spark, statsRoot, batchId) match {
+            case Some(p) =>
+              graft.queries.Corpus.foldEpochShuffle(
+                spark.read.parquet(s"$p/layout").unionByName(part))
+            case None => part
+          }
+          merged.write.mode("overwrite")
+            .parquet(s"$statsRoot/gen-$batchId/layout")
+          ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+
+  /** t45's exact layout derived from the newest folded generation, or
+    * None before the first batch lands.
+    */
+  def currentEpochShuffle(
+      spark: SparkSession, statsRoot: String): Option[DataFrame] =
+    priorGeneration(spark, statsRoot, Long.MaxValue).map(p =>
+      spark.read.parquet(s"$p/layout"))
+
   /** Continuously maintained experiment readout — the streaming face
     * of q127's Welch A/B test (the live experimentation dashboard:
     * significance updates as purchase events arrive, instead of at a

@@ -1128,6 +1128,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(_.getString(8).contains(";")))
   }
 
+  test("epochShuffleStream: folded layout partials derive exactly t45 on the union") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_epoch_stream").toString
+    val root = s"$base/epoch"; val ckpt = s"$base/ckpt"
+    val docs = (1L to 120L).map(id => (id, s"tok$id words number ${id % 9}"))
+    val shuffled = new scala.util.Random(37).shuffle(docs)
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingIngest.epochShuffleStream(
+      stream.toDF().toDF("doc_id", "text"), root, ckpt)
+    shuffled.grouped(40).foreach { chunk =>
+      stream.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("epoch", "bucket").collect().toSeq
+    val streamed = rows(StreamingIngest.currentEpochShuffle(spark, root).get)
+    val batch = rows(graft.queries.Corpus.epochShufflePartial(
+      docs.toDF("doc_id", "text")))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streamingNearDupAdmission: self-dedup + corpus filter; admitted generations append") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
