@@ -661,15 +661,24 @@ object Corpus {
     * t42 (marked round-trip) both state their report over `tokpos` +
     * `fin` — one definition of the replayed apply rule, two consumers.
     */
+  /** The per-doc token-position + distinct-vocab CTEs every
+    * tokenizer oracle segments over — ONE statement for the BPE
+    * prefix, the unigram DP, and the t46 scorecard (a drift in what
+    * counts as a token position would silently desynchronize the
+    * tokenizer family's oracles).
+    */
+  private def tokposSqlCtes: String =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tp0 AS (SELECT doc_id, toks,
+       |          unnest(generate_series(1, len(toks))) AS pos FROM t),
+       |tokpos AS (SELECT doc_id, pos, toks[pos] AS token FROM tp0),
+       |vocab AS (SELECT DISTINCT token FROM tokpos)""".stripMargin
+
   private def bpeSegPrefixSql: String =
     s"""WITH RECURSIVE
        |mg AS (SELECT rank, lft, rgt
        |       FROM read_parquet('${bpeMergesPath(oracleSfDir)}/*.parquet')),
-       |t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-       |tp0 AS (SELECT doc_id, toks,
-       |          unnest(generate_series(1, len(toks))) AS pos FROM t),
-       |tokpos AS (SELECT doc_id, pos, toks[pos] AS token FROM tp0),
-       |vocab AS (SELECT DISTINCT token FROM tokpos),
+       |$tokposSqlCtes,
        |enc AS (
        |  SELECT token, list_transform(generate_series(1, length(token)),
        |           i -> substr(token, i, 1)) AS syms, 0 AS iter
@@ -860,17 +869,17 @@ object Corpus {
         md5(concat_ws(" ", col("__enc").getField("pieces"))).as("piece_md5"))
   }
 
-  def t43_sql: String = {
+  /** The unigram Viterbi DP CTEs over an upstream `vocab(token)` —
+    * ONE statement of the replayed segmentation rule shared by the
+    * t43 oracle and the t46 scorecard. Final states land in `ufin`
+    * (named apart from the BPE prefix's `fin` so both tokenizers can
+    * segment the same vocab in one WITH RECURSIVE).
+    */
+  private def unigramVitSqlCtes: String = {
     val L = UnigramMaxPieceLen
-    s"""WITH RECURSIVE
-       |vm AS (SELECT piece, cost
+    s"""vm AS (SELECT piece, cost
        |       FROM read_parquet('${unigramModelPath(oracleSfDir)}/*.parquet')),
        |uk AS (SELECT MAX(cost) + 1000000 AS unk FROM vm),
-       |t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-       |tp0 AS (SELECT doc_id, toks,
-       |          unnest(generate_series(1, len(toks))) AS pos FROM t),
-       |tokpos AS (SELECT doc_id, pos, toks[pos] AS token FROM tp0),
-       |vocab AS (SELECT DISTINCT token FROM tokpos),
        |vit AS (
        |  SELECT token, 0 AS i, CAST([0] AS BIGINT[]) AS dp,
        |         CAST([''] AS VARCHAR[]) AS seg
@@ -903,15 +912,21 @@ object Corpus {
        |    ) WHERE cand IS NOT NULL
        |  ) WHERE rn = 1
        |),
-       |fin AS (SELECT token, dp[length(token) + 1] AS cost,
+       |ufin AS (SELECT token, dp[length(token) + 1] AS cost,
        |    seg[length(token) + 1] AS pieces
-       |  FROM vit WHERE i = length(token)),
+       |  FROM vit WHERE i = length(token))""".stripMargin
+  }
+
+  def t43_sql: String =
+    s"""WITH RECURSIVE
+       |$tokposSqlCtes,
+       |$unigramVitSqlCtes,
        |agg AS (SELECT tp.doc_id, COUNT(*) AS n_tokens,
        |    CAST(SUM(len(string_split(f.pieces, ' '))) AS BIGINT)
        |      AS n_pieces,
        |    CAST(SUM(f.cost) AS BIGINT) AS total_cost,
        |    string_agg(f.pieces, ' ' ORDER BY tp.pos) AS joined
-       |  FROM tokpos tp JOIN fin f ON f.token = tp.token
+       |  FROM tokpos tp JOIN ufin f ON f.token = tp.token
        |  GROUP BY tp.doc_id)
        |SELECT d.doc_id,
        |  CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
@@ -922,6 +937,93 @@ object Corpus {
        |  CAST(COALESCE(a.total_cost, 0) AS BIGINT) AS total_cost,
        |  md5(COALESCE(a.joined, '')) AS piece_md5
        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  /** t46: per-language tokenizer scorecard — the EVALUATION that the
+    * tokenizer family (t37/t42 BPE, t43 unigram-LM) exists to feed:
+    * a multilingual training mix is budgeted in TOKENS, so a
+    * tokenizer that fragments one language more than another silently
+    * shifts the mix (the "fertility tax" — the standard cross-lingual
+    * tokenizer-equity audit). Per corpus language: document/char/word
+    * mass, total BPE subwords and unigram pieces from the SAME two
+    * fitted models the encode queries dump, and the derived scorecard
+    * — fertility (pieces per word) and compression (chars per piece)
+    * for each tokenizer. Ratios are single divisions of exact
+    * BIGINT-derived doubles — bit-identical cross-engine; a zero-word
+    * language yields NULLs, the q135 degenerate rule.
+    *
+    * Scale shape: one narrow projection applying both native encode
+    * expressions (no shuffle), then ONE map-side-combined aggregate on
+    * the language key — the grouped roll-up costs nothing beyond the
+    * t37/t43 scans it merges. The oracle replays BOTH segmenters in
+    * one WITH RECURSIVE (the shared [[tokposSqlCtes]] vocab feeding
+    * the BPE merge CTE and the unigram Viterbi CTE side by side) —
+    * one statement, two independent DPs, then the same grouped fold.
+    */
+  val t46_tokenizer_eval: Q = (s, dir) => {
+    val bm = bpeModel(s, dir)
+    val um = unigramModel(s, dir)
+    def ratio(num: org.apache.spark.sql.Column,
+        den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(den === 0L, lit(null).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+    t(s, dir, "documents").transform(spreadScan)
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .select(col("lang"),
+        length(col("text")).cast("long").as("__chars"),
+        size(col("__toks")).cast("long").as("__words"),
+        size(graft.functions.BpeSubwords(col("__toks"), bm)).cast("long")
+          .as("__bpe"),
+        size(graft.functions.UnigramEncode(col("__toks"), um)
+          .getField("pieces")).cast("long").as("__uni"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__chars")).as("n_chars"),
+        sum(col("__words")).as("n_words"),
+        sum(col("__bpe")).as("n_bpe_subwords"),
+        sum(col("__uni")).as("n_unigram_pieces"))
+      .select(col("lang"), col("n_docs"), col("n_chars"), col("n_words"),
+        col("n_bpe_subwords"), col("n_unigram_pieces"),
+        ratio(col("n_bpe_subwords"), col("n_words")).as("fertility_bpe"),
+        ratio(col("n_unigram_pieces"), col("n_words"))
+          .as("fertility_unigram"),
+        ratio(col("n_chars"), col("n_bpe_subwords"))
+          .as("chars_per_bpe_subword"),
+        ratio(col("n_chars"), col("n_unigram_pieces"))
+          .as("chars_per_unigram_piece"))
+  }
+
+  def t46_sql: String = {
+    def ratio(num: String, den: String): String =
+      s"CASE WHEN $den = 0 THEN NULL ELSE CAST($num AS DOUBLE) / CAST($den AS DOUBLE) END"
+    s"""$bpeSegPrefixSql,
+       |$unigramVitSqlCtes,
+       |per AS (SELECT tp.doc_id,
+       |    COUNT(*) AS nw,
+       |    CAST(SUM(len(f.syms)) AS BIGINT) AS nb,
+       |    CAST(SUM(len(string_split(u.pieces, ' '))) AS BIGINT) AS nu
+       |  FROM tokpos tp
+       |  JOIN fin f ON f.token = tp.token
+       |  JOIN ufin u ON u.token = tp.token
+       |  GROUP BY tp.doc_id),
+       |dd AS (SELECT d.lang,
+       |    CAST(length(d.text) AS BIGINT) AS chars,
+       |    CAST(COALESCE(p.nw, 0) AS BIGINT) AS nw,
+       |    CAST(COALESCE(p.nb, 0) AS BIGINT) AS nb,
+       |    CAST(COALESCE(p.nu, 0) AS BIGINT) AS nu
+       |  FROM documents d LEFT JOIN per p USING (doc_id)),
+       |g AS (SELECT lang, COUNT(*) AS n_docs,
+       |    CAST(SUM(chars) AS BIGINT) AS n_chars,
+       |    CAST(SUM(nw) AS BIGINT) AS n_words,
+       |    CAST(SUM(nb) AS BIGINT) AS n_bpe_subwords,
+       |    CAST(SUM(nu) AS BIGINT) AS n_unigram_pieces
+       |  FROM dd GROUP BY lang)
+       |SELECT lang, n_docs, n_chars, n_words, n_bpe_subwords,
+       |  n_unigram_pieces,
+       |  ${ratio("n_bpe_subwords", "n_words")} AS fertility_bpe,
+       |  ${ratio("n_unigram_pieces", "n_words")} AS fertility_unigram,
+       |  ${ratio("n_chars", "n_bpe_subwords")} AS chars_per_bpe_subword,
+       |  ${ratio("n_chars", "n_unigram_pieces")} AS chars_per_unigram_piece
+       |FROM g""".stripMargin
   }
 
   /** Lossless edit-distance similarity join over the customer-name
@@ -4947,8 +5049,14 @@ object Corpus {
   val c07_sft_assembly: Q = (s, dir) =>
     sftFromTurns(c07TurnFrame(t(s, dir, "events")))
 
-  val c07_sql: String =
-    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+  /** The c07 turn-frame CTE prefix ([[c07TurnFrame]]'s dialect half) —
+    * ONE statement shared by the c07 and c08 oracles: a drift between
+    * the two restatements (role map, template, week key) would make
+    * the SFT and preference faces disagree about what a turn IS with
+    * no local test failing.
+    */
+  private val c07TurnSqlCtes: String =
+    """e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
       |    event_type, props FROM events),
       |tu AS (SELECT *,
       |    CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS conv_week,
@@ -4967,7 +5075,10 @@ object Corpus {
       |tok AS (SELECT *,
       |    CAST(len(list_filter(string_split_regex(lower(rendered), '\s+'),
       |      x -> x <> '')) AS BIGINT) AS n_turn_tokens
-      |  FROM r),
+      |  FROM r)""".stripMargin
+
+  val c07_sql: String =
+    s"""WITH $c07TurnSqlCtes,
       |off AS (SELECT *,
       |    CAST(COALESCE(SUM(n_turn_tokens) OVER (
       |      PARTITION BY user_id, conv_week ORDER BY ts, event_id
@@ -5002,6 +5113,142 @@ object Corpus {
       |  p.n_assistant_turns, p.loss_tokens, p.pack_id, p.pack_offset,
       |  COALESCE(s.loss_spans, '') AS loss_spans, p.conv_md5
       |FROM pp p LEFT JOIN sp s USING (user_id, conv_week)""".stripMargin
+
+  /** c08: preference-pair (DPO/RLHF) assembly — the PREFERENCE face of
+    * the training-data release family: c06 cuts the pre-training mix,
+    * c07 the supervised turns, c08 the chosen/rejected pairs a
+    * preference-optimization run consumes. From the SAME turn frame as
+    * c07 ([[c07TurnFrame]] — one definition of what a turn is, three
+    * consumers), each prompt group's (user, week) assistant turns are
+    * the candidate responses; a deterministic reward scores each
+    * candidate (`hash64(rendered) mod 1000` — an opaque, bit-replayable
+    * stand-in for a reward model, deliberately NOT length, so the
+    * manifest's `len_bias` column measures real length skew instead of
+    * restating the scorer); chosen = the reward-ranked first, rejected
+    * = the reward-ranked last (one total order read from both ends —
+    * ONE window sort, not two), pairs with zero margin are dropped
+    * (a DPO loss needs a strict preference), and identical
+    * (chosen, rejected) content pairs are deduped globally keeping the
+    * smallest (user, week) — the pair-level exact-dedup step of a real
+    * preference pipeline. The manifest carries both event ids, both
+    * rewards, the margin, both token counts, the length-bias flag, the
+    * prompt-context hash, and `pair_md5` over the full renderings — so
+    * the oracle compare certifies template rendering, ranking, margin
+    * filter, and dedup, not just counts.
+    *
+    * Scale shape: one window + one unordered count over the
+    * data-scaling (user, week) key, one keyed aggregate for the prompt
+    * context, equi-joins on the group key, and a high-cardinality
+    * `pair_md5` dedup window — no cross join, no driver state; the
+    * window state is one prompt group's candidates, context-bounded
+    * for the same reason a conversation is.
+    */
+  private[graft] def prefPairsFromTurns(turns: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.KmvSketch
+    val cand = turns.where(col("role") === "assistant")
+      .withColumn("reward",
+        pmod(KmvSketch.hash64(col("rendered")), lit(1000L)))
+    val wOrd = Window.partitionBy(col("user_id"), col("conv_week"))
+      .orderBy(col("reward").desc, col("ts").asc, col("event_id").asc)
+    val wAll = Window.partitionBy(col("user_id"), col("conv_week"))
+    val ranked = cand
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("n_candidates", count(lit(1)).over(wAll))
+      .where(col("n_candidates") >= 2L)
+      .localCheckpoint(true) // read from both ends: chosen + rejected
+    val chosen = ranked.where(col("__rn") === 1)
+      .select(col("user_id"), col("conv_week"), col("n_candidates"),
+        col("event_id").as("chosen_event_id"),
+        col("reward").as("chosen_reward"),
+        col("n_turn_tokens").as("chosen_tokens"),
+        col("rendered").as("__ch_rend"))
+    val rejected = ranked.where(col("__rn") === col("n_candidates"))
+      .select(col("user_id"), col("conv_week"),
+        col("event_id").as("rejected_event_id"),
+        col("reward").as("rejected_reward"),
+        col("n_turn_tokens").as("rejected_tokens"),
+        col("rendered").as("__rj_rend"))
+    val prompts = turns.where(col("role") =!= "assistant")
+      .groupBy(col("user_id"), col("conv_week"))
+      .agg(
+        // one prompt group's turns — context-bounded by definition
+        md5(array_join(transform(
+          array_sort(collect_list(
+            struct(col("ts"), col("event_id"), col("rendered")))),
+          _.getField("rendered")), " ")).as("prompt_md5"),
+        sum(col("n_turn_tokens")).as("prompt_tokens"))
+    val pairs = chosen
+      .join(rejected, Seq("user_id", "conv_week"))
+      .join(prompts, Seq("user_id", "conv_week"), "left")
+      .where(col("chosen_reward") > col("rejected_reward"))
+      .withColumn("pair_md5",
+        md5(concat(col("__ch_rend"), lit(" ## "), col("__rj_rend"))))
+    val wDup = Window.partitionBy(col("pair_md5"))
+      .orderBy(col("user_id").asc, col("conv_week").asc)
+    pairs
+      .withColumn("__dup_rn", row_number().over(wDup))
+      .where(col("__dup_rn") === 1)
+      .select(col("user_id"), col("conv_week"), col("n_candidates"),
+        col("chosen_event_id"), col("rejected_event_id"),
+        col("chosen_reward"), col("rejected_reward"),
+        (col("chosen_reward") - col("rejected_reward")).as("margin"),
+        col("chosen_tokens"), col("rejected_tokens"),
+        (col("chosen_tokens") > col("rejected_tokens")).as("len_bias"),
+        coalesce(col("prompt_md5"), md5(lit(""))).as("prompt_md5"),
+        coalesce(col("prompt_tokens"), lit(0L)).as("prompt_tokens"),
+        col("pair_md5"))
+  }
+
+  val c08_preference_pairs: Q = (s, dir) =>
+    prefPairsFromTurns(c07TurnFrame(t(s, dir, "events")))
+
+  val c08_sql: String =
+    s"""WITH $c07TurnSqlCtes,
+      |cand AS (SELECT user_id, conv_week, ts, event_id, rendered,
+      |    n_turn_tokens,
+      |    CAST(CAST(('0x' || substr(md5(rendered), 1, 15)) AS BIGINT)
+      |      % 1000 AS BIGINT) AS reward
+      |  FROM tok WHERE role = 'assistant'),
+      |rk AS (SELECT *,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, conv_week
+      |      ORDER BY reward DESC, ts, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id, conv_week)
+      |      AS n_candidates
+      |  FROM cand),
+      |ch AS (SELECT user_id, conv_week, n_candidates,
+      |    event_id AS chosen_event_id, reward AS chosen_reward,
+      |    n_turn_tokens AS chosen_tokens, rendered AS chosen_rendered
+      |  FROM rk WHERE rn = 1 AND n_candidates >= 2),
+      |rj AS (SELECT user_id, conv_week,
+      |    event_id AS rejected_event_id, reward AS rejected_reward,
+      |    n_turn_tokens AS rejected_tokens, rendered AS rejected_rendered
+      |  FROM rk WHERE rn = n_candidates AND n_candidates >= 2),
+      |pr AS (SELECT user_id, conv_week,
+      |    md5(string_agg(rendered, ' ' ORDER BY ts, event_id))
+      |      AS prompt_md5,
+      |    CAST(SUM(n_turn_tokens) AS BIGINT) AS prompt_tokens
+      |  FROM tok WHERE role <> 'assistant' GROUP BY 1, 2),
+      |pair AS (SELECT c.user_id, c.conv_week, c.n_candidates,
+      |    c.chosen_event_id, j.rejected_event_id,
+      |    c.chosen_reward, j.rejected_reward,
+      |    CAST(c.chosen_reward - j.rejected_reward AS BIGINT) AS margin,
+      |    c.chosen_tokens, j.rejected_tokens,
+      |    c.chosen_tokens > j.rejected_tokens AS len_bias,
+      |    COALESCE(p.prompt_md5, md5('')) AS prompt_md5,
+      |    CAST(COALESCE(p.prompt_tokens, 0) AS BIGINT) AS prompt_tokens,
+      |    md5(c.chosen_rendered || ' ## ' || j.rejected_rendered)
+      |      AS pair_md5
+      |  FROM ch c JOIN rj j USING (user_id, conv_week)
+      |  LEFT JOIN pr p USING (user_id, conv_week)
+      |  WHERE c.chosen_reward > j.rejected_reward),
+      |dd AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY pair_md5
+      |    ORDER BY user_id, conv_week) AS dup_rn FROM pair)
+      |SELECT user_id, conv_week, n_candidates, chosen_event_id,
+      |  rejected_event_id, chosen_reward, rejected_reward, margin,
+      |  chosen_tokens, rejected_tokens, len_bias, prompt_md5,
+      |  prompt_tokens, pair_md5
+      |FROM dd WHERE dup_rn = 1""".stripMargin
 
   private def c04Root: String = s"${graft.ingest.FixtureTables.root}/c04"
 
@@ -6425,6 +6672,7 @@ object Corpus {
     "t43_unigram_encode"    -> t43_unigram_encode,
     "t44_bestfit_pack"      -> t44_bestfit_pack,
     "t45_epoch_shuffle"     -> t45_epoch_shuffle,
+    "t46_tokenizer_eval"    -> t46_tokenizer_eval,
     "t38_quality_classifier" -> t38_quality_classifier,
     "t39_collocations"      -> t39_collocations,
     "t40_chi2_terms"        -> t40_chi2_terms,
@@ -6435,6 +6683,7 @@ object Corpus {
     "c05_entity_resolution" -> c05_entity_resolution,
     "c06_training_mix_release" -> c06_training_mix_release,
     "c07_sft_assembly"      -> c07_sft_assembly,
+    "c08_preference_pairs"  -> c08_preference_pairs,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -6527,6 +6776,7 @@ object Corpus {
     "t43_unigram_encode"    -> t43_sql,
     "t44_bestfit_pack"      -> t44_sql,
     "t45_epoch_shuffle"     -> t45_sql,
+    "t46_tokenizer_eval"    -> t46_sql,
     "t38_quality_classifier" -> t38_sql,
     "t39_collocations"      -> t39_sql,
     "t40_chi2_terms"        -> t40_sql,
@@ -6537,6 +6787,7 @@ object Corpus {
     "c05_entity_resolution" -> c05_sql,
     "c06_training_mix_release" -> c06_sql,
     "c07_sft_assembly"      -> c07_sql,
+    "c08_preference_pairs"  -> c08_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,

@@ -1473,6 +1473,98 @@ object Features {
        |FROM m""".stripMargin
   }
 
+  // --------------------------------------------- effect size
+
+  /** q140: Cliff's delta — the EFFECT-SIZE companion to q137: a
+    * rank-sum test on a large corpus flags shifts that are
+    * statistically certain but practically meaningless (z grows with
+    * √n at a FIXED shift), so a release gate needs the
+    * sample-size-free magnitude δ = P(ref > cur) − P(cur > ref) next
+    * to the significance verdict. Derived from the SAME additive
+    * (value, ref count, cur count) frame as q135/q137
+    * ([[ksValueCounts]] — the streaming fold that maintains those
+    * monitors maintains this one for free), via the rank identity
+    * 2·U₁ = 2·R₁ − n₁(n₁+1) and δ = (2·U₁ − n₁n₂) / (n₁n₂): with
+    * doubled tie-averaged ranks both numerator and denominator are
+    * EXACT integers (DECIMAL sums all the way), crossed to double
+    * through the q47 string cast for the single final division —
+    * bit-identical across engines, so the Romano magnitude label
+    * (0.147 / 0.33 / 0.474 thresholds on |δ|) can never disagree
+    * either. One-sided data (n_ref or n_cur = 0) yields NULLs, the
+    * q135 degenerate rule.
+    */
+  /** δ from a (v, __cr, __cc) count frame — [[ksValueCounts]]'s shape,
+    * so the per-batch fold that maintains the KS/rank-sum monitors
+    * maintains the effect size too (scalacheck pins it against the
+    * brute-force pair count).
+    */
+  def cliffsDeltaFromCounts(counts: DataFrame): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    def d(c: Column): Column = c.cast("string").cast("double")
+    val g = counts
+      .withColumn("__c", col("__cr") + col("__cc"))
+      .withColumn("__bucket", floor(col("v") / lit(25.0)).cast("long"))
+      .localCheckpoint(true) // bucket prefix AND the per-value join
+    val pref = exclusivePrefix(g, "v", "__bucket", Seq("__exc" -> "__c"))
+      .withColumn("__r2", lit(2L) * col("__exc") + col("__c") + lit(1L))
+    val m = pref.agg(
+      sum(col("__cr")).as("n_ref"),
+      sum(col("__cc")).as("n_cur"),
+      sum(col("__cr").cast(d19) * col("__r2").cast(d19)).as("__r1x2d"))
+    val nr = col("n_ref").cast(d19)
+    val nc = col("n_cur").cast(d19)
+    // 2·U₁ − n₁n₂ = (doubled ref rank-sum) − n₁(n₁+1) − n₁n₂ — exact
+    // DECIMAL integers end to end; only the final ratio is IEEE
+    val num = d(col("__r1x2d") - nr * (nr + lit(1L).cast(d19))
+      - nr * nc)
+    val den = d(nr * nc)
+    val degen = col("n_ref") === 0 || col("n_cur") === 0
+    val delta = when(degen, lit(null).cast("double")).otherwise(num / den)
+    val mag = when(degen, lit(null).cast("string"))
+      .when(abs(delta) < lit(0.147), lit("negligible"))
+      .when(abs(delta) < lit(0.33), lit("small"))
+      .when(abs(delta) < lit(0.474), lit("medium"))
+      .otherwise(lit("large"))
+    m.select(col("n_ref"), col("n_cur"), delta.as("cliffs_delta"),
+      mag.as("magnitude"))
+  }
+
+  val q140_cliffs_delta: Q = (s, dir) =>
+    cliffsDeltaFromCounts(ksValueCounts(t(s, dir, "events")))
+
+  def q140_sql: String = {
+    val num = "CAST(CAST(r1x2d - nr * (nr + 1) - nr * nc AS VARCHAR) AS DOUBLE)"
+    val den = "CAST(CAST(nr * nc AS VARCHAR) AS DOUBLE)"
+    val degen = "(n_ref = 0 OR n_cur = 0)"
+    val delta = s"CASE WHEN $degen THEN NULL ELSE $num / $den END"
+    s"""WITH e AS (SELECT (ts < TIMESTAMP '$DriftSplitSql') AS ref,
+       |    value AS v FROM events),
+       |g AS (SELECT v,
+       |    CAST(SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+       |    CAST(SUM(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS cc
+       |  FROM e WHERE v IS NOT NULL GROUP BY v),
+       |r AS (SELECT cr, cc, cr + cc AS c,
+       |    CAST(2 * COALESCE(SUM(cr + cc) OVER (ORDER BY v
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      + (cr + cc) + 1 AS BIGINT) AS r2
+       |  FROM g),
+       |m AS (SELECT CAST(SUM(cr) AS BIGINT) AS n_ref,
+       |    CAST(SUM(cc) AS BIGINT) AS n_cur,
+       |    CAST(SUM(cr) AS DECIMAL(19,0)) AS nr,
+       |    CAST(SUM(cc) AS DECIMAL(19,0)) AS nc,
+       |    SUM(CAST(cr AS DECIMAL(19,0)) * CAST(r2 AS DECIMAL(19,0)))
+       |      AS r1x2d
+       |  FROM r),
+       |x AS (SELECT n_ref, n_cur, $delta AS cliffs_delta FROM m)
+       |SELECT n_ref, n_cur, cliffs_delta,
+       |  CASE WHEN cliffs_delta IS NULL THEN NULL
+       |       WHEN abs(cliffs_delta) < 0.147E0 THEN 'negligible'
+       |       WHEN abs(cliffs_delta) < 0.33E0 THEN 'small'
+       |       WHEN abs(cliffs_delta) < 0.474E0 THEN 'medium'
+       |       ELSE 'large' END AS magnitude
+       |FROM x""".stripMargin
+  }
+
   // ------------------------------------------- rank correlation II
 
   /** q138: Kendall τ-b — q131's PAIRWISE sibling: Spearman correlates
@@ -1721,6 +1813,7 @@ object Features {
     "q136_cohens_kappa"   -> q136_cohens_kappa,
     "q137_mannwhitney"    -> q137_mannwhitney,
     "q138_kendall_tau"    -> q138_kendall_tau,
+    "q140_cliffs_delta"   -> q140_cliffs_delta,
     "q139_drift_by_slice" -> q139_drift_by_slice,
     "q131_spearman"       -> q131_spearman,
     "q132_token_gini"     -> q132_token_gini,
@@ -1745,6 +1838,7 @@ object Features {
     "q136_cohens_kappa"   -> q136_sql,
     "q137_mannwhitney"    -> q137_sql,
     "q138_kendall_tau"    -> q138_sql,
+    "q140_cliffs_delta"   -> q140_sql,
     "q139_drift_by_slice" -> q139_sql,
     "q118_feature_store"  -> q118_sql,
     "q119_k_anonymity"    -> q119_sql,

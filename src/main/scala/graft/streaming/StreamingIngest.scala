@@ -1009,6 +1009,21 @@ object StreamingIngest {
     priorGeneration(spark, statsRoot, Long.MaxValue).map(p =>
       graft.queries.Corpus.sftFromTurns(spark.read.parquet(s"$p/turns")))
 
+  /** c08's exact preference pairs derived from the SAME turn store
+    * [[sftAssemblyStream]] maintains — a pure read-side addition with
+    * ZERO new state: ranking, margin filter, and pair-level dedup all
+    * happen at read time through the batch
+    * [[graft.queries.Corpus.prefPairsFromTurns]], so a late candidate
+    * response can re-decide a prompt group's chosen/rejected verdict
+    * (which no carried-pair state could get right) — streamed ≡ batch
+    * exact on the union of batches (spec-asserted).
+    */
+  def currentPreferencePairs(
+      spark: SparkSession, statsRoot: String): Option[DataFrame] =
+    priorGeneration(spark, statsRoot, Long.MaxValue).map(p =>
+      graft.queries.Corpus.prefPairsFromTurns(
+        spark.read.parquet(s"$p/turns")))
+
   /** Continuously maintained epoch-shard layout — the streaming face
     * of t45 (a corpus that grows all day, epoch shard manifests that
     * are always current). Every column of the layout is

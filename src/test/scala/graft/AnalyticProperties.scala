@@ -221,6 +221,39 @@ object AnalyticProperties extends Properties("graft.analytic") {
       r.getLong(0) == n1 && r.getLong(1) == n2 && uOk && zOk
     }
 
+  property("cliffsDeltaFromCounts ≡ brute-force P(ref>cur)−P(cur>ref) on arbitrary samples") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.choose(0, 40).map(_ / 2.0)),
+      Gen.nonEmptyListOf(Gen.choose(0, 40).map(_ / 2.0))) { (ref0, cur0) =>
+      // shrinking can bypass nonEmptyListOf; degenerate (one-sided)
+      // inputs are covered by the NULL rule, so pin shrinks to 1 row
+      val ref = if (ref0.isEmpty) List(1.0) else ref0
+      val cur = if (cur0.isEmpty) List(1.0) else cur0
+      val before = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+      val after = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+      val ev = (ref.map((before, _)) ++ cur.map((after, _)))
+        .toDF("ts", "value")
+      val r = graft.queries.Features
+        .cliffsDeltaFromCounts(graft.queries.Features.ksValueCounts(ev))
+        .collect()(0)
+      // the definitional pair count: δ = (#(x>y) − #(x<y)) / (n1·n2)
+      var gt = 0L; var ltc = 0L
+      for (x <- ref; y <- cur) {
+        if (x > y) gt += 1 else if (x < y) ltc += 1
+      }
+      val (n1, n2) = (ref.length.toLong, cur.length.toLong)
+      val brute = (gt - ltc).toDouble / (n1 * n2).toDouble
+      val mag = math.abs(brute) match {
+        case a if a < 0.147 => "negligible"
+        case a if a < 0.33  => "small"
+        case a if a < 0.474 => "medium"
+        case _              => "large"
+      }
+      r.getLong(0) == n1 && r.getLong(1) == n2 &&
+        math.abs(r.getDouble(2) - brute) < 1e-12 &&
+        r.getString(3) == mag
+    }
+
   property("kendallFromPairs ≡ brute-force pair counting on arbitrary samples") =
     Prop.forAll(
       Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 8), Gen.choose(0, 5)))) { xy0 =>

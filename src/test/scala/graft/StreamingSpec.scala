@@ -1128,6 +1128,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(_.getString(8).contains(";")))
   }
 
+  test("currentPreferencePairs: read-time pairing equals batch c08 on the same turn store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_pref_stream").toString
+    val root = s"$base/pref"; val ckpt = s"$base/ckpt"
+    val types = Seq("view", "click", "purchase", "error", "signup")
+    val t0 = 1704067200000000L // 2024-01-01T00:00Z in micros
+    // 120 events, 4 users — denser per-(user, week) groups so prompt
+    // groups carry ≥2 assistant candidates and the ranking matters
+    val events = (1L to 120L).map { id =>
+      val ts = new java.sql.Timestamp((t0 + id * 5400L * 1000000L) / 1000L)
+      (id % 4, ts, id, types((id % 5).toInt), s"""{"k": ${id % 7}}""")
+    }
+    // late arrivals: a candidate landing batches later can FLIP a
+    // prompt group's chosen/rejected verdict — the case carried-pair
+    // state would get wrong and read-time assembly must get right
+    val shuffled = new scala.util.Random(37).shuffle(events)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String, String)]
+    val q = StreamingIngest.sftAssemblyStream(
+      stream.toDF().toDF("user_id", "ts", "event_id", "event_type", "props"),
+      root, ckpt)
+    shuffled.grouped(40).foreach { chunk =>
+      stream.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("user_id", "conv_week").collect().toSeq
+    val streamed = rows(StreamingIngest.currentPreferencePairs(spark, root).get)
+    val batch = rows(graft.queries.Corpus.prefPairsFromTurns(
+      graft.queries.Corpus.c07TurnFrame(
+        events.toDF("user_id", "ts", "event_id", "event_type", "props"))))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // the fixture really exercises ranking: some group has >2
+    // candidates, so chosen/rejected is a real selection, not a swap
+    assert(streamed.exists(_.getLong(2) > 2L))
+  }
+
   test("epochShuffleStream: folded layout partials derive exactly t45 on the union") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
