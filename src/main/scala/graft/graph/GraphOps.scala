@@ -251,6 +251,49 @@ object GraphOps {
     labels
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) for
+    * community detection, run a FIXED `iters` rounds with a total
+    * tie rule — each node adopts the most frequent label among its
+    * neighbors, ties to the smallest label — so the loop is a pure
+    * function of the edge set (no RNG, no visit order), bit-replayable
+    * by an oracle that unrolls the same rounds. Communities are the
+    * modularity-style refinement of [[connectedComponents]]'s
+    * reachability classes: CC answers "same mirror cluster?", LPA
+    * answers "same densely-linked neighborhood?" — the link-farm /
+    * topic-cluster signal of a crawl-curation pipeline.
+    *
+    * Per iteration: one keyed join carries labels to neighbors, one
+    * map-side-combined (node, label) count, one per-node window rank
+    * — the same 2-exchange discipline as [[pageRank]], with
+    * `localCheckpoint` truncating the per-round lineage. Synchronous
+    * updates can oscillate on bipartite structures; with a fixed
+    * iteration count both engines see the SAME oscillation, so
+    * determinism survives (convergence is a quality knob here, not a
+    * correctness one).
+    */
+  def labelPropagation(edgesUndirected: DataFrame, iters: Int): DataFrame = {
+    val both = edgesUndirected.select(col("src"), col("dst"))
+      .unionAll(edgesUndirected.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var labels = both.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node"))
+      .orderBy(col("cnt").desc, col("label").asc)
+    for (_ <- 1 to iters) {
+      labels = both
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("node"), col("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   /** Per-node triangle count + local clustering coefficient over an
     * undirected (src < dst) edge set. The src<dst orientation
     * enumerates each triangle exactly once as (a<b<c) — a 3-way

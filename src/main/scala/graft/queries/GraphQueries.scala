@@ -382,7 +382,48 @@ object GraphQueries {
        |ORDER BY s.common_neighbors DESC, s.ra_index_e9 DESC, s.a, s.b
        |LIMIT 100""".stripMargin
 
+  private val LpIters = 4
+
+  /** g09: label-propagation communities (Raghavan et al. 2007) on the
+    * support≥2 undirected graph — the density-sensitive refinement of
+    * g02's reachability components (one component can hold several
+    * link-farm / topic clusters; LPA separates them, CC cannot). Fixed
+    * [[LpIters]] synchronous rounds with the total (count desc, label
+    * asc) tie rule make the result a pure function of the edge set
+    * ([[GraphOps.labelPropagation]]); the oracle unrolls the identical
+    * recurrence round by round, so the hash compare proves
+    * iteration-for-iteration equivalence. Output mirrors g02's shape:
+    * node, final community label, community size.
+    */
+  val g09_label_propagation: Q = (s, dir) => {
+    val eu = GraphOps.copurchaseEdgesUndirected(t(s, dir, "lineitem"), MinSupport)
+    GraphOps.labelPropagation(eu, LpIters)
+      .select(col("node").as("part_key"), col("label").as("community"),
+        count(lit(1)).over(Window.partitionBy(col("label"))).as("comm_size"))
+  }
+
+  val g09_sql: String = {
+    // AS MATERIALIZED for the same reason as g02: each round is read
+    // by the next one's join AND the final window — plain CTE inlining
+    // would re-expand the round tree per reference.
+    val rounds = (1 to LpIters).map { i =>
+      s"""lp$i AS MATERIALIZED (SELECT node, label FROM (
+         |  SELECT e.dst AS node, l.label,
+         |    ROW_NUMBER() OVER (PARTITION BY e.dst
+         |      ORDER BY COUNT(*) DESC, l.label) AS rn
+         |  FROM bidir e JOIN lp${i - 1} l ON l.node = e.src
+         |  GROUP BY e.dst, l.label) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       |lp0 AS (SELECT DISTINCT src AS node, src AS label FROM bidir),
+       |$rounds
+       |SELECT node AS part_key, label AS community,
+       |  COUNT(*) OVER (PARTITION BY label) AS comm_size
+       |FROM lp$LpIters""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "g09_label_propagation" -> g09_label_propagation,
     "g08_link_prediction" -> g08_link_prediction,
     "g01_pagerank"    -> g01_pagerank,
     "g06_weighted_pagerank" -> g06_weighted_pagerank,
@@ -393,6 +434,7 @@ object GraphQueries {
     "g05_hyperball"   -> g05_hyperball)
 
   val oracles: Map[String, String] = Map(
+    "g09_label_propagation" -> g09_sql,
     "g08_link_prediction" -> g08_sql,
     "g01_pagerank"    -> g01_sql,
     "g06_weighted_pagerank" -> g06_sql,

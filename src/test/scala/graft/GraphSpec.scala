@@ -117,6 +117,31 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("label propagation: two cliques joined by a bridge split into two communities") {
+    // 1-2-3 triangle and 10-11-12 triangle, one bridge 3-10: LPA must
+    // keep the cliques as separate min-label communities (CC would
+    // merge everything into one label — the distinction g09 exists for)
+    val e = edges((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    val got = GraphOps.labelPropagation(e, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 10L, 11L, 12L))
+    // clique labels converge to the clique minimum on each side
+    assert(Set(got(1L), got(2L), got(3L)).size == 1)
+    assert(Set(got(10L), got(11L), got(12L)).size == 1)
+    assert(got(1L) != got(10L))
+  }
+
+  test("label propagation: ties go to the smallest label deterministically") {
+    // node 2's neighbors 1 and 3 tie at count 1 after round 1 — the
+    // (count desc, label asc) rule must pick 1 every run
+    val e = edges((1L, 2L), (2L, 3L))
+    val got = GraphOps.labelPropagation(e, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(2L) == 1L)
+    assert(got(1L) == 2L && got(3L) == 2L) // sole neighbor's label
+  }
+
   test("components converge within the g02 round cap on sf0.01") {
     // The oracle unrolls exactly CcRounds rounds; equality with the
     // Spark fixpoint needs convergence inside the cap. Verify the cap
