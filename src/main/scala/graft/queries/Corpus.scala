@@ -959,14 +959,15 @@ object Corpus {
     * the BPE merge CTE and the unigram Viterbi CTE side by side) —
     * one statement, two independent DPs, then the same grouped fold.
     */
-  val t46_tokenizer_eval: Q = (s, dir) => {
-    val bm = bpeModel(s, dir)
-    val um = unigramModel(s, dir)
-    def ratio(num: org.apache.spark.sql.Column,
-        den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      when(den === 0L, lit(null).cast("double"))
-        .otherwise(num.cast("double") / den.cast("double"))
-    t(s, dir, "documents").transform(spreadScan)
+  /** t46's additive per-language mass frame — every column is a count
+    * or a sum, so the streaming twin folds per-batch partials of this
+    * exact shape ([[graft.streaming.StreamingIngest.tokenizerEvalStream]])
+    * and the state is bounded at one row per language.
+    */
+  private[graft] def tokenizerEvalPartial(docs: DataFrame,
+      bm: graft.text.Bpe.Merges,
+      um: graft.text.Unigram.Model): DataFrame =
+    docs.transform(spreadScan)
       .withColumn("__toks", TextAnalysis.tokens(col("text")))
       .select(col("lang"),
         length(col("text")).cast("long").as("__chars"),
@@ -981,16 +982,38 @@ object Corpus {
         sum(col("__words")).as("n_words"),
         sum(col("__bpe")).as("n_bpe_subwords"),
         sum(col("__uni")).as("n_unigram_pieces"))
-      .select(col("lang"), col("n_docs"), col("n_chars"), col("n_words"),
-        col("n_bpe_subwords"), col("n_unigram_pieces"),
-        ratio(col("n_bpe_subwords"), col("n_words")).as("fertility_bpe"),
-        ratio(col("n_unigram_pieces"), col("n_words"))
-          .as("fertility_unigram"),
-        ratio(col("n_chars"), col("n_bpe_subwords"))
-          .as("chars_per_bpe_subword"),
-        ratio(col("n_chars"), col("n_unigram_pieces"))
-          .as("chars_per_unigram_piece"))
+
+  private[graft] def foldTokenizerEval(parts: DataFrame): DataFrame =
+    parts.groupBy(col("lang")).agg(
+      sum(col("n_docs")).as("n_docs"),
+      sum(col("n_chars")).as("n_chars"),
+      sum(col("n_words")).as("n_words"),
+      sum(col("n_bpe_subwords")).as("n_bpe_subwords"),
+      sum(col("n_unigram_pieces")).as("n_unigram_pieces"))
+
+  /** The scorecard tail over a folded mass frame — shared verbatim by
+    * the batch query and the streaming monitor's read side, so the
+    * streamed scorecard EQUALS the batch one on the union of batches.
+    */
+  def tokenizerEvalReport(mass: DataFrame): DataFrame = {
+    def ratio(num: org.apache.spark.sql.Column,
+        den: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(den === 0L, lit(null).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+    mass.select(col("lang"), col("n_docs"), col("n_chars"), col("n_words"),
+      col("n_bpe_subwords"), col("n_unigram_pieces"),
+      ratio(col("n_bpe_subwords"), col("n_words")).as("fertility_bpe"),
+      ratio(col("n_unigram_pieces"), col("n_words"))
+        .as("fertility_unigram"),
+      ratio(col("n_chars"), col("n_bpe_subwords"))
+        .as("chars_per_bpe_subword"),
+      ratio(col("n_chars"), col("n_unigram_pieces"))
+        .as("chars_per_unigram_piece"))
   }
+
+  val t46_tokenizer_eval: Q = (s, dir) =>
+    tokenizerEvalReport(tokenizerEvalPartial(
+      t(s, dir, "documents"), bpeModel(s, dir), unigramModel(s, dir)))
 
   def t46_sql: String = {
     def ratio(num: String, den: String): String =

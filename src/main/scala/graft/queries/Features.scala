@@ -730,6 +730,133 @@ object Features {
       |    / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)) AS welch_df
       |FROM w""".stripMargin
 
+  /** q141: one-way fixed-effects ANOVA — q127's MULTI-variant
+    * generalization (five event types, one metric): the experiment
+    * readout when a launch has more than two arms, where running
+    * pairwise Welch tests inflates the false-positive rate. Groups
+    * are the DOMAIN-BOUNDED event-type set, so the per-group exact
+    * sufficient statistics (n, Σcents, Σcents² — the q127 decimal
+    * quantization) pivot into ONE row and the F statistic is a
+    * fixed-order written formula over ten exact integers and five
+    * counts: SSB = Σ_g s_g²/n_g − G²/N, SSW = Σ_g (s2_g − s_g²/n_g),
+    * F = (SSB/(k−1)) / (SSW/(N−k)), with every Σ_g expanded
+    * left-associatively in BOTH engines (never a float SUM() whose
+    * order the engine picks) — bit-identical cross-engine, so the
+    * α=0.05 verdict against the asymptotic F(4,∞) critical value
+    * 2.3719 can never disagree. A missing group propagates NULL, the
+    * q135 degenerate rule. One map-side-combined aggregate over the
+    * events scan; the pivot is k rows → 1 at any corpus size.
+    */
+  private[graft] val AnovaTypes =
+    Seq("click", "error", "purchase", "signup", "view")
+
+  /** q141's additive per-group sufficient statistics — the
+    * [[abSufficientStats]] shape over ALL event types, so the same
+    * per-batch fold that maintains the A/B monitor generalizes
+    * ([[graft.streaming.StreamingIngest.anovaStream]]).
+    */
+  def anovaSufficientStats(events: DataFrame): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    events
+      .where(col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * lit(100.0) + lit(0.5)).as("__c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("__c")).as("s"),
+        sum((col("__c") * col("__c")).cast(dec38)).as("s2"))
+  }
+
+  /** The F readout derived from an (event_type, n, s, s2) stats frame
+    * — shared verbatim by the batch query and the streaming monitor's
+    * read side.
+    */
+  def anovaFromStats(g: DataFrame): DataFrame = {
+    def d(c: Column): Column = c.cast("string").cast("double")
+    val one = g.groupBy().pivot("event_type", AnovaTypes)
+      .agg(first(col("n")).as("n"), first(col("s")).as("s"),
+        first(col("s2")).as("s2"))
+    def nT(t: String): Column = col(s"${t}_n").cast("double")
+    def sT(t: String): Column = d(col(s"${t}_s")) / lit(100.0)
+    def s2T(t: String): Column = d(col(s"${t}_s2")) / lit(10000.0)
+    val k = lit(AnovaTypes.size.toDouble)
+    val nTot = AnovaTypes.map(nT).reduce(_ + _)
+    val grand = AnovaTypes.map(sT).reduce(_ + _)
+    val ssb = AnovaTypes.map(t => sT(t) * sT(t) / nT(t)).reduce(_ + _) -
+      grand * grand / nTot
+    val ssw = AnovaTypes.map(t => s2T(t) - sT(t) * sT(t) / nT(t))
+      .reduce(_ + _)
+    // a zero within-group variance (or an empty arm) must yield NULL,
+    // not IEEE debris: Spark's x/0.0 is ±Inf/NaN while DuckDB's is
+    // NULL — the ksTail degenerate rule again
+    val degen = !(ssw > lit(0.0)) || !(nTot > k)
+    val f = when(degen, lit(null).cast("double"))
+      .otherwise((ssb / (k - lit(1.0))) / (ssw / (nTot - k)))
+    one.select(
+      AnovaTypes.map(t => col(s"${t}_n")).reduce(_ + _).as("n_total"),
+      ssb.as("ss_between"), ssw.as("ss_within"),
+      f.as("f_stat"),
+      when(degen, lit(null).cast("double"))
+        .otherwise(ssb / (ssb + ssw)).as("eta_sq"),
+      (f > lit(2.3719)).as("significant"))
+  }
+
+  val q141_anova: Q = (s, dir) =>
+    anovaFromStats(anovaSufficientStats(t(s, dir, "events")))
+
+  def q141_sql: String = {
+    def dd(x: String): String = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    val subs = AnovaTypes.map { t =>
+      s"""    (SELECT CAST(n AS BIGINT) FROM g WHERE event_type = '$t')
+         |      AS n_$t,
+         |    (SELECT CAST(s AS BIGINT) FROM g WHERE event_type = '$t')
+         |      AS s_$t,
+         |    (SELECT s2 FROM g WHERE event_type = '$t') AS s2_$t""".stripMargin
+    }.mkString(",\n")
+    val nT = AnovaTypes.map(t => s"CAST(n_$t AS DOUBLE)")
+    val sT = AnovaTypes.map(t => s"(${dd(s"s_$t")} / 100.0)")
+    val s2T = AnovaTypes.map(t => s"(${dd(s"s2_$t")} / 10000.0)")
+    val nTot = nT.mkString(" + ")
+    val grand = sT.mkString(" + ")
+    val ssbTerms = AnovaTypes.indices
+      .map(i => s"${sT(i)} * ${sT(i)} / ${nT(i)}").mkString(" + ")
+    // each difference parenthesized: "a - b + c - d" would regroup the
+    // IEEE sum as (((a-b)+c)-d) while Spark's reduce over whole terms
+    // computes ((a-b)+(c-d)) — mathematically equal, bit-different
+    val sswTerms = AnovaTypes.indices
+      .map(i => s"(${s2T(i)} - ${sT(i)} * ${sT(i)} / ${nT(i)})")
+      .mkString(" + ")
+    val nTotL = AnovaTypes.map(t => s"n_$t").mkString(" + ")
+    s"""WITH e AS (SELECT event_type,
+       |    CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
+       |  FROM events WHERE value IS NOT NULL),
+       |g AS (SELECT event_type, COUNT(*) AS n,
+       |    CAST(SUM(c) AS BIGINT) AS s,
+       |    CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+       |  FROM e GROUP BY 1),
+       |m AS (SELECT
+       |$subs),
+       |w AS (SELECT CAST($nTotL AS BIGINT) AS n_total,
+       |    ($nTot) AS ntd,
+       |    ($grand) AS grand,
+       |    ($ssbTerms) AS ssb0,
+       |    ($sswTerms) AS ss_within
+       |  FROM m),
+       |w2 AS (SELECT n_total, ss_within,
+       |    ssb0 - grand * grand / ntd AS ss_between,
+       |    ntd FROM w),
+       |w3 AS (SELECT n_total, ss_between, ss_within,
+       |    CASE WHEN NOT (ss_within > 0.0) OR NOT (ntd > 5.0) THEN NULL
+       |         ELSE (ss_between / 4.0) / (ss_within / (ntd - 5.0))
+       |    END AS f_stat,
+       |    CASE WHEN NOT (ss_within > 0.0) OR NOT (ntd > 5.0) THEN NULL
+       |         ELSE ss_between / (ss_between + ss_within)
+       |    END AS eta_sq
+       |  FROM w2)
+       |SELECT n_total, ss_between, ss_within, f_stat, eta_sq,
+       |  f_stat > 2.3719E0 AS significant
+       |FROM w3""".stripMargin
+  }
+
   // -------------------------------------------- rank correlation
 
   /** Exact average ranks (doubled, so ties' half-ranks stay BIGINT)
@@ -1814,6 +1941,7 @@ object Features {
     "q137_mannwhitney"    -> q137_mannwhitney,
     "q138_kendall_tau"    -> q138_kendall_tau,
     "q140_cliffs_delta"   -> q140_cliffs_delta,
+    "q141_anova"          -> q141_anova,
     "q139_drift_by_slice" -> q139_drift_by_slice,
     "q131_spearman"       -> q131_spearman,
     "q132_token_gini"     -> q132_token_gini,
@@ -1839,6 +1967,7 @@ object Features {
     "q137_mannwhitney"    -> q137_sql,
     "q138_kendall_tau"    -> q138_sql,
     "q140_cliffs_delta"   -> q140_sql,
+    "q141_anova"          -> q141_sql,
     "q139_drift_by_slice" -> q139_sql,
     "q118_feature_store"  -> q118_sql,
     "q119_k_anonymity"    -> q119_sql,

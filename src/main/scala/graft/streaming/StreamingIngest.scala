@@ -1067,6 +1067,55 @@ object StreamingIngest {
     priorGeneration(spark, statsRoot, Long.MaxValue).map(p =>
       spark.read.parquet(s"$p/layout"))
 
+  /** Continuously maintained tokenizer scorecard — the streaming face
+    * of t46 (fertility/compression per language, always current as
+    * documents arrive). Every column of the mass frame is a count or
+    * a sum ([[graft.queries.Corpus.tokenizerEvalPartial]]), so each
+    * micro-batch folds its partial into the previous generation
+    * through the SAME [[graft.queries.Corpus.foldTokenizerEval]] and
+    * [[currentTokenizerEval]] derives the ratio tail at read time
+    * through the batch [[graft.queries.Corpus.tokenizerEvalReport]]
+    * — O(Δ) per batch, state bounded at one row per language,
+    * streamed ≡ batch exact on the union of batches (spec-asserted).
+    * The two fitted tokenizer models are parameters: a production
+    * stream pins the release tokenizers, it does not refit per batch.
+    */
+  def tokenizerEvalStream(
+      docs: DataFrame, // streaming frame: text + lang
+      bm: graft.text.Bpe.Merges,
+      um: graft.text.Unigram.Model,
+      statsRoot: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          val spark = batch.sparkSession
+          val part = graft.queries.Corpus.tokenizerEvalPartial(
+            batch.toDF(), bm, um)
+          val merged = priorGeneration(spark, statsRoot, batchId) match {
+            case Some(p) =>
+              graft.queries.Corpus.foldTokenizerEval(
+                spark.read.parquet(s"$p/mass").unionByName(part))
+            case None => part
+          }
+          merged.write.mode("overwrite")
+            .parquet(s"$statsRoot/gen-$batchId/mass")
+          ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+
+  /** t46's exact scorecard derived from the newest folded generation,
+    * or None before the first batch lands.
+    */
+  def currentTokenizerEval(
+      spark: SparkSession, statsRoot: String): Option[DataFrame] =
+    priorGeneration(spark, statsRoot, Long.MaxValue).map(p =>
+      graft.queries.Corpus.tokenizerEvalReport(
+        spark.read.parquet(s"$p/mass")))
+
   /** Continuously maintained experiment readout — the streaming face
     * of q127's Welch A/B test (the live experimentation dashboard:
     * significance updates as purchase events arrive, instead of at a
@@ -1114,6 +1163,49 @@ object StreamingIngest {
   def currentAbTest(spark: SparkSession, statsRoot: String): Option[DataFrame] =
     priorGeneration(spark, statsRoot, Long.MaxValue).map(p =>
       graft.queries.Features.welchFromStats(spark.read.parquet(s"$p/ab")))
+
+  /** Continuously maintained multi-arm experiment readout — q141's
+    * streaming face, the [[abTestStream]] protocol over ALL event
+    * types: per-group (n, Σcents, Σcents²) sufficient statistics are
+    * additive, each micro-batch folds
+    * [[graft.queries.Features.anovaSufficientStats]]'s partial by
+    * summation, and [[currentAnova]] derives F at read time through
+    * the SAME [[graft.queries.Features.anovaFromStats]] — state
+    * bounded at one row per event type, streamed ≡ batch exact on the
+    * union of batches (spec-asserted).
+    */
+  def anovaStream(
+      events: DataFrame, // streaming frame: event_type + value
+      statsRoot: String,
+      checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          val spark = batch.sparkSession
+          val part = graft.queries.Features.anovaSufficientStats(batch.toDF())
+          val merged = priorGeneration(spark, statsRoot, batchId) match {
+            case Some(p) =>
+              spark.read.parquet(s"$p/anova").unionByName(part)
+                .groupBy(col("event_type"))
+                .agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
+                  sum(col("s2")).as("s2"))
+            case None => part
+          }
+          merged.write.mode("overwrite")
+            .parquet(s"$statsRoot/gen-$batchId/anova")
+          ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+
+  /** q141's exact readout derived from the newest folded statistics,
+    * or None before the first batch lands.
+    */
+  def currentAnova(spark: SparkSession, statsRoot: String): Option[DataFrame] =
+    priorGeneration(spark, statsRoot, Long.MaxValue).map(p =>
+      graft.queries.Features.anovaFromStats(spark.read.parquet(s"$p/anova")))
 
   /** Streaming near-dup admission — the continuous-dedup serving loop
     * over [[graft.dedup.Dedup.incrementalNearDups]]: each micro-batch

@@ -254,6 +254,43 @@ object AnalyticProperties extends Properties("graft.analytic") {
         r.getString(3) == mag
     }
 
+  property("anovaFromStats ≡ classic two-pass one-way F on arbitrary samples") =
+    Prop.forAll(Gen.sequence[List[List[Int]], List[Int]](
+      List.fill(5)(Gen.nonEmptyListOf(Gen.choose(0, 4000))))) { cents0 =>
+      // shrinking can bypass nonEmptyListOf; an empty arm is the NULL
+      // rule's territory, so pin shrinks to one row per arm
+      val cents = cents0.map(g => if (g.isEmpty) List(100) else g)
+      val types = graft.queries.Features.AnovaTypes
+      val rows = types.zip(cents).flatMap { case (t, g) =>
+        g.map(c => (t, c.toDouble / 100.0))
+      }
+      val r = graft.queries.Features
+        .anovaFromStats(graft.queries.Features.anovaSufficientStats(
+          rows.toDF("event_type", "value")))
+        .collect()(0)
+      // independent mechanism: two-pass means over the quantized
+      // values, SSB = Σ n_g(m_g−m)², SSW = Σ_g Σ(y−m_g)²
+      val groups = cents.map(_.map(_.toDouble / 100.0))
+      val n = groups.map(_.size).sum.toDouble
+      val grandMean = groups.flatten.sum / n
+      val ssb = groups.map(g =>
+        g.size * math.pow(g.sum / g.size - grandMean, 2)).sum
+      val ssw = groups.map(g => {
+        val m = g.sum / g.size
+        g.map(y => (y - m) * (y - m)).sum
+      }).sum
+      val nOk = r.getLong(0) == n.toLong
+      val sOk = math.abs(r.getDouble(1) - ssb) < 1e-6 * (1.0 + ssb) &&
+        math.abs(r.getDouble(2) - ssw) < 1e-6 * (1.0 + ssw)
+      val fOk =
+        if (ssw <= 1e-12 || n <= 5) r.isNullAt(3)
+        else {
+          val f = (ssb / 4.0) / (ssw / (n - 5.0))
+          math.abs(r.getDouble(3) - f) < 1e-6 * (1.0 + f.abs)
+        }
+      nOk && sOk && fOk
+    }
+
   property("kendallFromPairs ≡ brute-force pair counting on arbitrary samples") =
     Prop.forAll(
       Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 8), Gen.choose(0, 5)))) { xy0 =>

@@ -1022,6 +1022,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("anovaStream: folded per-group statistics derive exactly q141, out-of-order batches included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val base = Files.createTempDirectory("graft_anova_stream").toString
+    val root = s"$base/anova"; val ckpt = s"$base/ckpt"
+    val evs = graft.Tables(spark, dir, "events")
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val shuffled = new scala.util.Random(17).shuffle(evs.toSeq)
+    val stream = MemoryStream[(String, Double)]
+    val q = StreamingIngest.anovaStream(
+      stream.toDF().toDF("event_type", "value"), root, ckpt)
+    shuffled.grouped(math.max(shuffled.length / 3, 1)).foreach { chunk =>
+      stream.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def asTuple(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect()(0)
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5))
+    }
+    val streamed = asTuple(StreamingIngest.currentAnova(spark, root).get)
+    val batch = asTuple(graft.queries.Features.q141_anova(spark, dir))
+    assert(streamed === batch)
+  }
+
   test("driftBySliceStream: folded per-slice counts derive exactly q139, out-of-order batches included") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
@@ -1191,6 +1221,46 @@ class StreamingSpec extends SparkSpec {
       docs.toDF("doc_id", "text")))
     assert(streamed === batch)
     assert(streamed.nonEmpty)
+  }
+
+  test("tokenizerEvalStream: folded mass partials derive exactly t46 on the union") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_tokeval_stream").toString
+    val root = s"$base/tokeval"; val ckpt = s"$base/ckpt"
+    val langs = Seq("en", "de", "fr")
+    val docs = (1L to 90L).map { id =>
+      (id, s"alpha beta${id % 7} gamma delta${id % 5} words here",
+        langs((id % 3).toInt))
+    }
+    // pinned release tokenizers (a stream pins models, never refits):
+    // fit both on the union corpus's word-frequency table
+    val vocab = docs.flatMap(_._2.split("\\s+")).groupBy(identity)
+      .map { case (w, ws) => (w, ws.size.toLong) }.toSeq
+      .sortBy { case (w, f) => (-f, w) }
+    val bm = graft.text.Bpe.train(vocab, nMerges = 16)
+    val um = graft.text.Unigram.train(vocab,
+      vocabSize = 128, maxPieceLen = 6, iters = 2)
+    val shuffled = new scala.util.Random(41).shuffle(docs)
+    val stream = MemoryStream[(Long, String, String)]
+    val q = StreamingIngest.tokenizerEvalStream(
+      stream.toDF().toDF("doc_id", "text", "lang"), bm, um, root, ckpt)
+    shuffled.grouped(30).foreach { chunk =>
+      stream.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("lang").collect().toSeq
+    val streamed = rows(StreamingIngest.currentTokenizerEval(spark, root).get)
+    val batch = rows(graft.queries.Corpus.tokenizerEvalReport(
+      graft.queries.Corpus.tokenizerEvalPartial(
+        docs.toDF("doc_id", "text", "lang"), bm, um)))
+    assert(streamed === batch)
+    assert(streamed.map(_.getString(0)) == langs.sorted)
+    // the scorecard is non-degenerate: real subword mass accumulated
+    assert(streamed.forall(_.getLong(4) > 0L))
   }
 
   test("streamingNearDupAdmission: self-dedup + corpus filter; admitted generations append") {
