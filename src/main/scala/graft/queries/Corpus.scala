@@ -1049,6 +1049,72 @@ object Corpus {
        |FROM g""".stripMargin
   }
 
+  /** t47: Chao1 vocabulary estimate + Good–Turing unseen mass — the
+    * coverage audit next to t41's growth curve: Heaps says how fast
+    * vocabulary GROWS, Chao1 says how much is MISSING (the
+    * abundance-based richness floor V̂ = V + F₁(F₁−1)/(2(F₂+1)),
+    * bias-corrected so F₂ = 0 degrades gracefully), and the
+    * Good–Turing mass p₀ = F₁/N is the probability the NEXT token is
+    * out-of-vocabulary — the number that decides whether a tokenizer
+    * vocabulary or an n-gram LM fit has seen enough corpus. All four
+    * inputs (V, N, F₁, F₂) are exact BIGINTs from ONE
+    * frequency-of-frequencies fold over the additive (token, count)
+    * frame ([[tfCounts]] — so a streaming fold maintains the audit,
+    * [[graft.streaming.StreamingIngest.termFreqStream]]); the two
+    * derived estimates are single fixed-order IEEE expressions over
+    * those integers, bit-identical cross-engine.
+    *
+    * Scale shape: explode → one map-side-combined (token) count →
+    * one 4-column global fold. Nothing is corpus-size-bounded beyond
+    * the vocabulary itself (the t12/t41 bound).
+    */
+  /** t47's additive per-token occurrence counts — summable across
+    * micro-batches (the d01-hash discipline: the fold key is the
+    * token itself, never document text).
+    */
+  private[graft] def tfCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+
+  /** The coverage report derived from a (token, c) count frame —
+    * shared verbatim by the batch query and the streaming audit's
+    * read side.
+    */
+  def chao1FromCounts(tf: DataFrame): DataFrame = {
+    def d(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast("double")
+    val m = tf.agg(
+      count(lit(1)).as("vocab"),
+      sum(col("c")).as("n_tokens"),
+      sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+      sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+    m.select(col("vocab"), col("n_tokens"), col("f1"), col("f2"),
+      (d(col("vocab")) + d(col("f1")) * (d(col("f1")) - lit(1.0))
+        / (lit(2.0) * (d(col("f2")) + lit(1.0)))).as("chao1"),
+      (d(col("f1")) / d(col("n_tokens"))).as("unseen_mass"),
+      (lit(1.0) - d(col("f1")) / d(col("n_tokens"))).as("coverage"))
+  }
+
+  val t47_chao1_coverage: Q = (s, dir) =>
+    chao1FromCounts(tfCounts(t(s, dir, "documents")))
+
+  val t47_sql: String =
+    s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+       |tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+       |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+       |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+       |  FROM tf)
+       |SELECT vocab, n_tokens, f1, f2,
+       |  CAST(vocab AS DOUBLE) + CAST(f1 AS DOUBLE)
+       |    * (CAST(f1 AS DOUBLE) - 1.0)
+       |    / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)) AS chao1,
+       |  CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS unseen_mass,
+       |  1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS coverage
+       |FROM m""".stripMargin
+
   /** Lossless edit-distance similarity join over the customer-name
     * column ([[Dedup.edJoin]] — the FastSS deletion-neighborhood
     * join at d=1): every name pair within Levenshtein distance 1,
@@ -6696,6 +6762,7 @@ object Corpus {
     "t44_bestfit_pack"      -> t44_bestfit_pack,
     "t45_epoch_shuffle"     -> t45_epoch_shuffle,
     "t46_tokenizer_eval"    -> t46_tokenizer_eval,
+    "t47_chao1_coverage"    -> t47_chao1_coverage,
     "t38_quality_classifier" -> t38_quality_classifier,
     "t39_collocations"      -> t39_collocations,
     "t40_chi2_terms"        -> t40_chi2_terms,
@@ -6800,6 +6867,7 @@ object Corpus {
     "t44_bestfit_pack"      -> t44_sql,
     "t45_epoch_shuffle"     -> t45_sql,
     "t46_tokenizer_eval"    -> t46_sql,
+    "t47_chao1_coverage"    -> t47_sql,
     "t38_quality_classifier" -> t38_sql,
     "t39_collocations"      -> t39_sql,
     "t40_chi2_terms"        -> t40_sql,

@@ -857,6 +857,142 @@ object Features {
        |FROM w3""".stripMargin
   }
 
+  /** q142: Kruskal–Wallis H — q141's NONPARAMETRIC sibling, and
+    * q137's k-sample generalization: the multi-arm readout when the
+    * metric is skewed or heavy-tailed enough that the ANOVA
+    * normality story is a lie (corpus metrics usually are). Groups
+    * are the domain-bounded event-type set; ranks are exact
+    * tie-averaged DOUBLED ranks over the COMBINED sample from the
+    * same two-level bucket prefix as q131/q137 (never a global
+    * window), derived from an additive (event_type, value, count)
+    * frame ([[kwCounts]] — so a streaming fold maintains this
+    * monitor exactly like the KS/ANOVA ones). The per-group doubled
+    * rank-sums and the tie correction Σ(t³−t) are exact DECIMAL
+    * integers crossed to double through the q47 string cast; H =
+    * 12/(N(N+1))·Σ R_g²/n_g − 3(N+1) and the tie divisor
+    * 1 − Σ(t³−t)/(N³−N) are then fixed-order IEEE with every Σ_g
+    * expanded left-associatively in BOTH engines (the q141 rule) and
+    * N³−N computed exactly in DECIMAL first (N³ leaves the 2⁵³ range
+    * at N ≈ 2·10⁵, well inside corpus scale) — bit-identical
+    * cross-engine, so the χ²(4, 0.05) = 9.4877 verdict can never
+    * disagree. A missing arm propagates NULL; an all-tied corpus
+    * (divisor ≤ 0) yields NULL, the ksTail degenerate rule. One scan,
+    * one keyed aggregate, one distinct-value-bounded rank frame, a
+    * k-row pivot.
+    */
+  /** q142's additive per-(group, value) counts — summable across
+    * micro-batches ([[graft.streaming.StreamingIngest.kruskalStream]]
+    * folds partials of this exact shape).
+    */
+  def kwCounts(events: DataFrame): DataFrame =
+    events
+      .where(col("value").isNotNull) // NULLs never reach the rank windows
+      .select(col("event_type"), col("value").as("v"))
+      .groupBy(col("event_type"), col("v"))
+      .agg(count(lit(1)).as("c"))
+
+  /** The H readout derived from an (event_type, v, c) count frame —
+    * shared verbatim by the batch query and the streaming monitor's
+    * read side (scalacheck pins it against brute-force global ranks).
+    */
+  def kruskalWallisFromCounts(counts: DataFrame): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    val d12 = DecimalType(12, 0)
+    def d(c: Column): Column = c.cast("string").cast("double")
+    val vc = counts.groupBy(col("v")).agg(sum(col("c")).as("__c"))
+      .withColumn("__bucket", floor(col("v") / lit(25.0)).cast("long"))
+      .localCheckpoint(true) // bucket prefix AND the tie-correction agg
+    val r2 = exclusivePrefix(vc, "v", "__bucket", Seq("__exc" -> "__c"))
+      .select(col("v"),
+        (lit(2L) * col("__exc") + col("__c") + lit(1L)).as("__r2"))
+    val tot = vc.agg(
+      d(sum(col("__c").cast(d12) * col("__c").cast(d12)
+        * col("__c").cast(d12) - col("__c").cast(d12))).as("__tc"))
+    val perGrp = counts.join(r2, "v")
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c").cast(d19) * col("__r2").cast(d19)).as("s2"))
+    val one = perGrp.groupBy().pivot("event_type", AnovaTypes)
+      .agg(first(col("n")).as("n"), first(col("s2")).as("s2"))
+      .crossJoin(broadcast(tot))
+    def nT(t: String): Column = col(s"${t}_n").cast("double")
+    // R_g = the doubled rank-sum halved LAST: s2 is integer-valued and
+    // < 2⁵² as a double, so the halving is exact
+    def rT(t: String): Column = d(col(s"${t}_s2")) / lit(2.0)
+    val k = lit(AnovaTypes.size.toDouble)
+    val nTot = AnovaTypes.map(nT).reduce(_ + _)
+    val sumTerm = AnovaTypes.map(t => rT(t) * rT(t) / nT(t)).reduce(_ + _)
+    val h = lit(12.0) / (nTot * (nTot + lit(1.0))) * sumTerm -
+      lit(3.0) * (nTot + lit(1.0))
+    val nTotL = AnovaTypes.map(t => col(s"${t}_n")).reduce(_ + _)
+    val n3 = d(nTotL.cast(d12) * nTotL.cast(d12) * nTotL.cast(d12) -
+      nTotL.cast(d12))
+    val denom = lit(1.0) - col("__tc") / n3
+    val degen = !(denom > lit(0.0)) || !(nTot > k)
+    val nullD = lit(null).cast("double")
+    one.select(nTotL.as("n_total"),
+      when(degen, nullD).otherwise(h).as("h_stat"),
+      when(degen, nullD).otherwise(h / denom).as("h_corrected"),
+      when(degen, nullD)
+        .otherwise((h / denom - k + lit(1.0)) / (nTot - k)).as("epsilon_sq"),
+      when(degen, lit(null).cast("boolean"))
+        .otherwise(h / denom > lit(9.4877)).as("significant"))
+  }
+
+  val q142_kruskal_wallis: Q = (s, dir) =>
+    kruskalWallisFromCounts(kwCounts(t(s, dir, "events")))
+
+  def q142_sql: String = {
+    def dd(x: String): String = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    val subs = AnovaTypes.map { t =>
+      s"""    (SELECT CAST(n AS BIGINT) FROM s WHERE grp = '$t')
+         |      AS n_$t,
+         |    (SELECT ${dd("s2")} FROM s WHERE grp = '$t') AS s2_$t""".stripMargin
+    }.mkString(",\n")
+    val nT = AnovaTypes.map(t => s"CAST(n_$t AS DOUBLE)")
+    val rT = AnovaTypes.map(t => s"(s2_$t / 2.0)")
+    val nTotD = nT.mkString(" + ")
+    val sumTerm = AnovaTypes.indices
+      .map(i => s"${rT(i)} * ${rT(i)} / ${nT(i)}").mkString(" + ")
+    val nTotL = AnovaTypes.map(t => s"n_$t").mkString(" + ")
+    val c3 = "CAST(cv AS DECIMAL(12,0))"
+    val m3 = "CAST(n_total AS DECIMAL(12,0))"
+    s"""WITH e AS (SELECT event_type AS grp, value AS v
+       |  FROM events WHERE value IS NOT NULL),
+       |g AS (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM e GROUP BY 1, 2),
+       |vc AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM g GROUP BY v),
+       |r AS (SELECT v, CAST(2 * COALESCE(SUM(cv) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    + cv + 1 AS BIGINT) AS r2 FROM vc),
+       |s AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n,
+       |    SUM(CAST(c AS DECIMAL(19,0)) * CAST(r2 AS DECIMAL(19,0))) AS s2
+       |  FROM g JOIN r USING (v) GROUP BY grp),
+       |tcv AS (SELECT ${dd(s"SUM($c3 * $c3 * $c3 - $c3)")} AS tc FROM vc),
+       |m AS (SELECT
+       |$subs,
+       |    (SELECT tc FROM tcv) AS tc),
+       |w AS (SELECT CAST($nTotL AS BIGINT) AS n_total,
+       |    ($nTotD) AS ntd,
+       |    ($sumTerm) AS sumterm,
+       |    tc FROM m),
+       |w2 AS (SELECT n_total, ntd, tc,
+       |    12.0 / (ntd * (ntd + 1.0)) * sumterm - 3.0 * (ntd + 1.0) AS h,
+       |    ${dd(s"$m3 * $m3 * $m3 - $m3")} AS n3
+       |  FROM w),
+       |w3 AS (SELECT n_total, ntd, h, 1.0 - tc / n3 AS denom FROM w2)
+       |SELECT n_total,
+       |  CASE WHEN NOT (denom > 0.0) OR NOT (ntd > 5.0) THEN NULL
+       |       ELSE h END AS h_stat,
+       |  CASE WHEN NOT (denom > 0.0) OR NOT (ntd > 5.0) THEN NULL
+       |       ELSE h / denom END AS h_corrected,
+       |  CASE WHEN NOT (denom > 0.0) OR NOT (ntd > 5.0) THEN NULL
+       |       ELSE (h / denom - 5.0 + 1.0) / (ntd - 5.0) END AS epsilon_sq,
+       |  CASE WHEN NOT (denom > 0.0) OR NOT (ntd > 5.0) THEN NULL
+       |       ELSE (h / denom) > 9.4877E0 END AS significant
+       |FROM w3""".stripMargin
+  }
+
   // -------------------------------------------- rank correlation
 
   /** Exact average ranks (doubled, so ties' half-ranks stay BIGINT)
@@ -1934,6 +2070,92 @@ object Features {
        |FROM m""".stripMargin
   }
 
+  // ---------------------------------------- multiple-testing control
+
+  /** q143: Benjamini–Hochberg step-up over the q139 dashboard — the
+    * correction the per-slice monitor NEEDS in production: with one
+    * rank-sum test per slice at α=0.05, a 20-slice dashboard fires a
+    * false alarm almost every refresh, and the fleet answer (gate on
+    * FDR, not per-test α) is the BH procedure. Computed on the
+    * Z-SCALE: Φ is monotone, so p₍ᵢ₎ ≤ iα/m ⟺ |z|₍ᵢ₎ ≥
+    * Φ⁻¹(1 − αi/(2m)) for the two-sided test — which removes the erf
+    * evaluation (no cross-engine-bit-stable normal CDF exists) and
+    * replaces it with a LITERAL lookup: m ≤ |slice domain| = 5, so
+    * all 15 (i, m) critical values are source constants
+    * ([[BhCritZ]]), generated into the Scala plan AND the SQL oracle
+    * from ONE table so they cannot drift. Degenerate slices (NULL z —
+    * one-sided data) are not tests and drop from m, the textbook
+    * convention. The rejection frontier (the largest passing rank) is
+    * a 1-row broadcast fold; every comparison touches bit-identical
+    * doubles (q139's z proof), so the reject set is deterministic
+    * cross-engine. The frame is slice-domain-bounded at ANY corpus
+    * size; the constant-key windows touch ≤ 5 rows.
+    */
+  private[graft] val BhCritZ: Seq[((Int, Int), Double)] = Seq(
+    ((1, 1), 1.959964),
+    ((1, 2), 2.241403), ((2, 2), 1.959964),
+    ((1, 3), 2.393980), ((2, 3), 2.128045), ((3, 3), 1.959964),
+    ((1, 4), 2.497705), ((2, 4), 2.241403), ((3, 4), 2.080278),
+    ((4, 4), 1.959964),
+    ((1, 5), 2.575829), ((2, 5), 2.326348), ((3, 5), 2.170090),
+    ((4, 5), 2.053749), ((5, 5), 1.959964))
+
+  /** The BH report derived from a q139-shaped dashboard frame —
+    * shared by the batch query and the streaming monitor's read side
+    * (the dashboard fold is already streaming; this is a pure
+    * read-time projection over it).
+    */
+  def bhFromDashboard(dash: DataFrame): DataFrame = {
+    // a NULL z (one-sided slice) is "no test ran": it joins neither
+    // the ranking nor m. The constant-key windows are slice-domain-
+    // bounded (≤ 5 rows at any corpus size — the q138 grid argument).
+    val wOrd = Window.partitionBy(lit(0))
+      .orderBy(col("__az").desc, col("slice").asc)
+    val wAll = Window.partitionBy(lit(0))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = dash.where(col("z_score").isNotNull)
+      .withColumn("__az", abs(col("z_score")))
+      .withColumn("bh_rank", row_number().over(wOrd).cast("long"))
+      .withColumn("m_tests", count(lit(1)).over(wAll))
+    val crit = BhCritZ.foldLeft(lit(null).cast("double")) {
+      case (acc, ((i, m), v)) =>
+        when(col("bh_rank") === i && col("m_tests") === m, lit(v))
+          .otherwise(acc)
+    }
+    val flagged = ranked.withColumn("bh_critical_z", crit)
+      .withColumn("__pass",
+        when(col("__az") >= col("bh_critical_z"), col("bh_rank")))
+      .localCheckpoint(true) // the frontier fold AND the report join
+    val mx = flagged.agg(coalesce(max(col("__pass")), lit(0L)).as("__mp"))
+    flagged.crossJoin(broadcast(mx))
+      .select(col("slice"), col("n_ref"), col("n_cur"), col("z_score"),
+        col("bh_rank"), col("m_tests"), col("bh_critical_z"),
+        col("mw_drift"), (col("bh_rank") <= col("__mp")).as("bh_reject"))
+  }
+
+  val q143_bh_fdr: Q = (s, dir) =>
+    bhFromDashboard(driftFromSliceCounts(sliceValueCounts(t(s, dir, "events"))))
+
+  def q143_sql: String = {
+    val critCase = BhCritZ.map { case ((i, m), v) =>
+      s"WHEN bh_rank = $i AND m_tests = $m THEN ${v}E0"
+    }.mkString("CASE ", " ", " ELSE NULL END")
+    s"""WITH dash AS (${q139_sql}),
+       |t AS (SELECT slice, n_ref, n_cur, z_score, mw_drift,
+       |    ABS(z_score) AS az
+       |  FROM dash WHERE z_score IS NOT NULL),
+       |r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY az DESC,
+       |      slice ASC) AS BIGINT) AS bh_rank,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS m_tests FROM t),
+       |c AS (SELECT *, $critCase AS bh_critical_z FROM r),
+       |p AS (SELECT *, CASE WHEN az >= bh_critical_z THEN bh_rank
+       |    ELSE NULL END AS pass_rk FROM c),
+       |mx AS (SELECT COALESCE(MAX(pass_rk), 0) AS mp FROM p)
+       |SELECT slice, n_ref, n_cur, z_score, bh_rank, m_tests,
+       |  bh_critical_z, mw_drift, bh_rank <= mp AS bh_reject
+       |FROM p CROSS JOIN mx""".stripMargin
+  }
+
   // ------------------------------------------------------------ maps
 
   val queries: Map[String, Q] = Map(
@@ -1942,6 +2164,8 @@ object Features {
     "q138_kendall_tau"    -> q138_kendall_tau,
     "q140_cliffs_delta"   -> q140_cliffs_delta,
     "q141_anova"          -> q141_anova,
+    "q142_kruskal_wallis" -> q142_kruskal_wallis,
+    "q143_bh_fdr"         -> q143_bh_fdr,
     "q139_drift_by_slice" -> q139_drift_by_slice,
     "q131_spearman"       -> q131_spearman,
     "q132_token_gini"     -> q132_token_gini,
@@ -1968,6 +2192,8 @@ object Features {
     "q138_kendall_tau"    -> q138_sql,
     "q140_cliffs_delta"   -> q140_sql,
     "q141_anova"          -> q141_sql,
+    "q142_kruskal_wallis" -> q142_sql,
+    "q143_bh_fdr"         -> q143_sql,
     "q139_drift_by_slice" -> q139_sql,
     "q118_feature_store"  -> q118_sql,
     "q119_k_anonymity"    -> q119_sql,

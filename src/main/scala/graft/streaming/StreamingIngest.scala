@@ -1207,6 +1207,93 @@ object StreamingIngest {
     priorGeneration(spark, statsRoot, Long.MaxValue).map(p =>
       graft.queries.Features.anovaFromStats(spark.read.parquet(s"$p/anova")))
 
+  /** Continuously maintained Kruskal–Wallis monitor — q142's
+    * streaming face, the [[anovaStream]] protocol on the
+    * NONPARAMETRIC statistic: per-(group, value) counts are additive
+    * ([[graft.queries.Features.kwCounts]]), each micro-batch folds
+    * the partial by summation, and [[currentKruskal]] derives H at
+    * read time through the SAME
+    * [[graft.queries.Features.kruskalWallisFromCounts]] the batch
+    * query uses — streamed ≡ batch exact on the union of batches
+    * (spec-asserted). State is bounded by groups × distinct values
+    * (the ksDriftStream bound), never event volume.
+    */
+  def kruskalStream(
+      events: DataFrame, // streaming frame: event_type + value
+      statsRoot: String,
+      checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          val spark = batch.sparkSession
+          val part = graft.queries.Features.kwCounts(batch.toDF())
+          val merged = priorGeneration(spark, statsRoot, batchId) match {
+            case Some(p) =>
+              spark.read.parquet(s"$p/kw").unionByName(part)
+                .groupBy(col("event_type"), col("v"))
+                .agg(sum(col("c")).as("c"))
+            case None => part
+          }
+          merged.write.mode("overwrite")
+            .parquet(s"$statsRoot/gen-$batchId/kw")
+          ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+
+  /** q142's exact readout derived from the newest folded counts, or
+    * None before the first batch lands.
+    */
+  def currentKruskal(spark: SparkSession, statsRoot: String): Option[DataFrame] =
+    priorGeneration(spark, statsRoot, Long.MaxValue).map(p =>
+      graft.queries.Features.kruskalWallisFromCounts(
+        spark.read.parquet(s"$p/kw")))
+
+  /** Continuously maintained term-frequency counts — t47's streaming
+    * face (and the general corpus-coverage audit): per-token
+    * occurrence counts are additive
+    * ([[graft.queries.Corpus.tfCounts]]), each micro-batch folds the
+    * partial by summation (the corpusStatsStream protocol — state is
+    * vocabulary-bounded, the same O(V) generation the df store
+    * carries), and [[currentChao1]] derives the Chao1/Good–Turing
+    * report at read time through the SAME
+    * [[graft.queries.Corpus.chao1FromCounts]] the batch query uses —
+    * streamed ≡ batch exact on the union of batches (spec-asserted).
+    */
+  def termFreqStream(
+      docs: DataFrame, // streaming frame with a `text` column
+      statsRoot: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          val spark = batch.sparkSession
+          val part = graft.queries.Corpus.tfCounts(batch.toDF())
+          val merged = priorGeneration(spark, statsRoot, batchId) match {
+            case Some(p) =>
+              spark.read.parquet(s"$p/tf").unionByName(part)
+                .groupBy(col("token"))
+                .agg(sum(col("c")).as("c"))
+            case None => part
+          }
+          merged.write.mode("overwrite")
+            .parquet(s"$statsRoot/gen-$batchId/tf")
+          ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+
+  /** t47's exact readout derived from the newest folded counts, or
+    * None before the first batch lands.
+    */
+  def currentChao1(spark: SparkSession, statsRoot: String): Option[DataFrame] =
+    priorGeneration(spark, statsRoot, Long.MaxValue).map(p =>
+      graft.queries.Corpus.chao1FromCounts(spark.read.parquet(s"$p/tf")))
+
   /** Streaming near-dup admission — the continuous-dedup serving loop
     * over [[graft.dedup.Dedup.incrementalNearDups]]: each micro-batch
     * of (doc_id, text) is (1) self-deduped with the d02 band family

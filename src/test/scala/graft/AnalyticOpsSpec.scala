@@ -281,4 +281,27 @@ class AnalyticOpsSpec extends SparkSpec {
     Seq(2, 3, 4).foreach(i =>
       assert(global.isNullAt(i), s"q135 column $i must be NULL one-sided"))
   }
+
+  test("BH step-up rejects below the frontier, drops degenerate slices from m") {
+    // the q143 semantics that separate BH from per-test thresholding:
+    // a rank that FAILS its own critical value is still rejected when
+    // any LOWER rank passes (step-up), and a NULL-z slice is not a
+    // test (it must shrink m, not pad it)
+    import spark.implicits._
+    val dash = Seq(
+      ("a", 10L, 10L, Some(3.00), true),
+      ("b", 10L, 10L, Some(-2.10), true), // fails crit(2,4)=2.2414...
+      ("c", 10L, 10L, Some(2.09), true),  // passes crit(3,4)=2.0802...
+      ("d", 10L, 10L, Some(0.50), false),
+      ("e", 0L, 10L, Option.empty[Double], false)) // degenerate: no test
+      .toDF("slice", "n_ref", "n_cur", "z_score", "mw_drift")
+    val r = graft.queries.Features.bhFromDashboard(dash)
+      .collect().map(x => (x.getString(0), x.getLong(4), x.getLong(5),
+        x.getBoolean(8))).sortBy(_._1)
+    assert(r.length === 4) // e dropped
+    assert(r.forall(_._3 == 4L)) // m = 4, not 5
+    // frontier at rank 3 (c passes) ⟹ a, b, c rejected; d not
+    assert(r.toSeq === Seq(("a", 1L, 4L, true), ("b", 2L, 4L, true),
+      ("c", 3L, 4L, true), ("d", 4L, 4L, false)))
+  }
 }

@@ -291,6 +291,44 @@ object AnalyticProperties extends Properties("graft.analytic") {
       nOk && sOk && fOk
     }
 
+  property("kruskalWallisFromCounts ≡ brute-force global ranks on arbitrary samples") =
+    Prop.forAll(Gen.sequence[List[List[Int]], List[Int]](
+      List.fill(5)(Gen.nonEmptyListOf(Gen.choose(0, 40))))) { cents0 =>
+      // shrinking can bypass nonEmptyListOf; an empty arm is the NULL
+      // rule's territory, so pin shrinks to one row per arm
+      val cents = cents0.map(g => if (g.isEmpty) List(7) else g)
+      val types = graft.queries.Features.AnovaTypes
+      val rows = types.zip(cents).flatMap { case (t, g) =>
+        g.map(c => (t, c.toDouble / 4.0)) // quarter steps force ties
+      }
+      val r = graft.queries.Features
+        .kruskalWallisFromCounts(graft.queries.Features.kwCounts(
+          rows.toDF("event_type", "value")))
+        .collect()(0)
+      // independent mechanism: literal sorted-sample tie-averaged ranks
+      val groups = cents.map(_.map(_.toDouble / 4.0))
+      val all = groups.flatten.sorted
+      val n = all.length
+      val rank: Map[Double, Double] = all.zipWithIndex.groupBy(_._1)
+        .map { case (v, ps) =>
+          v -> ps.map(_._2 + 1).sum.toDouble / ps.length }
+      val rg = groups.map(_.map(rank).sum)
+      val h = 12.0 / (n.toDouble * (n + 1.0)) *
+        groups.indices.map(i => rg(i) * rg(i) / groups(i).size).sum -
+        3.0 * (n + 1.0)
+      val tc = all.groupBy(identity).values
+        .map(g => { val t = g.size.toDouble; t * t * t - t }).sum
+      val denom = 1.0 - tc / (n.toDouble * n * n - n)
+      val nOk = r.getLong(0) == n.toLong
+      if (denom <= 0.0 || n <= 5) nOk && r.isNullAt(2)
+      else {
+        val hc = h / denom
+        nOk && math.abs(r.getDouble(1) - h) < 1e-9 * (1.0 + h.abs) &&
+          math.abs(r.getDouble(2) - hc) < 1e-9 * (1.0 + hc.abs) &&
+          r.getBoolean(4) == (hc > 9.4877)
+      }
+    }
+
   property("kendallFromPairs ≡ brute-force pair counting on arbitrary samples") =
     Prop.forAll(
       Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 8), Gen.choose(0, 5)))) { xy0 =>

@@ -110,7 +110,13 @@ class PlanLintSpec extends SparkSpec {
       // (x, y) grid (50·11 cells at ANY corpus size — the corpus
       // collapsed into one groupBy first), plus three broadcast 1-row
       // crosses for the report — never row×row
-      "q138_kendall_tau")
+      "q138_kendall_tau",
+      // q142: the k-row pivot frame crosses the broadcast 1-row
+      // tie-correction total — the q135 report shape, never row×row
+      "q142_kruskal_wallis",
+      // q143: the ≤5-row test frame crosses the broadcast 1-row
+      // rejection-frontier fold — the q135 report shape
+      "q143_bh_fdr")
 
   // queries allowed to window >minRows rows on a <minKeys-value key —
   // empty by design; adding here requires an in-source justification

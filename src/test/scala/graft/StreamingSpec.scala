@@ -789,6 +789,34 @@ class StreamingSpec extends SparkSpec {
       && new java.io.File(s"$root/gen-2/tot").exists)
   }
 
+  test("termFreqStream: folded token counts derive exactly t47, known F1/F2 included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_tf_stream").toString
+    val root = s"$base/tf"; val ckpt = s"$base/ckpt"
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingIngest.termFreqStream(
+      stream.toDF().toDF("doc_id", "text"), root, ckpt)
+    // cross-batch fold matters: "spark" is a singleton in batch 1 and
+    // again in batch 2 — only the FOLDED count (2) keeps it out of F1
+    val batches = Seq(
+      Seq((1L, "spark rank window rank")),
+      Seq((2L, "spark beta gamma")))
+    batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val got = StreamingIngest.currentChao1(spark, root).get.collect()(0)
+    // counts: spark=2 rank=2 window=1 beta=1 gamma=1 → V=5 N=7 F1=3 F2=2
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3)) === (5L, 7L, 3L, 2L))
+    assert(got.getDouble(4) === 5.0 + 3.0 * 2.0 / (2.0 * 3.0)) // chao1 = 6
+    assert(got.getDouble(5) === 3.0 / 7.0)
+    // streamed ≡ batch through the same report
+    val batchR = graft.queries.Corpus.chao1FromCounts(
+      graft.queries.Corpus.tfCounts(
+        batches.flatten.toDF("doc_id", "text"))).collect()(0)
+    assert(got.toSeq === batchR.toSeq)
+  }
+
   test("transitionMatrixStream: folded generations equal oracle-checked q88 on the real events table") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
@@ -1049,6 +1077,36 @@ class StreamingSpec extends SparkSpec {
     }
     val streamed = asTuple(StreamingIngest.currentAnova(spark, root).get)
     val batch = asTuple(graft.queries.Features.q141_anova(spark, dir))
+    assert(streamed === batch)
+  }
+
+  test("kruskalStream: folded per-group value counts derive exactly q142, out-of-order batches included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val base = Files.createTempDirectory("graft_kw_stream").toString
+    val root = s"$base/kw"; val ckpt = s"$base/ckpt"
+    val evs = graft.Tables(spark, dir, "events")
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val shuffled = new scala.util.Random(19).shuffle(evs.toSeq)
+    val stream = MemoryStream[(String, Double)]
+    val q = StreamingIngest.kruskalStream(
+      stream.toDF().toDF("event_type", "value"), root, ckpt)
+    shuffled.grouped(math.max(shuffled.length / 3, 1)).foreach { chunk =>
+      stream.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def asTuple(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect()(0)
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4))
+    }
+    val streamed = asTuple(StreamingIngest.currentKruskal(spark, root).get)
+    val batch = asTuple(graft.queries.Features.q142_kruskal_wallis(spark, dir))
     assert(streamed === batch)
   }
 
