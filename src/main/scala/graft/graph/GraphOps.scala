@@ -294,6 +294,64 @@ object GraphOps {
     labels
   }
 
+  /** HITS (Kleinberg 1999) hubs-and-authorities over a DIRECTED
+    * edge set, run a fixed `iters` rounds. The two-sided companion
+    * to [[pageRank]] — on a bipartite buyer→item graph the hub score
+    * grades buyers by the authority of what they buy and the
+    * authority score grades items by the hubness of who buys them,
+    * the classic recommender/curation mutual refinement (PageRank on
+    * a bipartite graph just interleaves the two sides; HITS keeps
+    * them separate).
+    *
+    * Score state is FIXED-POINT BIGINT in 10⁻⁶ units, and the
+    * per-round normalization is BY THE MAXIMUM rather than the L2
+    * norm: s′ = (s_raw · 10⁶) div max(s_raw) — a positive scalar per
+    * round, so the RANKING is identical to the textbook L2 variant
+    * while every step stays pure integer arithmetic (the [[pageRank]]
+    * determinism discipline: no engine-ordered float sums, no sqrt).
+    * The max itself is exact and order-free. The raw·10⁶ product runs
+    * in DECIMAL(30,0)·(7,0) → (38,0) so a 10¹⁵-scale raw sum (10⁹
+    * in-degree at full scale) cannot overflow; `div` truncates and
+    * DuckDB's `//` floors — equal on the all-positive operands.
+    *
+    * Per round: two keyed joins + two map-side-combined aggregates
+    * (one per side) and two 1-row max folds (broadcast) — the
+    * two-sided version of the pageRank exchange budget, with
+    * `localCheckpoint` truncating each side's lineage. Every src has
+    * out-degree ≥ 1 and hubs start positive, so both maxima stay > 0
+    * and the divisions are total.
+    */
+  val HitsScale = 1000000L // 10^6 fixed-point units
+
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val norm = expr(
+      s"CAST(__raw AS DECIMAL(30,0)) * ${HitsScale}L div CAST(__mx AS DECIMAL(30,0))")
+    var hubs = e.select(col("src")).distinct()
+      .select(col("src"), lit(HitsScale).as("hub_e6"))
+    var auths: DataFrame = e.sparkSession.emptyDataFrame
+    var i = 0
+    while (i < iters) {
+      val araw = e.join(hubs, "src")
+        .groupBy(col("dst")).agg(sum(col("hub_e6")).as("__raw"))
+        .localCheckpoint(true) // the max fold AND the normalize
+      val amax = araw.agg(max(col("__raw")).as("__mx"))
+      auths = araw.crossJoin(broadcast(amax))
+        .select(col("dst"), norm.as("auth_e6"))
+      val hraw = e.join(auths, "dst")
+        .groupBy(col("src")).agg(sum(col("auth_e6")).as("__raw"))
+        .localCheckpoint(true)
+      val hmax = hraw.agg(max(col("__raw")).as("__mx"))
+      hubs = hraw.crossJoin(broadcast(hmax))
+        .select(col("src"), norm.as("hub_e6"))
+      i += 1
+    }
+    hubs.select(lit("hub").as("role"), col("src").as("node"),
+        col("hub_e6").as("score_e6"))
+      .unionAll(auths.select(lit("authority").as("role"),
+        col("dst").as("node"), col("auth_e6").as("score_e6")))
+  }
+
   /** Per-node triangle count + local clustering coefficient over an
     * undirected (src < dst) edge set. The src<dst orientation
     * enumerates each triangle exactly once as (a<b<c) — a 3-way

@@ -1657,6 +1657,115 @@ object Features {
        |FROM m""".stripMargin
   }
 
+  /** q144: Fleiss' kappa — q136's MULTI-rater generalization, the
+    * agreement gate when a labeling job has more than two annotators
+    * (the standard crowd/ensemble shape: Cohen's κ only compares a
+    * PAIR, and averaging pairwise κs both understates disagreement
+    * and lacks a chance model for the panel). Three deterministic
+    * raters over the document corpus — q136's stopword-density and
+    * length rules plus a type-token-ratio rule (each a different
+    * weak-supervision heuristic, so their panel agreement decides
+    * whether to ensemble them). Binary category, n = 3 raters per
+    * item: the whole statistic folds from THREE exact integers in ONE
+    * scan — N (items), S = Σᵢ[n⁺ᵢ(n⁺ᵢ−1) + n⁻ᵢ(n⁻ᵢ−1)] (the
+    * per-item agreement numerator; n⁺ᵢ ∈ {0..3} is how many raters
+    * said positive), and S⁺ = Σᵢ n⁺ᵢ (the positive marginal; S⁻ =
+    * 3N − S⁺). P̄ = S/(6N), P̄ₑ = (S⁺² + S⁻²)/(9N²) with the squares
+    * computed exactly in DECIMAL and string-crossed (the q136
+    * marginal-product rule — S⁺² leaves 2⁵³ around N ≈ 3·10⁷), and κ
+    * = (P̄−P̄ₑ)/(1−P̄ₑ) is fixed-order IEEE — bit-identical
+    * cross-engine. Unanimous-marginal degeneracy (P̄ₑ = 1) yields
+    * NULL, the q136 rule. One map-side-combined aggregate; nothing
+    * scales beyond one row.
+    */
+  /** The κ readout from a (__la, __lb, __lc) boolean label frame —
+    * split out so the scalacheck property pins it against the
+    * textbook per-item formula on arbitrary panels.
+    */
+  /** q144's additive sufficient statistics from a (__la, __lb, __lc)
+    * boolean label frame — three integers, summable across
+    * micro-batches (the anovaStream protocol,
+    * [[graft.streaming.StreamingIngest.fleissStream]]); an empty
+    * batch contributes the (0, 0, 0) identity.
+    */
+  def fleissPartial(labeled: DataFrame): DataFrame = {
+    val nPos = Seq("__la", "__lb", "__lc")
+      .map(c => when(col(c), 1L).otherwise(0L)).reduce(_ + _)
+    labeled.select(nPos.as("__np"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("__np") * (col("__np") - lit(1L)) +
+          (lit(3L) - col("__np")) * (lit(2L) - col("__np"))), lit(0L))
+          .as("s_agree"),
+        coalesce(sum(col("__np")), lit(0L)).as("s_pos"))
+  }
+
+  /** The κ readout from a folded (n_docs, s_agree, s_pos) stats row —
+    * shared verbatim by the batch query and the streaming monitor's
+    * read side.
+    */
+  def fleissFromStats(m: DataFrame): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    def d(c: Column): Column = c.cast("string").cast("double")
+    val n = col("n_docs").cast("double")
+    val sNeg = lit(3L) * col("n_docs") - col("s_pos")
+    val po = col("s_agree").cast("double") / (lit(6.0) * n)
+    val pe = (d(col("s_pos").cast(d19) * col("s_pos").cast(d19)) +
+      d(sNeg.cast(d19) * sNeg.cast(d19))) / (n * n * lit(9.0))
+    m.select(col("n_docs"), col("s_pos"), sNeg.as("s_neg"),
+      po.as("p_bar"), pe.as("p_bar_e"),
+      when(pe === 1.0, lit(null).cast("double"))
+        .otherwise((po - pe) / (lit(1.0) - pe)).as("fleiss_kappa"))
+  }
+
+  /** The three deterministic raters over a documents frame — ONE
+    * definition for the batch query and the streaming partials.
+    */
+  def fleissLabels(docs: DataFrame): DataFrame = {
+    val toks = graft.text.TextAnalysis.tokens(col("text"))
+    docs.select(
+      (size(filter(toks, t => t === "the" || t === "a")) * lit(100L) >
+        size(toks) * lit(6L)).as("__la"),
+      (size(toks) >= lit(50)).as("__lb"),
+      (size(array_distinct(toks)) * lit(2L) >= size(toks)).as("__lc"))
+  }
+
+  def fleissFromLabels(labeled: DataFrame): DataFrame =
+    fleissFromStats(fleissPartial(labeled))
+
+  val q144_fleiss_kappa: Q = (s, dir) =>
+    fleissFromLabels(fleissLabels(t(s, dir, "documents")))
+
+  def q144_sql: String = {
+    val toksSql = graft.queries.Corpus.toksSqlPublic
+    def dd(x: String): String = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    val sq = "CAST(s_pos AS DECIMAL(19,0)) * CAST(s_pos AS DECIMAL(19,0))"
+    val sqn = "CAST(s_neg AS DECIMAL(19,0)) * CAST(s_neg AS DECIMAL(19,0))"
+    s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+       |l AS (SELECT
+       |    (CASE WHEN (CAST(len(list_filter(toks, x -> x IN ('the', 'a')))
+       |       AS BIGINT) * 100 > CAST(len(toks) AS BIGINT) * 6)
+       |      THEN 1 ELSE 0 END)
+       |    + (CASE WHEN len(toks) >= 50 THEN 1 ELSE 0 END)
+       |    + (CASE WHEN CAST(len(list_distinct(toks)) AS BIGINT) * 2
+       |        >= CAST(len(toks) AS BIGINT) THEN 1 ELSE 0 END) AS np
+       |  FROM t),
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(np * (np - 1) + (3 - np) * (2 - np)) AS BIGINT) AS s,
+       |    CAST(SUM(np) AS BIGINT) AS s_pos
+       |  FROM l),
+       |w AS (SELECT n_docs, s, s_pos,
+       |    CAST(3 * n_docs - s_pos AS BIGINT) AS s_neg,
+       |    CAST(n_docs AS DOUBLE) AS nd FROM m),
+       |w2 AS (SELECT n_docs, s_pos, s_neg,
+       |    CAST(s AS DOUBLE) / (6.0 * nd) AS p_bar,
+       |    (${dd(sq)} + ${dd(sqn)}) / (nd * nd * 9.0) AS p_bar_e
+       |  FROM w)
+       |SELECT n_docs, s_pos, s_neg, p_bar, p_bar_e,
+       |  CASE WHEN p_bar_e = 1.0 THEN NULL
+       |       ELSE (p_bar - p_bar_e) / (1.0 - p_bar_e) END AS fleiss_kappa
+       |FROM w2""".stripMargin
+  }
+
   // --------------------------------------------- rank-sum drift
 
   /** q137: Mann–Whitney U (Wilcoxon rank-sum) — q135's
@@ -2166,6 +2275,7 @@ object Features {
     "q141_anova"          -> q141_anova,
     "q142_kruskal_wallis" -> q142_kruskal_wallis,
     "q143_bh_fdr"         -> q143_bh_fdr,
+    "q144_fleiss_kappa"   -> q144_fleiss_kappa,
     "q139_drift_by_slice" -> q139_drift_by_slice,
     "q131_spearman"       -> q131_spearman,
     "q132_token_gini"     -> q132_token_gini,
@@ -2194,6 +2304,7 @@ object Features {
     "q141_anova"          -> q141_sql,
     "q142_kruskal_wallis" -> q142_sql,
     "q143_bh_fdr"         -> q143_sql,
+    "q144_fleiss_kappa"   -> q144_sql,
     "q139_drift_by_slice" -> q139_sql,
     "q118_feature_store"  -> q118_sql,
     "q119_k_anonymity"    -> q119_sql,

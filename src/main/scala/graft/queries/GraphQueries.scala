@@ -422,7 +422,62 @@ object GraphQueries {
        |FROM lp$LpIters""".stripMargin
   }
 
+  private val HitsIters = 6
+
+  /** g10: HITS hubs and authorities on the DIRECTED bipartite
+    * customer→part purchase graph (distinct (o_custkey, l_partkey)
+    * pairs through orders⋈lineitem) — the two-sided ranking the
+    * co-purchase family cannot express: g01's PageRank on the
+    * mirrored co-purchase graph ranks parts in one key space, while
+    * HITS grades BOTH sides of the purchase relation at once (hub
+    * customers buy authoritative parts; authoritative parts are
+    * bought by hub customers), the Kleinberg mutual recurrence that
+    * recommender/curation pipelines run on user–item graphs. Scores
+    * are fixed-point BIGINT e-6 with exact max-normalization per
+    * round ([[GraphOps.hits]] — same ranking as the L2 textbook
+    * variant, zero float steps), so the oracle's round-by-round
+    * unroll hash-matches at any partitioning. Output: one row per
+    * (role, node) with the final score.
+    */
+  val g10_hits: Q = (s, dir) => {
+    val edges = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+      .distinct()
+    GraphOps.hits(edges, HitsIters)
+  }
+
+  val g10_sql: String = {
+    // SUM(BIGINT) is HUGEINT in DuckDB and raw·10⁶ stays HUGEINT —
+    // exact; `//` floor ≡ Spark's `div` on the positive operands.
+    val rounds = (1 to HitsIters).map { i =>
+      s"""ar$i AS MATERIALIZED (SELECT dst, SUM(hub) AS raw
+         |  FROM e JOIN h${i - 1} USING (src) GROUP BY dst),
+         |am$i AS (SELECT MAX(raw) AS mx FROM ar$i),
+         |a$i AS MATERIALIZED (SELECT dst,
+         |    CAST((raw * 1000000) // mx AS BIGINT) AS auth
+         |  FROM ar$i CROSS JOIN am$i),
+         |hr$i AS MATERIALIZED (SELECT src, SUM(auth) AS raw
+         |  FROM e JOIN a$i USING (dst) GROUP BY src),
+         |hm$i AS (SELECT MAX(raw) AS mx FROM hr$i),
+         |h$i AS MATERIALIZED (SELECT src,
+         |    CAST((raw * 1000000) // mx AS BIGINT) AS hub
+         |  FROM hr$i CROSS JOIN hm$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS src,
+       |    l_partkey AS dst
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |h0 AS (SELECT DISTINCT src, CAST(1000000 AS BIGINT) AS hub FROM e),
+       |$rounds
+       |SELECT 'hub' AS role, src AS node, hub AS score_e6 FROM h$HitsIters
+       |UNION ALL
+       |SELECT 'authority' AS role, dst AS node, auth AS score_e6
+       |FROM a$HitsIters""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "g10_hits" -> g10_hits,
     "g09_label_propagation" -> g09_label_propagation,
     "g08_link_prediction" -> g08_link_prediction,
     "g01_pagerank"    -> g01_pagerank,
@@ -434,6 +489,7 @@ object GraphQueries {
     "g05_hyperball"   -> g05_hyperball)
 
   val oracles: Map[String, String] = Map(
+    "g10_hits" -> g10_sql,
     "g09_label_propagation" -> g09_sql,
     "g08_link_prediction" -> g08_sql,
     "g01_pagerank"    -> g01_sql,

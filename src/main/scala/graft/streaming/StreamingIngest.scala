@@ -1294,6 +1294,51 @@ object StreamingIngest {
     priorGeneration(spark, statsRoot, Long.MaxValue).map(p =>
       graft.queries.Corpus.chao1FromCounts(spark.read.parquet(s"$p/tf")))
 
+  /** Continuously maintained panel-agreement monitor — q144's
+    * streaming face, the [[anovaStream]] protocol on Fleiss' κ: the
+    * three sufficient statistics (N, Σ agreement numerators, Σ
+    * positive votes) are additive
+    * ([[graft.queries.Features.fleissPartial]]), each micro-batch
+    * folds by summation, and [[currentFleiss]] derives κ at read time
+    * through the SAME [[graft.queries.Features.fleissFromStats]] the
+    * batch query uses — state is ONE row, streamed ≡ batch exact on
+    * the union of batches (spec-asserted).
+    */
+  def fleissStream(
+      docs: DataFrame, // streaming frame with a `text` column
+      statsRoot: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          val spark = batch.sparkSession
+          val part = graft.queries.Features.fleissPartial(
+            graft.queries.Features.fleissLabels(batch.toDF()))
+          val merged = priorGeneration(spark, statsRoot, batchId) match {
+            case Some(p) =>
+              spark.read.parquet(s"$p/fleiss").unionByName(part)
+                .agg(sum(col("n_docs")).as("n_docs"),
+                  sum(col("s_agree")).as("s_agree"),
+                  sum(col("s_pos")).as("s_pos"))
+            case None => part
+          }
+          merged.write.mode("overwrite")
+            .parquet(s"$statsRoot/gen-$batchId/fleiss")
+          ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+
+  /** q144's exact readout derived from the newest folded statistics,
+    * or None before the first batch lands.
+    */
+  def currentFleiss(spark: SparkSession, statsRoot: String): Option[DataFrame] =
+    priorGeneration(spark, statsRoot, Long.MaxValue).map(p =>
+      graft.queries.Features.fleissFromStats(
+        spark.read.parquet(s"$p/fleiss")))
+
   /** Streaming near-dup admission — the continuous-dedup serving loop
     * over [[graft.dedup.Dedup.incrementalNearDups]]: each micro-batch
     * of (doc_id, text) is (1) self-deduped with the d02 band family

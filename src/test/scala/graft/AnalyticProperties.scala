@@ -329,6 +329,33 @@ object AnalyticProperties extends Properties("graft.analytic") {
       }
     }
 
+  property("fleissFromLabels ≡ textbook per-item Fleiss' kappa on arbitrary panels") =
+    Prop.forAll(Gen.nonEmptyListOf(
+      Gen.zip(Gen.prob(0.5), Gen.prob(0.5), Gen.prob(0.5)))) { panel0 =>
+      val panel = if (panel0.isEmpty) List((true, false, true)) else panel0
+      val r = graft.queries.Features
+        .fleissFromLabels(panel.toDF("__la", "__lb", "__lc"))
+        .collect()(0)
+      // textbook: P_i = Σ_j n_ij(n_ij−1)/(n(n−1)), P̄e = Σ_j p_j²
+      val nps = panel.map { case (a, b, c) =>
+        Seq(a, b, c).count(identity) }
+      val bigN = panel.length.toDouble
+      val pBar = nps.map(p => p * (p - 1) + (3 - p) * (2 - p)).sum /
+        (6.0 * bigN)
+      val pPos = nps.sum / (3.0 * bigN)
+      val pE = pPos * pPos + (1.0 - pPos) * (1.0 - pPos)
+      val nOk = r.getLong(0) == panel.length.toLong &&
+        r.getLong(1) == nps.sum.toLong &&
+        r.getLong(2) == 3L * panel.length - nps.sum
+      val baseOk = math.abs(r.getDouble(3) - pBar) < 1e-12 &&
+        math.abs(r.getDouble(4) - pE) < 1e-12
+      val kOk =
+        if (math.abs(pE - 1.0) < 1e-15) r.isNullAt(5)
+        else math.abs(
+          r.getDouble(5) - (pBar - pE) / (1.0 - pE)) < 1e-9
+      nOk && baseOk && kOk
+    }
+
   property("kendallFromPairs ≡ brute-force pair counting on arbitrary samples") =
     Prop.forAll(
       Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 8), Gen.choose(0, 5)))) { xy0 =>

@@ -276,4 +276,32 @@ class GraphSpec extends SparkSpec {
       .count()
     assert(blocked == brute, s"blocking dropped pairs: $blocked vs $brute")
   }
+
+  test("hits: one round matches the hand-computed mutual recurrence") {
+    // bipartite: c1→{p1,p2}, c2→{p1}, c3→{p3}
+    val e = edges((1L, 101L), (1L, 102L), (2L, 101L), (3L, 103L))
+    val got = GraphOps.hits(e, 1).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // a_raw: p1=2e6 p2=1e6 p3=1e6, max 2e6 → auth p1=1e6, p2=p3=5e5
+    assert(got(("authority", 101L)) === 1000000L)
+    assert(got(("authority", 102L)) === 500000L)
+    assert(got(("authority", 103L)) === 500000L)
+    // h_raw: c1=1.5e6 c2=1e6 c3=5e5, max 1.5e6 → 1e6, ⌊2/3·1e6⌋, ⌊1/3·1e6⌋
+    assert(got(("hub", 1L)) === 1000000L)
+    assert(got(("hub", 2L)) === 666666L)
+    assert(got(("hub", 3L)) === 333333L)
+  }
+
+  test("hits: the per-round max renormalization pins both roles' maxima at the scale") {
+    val e = edges((1L, 101L), (1L, 102L), (2L, 101L), (2L, 103L),
+      (3L, 101L), (4L, 104L))
+    val got = GraphOps.hits(e, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.filterKeys(_._1 == "hub").values.max === GraphOps.HitsScale)
+    assert(got.filterKeys(_._1 == "authority").values.max
+      === GraphOps.HitsScale)
+    // p1 (three hub buyers) must out-rank the singleton p4
+    assert(got(("authority", 101L)) > got(("authority", 104L)))
+    assert(got.size === 8)
+  }
 }

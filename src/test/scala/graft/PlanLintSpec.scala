@@ -116,7 +116,11 @@ class PlanLintSpec extends SparkSpec {
       "q142_kruskal_wallis",
       // q143: the ≤5-row test frame crosses the broadcast 1-row
       // rejection-frontier fold — the q135 report shape
-      "q143_bh_fdr")
+      "q143_bh_fdr",
+      // g10: each HITS round crosses its side's score frame against
+      // the broadcast 1-row max (the exact integer renormalizer) —
+      // the q135 report shape, once per side per round
+      "g10_hits")
 
   // queries allowed to window >minRows rows on a <minKeys-value key —
   // empty by design; adding here requires an in-source justification

@@ -817,6 +817,35 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === batchR.toSeq)
   }
 
+  test("fleissStream: folded sufficient statistics derive exactly q144, out-of-order batches included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val base = Files.createTempDirectory("graft_fleiss_stream").toString
+    val root = s"$base/fleiss"; val ckpt = s"$base/ckpt"
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("text")).collect().map(_.getString(0))
+    val shuffled = new scala.util.Random(23).shuffle(docs.toSeq)
+    val stream = MemoryStream[String]
+    val q = StreamingIngest.fleissStream(
+      stream.toDF().toDF("text"), root, ckpt)
+    shuffled.grouped(math.max(shuffled.length / 3, 1)).foreach { chunk =>
+      stream.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def asTuple(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))
+    }
+    val streamed = asTuple(StreamingIngest.currentFleiss(spark, root).get)
+    val batch = asTuple(graft.queries.Features.q144_fleiss_kappa(spark, dir))
+    assert(streamed === batch)
+  }
+
   test("transitionMatrixStream: folded generations equal oracle-checked q88 on the real events table") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
