@@ -2179,6 +2179,121 @@ object Features {
        |FROM m""".stripMargin
   }
 
+  /** q145: chi-square test of homogeneity over the event-type MIX —
+    * the CATEGORICAL face of the drift family: KS (q135) and the
+    * rank-sum test (q137) watch a numeric metric's distribution, but
+    * a pipeline's first drift is usually compositional (the traffic
+    * mix shifts toward one event type), which the numeric monitors
+    * can't see at all. One 5×2 contingency (event type × ref/cur
+    * split) from an additive (event_type, n_ref, n_cur) count frame
+    * ([[catDriftCounts]] — the anovaStream protocol, state = one row
+    * per type); the observed counts and all marginals are exact
+    * BIGINTs, the expected counts E = row·col/N and the χ² fold are
+    * fixed-order IEEE over those integers with every cell expanded in
+    * ONE written order in both engines (the q141 rule) — bit-identical
+    * cross-engine, χ²(4, 0.05) = 9.4877 verdict included. Cramér's V
+    * (= √(χ²/N) at 2 columns) gives the sample-size-free magnitude,
+    * the q140 effect-size discipline. A one-sided corpus (empty
+    * ref/cur column) yields NULL, the ksTail rule; a missing type
+    * propagates NULL through the pivot.
+    */
+  /** q145's additive per-type (ref, cur) counts — summable across
+    * micro-batches
+    * ([[graft.streaming.StreamingIngest.catDriftStream]]). Unlike the
+    * numeric monitors there is no value filter: the mix test counts
+    * EVERY event.
+    */
+  def catDriftCounts(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), (col("ts") < driftSplit).as("__ref"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("__ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("__ref"), 0L).otherwise(1L)).as("n_cur"))
+
+  /** The χ² readout from an (event_type, n_ref, n_cur) count frame —
+    * shared verbatim by the batch query and the streaming monitor's
+    * read side.
+    */
+  def chi2FromCatCounts(counts: DataFrame): DataFrame = {
+    val one = counts.groupBy().pivot("event_type", AnovaTypes)
+      .agg(first(col("n_ref")).as("r"), first(col("n_cur")).as("c"))
+    def rT(t: String): Column = col(s"${t}_r").cast("double")
+    def cT(t: String): Column = col(s"${t}_c").cast("double")
+    val colR = AnovaTypes.map(rT).reduce(_ + _)
+    val colC = AnovaTypes.map(cT).reduce(_ + _)
+    val n = colR + colC
+    // cell order is ONE written sequence — per type: ref then cur —
+    // so the IEEE fold is the same left-associated sum in both
+    // engines. A zero ROW (a type absent from both sides of a
+    // filtered stream) would make its cells 0/0 — Spark NaN, DuckDB
+    // NULL, the ksTail divergence class — so an empty row contributes
+    // 0, the textbook dropped-cell convention (df stays the domain's
+    // fixed 4; the verdict is conservative on the degenerate mix).
+    val chi2 = AnovaTypes.map { t =>
+      val row = rT(t) + cT(t)
+      def cell(o: Column, e: Column): Column = (o - e) * (o - e) / e
+      when(row > lit(0.0),
+        cell(rT(t), row * colR / n) + cell(cT(t), row * colC / n))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    // an entirely missing type must yield NULL, not a silent zero
+    // contribution: the NULL column total is the tell
+    val degen = colR.isNull ||
+      !(colR > lit(0.0)) || !(colC > lit(0.0))
+    val nullD = lit(null).cast("double")
+    val nTotL = AnovaTypes
+      .map(t => col(s"${t}_r") + col(s"${t}_c")).reduce(_ + _)
+    one.select(nTotL.as("n_total"),
+      when(degen, nullD).otherwise(chi2).as("chi2"),
+      when(degen, nullD).otherwise(sqrt(chi2 / n)).as("cramers_v"),
+      when(degen, lit(null).cast("boolean"))
+        .otherwise(chi2 > lit(9.4877)).as("significant"))
+  }
+
+  val q145_categorical_drift: Q = (s, dir) =>
+    chi2FromCatCounts(catDriftCounts(t(s, dir, "events")))
+
+  def q145_sql: String = {
+    val subs = AnovaTypes.map { t =>
+      s"""    (SELECT CAST(n_ref AS BIGINT) FROM g WHERE event_type = '$t')
+         |      AS r_$t,
+         |    (SELECT CAST(n_cur AS BIGINT) FROM g WHERE event_type = '$t')
+         |      AS c_$t""".stripMargin
+    }.mkString(",\n")
+    def rT(t: String) = s"CAST(r_$t AS DOUBLE)"
+    def cT(t: String) = s"CAST(c_$t AS DOUBLE)"
+    val colR = AnovaTypes.map(rT).mkString(" + ")
+    val colC = AnovaTypes.map(cT).mkString(" + ")
+    val chi2 = AnovaTypes.map { t =>
+      val row = s"(${rT(t)} + ${cT(t)})"
+      def cell(o: String, e: String) = s"($o - $e) * ($o - $e) / ($e)"
+      val terms = cell(rT(t), s"$row * colr / nd") + " + " +
+        cell(cT(t), s"$row * colc / nd")
+      s"CASE WHEN $row > 0.0 THEN $terms ELSE 0.0 END"
+    }.mkString(" + ")
+    val nTotL = AnovaTypes.map(t => s"r_$t + c_$t").mkString(" + ")
+    s"""WITH e AS (SELECT event_type,
+       |    (ts < TIMESTAMP '$DriftSplitSql') AS ref FROM events),
+       |g AS (SELECT event_type,
+       |    CAST(SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+       |    CAST(SUM(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+       |  FROM e GROUP BY 1),
+       |m AS (SELECT
+       |$subs),
+       |w AS (SELECT *, ($colR) AS colr, ($colC) AS colc FROM m),
+       |w2 AS (SELECT *, colr + colc AS nd FROM w),
+       |w3 AS (SELECT CAST($nTotL AS BIGINT) AS n_total,
+       |    ($chi2) AS chi2, nd, colr, colc FROM w2)
+       |SELECT n_total,
+       |  CASE WHEN colr IS NULL OR NOT (colr > 0.0) OR NOT (colc > 0.0)
+       |       THEN NULL ELSE chi2 END AS chi2,
+       |  CASE WHEN colr IS NULL OR NOT (colr > 0.0) OR NOT (colc > 0.0)
+       |       THEN NULL ELSE sqrt(chi2 / nd) END AS cramers_v,
+       |  CASE WHEN colr IS NULL OR NOT (colr > 0.0) OR NOT (colc > 0.0)
+       |       THEN NULL ELSE chi2 > 9.4877E0 END AS significant
+       |FROM w3""".stripMargin
+  }
+
   // ---------------------------------------- multiple-testing control
 
   /** q143: Benjamini–Hochberg step-up over the q139 dashboard — the
@@ -2276,6 +2391,7 @@ object Features {
     "q142_kruskal_wallis" -> q142_kruskal_wallis,
     "q143_bh_fdr"         -> q143_bh_fdr,
     "q144_fleiss_kappa"   -> q144_fleiss_kappa,
+    "q145_categorical_drift" -> q145_categorical_drift,
     "q139_drift_by_slice" -> q139_drift_by_slice,
     "q131_spearman"       -> q131_spearman,
     "q132_token_gini"     -> q132_token_gini,
@@ -2305,6 +2421,7 @@ object Features {
     "q142_kruskal_wallis" -> q142_sql,
     "q143_bh_fdr"         -> q143_sql,
     "q144_fleiss_kappa"   -> q144_sql,
+    "q145_categorical_drift" -> q145_sql,
     "q139_drift_by_slice" -> q139_sql,
     "q118_feature_store"  -> q118_sql,
     "q119_k_anonymity"    -> q119_sql,

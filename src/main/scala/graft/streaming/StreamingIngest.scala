@@ -1339,6 +1339,49 @@ object StreamingIngest {
       graft.queries.Features.fleissFromStats(
         spark.read.parquet(s"$p/fleiss")))
 
+  /** Continuously maintained categorical mix monitor — q145's
+    * streaming face: per-type (ref, cur) counts are additive
+    * ([[graft.queries.Features.catDriftCounts]]), each micro-batch
+    * folds by summation, and [[currentCatDrift]] derives χ² at read
+    * time through the SAME
+    * [[graft.queries.Features.chi2FromCatCounts]] the batch query
+    * uses — state is one row per event type, streamed ≡ batch exact
+    * on the union of batches (spec-asserted).
+    */
+  def catDriftStream(
+      events: DataFrame, // streaming frame: ts + event_type
+      statsRoot: String,
+      checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          val spark = batch.sparkSession
+          val part = graft.queries.Features.catDriftCounts(batch.toDF())
+          val merged = priorGeneration(spark, statsRoot, batchId) match {
+            case Some(p) =>
+              spark.read.parquet(s"$p/cat").unionByName(part)
+                .groupBy(col("event_type"))
+                .agg(sum(col("n_ref")).as("n_ref"),
+                  sum(col("n_cur")).as("n_cur"))
+            case None => part
+          }
+          merged.write.mode("overwrite")
+            .parquet(s"$statsRoot/gen-$batchId/cat")
+          ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+
+  /** q145's exact readout derived from the newest folded counts, or
+    * None before the first batch lands.
+    */
+  def currentCatDrift(spark: SparkSession, statsRoot: String): Option[DataFrame] =
+    priorGeneration(spark, statsRoot, Long.MaxValue).map(p =>
+      graft.queries.Features.chi2FromCatCounts(
+        spark.read.parquet(s"$p/cat")))
+
   /** Streaming near-dup admission — the continuous-dedup serving loop
     * over [[graft.dedup.Dedup.incrementalNearDups]]: each micro-batch
     * of (doc_id, text) is (1) self-deduped with the d02 band family

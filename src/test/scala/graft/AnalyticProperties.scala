@@ -356,6 +356,33 @@ object AnalyticProperties extends Properties("graft.analytic") {
       nOk && baseOk && kOk
     }
 
+  property("chi2FromCatCounts ≡ textbook contingency chi-square on arbitrary mixes") =
+    Prop.forAll(Gen.sequence[List[(Int, Int)], (Int, Int)](
+      List.fill(5)(Gen.zip(Gen.choose(0, 400), Gen.choose(0, 400))))) { cells =>
+      val types = graft.queries.Features.AnovaTypes
+      val counts = types.zip(cells).map { case (t, (r, c)) =>
+        (t, r.toLong, c.toLong) }
+      val res = graft.queries.Features
+        .chi2FromCatCounts(counts.toDF("event_type", "n_ref", "n_cur"))
+        .collect()(0)
+      val colR = cells.map(_._1.toDouble).sum
+      val colC = cells.map(_._2.toDouble).sum
+      val n = colR + colC
+      val nOk = res.getLong(0) == cells.map(p => p._1 + p._2).sum.toLong
+      if (colR == 0.0 || colC == 0.0) nOk && res.isNullAt(1)
+      else {
+        // an empty row (type absent from both sides) drops — the
+        // query's guarded-cell convention, textbook dropped-cell
+        val chi2 = cells.flatMap { case (r, c) =>
+          val row = (r + c).toDouble
+          Seq((r.toDouble, row * colR / n), (c.toDouble, row * colC / n))
+        }.collect { case (o, e) if e > 0.0 => (o - e) * (o - e) / e }.sum
+        nOk && math.abs(res.getDouble(1) - chi2) < 1e-9 * (1.0 + chi2) &&
+          math.abs(res.getDouble(2) - math.sqrt(chi2 / n)) < 1e-9 &&
+          res.getBoolean(3) == (chi2 > 9.4877)
+      }
+    }
+
   property("kendallFromPairs ≡ brute-force pair counting on arbitrary samples") =
     Prop.forAll(
       Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 8), Gen.choose(0, 5)))) { xy0 =>

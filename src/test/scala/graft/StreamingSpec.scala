@@ -817,6 +817,36 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === batchR.toSeq)
   }
 
+  test("catDriftStream: folded per-type counts derive exactly q145, out-of-order batches included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val base = Files.createTempDirectory("graft_cat_stream").toString
+    val root = s"$base/cat"; val ckpt = s"$base/ckpt"
+    val evs = graft.Tables(spark, dir, "events")
+      .select(col("ts"), col("event_type"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)))
+    val shuffled = new scala.util.Random(29).shuffle(evs.toSeq)
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val q = StreamingIngest.catDriftStream(
+      stream.toDF().toDF("ts", "event_type"), root, ckpt)
+    shuffled.grouped(math.max(shuffled.length / 3, 1)).foreach { chunk =>
+      stream.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def asTuple(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect()(0)
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getBoolean(3))
+    }
+    val streamed = asTuple(StreamingIngest.currentCatDrift(spark, root).get)
+    val batch = asTuple(
+      graft.queries.Features.q145_categorical_drift(spark, dir))
+    assert(streamed === batch)
+  }
+
   test("fleissStream: folded sufficient statistics derive exactly q144, out-of-order batches included") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
