@@ -5701,6 +5701,37 @@ object Corpus {
        |SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine, rank
        |FROM r WHERE rank <= 10""".stripMargin
 
+  /** s20: IVF radius (range) search — the similarity API the top-k
+    * family lacks: dedup and link-discovery ask "every neighbor at
+    * least this similar" (d04/d11 answer it by brute force or LSH),
+    * and a k cap silently truncates dense neighborhoods while
+    * flooding sparse ones with irrelevant tails. Probes the same
+    * fitted s03 quantizer ([[s03Index]] — one fit, three consumers
+    * with s19), nProbe = 8 of 16 lists, exact cosine ≥ 0.3 filter —
+    * no window anywhere, the per-query result size is whatever the
+    * radius contains. The oracle replays candidate generation from
+    * the dumped centroid bits ([[s03CoreSqlCtes]], shared verbatim)
+    * and the identical exact-op-order cosine + threshold, so the hash
+    * match proves probe-for-probe equivalence. At 100 TB the shape is
+    * s03's: the probe join shuffles on list id only, and a persisted
+    * list-partitioned store prunes to the probed directories.
+    */
+  val s20_ivf_radius: Q = (s, dir) =>
+    s03Index(s, dir)
+      .searchRadius(t(s, dir, "embeddings").where(col("vec_id") < 5),
+        "vec_id", "embedding", threshold = 0.3, nProbe = 8)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+
+  def s20_sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$s03CoreSqlCtes,
+       |sc AS (SELECT query_id, neighbor_id, $cosSql AS cos
+       | FROM cand JOIN e a ON a.vec_id = query_id
+       |           JOIN e b ON b.vec_id = neighbor_id)
+       |SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine
+       |FROM sc WHERE cos >= 0.3E0""".stripMargin
+
   /** s19: ANN recall@k — the index-quality eval every serving stack
     * runs before trusting an approximate index: per probe query, how
     * much of the EXACT cosine top-10 (the s01 baseline) does the s03
@@ -6807,7 +6838,8 @@ object Corpus {
     "s16_index_health"      -> s16_index_health,
     "s17_pq_ann"            -> s17_pq_ann,
     "s18_ivfpq_ann"         -> s18_ivfpq_ann,
-    "s19_ann_recall"        -> s19_ann_recall)
+    "s19_ann_recall"        -> s19_ann_recall,
+    "s20_ivf_radius"        -> s20_ivf_radius)
 
   // def, not val: s03_sql embeds the per-dir centroid fixture path for
   // the CURRENT `oracleSfDir`, so the map must be rebuilt at dump time.
@@ -6913,5 +6945,6 @@ object Corpus {
     "s16_index_health"      -> s16_sql,
     "s17_pq_ann"            -> s17_sql,
     "s18_ivfpq_ann"         -> s18_sql,
-    "s19_ann_recall"        -> s19_sql)
+    "s19_ann_recall"        -> s19_sql,
+    "s20_ivf_radius"        -> s20_sql)
 }

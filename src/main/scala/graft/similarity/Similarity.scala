@@ -193,6 +193,35 @@ object Similarity {
       searchImpl(queries, queryIdCol, queryVecCol, k, nProbe, prune = true,
         candidateFilter)
 
+    /** Radius (range) search: every indexed neighbor with exact
+      * cosine ≥ `threshold`, probing the `nProbe` nearest lists per
+      * query — the companion API to the top-k [[search]] (dedup and
+      * link-discovery pipelines ask "everything this similar", not
+      * "the 10 most similar"; a k cap silently truncates dense
+      * neighborhoods). Same candidate generation and shuffle shape as
+      * [[search]] (one list-id equi-join, no window at all — radius
+      * needs no per-query ranking), same recall contract: exact
+      * within the probed lists, total when nProbe = nLists
+      * (spec-asserted against the brute-force filter).
+      */
+    def searchRadius(
+        queries: DataFrame,
+        queryIdCol: String,
+        queryVecCol: String,
+        threshold: Double,
+        nProbe: Int = 4): DataFrame = {
+      val q = queries.select(col(queryIdCol).as("query_id"),
+        col(queryVecCol).cast("array<double>").as("__qv"))
+      val probed = q.withColumn("ivf_list",
+          explode_outer(slice(rankedLists(col("__qv")), 1, nProbe)))
+        .where(col("ivf_list").isNotNull)
+      probed.join(listed, Seq("ivf_list"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosine(col("__qv"), col("__cv")).as("cosine"))
+        .where(col("cosine") >= lit(threshold))
+    }
+
     private def searchImpl(
         queries: DataFrame,
         queryIdCol: String,

@@ -62,6 +62,38 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.exists { case ((_, n), c) => n == 60L && math.abs(c - 1.0) < 1e-9 })
   }
 
+  test("searchRadius: full-probe radius search equals the brute-force threshold filter; partial probes are an exact subset") {
+    val rng = new scala.util.Random(31)
+    val corpus = (0L until 80L).map { i =>
+      (i, Array.fill(16)(rng.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 4)
+    val idx = Similarity.IvfIndex.build(corpus, "vec_id", "embedding",
+      nLists = 8)
+    val tau = 0.2
+    // brute-force ground truth: every pair with cosine >= tau
+    val bf = Similarity.bruteForceTopK(queries, corpus,
+      "vec_id", "embedding", "vec_id", "embedding", k = 80)
+      .where(col("cosine") >= tau)
+      .select("query_id", "neighbor_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // nProbe = nLists → candidate generation is total → exact equality
+    val full = idx.searchRadius(queries, "vec_id", "embedding", tau,
+      nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(full === bf)
+    assert(full.nonEmpty)
+    // partial probing: a subset with exact scores, never an extra pair
+    val part = idx.searchRadius(queries, "vec_id", "embedding", tau,
+      nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    part.foreach { case (pair, c) =>
+      assert(bf.contains(pair) && bf(pair) === c)
+    }
+  }
+
   test("IvfIndex write/read: the stored index serves identical results and probes prune partitions") {
     val rng = new scala.util.Random(31)
     val corpus = (0L until 200L).map { i =>
