@@ -895,7 +895,14 @@ object Features {
     * shared verbatim by the batch query and the streaming monitor's
     * read side (scalacheck pins it against brute-force global ranks).
     */
-  def kruskalWallisFromCounts(counts: DataFrame): DataFrame = {
+  /** The shared rank-stats stage of the k-sample rank family — ONE
+    * definition for q142's omnibus H and q146's pairwise follow-ups:
+    * per-group exact (n, doubled rank-sum) stats plus the 1-row
+    * (tie-correction, N) totals, from the combined-sample two-level
+    * prefix. A tie-rule fix applied to one consumer but not the other
+    * would be a silent q142-vs-q146 disagreement.
+    */
+  private[graft] def kwRankStats(counts: DataFrame): (DataFrame, DataFrame) = {
     val d19 = DecimalType(19, 0)
     val d12 = DecimalType(12, 0)
     def d(c: Column): Column = c.cast("string").cast("double")
@@ -907,11 +914,20 @@ object Features {
         (lit(2L) * col("__exc") + col("__c") + lit(1L)).as("__r2"))
     val tot = vc.agg(
       d(sum(col("__c").cast(d12) * col("__c").cast(d12)
-        * col("__c").cast(d12) - col("__c").cast(d12))).as("__tc"))
+        * col("__c").cast(d12) - col("__c").cast(d12))).as("__tc"),
+      sum(col("__c")).as("__n"))
     val perGrp = counts.join(r2, "v")
       .groupBy(col("event_type"))
       .agg(sum(col("c")).as("n"),
         sum(col("c").cast(d19) * col("__r2").cast(d19)).as("s2"))
+    (perGrp, tot)
+  }
+
+  def kruskalWallisFromCounts(counts: DataFrame): DataFrame = {
+    def d(c: Column): Column = c.cast("string").cast("double")
+    val d12 = DecimalType(12, 0)
+    val (perGrp, tot0) = kwRankStats(counts)
+    val tot = tot0.select(col("__tc")) // N re-derives from the pivot
     val one = perGrp.groupBy().pivot("event_type", AnovaTypes)
       .agg(first(col("n")).as("n"), first(col("s2")).as("s2"))
       .crossJoin(broadcast(tot))
@@ -991,6 +1007,89 @@ object Features {
        |  CASE WHEN NOT (denom > 0.0) OR NOT (ntd > 5.0) THEN NULL
        |       ELSE (h / denom) > 9.4877E0 END AS significant
        |FROM w3""".stripMargin
+  }
+
+  /** q146: Dunn's post-hoc test — the pairwise follow-up a
+    * significant q142 omnibus REQUIRES before anyone acts on it (H
+    * says "some arm differs", never which; re-running q137 on each
+    * pair uses the wrong variance and no correction). For each of the
+    * C(5,2) = 10 event-type pairs: z = (R̄ᵢ − R̄ⱼ) /
+    * √(σ²(1/nᵢ + 1/nⱼ)) with the POOLED tie-corrected variance σ² =
+    * N(N+1)/12 − Σ(t³−t)/(12(N−1)) over the COMBINED ranks — the same
+    * exact per-group doubled rank-sums and tie total as q142
+    * ([[kwRankStats]], one definition, two consumers). The Bonferroni
+    * gate is Dunn's original: |z| ≥ Φ⁻¹(1 − α/(2m)) = 2.807034 at
+    * α = 0.05, m = 10 — a domain constant, no erf (the q143
+    * z-scale trick). All inputs exact integers string-crossed; z is
+    * fixed-order IEEE — bit-identical cross-engine, verdict included.
+    * The pair join is a ≤5-row theta self-join (the q138 grid bound);
+    * an all-tied corpus (σ² ≤ 0) or N ≤ 1 yields NULLs.
+    */
+  /** The pairwise report derived from an (event_type, v, c) count
+    * frame — [[kwCounts]]'s shape, so the same streamed fold that
+    * maintains q142 serves the post-hoc at read time (scalacheck pins
+    * the z against brute-force pooled-variance ranks).
+    */
+  def dunnFromCounts(counts: DataFrame): DataFrame = {
+    def d(c: Column): Column = c.cast("string").cast("double")
+    val (perGrp, tot) = kwRankStats(counts)
+    val a = perGrp.select(col("event_type").as("grp_a"),
+      col("n").as("n_a"), col("s2").as("__s2a"))
+    val b = perGrp.select(col("event_type").as("grp_b"),
+      col("n").as("n_b"), col("s2").as("__s2b"))
+    val pairs = a.join(b, col("grp_a") < col("grp_b"))
+      .crossJoin(broadcast(tot))
+    val nd = col("__n").cast("double")
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val rbarA = d(col("__s2a")) / lit(2.0) / na
+    val rbarB = d(col("__s2b")) / lit(2.0) / nb
+    val sig2 = nd * (nd + lit(1.0)) / lit(12.0) -
+      col("__tc") / (lit(12.0) * (nd - lit(1.0)))
+    val z = (rbarA - rbarB) / sqrt(sig2 * (lit(1.0) / na + lit(1.0) / nb))
+    val degen = !(sig2 > lit(0.0)) || !(nd > lit(1.0))
+    pairs.select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+      when(degen, lit(null).cast("double")).otherwise(z).as("z_dunn"),
+      when(degen, lit(null).cast("boolean"))
+        .otherwise(abs(z) > lit(2.807034)).as("significant"))
+  }
+
+  val q146_dunn_posthoc: Q = (s, dir) =>
+    dunnFromCounts(kwCounts(t(s, dir, "events")))
+
+  def q146_sql: String = {
+    val c3 = "CAST(cv AS DECIMAL(12,0))"
+    def dd(x: String): String = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    val sig2 = "(nd * (nd + 1.0) / 12.0 - tc / (12.0 * (nd - 1.0)))"
+    val z = "((rbar_a - rbar_b) / sqrt" +
+      s"($sig2 * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))))"
+    val degen = s"(NOT ($sig2 > 0.0) OR NOT (nd > 1.0))"
+    s"""WITH e AS (SELECT event_type AS grp, value AS v
+       |  FROM events WHERE value IS NOT NULL),
+       |g AS (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM e GROUP BY 1, 2),
+       |vc AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM g GROUP BY v),
+       |r AS (SELECT v, CAST(2 * COALESCE(SUM(cv) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    + cv + 1 AS BIGINT) AS r2 FROM vc),
+       |s AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n,
+       |    SUM(CAST(c AS DECIMAL(19,0)) * CAST(r2 AS DECIMAL(19,0))) AS s2
+       |  FROM g JOIN r USING (v) GROUP BY grp),
+       |tot AS (SELECT ${dd(s"SUM($c3 * $c3 * $c3 - $c3)")} AS tc,
+       |    CAST(SUM(cv) AS BIGINT) AS n_total FROM vc),
+       |p AS (SELECT a.grp AS grp_a, b.grp AS grp_b,
+       |    a.n AS n_a, b.n AS n_b,
+       |    ${dd("a.s2")} / 2.0 / CAST(a.n AS DOUBLE) AS rbar_a,
+       |    ${dd("b.s2")} / 2.0 / CAST(b.n AS DOUBLE) AS rbar_b
+       |  FROM s a JOIN s b ON a.grp < b.grp),
+       |w AS (SELECT grp_a, grp_b, n_a, n_b, rbar_a, rbar_b,
+       |    CAST(n_total AS DOUBLE) AS nd, tc
+       |  FROM p CROSS JOIN tot)
+       |SELECT grp_a, grp_b, n_a, n_b,
+       |  CASE WHEN $degen THEN NULL ELSE $z END AS z_dunn,
+       |  CASE WHEN $degen THEN NULL
+       |       ELSE abs($z) > 2.807034E0 END AS significant
+       |FROM w""".stripMargin
   }
 
   // -------------------------------------------- rank correlation
@@ -2392,6 +2491,7 @@ object Features {
     "q143_bh_fdr"         -> q143_bh_fdr,
     "q144_fleiss_kappa"   -> q144_fleiss_kappa,
     "q145_categorical_drift" -> q145_categorical_drift,
+    "q146_dunn_posthoc"   -> q146_dunn_posthoc,
     "q139_drift_by_slice" -> q139_drift_by_slice,
     "q131_spearman"       -> q131_spearman,
     "q132_token_gini"     -> q132_token_gini,
@@ -2422,6 +2522,7 @@ object Features {
     "q143_bh_fdr"         -> q143_sql,
     "q144_fleiss_kappa"   -> q144_sql,
     "q145_categorical_drift" -> q145_sql,
+    "q146_dunn_posthoc"   -> q146_sql,
     "q139_drift_by_slice" -> q139_sql,
     "q118_feature_store"  -> q118_sql,
     "q119_k_anonymity"    -> q119_sql,

@@ -383,6 +383,46 @@ object AnalyticProperties extends Properties("graft.analytic") {
       }
     }
 
+  property("dunnFromCounts ≡ brute-force pooled-variance pairwise z on arbitrary samples") =
+    Prop.forAll(Gen.sequence[List[List[Int]], List[Int]](
+      List.fill(5)(Gen.nonEmptyListOf(Gen.choose(0, 40))))) { cents0 =>
+      val cents = cents0.map(g => if (g.isEmpty) List(3) else g)
+      val types = graft.queries.Features.AnovaTypes
+      val rows = types.zip(cents).flatMap { case (t, g) =>
+        g.map(c => (t, c.toDouble / 4.0)) } // quarter steps force ties
+      val got = graft.queries.Features
+        .dunnFromCounts(graft.queries.Features.kwCounts(
+          rows.toDF("event_type", "value")))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3),
+            if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+      // literal sorted-sample tie-averaged ranks, textbook Dunn z
+      val groups = cents.map(_.map(_.toDouble / 4.0))
+      val all = groups.flatten.sorted
+      val n = all.length
+      val rank: Map[Double, Double] = all.zipWithIndex.groupBy(_._1)
+        .map { case (v, ps) =>
+          v -> ps.map(_._2 + 1).sum.toDouble / ps.length }
+      val tc = all.groupBy(identity).values
+        .map(g => { val t = g.size.toDouble; t * t * t - t }).sum
+      val sig2 = n.toDouble * (n + 1.0) / 12.0 - tc / (12.0 * (n - 1.0))
+      val pairsOk = (for {
+        i <- types.indices; j <- types.indices if types(i) < types(j)
+      } yield {
+        val (na, nb) = (groups(i).size, groups(j).size)
+        val (gNa, gNb, gZ) = got((types(i), types(j)))
+        val sizeOk = gNa == na.toLong && gNb == nb.toLong
+        if (sig2 <= 0.0 || n <= 1) sizeOk && gZ.isEmpty
+        else {
+          val z = (groups(i).map(rank).sum / na -
+            groups(j).map(rank).sum / nb) /
+            math.sqrt(sig2 * (1.0 / na + 1.0 / nb))
+          sizeOk && gZ.exists(g => math.abs(g - z) < 1e-9 * (1.0 + z.abs))
+        }
+      }).forall(identity)
+      got.size == 10 && pairsOk
+    }
+
   property("kendallFromPairs ≡ brute-force pair counting on arbitrary samples") =
     Prop.forAll(
       Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 8), Gen.choose(0, 5)))) { xy0 =>

@@ -120,7 +120,11 @@ class PlanLintSpec extends SparkSpec {
       // g10: each HITS round crosses its side's score frame against
       // the broadcast 1-row max (the exact integer renormalizer) —
       // the q135 report shape, once per side per round
-      "g10_hits")
+      "g10_hits",
+      // q146: the ≤5-row group-stats frame theta-self-joins into the
+      // 10 pairs (the q138 grid bound) and crosses the broadcast
+      // 1-row tie/N totals — never row×row
+      "q146_dunn_posthoc")
 
   // queries allowed to window >minRows rows on a <minKeys-value key —
   // empty by design; adding here requires an in-source justification
