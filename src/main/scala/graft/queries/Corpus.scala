@@ -1115,6 +1115,68 @@ object Corpus {
        |  1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS coverage
        |FROM m""".stripMargin
 
+  /** t48: context-length truncation-loss curve — the number a
+    * training team reads before fixing max sequence length: at each
+    * candidate context window, how many documents overflow and what
+    * fraction of the corpus token mass a hard truncation throws away
+    * (the t07/t44 packers ASSUME a window; this is the audit that
+    * chooses it). One narrow token-count scan exploded against the
+    * 4-element candidate-length literal (rows × 4 before a map-side
+    * combine — never a broadcast product), one keyed aggregate; all
+    * counts exact BIGINTs, the loss fraction one fixed-order
+    * division. The per-length sums are additive, so the curve streams
+    * with 4 state rows
+    * ([[graft.streaming.StreamingIngest.truncationStream]]).
+    */
+  private[graft] val TruncLens = Seq(256L, 512L, 1024L, 2048L)
+
+  /** t48's additive per-length partials — summable across batches. */
+  private[graft] def truncationPartial(docs: DataFrame): DataFrame =
+    docs.select(TextAnalysis.tokenCount(col("text")).cast("long").as("__n"))
+      .select(col("__n"),
+        explode(array(TruncLens.map(lit): _*)).as("max_len"))
+      .groupBy(col("max_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(when(col("__n") > col("max_len"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_truncated"),
+        coalesce(sum(col("__n")), lit(0L)).as("tokens_total"),
+        coalesce(sum(when(col("__n") > col("max_len"),
+          col("__n") - col("max_len")).otherwise(0L)), lit(0L))
+          .as("tokens_lost"))
+
+  /** The curve derived from a folded per-length partial frame —
+    * shared verbatim by the batch query and the streaming audit's
+    * read side.
+    */
+  def truncationReport(parts: DataFrame): DataFrame =
+    parts.select(col("max_len"), col("n_docs"), col("n_truncated"),
+      col("tokens_total"), col("tokens_lost"),
+      when(col("tokens_total") > 0L,
+        col("tokens_lost").cast("double") /
+          col("tokens_total").cast("double"))
+        .otherwise(lit(null).cast("double")).as("loss_frac"))
+
+  val t48_truncation_loss: Q = (s, dir) =>
+    truncationReport(truncationPartial(t(s, dir, "documents")))
+
+  val t48_sql: String =
+    s"""WITH t AS (SELECT CAST(len($toksSql) AS BIGINT) AS n
+       |  FROM documents),
+       |l AS (SELECT CAST(UNNEST([256, 512, 1024, 2048]) AS BIGINT)
+       |  AS max_len),
+       |g AS (SELECT max_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN n > max_len THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_truncated,
+       |    CAST(SUM(n) AS BIGINT) AS tokens_total,
+       |    CAST(SUM(CASE WHEN n > max_len THEN n - max_len ELSE 0 END)
+       |      AS BIGINT) AS tokens_lost
+       |  FROM t CROSS JOIN l GROUP BY max_len)
+       |SELECT max_len, n_docs, n_truncated, tokens_total, tokens_lost,
+       |  CASE WHEN tokens_total > 0
+       |       THEN CAST(tokens_lost AS DOUBLE) / CAST(tokens_total AS DOUBLE)
+       |       ELSE NULL END AS loss_frac
+       |FROM g""".stripMargin
+
   /** Lossless edit-distance similarity join over the customer-name
     * column ([[Dedup.edJoin]] — the FastSS deletion-neighborhood
     * join at d=1): every name pair within Levenshtein distance 1,
@@ -6794,6 +6856,7 @@ object Corpus {
     "t45_epoch_shuffle"     -> t45_epoch_shuffle,
     "t46_tokenizer_eval"    -> t46_tokenizer_eval,
     "t47_chao1_coverage"    -> t47_chao1_coverage,
+    "t48_truncation_loss"   -> t48_truncation_loss,
     "t38_quality_classifier" -> t38_quality_classifier,
     "t39_collocations"      -> t39_collocations,
     "t40_chi2_terms"        -> t40_chi2_terms,
@@ -6900,6 +6963,7 @@ object Corpus {
     "t45_epoch_shuffle"     -> t45_sql,
     "t46_tokenizer_eval"    -> t46_sql,
     "t47_chao1_coverage"    -> t47_sql,
+    "t48_truncation_loss"   -> t48_sql,
     "t38_quality_classifier" -> t38_sql,
     "t39_collocations"      -> t39_sql,
     "t40_chi2_terms"        -> t40_sql,

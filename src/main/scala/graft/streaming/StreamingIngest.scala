@@ -1382,6 +1382,51 @@ object StreamingIngest {
       graft.queries.Features.chi2FromCatCounts(
         spark.read.parquet(s"$p/cat")))
 
+  /** Continuously maintained truncation-loss curve — t48's streaming
+    * face: the per-candidate-length sums are additive
+    * ([[graft.queries.Corpus.truncationPartial]]), each micro-batch
+    * folds by summation, and [[currentTruncation]] derives the curve
+    * at read time through the SAME
+    * [[graft.queries.Corpus.truncationReport]] the batch query uses —
+    * state is one row per candidate length, streamed ≡ batch exact on
+    * the union of batches (spec-asserted).
+    */
+  def truncationStream(
+      docs: DataFrame, // streaming frame with a `text` column
+      statsRoot: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          val spark = batch.sparkSession
+          val part = graft.queries.Corpus.truncationPartial(batch.toDF())
+          val merged = priorGeneration(spark, statsRoot, batchId) match {
+            case Some(p) =>
+              spark.read.parquet(s"$p/trunc").unionByName(part)
+                .groupBy(col("max_len"))
+                .agg(sum(col("n_docs")).as("n_docs"),
+                  sum(col("n_truncated")).as("n_truncated"),
+                  sum(col("tokens_total")).as("tokens_total"),
+                  sum(col("tokens_lost")).as("tokens_lost"))
+            case None => part
+          }
+          merged.write.mode("overwrite")
+            .parquet(s"$statsRoot/gen-$batchId/trunc")
+          ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+
+  /** t48's exact readout derived from the newest folded partials, or
+    * None before the first batch lands.
+    */
+  def currentTruncation(spark: SparkSession, statsRoot: String): Option[DataFrame] =
+    priorGeneration(spark, statsRoot, Long.MaxValue).map(p =>
+      graft.queries.Corpus.truncationReport(
+        spark.read.parquet(s"$p/trunc")))
+
   /** Streaming near-dup admission — the continuous-dedup serving loop
     * over [[graft.dedup.Dedup.incrementalNearDups]]: each micro-batch
     * of (doc_id, text) is (1) self-deduped with the d02 band family

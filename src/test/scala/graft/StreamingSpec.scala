@@ -817,6 +817,41 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === batchR.toSeq)
   }
 
+  test("truncationStream: folded per-length partials derive exactly t48 with hand-checked losses") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_trunc_stream").toString
+    val root = s"$base/trunc"; val ckpt = s"$base/ckpt"
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingIngest.truncationStream(
+      stream.toDF().toDF("doc_id", "text"), root, ckpt)
+    // doc 1: 300 tokens, doc 2: 600, doc 3: 10 — split across batches
+    val batches = Seq(
+      Seq((1L, Seq.fill(300)("w").mkString(" "))),
+      Seq((2L, Seq.fill(600)("w").mkString(" ")),
+        (3L, Seq.fill(10)("w").mkString(" "))))
+    batches.foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val got = StreamingIngest.currentTruncation(spark, root).get
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    // N = 910 tokens. L=256: lose (300-256)+(600-256)=388 from 2 docs;
+    // L=512: lose 88 from 1; L=1024/2048: nothing
+    assert(got(256L) === ((3L, 2L, 910L, 388L, 388.0 / 910.0)))
+    assert(got(512L) === ((3L, 1L, 910L, 88L, 88.0 / 910.0)))
+    assert(got(1024L) === ((3L, 0L, 910L, 0L, 0.0)))
+    assert(got(2048L) === ((3L, 0L, 910L, 0L, 0.0)))
+    // streamed ≡ batch through the same report
+    val batchR = graft.queries.Corpus.truncationReport(
+      graft.queries.Corpus.truncationPartial(
+        batches.flatten.toDF("doc_id", "text")))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    assert(got === batchR)
+  }
+
   test("catDriftStream: folded per-type counts derive exactly q145, out-of-order batches included") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
