@@ -3467,7 +3467,12 @@ object Corpus {
     * 1-row broadcast cross join for the (N, V) scalars. Nothing
     * collects; no windows.
     */
-  val t29_unigram_xent: Q = (s, dir) => {
+  /** t29's per-document score frame (doc_id, n_tokens, xent_e6) —
+    * split out so the t49 bucketing consumes the IDENTICAL scoring
+    * chain (one definition of the smoothed unigram score, two
+    * consumers).
+    */
+  private[graft] def t29PerDoc(s: SparkSession, dir: String): DataFrame = {
     // ONE corpus scan + tokenize: vocab and the (N, V) totals both
     // derive from the per-(doc, token) counts, whose shuffle the
     // planner then shares across all three uses (ReusedExchange) —
@@ -3490,6 +3495,8 @@ object Corpus {
       .select(col("doc_id"), col("n_tokens"), col("xent_e6"))
   }
 
+  val t29_unigram_xent: Q = (s, dir) => t29PerDoc(s, dir)
+
   private def t29TermBindings: graft.functions.PortableMath.Bindings = {
     import graft.functions.PortableMath._
     lnPosBigint("__cw1", "__lnw") :+
@@ -3505,14 +3512,18 @@ object Corpus {
           Dual.col("n_tokens").toDouble, 6))
   }
 
-  def t29_sql: String = {
+  /** The t29 scoring chain as CTEs ending in `f(doc_id, n_tokens,
+    * xent_e6)` — spliced by BOTH the t29 oracle and t49's bucketing,
+    * exactly as the Spark side shares [[t29PerDoc]].
+    */
+  private def t29SqlCtes: String = {
     import graft.functions.PortableMath
     val termChain = PortableMath.sqlWithBindings(
       "SELECT doc_id, cd AS __cd, cw + 1 AS __cw1 FROM d JOIN v USING (token)",
       t29TermBindings)
     val outChain = PortableMath.sqlWithBindings(
       "SELECT a.*, n + vsz AS __nv FROM a CROSS JOIN tot", t29OutBindings)
-    s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+    s"""t AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
        |v AS (SELECT token, COUNT(*) AS cw FROM t GROUP BY token),
        |tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS n, COUNT(*) AS vsz FROM v),
        |d AS (SELECT doc_id, token, COUNT(*) AS cd FROM t GROUP BY doc_id, token),
@@ -3520,9 +3531,86 @@ object Corpus {
        |a AS (SELECT doc_id, CAST(SUM(__cd) AS BIGINT) AS n_tokens,
        |    CAST(SUM(__t_e9) AS BIGINT) AS __s
        |  FROM dt GROUP BY doc_id),
-       |f AS ($outChain)
-       |SELECT doc_id, n_tokens, xent_e6 FROM f""".stripMargin
+       |f AS ($outChain)""".stripMargin
   }
+
+  def t29_sql: String =
+    s"""WITH $t29SqlCtes
+       |SELECT doc_id, n_tokens, xent_e6 FROM f""".stripMargin
+
+  /** t49: perplexity-tertile bucketing — the CCNet curation step the
+    * per-document score (t29) exists to feed: split the corpus into
+    * head / middle / tail by the EXACT tertiles of the unigram
+    * cross-entropy distribution and account each source's document
+    * and token mass per bucket (the standard quality-mix report a
+    * curation run publishes; training mixes typically keep head +
+    * middle and down-weight tail). The score is t29's INTEGER e-6
+    * xent ([[t29PerDoc]] — one definition, two consumers), so the
+    * tertile boundaries are exact order statistics on integers: t_k =
+    * min{x : 3·cum(x) ≥ k·N}, pure integer comparisons with no
+    * quantile interpolation to diverge cross-engine. The cumulative
+    * frame runs on the distinct-score counts through the shared
+    * two-level prefix (never a corpus-sized window); the boundary
+    * fold is a 1-row broadcast. At 100 TB: one keyed join back to the
+    * source column, one map-side-combined (source, bucket) aggregate.
+    */
+  /** The exact-tertile labeling stage over a (doc_id, n_tokens,
+    * xent_e6) score frame — split out so the spec pins the boundary
+    * rule (t_k = min{x : 3·cum(x) ≥ k·N}) on hand-built score sets,
+    * ties included.
+    */
+  private[graft] def tertileBuckets(perDoc0: DataFrame): DataFrame = {
+    import graft.queries.Features.exclusivePrefix
+    val perDoc = perDoc0.localCheckpoint(true) // dist AND label
+    val dist = perDoc.groupBy(col("xent_e6")).agg(count(lit(1)).as("__c"))
+      .withColumn("__bucket",
+        floor(col("xent_e6") / lit(1000000L)).cast("long"))
+      .localCheckpoint(true)
+    val cum = exclusivePrefix(dist, "xent_e6", "__bucket",
+        Seq("__exc" -> "__c"))
+      .select(col("xent_e6"), (col("__exc") + col("__c")).as("__cum"))
+    val tot = dist.agg(sum(col("__c")).as("__nn"))
+    val th = cum.crossJoin(broadcast(tot)).agg(
+      min(when(col("__cum") * lit(3L) >= col("__nn"), col("xent_e6")))
+        .as("__t1"),
+      min(when(col("__cum") * lit(3L) >= lit(2L) * col("__nn"),
+        col("xent_e6"))).as("__t2"))
+    perDoc.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("xent_e6") <= col("__t1"), "head")
+          .when(col("xent_e6") <= col("__t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  val t49_perplexity_buckets: Q = (s, dir) =>
+    tertileBuckets(t29PerDoc(s, dir))
+      .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id")
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+
+  def t49_sql: String =
+    s"""WITH $t29SqlCtes,
+       |dist AS (SELECT xent_e6 AS x, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM f GROUP BY 1),
+       |cum AS (SELECT x, CAST(SUM(c) OVER (ORDER BY x
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cc FROM dist),
+       |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM dist),
+       |th AS (SELECT
+       |    MIN(CASE WHEN cc * 3 >= nn THEN x END) AS t1,
+       |    MIN(CASE WHEN cc * 3 >= 2 * nn THEN x END) AS t2
+       |  FROM cum CROSS JOIN nn),
+       |lab AS (SELECT doc_id, n_tokens,
+       |    CASE WHEN xent_e6 <= t1 THEN 'head'
+       |         WHEN xent_e6 <= t2 THEN 'middle'
+       |         ELSE 'tail' END AS bucket
+       |  FROM f CROSS JOIN th)
+       |SELECT dd.source, lab.bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(lab.n_tokens) AS BIGINT) AS tokens
+       |FROM lab JOIN documents dd USING (doc_id)
+       |GROUP BY 1, 2""".stripMargin
 
   /** Bigram-LM cross-entropy — t29's conditional-probability upgrade
     * (one step toward the n-gram KenLM scoring CCNet actually runs):
@@ -6857,6 +6945,7 @@ object Corpus {
     "t46_tokenizer_eval"    -> t46_tokenizer_eval,
     "t47_chao1_coverage"    -> t47_chao1_coverage,
     "t48_truncation_loss"   -> t48_truncation_loss,
+    "t49_perplexity_buckets" -> t49_perplexity_buckets,
     "t38_quality_classifier" -> t38_quality_classifier,
     "t39_collocations"      -> t39_collocations,
     "t40_chi2_terms"        -> t40_chi2_terms,
@@ -6964,6 +7053,7 @@ object Corpus {
     "t46_tokenizer_eval"    -> t46_sql,
     "t47_chao1_coverage"    -> t47_sql,
     "t48_truncation_loss"   -> t48_sql,
+    "t49_perplexity_buckets" -> t49_sql,
     "t38_quality_classifier" -> t38_sql,
     "t39_collocations"      -> t39_sql,
     "t40_chi2_terms"        -> t40_sql,

@@ -124,7 +124,11 @@ class PlanLintSpec extends SparkSpec {
       // q146: the ≤5-row group-stats frame theta-self-joins into the
       // 10 pairs (the q138 grid bound) and crosses the broadcast
       // 1-row tie/N totals — never row×row
-      "q146_dunn_posthoc")
+      "q146_dunn_posthoc",
+      // t49: the per-doc score frame crosses the broadcast 1-row
+      // tertile-boundary fold (plus t29's inherited 1-row totals
+      // cross) — the q135 report shape
+      "t49_perplexity_buckets")
 
   // queries allowed to window >minRows rows on a <minKeys-value key —
   // empty by design; adding here requires an in-source justification

@@ -236,4 +236,25 @@ class TextAnalysisSpec extends SparkSpec {
       .where(col("native") =!= col("hof"))
     assert(badEdges.count() == 0)
   }
+
+  test("tertileBuckets: exact integer tertiles, even splits and tie pileups") {
+    import spark.implicits._
+    def label(scores: Seq[Long]): Map[Long, String] =
+      graft.queries.Corpus.tertileBuckets(
+        scores.zipWithIndex.map { case (x, i) => (i.toLong, 10L, x) }
+          .toDF("doc_id", "n_tokens", "xent_e6"))
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // 9 distinct scores: t1 = 3rd-smallest, t2 = 6th — a clean 3/3/3
+    val even = label(Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L, 90L))
+    assert(Seq(0, 1, 2).forall(even(_) == "head"))
+    assert(Seq(3, 4, 5).forall(even(_) == "middle"))
+    assert(Seq(6, 7, 8).forall(even(_) == "tail"))
+    // a tie pileup straddling a boundary goes WHOLLY to the earlier
+    // bucket (t_k is a value, not a row index): scores 1,2,2,2,2,9 →
+    // N=6, t1 = min{x: 3cum ≥ 6} = 2 (cum(2)=5), t2 = 2 as well
+    // (3·5 ≥ 12) → the four 2s are all head, only 9 is tail
+    val ties = label(Seq(1L, 2L, 2L, 2L, 2L, 9L))
+    assert(Seq(0, 1, 2, 3, 4).forall(ties(_) == "head"))
+    assert(ties(5L) == "tail")
+  }
 }
