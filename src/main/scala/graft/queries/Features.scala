@@ -2393,6 +2393,104 @@ object Features {
        |FROM w3""".stripMargin
   }
 
+  /** q147: Mann–Kendall trend test — the SIGNIFICANCE companion q90's
+    * Theil–Sen slope lacks: Sen gives the robust trend magnitude,
+    * Mann–Kendall decides whether a monotone trend exists at all (the
+    * standard pairing in monitoring literature; a slope without a
+    * test over-reads noise, a test without a slope under-informs).
+    * Per event type over the daily-count series: S = Σᵢ<ⱼ
+    * sign(nⱼ−nᵢ) with the tie-corrected variance Var(S) =
+    * [N(N−1)(2N+5) − Σₜ t(t−1)(2t+5)]/18 and the continuity-corrected
+    * z — S, N, the pair count and the tie term are exact BIGINTs (the
+    * pairwise enumeration is legitimate exactly as q90's: the series
+    * is CALENDAR-bounded, |days|²/2 pairs per type, a constant in
+    * corpus size, while the daily bucketing carries all the data
+    * growth); z is fixed-order IEEE, |z| > 1.959964 the verdict. An
+    * all-tied or single-day series (Var ≤ 0) yields NULL, the ksTail
+    * rule; a single-day series has no pairs, hence no test and no
+    * row (the inner join drives the output). Scalacheck pins S, Var
+    * and z against brute-force pair enumeration.
+    */
+  /** The test derived from a (event_type, day, n) daily frame —
+    * split out for the scalacheck pin.
+    */
+  def mannKendallFromDaily(daily: DataFrame): DataFrame = {
+    val a = daily.select(col("event_type"), col("day").as("__da"),
+      col("n").as("__na"))
+    val b = daily.select(col("event_type"), col("day").as("__db"),
+      col("n").as("__nb"))
+    val sAgg = a.hint("merge").join(b.hint("merge"), Seq("event_type"))
+      .where(col("__db") > col("__da"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("__nb") > col("__na"), 1L)
+        .when(col("__nb") < col("__na"), -1L).otherwise(0L)).as("s_stat"),
+        count(lit(1)).as("n_pairs"))
+    val days = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"))
+    val ties = daily.groupBy(col("event_type"), col("n"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("__t") * (col("__t") - lit(1L)) *
+        (lit(2L) * col("__t") + lit(5L))).as("__tt"))
+    val ndd = col("n_days").cast("double")
+    val varS = (ndd * (ndd - lit(1.0)) * (lit(2.0) * ndd + lit(5.0)) -
+      col("__tt").cast("double")) / lit(18.0)
+    val sD = col("s_stat").cast("double")
+    val z = when(col("s_stat") > 0L, (sD - lit(1.0)) / sqrt(varS))
+      .when(col("s_stat") < 0L, (sD + lit(1.0)) / sqrt(varS))
+      .otherwise(lit(0.0))
+    val degen = !(varS > lit(0.0))
+    sAgg.join(days, Seq("event_type")).join(ties, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("s_stat"),
+        when(degen, lit(null).cast("double")).otherwise(varS).as("var_s"),
+        when(degen, lit(null).cast("double")).otherwise(z).as("z_mk"),
+        when(degen, lit(null).cast("boolean"))
+          .otherwise(abs(z) > lit(1.959964)).as("trending"))
+  }
+
+  val q147_mann_kendall: Q = (s, dir) =>
+    mannKendallFromDaily(t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")))
+
+  def q147_sql: String = {
+    val varS = "((ndd * (ndd - 1.0) * (2.0 * ndd + 5.0) " +
+      "- CAST(tt AS DOUBLE)) / 18.0)"
+    val z = s"""CASE WHEN s_stat > 0
+       |      THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt($varS)
+       |      WHEN s_stat < 0
+       |      THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt($varS)
+       |      ELSE 0.0 END""".stripMargin
+    s"""WITH daily AS (
+       |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+       |         CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1, 2),
+       |p AS (SELECT a.event_type,
+       |    CAST(SUM(CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1
+       |      ELSE 0 END) AS BIGINT) AS s_stat,
+       |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |  FROM daily a JOIN daily b
+       |    ON a.event_type = b.event_type AND b.day > a.day
+       |  GROUP BY 1),
+       |dct AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+       |  FROM daily GROUP BY 1),
+       |tie AS (SELECT event_type,
+       |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt
+       |  FROM (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t
+       |        FROM daily GROUP BY event_type, n)
+       |  GROUP BY 1),
+       |w AS (SELECT p.event_type, n_days, n_pairs, s_stat, tt,
+       |    CAST(n_days AS DOUBLE) AS ndd
+       |  FROM p JOIN dct USING (event_type) JOIN tie USING (event_type))
+       |SELECT event_type, n_days, n_pairs, s_stat,
+       |  CASE WHEN NOT ($varS > 0.0) THEN NULL ELSE $varS END AS var_s,
+       |  CASE WHEN NOT ($varS > 0.0) THEN NULL ELSE $z END AS z_mk,
+       |  CASE WHEN NOT ($varS > 0.0) THEN NULL
+       |       ELSE abs($z) > 1.959964E0 END AS trending
+       |FROM w""".stripMargin
+  }
+
   // ---------------------------------------- multiple-testing control
 
   /** q143: Benjamini–Hochberg step-up over the q139 dashboard — the
@@ -2492,6 +2590,7 @@ object Features {
     "q144_fleiss_kappa"   -> q144_fleiss_kappa,
     "q145_categorical_drift" -> q145_categorical_drift,
     "q146_dunn_posthoc"   -> q146_dunn_posthoc,
+    "q147_mann_kendall"   -> q147_mann_kendall,
     "q139_drift_by_slice" -> q139_drift_by_slice,
     "q131_spearman"       -> q131_spearman,
     "q132_token_gini"     -> q132_token_gini,
@@ -2523,6 +2622,7 @@ object Features {
     "q144_fleiss_kappa"   -> q144_sql,
     "q145_categorical_drift" -> q145_sql,
     "q146_dunn_posthoc"   -> q146_sql,
+    "q147_mann_kendall"   -> q147_sql,
     "q139_drift_by_slice" -> q139_sql,
     "q118_feature_store"  -> q118_sql,
     "q119_k_anonymity"    -> q119_sql,

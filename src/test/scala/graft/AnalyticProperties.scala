@@ -423,6 +423,41 @@ object AnalyticProperties extends Properties("graft.analytic") {
       got.size == 10 && pairsOk
     }
 
+  property("mannKendallFromDaily ≡ brute-force pair enumeration on arbitrary series") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0, 6))) { series0 =>
+      val series = if (series0.isEmpty) List(1) else series0
+      val daily = series.zipWithIndex.map { case (n, i) =>
+        ("click", java.sql.Timestamp.valueOf(
+          f"2024-01-${i % 28 + 1}%02d 00:00:00"), n.toLong) }
+      // distinct days required: cap the series at 28 points
+      val capped = daily.take(28)
+      val rows = graft.queries.Features
+        .mannKendallFromDaily(capped.toDF("event_type", "day", "n"))
+        .collect()
+      val xs = capped.map(_._3)
+      val n = xs.length
+      // a single-day series has no pairs, hence no test and no row
+      if (n == 1) rows.isEmpty
+      else {
+        val r = rows(0)
+        var s = 0L
+        for (i <- 0 until n; j <- (i + 1) until n)
+          s += (xs(j) - xs(i)).sign
+        val tt = xs.groupBy(identity).values
+          .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) }).sum
+        val varS = (n.toDouble * (n - 1.0) * (2.0 * n + 5.0) - tt) / 18.0
+        val base = r.getLong(1) == n.toLong &&
+          r.getLong(2) == n.toLong * (n - 1) / 2 && r.getLong(3) == s
+        if (varS <= 0.0) base && r.isNullAt(5)
+        else {
+          val z = if (s > 0) (s - 1.0) / math.sqrt(varS)
+            else if (s < 0) (s + 1.0) / math.sqrt(varS) else 0.0
+          base && math.abs(r.getDouble(5) - z) < 1e-12 &&
+            r.getBoolean(6) == (math.abs(z) > 1.959964)
+        }
+      }
+    }
+
   property("kendallFromPairs ≡ brute-force pair counting on arbitrary samples") =
     Prop.forAll(
       Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 8), Gen.choose(0, 5)))) { xy0 =>
