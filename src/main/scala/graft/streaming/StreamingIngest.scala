@@ -908,6 +908,21 @@ object StreamingIngest {
       graft.queries.Features.driftFromSliceCounts(
         spark.read.parquet(s"$p/svals")))
 
+  /** q143's FDR-corrected dashboard derived from the SAME folded
+    * per-slice counts [[driftBySliceStream]] maintains — a pure
+    * read-side addition (the c08 pattern: zero new state; the BH
+    * correction is a projection over the dashboard the store already
+    * serves), so the streamed reject set EQUALS the batch one on the
+    * union of batches. A late batch can flip a rejection — both by
+    * moving a slice's z and by changing m — and the read-time
+    * derivation re-ranks from scratch, so both flips are handled by
+    * construction.
+    */
+  def currentBhFdr(
+      spark: SparkSession, statsRoot: String): Option[DataFrame] =
+    currentDriftBySlice(spark, statsRoot)
+      .map(graft.queries.Features.bhFromDashboard)
+
   /** Continuously maintained training-mix release — the streaming face
     * of c06 (a corpus that grows all day, a release manifest that is
     * always current). The survivor state is the min-doc-id-per-text
@@ -1250,6 +1265,62 @@ object StreamingIngest {
     priorGeneration(spark, statsRoot, Long.MaxValue).map(p =>
       graft.queries.Features.kruskalWallisFromCounts(
         spark.read.parquet(s"$p/kw")))
+
+  /** q146's pairwise post-hoc derived from the SAME folded counts
+    * [[kruskalStream]] maintains — zero new state (the c08 read-side
+    * pattern): the omnibus monitor and its follow-up read one store.
+    */
+  def currentDunn(spark: SparkSession, statsRoot: String): Option[DataFrame] =
+    priorGeneration(spark, statsRoot, Long.MaxValue).map(p =>
+      graft.queries.Features.dunnFromCounts(
+        spark.read.parquet(s"$p/kw")))
+
+  /** Continuously maintained Mann–Kendall trend monitor — q147's
+    * streaming face: per-(type, day) counts are additive, each
+    * micro-batch folds by summation (state = types × days, the
+    * calendar bound), and [[currentMannKendall]] derives the test at
+    * read time through the SAME
+    * [[graft.queries.Features.mannKendallFromDaily]] the batch query
+    * uses — streamed ≡ batch exact on the union of batches
+    * (spec-asserted), late events on old days included (the fold
+    * updates that day's count and the read side re-ranks).
+    */
+  def mannKendallStream(
+      events: DataFrame, // streaming frame: ts + event_type
+      statsRoot: String,
+      checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          val spark = batch.sparkSession
+          val part = batch.toDF()
+            .groupBy(col("event_type"),
+              date_trunc("day", col("ts")).as("day"))
+            .agg(count(lit(1)).as("n"))
+          val merged = priorGeneration(spark, statsRoot, batchId) match {
+            case Some(p) =>
+              spark.read.parquet(s"$p/mk").unionByName(part)
+                .groupBy(col("event_type"), col("day"))
+                .agg(sum(col("n")).as("n"))
+            case None => part
+          }
+          merged.write.mode("overwrite")
+            .parquet(s"$statsRoot/gen-$batchId/mk")
+          ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+
+  /** q147's exact readout derived from the newest folded daily
+    * counts, or None before the first batch lands.
+    */
+  def currentMannKendall(
+      spark: SparkSession, statsRoot: String): Option[DataFrame] =
+    priorGeneration(spark, statsRoot, Long.MaxValue).map(p =>
+      graft.queries.Features.mannKendallFromDaily(
+        spark.read.parquet(s"$p/mk")))
 
   /** Continuously maintained term-frequency counts — t47's streaming
     * face (and the general corpus-coverage audit): per-token

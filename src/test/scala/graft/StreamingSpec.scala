@@ -1202,6 +1202,42 @@ class StreamingSpec extends SparkSpec {
     val streamed = asTuple(StreamingIngest.currentKruskal(spark, root).get)
     val batch = asTuple(graft.queries.Features.q142_kruskal_wallis(spark, dir))
     assert(streamed === batch)
+    // q146 reads the same store: the streamed post-hoc must equal batch
+    val dS = StreamingIngest.currentDunn(spark, root).get
+      .orderBy("grp_a", "grp_b").collect().toSeq
+    val dB = graft.queries.Features.q146_dunn_posthoc(spark, dir)
+      .orderBy("grp_a", "grp_b").collect().toSeq
+    assert(dS === dB)
+  }
+
+  test("mannKendallStream: folded daily counts derive exactly q147, late events on old days included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists())
+    val base = Files.createTempDirectory("graft_mk_stream").toString
+    val root = s"$base/mk"; val ckpt = s"$base/ckpt"
+    val evs = graft.Tables(spark, dir, "events")
+      .select(col("ts"), col("event_type"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)))
+    // shuffled chunks: every batch carries events for ALREADY-SEEN
+    // days, so the fold must update old day rows, not just append
+    val shuffled = new scala.util.Random(31).shuffle(evs.toSeq)
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val q = StreamingIngest.mannKendallStream(
+      stream.toDF().toDF("ts", "event_type"), root, ckpt)
+    shuffled.grouped(math.max(shuffled.length / 3, 1)).foreach { chunk =>
+      stream.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("event_type").collect().toSeq
+    val streamed = rows(StreamingIngest.currentMannKendall(spark, root).get)
+    val batch = rows(graft.queries.Features.q147_mann_kendall(spark, dir))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
   }
 
   test("driftBySliceStream: folded per-slice counts derive exactly q139, out-of-order batches included") {
@@ -1230,6 +1266,11 @@ class StreamingSpec extends SparkSpec {
     val batch = rows(graft.queries.Features.q139_drift_by_slice(spark, dir))
     assert(streamed === batch)
     assert(streamed.nonEmpty)
+    // q143 is a pure read-side projection over the same store: the
+    // streamed FDR reject set must equal the batch one too
+    val bhS = rows(StreamingIngest.currentBhFdr(spark, root).get)
+    val bhB = rows(graft.queries.Features.q143_bh_fdr(spark, dir))
+    assert(bhS === bhB)
   }
 
   test("releaseStream: folded survivor sets derive exactly the batch release, cross-batch duplicates included") {
