@@ -730,6 +730,165 @@ object Features {
       |    / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)) AS welch_df
       |FROM w""".stripMargin
 
+  /** q148: CUPED variance reduction — the experiment readout every
+    * mature platform runs on top of q127's Welch test: adjusting each
+    * user's in-experiment metric by their PRE-period covariate
+    * (y′ = y − θ(x − x̄), θ = cov(x,y)/var(x)) shrinks the variance by
+    * the squared correlation ρ², which is the difference between a
+    * two-week and a two-day experiment at the same power. Per user:
+    * x = pre-split purchase cents, y = post-split purchase cents (the
+    * q127 quantization, the q122 split instant — one scan, one keyed
+    * aggregate); all moment sums are exact DECIMAL products
+    * string-crossed (the q47 recipe), so θ, both lifts, the adjusted
+    * Welch t and ρ² are fixed-order IEEE on identical inputs —
+    * bit-identical cross-engine. The covariate is PRE-period by
+    * construction, so the adjustment is unbiased (the CUPED
+    * requirement: the covariate must be unaffected by treatment).
+    * Zero covariate variance or a ≤1-user arm yields NULL adjusted
+    * columns while the raw lift still reports, the ksTail rule.
+    */
+  /** The CUPED readout from a per-user (__x pre-cents, __y
+    * post-cents, __a arm) frame — split out so the scalacheck
+    * property pins θ, both lifts and ρ² against the literal per-user
+    * adjusted-metric computation.
+    */
+  def cupedFromPerUser(perUser: DataFrame): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    def d(c: Column): Column = c.cast("string").cast("double")
+    def pr(p: Column, c: Column): Column = sum(when(p, c).otherwise(lit(0L)))
+    val xd = col("__x").cast(d19); val yd = col("__y").cast(d19)
+    val m = perUser.agg(
+      sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
+      d(pr(col("__a"), col("__x"))).as("__sxa"),
+      d(pr(!col("__a"), col("__x"))).as("__sxb"),
+      d(pr(col("__a"), col("__y"))).as("__sya"),
+      d(pr(!col("__a"), col("__y"))).as("__syb"),
+      d(sum(when(col("__a"), xd * yd).otherwise(lit(0L).cast(d19))))
+        .as("__sxya"),
+      d(sum(when(!col("__a"), xd * yd).otherwise(lit(0L).cast(d19))))
+        .as("__sxyb"),
+      d(sum(when(col("__a"), xd * xd).otherwise(lit(0L).cast(d19))))
+        .as("__sxxa"),
+      d(sum(when(!col("__a"), xd * xd).otherwise(lit(0L).cast(d19))))
+        .as("__sxxb"),
+      d(sum(when(col("__a"), yd * yd).otherwise(lit(0L).cast(d19))))
+        .as("__syya"),
+      d(sum(when(!col("__a"), yd * yd).otherwise(lit(0L).cast(d19))))
+        .as("__syyb"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val n = na + nb
+    val sx = col("__sxa") + col("__sxb")
+    val sy = col("__sya") + col("__syb")
+    val sxy = col("__sxya") + col("__sxyb")
+    val sxx = col("__sxxa") + col("__sxxb")
+    val syy = col("__syya") + col("__syyb")
+    val covP = n * sxy - sx * sy
+    val varXP = n * sxx - sx * sx
+    val varYP = n * syy - sy * sy
+    val theta = covP / varXP
+    val xbar = sx / n
+    def adjMean(syg: Column, sxg: Column, ng: Column): Column =
+      (syg - theta * (sxg - ng * xbar)) / ng
+    def adjVar(syyg: Column, syg: Column, sxyg: Column, sxg: Column,
+        sxxg: Column, ng: Column): Column =
+      ((syyg - syg * syg / ng) -
+        lit(2.0) * theta * (sxyg - sxg * syg / ng) +
+        theta * theta * (sxxg - sxg * sxg / ng)) / (ng - lit(1.0))
+    val ma = adjMean(col("__sya"), col("__sxa"), na)
+    val mb = adjMean(col("__syb"), col("__sxb"), nb)
+    val va = adjVar(col("__syya"), col("__sya"), col("__sxya"),
+      col("__sxa"), col("__sxxa"), na)
+    val vb = adjVar(col("__syyb"), col("__syb"), col("__sxyb"),
+      col("__sxb"), col("__sxxb"), nb)
+    val se = sqrt(va / na + vb / nb)
+    val degen = !(varXP > lit(0.0)) || !(na > lit(1.0)) ||
+      !(nb > lit(1.0)) || !(se > lit(0.0))
+    val nullD = lit(null).cast("double")
+    m.select(col("n_a"), col("n_b"),
+      ((col("__sya") / na - col("__syb") / nb) / lit(100.0)).as("lift_raw"),
+      when(degen, nullD).otherwise(theta).as("theta"),
+      when(degen, nullD).otherwise((ma - mb) / lit(100.0)).as("lift_cuped"),
+      when(degen, nullD).otherwise((ma - mb) / se).as("t_cuped"),
+      when(degen || !(varYP > lit(0.0)), nullD)
+        .otherwise(covP * covP / (varXP * varYP)).as("rho_sq"))
+  }
+
+  val q148_cuped: Q = (s, dir) => {
+    val split = driftSplit
+    cupedFromPerUser(t(s, dir, "events")
+      .where(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("user_id"), (col("ts") < split).as("__pre"),
+        floor(col("value") * lit(100.0) + lit(0.5)).as("__c"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("__pre"), col("__c")).otherwise(0L)).as("__x"),
+        sum(when(col("__pre"), 0L).otherwise(col("__c"))).as("__y"))
+      .withColumn("__a", col("user_id") % 2 === 0))
+  }
+
+  def q148_sql: String = {
+    def dd(x: String): String = s"CAST(CAST($x AS VARCHAR) AS DOUBLE)"
+    val d19 = "DECIMAL(19,0)"
+    def cond(p: String, e: String) =
+      s"SUM(CASE WHEN $p THEN $e ELSE 0 END)"
+    def condD(p: String, e: String) =
+      s"SUM(CASE WHEN $p THEN $e ELSE CAST(0 AS $d19) END)"
+    val xd = s"CAST(x AS $d19)"; val yd = s"CAST(y AS $d19)"
+    val adjA = "((sya - theta * (sxa - CAST(n_a AS DOUBLE) * xbar)) " +
+      "/ CAST(n_a AS DOUBLE))"
+    val adjB = "((syb - theta * (sxb - CAST(n_b AS DOUBLE) * xbar)) " +
+      "/ CAST(n_b AS DOUBLE))"
+    def adjVar(g: String, ng: String) =
+      s"(((syy$g - sy$g * sy$g / $ng) - 2.0 * theta * (sxy$g - sx$g * sy$g / $ng)" +
+        s" + theta * theta * (sxx$g - sx$g * sx$g / $ng)) / ($ng - 1.0))"
+    val se = s"sqrt(${adjVar("a", "CAST(n_a AS DOUBLE)")} / CAST(n_a AS DOUBLE)" +
+      s" + ${adjVar("b", "CAST(n_b AS DOUBLE)")} / CAST(n_b AS DOUBLE))"
+    val degen = "(NOT (varxp > 0.0) OR NOT (CAST(n_a AS DOUBLE) > 1.0) " +
+      s"OR NOT (CAST(n_b AS DOUBLE) > 1.0) OR NOT ($se > 0.0))"
+    s"""WITH e AS (SELECT user_id, (ts < TIMESTAMP '$DriftSplitSql') AS pre,
+       |    CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
+       |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+       |u AS (SELECT user_id, (user_id % 2 = 0) AS a,
+       |    CAST(${cond("pre", "c")} AS BIGINT) AS x,
+       |    CAST(${cond("NOT pre", "c")} AS BIGINT) AS y
+       |  FROM e GROUP BY user_id),
+       |m AS (SELECT
+       |    CAST(${cond("a", "1")} AS BIGINT) AS n_a,
+       |    CAST(${cond("NOT a", "1")} AS BIGINT) AS n_b,
+       |    ${dd(cond("a", "x"))} AS sxa, ${dd(cond("NOT a", "x"))} AS sxb,
+       |    ${dd(cond("a", "y"))} AS sya, ${dd(cond("NOT a", "y"))} AS syb,
+       |    ${dd(condD("a", s"$xd * $yd"))} AS sxya,
+       |    ${dd(condD("NOT a", s"$xd * $yd"))} AS sxyb,
+       |    ${dd(condD("a", s"$xd * $xd"))} AS sxxa,
+       |    ${dd(condD("NOT a", s"$xd * $xd"))} AS sxxb,
+       |    ${dd(condD("a", s"$yd * $yd"))} AS syya,
+       |    ${dd(condD("NOT a", s"$yd * $yd"))} AS syyb
+       |  FROM u),
+       |w AS (SELECT *,
+       |    CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS n,
+       |    sxa + sxb AS sx, sya + syb AS sy, sxya + sxyb AS sxy,
+       |    sxxa + sxxb AS sxx, syya + syyb AS syy
+       |  FROM m),
+       |w2 AS (SELECT *,
+       |    n * sxy - sx * sy AS covp,
+       |    n * sxx - sx * sx AS varxp,
+       |    n * syy - sy * sy AS varyp,
+       |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+       |    sx / n AS xbar
+       |  FROM w)
+       |SELECT n_a, n_b,
+       |  (sya / CAST(n_a AS DOUBLE) - syb / CAST(n_b AS DOUBLE)) / 100.0
+       |    AS lift_raw,
+       |  CASE WHEN $degen THEN NULL ELSE theta END AS theta,
+       |  CASE WHEN $degen THEN NULL
+       |       ELSE ($adjA - $adjB) / 100.0 END AS lift_cuped,
+       |  CASE WHEN $degen THEN NULL
+       |       ELSE ($adjA - $adjB) / $se END AS t_cuped,
+       |  CASE WHEN $degen OR NOT (varyp > 0.0) THEN NULL
+       |       ELSE covp * covp / (varxp * varyp) END AS rho_sq
+       |FROM w2""".stripMargin
+  }
+
   /** q141: one-way fixed-effects ANOVA — q127's MULTI-variant
     * generalization (five event types, one metric): the experiment
     * readout when a launch has more than two arms, where running
@@ -2591,6 +2750,7 @@ object Features {
     "q145_categorical_drift" -> q145_categorical_drift,
     "q146_dunn_posthoc"   -> q146_dunn_posthoc,
     "q147_mann_kendall"   -> q147_mann_kendall,
+    "q148_cuped"          -> q148_cuped,
     "q139_drift_by_slice" -> q139_drift_by_slice,
     "q131_spearman"       -> q131_spearman,
     "q132_token_gini"     -> q132_token_gini,
@@ -2623,6 +2783,7 @@ object Features {
     "q145_categorical_drift" -> q145_sql,
     "q146_dunn_posthoc"   -> q146_sql,
     "q147_mann_kendall"   -> q147_sql,
+    "q148_cuped"          -> q148_sql,
     "q139_drift_by_slice" -> q139_sql,
     "q118_feature_store"  -> q118_sql,
     "q119_k_anonymity"    -> q119_sql,

@@ -458,6 +458,36 @@ object AnalyticProperties extends Properties("graft.analytic") {
       }
     }
 
+  property("cupedFromPerUser ≡ literal per-user adjusted-metric computation") =
+    Prop.forAll(Gen.listOfN(10,
+      Gen.zip(Gen.choose(0L, 500L), Gen.choose(0L, 500L)))) { xy0 =>
+      // ≥2 users per arm so the adjusted variance is defined
+      val xy = if (xy0.length < 4)
+        List((10L, 20L), (30L, 5L), (7L, 7L), (0L, 50L)) else xy0
+      val perUser = xy.zipWithIndex.map { case ((x, y), i) =>
+        (i.toLong, x, y, i % 2 == 0) }
+      val r = graft.queries.Features
+        .cupedFromPerUser(perUser.toDF("user_id", "__x", "__y", "__a"))
+        .collect()(0)
+      val n = xy.length.toDouble
+      val xs = xy.map(_._1.toDouble); val ys = xy.map(_._2.toDouble)
+      val (xbar, ybar) = (xs.sum / n, ys.sum / n)
+      val varX = xs.map(x => (x - xbar) * (x - xbar)).sum
+      val cov = xs.zip(ys).map { case (x, y) => (x - xbar) * (y - ybar) }.sum
+      val base = r.getLong(0) == perUser.count(_._4).toLong &&
+        r.getLong(1) == perUser.count(!_._4).toLong
+      if (varX <= 0.0) base && r.isNullAt(3)
+      else {
+        val theta = cov / varX
+        val adj = perUser.map { case (_, x, y, a) =>
+          (a, y - theta * (x - xbar)) }
+        val (aa, bb) = (adj.filter(_._1).map(_._2), adj.filterNot(_._1).map(_._2))
+        val lift = (aa.sum / aa.length - bb.sum / bb.length) / 100.0
+        base && math.abs(r.getDouble(3) - theta) < 1e-9 * (1.0 + theta.abs) &&
+          math.abs(r.getDouble(4) - lift) < 1e-9 * (1.0 + lift.abs)
+      }
+    }
+
   property("kendallFromPairs ≡ brute-force pair counting on arbitrary samples") =
     Prop.forAll(
       Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 8), Gen.choose(0, 5)))) { xy0 =>
