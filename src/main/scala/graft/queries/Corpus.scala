@@ -4939,6 +4939,53 @@ object Corpus {
         .select(col("doc_id"), col("source"), col("text")))
         .drop("__htext"))
 
+  /** c09: the QUALITY-GATED training-mix release — c06 with the CCNet
+    * filter in front: documents in the perplexity TAIL tertile
+    * ([[tertileBuckets]] over [[t29PerDoc]]'s score — t49's exact
+    * integer boundaries) are dropped BEFORE dedup, quota and packing,
+    * the filter-then-dedup order CCNet itself runs. Everything
+    * downstream is c06 verbatim ([[c06SurvivorPartial]] →
+    * [[releaseFromSurvivors]] — one definition, two releases), so the
+    * manifest diff c06-vs-c09 IS the cost of the quality gate per
+    * source: candidates lost, quota shifts (Hamilton re-apportions
+    * over the kept counts), checksum changes. The oracle splices the
+    * three shared CTE blocks (t29 scoring, the c06 selection over the
+    * gated relation, the release tail) — a textual fork in any of
+    * them could silently diverge a release from its audit.
+    *
+    * Scale shape: the gate adds one equi-join of the corpus against
+    * the kept-id frame (8-byte keys) on top of c06's
+    * touch-corpus-once chain; the scoring scan is t29's (shared
+    * shuffle), the tertile fold is distinct-score-bounded.
+    */
+  val c09_quality_release: Q = (s, dir) => {
+    val keep = tertileBuckets(t29PerDoc(s, dir))
+      .where(col("bucket") =!= "tail")
+      .select(col("doc_id"))
+    releaseFromSurvivors(
+      c06SurvivorPartial(t(s, dir, "documents").transform(spreadScan)
+        .join(keep, "doc_id")
+        .select(col("doc_id"), col("source"), col("text")))
+        .drop("__htext"))
+  }
+
+  def c09_sql: String =
+    s"""WITH RECURSIVE
+       |$t29SqlCtes,
+       |dist AS (SELECT xent_e6 AS x, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM f GROUP BY 1),
+       |cum AS (SELECT x, CAST(SUM(c) OVER (ORDER BY x
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cc FROM dist),
+       |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM dist),
+       |th AS (SELECT
+       |    MIN(CASE WHEN cc * 3 >= 2 * nn THEN x END) AS t2
+       |  FROM cum CROSS JOIN nn),
+       |keep AS (SELECT doc_id FROM f CROSS JOIN th WHERE xent_e6 <= t2),
+       |docs9 AS (SELECT d9.* FROM documents d9 JOIN keep USING (doc_id)),
+       |${c06SelectionSqlCtes(C06Budget, "docs9")},
+       |$releaseTailSql""".stripMargin
+
   /** ONE statement of c06's dedup → Hamilton-quota → KMV-threshold
     * selection as DuckDB CTEs, ending in `sel(doc_id, source,
     * n_tokens, ck, h)` + `q(source, n_docs, …, final_quota)` — spliced
@@ -4946,15 +4993,16 @@ object Corpus {
     * [[c06Selection]]: a textual fork here could silently diverge the
     * two selections.
     */
-  private def c06SelectionSqlCtes(budget: Long): String =
-    s"""surv AS (SELECT MIN(doc_id) AS doc_id FROM documents
+  private def c06SelectionSqlCtes(budget: Long,
+      docsRel: String = "documents"): String =
+    s"""surv AS (SELECT MIN(doc_id) AS doc_id FROM $docsRel
        |  GROUP BY text),
        |dd AS MATERIALIZED (SELECT d.doc_id, d.source,
        |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
        |    ('0x' || substr(md5(d.doc_id::VARCHAR || ':' || d.text), 1, 15))
        |      ::BIGINT AS ck,
        |    ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT AS h
-       |  FROM documents d JOIN surv USING (doc_id)),
+       |  FROM $docsRel d JOIN surv USING (doc_id)),
        |s AS (SELECT source, COUNT(*) AS n_docs FROM dd GROUP BY 1),
        |${hamiltonSqlCtes("s", budget = budget)},
        |rk AS (SELECT source, h,
@@ -5005,10 +5053,13 @@ object Corpus {
        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY rn DESC) AS r
        |  FROM bfd) WHERE r = 1)""".stripMargin
 
-  val c06_sql: String =
-    s"""WITH RECURSIVE
-       |${c06SelectionSqlCtes(C06Budget)},
-       |o AS (SELECT source, n_tokens, ck,
+  /** The release tail over `sel` + `q` (pack, BFD comparison,
+    * manifest) as DuckDB CTEs plus the final SELECT — ONE statement,
+    * spliced by both the c06 and c09 oracles exactly as the Spark
+    * side shares [[releaseFromSurvivors]].
+    */
+  private def releaseTailSql: String =
+    s"""o AS (SELECT source, n_tokens, ck,
        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
        |      ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -5036,6 +5087,11 @@ object Corpus {
        |  CAST(COALESCE(((m.sum_tokens + 2047) // 2048) * 2048
        |       - m.sum_tokens, 0) AS BIGINT) AS waste_greedy
        |FROM q LEFT JOIN m USING (source) LEFT JOIN bm b USING (source)""".stripMargin
+
+  val c06_sql: String =
+    s"""WITH RECURSIVE
+       |${c06SelectionSqlCtes(C06Budget)},
+       |$releaseTailSql""".stripMargin
 
   /** t44: best-fit-decreasing sequence packing — the NO-SPLIT policy
     * t07/c06's concat-and-chunk deliberately isn't: every document
@@ -6955,6 +7011,7 @@ object Corpus {
     "q128_auc_by_slice"     -> q128_auc_by_slice,
     "c05_entity_resolution" -> c05_entity_resolution,
     "c06_training_mix_release" -> c06_training_mix_release,
+    "c09_quality_release"   -> c09_quality_release,
     "c07_sft_assembly"      -> c07_sft_assembly,
     "c08_preference_pairs"  -> c08_preference_pairs,
     "d01_exact_dedup"       -> d01_exact_dedup,
@@ -7063,6 +7120,7 @@ object Corpus {
     "q128_auc_by_slice"     -> q128_sql,
     "c05_entity_resolution" -> c05_sql,
     "c06_training_mix_release" -> c06_sql,
+    "c09_quality_release"   -> c09_sql,
     "c07_sft_assembly"      -> c07_sql,
     "c08_preference_pairs"  -> c08_sql,
     "d01_exact_dedup"       -> d01_sql,
