@@ -730,6 +730,70 @@ object Features {
       |    / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)) AS welch_df
       |FROM w""".stripMargin
 
+  /** q149: minimum detectable effect — the experiment-DESIGN readout
+    * that closes the A/B ladder (q127 tests, q148 tightens, q149 says
+    * what the current sample can even see): MDE = (z_{α/2} + z_β) ·
+    * √(se²_A + se²_B) at α = 0.05 two-sided and 80% power, the number
+    * a platform shows next to every running experiment so a "no
+    * significant lift" readout is never mistaken for "no lift" when
+    * the experiment was only powered for a 10% one. Derived from the
+    * SAME (variant_a, n, s, s2) sufficient statistics as q127
+    * ([[abSufficientStats]] — the streaming fold that maintains the
+    * Welch monitor serves this for free via the shared stats store);
+    * the two z constants are source literals (1.959964, 0.841621 —
+    * the q143 no-erf discipline), and every step is the q127
+    * fixed-order IEEE on exact integer sums.
+    */
+  def mdeFromStats(g: DataFrame): DataFrame = {
+    val a = g.where(col("variant_a")).select(col("n").as("n_a"),
+      col("s").as("__sa"), col("s2").as("__s2a"))
+    val b = g.where(!col("variant_a")).select(col("n").as("n_b"),
+      col("s").as("__sb"), col("s2").as("__s2b"))
+    def d(c: Column): Column = c.cast("double")
+    def sD(c: Column): Column = c.cast("double") / lit(100.0)
+    def s2D(c: Column): Column = c.cast("double") / lit(10000.0)
+    val crossed = a.crossJoin(b)
+    val (na, nb) = (d(col("n_a")), d(col("n_b")))
+    val meanB = sD(col("__sb")) / nb
+    val seA = ((s2D(col("__s2a")) -
+      sD(col("__sa")) * sD(col("__sa")) / na) / (na - lit(1.0))) / na
+    val seB = ((s2D(col("__s2b")) -
+      sD(col("__sb")) * sD(col("__sb")) / nb) / (nb - lit(1.0))) / nb
+    val mde = lit(2.801585) * sqrt(seA + seB) // 1.959964 + 0.841621
+    crossed.select(col("n_a"), col("n_b"), meanB.as("mean_control"),
+      mde.as("mde_abs"), (mde / meanB).as("mde_rel"))
+  }
+
+  val q149_mde: Q = (s, dir) =>
+    mdeFromStats(abSufficientStats(t(s, dir, "events")))
+
+  val q149_sql: String =
+    """WITH e AS (SELECT (user_id % 2 = 0) AS a,
+      |    CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
+      |  FROM events WHERE event_type = 'purchase'),
+      |g AS (SELECT a, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS s,
+      |    CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+      |  FROM e GROUP BY a),
+      |m AS (SELECT
+      |    (SELECT CAST(n AS BIGINT) FROM g WHERE a) AS n_a,
+      |    (SELECT CAST(n AS BIGINT) FROM g WHERE NOT a) AS n_b,
+      |    (SELECT CAST(s AS DOUBLE) / 100.0 FROM g WHERE a) AS sa,
+      |    (SELECT CAST(s AS DOUBLE) / 100.0 FROM g WHERE NOT a) AS sb,
+      |    (SELECT CAST(s2 AS DOUBLE) / 10000.0 FROM g WHERE a) AS s2a,
+      |    (SELECT CAST(s2 AS DOUBLE) / 10000.0 FROM g WHERE NOT a) AS s2b),
+      |w AS (SELECT n_a, n_b,
+      |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+      |    sb / CAST(n_b AS DOUBLE) AS mean_control,
+      |    ((s2a - sa * sa / CAST(n_a AS DOUBLE))
+      |       / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE) AS sea,
+      |    ((s2b - sb * sb / CAST(n_b AS DOUBLE))
+      |       / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE) AS seb
+      |  FROM m)
+      |SELECT n_a, n_b, mean_control,
+      |  2.801585E0 * sqrt(sea + seb) AS mde_abs,
+      |  2.801585E0 * sqrt(sea + seb) / mean_control AS mde_rel
+      |FROM w""".stripMargin
+
   /** q148: CUPED variance reduction — the experiment readout every
     * mature platform runs on top of q127's Welch test: adjusting each
     * user's in-experiment metric by their PRE-period covariate
@@ -2751,6 +2815,7 @@ object Features {
     "q146_dunn_posthoc"   -> q146_dunn_posthoc,
     "q147_mann_kendall"   -> q147_mann_kendall,
     "q148_cuped"          -> q148_cuped,
+    "q149_mde"            -> q149_mde,
     "q139_drift_by_slice" -> q139_drift_by_slice,
     "q131_spearman"       -> q131_spearman,
     "q132_token_gini"     -> q132_token_gini,
@@ -2784,6 +2849,7 @@ object Features {
     "q146_dunn_posthoc"   -> q146_sql,
     "q147_mann_kendall"   -> q147_sql,
     "q148_cuped"          -> q148_sql,
+    "q149_mde"            -> q149_sql,
     "q139_drift_by_slice" -> q139_sql,
     "q118_feature_store"  -> q118_sql,
     "q119_k_anonymity"    -> q119_sql,

@@ -1179,6 +1179,16 @@ object StreamingIngest {
     priorGeneration(spark, statsRoot, Long.MaxValue).map(p =>
       graft.queries.Features.welchFromStats(spark.read.parquet(s"$p/ab")))
 
+  /** q149's design readout derived from the SAME folded statistics
+    * [[abTestStream]] maintains — zero new state (the c08 read-side
+    * pattern): the live experiment dashboard shows the Welch verdict
+    * AND what lift the current sample could even detect, both from
+    * one store.
+    */
+  def currentMde(spark: SparkSession, statsRoot: String): Option[DataFrame] =
+    priorGeneration(spark, statsRoot, Long.MaxValue).map(p =>
+      graft.queries.Features.mdeFromStats(spark.read.parquet(s"$p/ab")))
+
   /** Continuously maintained multi-arm experiment readout — q141's
     * streaming face, the [[abTestStream]] protocol over ALL event
     * types: per-group (n, Σcents, Σcents²) sufficient statistics are

@@ -83,6 +83,8 @@ class PlanLintSpec extends SparkSpec {
       "q122_psi_drift", "q123_target_encoding", "t40_chi2_terms",
       // q127: two 1-row variant-summary frames crossed — never row×row
       "q127_ab_test",
+      // q149: the q127 shape verbatim (same two 1-row frames crossed)
+      "q149_mde",
       // t41: both bucket rollups cross a broadcast 1-row max-id frame
       "t41_heaps_law",
       // q130: two broadcast 1-row crosses (observation end; N total)

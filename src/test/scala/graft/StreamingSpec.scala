@@ -1142,6 +1142,10 @@ class StreamingSpec extends SparkSpec {
     val streamed = asTuple(StreamingIngest.currentAbTest(spark, root).get)
     val batch = asTuple(graft.queries.Features.q127_ab_test(spark, dir))
     assert(streamed === batch)
+    // q149 reads the same store: the streamed MDE must equal batch
+    val mS = StreamingIngest.currentMde(spark, root).get.collect()(0).toSeq
+    val mB = graft.queries.Features.q149_mde(spark, dir).collect()(0).toSeq
+    assert(mS === mB)
   }
 
   test("anovaStream: folded per-group statistics derive exactly q141, out-of-order batches included") {
