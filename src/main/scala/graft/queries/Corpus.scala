@@ -1177,6 +1177,83 @@ object Corpus {
        |       ELSE NULL END AS loss_frac
        |FROM g""".stripMargin
 
+  /** t50: vocabulary-coverage budget — the SIZING readout the
+    * tokenizer family (t37/t42/t43) and the coverage audit (t47)
+    * point at: the smallest vocabulary that covers 90 / 95 / 99% of
+    * the corpus token mass, and the coverage actually achieved there
+    * (the classic vocab-size/OOV trade curve a tokenizer team reads
+    * before fixing |V|). Greedy-by-frequency is optimal for this
+    * objective, so the answer is an exact order statistic on the
+    * COUNT-CLASS frame (group tokens by occurrence count — bounded by
+    * the distinct-count domain, far smaller than the vocabulary):
+    * the crossing class is the largest count c* whose inclusive mass
+    * reaches the target, and the within-class remainder is one
+    * integer ceiling division — pure BIGINT comparisons end to end,
+    * nothing for IEEE to diverge on until the single final coverage
+    * division. The class prefix runs through the shared two-level
+    * prefix (never a vocabulary-sized window); the target fan-out is
+    * a 3-element literal explode.
+    */
+  val t50_vocab_budget: Q = (s, dir) => {
+    import graft.queries.Features.exclusivePrefix
+    val cls = tfCounts(t(s, dir, "documents"))
+      .groupBy(col("c")).agg(count(lit(1)).as("__k"))
+      .withColumn("__mass", col("c") * col("__k"))
+      .withColumn("__ord", -col("c"))
+      .withColumn("__bucket", floor(col("__ord") / lit(64.0)).cast("long"))
+      .localCheckpoint(true) // prefix AND totals
+    val pref = exclusivePrefix(cls, "__ord", "__bucket",
+      Seq("__exm" -> "__mass", "__exk" -> "__k"))
+    val tot = cls.agg(sum(col("__mass")).as("__n"), sum(col("__k")).as("__v"))
+    val cand = pref.crossJoin(broadcast(tot))
+      .withColumn("target",
+        explode(array(lit(90L), lit(95L), lit(99L))))
+      .where(lit(100L) * (col("__exm") + col("__mass")) >=
+        col("target") * col("__n"))
+    // the crossing class: inclusive mass is monotone as c descends,
+    // so the FIRST satisfying class is the one with the largest c
+    val sel = cand.groupBy(col("target"))
+      .agg(max_by(struct(col("c"), col("__exm"), col("__exk"),
+        col("__n"), col("__v")), col("c")).as("__s"))
+      .select(col("target"), col("__s.c"), col("__s.__exm"),
+        col("__s.__exk"), col("__s.__n"), col("__s.__v"))
+    val m = expr(
+      "(target * __n - 100L * __exm + 100L * c - 1L) div (100L * c)")
+    sel.select(col("target").as("target_pct"),
+      (col("__exk") + m).as("vocab_needed"),
+      col("__v").as("vocab_total"),
+      ((col("__exm") + m * col("c")).cast("double") /
+        col("__n").cast("double")).as("coverage_frac"))
+  }
+
+  val t50_sql: String =
+    s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+       |tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+       |cls AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS k,
+       |    CAST(c * COUNT(*) AS BIGINT) AS mass FROM tf GROUP BY c),
+       |cum AS (SELECT c, k, mass,
+       |    CAST(COALESCE(SUM(mass) OVER w, 0) AS BIGINT) AS exm,
+       |    CAST(COALESCE(SUM(k) OVER w, 0) AS BIGINT) AS exk
+       |  FROM cls WINDOW w AS (ORDER BY c DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |tot AS (SELECT CAST(SUM(mass) AS BIGINT) AS n,
+       |    CAST(SUM(k) AS BIGINT) AS v FROM cls),
+       |tg AS (SELECT CAST(UNNEST([90, 95, 99]) AS BIGINT) AS target),
+       |sel AS (SELECT target, c, exm, exk, n, v FROM (
+       |  SELECT tg.target, cum.c, cum.exm, cum.exk, tot.n, tot.v,
+       |    ROW_NUMBER() OVER (PARTITION BY tg.target
+       |      ORDER BY cum.c DESC) AS rn
+       |  FROM cum CROSS JOIN tot CROSS JOIN tg
+       |  WHERE 100 * (exm + mass) >= target * n) WHERE rn = 1)
+       |SELECT target AS target_pct,
+       |  CAST(exk + (target * n - 100 * exm + 100 * c - 1) // (100 * c)
+       |    AS BIGINT) AS vocab_needed,
+       |  v AS vocab_total,
+       |  CAST(exm + ((target * n - 100 * exm + 100 * c - 1) // (100 * c)) * c
+       |    AS DOUBLE) / CAST(n AS DOUBLE) AS coverage_frac
+       |FROM sel""".stripMargin
+
   /** Lossless edit-distance similarity join over the customer-name
     * column ([[Dedup.edJoin]] — the FastSS deletion-neighborhood
     * join at d=1): every name pair within Levenshtein distance 1,
@@ -7002,6 +7079,7 @@ object Corpus {
     "t47_chao1_coverage"    -> t47_chao1_coverage,
     "t48_truncation_loss"   -> t48_truncation_loss,
     "t49_perplexity_buckets" -> t49_perplexity_buckets,
+    "t50_vocab_budget"      -> t50_vocab_budget,
     "t38_quality_classifier" -> t38_quality_classifier,
     "t39_collocations"      -> t39_collocations,
     "t40_chi2_terms"        -> t40_chi2_terms,
@@ -7111,6 +7189,7 @@ object Corpus {
     "t47_chao1_coverage"    -> t47_sql,
     "t48_truncation_loss"   -> t48_sql,
     "t49_perplexity_buckets" -> t49_sql,
+    "t50_vocab_budget"      -> t50_sql,
     "t38_quality_classifier" -> t38_sql,
     "t39_collocations"      -> t39_sql,
     "t40_chi2_terms"        -> t40_sql,

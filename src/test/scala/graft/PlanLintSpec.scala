@@ -130,7 +130,10 @@ class PlanLintSpec extends SparkSpec {
       // t49: the per-doc score frame crosses the broadcast 1-row
       // tertile-boundary fold (plus t29's inherited 1-row totals
       // cross) — the q135 report shape
-      "t49_perplexity_buckets")
+      "t49_perplexity_buckets",
+      // t50: the count-class frame crosses the broadcast 1-row
+      // (N, V) totals — the q135 report shape
+      "t50_vocab_budget")
 
   // queries allowed to window >minRows rows on a <minKeys-value key —
   // empty by design; adding here requires an in-source justification

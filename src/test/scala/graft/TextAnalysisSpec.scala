@@ -257,4 +257,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(Seq(0, 1, 2, 3, 4).forall(ties(_) == "head"))
     assert(ties(5L) == "tail")
   }
+
+  test("t50 vocab budget: greedy-by-frequency crossing with the within-class ceiling") {
+    import spark.implicits._
+    // counts a=6 b=3 c=1, N=10: 90% needs {a,b} exactly (coverage .9);
+    // 95% and 99% both need all three (coverage 1.0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_t50").toString
+    Seq((1L, "srcA", "a a a a a a b b b c"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.Corpus.t50_vocab_budget(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(90L) === ((2L, 3L, 0.9)))
+    assert(got(95L) === ((3L, 3L, 1.0)))
+    assert(got(99L) === ((3L, 3L, 1.0)))
+  }
 }
