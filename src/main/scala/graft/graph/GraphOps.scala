@@ -324,6 +324,10 @@ object GraphOps {
   val HitsScale = 1000000L // 10^6 fixed-point units
 
   def hits(edges: DataFrame, iters: Int): DataFrame = {
+    // iters = 0 would leave the authority side uninitialized (there is
+    // no round-0 authority state) and surface as a schema error from
+    // the final union — reject the argument loudly instead
+    require(iters >= 1, s"hits requires iters >= 1, got $iters")
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val norm = expr(
       s"CAST(__raw AS DECIMAL(30,0)) * ${HitsScale}L div CAST(__mx AS DECIMAL(30,0))")

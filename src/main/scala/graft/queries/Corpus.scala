@@ -5034,6 +5034,16 @@ object Corpus {
     * the kept-id frame (8-byte keys) on top of c06's
     * touch-corpus-once chain; the scoring scan is t29's (shared
     * shuffle), the tertile fold is distinct-score-bounded.
+    *
+    * Zero-token documents: a document with no tokens never enters
+    * t29's per-doc score frame (there is nothing to score), so the
+    * inner keep-join drops it — it does not survive the gate even
+    * though it is not tail-tertile. This is DELIBERATE (an empty
+    * document has no place in a training mix, and both engines agree
+    * because the oracle's t29 CTEs share the same definition), but it
+    * means the c06-vs-c09 candidate diff counts unscorable documents
+    * alongside the perplexity tail; an audit that needs the two
+    * classes separated should count empty docs first.
     */
   val c09_quality_release: Q = (s, dir) => {
     val keep = tertileBuckets(t29PerDoc(s, dir))
@@ -5515,7 +5525,14 @@ object Corpus {
     * window state is one prompt group's candidates, context-bounded
     * for the same reason a conversation is.
     */
-  private[graft] def prefPairsFromTurns(turns: DataFrame): DataFrame = {
+  /** The PRE-dedup strict-margin pair frame (every independent
+    * (user, week) comparison, rendered strings kept) — shared by c08
+    * (which dedups identical content pairs for the release) and q150
+    * (which must NOT: the Bradley–Terry fit wants every independent
+    * comparison event, and the content dedup would collapse the duel
+    * matrix to 0/1 counts at any corpus size).
+    */
+  private[graft] def prefPairsRaw(turns: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.KmvSketch
     val cand = turns.where(col("role") === "assistant")
@@ -5550,12 +5567,17 @@ object Corpus {
             struct(col("ts"), col("event_id"), col("rendered")))),
           _.getField("rendered")), " ")).as("prompt_md5"),
         sum(col("n_turn_tokens")).as("prompt_tokens"))
-    val pairs = chosen
+    chosen
       .join(rejected, Seq("user_id", "conv_week"))
       .join(prompts, Seq("user_id", "conv_week"), "left")
       .where(col("chosen_reward") > col("rejected_reward"))
       .withColumn("pair_md5",
         md5(concat(col("__ch_rend"), lit(" ## "), col("__rj_rend"))))
+  }
+
+  private[graft] def prefPairsFromTurns(turns: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = prefPairsRaw(turns)
     val wDup = Window.partitionBy(col("pair_md5"))
       .orderBy(col("user_id").asc, col("conv_week").asc)
     pairs
@@ -5575,9 +5597,15 @@ object Corpus {
   val c08_preference_pairs: Q = (s, dir) =>
     prefPairsFromTurns(c07TurnFrame(t(s, dir, "events")))
 
-  val c08_sql: String =
-    s"""WITH $c07TurnSqlCtes,
-      |cand AS (SELECT user_id, conv_week, ts, event_id, rendered,
+  /** The c08 pair-assembly CTE chain ([[prefPairsRaw]]'s dialect
+    * half, PRE-dedup, rendered strings kept in `pair`) — ONE
+    * statement shared by the c08 and q150 oracles, the
+    * [[c07TurnSqlCtes]] discipline one level up: a drift between the
+    * release's and the fit's idea of what a preference pair is would
+    * never fail a local test.
+    */
+  private val c08PairSqlCtes: String =
+    s"""cand AS (SELECT user_id, conv_week, ts, event_id, rendered,
       |    n_turn_tokens,
       |    CAST(CAST(('0x' || substr(md5(rendered), 1, 15)) AS BIGINT)
       |      % 1000 AS BIGINT) AS reward
@@ -5610,10 +5638,15 @@ object Corpus {
       |    COALESCE(p.prompt_md5, md5('')) AS prompt_md5,
       |    CAST(COALESCE(p.prompt_tokens, 0) AS BIGINT) AS prompt_tokens,
       |    md5(c.chosen_rendered || ' ## ' || j.rejected_rendered)
-      |      AS pair_md5
+      |      AS pair_md5,
+      |    c.chosen_rendered, j.rejected_rendered
       |  FROM ch c JOIN rj j USING (user_id, conv_week)
       |  LEFT JOIN pr p USING (user_id, conv_week)
-      |  WHERE c.chosen_reward > j.rejected_reward),
+      |  WHERE c.chosen_reward > j.rejected_reward)""".stripMargin
+
+  val c08_sql: String =
+    s"""WITH $c07TurnSqlCtes,
+      |$c08PairSqlCtes,
       |dd AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY pair_md5
       |    ORDER BY user_id, conv_week) AS dup_rn FROM pair)
       |SELECT user_id, conv_week, n_candidates, chosen_event_id,
@@ -5621,6 +5654,101 @@ object Corpus {
       |  chosen_tokens, rejected_tokens, len_bias, prompt_md5,
       |  prompt_tokens, pair_md5
       |FROM dd WHERE dup_rn = 1""".stripMargin
+
+  /** q150: Bradley–Terry strength fit over c08's preference pairs —
+    * the CONSUMPTION side of the preference ladder (c08 writes the
+    * chosen/rejected pairs; q150 reads them back as duel outcomes and
+    * asks whether they admit a one-dimensional strength scale): per
+    * response template, the fitted strength, its rank, and whether
+    * that rank agrees with the raw win rate — the curation signal a
+    * DPO run wants BEFORE training (a fit/win-rate disagreement means
+    * the pair mix is opponent-unbalanced). Items are the rendered
+    * turn templates, an event-type-domain-bounded set (the q141 grid
+    * argument: |event types| × 4 repetition classes); duels are the
+    * PRE-dedup strict-margin pairs ([[prefPairsRaw]] — the release's
+    * content dedup would collapse every duel count to 1 and starve
+    * the fit; the fit wants each independent (user, week) comparison,
+    * one definition shared with c08 so the two faces cannot drift).
+    * The MM iteration ([[graft.analytics.Preference]]) runs a fixed
+    * [[BtIters]] rounds in fixed-point BIGINT e-6 with exact
+    * max-normalization — the g01/g10 recurrence discipline — and the
+    * oracle unrolls the identical rounds, so the compare certifies
+    * every intermediate division, not just the final ranking. Because
+    * c08's reward is a deterministic function of the rendered
+    * content, the duel data is perfectly separable (each item pair
+    * always resolves the same way); the +1 smoothing keeps the MLE
+    * finite and the fitted order then reproduces the acyclic
+    * beat-order — which is exactly the consistency certificate the
+    * fit exists to issue.
+    *
+    * Scale shape: ONE keyed aggregate collapses the corpus-scale pair
+    * frame to the ≤ |items|² duel matrix; all [[BtIters]] rounds run
+    * on that bounded frame (two broadcast joins + one keyed agg + one
+    * 1-row max fold per round).
+    */
+  private[graft] val BtIters = 8
+
+  val q150_bradley_terry: Q = (s, dir) => {
+    val pairs = prefPairsRaw(c07TurnFrame(t(s, dir, "events")))
+    val duels = pairs
+      .select(col("__ch_rend").as("item_w"), col("__rj_rend").as("item_l"))
+      .groupBy(col("item_w"), col("item_l"))
+      .agg(count(lit(1)).as("n_wl"))
+    graft.analytics.Preference.bradleyTerryFromDuels(duels, BtIters)
+  }
+
+  def q150_sql: String = {
+    import graft.analytics.Preference.{BtInnerK, BtRawK, BtScale}
+    // AS MATERIALIZED for the g09/g10 reason: each round's state is
+    // read by the next round's two join sides
+    val rounds = (1 to BtIters).map { k =>
+      s"""btd$k AS MATERIALIZED (SELECT nm.i,
+         |    SUM(CAST(nm.n_ij AS HUGEINT) * $BtInnerK //
+         |        CAST(a.s + b.s AS HUGEINT)) AS d
+         |  FROM nm JOIN bts${k - 1} a ON a.i = nm.i
+         |  JOIN bts${k - 1} b ON b.i = nm.j
+         |  GROUP BY 1),
+         |btr$k AS MATERIALIZED (SELECT wb.i,
+         |    CAST(w1 AS HUGEINT) * $BtRawK // d AS raw
+         |  FROM wb JOIN btd$k USING (i)),
+         |btm$k AS (SELECT MAX(raw) AS mx FROM btr$k),
+         |bts$k AS MATERIALIZED (SELECT i,
+         |    GREATEST(CAST(raw * $BtScale // mx AS BIGINT), 1) AS s
+         |  FROM btr$k CROSS JOIN btm$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $c07TurnSqlCtes,
+       |$c08PairSqlCtes,
+       |duel AS (SELECT chosen_rendered AS iw, rejected_rendered AS il,
+       |    CAST(COUNT(*) AS BIGINT) AS n FROM pair GROUP BY 1, 2),
+       |nm AS MATERIALIZED (SELECT i, j, CAST(SUM(n) AS BIGINT) AS n_ij
+       |  FROM (SELECT iw AS i, il AS j, n FROM duel
+       |        UNION ALL SELECT il AS i, iw AS j, n FROM duel)
+       |  GROUP BY 1, 2),
+       |wb AS MATERIALIZED (SELECT t.i,
+       |    CAST(COALESCE(w.w, 0) AS BIGINT) AS n_wins,
+       |    CAST(COALESCE(w.w, 0) + 1 AS BIGINT) AS w1,
+       |    t.tot AS n_duels
+       |  FROM (SELECT i, CAST(SUM(n_ij) AS BIGINT) AS tot
+       |        FROM nm GROUP BY 1) t
+       |  LEFT JOIN (SELECT iw AS i, CAST(SUM(n) AS BIGINT) AS w
+       |             FROM duel GROUP BY 1) w ON w.i = t.i),
+       |bts0 AS (SELECT i, CAST($BtScale AS BIGINT) AS s FROM wb),
+       |$rounds,
+       |btfin AS (SELECT wb.i AS item, n_wins,
+       |    CAST(n_duels - n_wins AS BIGINT) AS n_losses, n_duels,
+       |    CAST((n_wins * 1000000) // n_duels AS BIGINT) AS win_rate_e6,
+       |    CAST(s AS BIGINT) AS strength_e6
+       |  FROM wb JOIN bts$BtIters b ON b.i = wb.i),
+       |btk AS (SELECT *,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY strength_e6 DESC, item)
+       |      AS BIGINT) AS bt_rank,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY win_rate_e6 DESC, item)
+       |      AS BIGINT) AS wr_rank
+       |  FROM btfin)
+       |SELECT item, n_wins, n_losses, n_duels, win_rate_e6,
+       |  strength_e6, bt_rank, wr_rank, bt_rank = wr_rank AS rank_agree
+       |FROM btk""".stripMargin
+  }
 
   private def c04Root: String = s"${graft.ingest.FixtureTables.root}/c04"
 
@@ -7092,6 +7220,7 @@ object Corpus {
     "c09_quality_release"   -> c09_quality_release,
     "c07_sft_assembly"      -> c07_sft_assembly,
     "c08_preference_pairs"  -> c08_preference_pairs,
+    "q150_bradley_terry"    -> q150_bradley_terry,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -7202,6 +7331,7 @@ object Corpus {
     "c09_quality_release"   -> c09_sql,
     "c07_sft_assembly"      -> c07_sql,
     "c08_preference_pairs"  -> c08_sql,
+    "q150_bradley_terry"    -> q150_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,

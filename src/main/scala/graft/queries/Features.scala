@@ -973,6 +973,32 @@ object Features {
   private[graft] val AnovaTypes =
     Seq("click", "error", "purchase", "signup", "view")
 
+  /** Domain-cardinality guard for the pivoting tests (q141/q145):
+    * their F/χ² folds enumerate [[AnovaTypes]] explicitly, so a 6th
+    * event type would be SILENTLY excluded from the statistic in both
+    * engines — the q143 shared-constant blind-spot class. Applied as
+    * a filter over the per-type stats frame (≤ |domain|+ε rows, never
+    * the corpus scan): an in-domain row passes, an out-of-domain row
+    * raises — a filter, not a projection, so column pruning cannot
+    * drop the assertion. [[anovaDomainGuardSql]] is the same guard in
+    * the oracle dialect, kept adjacent so they cannot drift.
+    */
+  private def anovaDomainGuard(stats: DataFrame, tag: String,
+      colName: String = "event_type"): DataFrame =
+    stats.where(
+      when(col(colName).isin(AnovaTypes.map(x => x: Any): _*), lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"$tag: event_type outside the AnovaTypes domain: "),
+          col(colName))).cast("boolean")))
+
+  private def anovaDomainGuardSql(tag: String,
+      colName: String = "event_type"): String = {
+    val dom = AnovaTypes.map(t => s"'$t'").mkString(", ")
+    s"CASE WHEN $colName IN ($dom) THEN TRUE ELSE " +
+      s"CAST(error('$tag: event_type outside the AnovaTypes domain: '" +
+      s" || $colName) AS BOOLEAN) END"
+  }
+
   /** q141's additive per-group sufficient statistics — the
     * [[abSufficientStats]] shape over ALL event types, so the same
     * per-batch fold that maintains the A/B monitor generalizes
@@ -993,7 +1019,8 @@ object Features {
     * — shared verbatim by the batch query and the streaming monitor's
     * read side.
     */
-  def anovaFromStats(g: DataFrame): DataFrame = {
+  def anovaFromStats(g0: DataFrame): DataFrame = {
+    val g = anovaDomainGuard(g0, "q141")
     def d(c: Column): Column = c.cast("string").cast("double")
     val one = g.groupBy().pivot("event_type", AnovaTypes)
       .agg(first(col("n")).as("n"), first(col("s")).as("s"),
@@ -1055,7 +1082,8 @@ object Features {
        |g AS (SELECT event_type, COUNT(*) AS n,
        |    CAST(SUM(c) AS BIGINT) AS s,
        |    CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
-       |  FROM e GROUP BY 1),
+       |  FROM e GROUP BY 1
+       |  HAVING ${anovaDomainGuardSql("q141")}),
        |m AS (SELECT
        |$subs),
        |w AS (SELECT CAST($nTotL AS BIGINT) AS n_total,
@@ -1149,7 +1177,10 @@ object Features {
   def kruskalWallisFromCounts(counts: DataFrame): DataFrame = {
     def d(c: Column): Column = c.cast("string").cast("double")
     val d12 = DecimalType(12, 0)
-    val (perGrp, tot0) = kwRankStats(counts)
+    val (perGrp0, tot0) = kwRankStats(counts)
+    // q141's pivot guard: a 6th type's values WOULD enter the combined
+    // ranking but its group would silently vanish from the H fold
+    val perGrp = anovaDomainGuard(perGrp0, "q142")
     val tot = tot0.select(col("__tc")) // N re-derives from the pivot
     val one = perGrp.groupBy().pivot("event_type", AnovaTypes)
       .agg(first(col("n")).as("n"), first(col("s2")).as("s2"))
@@ -1206,7 +1237,8 @@ object Features {
        |    + cv + 1 AS BIGINT) AS r2 FROM vc),
        |s AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n,
        |    SUM(CAST(c AS DECIMAL(19,0)) * CAST(r2 AS DECIMAL(19,0))) AS s2
-       |  FROM g JOIN r USING (v) GROUP BY grp),
+       |  FROM g JOIN r USING (v) GROUP BY grp
+       |  HAVING ${anovaDomainGuardSql("q142", "grp")}),
        |tcv AS (SELECT ${dd(s"SUM($c3 * $c3 * $c3 - $c3)")} AS tc FROM vc),
        |m AS (SELECT
        |$subs,
@@ -2536,7 +2568,8 @@ object Features {
     * shared verbatim by the batch query and the streaming monitor's
     * read side.
     */
-  def chi2FromCatCounts(counts: DataFrame): DataFrame = {
+  def chi2FromCatCounts(counts0: DataFrame): DataFrame = {
+    val counts = anovaDomainGuard(counts0, "q145")
     val one = counts.groupBy().pivot("event_type", AnovaTypes)
       .agg(first(col("n_ref")).as("r"), first(col("n_cur")).as("c"))
     def rT(t: String): Column = col(s"${t}_r").cast("double")
@@ -2599,7 +2632,8 @@ object Features {
        |g AS (SELECT event_type,
        |    CAST(SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
        |    CAST(SUM(CASE WHEN ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
-       |  FROM e GROUP BY 1),
+       |  FROM e GROUP BY 1
+       |  HAVING ${anovaDomainGuardSql("q145")}),
        |m AS (SELECT
        |$subs),
        |w AS (SELECT *, ($colR) AS colr, ($colC) AS colc FROM m),
@@ -2724,25 +2758,39 @@ object Features {
     * Z-SCALE: Φ is monotone, so p₍ᵢ₎ ≤ iα/m ⟺ |z|₍ᵢ₎ ≥
     * Φ⁻¹(1 − αi/(2m)) for the two-sided test — which removes the erf
     * evaluation (no cross-engine-bit-stable normal CDF exists) and
-    * replaces it with a LITERAL lookup: m ≤ |slice domain| = 5, so
-    * all 15 (i, m) critical values are source constants
-    * ([[BhCritZ]]), generated into the Scala plan AND the SQL oracle
-    * from ONE table so they cannot drift. Degenerate slices (NULL z —
-    * one-sided data) are not tests and drop from m, the textbook
-    * convention. The rejection frontier (the largest passing rank) is
-    * a 1-row broadcast fold; every comparison touches bit-identical
-    * doubles (q139's z proof), so the reject set is deterministic
-    * cross-engine. The frame is slice-domain-bounded at ANY corpus
-    * size; the constant-key windows touch ≤ 5 rows.
+    * replaces it with a LITERAL lookup: every (i, m) critical value
+    * up to m = [[BhMaxM]] is a source constant ([[BhCritZ]]),
+    * GENERATED from one closed-form quantile into the Scala plan AND
+    * the SQL oracle so they cannot drift — and a slice domain past
+    * the bound FAILS LOUDLY in both engines (Spark `raise_error`,
+    * DuckDB `error()`) instead of silently reporting zero rejections,
+    * the r13 shared-constant blind spot (an agreed-upon wrong answer
+    * is the one class the oracle compare cannot see). Degenerate
+    * slices (NULL z — one-sided data) are not tests and drop from m,
+    * the textbook convention. The rejection frontier (the largest
+    * passing rank) is a 1-row broadcast fold; every comparison
+    * touches bit-identical doubles (q139's z proof), so the reject
+    * set is deterministic cross-engine. The frame is
+    * slice-domain-bounded at ANY corpus size; the constant-key
+    * windows touch ≤ [[BhMaxM]] rows and the lookup is a broadcast
+    * join against the ≤ 300-row literal table.
     */
-  private[graft] val BhCritZ: Seq[((Int, Int), Double)] = Seq(
-    ((1, 1), 1.959964),
-    ((1, 2), 2.241403), ((2, 2), 1.959964),
-    ((1, 3), 2.393980), ((2, 3), 2.128045), ((3, 3), 1.959964),
-    ((1, 4), 2.497705), ((2, 4), 2.241403), ((3, 4), 2.080278),
-    ((4, 4), 1.959964),
-    ((1, 5), 2.575829), ((2, 5), 2.326348), ((3, 5), 2.170090),
-    ((4, 5), 2.053749), ((5, 5), 1.959964))
+  private[graft] val BhMaxM = 24
+
+  /** α = 0.05 two-sided BH critical z for rank i of m tests:
+    * Φ⁻¹(1 − 0.025·i/m), via commons-math3's inverse normal CDF (on
+    * Spark's classpath), rounded to 6 decimals THROUGH a decimal
+    * string so the literal the Spark plan carries and the literal the
+    * SQL oracle renders are the same number — one formula, zero
+    * transcription, and growing [[BhMaxM]] regenerates both sides.
+    */
+  private[graft] val BhCritZ: Seq[((Int, Int), Double)] = {
+    val stdNorm =
+      new org.apache.commons.math3.distribution.NormalDistribution()
+    for { m <- 1 to BhMaxM; i <- 1 to m } yield ((i, m),
+      "%.6f".formatLocal(java.util.Locale.ROOT,
+        stdNorm.inverseCumulativeProbability(1.0 - 0.025 * i / m)).toDouble)
+  }
 
   /** The BH report derived from a q139-shaped dashboard frame —
     * shared by the batch query and the streaming monitor's read side
@@ -2752,7 +2800,8 @@ object Features {
   def bhFromDashboard(dash: DataFrame): DataFrame = {
     // a NULL z (one-sided slice) is "no test ran": it joins neither
     // the ranking nor m. The constant-key windows are slice-domain-
-    // bounded (≤ 5 rows at any corpus size — the q138 grid argument).
+    // bounded (≤ BhMaxM rows at any corpus size — the q138 grid
+    // argument, with the bound now ENFORCED loudly below).
     val wOrd = Window.partitionBy(lit(0))
       .orderBy(col("__az").desc, col("slice").asc)
     val wAll = Window.partitionBy(lit(0))
@@ -2761,12 +2810,24 @@ object Features {
       .withColumn("__az", abs(col("z_score")))
       .withColumn("bh_rank", row_number().over(wOrd).cast("long"))
       .withColumn("m_tests", count(lit(1)).over(wAll))
-    val crit = BhCritZ.foldLeft(lit(null).cast("double")) {
-      case (acc, ((i, m), v)) =>
-        when(col("bh_rank") === i && col("m_tests") === m, lit(v))
-          .otherwise(acc)
-    }
-    val flagged = ranked.withColumn("bh_critical_z", crit)
+    val sp = dash.sparkSession
+    val critDf = sp.createDataFrame(
+      BhCritZ.map { case ((i, m), v) => (i.toLong, m.toLong, v) })
+      .toDF("__bi", "__bm", "__bcrit")
+    // left join so m > BhMaxM reaches the raise_error branch (an
+    // inner join would silently drop the row — the exact failure mode
+    // this guard exists to kill); the message carries the offending m
+    // so the branch can never constant-fold eagerly in either engine
+    val crit = when(col("m_tests") > lit(BhMaxM.toLong),
+      raise_error(concat(
+        lit(s"q143: slice domain exceeds BhMaxM=$BhMaxM: m_tests="),
+        col("m_tests").cast("string"))).cast("double"))
+      .otherwise(col("__bcrit"))
+    val flagged = ranked
+      .join(broadcast(critDf),
+        col("bh_rank") === col("__bi") && col("m_tests") === col("__bm"),
+        "left")
+      .withColumn("bh_critical_z", crit)
       .withColumn("__pass",
         when(col("__az") >= col("bh_critical_z"), col("bh_rank")))
       .localCheckpoint(true) // the frontier fold AND the report join
@@ -2781,17 +2842,21 @@ object Features {
     bhFromDashboard(driftFromSliceCounts(sliceValueCounts(t(s, dir, "events"))))
 
   def q143_sql: String = {
-    val critCase = BhCritZ.map { case ((i, m), v) =>
-      s"WHEN bh_rank = $i AND m_tests = $m THEN ${v}E0"
-    }.mkString("CASE ", " ", " ELSE NULL END")
+    val critVals = BhCritZ.map { case ((i, m), v) =>
+      s"($i, $m, ${v}E0)"
+    }.mkString(", ")
     s"""WITH dash AS (${q139_sql}),
+       |bhz(bi, bm, crit) AS (VALUES $critVals),
        |t AS (SELECT slice, n_ref, n_cur, z_score, mw_drift,
        |    ABS(z_score) AS az
        |  FROM dash WHERE z_score IS NOT NULL),
        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY az DESC,
        |      slice ASC) AS BIGINT) AS bh_rank,
        |    CAST(COUNT(*) OVER () AS BIGINT) AS m_tests FROM t),
-       |c AS (SELECT *, $critCase AS bh_critical_z FROM r),
+       |c AS (SELECT r.*, CASE WHEN m_tests > $BhMaxM
+       |      THEN CAST(error('q143: slice domain exceeds BhMaxM=$BhMaxM: m_tests=' || m_tests) AS DOUBLE)
+       |      ELSE z.crit END AS bh_critical_z
+       |  FROM r LEFT JOIN bhz z ON z.bi = r.bh_rank AND z.bm = r.m_tests),
        |p AS (SELECT *, CASE WHEN az >= bh_critical_z THEN bh_rank
        |    ELSE NULL END AS pass_rk FROM c),
        |mx AS (SELECT COALESCE(MAX(pass_rk), 0) AS mp FROM p)

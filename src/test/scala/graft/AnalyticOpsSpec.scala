@@ -304,4 +304,90 @@ class AnalyticOpsSpec extends SparkSpec {
     assert(r.toSeq === Seq(("a", 1L, 4L, true), ("b", 2L, 4L, true),
       ("c", 3L, 4L, true), ("d", 4L, 4L, false)))
   }
+
+  test("BH critical-z table: generated values reproduce the r13 " +
+    "hand-derived constants") {
+    // the generator (commons-math3 Φ⁻¹ rounded through a 6-decimal
+    // string) must reproduce the 15 values the r13 table carried by
+    // hand — a drift here would silently move every BH verdict
+    val expected = Map(
+      (1, 1) -> 1.959964,
+      (1, 2) -> 2.241403, (2, 2) -> 1.959964,
+      (1, 3) -> 2.393980, (2, 3) -> 2.128045, (3, 3) -> 1.959964,
+      (1, 4) -> 2.497705, (2, 4) -> 2.241403, (3, 4) -> 2.080278,
+      (4, 4) -> 1.959964,
+      (1, 5) -> 2.575829, (2, 5) -> 2.326348, (3, 5) -> 2.170090,
+      (4, 5) -> 2.053749, (5, 5) -> 1.959964)
+    val gen = graft.queries.Features.BhCritZ.toMap
+    expected.foreach { case (k, v) =>
+      assert(gen(k) === v, s"BhCritZ$k drifted from the r13 constant")
+    }
+    // complete lower-triangular coverage up to the enforced bound
+    val mx = graft.queries.Features.BhMaxM
+    assert(gen.size === mx * (mx + 1) / 2)
+    (1 to mx).foreach(m => (1 to m).foreach(i =>
+      assert(gen.contains((i, m)), s"missing BhCritZ($i,$m)")))
+  }
+
+  test("BH gate: a 6-slice dashboard (past the r13 table) computes " +
+    "the exact step-up; a domain past BhMaxM throws, never under-rejects") {
+    import spark.implicits._
+    // six real tests — the r13 table stopped at m=5 and would have
+    // reported bh_critical_z=NULL / bh_reject=false for every row here
+    val zs = Seq("a" -> 3.10, "b" -> 2.70, "c" -> 2.45, "d" -> 2.20,
+      "e" -> 1.70, "f" -> 0.40)
+    val dash = zs.map { case (s, z) => (s, 10L, 10L, Some(z), z > 2.0) }
+      .toDF("slice", "n_ref", "n_cur", "z_score", "mw_drift")
+    val got = graft.queries.Features.bhFromDashboard(dash)
+      .collect()
+      .map(x => (x.getString(0), x.getLong(4), x.getDouble(6),
+        x.getBoolean(8)))
+      .sortBy(_._2)
+    // driver-side reference step-up over the same generated table
+    val crit = graft.queries.Features.BhCritZ.toMap
+    val ranked = zs.sortBy(-_._2).zipWithIndex
+      .map { case ((s, z), i) => (s, i + 1, z) }
+    val frontier = ranked.filter { case (_, i, z) => z >= crit((i, 6)) }
+      .map(_._2).maxOption.getOrElse(0)
+    val want = ranked
+      .map { case (s, i, _) => (s, i.toLong, crit((i, 6)), i <= frontier) }
+    assert(got.toSeq === want)
+    assert(got.count(_._4) === 4) // a..d rejected via the step-up
+    // 25 tests > BhMaxM=24: the gate must FAIL, not report all-false
+    val big = (1 to 25).map(i => (f"s$i%02d", 10L, 10L, Some(1.0 + i * 0.1),
+      true)).toDF("slice", "n_ref", "n_cur", "z_score", "mw_drift")
+    val ex = intercept[Exception] {
+      graft.queries.Features.bhFromDashboard(big).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("BhMaxM")))
+  }
+
+  test("q141/q145 domain guards: a 6th event type fails loudly " +
+    "instead of silently vanishing from the pivot") {
+    import spark.implicits._
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    // q141: per-type sufficient stats with an out-of-domain type
+    val anovaStats = (graft.queries.Features.AnovaTypes :+ "refund")
+      .map(t => (t, 10L, 1000L, new java.math.BigDecimal(100000)))
+      .toDF("event_type", "n", "s", "s2")
+    val e1 = intercept[Exception] {
+      graft.queries.Features.anovaFromStats(anovaStats).collect()
+    }
+    assert(msgs(e1).exists(m => m != null && m.contains("AnovaTypes")))
+    // q145: per-type drift counts with an out-of-domain type
+    val catCounts = (graft.queries.Features.AnovaTypes :+ "refund")
+      .map(t => (t, 10L, 12L)).toDF("event_type", "n_ref", "n_cur")
+    val e2 = intercept[Exception] {
+      graft.queries.Features.chi2FromCatCounts(catCounts).collect()
+    }
+    assert(msgs(e2).exists(m => m != null && m.contains("AnovaTypes")))
+    // the guard passes untouched frames through: in-domain stats give
+    // the same single-row readout as before
+    val ok = graft.queries.Features.AnovaTypes
+      .map(t => (t, 10L, 12L)).toDF("event_type", "n_ref", "n_cur")
+    assert(graft.queries.Features.chi2FromCatCounts(ok).count() === 1L)
+  }
 }

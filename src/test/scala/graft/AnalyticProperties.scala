@@ -517,4 +517,66 @@ object AnalyticProperties extends Properties("graft.analytic") {
           r.getDouble(4) - (c - d).toDouble / math.sqrt(dx * dy)) < 1e-12
       r.getLong(0) == n && cOk && tauOk
     }
+
+  /** Exact BigInt replay of [[graft.analytics.Preference]]'s fixed-
+    * point MM rounds — every truncating division restated driver-side,
+    * so the distributed fit must match BIT-EXACTLY, any partitioning.
+    */
+  private def btReplay(duels: Seq[(String, String, Long)],
+      iters: Int): Map[String, Long] = {
+    val nm = scala.collection.mutable.Map[(String, String), Long]()
+      .withDefaultValue(0L)
+    duels.foreach { case (w, l, n) =>
+      nm((w, l)) += n; nm((l, w)) += n
+    }
+    val items = nm.keys.flatMap(k => Seq(k._1, k._2)).toSeq.distinct.sorted
+    val winsByItem = duels.groupBy(_._1)
+      .map { case (i, xs) => i -> xs.map(_._3).sum }
+    val w1 = items.map(i =>
+      i -> (BigInt(winsByItem.getOrElse(i, 0L)) + 1)).toMap
+    var s = items.map(i => i -> BigInt(1000000L)).toMap
+    (1 to iters).foreach { _ =>
+      val d = items.map { i =>
+        i -> items.filter(j => nm((i, j)) > 0).map { j =>
+          BigInt(nm((i, j))) * BigInt(1000000000L) / (s(i) + s(j))
+        }.sum
+      }.toMap
+      val raw = items.map(i =>
+        i -> (w1(i) * BigInt(1000000000000L) / d(i))).toMap
+      val mx = raw.values.max
+      s = items.map(i =>
+        i -> (raw(i) * 1000000 / mx).max(BigInt(1))).toMap
+    }
+    s.map { case (k, v) => k -> v.toLong }
+  }
+
+  private val genDuels: Gen[List[(String, String, Long)]] = for {
+    nItems <- Gen.choose(2, 6)
+    items = (0 until nItems).map(i => s"item_$i")
+    n <- Gen.choose(1, 12)
+    ds <- Gen.listOfN(n, for {
+      w <- Gen.oneOf(items)
+      l <- Gen.oneOf(items.filterNot(_ == w))
+      c <- Gen.choose(1L, 50L)
+    } yield (w, l, c))
+  } yield ds
+
+  property("bradleyTerryFromDuels ≡ the exact BigInt MM replay on arbitrary duel tables") =
+    Prop.forAll(genDuels) { ds0 =>
+      // shrinking can bypass the generator's bounds; pin the
+      // degenerate shrink to one duel
+      val ds = if (ds0.isEmpty) List(("item_0", "item_1", 1L)) else ds0
+      val iters = 4 // fewer than q150's 8: the property is per-round
+      val got = graft.analytics.Preference
+        .bradleyTerryFromDuels(
+          ds.toDF("item_w", "item_l", "n_wl").repartition(5), iters)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(5), r.getLong(6)))
+      val want = btReplay(ds, iters)
+      val strengthsOk = got.forall { case (i, s, _) => want(i) == s }
+      // ranks must be the strength order with the item tiebreak
+      val rankOk = got.sortBy(_._3).map(_._1).toSeq ==
+        got.sortBy(x => (-x._2, x._1)).map(_._1).toSeq
+      got.length == want.size && strengthsOk && rankOk
+    }
 }

@@ -133,11 +133,30 @@ class PlanLintSpec extends SparkSpec {
       "t49_perplexity_buckets",
       // t50: the count-class frame crosses the broadcast 1-row
       // (N, V) totals — the q135 report shape
-      "t50_vocab_budget")
+      "t50_vocab_budget",
+      // q150: each Bradley–Terry MM round crosses the item-domain-
+      // bounded strength frame against the broadcast 1-row max (the
+      // exact integer renormalizer) — the g10 per-round shape
+      "q150_bradley_terry")
 
   // queries allowed to window >minRows rows on a <minKeys-value key —
   // empty by design; adding here requires an in-source justification
   private val allowLowCardWindow = Set.empty[String]
+
+  // queries allowed an UNPARTITIONED window — only over frames that
+  // are domain-bounded by construction (the q143 report shape; note
+  // Spark 4.x's EliminateWindowPartitions folds a constant-key
+  // partitionBy(lit(0)) to exactly this, so the two idioms are the
+  // same physical plan — q143's own constant-key windows sit behind
+  // its localCheckpoint and are lint-invisible for that reason, not
+  // because they execute differently). Adding here requires an
+  // in-source bound argument.
+  private val allowUnpartitionedWindow = Set(
+    // q150: the two rank windows run over the item-domain-bounded
+    // Bradley–Terry report frame (≤ |event types| × 4 rows at ANY
+    // corpus size — the corpus collapsed into the duel aggregate
+    // first; see Preference.bradleyTerryFromDuels)
+    "q150_bradley_terry")
 
   /** Pattern-3 detector: every partitioned window in `df`'s optimized
     * plan whose child row count exceeds `minRows` at this data scale
@@ -189,7 +208,7 @@ class PlanLintSpec extends SparkSpec {
         val badWindows = plan.collect {
           case w: logical.Window if w.partitionSpec.isEmpty => w
         }
-        if (badWindows.nonEmpty)
+        if (badWindows.nonEmpty && !allowUnpartitionedWindow(name))
           failures += s"$name: ${badWindows.size} unpartitioned window(s)"
         val phys = df.queryExecution.sparkPlan.toString
         val nestedLoop = phys.contains("CartesianProduct") ||
