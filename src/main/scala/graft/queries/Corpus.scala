@@ -5073,6 +5073,254 @@ object Corpus {
        |${c06SelectionSqlCtes(C06Budget, "docs9")},
        |$releaseTailSql""".stripMargin
 
+  // ------------------------------------------------ c10: domain gate
+
+  /** c10 gate policy — integer-percent thresholds, source constants
+    * shared by the Spark plan and the generated SQL oracle (the q143
+    * one-table discipline). Chosen against the FineWeb/RefinedWeb
+    * playbook: a source is DROPPED when it is mostly perplexity tail
+    * (low-quality mass the c09 doc-gate would mostly delete anyway —
+    * at that point the source itself is the problem) or when most of
+    * its content fingerprints also appear in another source (a mirror
+    * — keeping it double-counts whatever it mirrors); it is FLAGGED
+    * (kept, but marked for human review) when its mixed-language,
+    * high-stopword or tail shares are elevated without crossing the
+    * drop line.
+    */
+  private[graft] val C10TailDropPct = 50L
+  private[graft] val C10OverlapDropPct = 80L
+  private[graft] val C10TailFlagPct = 40L
+  private[graft] val C10MixedFlagPct = 60L
+  private[graft] val C10HighStopFlagPct = 65L
+
+  /** c10: the DOMAIN-level curation gate (FineWeb shape) — the c09
+    * composition one level up: c09 gates DOCUMENTS by perplexity,
+    * c10 gates SOURCES by a roll-up of the per-document quality
+    * signals the engine already computes, because at corpus scale
+    * curation decisions are made per domain/source first (blocklist)
+    * and per document second. Four signals per source, each reusing
+    * an existing query's exact definition (one definition, two
+    * consumers — the t29/c09 discipline):
+    *
+    *   - perplexity-tail share: t49's exact tertile label over t29's
+    *     integer xent; `tail_pct` over the SCORED docs (zero-token
+    *     docs are unscorable and counted in `n_docs` only — the c09
+    *     empty-doc note, surfaced here as n_docs − n_scored).
+    *   - high-stopword share: t38's distillation TARGET (the exact
+    *     integer rule 100·n_stop > 6·n_tok), not the fitted model —
+    *     the gate wants the rule's verdict, not an approximation of
+    *     it, and the rule is corpus-independent.
+    *   - mixed-language share: t31's per-segment language-ID verdict.
+    *   - cross-source overlap: d12's fingerprint frame re-keyed per
+    *     source — the share of a source's distinct fingerprints that
+    *     also appear in ANY other source.
+    *
+    * Verdict: drop / flag / keep by the [[C10TailDropPct]] family of
+    * integer-percent thresholds — every percentage is an exact
+    * integer division (100·n div max(d,1)), so no float boundary can
+    * flip a verdict cross-engine. The manifest carries the raw
+    * counts AND the percentages, so the compare certifies the
+    * signals, not just the verdicts.
+    *
+    * Scale shape: each signal is one corpus scan collapsing straight
+    * into a per-source (catalog-bounded) aggregate — tail reuses
+    * t29's shared-shuffle scoring scan, the stopword rule and the
+    * fingerprints are one projection each, t31 is one explode +
+    * keyed agg; the roll-up joins are per-doc equi-joins (8-byte
+    * keys) followed by ONE map-side-combined groupBy(source), and
+    * the verdict is a projection over the catalog-sized frame.
+    * Nothing driver-side, nothing all-pairs.
+    */
+  private[graft] def c10SourceSignals(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").transform(spreadScan)
+    val tail = tertileBuckets(t29PerDoc(s, dir))
+      .select(col("doc_id"), (col("bucket") === "tail").as("__tail"))
+    val stop = docs
+      .withColumn("__toks", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"),
+        (size(filter(col("__toks"), x => x === "the" || x === "a"))
+          .cast("long") * lit(100L) >
+          size(col("__toks")).cast("long") * lit(6L)).as("__hs"))
+    val mixed = t31_lang_consistency(s, dir)
+      .select(col("doc_id"), col("is_mixed"))
+    val fps = docs
+      .select(col("source"),
+        TextAnalysis.fingerprint(col("text"), k = 8).as("__fp"))
+      .distinct()
+      .localCheckpoint(true) // the share fold AND the per-source agg
+    val shared = fps.groupBy(col("__fp"))
+      .agg(count_distinct(col("source")).as("__ns"))
+    val ov = fps.join(shared, Seq("__fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_fingerprints"),
+        sum(when(col("__ns") >= 2, 1L).otherwise(0L)).as("n_shared_fp"))
+    docs.select(col("doc_id"), col("source"))
+      .join(tail, Seq("doc_id"), "left") // unscorable docs: no verdict
+      .join(stop, Seq("doc_id"))
+      .join(mixed, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__tail").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+        sum(when(col("__tail") === true, 1L).otherwise(0L)).as("n_tail"),
+        sum(when(col("__hs"), 1L).otherwise(0L)).as("n_highstop"),
+        sum(when(col("is_mixed"), 1L).otherwise(0L)).as("n_mixed"))
+      .join(ov, Seq("source"))
+  }
+
+  /** The verdict projection over a c10 signal frame — shared by the
+    * manifest query and [[c10KeptSources]].
+    */
+  private[graft] def c10Verdicts(sig: DataFrame): DataFrame = {
+    val tailPct = expr("100L * n_tail div greatest(n_scored, 1L)")
+    val hsPct = expr("100L * n_highstop div greatest(n_docs, 1L)")
+    val mixPct = expr("100L * n_mixed div greatest(n_docs, 1L)")
+    val ovPct = expr("100L * n_shared_fp div greatest(n_fingerprints, 1L)")
+    sig
+      .withColumn("tail_pct", tailPct)
+      .withColumn("highstop_pct", hsPct)
+      .withColumn("mixed_pct", mixPct)
+      .withColumn("overlap_pct", ovPct)
+      .withColumn("verdict",
+        when(col("tail_pct") >= C10TailDropPct ||
+          col("overlap_pct") >= C10OverlapDropPct, "drop")
+          .when(col("tail_pct") >= C10TailFlagPct ||
+            col("mixed_pct") >= C10MixedFlagPct ||
+            col("highstop_pct") >= C10HighStopFlagPct, "flag")
+          .otherwise("keep"))
+  }
+
+  val c10_domain_gate: Q = (s, dir) =>
+    c10Verdicts(c10SourceSignals(s, dir))
+      .select(col("source"), col("n_docs"), col("n_scored"),
+        col("n_tail"), col("tail_pct"), col("n_highstop"),
+        col("highstop_pct"), col("n_mixed"), col("mixed_pct"),
+        col("n_fingerprints"), col("n_shared_fp"), col("overlap_pct"),
+        col("verdict"))
+
+  /** Sources surviving the gate (keep + flag — flag is a review
+    * marker, not a removal; only drop removes).
+    */
+  private[graft] def c10KeptSources(s: SparkSession, dir: String): DataFrame =
+    c10Verdicts(c10SourceSignals(s, dir))
+      .where(col("verdict") =!= "drop")
+      .select(col("source"))
+
+  /** The c10-gated release: source gate → c09's document gate → c06's
+    * dedup/quota/pack chain — the full FineWeb order (domain
+    * blocklist first, per-document quality second, dedup third), each
+    * stage the existing definition. Used by the composition spec; the
+    * registered c10 query is the manifest (the gate IS the new
+    * operator — the release downstream is c09's, re-derived).
+    */
+  private[graft] def c10GatedRelease(s: SparkSession, dir: String): DataFrame = {
+    val keepDocs = tertileBuckets(t29PerDoc(s, dir))
+      .where(col("bucket") =!= "tail")
+      .select(col("doc_id"))
+    releaseFromSurvivors(
+      c06SurvivorPartial(t(s, dir, "documents").transform(spreadScan)
+        .join(broadcast(c10KeptSources(s, dir)), "source")
+        .join(keepDocs, "doc_id")
+        .select(col("doc_id"), col("source"), col("text")))
+        .drop("__htext"))
+  }
+
+  def c10_sql: String = {
+    // t31's segment CTEs renamed (l-prefixed) to coexist with t29's
+    val segToks =
+      "list_filter(string_split_regex(lower(seg), '\\s+'), x -> x <> '')"
+    val scoreCols = TextAnalysis.langMarkers.map { case (l, ms) =>
+      s"len(list_filter(ltoks, x -> list_contains(${sqlList(ms)}, x))) AS s_$l"
+    }.mkString(",\n  ")
+    val langs = TextAnalysis.langMarkers.map(_._1)
+    val best = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs
+      .map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString("\n  ")
+    s"""WITH $t29SqlCtes,
+       |dist AS (SELECT xent_e6 AS x, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM f GROUP BY 1),
+       |cum AS (SELECT x, CAST(SUM(c) OVER (ORDER BY x
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cc FROM dist),
+       |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM dist),
+       |th AS (SELECT
+       |    MIN(CASE WHEN cc * 3 >= 2 * nn THEN x END) AS t2
+       |  FROM cum CROSS JOIN nn),
+       |tl AS (SELECT doc_id, (xent_e6 > t2) AS is_tail
+       |  FROM f CROSS JOIN th),
+       |tk AS (SELECT doc_id, source, text, $toksSql AS toks
+       |  FROM documents),
+       |hs AS (SELECT doc_id,
+       |    (CAST(len(list_filter(toks, x -> x IN ('the', 'a')))
+       |       AS BIGINT) * 100 > CAST(len(toks) AS BIGINT) * 6) AS hs
+       |  FROM tk),
+       |ld AS (SELECT doc_id, text,
+       |    GREATEST((length(text) + 199) // 200, 1) AS nseg FROM documents),
+       |lg AS (SELECT doc_id, text,
+       |    unnest(generate_series(0, nseg - 1)) AS i FROM ld),
+       |lsg AS (SELECT doc_id,
+       |    substr(text, CAST(i * 200 + 1 AS INT), 200) AS seg FROM lg),
+       |lt AS (SELECT doc_id, seg, $segToks AS ltoks FROM lsg),
+       |ls AS (SELECT doc_id,
+       |  $scoreCols,
+       |  len(regexp_extract_all(seg, '[\\x{4e00}-\\x{9fff}]')) AS cjk,
+       |  length(seg) AS seglen
+       | FROM lt),
+       |lb AS (SELECT *, $best AS best FROM ls),
+       |lp AS (SELECT doc_id,
+       |    CASE WHEN cjk > 0 AND cjk * 2 >= seglen THEN 'zh'
+       |  $cases
+       |  ELSE 'und' END AS lang FROM lb),
+       |lm AS (SELECT doc_id, COUNT(DISTINCT lang) > 1 AS is_mixed
+       |  FROM lp GROUP BY doc_id),
+       |fsh AS (SELECT doc_id, source,
+       |  CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+       |       ELSE list_transform(generate_series(1, len(toks) - 7),
+       |                           i -> array_to_string(toks[i:i+7], ' '))
+       |  END AS sh
+       | FROM tk),
+       |fpd AS (SELECT DISTINCT source,
+       |    list_min(list_transform(sh, x -> md5(x))) AS fp
+       |  FROM fsh),
+       |shr AS (SELECT fp, COUNT(DISTINCT source) AS ns
+       |  FROM fpd GROUP BY fp),
+       |ov AS (SELECT source,
+       |    CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+       |    CAST(SUM(CASE WHEN ns >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_shared_fp
+       |  FROM fpd JOIN shr USING (fp) GROUP BY source),
+       |roll AS (SELECT d.source,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN tl.is_tail IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_scored,
+       |    CAST(SUM(CASE WHEN tl.is_tail THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_tail,
+       |    CAST(SUM(CASE WHEN hs.hs THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_highstop,
+       |    CAST(SUM(CASE WHEN lm.is_mixed THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_mixed
+       |  FROM documents d
+       |  LEFT JOIN tl USING (doc_id)
+       |  JOIN hs USING (doc_id)
+       |  JOIN lm USING (doc_id)
+       |  GROUP BY 1),
+       |sig AS (SELECT roll.*, ov.n_fingerprints, ov.n_shared_fp,
+       |    100 * n_tail // GREATEST(n_scored, 1) AS tail_pct,
+       |    100 * n_highstop // GREATEST(n_docs, 1) AS highstop_pct,
+       |    100 * n_mixed // GREATEST(n_docs, 1) AS mixed_pct,
+       |    100 * n_shared_fp // GREATEST(n_fingerprints, 1) AS overlap_pct
+       |  FROM roll JOIN ov USING (source))
+       |SELECT source, n_docs, n_scored, n_tail, tail_pct, n_highstop,
+       |  highstop_pct, n_mixed, mixed_pct, n_fingerprints, n_shared_fp,
+       |  overlap_pct,
+       |  CASE WHEN tail_pct >= $C10TailDropPct
+       |         OR overlap_pct >= $C10OverlapDropPct THEN 'drop'
+       |       WHEN tail_pct >= $C10TailFlagPct
+       |         OR mixed_pct >= $C10MixedFlagPct
+       |         OR highstop_pct >= $C10HighStopFlagPct THEN 'flag'
+       |       ELSE 'keep' END AS verdict
+       |FROM sig""".stripMargin
+  }
+
   /** ONE statement of c06's dedup → Hamilton-quota → KMV-threshold
     * selection as DuckDB CTEs, ending in `sel(doc_id, source,
     * n_tokens, ck, h)` + `q(source, n_docs, …, final_quota)` — spliced
@@ -7221,6 +7469,7 @@ object Corpus {
     "c07_sft_assembly"      -> c07_sft_assembly,
     "c08_preference_pairs"  -> c08_preference_pairs,
     "q150_bradley_terry"    -> q150_bradley_terry,
+    "c10_domain_gate"       -> c10_domain_gate,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -7332,6 +7581,7 @@ object Corpus {
     "c07_sft_assembly"      -> c07_sql,
     "c08_preference_pairs"  -> c08_sql,
     "q150_bradley_terry"    -> q150_sql,
+    "c10_domain_gate"       -> c10_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,

@@ -137,7 +137,12 @@ class PlanLintSpec extends SparkSpec {
       // q150: each Bradley–Terry MM round crosses the item-domain-
       // bounded strength frame against the broadcast 1-row max (the
       // exact integer renormalizer) — the g10 per-round shape
-      "q150_bradley_terry")
+      "q150_bradley_terry",
+      // c10: inherits t49's tertile crosses (distinct-score frame ×
+      // broadcast 1-row totals, per-doc frame × broadcast 1-row
+      // boundary fold) through the shared tertileBuckets stage —
+      // never row×row
+      "c10_domain_gate")
 
   // queries allowed to window >minRows rows on a <minKeys-value key —
   // empty by design; adding here requires an in-source justification

@@ -119,4 +119,49 @@ class ReleaseSpec extends SparkSpec {
     // and the selection actually changed somewhere (checksum diff)
     assert(gated.exists { case (src, (_, _, ck)) => base(src)._3 != ck })
   }
+
+  test("c10: the domain gate partitions sources, only removes candidates, and the budget identity survives") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val manifest = graft.queries.Corpus.c10_domain_gate(spark, dir)
+      .collect()
+    val docsSources = graft.Tables(spark, dir, "documents")
+      .select(col("source")).distinct().collect()
+      .map(_.getString(0)).toSet
+    // the manifest covers every source exactly once, one verdict each
+    assert(manifest.map(_.getString(0)).toSet === docsSources)
+    assert(manifest.length === docsSources.size)
+    manifest.foreach { r =>
+      assert(Set("keep", "flag", "drop")(r.getString(12)))
+      // signal sanity: counts nest, percentages are exact integer
+      // shares in [0, 100]
+      assert(r.getLong(2) <= r.getLong(1))  // n_scored <= n_docs
+      assert(r.getLong(3) <= r.getLong(2))  // n_tail <= n_scored
+      assert(r.getLong(10) <= r.getLong(9)) // n_shared_fp <= n_fp
+      Seq(4, 6, 8, 11).foreach(i =>
+        assert(r.getLong(i) >= 0L && r.getLong(i) <= 100L))
+    }
+    val dropped = manifest.filter(_.getString(12) == "drop")
+      .map(_.getString(0)).toSet
+    assert(dropped.nonEmpty, "fixture thresholds must exercise a drop")
+    assert(manifest.exists(_.getString(12) == "keep"))
+    // composition: source gate -> c09's doc gate -> c06 chain
+    def bySource(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    val c09 = bySource(
+      graft.queries.Corpus.c09_quality_release(spark, dir))
+    val c10 = bySource(
+      graft.queries.Corpus.c10GatedRelease(spark, dir))
+    // dropped sources are gone from the gated release
+    assert(c10.keySet === c09.keySet -- dropped)
+    // the gate only REMOVES candidates globally (a per-source count
+    // may grow when a cross-source duplicate's min-id holder sat in a
+    // dropped source — the group migrates, it is not new)
+    assert(c10.values.map(_._1).sum < c09.values.map(_._1).sum)
+    // Hamilton re-apportions over the survivors; the budget identity
+    // holds through BOTH gates
+    assert(c10.values.map(_._2).sum ===
+      graft.queries.Corpus.C06Budget)
+  }
 }
