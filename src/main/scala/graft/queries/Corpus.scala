@@ -3549,12 +3549,20 @@ object Corpus {
     * chain (one definition of the smoothed unigram score, two
     * consumers).
     */
-  private[graft] def t29PerDoc(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def t29PerDoc(s: SparkSession, dir: String): DataFrame =
+    t29PerDocOf(t(s, dir, "documents"))
+
+  /** t29's per-doc scorer over an EXPLICIT corpus frame — shared by
+    * the batch queries and the streaming read side
+    * ([[graft.streaming.StreamingIngest.currentQualityRelease]]),
+    * where the corpus is the doc store's newest generation.
+    */
+  private[graft] def t29PerDocOf(docs: DataFrame): DataFrame = {
     // ONE corpus scan + tokenize: vocab and the (N, V) totals both
     // derive from the per-(doc, token) counts, whose shuffle the
     // planner then shares across all three uses (ReusedExchange) —
     // the naive three-subtree formulation re-tokenized the corpus 3×
-    val perDocTok = t(s, dir, "documents")
+    val perDocTok = docs
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("__cd"))
@@ -5045,16 +5053,29 @@ object Corpus {
     * alongside the perplexity tail; an audit that needs the two
     * classes separated should count empty docs first.
     */
-  val c09_quality_release: Q = (s, dir) => {
-    val keep = tertileBuckets(t29PerDoc(s, dir))
+  /** c09's gate + release over an EXPLICIT corpus frame — ONE
+    * definition shared by the batch query and the streaming read side
+    * ([[graft.streaming.StreamingIngest.currentQualityRelease]]): the
+    * tertile boundary and every doc's xent are CORPUS-RELATIVE, and
+    * the gate runs before dedup, so no incremental fold of the gated
+    * survivor set can be exact under growth — the read-time
+    * derivation through this function is the only formulation whose
+    * streamed answer equals the batch answer on the union of batches.
+    */
+  private[graft] def qualityReleaseOf(docs: DataFrame,
+      budget: Long = C06Budget): DataFrame = {
+    val keep = tertileBuckets(t29PerDocOf(docs))
       .where(col("bucket") =!= "tail")
       .select(col("doc_id"))
     releaseFromSurvivors(
-      c06SurvivorPartial(t(s, dir, "documents").transform(spreadScan)
+      c06SurvivorPartial(docs
         .join(keep, "doc_id")
         .select(col("doc_id"), col("source"), col("text")))
-        .drop("__htext"))
+        .drop("__htext"), budget)
   }
+
+  val c09_quality_release: Q = (s, dir) =>
+    qualityReleaseOf(t(s, dir, "documents").transform(spreadScan))
 
   def c09_sql: String =
     s"""WITH RECURSIVE

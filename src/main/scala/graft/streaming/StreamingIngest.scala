@@ -974,6 +974,60 @@ object StreamingIngest {
       graft.queries.Corpus.releaseFromSurvivors(
         spark.read.parquet(s"$p/surv").drop("__htext"), budget))
 
+  /** Continuously maintained QUALITY-GATED release — the streaming
+    * face of c09, closing the family releaseStream (c06) opened.
+    * Unlike c06, NO compact fold can carry this gate: t29's xent is
+    * CORPUS-RELATIVE (every document's score and the tertile boundary
+    * move when the vocabulary grows), and the gate runs BEFORE dedup,
+    * so the gated survivor set is itself corpus-dependent — a batch-2
+    * arrival can flip a batch-1 document across the quality boundary
+    * and thereby change which copy of a duplicate group survives. The
+    * state is therefore the compact DOC STORE itself (doc_id, source,
+    * text — the c07 turn-store protocol: state is the input relation,
+    * every report derived at read time), and the release comes from
+    * the SAME [[graft.queries.Corpus.qualityReleaseOf]] the batch
+    * query uses — streamed ≡ batch exact on the union of batches,
+    * cross-batch duplicates straddling the quality boundary included
+    * (spec-asserted). Zero NEW state kinds; the per-batch rewrite is
+    * O(accumulated docs) here for replay simplicity — at production
+    * scale the doc store is a partitioned table and a batch appends
+    * only its own partition (the scoring pass at read time is the
+    * SAME scan c09 pays in batch).
+    */
+  def qualityReleaseStream(
+      docs: DataFrame, // streaming frame: doc_id + source + text
+      statsRoot: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          val spark = batch.sparkSession
+          val part = batch.toDF()
+            .select(col("doc_id"), col("source"), col("text"))
+          val merged = priorGeneration(spark, statsRoot, batchId) match {
+            case Some(p) =>
+              spark.read.parquet(s"$p/docs").unionByName(part)
+            case None => part
+          }
+          merged.write.mode("overwrite")
+            .parquet(s"$statsRoot/gen-$batchId/docs")
+          ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+
+  /** c09's exact quality-gated release derived from the newest doc
+    * store, or None before the first batch lands.
+    */
+  def currentQualityRelease(
+      spark: SparkSession, statsRoot: String,
+      budget: Long = graft.queries.Corpus.C06Budget): Option[DataFrame] =
+    priorGeneration(spark, statsRoot, Long.MaxValue).map(p =>
+      graft.queries.Corpus.qualityReleaseOf(
+        spark.read.parquet(s"$p/docs"), budget))
+
   /** Continuously maintained SFT assembly — the streaming face of c07
     * (conversations that grow as events arrive, loss-mask offsets that
     * are always current). Turn extraction

@@ -1315,6 +1315,52 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.getLong(2)).sum == budget)
   }
 
+  test("qualityReleaseStream: read-time c09 equals batch, cross-batch duplicates straddling the quality boundary included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_qrel_stream").toString
+    val root = s"$base/qrel"; val ckpt = s"$base/ckpt"
+    // 90 docs = 30 planted duplicate groups of 3. Groups 0..19 share a
+    // COMMON vocabulary (low xent — survive the tertile gate); groups
+    // 20..29 each use their own RARE tokens (high xent — the tail
+    // tertile, exactly 30 of 90 docs). After the seeded shuffle the
+    // copies of each group land in DIFFERENT batches, so the gate's
+    // verdict on a group and the dedup's choice of its surviving copy
+    // both depend on docs from other batches — the case an
+    // incremental fold of gated survivors would get wrong.
+    val docs = (1L to 90L).map { id =>
+      val g = (id % 30).toInt
+      val text =
+        if (g < 20) s"the quick brown fox jumps over lazy dog variant $g"
+        else s"zq${g}ax wq${g}bx vq${g}cx uq${g}dx tq${g}ex sq${g}fx"
+      (id, s"src${id % 6}", text)
+    }
+    val budget = 12L
+    val shuffled = new scala.util.Random(41).shuffle(docs)
+    val stream = MemoryStream[(Long, String, String)]
+    val q = StreamingIngest.qualityReleaseStream(
+      stream.toDF().toDF("doc_id", "source", "text"), root, ckpt)
+    shuffled.grouped(30).foreach { chunk =>
+      stream.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("source").collect().toSeq
+    val streamed = rows(
+      StreamingIngest.currentQualityRelease(spark, root, budget).get)
+    val batch = rows(graft.queries.Corpus.qualityReleaseOf(
+      docs.toDF("doc_id", "source", "text"), budget))
+    assert(streamed === batch)
+    // the gate really ran: only the 20 common-vocabulary groups
+    // survive as candidates (30 distinct texts minus the 10 rare
+    // tail groups), and dedup still collapsed the copies
+    assert(streamed.map(_.getLong(1)).sum == 20L)
+    // the Hamilton budget identity survives gate + streamed state
+    assert(streamed.map(_.getLong(2)).sum == budget)
+  }
+
   test("sftAssemblyStream: read-time assembly equals batch c07, late cross-batch turns included") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
