@@ -6345,7 +6345,13 @@ object Corpus {
     * and s19's recall eval, exactly as the Spark side shares
     * [[s03Index]].
     */
-  private def s03CoreSqlCtes: String =
+  /** The fit-replay + assignment half of [[s03CoreSqlCtes]] (fitted
+    * centroid read, exact-op-order distances, min-(d, list) list
+    * assignment) — spliced by the s03/s19/s20 chain AND s21's
+    * two-sided probe CTEs, which probe for every vector of each side
+    * rather than the fixed 5-query demo set.
+    */
+  private def s03AssignSqlCtes: String =
     s"""ctr AS (SELECT list_id, centroid
        |        FROM read_parquet('${ivfCentroidPath(oracleSfDir)}/*.parquet')),
        |dist AS (SELECT e.vec_id, c.list_id,
@@ -6359,7 +6365,10 @@ object Corpus {
        |assign AS (SELECT vec_id AS neighbor_id, list_id FROM (
        |  SELECT vec_id, list_id,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
-       |  FROM dist) WHERE rn = 1),
+       |  FROM dist) WHERE rn = 1)""".stripMargin
+
+  private def s03CoreSqlCtes: String =
+    s"""$s03AssignSqlCtes,
        |probe AS (SELECT vec_id AS query_id, list_id FROM (
        |  SELECT vec_id, list_id,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
@@ -6411,6 +6420,128 @@ object Corpus {
        |           JOIN e b ON b.vec_id = neighbor_id)
        |SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine
        |FROM sc WHERE cos >= 0.3E0""".stripMargin
+
+  /** s21: margin-based bitext mining (Artetxe–Schwenk) over the
+    * persisted IVF index — the cross-lingual face of the similarity
+    * family: given two embedding sets (a "source-language" and a
+    * "target-language" side; the fixture has no language column, so
+    * the sides are the DETERMINISTIC vec_id parity split — the c08
+    * hash-reward move, an opaque bit-replayable stand-in), mine the
+    * pairs whose cosine stands out of BOTH points' k-NN
+    * neighborhoods: margin = cos(x,y) · 2k / (Σₖcos(x,·) + Σₖcos(y,·))
+    * over e-6-quantized cosines ([[Similarity.marginScores]] — exact
+    * integer sums, one IEEE division, bit-identical cross-engine).
+    * Candidates come from the SAME fitted s03 quantizer (one fit,
+    * four consumers with s19/s20), every side-A vector probing 8
+    * lists for side-B neighbors and vice versa; the mined output is
+    * each x's best-margin y above [[S21MarginThreshold]], flagged
+    * `is_mutual` when y's own best-margin backward choice is x (the
+    * Artetxe "mutual" strategy — the high-precision mode a real
+    * bitext pipeline ships). The oracle replays candidate generation
+    * from the dumped centroid bits ([[s03AssignSqlCtes]] shared
+    * verbatim) and the identical integer margin algebra, so the hash
+    * match certifies probes, quantization, neighborhood sums, the
+    * ranking AND the mutual join. SimilaritySpec additionally gates
+    * mined-pair recall against the brute-force margin miner (the
+    * s19 discipline applied to the mining rule).
+    *
+    * Scale shape: candidate volume is |side| × probed-list mass (the
+    * s03 probe budget, never |A|×|B|); margins are two windows + two
+    * keyed aggs + equi-joins ([[Similarity.marginScores]]); the
+    * mined top-1 is one window over the candidate frame.
+    */
+  private[graft] val S21K = 4
+  private[graft] val S21MarginThreshold = 1.05
+
+  /** The mining tail over two directed candidate frames (margin
+    * scoring → forward top-1 + threshold → mutual flag) — shared by
+    * the s21 query (IVF candidates) and the SimilaritySpec recall
+    * gate (brute-force candidates), so the miner under test IS the
+    * miner the gate measures.
+    */
+  private[graft] def s21MinedPairs(candAB: DataFrame,
+      candBA: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (fwd, bwd) = graft.similarity.Similarity
+      .marginScores(candAB, candBA, S21K)
+    val wX = Window.partitionBy(col("query_id"))
+      .orderBy(col("margin").desc, col("neighbor_id").asc)
+    val mined = fwd.withColumn("__rn", row_number().over(wX))
+      .where(col("__rn") === 1 && col("margin") >= lit(S21MarginThreshold))
+    val wY = Window.partitionBy(col("query_id"))
+      .orderBy(col("margin").desc, col("neighbor_id").asc)
+    val bwdBest = bwd.withColumn("__rn", row_number().over(wY))
+      .where(col("__rn") === 1)
+      .select(col("query_id").as("y_id"), col("neighbor_id").as("x_id"),
+        lit(true).as("__mut"))
+    mined
+      .select(col("query_id").as("x_id"), col("neighbor_id").as("y_id"),
+        (col("__ce6").cast("double") / lit(1000000.0)).as("cosine"),
+        col("margin"))
+      .join(bwdBest, Seq("x_id", "y_id"), "left")
+      .select(col("x_id"), col("y_id"), col("cosine"), col("margin"),
+        coalesce(col("__mut"), lit(false)).as("is_mutual"))
+  }
+
+  val s21_bitext_mining: Q = (s, dir) => {
+    val idx = s03Index(s, dir)
+    val emb = t(s, dir, "embeddings")
+    def side(p: Int) = emb.where(pmod(col("vec_id"), lit(2L)) === p.toLong)
+    def cands(p: Int): DataFrame =
+      idx.searchRadius(side(p), "vec_id", "embedding",
+          threshold = -2.0, nProbe = 8)
+        .where(pmod(col("neighbor_id"), lit(2L)) === (1L - p.toLong))
+    s21MinedPairs(cands(0), cands(1))
+  }
+
+  def s21_sql: String = {
+    val k2 = 2L * S21K
+    def sideCtes(tag: String, p: Int): String =
+      s"""p$tag AS (SELECT vec_id AS query_id, list_id FROM (
+         |  SELECT vec_id, list_id,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+         |  FROM dist WHERE vec_id % 2 = $p) WHERE rn <= 8),
+         |c$tag AS (SELECT DISTINCT query_id, neighbor_id
+         | FROM p$tag JOIN assign USING (list_id)
+         | WHERE neighbor_id <> query_id AND neighbor_id % 2 = ${1 - p}),
+         |s$tag AS (SELECT query_id, neighbor_id,
+         |    CAST(ROUND($cosSql * 1000000.0) AS BIGINT) AS ce6
+         | FROM c$tag JOIN e a ON a.vec_id = query_id
+         |            JOIN e b ON b.vec_id = neighbor_id),
+         |k$tag AS (SELECT query_id, CAST(SUM(ce6) AS BIGINT) AS sk FROM (
+         |  SELECT query_id, ce6,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY ce6 DESC, neighbor_id ASC) AS rn
+         |  FROM s$tag) WHERE rn <= $S21K GROUP BY query_id)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$s03AssignSqlCtes,
+       |${sideCtes("fw", 0)},
+       |${sideCtes("bw", 1)},
+       |mf AS (SELECT s.query_id, s.neighbor_id, s.ce6,
+       |    CAST(s.ce6 * $k2 AS DOUBLE) / CAST(q.sk + n.sk AS DOUBLE)
+       |      AS margin
+       |  FROM sfw s JOIN kfw q ON q.query_id = s.query_id
+       |             JOIN kbw n ON n.query_id = s.neighbor_id
+       |  WHERE q.sk + n.sk > 0),
+       |mb AS (SELECT s.query_id, s.neighbor_id, s.ce6,
+       |    CAST(s.ce6 * $k2 AS DOUBLE) / CAST(q.sk + n.sk AS DOUBLE)
+       |      AS margin
+       |  FROM sbw s JOIN kbw q ON q.query_id = s.query_id
+       |             JOIN kfw n ON n.query_id = s.neighbor_id
+       |  WHERE q.sk + n.sk > 0),
+       |tf AS (SELECT query_id AS x_id, neighbor_id AS y_id, ce6, margin
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY margin DESC, neighbor_id ASC) AS rn FROM mf)
+       |  WHERE rn = 1 AND margin >= $S21MarginThreshold),
+       |tb AS (SELECT query_id AS y_id, neighbor_id AS x_id
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY margin DESC, neighbor_id ASC) AS rn FROM mb)
+       |  WHERE rn = 1)
+       |SELECT tf.x_id, tf.y_id,
+       |  CAST(tf.ce6 AS DOUBLE) / 1000000.0 AS cosine, tf.margin,
+       |  (tb.x_id IS NOT NULL) AS is_mutual
+       |FROM tf LEFT JOIN tb ON tb.x_id = tf.x_id AND tb.y_id = tf.y_id""".stripMargin
+  }
 
   /** s19: ANN recall@k — the index-quality eval every serving stack
     * runs before trusting an approximate index: per probe query, how
@@ -7491,6 +7622,7 @@ object Corpus {
     "c08_preference_pairs"  -> c08_preference_pairs,
     "q150_bradley_terry"    -> q150_bradley_terry,
     "c10_domain_gate"       -> c10_domain_gate,
+    "s21_bitext_mining"     -> s21_bitext_mining,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -7603,6 +7735,7 @@ object Corpus {
     "c08_preference_pairs"  -> c08_sql,
     "q150_bradley_terry"    -> q150_sql,
     "c10_domain_gate"       -> c10_sql,
+    "s21_bitext_mining"     -> s21_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,

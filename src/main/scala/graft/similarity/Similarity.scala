@@ -546,6 +546,67 @@ object Similarity {
     * An ANN configuration without a measured recall is not a finished
     * component — this is the measurement.
     */
+  /** Margin-based bitext scoring (Artetxe–Schwenk '19, the "ratio"
+    * margin): for every candidate pair (x, y) across two vector sets,
+    *
+    *   margin(x, y) = cos(x, y) / (mean_k cos(x, NN_k(x)) / 2
+    *                             + mean_k cos(y, NN_k(y)) / 2)
+    *
+    * — the absolute-cosine mining rule's fix for hubness: a pair
+    * scores high only when its similarity stands OUT of both points'
+    * neighborhoods, which is what separates a translation pair from a
+    * generic semantic neighbor. Inputs are the two DIRECTED candidate
+    * frames (x-side queries against y-side neighbors and vice versa —
+    * from [[IvfIndex.searchRadius]] over a shared index, or brute
+    * force), so the caller owns the candidate-generation recall
+    * trade; this function owns the margin algebra.
+    *
+    * Determinism: cosines are quantized to e-6 BIGINTs up front
+    * (round — the s03 boundary discipline), so the k-NN sums are
+    * exact integer folds (order-free at any partitioning) and the
+    * final margin is ONE IEEE division of two exact integers — the
+    * g01 recurrence discipline applied to a score, bit-identical
+    * cross-engine. Pairs whose neighborhood-sum denominator is ≤ 0
+    * (degenerate all-negative neighborhoods) are dropped, the ksTail
+    * rule (Spark's x/0.0 is ±Inf where DuckDB's is NULL).
+    *
+    * Scale shape: two windows keyed by the data-scale query id, two
+    * keyed aggregates, two 8-byte equi-joins back to the candidate
+    * frame — no cross join, no driver state; candidate volume is the
+    * index's probe budget, not |A|×|B|.
+    */
+  def marginScores(candAB: DataFrame, candBA: DataFrame,
+      k: Int): (DataFrame, DataFrame) = {
+    require(k >= 1, s"marginScores requires k >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    def quant(c: DataFrame): DataFrame = c.select(
+      col("query_id"), col("neighbor_id"),
+      round(col("cosine") * lit(1000000.0), 0).cast("long").as("__ce6"))
+    def kSums(c: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("__ce6").desc, col("neighbor_id").asc)
+      c.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= k)
+        .groupBy(col("query_id")).agg(sum(col("__ce6")).as("__sk"))
+    }
+    val ca = quant(candAB).localCheckpoint(true) // sums AND pair scores
+    val cb = quant(candBA).localCheckpoint(true)
+    val ka = kSums(ca)
+    val kb = kSums(cb)
+    def scored(pairs: DataFrame, qSums: DataFrame,
+        nSums: DataFrame): DataFrame =
+      pairs
+        .join(qSums.select(col("query_id"), col("__sk").as("__skq")),
+          Seq("query_id"))
+        .join(nSums.select(col("query_id").as("neighbor_id"),
+          col("__sk").as("__skn")), Seq("neighbor_id"))
+        .where(col("__skq") + col("__skn") > 0L)
+        .select(col("query_id"), col("neighbor_id"), col("__ce6"),
+          expr(s"CAST(__ce6 * ${2L * k}L AS DOUBLE)" +
+            " / CAST(__skq + __skn AS DOUBLE)").as("margin"))
+    (scored(ca, ka, kb), scored(cb, kb, ka))
+  }
+
   def recallAtK(exact: DataFrame, approx: DataFrame): Double = {
     val e = exact.select(col("query_id"), col("neighbor_id"))
     val hits = e.join(approx.select(col("query_id"), col("neighbor_id")),

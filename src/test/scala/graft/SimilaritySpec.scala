@@ -405,6 +405,37 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.85, f"two-stage ANN recall regressed: $recall%.3f < 0.85")
   }
 
+  test("s21 bitext mining: IVF-candidate mining vs the brute-force margin miner — recall measured and gated") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    def side(p: Int) = e.where(pmod(col("vec_id"), lit(2L)) === p.toLong)
+    // brute-force candidate frames: every cross-side pair with exact
+    // cosine — the ground-truth miner runs the SAME s21MinedPairs
+    // tail, so the gate isolates candidate-generation recall
+    def bfCands(p: Int) = {
+      val q = side(p).select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("__qv"))
+      val n = side(1 - p).select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("__nv"))
+      q.crossJoin(n).select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("__qv"), col("__nv")).as("cosine"))
+    }
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("x_id"), col("y_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairSet(
+      graft.queries.Corpus.s21MinedPairs(bfCands(0), bfCands(1)))
+    val ivf = pairSet(
+      graft.queries.Corpus.s21_bitext_mining(spark, dir))
+    assert(bf.nonEmpty, "brute-force miner must mine on the fixture")
+    val recall = (ivf & bf).size.toDouble / bf.size
+    info(f"s21 mined-pair recall vs brute force = $recall%.3f " +
+      f"(ivf=${ivf.size}, bf=${bf.size})")
+    println(f"[recall] s21_bitext=$recall%.3f")
+    assert(recall >= 0.85, f"s21 mined-pair recall regressed: $recall%.3f")
+  }
+
   test("mmrRerank: diversification skips the near-duplicate of the first pick") {
     // c1 is top-relevant; c2 is its near-twin (slightly less relevant);
     // c3 is diverse at similar relevance. Plain cosine ranks the twin
