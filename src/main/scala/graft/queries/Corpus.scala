@@ -160,10 +160,16 @@ object Corpus {
     * Shape: one narrow explode (≤ len/200 rows per doc) + one keyed
     * aggregate; no joins, no windows.
     */
-  val t31_lang_consistency: Q = (s, dir) => {
+  val t31_lang_consistency: Q = (s, dir) =>
+    t31Of(t(s, dir, "documents").transform(spreadScan))
+
+  /** t31 over an EXPLICIT corpus frame — shared by the batch query,
+    * c10's per-source roll-up, and the streaming read side
+    * ([[graft.streaming.StreamingIngest.currentDomainGate]]).
+    */
+  private[graft] def t31Of(docs: DataFrame): DataFrame = {
     val segLen = 200
-    val base = t(s, dir, "documents")
-      .transform(spreadScan) // parallelism guard: exchange only if the scan is narrow
+    val base = docs
       .withColumn("__nseg",
         greatest(expr(s"(length(text) + ${segLen - 1}) div $segLen"), lit(1L)))
     val segs = base.select(col("doc_id"),
@@ -5152,9 +5158,17 @@ object Corpus {
     * the verdict is a projection over the catalog-sized frame.
     * Nothing driver-side, nothing all-pairs.
     */
-  private[graft] def c10SourceSignals(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").transform(spreadScan)
-    val tail = tertileBuckets(t29PerDoc(s, dir))
+  private[graft] def c10SourceSignals(s: SparkSession, dir: String): DataFrame =
+    c10SignalsOf(t(s, dir, "documents").transform(spreadScan))
+
+  /** The c10 signal roll-up over an EXPLICIT corpus frame — shared by
+    * the batch query and the streaming read side
+    * ([[graft.streaming.StreamingIngest.currentDomainGate]], which
+    * derives it from [[graft.streaming.StreamingIngest.qualityReleaseStream]]'s
+    * doc store with zero new state).
+    */
+  private[graft] def c10SignalsOf(docs: DataFrame): DataFrame = {
+    val tail = tertileBuckets(t29PerDocOf(docs))
       .select(col("doc_id"), (col("bucket") === "tail").as("__tail"))
     val stop = docs
       .withColumn("__toks", TextAnalysis.tokens(col("text")))
@@ -5162,7 +5176,7 @@ object Corpus {
         (size(filter(col("__toks"), x => x === "the" || x === "a"))
           .cast("long") * lit(100L) >
           size(col("__toks")).cast("long") * lit(6L)).as("__hs"))
-    val mixed = t31_lang_consistency(s, dir)
+    val mixed = t31Of(docs)
       .select(col("doc_id"), col("is_mixed"))
     val fps = docs
       .select(col("source"),
@@ -5210,13 +5224,19 @@ object Corpus {
           .otherwise("keep"))
   }
 
-  val c10_domain_gate: Q = (s, dir) =>
-    c10Verdicts(c10SourceSignals(s, dir))
+  /** The full c10 manifest over an explicit corpus frame — shared by
+    * the batch query and the streaming read side.
+    */
+  private[graft] def c10ManifestOf(docs: DataFrame): DataFrame =
+    c10Verdicts(c10SignalsOf(docs))
       .select(col("source"), col("n_docs"), col("n_scored"),
         col("n_tail"), col("tail_pct"), col("n_highstop"),
         col("highstop_pct"), col("n_mixed"), col("mixed_pct"),
         col("n_fingerprints"), col("n_shared_fp"), col("overlap_pct"),
         col("verdict"))
+
+  val c10_domain_gate: Q = (s, dir) =>
+    c10ManifestOf(t(s, dir, "documents").transform(spreadScan))
 
   /** Sources surviving the gate (keep + flag — flag is a review
     * marker, not a removal; only drop removes).
@@ -5957,14 +5977,20 @@ object Corpus {
     */
   private[graft] val BtIters = 8
 
-  val q150_bradley_terry: Q = (s, dir) => {
-    val pairs = prefPairsRaw(c07TurnFrame(t(s, dir, "events")))
-    val duels = pairs
+  /** q150's duel aggregation over a turn frame — shared by the batch
+    * query and the streaming read side
+    * ([[graft.streaming.StreamingIngest.currentBradleyTerry]], zero
+    * new state over the c07 turn store).
+    */
+  private[graft] def btDuelsFromTurns(turns: DataFrame): DataFrame =
+    prefPairsRaw(turns)
       .select(col("__ch_rend").as("item_w"), col("__rj_rend").as("item_l"))
       .groupBy(col("item_w"), col("item_l"))
       .agg(count(lit(1)).as("n_wl"))
-    graft.analytics.Preference.bradleyTerryFromDuels(duels, BtIters)
-  }
+
+  val q150_bradley_terry: Q = (s, dir) =>
+    graft.analytics.Preference.bradleyTerryFromDuels(
+      btDuelsFromTurns(c07TurnFrame(t(s, dir, "events"))), BtIters)
 
   def q150_sql: String = {
     import graft.analytics.Preference.{BtInnerK, BtRawK, BtScale}

@@ -1028,6 +1028,39 @@ object StreamingIngest {
       graft.queries.Corpus.qualityReleaseOf(
         spark.read.parquet(s"$p/docs"), budget))
 
+  /** c10's exact domain-gate manifest derived from the SAME doc store
+    * [[qualityReleaseStream]] maintains — a pure read-side addition
+    * with ZERO new state, and necessarily read-time for the c09
+    * reason squared: every one of c10's four signals is
+    * corpus-relative (the tertile boundary, the cross-source
+    * fingerprint overlap) or re-aggregates per source, so a batch-2
+    * arrival can flip a SOURCE's verdict — no per-source fold could
+    * carry that. Streamed ≡ batch exact on the union of batches
+    * (spec-asserted).
+    */
+  def currentDomainGate(
+      spark: SparkSession, statsRoot: String): Option[DataFrame] =
+    priorGeneration(spark, statsRoot, Long.MaxValue).map(p =>
+      graft.queries.Corpus.c10ManifestOf(spark.read.parquet(s"$p/docs")))
+
+  /** q150's exact Bradley–Terry fit derived from the SAME turn store
+    * [[sftAssemblyStream]] maintains (the third read-side consumer
+    * after c07's assembly and c08's pairs — one state, the whole
+    * preference ladder): duel aggregation, smoothing, and the
+    * fixed-point MM rounds all run at read time through the batch
+    * definitions, so a LATE turn that changes a prompt group's
+    * chosen/rejected ends re-scores every duel it participated in —
+    * which no carried duel-count state could get right. Streamed ≡
+    * batch exact on the union of batches (spec-asserted).
+    */
+  def currentBradleyTerry(
+      spark: SparkSession, statsRoot: String,
+      iters: Int = graft.queries.Corpus.BtIters): Option[DataFrame] =
+    priorGeneration(spark, statsRoot, Long.MaxValue).map(p =>
+      graft.analytics.Preference.bradleyTerryFromDuels(
+        graft.queries.Corpus.btDuelsFromTurns(
+          spark.read.parquet(s"$p/turns")), iters))
+
   /** Continuously maintained SFT assembly — the streaming face of c07
     * (conversations that grow as events arrive, loss-mask offsets that
     * are always current). Turn extraction

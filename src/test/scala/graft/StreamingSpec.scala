@@ -1359,6 +1359,58 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.getLong(1)).sum == 20L)
     // the Hamilton budget identity survives gate + streamed state
     assert(streamed.map(_.getLong(2)).sum == budget)
+    // c10's domain-gate manifest reads off the SAME doc store with
+    // zero new state — streamed ≡ batch, source-level re-aggregation
+    // across batches included
+    def mrows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("source").collect().toSeq
+    val gateStreamed = mrows(
+      StreamingIngest.currentDomainGate(spark, root).get)
+    val gateBatch = mrows(graft.queries.Corpus.c10ManifestOf(
+      docs.toDF("doc_id", "source", "text")))
+    assert(gateStreamed === gateBatch)
+    assert(gateStreamed.map(_.getString(0)).toSet ==
+      (0 until 6).map(i => s"src$i").toSet)
+  }
+
+  test("currentBradleyTerry: read-time q150 over the c07 turn store equals batch, late cross-batch turns included") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_bt_stream").toString
+    val root = s"$base/bt"; val ckpt = s"$base/ckpt"
+    val types = Seq("view", "click", "purchase", "error", "signup")
+    val t0 = 1704067200000000L // 2024-01-01T00:00Z in micros
+    // 120 events over 6 users: enough assistant turns per (user, week)
+    // prompt group that chosen/rejected ends exist, with the seeded
+    // shuffle landing early turns in LATE batches — a late arrival can
+    // change a group's reward-ranked ends and re-score its duels
+    val events = (1L to 120L).map { id =>
+      val ts = new java.sql.Timestamp((t0 + id * 5400L * 1000000L) / 1000L)
+      (id % 6, ts, id, types((id % 5).toInt), s"""{"k": ${id % 9}}""")
+    }
+    val shuffled = new scala.util.Random(37).shuffle(events)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String, String)]
+    val q = StreamingIngest.sftAssemblyStream(
+      stream.toDF().toDF("user_id", "ts", "event_id", "event_type", "props"),
+      root, ckpt)
+    shuffled.grouped(40).foreach { chunk =>
+      stream.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("item").collect().toSeq
+    val streamed = rows(
+      StreamingIngest.currentBradleyTerry(spark, root).get)
+    val batchDf = events
+      .toDF("user_id", "ts", "event_id", "event_type", "props")
+    val batch = rows(graft.analytics.Preference.bradleyTerryFromDuels(
+      graft.queries.Corpus.btDuelsFromTurns(
+        graft.queries.Corpus.c07TurnFrame(batchDf)),
+      graft.queries.Corpus.BtIters))
+    assert(streamed.nonEmpty, "fixture must produce duels")
+    assert(streamed === batch)
   }
 
   test("sftAssemblyStream: read-time assembly equals batch c07, late cross-batch turns included") {
