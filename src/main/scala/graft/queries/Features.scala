@@ -211,11 +211,17 @@ object Features {
     * Determinism: every sufficient statistic is a sum of EXACT
     * decimal products (the 2-decimal doubles quantize losslessly to
     * DECIMAL(18,2); products widen the scale, never round), so the
-    * shuffled sums are order-independent-exact. The solve then runs
-    * in doubles derived from those exact decimals with the identical
-    * written operation order in both engines — each IEEE step is
-    * correctly rounded from identical inputs, so β, intercept and R²
-    * match bit-for-bit with no output rounding at all.
+    * shuffled sums are order-independent-exact. The decimal→double
+    * step goes THROUGH A STRING (the q141 `dd` bridge): a scaled sum
+    * past 2⁵³ (Σy² clears it even at sf0.001) is not exactly
+    * representable, and DuckDB's native decimal cast rounds the
+    * unscaled integer and divides — two roundings — where Spark's
+    * BigDecimal conversion rounds once, a 1-ulp divergence the
+    * decimal-string parse (correctly rounded in both engines) closes.
+    * The solve then runs in doubles with the identical written
+    * operation order in both engines — each IEEE step is correctly
+    * rounded from identical inputs, so β, intercept and R² match
+    * bit-for-bit with no output rounding at all.
     */
   val q120_ols_multi: Q = (s, dir) => {
     val li = t(s, dir, "lineitem").select(
@@ -234,7 +240,7 @@ object Features {
       sum(col("x2") * col("y")).as("sx2y"),
       sum(col("y") * col("y")).as("syy"))
     val nD = col("n").cast("double")
-    def d(c: String): Column = col(c).cast("double")
+    def d(c: String): Column = col(c).cast("string").cast("double")
     val c11 = d("sx11") - d("sx1") * d("sx1") / nD
     val c12 = d("sx12") - d("sx1") * d("sx2") / nD
     val c22 = d("sx22") - d("sx2") * d("sx2") / nD
@@ -264,20 +270,33 @@ object Features {
       |    SUM(x2 * y) AS sx2y, SUM(y * y) AS syy
       |  FROM li GROUP BY grp),
       |mo AS (SELECT grp, n,
-      |    CAST(sx1 AS DOUBLE) AS sx1d, CAST(sx2 AS DOUBLE) AS sx2d,
-      |    CAST(sy AS DOUBLE) AS syd,
+      |    CAST(CAST(sx1 AS VARCHAR) AS DOUBLE) AS sx1d,
+      |    CAST(CAST(sx2 AS VARCHAR) AS DOUBLE) AS sx2d,
+      |    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
       |    CAST(n AS DOUBLE) AS nd,
-      |    CAST(sx11 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE)
+      |    CAST(CAST(sx11 AS VARCHAR) AS DOUBLE)
+      |      - CAST(CAST(sx1 AS VARCHAR) AS DOUBLE)
+      |      * CAST(CAST(sx1 AS VARCHAR) AS DOUBLE)
       |      / CAST(n AS DOUBLE) AS c11,
-      |    CAST(sx12 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx2 AS DOUBLE)
+      |    CAST(CAST(sx12 AS VARCHAR) AS DOUBLE)
+      |      - CAST(CAST(sx1 AS VARCHAR) AS DOUBLE)
+      |      * CAST(CAST(sx2 AS VARCHAR) AS DOUBLE)
       |      / CAST(n AS DOUBLE) AS c12,
-      |    CAST(sx22 AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE)
+      |    CAST(CAST(sx22 AS VARCHAR) AS DOUBLE)
+      |      - CAST(CAST(sx2 AS VARCHAR) AS DOUBLE)
+      |      * CAST(CAST(sx2 AS VARCHAR) AS DOUBLE)
       |      / CAST(n AS DOUBLE) AS c22,
-      |    CAST(sx1y AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sy AS DOUBLE)
+      |    CAST(CAST(sx1y AS VARCHAR) AS DOUBLE)
+      |      - CAST(CAST(sx1 AS VARCHAR) AS DOUBLE)
+      |      * CAST(CAST(sy AS VARCHAR) AS DOUBLE)
       |      / CAST(n AS DOUBLE) AS c1y,
-      |    CAST(sx2y AS DOUBLE) - CAST(sx2 AS DOUBLE) * CAST(sy AS DOUBLE)
+      |    CAST(CAST(sx2y AS VARCHAR) AS DOUBLE)
+      |      - CAST(CAST(sx2 AS VARCHAR) AS DOUBLE)
+      |      * CAST(CAST(sy AS VARCHAR) AS DOUBLE)
       |      / CAST(n AS DOUBLE) AS c2y,
-      |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+      |    CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+      |      - CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+      |      * CAST(CAST(sy AS VARCHAR) AS DOUBLE)
       |      / CAST(n AS DOUBLE) AS cyy
       |  FROM st)
       |SELECT grp, n,
