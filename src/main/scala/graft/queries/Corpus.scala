@@ -6569,6 +6569,144 @@ object Corpus {
        |FROM tf LEFT JOIN tb ON tb.x_id = tf.x_id AND tb.y_id = tf.y_id""".stripMargin
   }
 
+  /** s22's shared ln-term bindings: for a frame with a positive
+    * BIGINT count column `n`, the e-3-quantized entropy term
+    * round(n·ln n · 10³) — [[graft.functions.PortableMath]]'s
+    * bit-identical ln, so every term is the SAME integer in both
+    * engines and the entropy sums are exact order-free folds. The
+    * e-3 scale keeps n·ln n·10³ inside BIGINT for n up to ~2·10¹⁴
+    * counts per cell — beyond any per-cluster mass (the cell frame is
+    * cluster×label bounded).
+    */
+  private def s22LnBindings: graft.functions.PortableMath.Bindings = {
+    import graft.functions.PortableMath._
+    lnPosBigint("n", "__s22ln") :+
+      ("__u_e3" -> roundedUnits(
+        Dual.col("n").toDouble * Dual.col("__s22ln"), 3))
+  }
+
+  /** s22: cluster-quality eval (purity + NMI) of the fitted s03
+    * coarse quantizer against the embeddings table's label column —
+    * the eval face of the embedding family (build s03 → serve
+    * s03/s20 → mine s21 → measure recall s19 → and NOW measure
+    * whether the quantizer's partition agrees with ground truth,
+    * which is what decides if cluster-based curation/near-dup
+    * blocking over these lists can be trusted). Purity is pure
+    * integer arithmetic (Σ per-cluster majority mass ·10⁶ div N);
+    * the information-theoretic readout uses the exact contingency
+    * identity MI·N·ln-units = Σn_cl·ln n_cl − Σn_c·ln n_c −
+    * Σn_l·ln n_l + N·ln N with every n·ln n term quantized to an e-3
+    * BIGINT through PortableMath's bit-identical ln
+    * ([[s22LnBindings]]) — the sums are exact decimal folds at any
+    * partitioning, the final H(C), H(L), MI and NMI are a FIXED
+    * written sequence of IEEE steps over those exact integers
+    * (decimal→double through the q120 string bridge), and
+    * NMI = MI/√(H(C)·H(L)) goes NULL when either marginal entropy is
+    * degenerate (the ksTail rule). The oracle replays assignment
+    * from the dumped centroid bits ([[s03AssignSqlCtes]], shared
+    * verbatim) and the identical binding-generated ln chains.
+    *
+    * Scale shape: one equi-join (assignment ⋈ labels, 8-byte keys)
+    * collapsing straight into the cluster×label-bounded contingency;
+    * everything downstream runs on that bounded frame (margins, a
+    * per-cluster max, four broadcast 1-row folds into the report
+    * row).
+    */
+  val s22_cluster_eval: Q = (s, dir) => {
+    import graft.functions.PortableMath
+    val idx = s03Index(s, dir)
+    val cells = idx.listed
+      .select(col("neighbor_id").as("vec_id"),
+        col("ivf_list").cast("long").as("cluster"))
+      .join(t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label")),
+        "vec_id")
+      .groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // margins, purity, totals, cell terms
+    def uSum(df: DataFrame): DataFrame =
+      PortableMath.withBindings(df, s22LnBindings)
+        .agg(sum(col("__u_e3").cast("decimal(38,0)")).as("__s"))
+    val sCl = uSum(cells.select(col("n")))
+    val sC = uSum(cells.groupBy(col("cluster")).agg(sum(col("n")).as("n")))
+    val sL = uSum(cells.groupBy(col("label")).agg(sum(col("n")).as("n")))
+    val tot = cells.agg(sum(col("n")).as("n"),
+        count_distinct(col("cluster")).as("n_clusters"),
+        count_distinct(col("label")).as("n_labels"))
+      .localCheckpoint(true) // joins the report AND feeds N·lnN
+    val uN = PortableMath.withBindings(tot.select(col("n")), s22LnBindings)
+      .select(col("__u_e3").cast("decimal(38,0)").as("__un"))
+    val pur = cells.groupBy(col("cluster")).agg(max(col("n")).as("__mx"))
+      .agg(sum(col("__mx")).as("__pmx"))
+    val one = tot
+      .crossJoin(broadcast(sCl.select(col("__s").as("__scl"))))
+      .crossJoin(broadcast(sC.select(col("__s").as("__sc"))))
+      .crossJoin(broadcast(sL.select(col("__s").as("__sl"))))
+      .crossJoin(broadcast(uN))
+      .crossJoin(broadcast(pur))
+    def dd(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c.cast("string").cast("double")
+    val nD = col("n").cast("double")
+    val hc = dd(col("__un") - col("__sc")) / nD / lit(1000.0)
+    val hl = dd(col("__un") - col("__sl")) / nD / lit(1000.0)
+    val mi = dd(col("__scl") - col("__sc") - col("__sl") + col("__un")) /
+      nD / lit(1000.0)
+    val degen = !(hc > lit(0.0)) || !(hl > lit(0.0))
+    val nullD = lit(null).cast("double")
+    one.select(col("n").as("n_vectors"), col("n_clusters"),
+      col("n_labels"),
+      expr("CAST(__pmx AS DECIMAL(38,0)) * 1000000L div n").as("purity_e6"),
+      hc.as("h_cluster"), hl.as("h_label"),
+      when(degen, nullD).otherwise(mi).as("mi"),
+      when(degen, nullD).otherwise(mi / sqrt(hc * hl)).as("nmi"))
+  }
+
+  def s22_sql: String = {
+    import graft.functions.PortableMath
+    def lnChain(base: String): String =
+      PortableMath.sqlWithBindings(base, s22LnBindings)
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$s03AssignSqlCtes,
+       |cells AS (SELECT a.list_id AS cluster,
+       |    CAST(b.label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM assign a JOIN embeddings b ON b.vec_id = a.neighbor_id
+       |  GROUP BY 1, 2),
+       |scl AS (SELECT SUM(__u_e3) AS s FROM
+       |  (${lnChain("SELECT n FROM cells")})),
+       |sc AS (SELECT SUM(__u_e3) AS s FROM (${lnChain(
+      "SELECT CAST(SUM(n) AS BIGINT) AS n FROM cells GROUP BY cluster")})),
+       |sl AS (SELECT SUM(__u_e3) AS s FROM (${lnChain(
+      "SELECT CAST(SUM(n) AS BIGINT) AS n FROM cells GROUP BY label")})),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+       |    CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+       |    CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels
+       |  FROM cells),
+       |tu AS (SELECT __u_e3 AS un FROM
+       |  (${lnChain("SELECT n FROM tot")})),
+       |pm AS (SELECT SUM(mx) AS pmx FROM
+       |  (SELECT cluster, MAX(n) AS mx FROM cells GROUP BY 1)),
+       |one AS (SELECT tot.*, scl.s AS scl, sc.s AS scc, sl.s AS sll,
+       |    tu.un AS un, pm.pmx AS pmx
+       |  FROM tot CROSS JOIN scl CROSS JOIN sc CROSS JOIN sl
+       |  CROSS JOIN tu CROSS JOIN pm),
+       |fin AS (SELECT n, n_clusters, n_labels,
+       |    CAST(pmx * 1000000 // n AS BIGINT) AS purity_e6,
+       |    CAST(CAST(un - scc AS VARCHAR) AS DOUBLE)
+       |      / CAST(n AS DOUBLE) / 1000.0 AS hc,
+       |    CAST(CAST(un - sll AS VARCHAR) AS DOUBLE)
+       |      / CAST(n AS DOUBLE) / 1000.0 AS hl,
+       |    CAST(CAST(scl - scc - sll + un AS VARCHAR) AS DOUBLE)
+       |      / CAST(n AS DOUBLE) / 1000.0 AS mi0
+       |  FROM one)
+       |SELECT n AS n_vectors, n_clusters, n_labels, purity_e6,
+       |  hc AS h_cluster, hl AS h_label,
+       |  CASE WHEN NOT (hc > 0.0) OR NOT (hl > 0.0) THEN NULL
+       |       ELSE mi0 END AS mi,
+       |  CASE WHEN NOT (hc > 0.0) OR NOT (hl > 0.0) THEN NULL
+       |       ELSE mi0 / sqrt(hc * hl) END AS nmi
+       |FROM fin""".stripMargin
+  }
+
   /** s19: ANN recall@k — the index-quality eval every serving stack
     * runs before trusting an approximate index: per probe query, how
     * much of the EXACT cosine top-10 (the s01 baseline) does the s03
@@ -7649,6 +7787,7 @@ object Corpus {
     "q150_bradley_terry"    -> q150_bradley_terry,
     "c10_domain_gate"       -> c10_domain_gate,
     "s21_bitext_mining"     -> s21_bitext_mining,
+    "s22_cluster_eval"      -> s22_cluster_eval,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -7762,6 +7901,7 @@ object Corpus {
     "q150_bradley_terry"    -> q150_sql,
     "c10_domain_gate"       -> c10_sql,
     "s21_bitext_mining"     -> s21_sql,
+    "s22_cluster_eval"      -> s22_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,

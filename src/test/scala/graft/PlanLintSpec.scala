@@ -142,7 +142,11 @@ class PlanLintSpec extends SparkSpec {
       // broadcast 1-row totals, per-doc frame × broadcast 1-row
       // boundary fold) through the shared tertileBuckets stage —
       // never row×row
-      "c10_domain_gate")
+      "c10_domain_gate",
+      // s22: the 1-row totals frame crosses five broadcast 1-row
+      // entropy/purity folds into the single report row — the q127
+      // report shape, never row×row
+      "s22_cluster_eval")
 
   // queries allowed to window >minRows rows on a <minKeys-value key —
   // empty by design; adding here requires an in-source justification
