@@ -6613,7 +6613,6 @@ object Corpus {
     * row).
     */
   val s22_cluster_eval: Q = (s, dir) => {
-    import graft.functions.PortableMath
     val idx = s03Index(s, dir)
     val cells = idx.listed
       .select(col("neighbor_id").as("vec_id"),
@@ -6623,6 +6622,20 @@ object Corpus {
         "vec_id")
       .groupBy(col("cluster"), col("label"))
       .agg(count(lit(1)).as("n"))
+    s22EvalOf(cells)
+  }
+
+  /** The purity/NMI readout over an explicit (cluster, label, n)
+    * contingency frame — split out so the spec can pin the entropy
+    * algebra against an independent driver-side math.log computation
+    * on planted contingencies (perfect, independent, degenerate):
+    * the plan and the oracle SHARE the binding-generated ln chains,
+    * so a bug there is the q143 shared-constant class the hash
+    * compare cannot see.
+    */
+  private[graft] def s22EvalOf(cells0: DataFrame): DataFrame = {
+    import graft.functions.PortableMath
+    val cells = cells0
       .localCheckpoint(true) // margins, purity, totals, cell terms
     def uSum(df: DataFrame): DataFrame =
       PortableMath.withBindings(df, s22LnBindings)

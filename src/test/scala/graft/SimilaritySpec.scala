@@ -436,6 +436,50 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.85, f"s21 mined-pair recall regressed: $recall%.3f")
   }
 
+  test("s22 entropy algebra: purity/NMI match independent math.log on planted contingencies") {
+    import spark.implicits._
+    // independent driver-side reference — math.log, no PortableMath
+    def ref(cells: Seq[(Long, Long, Long)]): (Double, Double, Double, Double) = {
+      val n = cells.map(_._3).sum.toDouble
+      def h(m: Map[Long, Long]): Double =
+        -m.values.map(c => c / n * math.log(c / n)).sum
+      val hc = h(cells.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum })
+      val hl = h(cells.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum })
+      val hcl = -cells.map(c => c._3 / n * math.log(c._3 / n)).sum
+      val mi = hc + hl - hcl
+      val pur = cells.groupBy(_._1).values.map(_.map(_._3).max).sum / n
+      (pur, hc, hl, mi)
+    }
+    def run(cells: Seq[(Long, Long, Long)]) =
+      graft.queries.Corpus.s22EvalOf(cells.toDF("cluster", "label", "n"))
+        .collect()(0)
+    // a structured 3×3 contingency with strong but imperfect diagonal
+    val mixed = Seq((0L, 0L, 40L), (0L, 1L, 5L), (1L, 1L, 30L),
+      (1L, 2L, 10L), (2L, 2L, 12L), (2L, 0L, 3L))
+    val got = run(mixed)
+    val (pur, hc, hl, mi) = ref(mixed)
+    assert(got.getLong(3) === (pur * 1e6).toLong)
+    assert(math.abs(got.getDouble(4) - hc) < 1e-4) // e-3 ln quantization
+    assert(math.abs(got.getDouble(5) - hl) < 1e-4)
+    assert(math.abs(got.getDouble(6) - mi) < 1e-4)
+    assert(math.abs(got.getDouble(7) - mi / math.sqrt(hc * hl)) < 1e-4)
+    // perfect clustering: purity = 1, NMI = 1
+    val perfect = Seq((0L, 0L, 25L), (1L, 1L, 50L), (2L, 2L, 25L))
+    val p = run(perfect)
+    assert(p.getLong(3) === 1000000L)
+    assert(math.abs(p.getDouble(7) - 1.0) < 1e-4)
+    // independent split: MI ≈ 0 (every label spread evenly)
+    val indep = Seq((0L, 0L, 10L), (0L, 1L, 10L), (1L, 0L, 10L),
+      (1L, 1L, 10L))
+    val i = run(indep)
+    assert(math.abs(i.getDouble(6)) < 1e-4)
+    // degenerate: a single cluster has zero H(C) — NMI must be NULL,
+    // never an IEEE division artifact
+    val degen = Seq((0L, 0L, 10L), (0L, 1L, 10L))
+    val d = run(degen)
+    assert(d.isNullAt(6) && d.isNullAt(7))
+  }
+
   test("mmrRerank: diversification skips the near-duplicate of the first pick") {
     // c1 is top-relevant; c2 is its near-twin (slightly less relevant);
     // c3 is diverse at similar relevance. Plain cosine ranks the twin
