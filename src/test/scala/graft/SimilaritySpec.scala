@@ -436,6 +436,37 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.85, f"s21 mined-pair recall regressed: $recall%.3f")
   }
 
+  test("marginScores: margins match an independent driver-side computation on planted candidates") {
+    import spark.implicits._
+    // hand-built directed candidate frames (query, neighbor, cosine)
+    val ab = Seq((1L, 2L, 0.90), (1L, 4L, 0.60), (1L, 6L, 0.10),
+      (3L, 2L, 0.50), (3L, 4L, 0.45))
+    val ba = Seq((2L, 1L, 0.90), (2L, 3L, 0.50), (4L, 1L, 0.60),
+      (4L, 3L, 0.45), (6L, 1L, 0.10), (6L, 3L, -0.20))
+    val k = 2
+    val (fwd, _) = Similarity.marginScores(
+      ab.toDF("query_id", "neighbor_id", "cosine"),
+      ba.toDF("query_id", "neighbor_id", "cosine"), k)
+    // independent reference: e-6 quantized sums, plain Scala
+    def e6(c: Double): Long = math.round(c * 1e6)
+    def kSum(c: Seq[(Long, Long, Double)]): Map[Long, Long] =
+      c.groupBy(_._1).map { case (q, xs) =>
+        q -> xs.map(x => (e6(x._3), x._2)).sortBy(t => (-t._1, t._2))
+          .take(k).map(_._1).sum
+      }
+    val (ka, kb) = (kSum(ab), kSum(ba))
+    val want = ab.flatMap { case (q, nb, c) =>
+      val den = ka(q) + kb(nb)
+      if (den > 0) Some((q, nb) -> e6(c) * 2.0 * k / den) else None
+    }.toMap
+    val got = fwd.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (kk, v) => assert(got(kk) === v, s"pair $kk") }
+    // the strongest pair outranks its query's alternatives
+    assert(got((1L, 2L)) > got((1L, 4L)) && got((1L, 4L)) > got((1L, 6L)))
+  }
+
   test("s22 entropy algebra: purity/NMI match independent math.log on planted contingencies") {
     import spark.implicits._
     // independent driver-side reference — math.log, no PortableMath
