@@ -361,6 +361,124 @@ object Features {
       |    * 100.0 / CAST(SUM(rows_g) AS DOUBLE) AS risk_pct
       |FROM pg""".stripMargin
 
+  /** q151: t-closeness profile — the privacy ladder's third rung
+    * (Li–Li–Venkatasubramanian): q119 checks group SIZE, q129 checks
+    * sensitive-value VARIETY, but a group can pass both while its
+    * sensitive DISTRIBUTION still leaks (a quasi-identifier group
+    * whose balances skew far from the table-wide distribution tells
+    * an attacker plenty even at k ≥ 5, l ≥ 3). Per (segment, nation)
+    * group: the Earth-Mover's Distance between the group's
+    * bal-bucket distribution and the global one, for the ORDERED
+    * sensitive attribute the closed form EMD(P,Q) =
+    * Σᵢ|cumP(i) − cumQ(i)| / (m−1). Computed EXACTLY over integers:
+    * the common-denominator rewrite |cumP·N − cumQ·n_g| makes every
+    * per-bucket term an exact BIGINT→DECIMAL(38,0) value, the
+    * per-group sum an exact decimal fold, and t ONE IEEE division of
+    * two exact integers through the q120 string bridge — so the
+    * breach verdict (t > 0.2, the textbook threshold) can never flip
+    * cross-engine. A single-bucket corpus (m = 1) yields NULL, the
+    * ksTail rule. Missing (group, bucket) cells contribute their
+    * step-function gap exactly because the sum runs over the FULL
+    * group×bucket grid.
+    *
+    * Scale shape: one keyed aggregate collapses the corpus to the
+    * (group × bucket)-bounded cell frame; the global cumulative runs
+    * through the shared two-level prefix (constant-key window over
+    * the ≤ range/1000-row bucket frame only); the grid is
+    * catalog × bucket-domain bounded (the q138 grid argument), its
+    * per-group cumulative windows are group-keyed, and the EMD fold
+    * is one map-side-combined aggregate over the grid.
+    */
+  val q151_t_closeness: Q = (s, dir) => {
+    val dec38 = DecimalType(38, 0)
+    val base = t(s, dir, "customer").select(
+      col("c_mktsegment").as("segment"),
+      col("c_nationkey").cast("long").as("nation"),
+      floor(col("c_acctbal") / 1000.0).cast("long").as("sensitive"))
+    val cell = base
+      .groupBy(col("segment"), col("nation"), col("sensitive"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true) // global hist, grid join, group totals
+    val gq = cell.groupBy(col("sensitive")).agg(sum(col("__n")).as("__nq"))
+    val gqc = exclusivePrefix(gq, "sensitive", "sensitive",
+        Seq("__exc" -> "__nq"))
+      .select(col("sensitive"), (col("__exc") + col("__nq")).as("__cumq"))
+    val tot = gq.agg(sum(col("__nq")).as("__nn"),
+      count(lit(1)).as("__m"))
+    val grp = cell.select(col("segment"), col("nation")).distinct()
+    val grid = grp.crossJoin(broadcast(gqc))
+    val wg = Window.partitionBy(col("segment"), col("nation"))
+      .orderBy(col("sensitive"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pc = grid
+      .join(cell, Seq("segment", "nation", "sensitive"), "left")
+      .withColumn("__cump", sum(coalesce(col("__n"), lit(0L))).over(wg))
+    val ng = cell.groupBy(col("segment"), col("nation"))
+      .agg(sum(col("__n")).as("n_rows"))
+    val emd = pc
+      .join(ng, Seq("segment", "nation"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__term",
+        abs(col("__cump").cast(dec38) * col("__nn") -
+          col("__cumq").cast(dec38) * col("n_rows")))
+      .groupBy(col("segment"), col("nation"))
+      .agg(sum(col("__term")).as("__num"))
+    def dd(c: Column): Column = c.cast("string").cast("double")
+    val tVal = dd(col("__num")) /
+      dd(col("n_rows").cast(dec38) * col("__nn") * (col("__m") - lit(1L)))
+    val nullD = lit(null).cast("double")
+    emd.join(ng, Seq("segment", "nation"))
+      .crossJoin(broadcast(tot))
+      .select(col("segment"), col("nation"), col("n_rows"),
+        when(col("__m") > 1L, tVal).otherwise(nullD).as("t_closeness"),
+        when(col("__m") > 1L, tVal > lit(0.2))
+          .otherwise(lit(null).cast("boolean")).as("breach"))
+  }
+
+  val q151_sql: String =
+    """WITH base AS (SELECT c_mktsegment AS segment,
+      |    CAST(c_nationkey AS BIGINT) AS nation,
+      |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS sensitive
+      |  FROM customer),
+      |cell AS (SELECT segment, nation, sensitive,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM base GROUP BY 1, 2, 3),
+      |gq AS (SELECT sensitive, CAST(SUM(n) AS BIGINT) AS nq
+      |  FROM cell GROUP BY 1),
+      |gqc AS (SELECT sensitive,
+      |    CAST(SUM(nq) OVER (ORDER BY sensitive
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cumq
+      |  FROM gq),
+      |tot AS (SELECT CAST(SUM(nq) AS BIGINT) AS nn,
+      |    CAST(COUNT(*) AS BIGINT) AS m FROM gq),
+      |grp AS (SELECT DISTINCT segment, nation FROM base),
+      |grid AS (SELECT g.segment, g.nation, q.sensitive, q.cumq
+      |  FROM grp g CROSS JOIN gqc q),
+      |pc AS (SELECT gr.segment, gr.nation, gr.sensitive, gr.cumq,
+      |    CAST(SUM(COALESCE(c.n, 0)) OVER (
+      |      PARTITION BY gr.segment, gr.nation ORDER BY gr.sensitive
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cump
+      |  FROM grid gr LEFT JOIN cell c USING (segment, nation, sensitive)),
+      |ng AS (SELECT segment, nation, CAST(SUM(n) AS BIGINT) AS n_rows
+      |  FROM cell GROUP BY 1, 2),
+      |emd AS (SELECT p.segment, p.nation,
+      |    SUM(ABS(CAST(p.cump AS DECIMAL(38,0)) * t.nn
+      |          - CAST(p.cumq AS DECIMAL(38,0)) * g.n_rows)) AS num
+      |  FROM pc p CROSS JOIN tot t JOIN ng g USING (segment, nation)
+      |  GROUP BY 1, 2)
+      |SELECT e.segment, e.nation, g.n_rows,
+      |  CASE WHEN t.m > 1 THEN CAST(CAST(e.num AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(CAST(g.n_rows AS DECIMAL(38,0)) * t.nn * (t.m - 1)
+      |        AS VARCHAR) AS DOUBLE)
+      |  ELSE NULL END AS t_closeness,
+      |  CASE WHEN t.m > 1 THEN (CAST(CAST(e.num AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(CAST(g.n_rows AS DECIMAL(38,0)) * t.nn * (t.m - 1)
+      |        AS VARCHAR) AS DOUBLE)) > 0.2
+      |  ELSE NULL END AS breach
+      |FROM emd e JOIN ng g USING (segment, nation) CROSS JOIN tot t""".stripMargin
+
   // ----------------------------------------------------- drift profile
 
   /** q122: population-stability-index drift report between a reference
@@ -2900,6 +3018,7 @@ object Features {
     "q147_mann_kendall"   -> q147_mann_kendall,
     "q148_cuped"          -> q148_cuped,
     "q149_mde"            -> q149_mde,
+    "q151_t_closeness"    -> q151_t_closeness,
     "q139_drift_by_slice" -> q139_drift_by_slice,
     "q131_spearman"       -> q131_spearman,
     "q132_token_gini"     -> q132_token_gini,
@@ -2934,6 +3053,7 @@ object Features {
     "q147_mann_kendall"   -> q147_sql,
     "q148_cuped"          -> q148_sql,
     "q149_mde"            -> q149_sql,
+    "q151_t_closeness"    -> q151_sql,
     "q139_drift_by_slice" -> q139_sql,
     "q118_feature_store"  -> q118_sql,
     "q119_k_anonymity"    -> q119_sql,

@@ -146,7 +146,12 @@ class PlanLintSpec extends SparkSpec {
       // s22: the 1-row totals frame crosses five broadcast 1-row
       // entropy/purity folds into the single report row — the q127
       // report shape, never row×row
-      "s22_cluster_eval")
+      "s22_cluster_eval",
+      // q151: the catalog-bounded group frame crosses the broadcast
+      // ≤ range/1000-row global-cumulative frame into the EMD grid
+      // (the q138 domain-bounded grid), plus two broadcast 1-row
+      // totals crosses — never row×row
+      "q151_t_closeness")
 
   // queries allowed to window >minRows rows on a <minKeys-value key —
   // empty by design; adding here requires an in-source justification
