@@ -561,6 +561,61 @@ object AnalyticProperties extends Properties("graft.analytic") {
     } yield (w, l, c))
   } yield ds
 
+  /** Independent t-closeness reference: per-group ordered-EMD against
+    * the global distribution via plain Double cumulative fractions —
+    * no common-denominator rewrite, no decimal folds.
+    */
+  private def emdReplay(rows: Seq[(String, Long, Long)])
+      : Map[(String, Long), Double] = {
+    val buckets = rows.map(_._3).distinct.sorted
+    val n = rows.size.toDouble
+    val globCum = buckets.map(b =>
+      b -> rows.count(_._3 <= b) / n).toMap
+    rows.groupBy(r => (r._1, r._2)).map { case (g, rs) =>
+      val ng = rs.size.toDouble
+      val emd = buckets.map(b =>
+        math.abs(rs.count(_._3 <= b) / ng - globCum(b))).sum /
+        math.max(buckets.size - 1, 1)
+      g -> emd
+    }
+  }
+
+  private val genPrivacyRows: Gen[List[(String, Long, Long)]] = for {
+    n <- Gen.choose(20, 120)
+    rows <- Gen.listOfN(n, for {
+      seg <- Gen.oneOf("A", "B", "C")
+      nat <- Gen.choose(0L, 2L)
+      sens <- Gen.choose(0L, 5L)
+    } yield (seg, nat, sens))
+  } yield rows
+
+  property("q151 t-closeness EMD ≡ independent Double cumulative-fraction replay") =
+    Prop.forAll(genPrivacyRows) { rows0 =>
+      val rows = if (rows0.isEmpty) List(("A", 0L, 0L), ("A", 0L, 1L))
+        else rows0
+      // drive the registered query's exact pipeline through a view
+      // over the generated rows (customer-shaped projection)
+      val df = rows.toDF("seg", "nat", "sens")
+        .select(col("seg").as("c_mktsegment"),
+          col("nat").as("c_nationkey"),
+          (col("sens").cast("double") * 1000.0).as("c_acctbal"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_q151_prop").toString
+      df.coalesce(1).write.mode("overwrite")
+        .parquet(s"$tmp/customer.parquet")
+      val got = graft.queries.Features.q151_t_closeness(spark, tmp)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+        .toMap
+      val want = emdReplay(rows)
+      val m = rows.map(_._3).distinct.size
+      got.keySet == want.keySet && got.forall { case (g, t) =>
+        if (m <= 1) t.isNaN // single bucket: NULL, never 0/0 debris
+        else math.abs(t - want(g)) < 1e-12
+      }
+    }
+
   property("bradleyTerryFromDuels ≡ the exact BigInt MM replay on arbitrary duel tables") =
     Prop.forAll(genDuels) { ds0 =>
       // shrinking can bypass the generator's bounds; pin the
