@@ -4416,6 +4416,125 @@ object Corpus {
        |GROUP BY source
        |HAVING SUM(p) > 0 AND SUM(n) > 0""".stripMargin
 
+  private def q152WeightsPath(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${graft.ingest.FixtureTables.root}/q152_weights_$key"
+  }
+
+  /** q152: per-slice fairness report — the responsible-AI readout the
+    * eval family still lacked: q121 scores the classifier, q126
+    * calibrates it, q128 ranks it per slice, and q152 asks whether
+    * its DECISIONS (the logit > 0 threshold t38 ships) treat slices
+    * equitably. Per source slice: selection rate (demographic
+    * parity), TPR and FPR against the rule label (the equalized-odds
+    * pair), each as an EXACT e-6 integer rate; the gap columns are
+    * integer differences against the pooled global rates (one
+    * broadcast 1-row fold), and the disparate-impact flag is the
+    * EEOC four-fifths rule stated in pure integers
+    * (5·rate_slice < 4·rate_global — no float boundary can flip a
+    * compliance verdict cross-engine). A slice with no label
+    * positives (or no negatives) has no TPR (FPR) — NULL, the ksTail
+    * rule, and its gap is NULL rather than a silent 0. The scorer is
+    * the SHARED [[qcScored]] fit (one model — t38/q121/q126/q128/q152
+    * read the same distillation), dumped per-query for the oracle's
+    * replay.
+    *
+    * Scale shape: the scoring scan is t38's (shared shuffle); the
+    * report is ONE map-side-combined groupBy(source) over exact
+    * counters plus a broadcast 1-row global fold — no window, no
+    * driver state.
+    */
+  val q152_fairness_report: Q = (s, dir) => {
+    val scored = qcScored(s, dir, q152WeightsPath(dir))
+    val base = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      .join(scored, Seq("doc_id"))
+      .select(col("source"),
+        (col("__logit_u") > 0L).as("__pred"),
+        (col("__nstop") * lit(100L) > col("__ntok") * lit(6L)).as("__y"))
+    val agg = base.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("__pred"), 1L).otherwise(0L)).as("__np"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__ny"),
+        sum(when(col("__pred") && col("__y"), 1L).otherwise(0L)).as("__tp"),
+        sum(when(col("__pred") && !col("__y"), 1L).otherwise(0L)).as("__fp"))
+      .localCheckpoint(true) // the slice rows AND the global fold
+    val glob = agg.agg(sum(col("n_docs")).as("__gn"),
+      sum(col("__np")).as("__gnp"), sum(col("__ny")).as("__gny"),
+      sum(col("__tp")).as("__gtp"), sum(col("__fp")).as("__gfp"))
+    val one = agg.crossJoin(broadcast(glob))
+    val nullL = lit(null).cast("long")
+    val ppr = expr("__np * 1000000L div n_docs")
+    val tpr = when(col("__ny") > 0L, expr("__tp * 1000000L div __ny"))
+      .otherwise(nullL)
+    val fpr = when(col("n_docs") - col("__ny") > 0L,
+      expr("__fp * 1000000L div (n_docs - __ny)")).otherwise(nullL)
+    val gppr = expr("__gnp * 1000000L div __gn")
+    val gtpr = when(col("__gny") > 0L, expr("__gtp * 1000000L div __gny"))
+      .otherwise(nullL)
+    val gfpr = when(col("__gn") - col("__gny") > 0L,
+      expr("__gfp * 1000000L div (__gn - __gny)")).otherwise(nullL)
+    one.select(col("source"), col("n_docs"),
+      ppr.as("ppr_e6"), tpr.as("tpr_e6"), fpr.as("fpr_e6"),
+      abs(ppr - gppr).as("dp_gap_e6"),
+      abs(tpr - gtpr).as("tpr_gap_e6"),
+      abs(fpr - gfpr).as("fpr_gap_e6"),
+      (ppr * lit(5L) < gppr * lit(4L)).as("four_fifths_flag"))
+  }
+
+  def q152_sql: String =
+    s"""WITH w AS (SELECT bucket, w_u
+       |  FROM read_parquet('${q152WeightsPath(oracleSfDir)}/*.parquet')),
+       |t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+       |st AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS ntok,
+       |         CAST(len(list_filter(toks, x -> x IN ('the', 'a')))
+       |           AS BIGINT) AS nstop
+       |       FROM t),
+       |b AS (SELECT doc_id,
+       |        ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1024 AS bucket,
+       |        COUNT(*) AS c
+       |      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+       |      GROUP BY 1, 2),
+       |sw AS (SELECT doc_id, CAST(SUM(b.c * w.w_u) AS BIGINT) AS sw
+       |       FROM b JOIN w USING (bucket) WHERE w.bucket >= 0
+       |       GROUP BY doc_id),
+       |sc AS (SELECT st.source,
+       |         ((SELECT w_u FROM w WHERE bucket = -1)
+       |           + COALESCE(sw.sw, 0)) > 0 AS pred,
+       |         (st.nstop * 100 > st.ntok * 6) AS y
+       |       FROM st LEFT JOIN sw USING (doc_id)),
+       |agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN pred THEN 1 ELSE 0 END) AS BIGINT) AS np,
+       |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS ny,
+       |    CAST(SUM(CASE WHEN pred AND y THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS tp,
+       |    CAST(SUM(CASE WHEN pred AND NOT y THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS fp
+       |  FROM sc GROUP BY 1),
+       |gtot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS gn,
+       |    CAST(SUM(np) AS BIGINT) AS gnp, CAST(SUM(ny) AS BIGINT) AS gny,
+       |    CAST(SUM(tp) AS BIGINT) AS gtp, CAST(SUM(fp) AS BIGINT) AS gfp
+       |  FROM agg),
+       |one AS (SELECT agg.*, gtot.* FROM agg CROSS JOIN gtot),
+       |r AS (SELECT source, n_docs,
+       |    np * 1000000 // n_docs AS ppr,
+       |    CASE WHEN ny > 0 THEN tp * 1000000 // ny ELSE NULL END AS tpr,
+       |    CASE WHEN n_docs - ny > 0
+       |      THEN fp * 1000000 // (n_docs - ny) ELSE NULL END AS fpr,
+       |    gnp * 1000000 // gn AS gppr,
+       |    CASE WHEN gny > 0 THEN gtp * 1000000 // gny ELSE NULL END
+       |      AS gtpr,
+       |    CASE WHEN gn - gny > 0 THEN gfp * 1000000 // (gn - gny)
+       |      ELSE NULL END AS gfpr
+       |  FROM one)
+       |SELECT source, n_docs,
+       |  CAST(ppr AS BIGINT) AS ppr_e6, CAST(tpr AS BIGINT) AS tpr_e6,
+       |  CAST(fpr AS BIGINT) AS fpr_e6,
+       |  CAST(ABS(ppr - gppr) AS BIGINT) AS dp_gap_e6,
+       |  CAST(ABS(tpr - gtpr) AS BIGINT) AS tpr_gap_e6,
+       |  CAST(ABS(fpr - gfpr) AS BIGINT) AS fpr_gap_e6,
+       |  ppr * 5 < gppr * 4 AS four_fifths_flag
+       |FROM r""".stripMargin
+
   /** t39: PMI-style collocation mining — the corpus's most-associated
     * word bigrams by lift p(ab)/(p(a)·p(b)), the statistic behind
     * phrase detection (word2vec's phrase pass), tokenizer merge
@@ -7801,6 +7920,7 @@ object Corpus {
     "c10_domain_gate"       -> c10_domain_gate,
     "s21_bitext_mining"     -> s21_bitext_mining,
     "s22_cluster_eval"      -> s22_cluster_eval,
+    "q152_fairness_report"  -> q152_fairness_report,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
     "d03_simhash_neardups"  -> d03_simhash_neardups,
@@ -7915,6 +8035,7 @@ object Corpus {
     "c10_domain_gate"       -> c10_sql,
     "s21_bitext_mining"     -> s21_sql,
     "s22_cluster_eval"      -> s22_sql,
+    "q152_fairness_report"  -> q152_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
     "d03_simhash_neardups"  -> d03_sql,

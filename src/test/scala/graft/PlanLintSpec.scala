@@ -151,7 +151,11 @@ class PlanLintSpec extends SparkSpec {
       // ≤ range/1000-row global-cumulative frame into the EMD grid
       // (the q138 domain-bounded grid), plus two broadcast 1-row
       // totals crosses — never row×row
-      "q151_t_closeness")
+      "q151_t_closeness",
+      // q152: the catalog-bounded slice frame crosses the broadcast
+      // 1-row pooled-rates fold — the q135 report shape (plus t38's
+      // inherited broadcast bias lookup)
+      "q152_fairness_report")
 
   // queries allowed to window >minRows rows on a <minKeys-value key —
   // empty by design; adding here requires an in-source justification
