@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -51,6 +51,32 @@ object Corpus {
 
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** t38's stopword-rule constants — ONE definition emitted into every
+    * plan AND oracle that restates the rule (the t38/q121/q126/q128/
+    * q152 scorer's label, t40's contingency label, c10's source
+    * signal): the `DriftSplitSql` discipline, so the two engines can
+    * never drift on what counts as a stopword or where the ratio
+    * threshold sits. The fixture corpus is English-only; a
+    * multilingual deployment swaps this set per language.
+    */
+  private[graft] val StopRuleTokens: Seq[String] = Seq("the", "a")
+
+  /** The rule's stopword count over a token-array column. */
+  private[graft] def stopRuleCount(toks: Column): Column =
+    size(filter(toks,
+      x => StopRuleTokens.map(x === _).reduce(_ || _))).cast("long")
+
+  /** The rule's label: stopword share strictly above 6% — stated in
+    * cross-multiplied integers (100·n_stop > 6·n_tok), no float
+    * boundary in either engine.
+    */
+  private[graft] def stopRuleLabel(toks: Column): Column =
+    stopRuleCount(toks) * lit(100L) > size(toks).cast("long") * lit(6L)
+
+  /** The SQL IN-list body for the same token set. */
+  private[graft] val stopRuleInSql: String =
+    StopRuleTokens.map(w => s"'$w'").mkString(", ")
 
   // ------------------------------------------------------------- text
 
@@ -4063,8 +4089,7 @@ object Corpus {
       .withColumn("__toks", TextAnalysis.tokens(col("text")))
       .select(col("doc_id"),
         size(col("__toks")).cast("long").as("__ntok"),
-        size(filter(col("__toks"),
-          x => x === "the" || x === "a")).cast("long").as("__nstop"),
+        stopRuleCount(col("__toks")).as("__nstop"),
         col("__toks"))
     val perDoc = staged
       .select(col("doc_id"), explode(col("__toks")).as("tok"))
@@ -4095,7 +4120,7 @@ object Corpus {
        |           FROM read_parquet('${t38WeightsPath(oracleSfDir)}/*.parquet')),
        |t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |st AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS ntok,
-       |         CAST(len(list_filter(toks, x -> x IN ('the', 'a')))
+       |         CAST(len(list_filter(toks, x -> x IN ($stopRuleInSql)))
        |           AS BIGINT) AS nstop
        |       FROM t),
        |b AS (SELECT doc_id,
@@ -4194,7 +4219,7 @@ object Corpus {
        |  FROM read_parquet('${q121WeightsPath(oracleSfDir)}/*.parquet')),
        |t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |st AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS ntok,
-       |         CAST(len(list_filter(toks, x -> x IN ('the', 'a')))
+       |         CAST(len(list_filter(toks, x -> x IN ($stopRuleInSql)))
        |           AS BIGINT) AS nstop
        |       FROM t),
        |b AS (SELECT doc_id,
@@ -4288,7 +4313,7 @@ object Corpus {
        |  FROM read_parquet('${q126WeightsPath(oracleSfDir)}/*.parquet')),
        |t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |st AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS ntok,
-       |         CAST(len(list_filter(toks, x -> x IN ('the', 'a')))
+       |         CAST(len(list_filter(toks, x -> x IN ($stopRuleInSql)))
        |           AS BIGINT) AS nstop
        |       FROM t),
        |b AS (SELECT doc_id,
@@ -4382,7 +4407,7 @@ object Corpus {
        |  FROM read_parquet('${q128WeightsPath(oracleSfDir)}/*.parquet')),
        |t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
        |st AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS ntok,
-       |         CAST(len(list_filter(toks, x -> x IN ('the', 'a')))
+       |         CAST(len(list_filter(toks, x -> x IN ($stopRuleInSql)))
        |           AS BIGINT) AS nstop
        |       FROM t),
        |b AS (SELECT doc_id,
@@ -4430,18 +4455,34 @@ object Corpus {
     * pair), each as an EXACT e-6 integer rate; the gap columns are
     * integer differences against the pooled global rates (one
     * broadcast 1-row fold), and the disparate-impact flag is the
-    * EEOC four-fifths rule stated in pure integers
-    * (5·rate_slice < 4·rate_global — no float boundary can flip a
-    * compliance verdict cross-engine). A slice with no label
-    * positives (or no negatives) has no TPR (FPR) — NULL, the ksTail
-    * rule, and its gap is NULL rather than a silent 0. The scorer is
-    * the SHARED [[qcScored]] fit (one model — t38/q121/q126/q128/q152
-    * read the same distillation), dumped per-query for the oracle's
-    * replay.
+    * EEOC four-fifths rule AS THE RULE DEFINES IT — each slice's
+    * selection rate against the HIGHEST-rate slice's, in exact
+    * cross-multiplied integers (5·np_s·n_max < 4·np_max·n_s; the
+    * r14 version compared floored e-6 rates to the POOLED rate,
+    * which under-flags: a small 100%-rate slice barely moves the
+    * pool, so a 70%-rate slice passed the pooled test while
+    * violating the actual rule). The max-rate slice is picked by
+    * exact fraction comparison (cross-multiplication, DECIMAL-wide)
+    * with a source-name tie-break; ties cannot flip the verdict
+    * because the flag depends only on the max rate's VALUE. A slice
+    * with no label positives (or no negatives) has no TPR (FPR) —
+    * NULL, the ksTail rule, and its gap is NULL rather than a silent
+    * 0. The scorer is the SHARED [[qcScored]] fit (one model —
+    * t38/q121/q126/q128/q152 read the same distillation), dumped
+    * per-query for the oracle's replay.
+    *
+    * Ground-truth caveat: the `__y` label is the stopword RULE
+    * itself — the same family the t38 classifier was distilled from,
+    * i.e. a PROXY label. The query demonstrates (and the oracle
+    * certifies) the fairness ARITHMETIC; its TPR/FPR gaps audit the
+    * classifier against a rule proxy, not real-world human labels —
+    * do not read the fixture's numbers as real fairness findings.
     *
     * Scale shape: the scoring scan is t38's (shared shuffle); the
     * report is ONE map-side-combined groupBy(source) over exact
-    * counters plus a broadcast 1-row global fold — no window, no
+    * counters plus a broadcast 1-row global fold and a broadcast
+    * 1-row max-rate fold (an anti-join over the slice-domain-bounded
+    * aggregate — the report-cross exemption class) — no window, no
     * driver state.
     */
   val q152_fairness_report: Q = (s, dir) => {
@@ -4461,7 +4502,23 @@ object Corpus {
     val glob = agg.agg(sum(col("n_docs")).as("__gn"),
       sum(col("__np")).as("__gnp"), sum(col("__ny")).as("__gny"),
       sum(col("__tp")).as("__gtp"), sum(col("__fp")).as("__gfp"))
-    val one = agg.crossJoin(broadcast(glob))
+    // the max-SELECTION-RATE slice, by exact fraction comparison
+    // (cross-multiplied DECIMAL(19,0) products — exact up to 1e13-doc
+    // slices) with a source-name tie-break; slice b "beats" slice a
+    // when its rate is strictly higher or equal-with-smaller-name.
+    // Anti-join over the slice-domain-bounded aggregate: ≤|sources|²
+    // comparisons, never corpus-scale.
+    val beats = expr(
+      """CAST(__bnp AS DECIMAL(19,0)) * CAST(n_docs AS DECIMAL(19,0))
+        |  > CAST(__np AS DECIMAL(19,0)) * CAST(__bn AS DECIMAL(19,0))
+        | OR (CAST(__bnp AS DECIMAL(19,0)) * CAST(n_docs AS DECIMAL(19,0))
+        |      = CAST(__np AS DECIMAL(19,0)) * CAST(__bn AS DECIMAL(19,0))
+        |     AND __bs < source)""".stripMargin)
+    val mx = agg.select(col("source"), col("n_docs"), col("__np"))
+      .join(agg.select(col("source").as("__bs"), col("n_docs").as("__bn"),
+        col("__np").as("__bnp")), beats, "left_anti")
+      .select(col("__np").as("__mxnp"), col("n_docs").as("__mxn"))
+    val one = agg.crossJoin(broadcast(glob)).crossJoin(broadcast(mx))
     val nullL = lit(null).cast("long")
     val ppr = expr("__np * 1000000L div n_docs")
     val tpr = when(col("__ny") > 0L, expr("__tp * 1000000L div __ny"))
@@ -4478,7 +4535,13 @@ object Corpus {
       abs(ppr - gppr).as("dp_gap_e6"),
       abs(tpr - gtpr).as("tpr_gap_e6"),
       abs(fpr - gfpr).as("fpr_gap_e6"),
-      (ppr * lit(5L) < gppr * lit(4L)).as("four_fifths_flag"))
+      // 5·np_s·n_max < 4·np_max·n_s — the EEOC rule against the
+      // max-rate slice, in exact integers (np·5 fits BIGINT for any
+      // real slice; the cross products go DECIMAL-wide)
+      expr("""CAST(__np * 5 AS DECIMAL(19,0)) * CAST(__mxn AS DECIMAL(19,0))
+             | < CAST(__mxnp * 4 AS DECIMAL(19,0))
+             |   * CAST(n_docs AS DECIMAL(19,0))""".stripMargin)
+        .as("four_fifths_flag"))
   }
 
   def q152_sql: String =
@@ -4486,7 +4549,7 @@ object Corpus {
        |  FROM read_parquet('${q152WeightsPath(oracleSfDir)}/*.parquet')),
        |t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
        |st AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS ntok,
-       |         CAST(len(list_filter(toks, x -> x IN ('the', 'a')))
+       |         CAST(len(list_filter(toks, x -> x IN ($stopRuleInSql)))
        |           AS BIGINT) AS nstop
        |       FROM t),
        |b AS (SELECT doc_id,
@@ -4514,8 +4577,18 @@ object Corpus {
        |    CAST(SUM(np) AS BIGINT) AS gnp, CAST(SUM(ny) AS BIGINT) AS gny,
        |    CAST(SUM(tp) AS BIGINT) AS gtp, CAST(SUM(fp) AS BIGINT) AS gfp
        |  FROM agg),
-       |one AS (SELECT agg.*, gtot.* FROM agg CROSS JOIN gtot),
+       |mxs AS (SELECT a.np AS mxnp, a.n_docs AS mxn FROM agg a
+       |  WHERE NOT EXISTS (SELECT 1 FROM agg b
+       |    WHERE CAST(b.np AS HUGEINT) * a.n_docs
+       |            > CAST(a.np AS HUGEINT) * b.n_docs
+       |       OR (CAST(b.np AS HUGEINT) * a.n_docs
+       |             = CAST(a.np AS HUGEINT) * b.n_docs
+       |           AND b.source < a.source))),
+       |one AS (SELECT agg.*, gtot.*, mxs.*
+       |        FROM agg CROSS JOIN gtot CROSS JOIN mxs),
        |r AS (SELECT source, n_docs,
+       |    CAST(np * 5 AS HUGEINT) * mxn
+       |      < CAST(mxnp * 4 AS HUGEINT) * n_docs AS ff,
        |    np * 1000000 // n_docs AS ppr,
        |    CASE WHEN ny > 0 THEN tp * 1000000 // ny ELSE NULL END AS tpr,
        |    CASE WHEN n_docs - ny > 0
@@ -4532,7 +4605,7 @@ object Corpus {
        |  CAST(ABS(ppr - gppr) AS BIGINT) AS dp_gap_e6,
        |  CAST(ABS(tpr - gtpr) AS BIGINT) AS tpr_gap_e6,
        |  CAST(ABS(fpr - gfpr) AS BIGINT) AS fpr_gap_e6,
-       |  ppr * 5 < gppr * 4 AS four_fifths_flag
+       |  ff AS four_fifths_flag
        |FROM r""".stripMargin
 
   /** t39: PMI-style collocation mining — the corpus's most-associated
@@ -4644,9 +4717,7 @@ object Corpus {
     val lab = docs
       .withColumn("__toks", TextAnalysis.tokens(col("text")))
       .select(col("doc_id"), col("__toks"),
-        (size(filter(col("__toks"), x => x === "the" || x === "a"))
-          .cast("long") * lit(100L) >
-          size(col("__toks")).cast("long") * lit(6L)).as("__y"))
+        stopRuleLabel(col("__toks")).as("__y"))
     // 1-row label totals: P docs positive, M negative
     val tot = lab.agg(
       sum(when(col("__y"), 1L).otherwise(0L)).as("__P"),
@@ -4676,7 +4747,7 @@ object Corpus {
   val t40_sql: String =
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |lab AS (SELECT doc_id, toks,
-       |  (CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS BIGINT)
+       |  (CAST(len(list_filter(toks, x -> x IN ($stopRuleInSql))) AS BIGINT)
        |     * 100 > CAST(len(toks) AS BIGINT) * 6) AS y
        |  FROM t),
        |tot AS (SELECT SUM(CASE WHEN y THEN 1 ELSE 0 END) AS P,
@@ -5292,9 +5363,7 @@ object Corpus {
     val stop = docs
       .withColumn("__toks", TextAnalysis.tokens(col("text")))
       .select(col("doc_id"),
-        (size(filter(col("__toks"), x => x === "the" || x === "a"))
-          .cast("long") * lit(100L) >
-          size(col("__toks")).cast("long") * lit(6L)).as("__hs"))
+        stopRuleLabel(col("__toks")).as("__hs"))
     val mixed = t31Of(docs)
       .select(col("doc_id"), col("is_mixed"))
     val fps = docs
@@ -5410,7 +5479,7 @@ object Corpus {
        |tk AS (SELECT doc_id, source, text, $toksSql AS toks
        |  FROM documents),
        |hs AS (SELECT doc_id,
-       |    (CAST(len(list_filter(toks, x -> x IN ('the', 'a')))
+       |    (CAST(len(list_filter(toks, x -> x IN ($stopRuleInSql)))
        |       AS BIGINT) * 100 > CAST(len(toks) AS BIGINT) * 6) AS hs
        |  FROM tk),
        |ld AS (SELECT doc_id, text,
@@ -6640,7 +6709,6 @@ object Corpus {
   }
 
   def s21_sql: String = {
-    val k2 = 2L * S21K
     def sideCtes(tag: String, p: Int): String =
       s"""p$tag AS (SELECT vec_id AS query_id, list_id FROM (
          |  SELECT vec_id, list_id,
@@ -6653,7 +6721,8 @@ object Corpus {
          |    CAST(ROUND($cosSql * 1000000.0) AS BIGINT) AS ce6
          | FROM c$tag JOIN e a ON a.vec_id = query_id
          |            JOIN e b ON b.vec_id = neighbor_id),
-         |k$tag AS (SELECT query_id, CAST(SUM(ce6) AS BIGINT) AS sk FROM (
+         |k$tag AS (SELECT query_id, CAST(SUM(ce6) AS BIGINT) AS sk,
+         |    CAST(COUNT(*) AS BIGINT) AS nk FROM (
          |  SELECT query_id, ce6,
          |    ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY ce6 DESC, neighbor_id ASC) AS rn
@@ -6663,17 +6732,17 @@ object Corpus {
        |${sideCtes("fw", 0)},
        |${sideCtes("bw", 1)},
        |mf AS (SELECT s.query_id, s.neighbor_id, s.ce6,
-       |    CAST(s.ce6 * $k2 AS DOUBLE) / CAST(q.sk + n.sk AS DOUBLE)
-       |      AS margin
+       |    CAST(s.ce6 * 2 * q.nk * n.nk AS DOUBLE)
+       |      / CAST(q.sk * n.nk + n.sk * q.nk AS DOUBLE) AS margin
        |  FROM sfw s JOIN kfw q ON q.query_id = s.query_id
        |             JOIN kbw n ON n.query_id = s.neighbor_id
-       |  WHERE q.sk + n.sk > 0),
+       |  WHERE q.sk * n.nk + n.sk * q.nk > 0),
        |mb AS (SELECT s.query_id, s.neighbor_id, s.ce6,
-       |    CAST(s.ce6 * $k2 AS DOUBLE) / CAST(q.sk + n.sk AS DOUBLE)
-       |      AS margin
+       |    CAST(s.ce6 * 2 * q.nk * n.nk AS DOUBLE)
+       |      / CAST(q.sk * n.nk + n.sk * q.nk AS DOUBLE) AS margin
        |  FROM sbw s JOIN kbw q ON q.query_id = s.query_id
        |             JOIN kfw n ON n.query_id = s.neighbor_id
-       |  WHERE q.sk + n.sk > 0),
+       |  WHERE q.sk * n.nk + n.sk * q.nk > 0),
        |tf AS (SELECT query_id AS x_id, neighbor_id AS y_id, ce6, margin
        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY margin DESC, neighbor_id ASC) AS rn FROM mf)

@@ -2081,8 +2081,7 @@ object Features {
     val toks = graft.text.TextAnalysis.tokens(col("text"))
     val labeled = t(s, dir, "documents")
       .select(
-        (size(filter(toks, t => t === "the" || t === "a")) * lit(100L) >
-          size(toks) * lit(6L)).as("__la"),
+        graft.queries.Corpus.stopRuleLabel(toks).as("__la"),
         (size(toks) >= lit(50)).as("__lb"))
     val m = labeled.agg(
       count(lit(1)).as("n_docs"),
@@ -2106,7 +2105,7 @@ object Features {
     val toksSql = graft.queries.Corpus.toksSqlPublic
     s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
        |l AS (SELECT
-       |    (CAST(len(list_filter(toks, x -> x IN ('the', 'a')))
+       |    (CAST(len(list_filter(toks, x -> x IN (${graft.queries.Corpus.stopRuleInSql})))
        |       AS BIGINT) * 100 > CAST(len(toks) AS BIGINT) * 6) AS la,
        |    (len(toks) >= 50) AS lb
        |  FROM t),
@@ -2214,8 +2213,7 @@ object Features {
   def fleissLabels(docs: DataFrame): DataFrame = {
     val toks = graft.text.TextAnalysis.tokens(col("text"))
     docs.select(
-      (size(filter(toks, t => t === "the" || t === "a")) * lit(100L) >
-        size(toks) * lit(6L)).as("__la"),
+      graft.queries.Corpus.stopRuleLabel(toks).as("__la"),
       (size(toks) >= lit(50)).as("__lb"),
       (size(array_distinct(toks)) * lit(2L) >= size(toks)).as("__lc"))
   }
@@ -2233,7 +2231,7 @@ object Features {
     val sqn = "CAST(s_neg AS DECIMAL(19,0)) * CAST(s_neg AS DECIMAL(19,0))"
     s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
        |l AS (SELECT
-       |    (CASE WHEN (CAST(len(list_filter(toks, x -> x IN ('the', 'a')))
+       |    (CASE WHEN (CAST(len(list_filter(toks, x -> x IN (${graft.queries.Corpus.stopRuleInSql})))
        |       AS BIGINT) * 100 > CAST(len(toks) AS BIGINT) * 6)
        |      THEN 1 ELSE 0 END)
        |    + (CASE WHEN len(toks) >= 50 THEN 1 ELSE 0 END)

@@ -566,7 +566,15 @@ object Similarity {
     * exact integer folds (order-free at any partitioning) and the
     * final margin is ONE IEEE division of two exact integers — the
     * g01 recurrence discipline applied to a score, bit-identical
-    * cross-engine. Pairs whose neighborhood-sum denominator is ≤ 0
+    * cross-engine. A neighborhood with FEWER than k candidates (easy
+    * under pruned candidate generation — an IVF probe budget can
+    * return < k opposite-side neighbors) divides by its ACTUAL
+    * count, not k: margin = cos/(Σ_q/(2·n_q) + Σ_n/(2·n_n)) =
+    * 2·n_q·n_n·cos / (Σ_q·n_n + Σ_n·n_q) — the Artetxe–Schwenk mean
+    * of what the neighborhood actually contains, where the fixed-2k
+    * form UNDERestimated sparse neighborhoods' means and inflated
+    * their margins (r14 advice). With both sides at k the two forms
+    * coincide. Pairs whose count-weighted denominator is ≤ 0
     * (degenerate all-negative neighborhoods) are dropped, the ksTail
     * rule (Spark's x/0.0 is ±Inf where DuckDB's is NULL).
     *
@@ -587,7 +595,8 @@ object Similarity {
         .orderBy(col("__ce6").desc, col("neighbor_id").asc)
       c.withColumn("__rn", row_number().over(w))
         .where(col("__rn") <= k)
-        .groupBy(col("query_id")).agg(sum(col("__ce6")).as("__sk"))
+        .groupBy(col("query_id")).agg(sum(col("__ce6")).as("__sk"),
+          count(lit(1)).as("__nk")) // actual neighborhood size ≤ k
     }
     val ca = quant(candAB).localCheckpoint(true) // sums AND pair scores
     val cb = quant(candBA).localCheckpoint(true)
@@ -596,14 +605,17 @@ object Similarity {
     def scored(pairs: DataFrame, qSums: DataFrame,
         nSums: DataFrame): DataFrame =
       pairs
-        .join(qSums.select(col("query_id"), col("__sk").as("__skq")),
-          Seq("query_id"))
+        .join(qSums.select(col("query_id"), col("__sk").as("__skq"),
+          col("__nk").as("__nkq")), Seq("query_id"))
         .join(nSums.select(col("query_id").as("neighbor_id"),
-          col("__sk").as("__skn")), Seq("neighbor_id"))
-        .where(col("__skq") + col("__skn") > 0L)
+          col("__sk").as("__skn"), col("__nk").as("__nkn")),
+          Seq("neighbor_id"))
+        .where(col("__skq") * col("__nkn") + col("__skn") * col("__nkq")
+          > 0L)
         .select(col("query_id"), col("neighbor_id"), col("__ce6"),
-          expr(s"CAST(__ce6 * ${2L * k}L AS DOUBLE)" +
-            " / CAST(__skq + __skn AS DOUBLE)").as("margin"))
+          expr("CAST(__ce6 * 2L * __nkq * __nkn AS DOUBLE)" +
+            " / CAST(__skq * __nkn + __skn * __nkq AS DOUBLE)")
+            .as("margin"))
     (scored(ca, ka, kb), scored(cb, kb, ka))
   }
 

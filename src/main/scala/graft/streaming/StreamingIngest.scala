@@ -1003,11 +1003,26 @@ object StreamingIngest {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
             batchId: Long) =>
           val spark = batch.sparkSession
+          // at-least-once armor (r14 advice): checkpoint replay
+          // protects against a REPLAYED batch, but an upstream that
+          // re-emits a document in a LATER micro-batch would
+          // permanently double-count it in every read side (c09 gate,
+          // c10 manifest, dedup group sizing). Dedup on doc_id both
+          // within the batch (deterministic min-struct pick) and
+          // against the prior generation (anti-join — the prior
+          // generation's row wins, so a re-emission can never rewrite
+          // history either).
           val part = batch.toDF()
             .select(col("doc_id"), col("source"), col("text"))
+            .groupBy(col("doc_id"))
+            .agg(min(struct(col("source"), col("text"))).as("__s"))
+            .select(col("doc_id"), col("__s.source"), col("__s.text"))
           val merged = priorGeneration(spark, statsRoot, batchId) match {
             case Some(p) =>
-              spark.read.parquet(s"$p/docs").unionByName(part)
+              val prior = spark.read.parquet(s"$p/docs")
+              prior.unionByName(
+                part.join(prior.select(col("doc_id")), Seq("doc_id"),
+                  "left_anti"))
             case None => part
           }
           merged.write.mode("overwrite")

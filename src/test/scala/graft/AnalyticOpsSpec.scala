@@ -322,6 +322,20 @@ class AnalyticOpsSpec extends SparkSpec {
     expected.foreach { case (k, v) =>
       assert(gen(k) === v, s"BhCritZ$k drifted from the r13 constant")
     }
+    // spot pins PAST m=5 (r14 advice): the m∈6..24 region is
+    // generated at runtime from commons-math3, so a library upgrade
+    // could silently shift critical values with no test failing.
+    // These constants come from an INDEPENDENT Φ⁻¹ implementation
+    // (CPython's statistics.NormalDist.inv_cdf — Wichura AS241),
+    // rounded through the same 6-decimal string.
+    val spotPins = Map(
+      (1, 6) -> 2.638257, (6, 6) -> 1.959964,
+      (1, 13) -> 2.890512, (7, 17) -> 2.315452,
+      (1, 24) -> 3.078088, (5, 24) -> 2.561682, (12, 24) -> 2.241403,
+      (23, 24) -> 1.978107, (24, 24) -> 1.959964)
+    spotPins.foreach { case (k, v) =>
+      assert(gen(k) === v, s"BhCritZ$k drifted from the AS241 constant")
+    }
     // complete lower-triangular coverage up to the enforced bound
     val mx = graft.queries.Features.BhMaxM
     assert(gen.size === mx * (mx + 1) / 2)

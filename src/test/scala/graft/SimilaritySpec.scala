@@ -467,6 +467,39 @@ class SimilaritySpec extends SparkSpec {
     assert(got((1L, 2L)) > got((1L, 4L)) && got((1L, 4L)) > got((1L, 6L)))
   }
 
+  test("marginScores: a neighborhood with fewer than k candidates divides by its ACTUAL size, not k") {
+    import spark.implicits._
+    // query 1 has ONE forward candidate; neighbor 2 has TWO backward
+    // candidates; k=3 exceeds both — the r14-advice case where the
+    // fixed-2k denominator underestimated the neighborhood means and
+    // inflated sparse-neighborhood margins.
+    val ab = Seq((1L, 2L, 0.80))
+    val ba = Seq((2L, 1L, 0.80), (2L, 3L, 0.40))
+    val k = 3
+    val (fwd, bwd) = Similarity.marginScores(
+      ab.toDF("query_id", "neighbor_id", "cosine"),
+      ba.toDF("query_id", "neighbor_id", "cosine"), k)
+    def e6(c: Double): Long = math.round(c * 1e6)
+    // independent reference: margin = cos / (mean_q/2 + mean_n/2)
+    // with each mean over the ACTUAL candidates present
+    val skq = e6(0.80); val nkq = 1L
+    val skn = e6(0.80) + e6(0.40); val nkn = 2L
+    val wantFwd =
+      e6(0.80) * 2.0 * nkq * nkn / (skq * nkn + skn * nkq).toDouble
+    val gotF = fwd.collect().map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(gotF === Map((1L, 2L) -> wantFwd))
+    // sanity: the correct sparse margin is SMALLER than the old
+    // fixed-2k form would have claimed (2k=6 over skq+skn)
+    assert(wantFwd < e6(0.80) * 2.0 * k / (skq + skn))
+    // backward direction: query 2's own mean uses its 2 candidates
+    val gotB = bwd.collect().map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val want21 =
+      e6(0.80) * 2.0 * nkn * nkq / (skn * nkq + skq * nkn).toDouble
+    assert(gotB((2L, 1L)) === want21)
+  }
+
   test("s22 entropy algebra: purity/NMI match independent math.log on planted contingencies") {
     import spark.implicits._
     // independent driver-side reference — math.log, no PortableMath

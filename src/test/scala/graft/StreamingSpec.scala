@@ -1373,6 +1373,46 @@ class StreamingSpec extends SparkSpec {
       (0 until 6).map(i => s"src$i").toSet)
   }
 
+  test("qualityReleaseStream: a document re-emitted in a LATER micro-batch never double-counts, and the prior generation's row wins") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_qrel_reemit").toString
+    val root = s"$base/qrel"; val ckpt = s"$base/ckpt"
+    // checkpoint replay protection does NOT apply across distinct
+    // micro-batches (the r14-advice hazard): an at-least-once source
+    // re-emits doc 1 in batch 2 (same payload) and doc 2 in batch 3
+    // (DIFFERENT payload — upstream rewrote history, which the store
+    // must ignore: first write wins).
+    val d = Seq(
+      (1L, "a", "the quick brown fox jumps"),
+      (2L, "a", "the lazy dog sleeps well"),
+      (3L, "b", "the cat sat on the mat"))
+    val stream = MemoryStream[(Long, String, String)]
+    val q = StreamingIngest.qualityReleaseStream(
+      stream.toDF().toDF("doc_id", "source", "text"), root, ckpt)
+    stream.addData(d(0), d(1)); q.processAllAvailable()
+    stream.addData(d(0), d(2)); q.processAllAvailable() // re-emit doc 1
+    stream.addData((2L, "a", "rewritten text must not land"))
+    q.processAllAvailable()
+    q.stop()
+    // the doc store holds each doc_id exactly once, original payloads
+    val gens = new java.io.File(root).listFiles()
+      .filter(_.getName.startsWith("gen-")).map(_.getName).sorted
+    val store = spark.read.parquet(s"$root/${gens.last}/docs")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(store === d)
+    // and every read side equals batch over the DEDUPED union
+    val budget = 3L
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("source").collect().toSeq
+    assert(rows(StreamingIngest.currentQualityRelease(spark, root,
+        budget).get) ===
+      rows(graft.queries.Corpus.qualityReleaseOf(
+        d.toDF("doc_id", "source", "text"), budget)))
+  }
+
   test("currentBradleyTerry: read-time q150 over the c07 turn store equals batch, late cross-batch turns included") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
