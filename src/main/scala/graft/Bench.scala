@@ -29,8 +29,13 @@ object Bench {
     // driver's invocation) runs everything.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    // Timed executions per query after warm-up (default 1; see below).
-    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(1)
+    // Timed executions per query after warm-up. Default 2 since round
+    // 15: warm-up + two timed passes = THREE full evaluations whose
+    // minimum is reported — the "min-of-3 driver bench" the r14
+    // verdict prescribed to end noise adjudication by inference. The
+    // extra pass costs ≈ the steady-state sum (~4 min at sf0.1),
+    // well inside the driver's wall budget.
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(2)
     // The incremental-load demo is an end-to-end two-run idempotency
     // proof in Verify/tests; the bench only needs its steady-state load
     // cost, so run one ingest pass unless explicitly overridden.
@@ -39,6 +44,33 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.startsWith))
     }
+    // Host-load instrumentation (r14 verdict item 1): every round so
+    // far has adjudicated bench regressions on untouched code as
+    // "noisy host" BY INFERENCE, because the artifact recorded nothing
+    // about host load. Record it: /proc/loadavg at run start/end and
+    // the steal-time share of /proc/stat's aggregate cpu line across
+    // EACH query's evaluations — a reader can now see directly whether
+    // a slow number sat inside a steal burst. Both reads are
+    // best-effort (empty/zero outside Linux).
+    def loadavg(): Seq[Double] =
+      try java.nio.file.Files
+        .readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .trim.split("\\s+").take(3).toSeq.map(_.toDouble)
+      catch { case _: Throwable => Seq.empty }
+    def cpuJiffies(): (Long, Long) = // (steal, total) since boot
+      try {
+        val cols = java.nio.file.Files
+          .readAllLines(java.nio.file.Paths.get("/proc/stat")).get(0)
+          .trim.split("\\s+").drop(1).map(_.toLong)
+        (if (cols.length > 7) cols(7) else 0L, cols.sum)
+      } catch { case _: Throwable => (0L, 0L) }
+    def stealPct(a: (Long, Long), b: (Long, Long)): Double = {
+      val dTot = b._2 - a._2
+      if (dTot <= 0L) 0.0 else 100.0 * (b._1 - a._1) / dTot
+    }
+    val loadStart = loadavg()
+    val jfStart = cpuJiffies()
+    val hostPerQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = selected.map { case (name, fn) =>
       def once(): Unit =
         // Evaluate through the noop sink, not count(): under a count(1)
@@ -62,15 +94,12 @@ object Bench {
       // full evaluation, so its wall time is a free upper bound on the
       // query's cost that a mid-run stall in the timed pass can never
       // exceed legitimately.
+      val jq0 = cpuJiffies()
       val warm = timedOnce()
       if (runs > 1)
         System.gc() // min-of-N mode: isolate runs from warm-up's refs
-      // One timed execution by default — warm-up already absorbed
-      // codegen/JIT/IO-cache effects, and a single pass keeps the whole
-      // bench (~70 queries × 2 evaluations + compile) comfortably inside
-      // the driver's wall budget. SPARK_GRAFT_BENCH_RUNS=2 restores the
-      // min-of-N local methodology.
       val timed = Seq.fill(runs)(timedOnce())
+      hostPerQuery(name) = stealPct(jq0, cpuJiffies())
       name -> ((warm +: timed, () => timedOnce()))
     }
     // Stall repair: this host's CPU is intermittently stolen in bursts
@@ -148,22 +177,38 @@ object Bench {
         name
     }.toSet ++ spreadSuspect).toSeq.sorted
     val noiseJson = noiseSuspect.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Host-load block: run-level loadavg bounds + aggregate steal
+    // share, and the per-query steal map (percent of the query's
+    // evaluation window the hypervisor stole). Reading "q55: 3.1s,
+    // steal_pct 8.2" closes the question that used to take a round of
+    // quiet-host re-measurement.
+    val loadEnd = loadavg()
+    val runSteal = stealPct(jfStart, cpuJiffies())
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+    val stealJson = hostPerQuery
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val hostJson =
+      s"""{"loadavg_start":${loadStart.map(fmt).mkString("[", ",", "]")},""" +
+      s""""loadavg_end":${loadEnd.map(fmt).mkString("[", ",", "]")},""" +
+      s""""steal_pct_run":${fmt(runSteal)},"steal_pct":$stealJson}"""
     // spark_version in every artifact: round 7's 21-query break was a
     // Spark-lineage change, diagnosable from the JSON alone only if the
     // runtime version rides along.
     val ver = spark.version
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadJson,"failed":$failedJson,"noise_suspect":$noiseJson,"sf":"$sfDir","spark_version":"$ver"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadJson,"failed":$failedJson,"noise_suspect":$noiseJson,"host":$hostJson,"sf":"$sfDir","spark_version":"$ver"}""")
     // The per-query line above can exceed the driver's tail-capture
     // window (~70 entries); repeat the total on a FINAL compact line —
     // no per-query map — so a machine-readable number always survives.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"noise_suspect":$noiseJson,"sf":"$sfDir","spark_version":"$ver"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJson,"noise_suspect":$noiseJson,"loadavg_end":${loadEnd.map(fmt).mkString("[", ",", "]")},"steal_pct_run":${fmt(runSteal)},"sf":"$sfDir","spark_version":"$ver"}""")
     // ... and persist the FULL record to bench_total.json (cwd — the
     // driver invokes sbt from the repo root) so the number survives
     // even when stdout capture truncates both lines: read the file
     // instead of parsing a tail.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_total.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadJson,"failed":$failedJson,"noise_suspect":$noiseJson,"sf":"$sfDir","spark_version":"$ver"}\n""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreadJson,"failed":$failedJson,"noise_suspect":$noiseJson,"host":$hostJson,"sf":"$sfDir","spark_version":"$ver"}\n""")
     catch { case e: Throwable =>
       System.err.println(s"[bench] bench_total.json write failed: ${e.getMessage}")
     }
