@@ -163,10 +163,16 @@ object Bench {
         val p = java.nio.file.Paths.get("bench_reference.json")
         if (java.nio.file.Files.exists(p)) {
           val txt = java.nio.file.Files.readString(p)
-          val sfOk = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt)
+          // \s* after the colon: the committed reference is
+          // json.dump-formatted ("name": 0.99) — the r14 regex
+          // required the digit immediately after ':' and silently
+          // parsed an EMPTY reference, muting the 2×-floor
+          // noise_suspect channel for every round it shipped
+          val sfOk = "\"sf\":\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt)
             .forall(_.group(1) == sfDir)
           if (sfOk)
-            "\"([A-Za-z0-9_]+)\":([0-9]+\\.?[0-9]*)".r.findAllMatchIn(txt)
+            "\"([A-Za-z0-9_]+)\":\\s*([0-9]+\\.?[0-9]*)".r
+              .findAllMatchIn(txt)
               .map(m => m.group(1) -> m.group(2).toDouble).toMap
           else Map.empty
         } else Map.empty

@@ -473,4 +473,142 @@ object GraphOps {
     }
     out.result().reduce(_ unionAll _)
   }
+
+  /** DIRECTED sequence edges from `lineitem`: src part immediately
+    * followed by dst part within an order (consecutive `l_linenumber`
+    * positions), each src keeping only its `topK` most-frequent
+    * followers (support DESC, dst ASC tie-break). The asymmetric
+    * top-K cut is what makes the graph genuinely DIRECTED — the
+    * co-purchase builders are symmetric by construction, so their
+    * SCCs degenerate to connected components. Out-degree ≤ topK keeps
+    * the edge set linear in the part domain at any corpus size; the
+    * sequence window is per-order (bounded width), the support
+    * aggregate map-side combined, the top-K cut one window keyed by
+    * the data-scale src.
+    *
+    * Determinism: the fixture's (l_orderkey, l_linenumber) is NOT
+    * unique (≈20% duplicated keys), so ordering by l_linenumber alone
+    * leaves LEAD nondeterministic — measured: three runs, three edge
+    * sets. The window orders by (l_linenumber, l_partkey), a key on
+    * which any remaining ties are FULL duplicates of the projected
+    * row, so every permutation yields the identical follower
+    * sequence. The oracle states the same two-column ORDER BY.
+    */
+  def sequenceTopFollowerEdges(lineitem: DataFrame, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wSeq = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"))
+    val pair = lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+      .withColumn("__nxt", lead(col("l_partkey"), 1).over(wSeq))
+      .where(col("__nxt").isNotNull && col("__nxt") =!= col("l_partkey"))
+      .select(col("l_partkey").as("src"), col("__nxt").as("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    val wTop = Window.partitionBy(col("src"))
+      .orderBy(col("w").desc, col("dst").asc)
+    pair.withColumn("__rn", row_number().over(wTop))
+      .where(col("__rn") <= topK)
+      .select(col("src"), col("dst"))
+      .localCheckpoint(true) // every consumer iterates over it
+  }
+
+  /** Strongly connected components of a DIRECTED `edges(src, dst)`
+    * set — the spider-trap / mirror-ring detector the undirected
+    * [[connectedComponents]] cannot express (every real link graph is
+    * directed; an undirected CC merges a one-way citation chain into
+    * one "component").
+    *
+    * Algorithm — min-label settle rounds, each round two simultaneous
+    * fixpoint propagations over the ACTIVE subgraph:
+    * f(v) = min(ancestors(v) ∪ {v}), b(v) = min(descendants(v) ∪ {v}).
+    * Within one SCC every member has the SAME ancestor and descendant
+    * sets, so f and b are SCC-uniform; f(v) = b(v) = u implies u is
+    * both an ancestor and a descendant of v — u ∈ SCC(v) — and since
+    * u minimizes ancestors ∪ self ⊇ SCC(v), u IS the SCC's min label:
+    * settled nodes get exactly the canonical min-member id. The
+    * active-subgraph's global min always settles (f = b = itself), so
+    * every round retires ≥ 1 whole SCC; removal is sound because any
+    * path witnessing mutual reachability between two active nodes
+    * lies entirely inside their own SCC (each intermediate node is
+    * mutually reachable with both endpoints), never through a settled
+    * one. Empirically the fixture graphs settle in 5/6/9 outer rounds
+    * at sf 0.001/0.01/0.1 (the verdict-grade convergence measurement
+    * lives in GraphSpec); both caps FAIL LOUDLY when exceeded — the
+    * BhMaxM discipline — rather than return a wrong partition.
+    *
+    * Scale shape: state is (node, f, b) BIGINTs; each propagation
+    * round is two keyed joins + one map-side-combined min aggregate
+    * (batched `innerStride` rounds per materialization to amortize
+    * job launch); min-folds are order-free, so the result is
+    * bit-reproducible at any partitioning — the g02 discipline. No
+    * driver state beyond the fixpoint flag.
+    */
+  def stronglyConnectedComponents(edges0: DataFrame,
+      maxOuter: Int = 16, maxInner: Int = 36): DataFrame = {
+    // 2 propagation rounds per materialized job: each round references
+    // the state frame THREE times (f-join, b-join, self-union), so a
+    // stride-s lazy plan has 3^s state leaves — stride 7 measured 413s
+    // at sf0.001 (analysis/codegen explosion) vs 21.5s at stride 2;
+    // stride 1 doubles the job count for no plan saving
+    val innerStride = 2
+    var active = edges0.select(col("src"), col("dst")).localCheckpoint(true)
+    var nodes = active.select(col("src").as("node"))
+      .unionAll(active.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    var result = nodes.select(col("node"), col("node").as("scc_id"))
+      .where(lit(false)).localCheckpoint(true)
+    var outer = 0
+    while (nodes.limit(1).count() > 0) {
+      outer += 1
+      require(outer <= maxOuter,
+        s"scc: settle rounds exceeded maxOuter=$maxOuter — raise the cap")
+      var st = nodes
+        .select(col("node"), col("node").as("f"), col("node").as("b"))
+        .localCheckpoint(true)
+      // one propagation round, composed lazily: min(f) arrives along
+      // in-edges, min(b) along out-edges, self rides the union — ONE
+      // keyed aggregate, the connectedComponents shape done twice-in-one
+      def propagate(s: DataFrame): DataFrame = {
+        val nullL = lit(null).cast(s.schema("f").dataType)
+        active.join(s.select(col("node").as("src"), col("f")), "src")
+          .select(col("dst").as("node"), col("f"), nullL.as("b"))
+          .unionAll(
+            active.join(s.select(col("node").as("dst"), col("b")), "dst")
+              .select(col("src").as("node"), nullL.as("f"), col("b")))
+          .unionAll(s.select(col("node"), col("f"), col("b")))
+          .groupBy(col("node")).agg(min(col("f")).as("f"),
+            min(col("b")).as("b"))
+      }
+      var inner = 0
+      var changed = true
+      while (changed) {
+        inner += innerStride
+        require(inner <= maxInner + innerStride,
+          s"scc: propagation exceeded maxInner=$maxInner — raise the cap")
+        // stride rounds per materialization: propagation past the
+        // fixpoint is the identity, so overshooting inside a stride is
+        // harmless and the change check runs once per stride
+        val next = (1 to innerStride).foldLeft(st)((s, _) => propagate(s))
+          .localCheckpoint(true)
+        changed = next.as("n").join(st.as("o"), Seq("node"))
+          .where(col("n.f") =!= col("o.f") || col("n.b") =!= col("o.b"))
+          .limit(1).count() > 0
+        st = next
+      }
+      val settled = st.where(col("f") === col("b"))
+        .select(col("node"), col("f").as("scc_id"))
+      // st is checkpointed, so the growing union stays shallow (≤
+      // maxOuter branches over materialized leaves) — no per-round
+      // checkpoint needed on the accumulator
+      result = result.unionAll(settled)
+      nodes = st.where(col("f") =!= col("b")).select(col("node"))
+        .localCheckpoint(true)
+      active = active
+        .join(nodes.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+    }
+    result
+  }
 }

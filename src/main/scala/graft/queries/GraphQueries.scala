@@ -476,7 +476,64 @@ object GraphQueries {
        |FROM a$HitsIters""".stripMargin
   }
 
+  /** g11: strongly connected components of the DIRECTED purchase-
+    * sequence graph — the spider-trap / mirror-ring detector link
+    * analysis on a real (directed) web or crawl graph needs, which
+    * g02's undirected min-label CC cannot express. The graph: part →
+    * part edges from consecutive `l_linenumber` positions within an
+    * order, each src keeping its top-2 most-frequent followers
+    * ([[GraphOps.sequenceTopFollowerEdges]] — the asymmetric cut is
+    * what makes the graph genuinely directed; at sf0.01 it has 2,000
+    * nodes, a 365-node giant SCC plus a 2-cycle and 1,633 singletons). Spark runs the
+    * min-label settle loop ([[GraphOps.stronglyConnectedComponents]]
+    * — forward/backward reachability-min to fixpoint, settle
+    * f = b, remove, repeat); the oracle computes the SAME partition
+    * by a COMPLETELY DIFFERENT algorithm — recursive-CTE transitive
+    * closure → mutual-reachability pairs → min mutual label — so the
+    * hash match certifies the operator against an independent
+    * definition of "strongly connected", not a replay of its own
+    * recurrence (stronger than the g01/g02 unroll discipline, viable
+    * here because the closure is oracle-scale-only; the Spark side
+    * never materializes it).
+    *
+    * Output: (part_key, scc_id = min member, scc_size).
+    */
+  val g11_scc: Q = (s, dir) => {
+    val edges = GraphOps.sequenceTopFollowerEdges(
+      t(s, dir, "lineitem"), topK = 2)
+    GraphOps.stronglyConnectedComponents(edges)
+      .select(col("node").as("part_key"), col("scc_id"),
+        count(lit(1)).over(Window.partitionBy(col("scc_id")))
+          .as("scc_size"))
+  }
+
+  val g11_sql: String =
+    """WITH RECURSIVE seq AS (SELECT l_orderkey, l_partkey,
+      |    LEAD(l_partkey) OVER (PARTITION BY l_orderkey
+      |                          ORDER BY l_linenumber, l_partkey) AS nxt
+      |  FROM lineitem),
+      |pair AS (SELECT l_partkey AS src, nxt AS dst, COUNT(*) AS w
+      |  FROM seq WHERE nxt IS NOT NULL AND nxt <> l_partkey
+      |  GROUP BY 1, 2),
+      |e AS MATERIALIZED (SELECT src, dst FROM (
+      |    SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src
+      |        ORDER BY w DESC, dst ASC) AS rn
+      |    FROM pair) WHERE rn <= 2),
+      |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |reach AS (SELECT src, dst FROM e
+      |  UNION
+      |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON e2.src = r.dst),
+      |mut AS MATERIALIZED (SELECT a.src AS u, a.dst AS v
+      |  FROM reach a JOIN reach b ON b.src = a.dst AND b.dst = a.src),
+      |scc AS (SELECT n.node,
+      |    LEAST(n.node, COALESCE(MIN(m.v), n.node)) AS scc_id
+      |  FROM n LEFT JOIN mut m ON m.u = n.node GROUP BY n.node)
+      |SELECT node AS part_key, scc_id,
+      |  COUNT(*) OVER (PARTITION BY scc_id) AS scc_size
+      |FROM scc""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "g11_scc" -> g11_scc,
     "g10_hits" -> g10_hits,
     "g09_label_propagation" -> g09_label_propagation,
     "g08_link_prediction" -> g08_link_prediction,
@@ -489,6 +546,7 @@ object GraphQueries {
     "g05_hyperball"   -> g05_hyperball)
 
   val oracles: Map[String, String] = Map(
+    "g11_scc" -> g11_sql,
     "g10_hits" -> g10_sql,
     "g09_label_propagation" -> g09_sql,
     "g08_link_prediction" -> g08_sql,
