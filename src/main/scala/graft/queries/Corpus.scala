@@ -6908,6 +6908,153 @@ object Corpus {
        |FROM fin""".stripMargin
   }
 
+  // ---------------------------------------------- s23 PCA / whitening
+
+  private val s23Models =
+    scala.collection.concurrent.TrieMap[String, graft.similarity.Pca.Model]()
+
+  private def s23ModelPath(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${graft.ingest.FixtureTables.root}/s23_pca_$key"
+  }
+
+  private[graft] val S23K = 4
+  private[graft] val S23Dim = 64
+  private[graft] val S23MaxSample = 4096
+
+  /** One PCA fit per fixture dir (the qcFits pure-cache discipline);
+    * each call re-dumps the model tables to the per-dir path so the
+    * oracle replays from THIS run's fixtures.
+    */
+  private[graft] def s23Model(s: SparkSession,
+      dir: String): graft.similarity.Pca.Model = {
+    val m = s23Models.getOrElseUpdate(dir, {
+      // bounded deterministic sample: the smallest-vec_id rows, the
+      // bpeModel/PqCodebook driver-fit discipline. Quantization to
+      // e-6 mirrors the plan's round() (never lands on a .5 boundary:
+      // float×10⁶ is dyadic, k.5·10⁻⁶ is not float-representable).
+      val sample = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id")).limit(S23MaxSample)
+        .collect()
+        .map(_.getSeq[Float](1).toArray
+          .map(x => math.round(x.toDouble * 1e6)))
+        .toSeq
+      graft.similarity.Pca.fit(sample, S23Dim, S23K)
+    })
+    import s.implicits._
+    val path = s23ModelPath(dir)
+    // n rides at j = -1 (the bias-at-bucket-−1 move)
+    ((-1L, m.n) +: m.sums.toSeq.zipWithIndex
+        .map { case (v, j) => (j.toLong, v) })
+      .toDF("j", "s")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/means")
+    (for (k <- 0 until S23K; j <- 0 until S23Dim)
+      yield (k.toLong + 1L, j.toLong, m.loadings(k)(j)))
+      .toDF("k", "j", "v_e6")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/load")
+    m.sigE6.toSeq.zipWithIndex.map { case (v, k) => (k.toLong + 1L, v) }
+      .toDF("k", "sig_e6")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/sig")
+    m
+  }
+
+  /** s23: PCA projection + whitening over the embeddings table — the
+    * learned linear dimensionality reduction the s-series lacked
+    * (s05/s17 quantize, LSH planes are RANDOM projections; PCA is the
+    * standard pre-step before semantic dedup / clustering at scale,
+    * and composes with d11's SemDeDup as its input transform). The
+    * model ([[graft.similarity.Pca]]) is a bounded driver fit —
+    * exact integer moments over the ≤[[S23MaxSample]] smallest-id
+    * rows, deterministic Jacobi eigensolve on the 64×64 covariance,
+    * sign-canonicalized top-[[S23K]] eigenvectors — dumped in e-6
+    * integer units for the oracle's replay (the s03 centroid-dump
+    * recipe: the fit itself is not SQL-replayable; everything
+    * downstream of the dump is, exactly).
+    *
+    * Projection is exact-integer: pc_num_k = Σ_j (n·xq_j − S_j)·v_e6
+    * is an exact BIGINT at any partitioning (|num| ≤ 5·10¹⁷), and
+    * pc_k = num/(n·10¹²), w_k = num/(n·10⁶·sig_e6) are each ONE IEEE
+    * division of two exact integers — bit-identical cross-engine. A
+    * degenerate component (sig_e6 = 0) whitens to NULL, the ksTail
+    * rule. Scale shape: ONE narrow codegen projection over the
+    * corpus — zip_with/aggregate per row, constants riding as
+    * literals — no shuffle, no join, no window at any size.
+    */
+  val s23_pca_whitening: Q = (s, dir) => {
+    val m = s23Model(s, dir)
+    val nL = m.n
+    val xq = expr("transform(embedding, x -> " +
+      "CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT))")
+    val cent = zip_with(xq, typedlit(m.sums.toSeq),
+      (x, sj) => x * lit(nL) - sj)
+    val staged = t(s, dir, "embeddings")
+      .select(col("vec_id"), cent.as("__cent"))
+    val withNums = (0 until S23K).foldLeft(staged) { (df, k) =>
+      df.withColumn(s"__n${k + 1}",
+        aggregate(
+          zip_with(col("__cent"), typedlit(m.loadings(k).toSeq),
+            (c, v) => c * v),
+          lit(0L), (acc, x) => acc + x))
+    }
+    val pcs = (0 until S23K).map { k =>
+      (col(s"__n${k + 1}").cast("double") /
+        lit(nL * 1000000000000L).cast("double")).as(s"pc${k + 1}")
+    }
+    val ws = (0 until S23K).map { k =>
+      val sig = m.sigE6(k)
+      (if (sig > 0L)
+        col(s"__n${k + 1}").cast("double") /
+          lit(nL * 1000000L * sig).cast("double")
+      else lit(null).cast("double")).as(s"w${k + 1}")
+    }
+    withNums.select(col("vec_id") +: (pcs ++ ws): _*)
+  }
+
+  def s23_sql: String = {
+    val path = s23ModelPath(oracleSfDir)
+    val loadCtes = (1 to S23K).map(k =>
+      s"""l$k AS (SELECT LIST(v_e6 ORDER BY j) AS lv
+         |  FROM read_parquet('$path/load/*.parquet') WHERE k = $k),
+         |g$k AS (SELECT sig_e6 FROM read_parquet('$path/sig/*.parquet')
+         |  WHERE k = $k)""".stripMargin).mkString(",\n")
+    val nums = (1 to S23K).map(k =>
+      s"""    list_reduce(list_transform(generate_series(1, $S23Dim),
+         |      i -> cent[i] * l$k.lv[i]), (a, b) -> a + b) AS n$k"""
+        .stripMargin).mkString(",\n")
+    val outs = (1 to S23K).map(k =>
+      s"""  CAST(n$k AS DOUBLE) / CAST(nn * 1000000000000 AS DOUBLE)
+         |    AS pc$k""".stripMargin).mkString(",\n")
+    val wouts = (1 to S23K).map(k =>
+      s"""  CASE WHEN sg$k > 0 THEN CAST(n$k AS DOUBLE)
+         |    / CAST(nn * 1000000 * sg$k AS DOUBLE) END AS w$k"""
+        .stripMargin).mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |mn AS (SELECT s AS nn FROM read_parquet('$path/means/*.parquet')
+       |       WHERE j = -1),
+       |ms AS (SELECT LIST(s ORDER BY j) AS sv
+       |       FROM read_parquet('$path/means/*.parquet') WHERE j >= 0),
+       |$loadCtes,
+       |x AS (SELECT vec_id,
+       |    list_transform(v, x -> CAST(ROUND(x * 1000000.0) AS BIGINT))
+       |      AS xq
+       |  FROM e),
+       |c AS (SELECT vec_id,
+       |    list_transform(generate_series(1, $S23Dim),
+       |      i -> mn.nn * xq[i] - ms.sv[i]) AS cent
+       |  FROM x CROSS JOIN mn CROSS JOIN ms),
+       |nmr AS (SELECT vec_id, mn.nn,
+       |${(1 to S23K).map(k => s"    g$k.sig_e6 AS sg$k").mkString(",\n")},
+       |$nums
+       |  FROM c CROSS JOIN mn
+       |${(1 to S23K).map(k => s"  CROSS JOIN l$k CROSS JOIN g$k")
+        .mkString("\n")})
+       |SELECT vec_id,
+       |$outs,
+       |$wouts
+       |FROM nmr""".stripMargin
+  }
+
   /** s19: ANN recall@k — the index-quality eval every serving stack
     * runs before trusting an approximate index: per probe query, how
     * much of the EXACT cosine top-10 (the s01 baseline) does the s03
@@ -7989,6 +8136,7 @@ object Corpus {
     "c10_domain_gate"       -> c10_domain_gate,
     "s21_bitext_mining"     -> s21_bitext_mining,
     "s22_cluster_eval"      -> s22_cluster_eval,
+    "s23_pca_whitening"     -> s23_pca_whitening,
     "q152_fairness_report"  -> q152_fairness_report,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
@@ -8104,6 +8252,7 @@ object Corpus {
     "c10_domain_gate"       -> c10_sql,
     "s21_bitext_mining"     -> s21_sql,
     "s22_cluster_eval"      -> s22_sql,
+    "s23_pca_whitening"     -> s23_sql,
     "q152_fairness_report"  -> q152_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,

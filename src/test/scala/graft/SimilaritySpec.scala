@@ -500,6 +500,58 @@ class SimilaritySpec extends SparkSpec {
     assert(gotB((2L, 1L)) === want21)
   }
 
+  test("s23 PCA fit: orthonormal loadings, descending eigenvalues, variance-ordered projections, unit whitened variance") {
+    import graft.similarity.Pca
+    // planted anisotropic sample: x = a·u + b·w + noise with
+    // var(a) >> var(b), u/w orthogonal — PC1 must align with u
+    val rnd = new scala.util.Random(97)
+    val dim = 8
+    val u = Array(0.5, 0.5, 0.5, 0.5, 0.0, 0.0, 0.0, 0.0)
+    val w = Array(0.0, 0.0, 0.0, 0.0, 0.5, 0.5, 0.5, 0.5)
+    val sample = (1 to 600).map { _ =>
+      val a = rnd.nextGaussian() * 3.0
+      val b = rnd.nextGaussian() * 1.0
+      Array.tabulate(dim)(j =>
+        math.round((a * u(j) + b * w(j) + rnd.nextGaussian() * 0.05) * 1e6))
+    }
+    val m = Pca.fit(sample, dim, k = 3)
+    // eigenvalues descend and roughly match the planted variances
+    assert(m.eigenvalues(0) > m.eigenvalues(1))
+    assert(m.eigenvalues(1) > m.eigenvalues(2))
+    assert(math.abs(m.eigenvalues(0) - 9.0) < 1.5, m.eigenvalues(0))
+    assert(math.abs(m.eigenvalues(1) - 1.0) < 0.3, m.eigenvalues(1))
+    // loadings orthonormal at e-6 quantization tolerance
+    def dot(a: Array[Long], b: Array[Long]): Double =
+      a.zip(b).map { case (x, y) => x * y / 1e12 }.sum
+    (0 until 3).foreach { i =>
+      assert(math.abs(dot(m.loadings(i), m.loadings(i)) - 1.0) < 1e-4)
+      ((i + 1) until 3).foreach { j =>
+        assert(math.abs(dot(m.loadings(i), m.loadings(j))) < 1e-4)
+      }
+    }
+    // PC1 aligns with the planted heavy direction (canonical sign +)
+    val align = u.zip(m.loadings(0)).map { case (a, b) => a * b / 1e6 }.sum
+    assert(math.abs(align) > 0.98, s"pc1·u = $align")
+    // projection variance: replay the exact integer algebra on the
+    // sample and check var(pc1) > var(pc2) > var(pc3), and whitened
+    // variance ≈ 1 per component
+    def pcVar(k: Int): (Double, Double) = {
+      val nums = sample.map { xq =>
+        xq.indices.map(j =>
+          (m.n * xq(j) - m.sums(j)) * m.loadings(k)(j)).sum
+      }
+      val pcs = nums.map(_.toDouble / (m.n * 1e12))
+      val mean = pcs.sum / pcs.length
+      val v = pcs.map(x => (x - mean) * (x - mean)).sum / pcs.length
+      (v, v / (m.sigE6(k) / 1e6) / (m.sigE6(k) / 1e6))
+    }
+    val (v1, wv1) = pcVar(0); val (v2, wv2) = pcVar(1)
+    val (v3, wv3) = pcVar(2)
+    assert(v1 > v2 && v2 > v3, s"$v1 $v2 $v3")
+    Seq(wv1, wv2, wv3).foreach(wv =>
+      assert(math.abs(wv - 1.0) < 0.01, s"whitened var $wv"))
+  }
+
   test("s22 entropy algebra: purity/NMI match independent math.log on planted contingencies") {
     import spark.implicits._
     // independent driver-side reference — math.log, no PortableMath
