@@ -970,8 +970,146 @@ object Corpus {
        |  md5(COALESCE(a.joined, '')) AS piece_md5
        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  // ------------------------------------------------- t51 WordPiece
+
+  private val wordPieceModels =
+    scala.collection.concurrent.TrieMap[String, graft.text.WordPiece.Vocab]()
+
+  private def wordPieceVocabPath(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${graft.ingest.FixtureTables.root}/wordpiece_vocab_$key.parquet"
+  }
+
+  private def wordPieceModel(s: SparkSession,
+      dir: String): graft.text.WordPiece.Vocab = {
+    val m = wordPieceModels.getOrElseUpdate(dir, {
+      // the SAME bounded training sample discipline as bpeModel /
+      // unigramModel: word-frequency table capped at 4096 rows by
+      // (freq desc, token asc) — one keyed aggregate + a driver fit
+      val vocab = t(s, dir, "documents")
+        .select(explode_outer(TextAnalysis.tokens(col("text"))).as("token"))
+        .where(col("token").isNotNull)
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token").asc)
+        .limit(4096)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      graft.text.WordPiece.train(vocab, nMerges = 48)
+    })
+    import s.implicits._
+    m.pieces.toSeq.toDF("piece")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(wordPieceVocabPath(dir))
+    m
+  }
+
+  /** t51: WordPiece tokenization ([[graft.text.WordPiece]] — Schuster
+    * & Nakajima 2012, the BERT-family encoder), completing the
+    * tokenizer trio next to t37/t42's BPE and t43's unigram-LM: a
+    * vocabulary is fit on the corpus's bounded word-frequency sample
+    * by likelihood-lift merges (exact cross-multiplied integer
+    * scores), dumped for the oracle, and applied to every document by
+    * the native [[graft.functions.WordPieceEncode]] expression —
+    * greedy LONGEST-MATCH-FIRST with "##" continuation pieces, any
+    * unmatchable position collapsing the whole word to `[UNK]` (the
+    * standard rule, and the third categorically distinct apply
+    * semantics after BPE's merge replay and unigram's Viterbi DP).
+    * Output per document: token/piece/[UNK] counts, fertility, and
+    * the md5 of the full piece stream so the segmentation itself is
+    * hash-checked.
+    *
+    * One narrow codegen projection over the corpus (fit driver-side
+    * and amortized, vocabulary riding as a reference object); no
+    * shuffle at any scale. The oracle replays greedy longest-match as
+    * a DuckDB recursive CTE over the DISTINCT token vocabulary
+    * (segmentation is per-type): each step LEFT-joins the position
+    * against the dumped piece table on
+    * `substr(token, pos+1, len(body)) = body` with the continuation
+    * flag matching `pos > 0` — the join IS the candidate search, so
+    * no length literal can drift between engines — and keeps the
+    * longest match by window rank (NULLS LAST carries the [UNK]
+    * branch).
+    */
+  val t51_wordpiece_encode: Q = (s, dir) => {
+    val m = wordPieceModel(s, dir)
+    t(s, dir, "documents").transform(spreadScan)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+      .withColumn("__wp",
+        graft.functions.WordPieceEncode(col("__toks"), m))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(col("__wp")).cast("long").as("n_pieces"),
+        size(filter(col("__wp"), x => x === graft.text.WordPiece.Unk))
+          .cast("long").as("n_unk"),
+        when(size(col("__toks")) === 0, lit(0.0))
+          .otherwise(round(
+            size(col("__wp")).cast("double") / size(col("__toks")), 6))
+          .as("fertility"),
+        md5(concat_ws(" ", col("__wp"))).as("piece_md5"))
+  }
+
+  /** The WordPiece greedy-match CTEs over an upstream `vocab(token)`
+    * — ONE statement of the replayed segmentation rule shared by the
+    * t51 oracle and the t46 three-way scorecard (final states in
+    * `wfin`, named apart from BPE's `fin` and unigram's `ufin`).
+    */
+  private def wordPieceSqlCtes: String =
+    s"""wv AS (SELECT piece, (piece LIKE '##%') AS cont,
+       |    CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+       |         ELSE piece END AS body
+       |  FROM read_parquet('${wordPieceVocabPath(oracleSfDir)}/*.parquet')),
+       |wv2 AS (SELECT piece, cont, body, length(body) AS blen FROM wv),
+       |wenc AS (
+       |  SELECT token, 0 AS pos, CAST([] AS VARCHAR[]) AS pieces,
+       |         FALSE AS unk
+       |  FROM vocab
+       |  UNION ALL
+       |  SELECT token,
+       |    CAST(CASE WHEN piece IS NULL THEN length(token)
+       |              ELSE pos + blen END AS INTEGER) AS pos,
+       |    CASE WHEN piece IS NULL THEN ['[UNK]']
+       |         ELSE list_append(pieces, piece) END AS pieces,
+       |    (piece IS NULL) AS unk
+       |  FROM (
+       |    SELECT s.token, s.pos, s.pieces, v.piece, v.blen,
+       |      ROW_NUMBER() OVER (PARTITION BY s.token, s.pos
+       |                         ORDER BY v.blen DESC NULLS LAST) AS rn
+       |    FROM (SELECT token, pos, pieces FROM wenc
+       |          WHERE pos < length(token) AND NOT unk) s
+       |    LEFT JOIN wv2 v
+       |      ON v.cont = (s.pos > 0)
+       |     AND substr(s.token, s.pos + 1, v.blen) = v.body
+       |  ) WHERE rn = 1
+       |),
+       |wfin AS (SELECT token, pieces,
+       |    CAST(len(list_filter(pieces, x -> x = '[UNK]')) AS BIGINT)
+       |      AS nunk
+       |  FROM wenc WHERE pos >= length(token))""".stripMargin
+
+  def t51_sql: String =
+    s"""WITH RECURSIVE
+       |$tokposSqlCtes,
+       |$wordPieceSqlCtes,
+       |agg AS (SELECT tp.doc_id,
+       |    COUNT(*) AS n_tokens,
+       |    CAST(SUM(len(f.pieces)) AS BIGINT) AS n_pieces,
+       |    CAST(SUM(f.nunk) AS BIGINT) AS n_unk,
+       |    string_agg(array_to_string(f.pieces, ' '), ' ' ORDER BY tp.pos)
+       |      AS joined
+       |  FROM tokpos tp JOIN wfin f ON f.token = tp.token
+       |  GROUP BY tp.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+       |  CAST(COALESCE(a.n_unk, 0) AS BIGINT) AS n_unk,
+       |  CASE WHEN COALESCE(a.n_tokens, 0) = 0 THEN 0.0
+       |       ELSE ROUND(CAST(a.n_pieces AS DOUBLE) / a.n_tokens, 6)
+       |  END AS fertility,
+       |  md5(COALESCE(a.joined, '')) AS piece_md5
+       |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   /** t46: per-language tokenizer scorecard — the EVALUATION that the
-    * tokenizer family (t37/t42 BPE, t43 unigram-LM) exists to feed:
+    * tokenizer family (t37/t42 BPE, t43 unigram-LM, t51 WordPiece —
+    * a THREE-way comparison since round 15) exists to feed:
     * a multilingual training mix is budgeted in TOKENS, so a
     * tokenizer that fragments one language more than another silently
     * shifts the mix (the "fertility tax" — the standard cross-lingual
@@ -998,7 +1136,8 @@ object Corpus {
     */
   private[graft] def tokenizerEvalPartial(docs: DataFrame,
       bm: graft.text.Bpe.Merges,
-      um: graft.text.Unigram.Model): DataFrame =
+      um: graft.text.Unigram.Model,
+      wm: graft.text.WordPiece.Vocab): DataFrame =
     docs.transform(spreadScan)
       .withColumn("__toks", TextAnalysis.tokens(col("text")))
       .select(col("lang"),
@@ -1007,13 +1146,16 @@ object Corpus {
         size(graft.functions.BpeSubwords(col("__toks"), bm)).cast("long")
           .as("__bpe"),
         size(graft.functions.UnigramEncode(col("__toks"), um)
-          .getField("pieces")).cast("long").as("__uni"))
+          .getField("pieces")).cast("long").as("__uni"),
+        size(graft.functions.WordPieceEncode(col("__toks"), wm))
+          .cast("long").as("__wp"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("__chars")).as("n_chars"),
         sum(col("__words")).as("n_words"),
         sum(col("__bpe")).as("n_bpe_subwords"),
-        sum(col("__uni")).as("n_unigram_pieces"))
+        sum(col("__uni")).as("n_unigram_pieces"),
+        sum(col("__wp")).as("n_wordpiece_pieces"))
 
   private[graft] def foldTokenizerEval(parts: DataFrame): DataFrame =
     parts.groupBy(col("lang")).agg(
@@ -1021,7 +1163,8 @@ object Corpus {
       sum(col("n_chars")).as("n_chars"),
       sum(col("n_words")).as("n_words"),
       sum(col("n_bpe_subwords")).as("n_bpe_subwords"),
-      sum(col("n_unigram_pieces")).as("n_unigram_pieces"))
+      sum(col("n_unigram_pieces")).as("n_unigram_pieces"),
+      sum(col("n_wordpiece_pieces")).as("n_wordpiece_pieces"))
 
   /** The scorecard tail over a folded mass frame — shared verbatim by
     * the batch query and the streaming monitor's read side, so the
@@ -1034,50 +1177,63 @@ object Corpus {
         .otherwise(num.cast("double") / den.cast("double"))
     mass.select(col("lang"), col("n_docs"), col("n_chars"), col("n_words"),
       col("n_bpe_subwords"), col("n_unigram_pieces"),
+      col("n_wordpiece_pieces"),
       ratio(col("n_bpe_subwords"), col("n_words")).as("fertility_bpe"),
       ratio(col("n_unigram_pieces"), col("n_words"))
         .as("fertility_unigram"),
+      ratio(col("n_wordpiece_pieces"), col("n_words"))
+        .as("fertility_wordpiece"),
       ratio(col("n_chars"), col("n_bpe_subwords"))
         .as("chars_per_bpe_subword"),
       ratio(col("n_chars"), col("n_unigram_pieces"))
-        .as("chars_per_unigram_piece"))
+        .as("chars_per_unigram_piece"),
+      ratio(col("n_chars"), col("n_wordpiece_pieces"))
+        .as("chars_per_wordpiece_piece"))
   }
 
   val t46_tokenizer_eval: Q = (s, dir) =>
     tokenizerEvalReport(tokenizerEvalPartial(
-      t(s, dir, "documents"), bpeModel(s, dir), unigramModel(s, dir)))
+      t(s, dir, "documents"), bpeModel(s, dir), unigramModel(s, dir),
+      wordPieceModel(s, dir)))
 
   def t46_sql: String = {
     def ratio(num: String, den: String): String =
       s"CASE WHEN $den = 0 THEN NULL ELSE CAST($num AS DOUBLE) / CAST($den AS DOUBLE) END"
     s"""$bpeSegPrefixSql,
        |$unigramVitSqlCtes,
+       |$wordPieceSqlCtes,
        |per AS (SELECT tp.doc_id,
        |    COUNT(*) AS nw,
        |    CAST(SUM(len(f.syms)) AS BIGINT) AS nb,
-       |    CAST(SUM(len(string_split(u.pieces, ' '))) AS BIGINT) AS nu
+       |    CAST(SUM(len(string_split(u.pieces, ' '))) AS BIGINT) AS nu,
+       |    CAST(SUM(len(w.pieces)) AS BIGINT) AS np
        |  FROM tokpos tp
        |  JOIN fin f ON f.token = tp.token
        |  JOIN ufin u ON u.token = tp.token
+       |  JOIN wfin w ON w.token = tp.token
        |  GROUP BY tp.doc_id),
        |dd AS (SELECT d.lang,
        |    CAST(length(d.text) AS BIGINT) AS chars,
        |    CAST(COALESCE(p.nw, 0) AS BIGINT) AS nw,
        |    CAST(COALESCE(p.nb, 0) AS BIGINT) AS nb,
-       |    CAST(COALESCE(p.nu, 0) AS BIGINT) AS nu
+       |    CAST(COALESCE(p.nu, 0) AS BIGINT) AS nu,
+       |    CAST(COALESCE(p.np, 0) AS BIGINT) AS np
        |  FROM documents d LEFT JOIN per p USING (doc_id)),
        |g AS (SELECT lang, COUNT(*) AS n_docs,
        |    CAST(SUM(chars) AS BIGINT) AS n_chars,
        |    CAST(SUM(nw) AS BIGINT) AS n_words,
        |    CAST(SUM(nb) AS BIGINT) AS n_bpe_subwords,
-       |    CAST(SUM(nu) AS BIGINT) AS n_unigram_pieces
+       |    CAST(SUM(nu) AS BIGINT) AS n_unigram_pieces,
+       |    CAST(SUM(np) AS BIGINT) AS n_wordpiece_pieces
        |  FROM dd GROUP BY lang)
        |SELECT lang, n_docs, n_chars, n_words, n_bpe_subwords,
-       |  n_unigram_pieces,
+       |  n_unigram_pieces, n_wordpiece_pieces,
        |  ${ratio("n_bpe_subwords", "n_words")} AS fertility_bpe,
        |  ${ratio("n_unigram_pieces", "n_words")} AS fertility_unigram,
+       |  ${ratio("n_wordpiece_pieces", "n_words")} AS fertility_wordpiece,
        |  ${ratio("n_chars", "n_bpe_subwords")} AS chars_per_bpe_subword,
-       |  ${ratio("n_chars", "n_unigram_pieces")} AS chars_per_unigram_piece
+       |  ${ratio("n_chars", "n_unigram_pieces")} AS chars_per_unigram_piece,
+       |  ${ratio("n_chars", "n_wordpiece_pieces")} AS chars_per_wordpiece_piece
        |FROM g""".stripMargin
   }
 
@@ -8113,6 +8269,7 @@ object Corpus {
     "t37_bpe_encode"        -> t37_bpe_encode,
     "t42_bpe_roundtrip"     -> t42_bpe_roundtrip,
     "t43_unigram_encode"    -> t43_unigram_encode,
+    "t51_wordpiece_encode"  -> t51_wordpiece_encode,
     "t44_bestfit_pack"      -> t44_bestfit_pack,
     "t45_epoch_shuffle"     -> t45_epoch_shuffle,
     "t46_tokenizer_eval"    -> t46_tokenizer_eval,
@@ -8229,6 +8386,7 @@ object Corpus {
     "t37_bpe_encode"        -> t37_sql,
     "t42_bpe_roundtrip"     -> t42_sql,
     "t43_unigram_encode"    -> t43_sql,
+    "t51_wordpiece_encode"  -> t51_sql,
     "t44_bestfit_pack"      -> t44_sql,
     "t45_epoch_shuffle"     -> t45_sql,
     "t46_tokenizer_eval"    -> t46_sql,

@@ -1201,6 +1201,7 @@ object StreamingIngest {
       docs: DataFrame, // streaming frame: text + lang
       bm: graft.text.Bpe.Merges,
       um: graft.text.Unigram.Model,
+      wm: graft.text.WordPiece.Vocab,
       statsRoot: String,
       checkpointDir: String): StreamingQuery =
     docs.writeStream
@@ -1209,7 +1210,7 @@ object StreamingIngest {
             batchId: Long) =>
           val spark = batch.sparkSession
           val part = graft.queries.Corpus.tokenizerEvalPartial(
-            batch.toDF(), bm, um)
+            batch.toDF(), bm, um, wm)
           val merged = priorGeneration(spark, statsRoot, batchId) match {
             case Some(p) =>
               graft.queries.Corpus.foldTokenizerEval(

@@ -1577,10 +1577,11 @@ class StreamingSpec extends SparkSpec {
     val bm = graft.text.Bpe.train(vocab, nMerges = 16)
     val um = graft.text.Unigram.train(vocab,
       vocabSize = 128, maxPieceLen = 6, iters = 2)
+    val wm = graft.text.WordPiece.train(vocab, nMerges = 16)
     val shuffled = new scala.util.Random(41).shuffle(docs)
     val stream = MemoryStream[(Long, String, String)]
     val q = StreamingIngest.tokenizerEvalStream(
-      stream.toDF().toDF("doc_id", "text", "lang"), bm, um, root, ckpt)
+      stream.toDF().toDF("doc_id", "text", "lang"), bm, um, wm, root, ckpt)
     shuffled.grouped(30).foreach { chunk =>
       stream.addData(chunk: _*)
       q.processAllAvailable()
@@ -1591,7 +1592,7 @@ class StreamingSpec extends SparkSpec {
     val streamed = rows(StreamingIngest.currentTokenizerEval(spark, root).get)
     val batch = rows(graft.queries.Corpus.tokenizerEvalReport(
       graft.queries.Corpus.tokenizerEvalPartial(
-        docs.toDF("doc_id", "text", "lang"), bm, um)))
+        docs.toDF("doc_id", "text", "lang"), bm, um, wm)))
     assert(streamed === batch)
     assert(streamed.map(_.getString(0)) == langs.sorted)
     // the scorecard is non-degenerate: real subword mass accumulated

@@ -274,4 +274,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(95L) === ((3L, 3L, 1.0)))
     assert(got(99L) === ((3L, 3L, 1.0)))
   }
+
+  test("wordpiece encode: greedy longest-match, ## continuations, whole-word [UNK]") {
+    import graft.text.WordPiece
+    val v = WordPiece.Vocab(Array(
+      "h", "p", "hu", "hug", "##u", "##g", "##gs", "##s"))
+    // longest-match-first: "hug" beats "hu" beats "h"
+    assert(v.encodeWord("hug").toSeq === Seq("hug"))
+    // word-initial greed wins first ("hug" over "hu"), tail follows
+    assert(v.encodeWord("hugs").toSeq === Seq("hug", "##s"))
+    // continuation side is greedy too: without "hug", "##gs" beats "##g"
+    val v2 = WordPiece.Vocab(v.pieces.filterNot(_ == "hug"))
+    assert(v2.encodeWord("hugs").toSeq === Seq("hu", "##gs"))
+    // falls back through shorter pieces
+    assert(v.encodeWord("pug").toSeq === Seq("p", "##u", "##g"))
+    // an unmatchable position anywhere collapses the WHOLE word
+    assert(v.encodeWord("hux").toSeq === Seq(WordPiece.Unk))
+    assert(v.encodeWord("xug").toSeq === Seq(WordPiece.Unk))
+    assert(v.encodeWord("").toSeq === Seq.empty)
+    // decode identity on non-UNK words: strip ## and rejoin
+    for (w <- Seq("hug", "hugs", "pug", "h"))
+      assert(v.encodeWord(w).map(_.stripPrefix("##")).mkString("") === w)
+  }
+
+  test("wordpiece train: likelihood-lift picks the rare-but-exclusive pair over the frequent one") {
+    import graft.text.WordPiece
+    // "ab" appears 20× but a and b are both very common elsewhere;
+    // "xy" appears 4× and x/y appear ONLY together — lift must pick
+    // (x, ##y) first even though (a, ##b) has 5× the raw count
+    val sample = Seq(("ab", 20L), ("az", 30L), ("zb", 30L), ("xy", 4L))
+    val m = WordPiece.train(sample, nMerges = 1)
+    assert(m.pieces.contains("xy"), m.pieces.mkString(","))
+    assert(!m.pieces.contains("ab"))
+    // trained vocab encodes its own corpus without [UNK]
+    val full = WordPiece.train(sample, nMerges = 8)
+    for ((w, _) <- sample)
+      assert(!full.encodeWord(w).contains(WordPiece.Unk), w)
+  }
 }
