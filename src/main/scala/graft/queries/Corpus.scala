@@ -5713,17 +5713,15 @@ object Corpus {
     * [[c06Selection]]: a textual fork here could silently diverge the
     * two selections.
     */
-  private def c06SelectionSqlCtes(budget: Long,
-      docsRel: String = "documents"): String =
-    s"""surv AS (SELECT MIN(doc_id) AS doc_id FROM $docsRel
-       |  GROUP BY text),
-       |dd AS MATERIALIZED (SELECT d.doc_id, d.source,
-       |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
-       |    ('0x' || substr(md5(d.doc_id::VARCHAR || ':' || d.text), 1, 15))
-       |      ::BIGINT AS ck,
-       |    ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT AS h
-       |  FROM $docsRel d JOIN surv USING (doc_id)),
-       |s AS (SELECT source, COUNT(*) AS n_docs FROM dd GROUP BY 1),
+  /** Quota + threshold + selection over a PRE-SHAPED `dd(doc_id,
+    * source, n_tokens, ck, h)` relation — split out of
+    * [[c06SelectionSqlCtes]] so the media release (c11) can splice
+    * the identical selection rule over its kept-media frame: one
+    * statement of Hamilton + distinct-rank threshold, three consumers
+    * (c06/c09 text, c11 media).
+    */
+  private def selectionFromDdSqlCtes(budget: Long): String =
+    s"""s AS (SELECT source, COUNT(*) AS n_docs FROM dd GROUP BY 1),
        |${hamiltonSqlCtes("s", budget = budget)},
        |rk AS (SELECT source, h,
        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn,
@@ -5736,6 +5734,18 @@ object Corpus {
        |  FROM q LEFT JOIN rk USING (source) GROUP BY q.source),
        |sel AS MATERIALIZED (SELECT dd.* FROM dd JOIN thr USING (source)
        |  WHERE dd.h <= thr.thr)""".stripMargin
+
+  private def c06SelectionSqlCtes(budget: Long,
+      docsRel: String = "documents"): String =
+    s"""surv AS (SELECT MIN(doc_id) AS doc_id FROM $docsRel
+       |  GROUP BY text),
+       |dd AS MATERIALIZED (SELECT d.doc_id, d.source,
+       |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+       |    ('0x' || substr(md5(d.doc_id::VARCHAR || ':' || d.text), 1, 15))
+       |      ::BIGINT AS ck,
+       |    ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT AS h
+       |  FROM $docsRel d JOIN surv USING (doc_id)),
+       |${selectionFromDdSqlCtes(budget)}""".stripMargin
 
   /** The best-fit-decreasing fold over `sel`'s per-source weights as a
     * DuckDB recursive CTE — the EXACT rule
@@ -6494,6 +6504,168 @@ object Corpus {
        |$aS
        |UNION ALL
        |$vS""".stripMargin
+  }
+
+  // --------------------------------------- c11 media training-mix release
+
+  private def c11Root: String = s"${graft.ingest.FixtureTables.root}/c11"
+
+  /** c11's release budget — below every fixture's kept-media total,
+    * so the per-kind Hamilton quotas bind (the C06Budget argument).
+    */
+  private[graft] val C11Budget = 120L
+
+  /** c11: MULTIMODAL training-mix release — the c06 chain applied to
+    * media, closing the capstone symmetry (text c06/c09/c10, SFT c07,
+    * preference c08, media previously manifest-only in c04): per-kind
+    * perceptual near-dup groups (c04's m07/m08/m09 machinery over
+    * freshly dumped hash+size fixtures) → each group keeps its min-id
+    * canonical → Hamilton quota per media KIND over the kept counts →
+    * hash-threshold selection → byte-budget packing + checksum
+    * manifest, all through the SAME [[releaseFromSurvivors]] tail the
+    * text releases run (one statement of quota/threshold/pack/
+    * manifest, now four consumers). The media "token" cost is
+    * ceil(bytes/64) — a patch-count proxy computed from the raw
+    * payload size, dumped with the hashes so the oracle replays it.
+    *
+    * The oracle replays the FULL composition in one statement: pair
+    * generation brute-force from the dumps (pigeonhole-lossless
+    * banding is a plan optimization, not a semantics change), the
+    * closure as a recursive CTE, the kept set, then the SHARED
+    * [[selectionFromDdSqlCtes]] + [[releaseTailSql]] blocks — so a
+    * hash match certifies dedup, apportionment, selection, packing
+    * and checksum agree end-to-end.
+    *
+    * Scale shape: each kind's corpus is decoded ONCE into (hash,
+    * size) rows; pair generation is banded (never all-pairs), the
+    * grouping is the distributed CC loop, and everything after the
+    * kept frame runs on (id, kind, 3×BIGINT) rows — media bytes never
+    * travel past the hash stage.
+    */
+  val c11_media_mix_release: Q = (s, _) => {
+    import graft.multimodal.MultiModal
+    val imgC = MultiModal.imageCorpus(s, n = 400)
+    val audC = MultiModal.audioCorpus(s, n = 400)
+    val vidC = MultiModal.videoCorpus(s, n = 200)
+    def sized(ds: org.apache.spark.sql.Dataset[MultiModal.MediaRow]) =
+      ds.toDF().select(col("mediaId").as("media_id"),
+        length(col("content")).cast("long").as("nbytes"))
+    val img = MultiModal.imageDHashes(imgC).withColumnRenamed("dhash", "h")
+      .join(sized(imgC), "media_id")
+    val aud = MultiModal.audioFingerprints(audC).withColumnRenamed("fp", "h")
+      .join(sized(audC), "media_id")
+    val vid = MultiModal.videoFrameDHashes(vidC)
+      .join(sized(vidC), "media_id")
+    img.coalesce(1).write.mode("overwrite").parquet(s"$c11Root/image.parquet")
+    aud.coalesce(1).write.mode("overwrite").parquet(s"$c11Root/audio.parquet")
+    vid.coalesce(1).write.mode("overwrite").parquet(s"$c11Root/video.parquet")
+    val imgH = s.read.parquet(s"$c11Root/image.parquet")
+    val audH = s.read.parquet(s"$c11Root/audio.parquet")
+    val vidH = s.read.parquet(s"$c11Root/video.parquet")
+    // per-kind kept canonicals: group members keep only the min id
+    // (the c04 manifest rule, now feeding a release instead of counts)
+    def kept(ids: DataFrame, pairs: DataFrame): DataFrame = {
+      val comps = graft.graph.GraphOps.connectedComponents(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+        maxRounds = 12)
+      ids.join(comps, ids("media_id") === comps("node"), "left")
+        .where(col("node").isNull || col("media_id") === col("label"))
+        .select(ids("media_id"), col("htok"), col("nbytes"))
+    }
+    val keptImg = kept(
+      imgH.select(col("media_id"), col("h").as("htok"), col("nbytes")),
+      MultiModal.bandedHammingPairs(imgH, maxDist = 3))
+      .select(lit("image").as("kind"), col("media_id"), col("htok"),
+        col("nbytes"))
+    val keptAud = kept(
+      audH.select(col("media_id"), col("h").as("htok"), col("nbytes")),
+      MultiModal.bandedHammingPairs(audH, maxDist = 3))
+      .select(lit("audio").as("kind"), col("media_id"), col("htok"),
+        col("nbytes"))
+    // a video's content token folds its frame hashes (order-free XOR)
+    val keptVid = kept(
+      vidH.groupBy(col("media_id"))
+        .agg(expr("bit_xor(dhash)").as("htok"),
+          first(col("nbytes")).as("nbytes")),
+      MultiModal.videoNearDupPairs(vidH))
+      .select(lit("video").as("kind"), col("media_id"), col("htok"),
+        col("nbytes"))
+    import graft.functions.KmvSketch
+    val shaped = keptImg.unionByName(keptAud).unionByName(keptVid)
+      .select(
+        concat_ws(":", col("kind"), col("media_id").cast("string"))
+          .as("doc_id"),
+        col("kind").as("source"),
+        expr("(nbytes + 63L) div 64L").as("n_tokens"),
+        col("htok"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        KmvSketch.hash64(concat_ws(":", col("doc_id"),
+          col("htok").cast("string"))).as("__ck"),
+        KmvSketch.hash64(col("doc_id")).as("__h"))
+    releaseFromSurvivors(shaped, C11Budget)
+  }
+
+  def c11_sql: String = {
+    def keptBlock(kind: String, pfx: String, itemsSql: String,
+        pairsSql: String) =
+      s"""${pfx}i AS ($itemsSql),
+         |${pfx}p AS ($pairsSql),
+         |${pfx}e AS (SELECT id_a AS src, id_b AS dst FROM ${pfx}p
+         |            UNION SELECT id_b, id_a FROM ${pfx}p),
+         |${pfx}r AS (
+         |  SELECT src, dst FROM ${pfx}e
+         |  UNION
+         |  SELECT r.src, e.dst FROM ${pfx}r r JOIN ${pfx}e e ON r.dst = e.src),
+         |${pfx}g AS (SELECT src AS id, LEAST(src, MIN(dst)) AS group_id
+         |            FROM ${pfx}r GROUP BY src),
+         |${pfx}k AS (SELECT i.media_id, i.htok, i.nbytes, '$kind' AS kind
+         |  FROM ${pfx}i i LEFT JOIN ${pfx}g g ON g.id = i.media_id
+         |  WHERE g.id IS NULL OR i.media_id = g.group_id)""".stripMargin
+    val (iB, aB, vB) = (
+      keptBlock("image", "ri",
+        s"""SELECT media_id, h AS htok, nbytes
+           |FROM read_parquet('$c11Root/image.parquet/*.parquet')""".stripMargin,
+        s"""SELECT a.media_id AS id_a, b.media_id AS id_b
+           |FROM read_parquet('$c11Root/image.parquet/*.parquet') a
+           |JOIN read_parquet('$c11Root/image.parquet/*.parquet') b
+           |  ON a.media_id < b.media_id
+           |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin),
+      keptBlock("audio", "ra",
+        s"""SELECT media_id, h AS htok, nbytes
+           |FROM read_parquet('$c11Root/audio.parquet/*.parquet')""".stripMargin,
+        s"""SELECT a.media_id AS id_a, b.media_id AS id_b
+           |FROM read_parquet('$c11Root/audio.parquet/*.parquet') a
+           |JOIN read_parquet('$c11Root/audio.parquet/*.parquet') b
+           |  ON a.media_id < b.media_id
+           |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin),
+      keptBlock("video", "rv",
+        s"""SELECT media_id, bit_xor(dhash) AS htok,
+           |  ANY_VALUE(nbytes) AS nbytes
+           |FROM read_parquet('$c11Root/video.parquet/*.parquet')
+           |GROUP BY media_id""".stripMargin,
+        s"""SELECT a.media_id AS id_a, b.media_id AS id_b
+           |FROM read_parquet('$c11Root/video.parquet/*.parquet') a
+           |JOIN read_parquet('$c11Root/video.parquet/*.parquet') b
+           |  ON a.media_id < b.media_id AND a.frame_idx = b.frame_idx
+           |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+           |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin))
+    s"""WITH RECURSIVE
+       |$iB,
+       |$aB,
+       |$vB,
+       |mk AS (SELECT * FROM rik UNION ALL SELECT * FROM rak
+       |       UNION ALL SELECT * FROM rvk),
+       |dd AS MATERIALIZED (SELECT
+       |    kind || ':' || CAST(media_id AS VARCHAR) AS doc_id,
+       |    kind AS source,
+       |    (nbytes + 63) // 64 AS n_tokens,
+       |    ('0x' || substr(md5(kind || ':' || CAST(media_id AS VARCHAR)
+       |       || ':' || CAST(htok AS VARCHAR)), 1, 15))::BIGINT AS ck,
+       |    ('0x' || substr(md5(kind || ':' || CAST(media_id AS VARCHAR)),
+       |       1, 15))::BIGINT AS h
+       |  FROM mk),
+       |${selectionFromDdSqlCtes(C11Budget)},
+       |$releaseTailSql""".stripMargin
   }
 
   /** Multimodal plumbing demo (stub codec, real Spark dataflow):
@@ -8291,6 +8463,7 @@ object Corpus {
     "c08_preference_pairs"  -> c08_preference_pairs,
     "q150_bradley_terry"    -> q150_bradley_terry,
     "c10_domain_gate"       -> c10_domain_gate,
+    "c11_media_mix_release" -> c11_media_mix_release,
     "s21_bitext_mining"     -> s21_bitext_mining,
     "s22_cluster_eval"      -> s22_cluster_eval,
     "s23_pca_whitening"     -> s23_pca_whitening,
@@ -8408,6 +8581,7 @@ object Corpus {
     "c08_preference_pairs"  -> c08_sql,
     "q150_bradley_terry"    -> q150_sql,
     "c10_domain_gate"       -> c10_sql,
+    "c11_media_mix_release" -> c11_sql,
     "s21_bitext_mining"     -> s21_sql,
     "s22_cluster_eval"      -> s22_sql,
     "s23_pca_whitening"     -> s23_sql,

@@ -164,4 +164,40 @@ class ReleaseSpec extends SparkSpec {
     assert(c10.values.map(_._2).sum ===
       graft.queries.Corpus.C06Budget)
   }
+
+  test("c11: the media release keeps the budget identity, clamped selection, and dedup-only-removes per kind") {
+    val out = SparkEntry.queries("c11_media_mix_release")(
+        spark, "/root/testdata/sf0.001")
+      .select("source", "n_candidates", "final_quota", "n_selected",
+        "sum_tokens", "n_packs")
+      .collect()
+    // one manifest row per media kind
+    assert(out.map(_.getString(0)).sorted.toSeq ===
+      Seq("audio", "image", "video"))
+    // Hamilton quotas sum exactly to the media budget
+    assert(out.map(_.getLong(2)).sum === graft.queries.Corpus.C11Budget)
+    out.foreach { r =>
+      val (cand, quota, selected) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(selected == math.min(quota, cand),
+        s"${r.getString(0)}: selection must take min(final_quota, n_candidates)")
+      // dedup only removes: kept canonicals never exceed the corpus
+      val corpus = r.getString(0) match {
+        case "video" => 200L
+        case _       => 400L
+      }
+      assert(cand >= 1L && cand <= corpus,
+        s"${r.getString(0)}: kept count $cand out of [1, $corpus]")
+      // the fixtures plant 4-member duplicate groups — dedup must
+      // actually have fired, not passed everything through
+      assert(cand < corpus, s"${r.getString(0)}: dedup removed nothing")
+    }
+    // re-run bit-identical (pure function of the data)
+    val again = SparkEntry.queries("c11_media_mix_release")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).sorted.toSeq
+    val first = SparkEntry.queries("c11_media_mix_release")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(_.toString).sorted.toSeq
+    assert(again === first)
+  }
 }
