@@ -7025,6 +7025,29 @@ object Corpus {
         coalesce(col("__mut"), lit(false)).as("is_mutual"))
   }
 
+  /** The brute-force (exact-candidate) bitext miner over an explicit
+    * embeddings frame (vec_id + embedding): every cross-parity pair
+    * scores an exact cosine, then the SAME [[s21MinedPairs]] tail.
+    * Ground truth for the SimilaritySpec recall gate AND the batch
+    * definition the streaming read side
+    * ([[graft.streaming.StreamingIngest.currentBitextPairs]]) derives
+    * — one statement of "what the miner returns", three consumers.
+    * Candidate generation is |A|×|B| by design (it exists to be
+    * exact); the production-scale path is the s21 query's IVF probe.
+    */
+  private[graft] def s21BruteMinedPairs(emb: DataFrame): DataFrame = {
+    def side(p: Int) = emb.where(pmod(col("vec_id"), lit(2L)) === p.toLong)
+    def bfCands(p: Int) = {
+      val q = side(p).select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("__qv"))
+      val n = side(1 - p).select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("__nv"))
+      q.crossJoin(n).select(col("query_id"), col("neighbor_id"),
+        Similarity.cosine(col("__qv"), col("__nv")).as("cosine"))
+    }
+    s21MinedPairs(bfCands(0), bfCands(1))
+  }
+
   val s21_bitext_mining: Q = (s, dir) => {
     val idx = s03Index(s, dir)
     val emb = t(s, dir, "embeddings")

@@ -1033,6 +1033,64 @@ object StreamingIngest {
       .outputMode(OutputMode.Append)
       .start()
 
+  /** Continuously maintained EMBEDDING store — the vector sibling of
+    * [[qualityReleaseStream]]'s doc store (state is the input
+    * relation; every similarity read side derives at read time). The
+    * same at-least-once armor: vec_id dedup within the batch
+    * (deterministic min-struct pick — Spark orders arrays
+    * lexicographically) and against the prior generation (first
+    * write wins). Necessarily read-time for the c09 reason: a
+    * batch-2 vector can flip a batch-1 point's best-margin neighbor
+    * AND its mutual verdict, which no carried pair state could get
+    * right.
+    */
+  def embeddingStream(
+      vecs: DataFrame, // streaming frame: vec_id + embedding
+      statsRoot: String,
+      checkpointDir: String): StreamingQuery =
+    vecs.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          val spark = batch.sparkSession
+          val part = batch.toDF()
+            .select(col("vec_id"), col("embedding"))
+            .groupBy(col("vec_id"))
+            .agg(min(struct(col("embedding"))).as("__s"))
+            .select(col("vec_id"), col("__s.embedding"))
+          val merged = priorGeneration(spark, statsRoot, batchId) match {
+            case Some(p) =>
+              val prior = spark.read.parquet(s"$p/vecs")
+              prior.unionByName(
+                part.join(prior.select(col("vec_id")), Seq("vec_id"),
+                  "left_anti"))
+            case None => part
+          }
+          merged.write.mode("overwrite")
+            .parquet(s"$statsRoot/gen-$batchId/vecs")
+          ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+
+  /** s21's mined bitext pairs derived from the newest embedding
+    * store, or None before the first batch lands — zero new state
+    * (the currentBradleyTerry pattern): the miner is the SHARED
+    * [[graft.queries.Corpus.s21BruteMinedPairs]] (exact candidates +
+    * the same margin/mutual tail the batch query and the recall gate
+    * run), so streamed ≡ batch on the union of batches, late
+    * cross-batch vectors that flip a mutual-best verdict included
+    * (spec-asserted). At production scale the read side probes the
+    * persisted IVF index instead of the exact candidate frame — the
+    * s21 query's path; the margin algebra is identical.
+    */
+  def currentBitextPairs(
+      spark: SparkSession, statsRoot: String): Option[DataFrame] =
+    priorGeneration(spark, statsRoot, Long.MaxValue).map(p =>
+      graft.queries.Corpus.s21BruteMinedPairs(
+        spark.read.parquet(s"$p/vecs")))
+
   /** c09's exact quality-gated release derived from the newest doc
     * store, or None before the first batch lands.
     */

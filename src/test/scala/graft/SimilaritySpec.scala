@@ -409,23 +409,13 @@ class SimilaritySpec extends SparkSpec {
     val dir = "/root/testdata/sf0.01"
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
-    def side(p: Int) = e.where(pmod(col("vec_id"), lit(2L)) === p.toLong)
-    // brute-force candidate frames: every cross-side pair with exact
-    // cosine — the ground-truth miner runs the SAME s21MinedPairs
-    // tail, so the gate isolates candidate-generation recall
-    def bfCands(p: Int) = {
-      val q = side(p).select(col("vec_id").as("query_id"),
-        col("embedding").cast("array<double>").as("__qv"))
-      val n = side(1 - p).select(col("vec_id").as("neighbor_id"),
-        col("embedding").cast("array<double>").as("__nv"))
-      q.crossJoin(n).select(col("query_id"), col("neighbor_id"),
-        Similarity.cosine(col("__qv"), col("__nv")).as("cosine"))
-    }
+    // brute-force miner: the SHARED s21BruteMinedPairs (exact
+    // cross-side candidates into the same s21MinedPairs tail), so the
+    // gate isolates candidate-generation recall
     def pairSet(df: org.apache.spark.sql.DataFrame) =
       df.select(col("x_id"), col("y_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val bf = pairSet(
-      graft.queries.Corpus.s21MinedPairs(bfCands(0), bfCands(1)))
+    val bf = pairSet(graft.queries.Corpus.s21BruteMinedPairs(e))
     val ivf = pairSet(
       graft.queries.Corpus.s21_bitext_mining(spark, dir))
     assert(bf.nonEmpty, "brute-force miner must mine on the fixture")

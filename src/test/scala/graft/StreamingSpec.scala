@@ -1413,6 +1413,50 @@ class StreamingSpec extends SparkSpec {
         d.toDF("doc_id", "source", "text"), budget)))
   }
 
+  test("currentBitextPairs: read-time s21 over the embedding store equals batch, a late vector flips a mutual-best verdict") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_bitext_stream").toString
+    val root = s"$base/emb"; val ckpt = s"$base/ckpt"
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // batch 1: 0↔1 and 2↔3 are mutual best pairs across the parity
+    // split; batch 2's v5 sits CLOSER to v0 than v1 does, so v0's
+    // best-margin target flips to 5 — the verdict no carried pair
+    // state could update
+    val b1 = Seq(
+      (0L, v(1, 0, 0, 0)), (1L, v(0.9, 0.1, 0, 0)),
+      (2L, v(0, 1, 0, 0)), (3L, v(0, 0.9, 0.1, 0)),
+      (4L, v(0, 0, 1, 0)))
+    val b2 = Seq(
+      (5L, v(0.99, 0.01, 0, 0)), (6L, v(0, 0, 0.9, 0.1)),
+      (1L, v(0.5, 0.5, 0, 0))) // re-emission of vec 1: first write wins
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = StreamingIngest.embeddingStream(
+      stream.toDF().toDF("vec_id", "embedding"), root, ckpt)
+    stream.addData(b1: _*); q.processAllAvailable()
+    def mined() = StreamingIngest.currentBitextPairs(spark, root).get
+      .orderBy("x_id", "y_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4))).toSeq
+    val afterB1 = mined()
+    stream.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val afterB2 = mined()
+    // streamed ≡ batch on the union (original vec 1 payload — the
+    // re-emitted rewrite must NOT land)
+    val union = (b1 ++ b2.filterNot(_._1 == 1L))
+      .toDF("vec_id", "embedding")
+    val batch = graft.queries.Corpus.s21BruteMinedPairs(union)
+      .orderBy("x_id", "y_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4))).toSeq
+    assert(afterB2 === batch)
+    assert(afterB2.nonEmpty)
+    // the late vector really flipped the mined set
+    assert(afterB1 !== afterB2)
+    assert(afterB1.exists(p => p._1 == 0L && p._2 == 1L))
+    assert(afterB2.exists(p => p._1 == 0L && p._2 == 5L))
+  }
+
   test("currentBradleyTerry: read-time q150 over the c07 turn store equals batch, late cross-batch turns included") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
