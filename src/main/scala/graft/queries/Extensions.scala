@@ -1180,6 +1180,73 @@ object Extensions {
        |             'o_day': 'DATE', 'o_custkey': 'BIGINT'})
        |GROUP BY o_orderpriority""".stripMargin
 
+  /** q153: Avro round-trip — the remaining common interchange format
+    * after parquet/CSV/ORC/JSON-lines/JDBC/DSv2. Spark's distribution
+    * carries the Avro CORE library but not the `spark-avro`
+    * connector, so the engine owns the container framing
+    * ([[graft.sources.AvroTables]]): partition-parallel write of the
+    * order projection through `DataFileWriter` over the Hadoop FS
+    * API, read back under an explicit schema through
+    * `DataFileReader`/FsInput, one task per file. DuckDB's Avro
+    * reader is an extension this environment cannot install, so the
+    * oracle states the round-trip CONTRACT instead (the q115 ORC
+    * discipline): the same aggregate computed from the original
+    * table — any value the Avro encode/decode mangles (double bits,
+    * micros, string escaping, a dropped row) breaks the per-status
+    * membership checksum, which folds every field of every row
+    * through an order-free bit_xor of 60-bit md5 prefixes. Doubles
+    * enter the checksum via the e-2 integer quantization (prices are
+    * 2-decimal money; the s03 boundary discipline), never via float
+    * text.
+    */
+  private def avroRoundTripPath(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${graft.ingest.FixtureTables.root}/avro_orders_$key"
+  }
+
+  val q153_avro_roundtrip: Q = (s, dir) => {
+    import graft.functions.KmvSketch
+    val path = avroRoundTripPath(dir)
+    val src = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("o_totalprice"),
+        unix_micros(col("o_orderdate")
+          .cast(org.apache.spark.sql.types.TimestampType))
+          .as("o_orderdate_us"))
+    graft.sources.AvroTables.writeOrders(src, path)
+    graft.sources.AvroTables.readOrders(s, path)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderdate_us"),
+        expr("CAST(round(o_totalprice * 100.0, 0) AS BIGINT)")
+          .as("__price_e2"))
+      .withColumn("__hx", KmvSketch.hash64(concat_ws(":",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("__price_e2"), col("o_orderdate_us"))))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__price_e2")).as("sum_price_e2"),
+        min(col("o_orderdate_us")).as("min_ts_us"),
+        max(col("o_orderdate_us")).as("max_ts_us"),
+        expr("bit_xor(__hx)").as("checksum"))
+  }
+
+  def q153_sql: String =
+    """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CAST(ROUND(o_totalprice * 100.0) AS BIGINT) AS price_e2,
+      |    epoch_us(o_orderdate) AS ts_us
+      |  FROM orders)
+      |SELECT o_orderstatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(price_e2) AS BIGINT) AS sum_price_e2,
+      |  MIN(ts_us) AS min_ts_us, MAX(ts_us) AS max_ts_us,
+      |  CAST(bit_xor(('0x' || substr(md5(
+      |      CAST(o_orderkey AS VARCHAR) || ':' ||
+      |      CAST(o_custkey AS VARCHAR) || ':' || o_orderstatus || ':' ||
+      |      CAST(price_e2 AS VARCHAR) || ':' ||
+      |      CAST(ts_us AS VARCHAR)), 1, 15))::BIGINT) AS BIGINT)
+      |    AS checksum
+      |FROM o
+      |GROUP BY o_orderstatus""".stripMargin
+
   /** q124: sharded corpus export + manifest — the release step that
     * turns a curated corpus into N deterministic shards (parquet
     * `partitionBy`, the storage layout a training loader reads
@@ -2058,6 +2125,7 @@ object Extensions {
     "q84_csv_roundtrip"  -> q84_csv_roundtrip,
     "q115_orc_roundtrip" -> q115_orc_roundtrip,
     "q116_json_roundtrip" -> q116_json_roundtrip,
+    "q153_avro_roundtrip" -> q153_avro_roundtrip,
     "q124_shard_manifest" -> q124_shard_manifest,
     "q125_schema_evolution" -> q125_schema_evolution,
     "q85_user_growth"    -> q85_user_growth,
@@ -2104,6 +2172,7 @@ object Extensions {
     "q84_csv_roundtrip"  -> q84_sql,
     "q115_orc_roundtrip" -> q115_sql,
     "q116_json_roundtrip" -> q116_sql,
+    "q153_avro_roundtrip" -> q153_sql,
     "q124_shard_manifest" -> q124_sql,
     "q125_schema_evolution" -> q125_sql,
     "q85_user_growth"    -> q85_sql,
