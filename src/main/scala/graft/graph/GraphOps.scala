@@ -474,6 +474,66 @@ object GraphOps {
     out.result().reduce(_ unionAll _)
   }
 
+  /** k-core decomposition (coreness per node) of an undirected edge
+    * set by the distributed H-INDEX iteration (Lü, Chen, Ren, Zhang,
+    * Zhang & Zhou, "Vital nodes identification in complex networks",
+    * and the h-index convergence result of Lü et al. 2016, public
+    * literature): h₀(v) = degree(v); each round h(v) ← H-index of the
+    * neighbors' current h values (the largest k with ≥ k neighbors at
+    * h ≥ k); the fixpoint IS the peeling coreness. Coreness is the
+    * graph-curation signal the family lacked: the dense core a
+    * link-spam cluster forms survives k-core peeling long after
+    * organic tree-ish link mass is stripped (g03's triangles are the
+    * local version; coreness is the global one).
+    *
+    * Per round: one keyed join carries h to neighbors, one per-node
+    * window ranks them (keyed by the data-scale node id), one
+    * map-side-combined max — the g02 two-exchange discipline, h
+    * monotonically non-increasing integers, so the result is exactly
+    * reproducible at any partitioning (ties inside the window leave
+    * the H-index invariant: equal values occupy contiguous ranks and
+    * the count of positions with value ≥ rank does not depend on
+    * their order). Iterates to fixpoint with early exit, capped at
+    * `maxRounds` (the oracle unrolls exactly that many rounds; once
+    * converged every extra round is the identity — the g02
+    * CcRounds contract, convergence spec-asserted at fixture scale:
+    * 21/10/5 rounds at sf 0.001/0.01/0.1).
+    *
+    * Returns (node, coreness, degree).
+    */
+  def coreness(edgesUndirected: DataFrame, maxRounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val both = edgesUndirected.select(col("src"), col("dst"))
+      .unionAll(edgesUndirected.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    val deg = both.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("degree"))
+      .localCheckpoint(true)
+    var h = deg.select(col("node"), col("degree").as("h"))
+      .localCheckpoint(true)
+    var round = 0
+    var changed = true
+    while (changed && round < maxRounds) {
+      val nb = both
+        .join(h.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("h").as("__nh"))
+      val w = Window.partitionBy(col("node")).orderBy(col("__nh").desc)
+      val next = h.select(col("node"))
+        .join(nb.withColumn("__rn", row_number().over(w))
+            .where(col("__nh") >= col("__rn"))
+            .groupBy(col("node")).agg(max(col("__rn")).as("h")),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("h"), lit(0L)).cast("long").as("h"))
+        .localCheckpoint(true)
+      changed = next.as("n").join(h.as("o"), Seq("node"))
+        .where(col("n.h") =!= col("o.h")).limit(1).count() > 0
+      h = next
+      round += 1
+    }
+    h.join(deg, Seq("node"))
+      .select(col("node"), col("h").as("coreness"), col("degree"))
+  }
+
   /** DIRECTED sequence edges from `lineitem`: src part immediately
     * followed by dst part within an order (consecutive `l_linenumber`
     * positions), each src keeping only its `topK` most-frequent

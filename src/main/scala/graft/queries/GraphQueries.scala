@@ -532,7 +532,49 @@ object GraphQueries {
       |  COUNT(*) OVER (PARTITION BY scc_id) AS scc_size
       |FROM scc""".stripMargin
 
+  private val KcRounds = 24
+
+  /** g12: k-core decomposition of the support≥2 co-purchase graph —
+    * per-part coreness by the distributed h-index iteration
+    * ([[GraphOps.coreness]]; the fixpoint equals peeling coreness,
+    * spec-proven against a driver-side peeling reference). The oracle
+    * unrolls EXACTLY [[KcRounds]] h-index rounds as materialized CTEs
+    * (the g02 CcRounds contract — convergence within the cap is
+    * spec-asserted at both oracle scales: 21 rounds at sf0.001, 10 at
+    * sf0.01), each round one window rank + one max per node, integer
+    * state throughout, so the hash match certifies round-for-round
+    * equivalence of the whole recurrence.
+    */
+  val g12_kcore: Q = (s, dir) => {
+    val eu = GraphOps.copurchaseEdgesUndirected(t(s, dir, "lineitem"), MinSupport)
+    GraphOps.coreness(eu, KcRounds)
+      .select(col("node").as("part_key"), col("coreness"), col("degree"))
+  }
+
+  val g12_sql: String = {
+    // AS MATERIALIZED for the g02 reason: each round reads the prior
+    // one twice (the neighbor join and the node spine)
+    val rounds = (1 to KcRounds).map { i =>
+      s"""h$i AS MATERIALIZED (SELECT p.node,
+         |  CAST(COALESCE(x.h, 0) AS BIGINT) AS h
+         |  FROM h${i - 1} p LEFT JOIN (
+         |    SELECT node, MAX(rn) AS h FROM (
+         |      SELECT e.dst AS node, q.h AS nh,
+         |        ROW_NUMBER() OVER (PARTITION BY e.dst
+         |                           ORDER BY q.h DESC) AS rn
+         |      FROM bidir e JOIN h${i - 1} q ON q.node = e.src)
+         |    WHERE nh >= rn GROUP BY node) x ON x.node = p.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       |h0 AS MATERIALIZED (SELECT src AS node,
+       |  CAST(COUNT(*) AS BIGINT) AS h FROM bidir GROUP BY src),
+       |$rounds
+       |SELECT f.node AS part_key, f.h AS coreness, h0.h AS degree
+       |FROM h$KcRounds f JOIN h0 ON h0.node = f.node""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "g12_kcore" -> g12_kcore,
     "g11_scc" -> g11_scc,
     "g10_hits" -> g10_hits,
     "g09_label_propagation" -> g09_label_propagation,
@@ -546,6 +588,7 @@ object GraphQueries {
     "g05_hyperball"   -> g05_hyperball)
 
   val oracles: Map[String, String] = Map(
+    "g12_kcore" -> g12_sql,
     "g11_scc" -> g11_sql,
     "g10_hits" -> g10_sql,
     "g09_label_propagation" -> g09_sql,

@@ -324,6 +324,69 @@ class GraphSpec extends SparkSpec {
     }.toMap
   }
 
+  /** Driver-side peeling reference for coreness — the textbook
+    * min-degree removal, independent of the h-index iteration.
+    */
+  private def refCoreness(es: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Long]]()
+    es.foreach { case (s, d) =>
+      adj.getOrElseUpdate(s, scala.collection.mutable.Set()) += d
+      adj.getOrElseUpdate(d, scala.collection.mutable.Set()) += s
+    }
+    val core = scala.collection.mutable.Map[Long, Long]()
+    var k = 0L
+    while (adj.nonEmpty) {
+      val peel = adj.filter(_._2.size <= k).keys.toSeq
+      if (peel.isEmpty) k += 1
+      else peel.foreach { v =>
+        core(v) = k
+        adj.remove(v)
+        adj.values.foreach(_ -= v)
+      }
+    }
+    core.toMap
+  }
+
+  test("coreness: a K4 hanging off a path peels to the known cores") {
+    val es = Seq[(Long, Long)](
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), // K4
+      (4L, 5L), (5L, 6L)) // tree tail
+    val got = GraphOps.coreness(edges(es: _*), maxRounds = 24)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.view.mapValues(_._1).toMap ===
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 1L, 6L -> 1L))
+    assert(got(4L)._2 === 4L) // degree rides along
+    assert(got.view.mapValues(_._1).toMap === refCoreness(es))
+  }
+
+  test("coreness equals driver-side peeling on seeded random graphs") {
+    val rnd = new scala.util.Random(4211)
+    (1 to 2).foreach { _ =>
+      val n = 30
+      val es = (1 to 80).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val got = GraphOps.coreness(edges(es: _*), maxRounds = 24)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === refCoreness(es))
+    }
+  }
+
+  test("coreness h-index iteration converges inside the g12 round cap on both oracle fixtures") {
+    // the oracle unrolls exactly KcRounds=24 rounds; equality with the
+    // Spark fixpoint needs convergence inside the cap (measured: 21 at
+    // sf0.001, 10 at sf0.01) — one extra round must change nothing
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val eu = GraphOps.copurchaseEdgesUndirected(
+        Tables(spark, dir, "lineitem"), minOrders = 2)
+      val a = GraphOps.coreness(eu, maxRounds = 24)
+      val b = GraphOps.coreness(eu, maxRounds = 25)
+      assert(a.as("a").join(b.as("b"), Seq("node"))
+        .where(col("a.coreness") =!= col("b.coreness")).count() == 0, dir)
+    }
+  }
+
   test("scc: planted digraph with known components (cycles, chains, a low-label outside ancestor)") {
     // node 0 feeds the {5,6} cycle from OUTSIDE it — forward-min of
     // 5/6 is 0 but backward-min is 5, so that SCC cannot settle in

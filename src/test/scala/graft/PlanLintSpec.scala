@@ -152,9 +152,11 @@ class PlanLintSpec extends SparkSpec {
       // (the q138 domain-bounded grid), plus two broadcast 1-row
       // totals crosses — never row×row
       "q151_t_closeness",
-      // q152: the catalog-bounded slice frame crosses the broadcast
-      // 1-row pooled-rates fold — the q135 report shape (plus t38's
-      // inherited broadcast bias lookup)
+      // q152: the catalog-bounded slice frame crosses TWO broadcast
+      // 1-row folds (pooled rates + the max-rate slice, the latter
+      // picked by an anti-join over the slice-domain-bounded
+      // aggregate — ≤|sources|² comparisons) — the q135 report shape
+      // (plus t38's inherited broadcast bias lookup)
       "q152_fairness_report")
 
   // queries allowed to window >minRows rows on a <minKeys-value key —
