@@ -7332,22 +7332,33 @@ object Corpus {
     * corpus — zip_with/aggregate per row, constants riding as
     * literals — no shuffle, no join, no window at any size.
     */
-  val s23_pca_whitening: Q = (s, dir) => {
-    val m = s23Model(s, dir)
+  /** The exact-integer projection numerators per vector —
+    * (vec_id, __n1..__nK) with __nk = Σ_j (n·xq_j − S_j)·v_e6 —
+    * shared by the s23 projection query and s24's pc-space recall
+    * eval (cosine cancels the common n·10¹² scale, so the numerators
+    * ARE the pc-space coordinates up to a positive factor).
+    */
+  private def s23Numerators(emb: DataFrame,
+      m: graft.similarity.Pca.Model): DataFrame = {
     val nL = m.n
     val xq = expr("transform(embedding, x -> " +
       "CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT))")
     val cent = zip_with(xq, typedlit(m.sums.toSeq),
       (x, sj) => x * lit(nL) - sj)
-    val staged = t(s, dir, "embeddings")
-      .select(col("vec_id"), cent.as("__cent"))
-    val withNums = (0 until S23K).foldLeft(staged) { (df, k) =>
+    val staged = emb.select(col("vec_id"), cent.as("__cent"))
+    (0 until S23K).foldLeft(staged) { (df, k) =>
       df.withColumn(s"__n${k + 1}",
         aggregate(
           zip_with(col("__cent"), typedlit(m.loadings(k).toSeq),
             (c, v) => c * v),
           lit(0L), (acc, x) => acc + x))
-    }
+    }.drop("__cent")
+  }
+
+  val s23_pca_whitening: Q = (s, dir) => {
+    val m = s23Model(s, dir)
+    val nL = m.n
+    val withNums = s23Numerators(t(s, dir, "embeddings"), m)
     val pcs = (0 until S23K).map { k =>
       (col(s"__n${k + 1}").cast("double") /
         lit(nL * 1000000000000L).cast("double")).as(s"pc${k + 1}")
@@ -7362,7 +7373,13 @@ object Corpus {
     withNums.select(col("vec_id") +: (pcs ++ ws): _*)
   }
 
-  def s23_sql: String = {
+  /** The s23 model-replay CTE prefix (embeddings → e-6 quantization →
+    * exact centered numerators per component, ending in
+    * `nmr(vec_id, nn, sg1.., n1..)`) — ONE statement of the dumped
+    * model's algebra, spliced by the s23 oracle AND s24's pc-space
+    * recall eval.
+    */
+  private def s23NumSqlCtes: String = {
     val path = s23ModelPath(oracleSfDir)
     val loadCtes = (1 to S23K).map(k =>
       s"""l$k AS (SELECT LIST(v_e6 ORDER BY j) AS lv
@@ -7373,14 +7390,7 @@ object Corpus {
       s"""    list_reduce(list_transform(generate_series(1, $S23Dim),
          |      i -> cent[i] * l$k.lv[i]), (a, b) -> a + b) AS n$k"""
         .stripMargin).mkString(",\n")
-    val outs = (1 to S23K).map(k =>
-      s"""  CAST(n$k AS DOUBLE) / CAST(nn * 1000000000000 AS DOUBLE)
-         |    AS pc$k""".stripMargin).mkString(",\n")
-    val wouts = (1 to S23K).map(k =>
-      s"""  CASE WHEN sg$k > 0 THEN CAST(n$k AS DOUBLE)
-         |    / CAST(nn * 1000000 * sg$k AS DOUBLE) END AS w$k"""
-        .stripMargin).mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |mn AS (SELECT s AS nn FROM read_parquet('$path/means/*.parquet')
        |       WHERE j = -1),
        |ms AS (SELECT LIST(s ORDER BY j) AS sv
@@ -7399,11 +7409,112 @@ object Corpus {
        |$nums
        |  FROM c CROSS JOIN mn
        |${(1 to S23K).map(k => s"  CROSS JOIN l$k CROSS JOIN g$k")
-        .mkString("\n")})
+        .mkString("\n")})""".stripMargin
+  }
+
+  def s23_sql: String = {
+    val outs = (1 to S23K).map(k =>
+      s"""  CAST(n$k AS DOUBLE) / CAST(nn * 1000000000000 AS DOUBLE)
+         |    AS pc$k""".stripMargin).mkString(",\n")
+    val wouts = (1 to S23K).map(k =>
+      s"""  CASE WHEN sg$k > 0 THEN CAST(n$k AS DOUBLE)
+         |    / CAST(nn * 1000000 * sg$k AS DOUBLE) END AS w$k"""
+        .stripMargin).mkString(",\n")
+    s"""WITH $s23NumSqlCtes
        |SELECT vec_id,
        |$outs,
        |$wouts
        |FROM nmr""".stripMargin
+  }
+
+  /** s24: recall of PC-SPACE retrieval against the exact full-space
+    * top-10 — the eval that prices the s23 reduction (the s19
+    * discipline applied to dimensionality reduction instead of an
+    * index): per probe query, how much of the exact 64-dim cosine
+    * top-10 does ranking by 4-dim PCA cosine recover? Both sides are
+    * deterministic-exact: the full-space baseline is s19's brute
+    * scan; the pc-space side ranks by cosine over the EXACT integer
+    * projection numerators (the n·10¹² scale cancels in cosine, so
+    * the numerators ARE pc-space coordinates) converted once to
+    * doubles — identical op order both engines, id tie-breaks, so
+    * the recall NUMBER is engine-independent. Composes the s23 dump:
+    * the oracle replays the projection through the shared
+    * [[s23NumSqlCtes]] and the ranking through the same 4-dim cosine.
+    *
+    * Scale shape: the exact side brute-forces per PROBE (5 here, a
+    * sample by construction — the s19 rule); the pc side is the same
+    * probe-bounded scan over 4-dim vectors.
+    *
+    * Reading the number: the fixture embeddings are near-ISOTROPIC
+    * (4 of 64 PCs carry ~6% of the variance), so the fixture recall
+    * is legitimately near zero — the eval CORRECTLY prices a 4-dim
+    * cut of this corpus as unsafe for retrieval, which is precisely
+    * the decision it exists to inform. SimilaritySpec proves the
+    * other direction on a planted anisotropic corpus (pc-space
+    * recall ≥ 0.8 when low-rank structure actually exists).
+    */
+  val s24_pca_recall: Q = (s, dir) => {
+    val m = s23Model(s, dir)
+    val emb = t(s, dir, "embeddings")
+    val exact = Similarity.bruteForceTopK(
+        emb.where(col("vec_id") < 5), emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val pcv = s23Numerators(emb, m)
+      .select(col("vec_id"),
+        array((1 to S23K).map(k => col(s"__n$k").cast("double")): _*)
+          .as("__pcv"))
+    val approx = Similarity.bruteForceTopK(
+        pcv.where(col("vec_id") < 5), pcv,
+        "vec_id", "__pcv", "vec_id", "__pcv", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), lit(10L).as("k"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_exact"))
+          .as("recall"))
+  }
+
+  def s24_sql: String = {
+    val cos4 =
+      s"""CASE WHEN list_sum(list_transform(a.v, x -> x * x)) = 0
+         |       OR list_sum(list_transform(b.v, x -> x * x)) = 0 THEN 0.0
+         |     ELSE list_sum(list_transform(generate_series(1, $S23K),
+         |            i -> a.v[i] * b.v[i])) /
+         |          (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+         |           * sqrt(list_sum(list_transform(b.v, x -> x * x))))
+         |END""".stripMargin
+    s"""WITH $s23NumSqlCtes,
+       |xc AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    $cosSql AS cos
+       | FROM e a JOIN e b ON b.vec_id <> a.vec_id WHERE a.vec_id < 5),
+       |xr AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM xc) WHERE rank <= 10),
+       |pv AS (SELECT vec_id,
+       |    [${(1 to S23K).map(k => s"CAST(n$k AS DOUBLE)").mkString(", ")}]
+       |      AS v
+       |  FROM nmr),
+       |ac AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    $cos4 AS cos
+       | FROM pv a JOIN pv b ON b.vec_id <> a.vec_id WHERE a.vec_id < 5),
+       |ar AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM ac) WHERE rank <= 10),
+       |hx AS (SELECT query_id, COUNT(*) AS n_exact FROM xr GROUP BY 1),
+       |hh AS (SELECT x.query_id, COUNT(*) AS n_hits
+       | FROM xr x JOIN ar a USING (query_id, neighbor_id) GROUP BY 1)
+       |SELECT hx.query_id, CAST(10 AS BIGINT) AS k, hx.n_exact,
+       |  CAST(COALESCE(hh.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(COALESCE(hh.n_hits, 0) AS DOUBLE) / hx.n_exact AS recall
+       |FROM hx LEFT JOIN hh USING (query_id)""".stripMargin
   }
 
   /** s19: ANN recall@k — the index-quality eval every serving stack
@@ -8490,6 +8601,7 @@ object Corpus {
     "s21_bitext_mining"     -> s21_bitext_mining,
     "s22_cluster_eval"      -> s22_cluster_eval,
     "s23_pca_whitening"     -> s23_pca_whitening,
+    "s24_pca_recall"        -> s24_pca_recall,
     "q152_fairness_report"  -> q152_fairness_report,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
@@ -8608,6 +8720,7 @@ object Corpus {
     "s21_bitext_mining"     -> s21_sql,
     "s22_cluster_eval"      -> s22_sql,
     "s23_pca_whitening"     -> s23_sql,
+    "s24_pca_recall"        -> s24_sql,
     "q152_fairness_report"  -> q152_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,

@@ -542,6 +542,49 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(wv - 1.0) < 0.01, s"whitened var $wv"))
   }
 
+  test("s24's premise: pc-space ranking recovers full-space neighbors when low-rank structure EXISTS") {
+    import graft.similarity.Pca
+    // planted rank-3 corpus in 16 dims + small noise: the top-3 PCs
+    // carry nearly all variance, so 4-dim pc-space cosine must agree
+    // with full-space cosine on the top-10 sets (the fixture's
+    // near-isotropic embeddings legitimately score ~0 — this test
+    // pins the converse so s24's low reading can't hide a bug)
+    val rnd = new scala.util.Random(313)
+    val dim = 16
+    val basis = Array.fill(3, dim)(rnd.nextGaussian())
+    val vecs = (0 until 120).map { _ =>
+      val cs = Array.fill(3)(rnd.nextGaussian() * 2.0)
+      Array.tabulate(dim)(j =>
+        (0 until 3).map(b => cs(b) * basis(b)(j)).sum
+          + rnd.nextGaussian() * 0.02)
+    }
+    val sample = vecs.map(_.map(x => math.round(x * 1e6)))
+    val m = Pca.fit(sample, dim, k = 4)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0
+      else a.zip(b).map { case (x, y) => x * y }.sum / (na * nb)
+    }
+    def pc(xq: Array[Long]): Array[Double] =
+      (0 until 4).map(k =>
+        xq.indices.map(j =>
+          ((m.n * xq(j) - m.sums(j)) * m.loadings(k)(j)).toDouble)
+          .sum).toArray
+    val full = vecs.map(_.clone())
+    val pcs = sample.map(pc)
+    def top10(space: IndexedSeq[Array[Double]], q: Int): Set[Int] =
+      space.indices.filter(_ != q)
+        .sortBy(i => (-cos(space(q), space(i)), i)).take(10).toSet
+    val recalls = (0 until 5).map { q =>
+      val e = top10(full.toIndexedSeq, q)
+      val a = top10(pcs.toIndexedSeq, q)
+      (e & a).size.toDouble / e.size
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.8, s"planted-structure pc recall $mean")
+  }
+
   test("s22 entropy algebra: purity/NMI match independent math.log on planted contingencies") {
     import spark.implicits._
     // independent driver-side reference — math.log, no PortableMath
