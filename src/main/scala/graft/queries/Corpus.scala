@@ -7277,22 +7277,35 @@ object Corpus {
     * each call re-dumps the model tables to the per-dir path so the
     * oracle replays from THIS run's fixtures.
     */
+  /** Fit the PCA model on an explicit embeddings frame — bounded
+    * deterministic sample: the smallest-vec_id rows, the
+    * bpeModel/PqCodebook driver-fit discipline. Quantization to e-6
+    * mirrors the plan's round() (never lands on a .5 boundary:
+    * float×10⁶ is dyadic, k.5·10⁻⁶ is not float-representable).
+    * Shared by the per-dir cached fit below and the streaming read
+    * side ([[graft.streaming.StreamingIngest.currentPcaWhitening]] —
+    * a read-time refit over the maintained store, the c09 rule: a
+    * late vector inside the sample boundary changes the model, which
+    * no carried moments could get right once dedup/first-write-wins
+    * is in play).
+    */
+  private[graft] def fitPca(emb: DataFrame): graft.similarity.Pca.Model = {
+    val sample = emb
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(S23MaxSample)
+      .collect()
+      .map(_.getSeq[Float](1).toArray
+        .map(x => math.round(x.toDouble * 1e6)))
+      .toSeq
+    // dim inferred from the data so the fit also serves non-64-dim
+    // stores (the streaming read side's spec corpus)
+    val dim = sample.headOption.map(_.length).getOrElse(S23Dim)
+    graft.similarity.Pca.fit(sample, dim, math.min(S23K, dim))
+  }
+
   private[graft] def s23Model(s: SparkSession,
       dir: String): graft.similarity.Pca.Model = {
-    val m = s23Models.getOrElseUpdate(dir, {
-      // bounded deterministic sample: the smallest-vec_id rows, the
-      // bpeModel/PqCodebook driver-fit discipline. Quantization to
-      // e-6 mirrors the plan's round() (never lands on a .5 boundary:
-      // float×10⁶ is dyadic, k.5·10⁻⁶ is not float-representable).
-      val sample = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-        .orderBy(col("vec_id")).limit(S23MaxSample)
-        .collect()
-        .map(_.getSeq[Float](1).toArray
-          .map(x => math.round(x.toDouble * 1e6)))
-        .toSeq
-      graft.similarity.Pca.fit(sample, S23Dim, S23K)
-    })
+    val m = s23Models.getOrElseUpdate(dir, fitPca(t(s, dir, "embeddings")))
     import s.implicits._
     val path = s23ModelPath(dir)
     // n rides at j = -1 (the bias-at-bucket-−1 move)
@@ -7346,7 +7359,7 @@ object Corpus {
     val cent = zip_with(xq, typedlit(m.sums.toSeq),
       (x, sj) => x * lit(nL) - sj)
     val staged = emb.select(col("vec_id"), cent.as("__cent"))
-    (0 until S23K).foldLeft(staged) { (df, k) =>
+    m.loadings.indices.foldLeft(staged) { (df, k) =>
       df.withColumn(s"__n${k + 1}",
         aggregate(
           zip_with(col("__cent"), typedlit(m.loadings(k).toSeq),
@@ -7355,15 +7368,20 @@ object Corpus {
     }.drop("__cent")
   }
 
-  val s23_pca_whitening: Q = (s, dir) => {
-    val m = s23Model(s, dir)
+  /** The projection + whitening tail over an explicit embeddings
+    * frame and fitted model — shared verbatim by the s23 query and
+    * the streaming read side, so the stream-derived projection EQUALS
+    * the batch one on the union of batches (spec-asserted).
+    */
+  private[graft] def pcaWhitenOf(emb: DataFrame,
+      m: graft.similarity.Pca.Model): DataFrame = {
     val nL = m.n
-    val withNums = s23Numerators(t(s, dir, "embeddings"), m)
-    val pcs = (0 until S23K).map { k =>
+    val withNums = s23Numerators(emb, m)
+    val pcs = m.loadings.indices.map { k =>
       (col(s"__n${k + 1}").cast("double") /
         lit(nL * 1000000000000L).cast("double")).as(s"pc${k + 1}")
     }
-    val ws = (0 until S23K).map { k =>
+    val ws = m.loadings.indices.map { k =>
       val sig = m.sigE6(k)
       (if (sig > 0L)
         col(s"__n${k + 1}").cast("double") /
@@ -7372,6 +7390,9 @@ object Corpus {
     }
     withNums.select(col("vec_id") +: (pcs ++ ws): _*)
   }
+
+  val s23_pca_whitening: Q = (s, dir) =>
+    pcaWhitenOf(t(s, dir, "embeddings"), s23Model(s, dir))
 
   /** The s23 model-replay CTE prefix (embeddings → e-6 quantization →
     * exact centered numerators per component, ending in

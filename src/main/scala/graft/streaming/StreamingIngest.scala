@@ -1091,6 +1091,27 @@ object StreamingIngest {
       graft.queries.Corpus.s21BruteMinedPairs(
         spark.read.parquet(s"$p/vecs")))
 
+  /** s23's PCA projection + whitening derived from the newest
+    * embedding store, or None before the first batch lands — the
+    * second zero-new-state read side over [[embeddingStream]]'s
+    * store. The model REFITS at read time on the store's bounded
+    * sample (the shared [[graft.queries.Corpus.fitPca]] +
+    * [[graft.queries.Corpus.pcaWhitenOf]] — one fit rule, one
+    * projection tail, stream and batch), which is the c09
+    * necessity argument again: a late vector landing inside the
+    * smallest-id sample boundary changes the MODEL, not just its own
+    * row, so no carried moment state could stay exact under
+    * first-write-wins dedup. Streamed ≡ batch on the union of
+    * batches (spec-asserted).
+    */
+  def currentPcaWhitening(
+      spark: SparkSession, statsRoot: String): Option[DataFrame] =
+    priorGeneration(spark, statsRoot, Long.MaxValue).map { p =>
+      val store = spark.read.parquet(s"$p/vecs")
+      graft.queries.Corpus.pcaWhitenOf(store,
+        graft.queries.Corpus.fitPca(store))
+    }
+
   /** c09's exact quality-gated release derived from the newest doc
     * store, or None before the first batch lands.
     */

@@ -1455,6 +1455,18 @@ class StreamingSpec extends SparkSpec {
     assert(afterB1 !== afterB2)
     assert(afterB1.exists(p => p._1 == 0L && p._2 == 1L))
     assert(afterB2.exists(p => p._1 == 0L && p._2 == 5L))
+    // second read side over the SAME store: PCA projection refit at
+    // read time equals the batch fit+projection on the deduped union
+    // (a late vector inside the smallest-id sample boundary changes
+    // the MODEL, not just its own row)
+    def prows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("vec_id").collect().map(_.toString).toSeq
+    val pStream = prows(
+      StreamingIngest.currentPcaWhitening(spark, root).get)
+    val pBatch = prows(graft.queries.Corpus.pcaWhitenOf(union,
+      graft.queries.Corpus.fitPca(union)))
+    assert(pStream === pBatch)
+    assert(pStream.size === 7)
   }
 
   test("currentBradleyTerry: read-time q150 over the c07 turn store equals batch, late cross-batch turns included") {
