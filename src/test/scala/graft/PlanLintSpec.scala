@@ -108,6 +108,10 @@ class PlanLintSpec extends SparkSpec {
       // s19: composes s01's broadcast-probe exact baseline with s03's
       // IVF search, inheriting both queries' justified shapes
       "s19_ann_recall",
+      // s24: two s01-shaped broadcast-probe crosses (the exact 64-dim
+      // baseline and the 4-dim pc-space side) — probes are a fixed
+      // 5-row set, never row×row
+      "s24_pca_recall",
       // q138: the cell-pair theta join runs over the domain-bounded
       // (x, y) grid (50·11 cells at ANY corpus size — the corpus
       // collapsed into one groupBy first), plus three broadcast 1-row
