@@ -2048,10 +2048,16 @@ object Corpus {
     * oracle replays it with a recursive transitive-closure CTE (small
     * pair graphs — the Spark side never materializes the closure).
     */
-  val d05_dup_groups: Q = (s, dir) =>
+  /** d05's near-dup group frame (id, group_id) — factored so q154's
+    * leakage-safe split consumes the SAME grouping the dedup family
+    * reports (one statement of "what counts as a duplicate group").
+    */
+  private[graft] def d05Groups(s: SparkSession, dir: String): DataFrame =
     Dedup.duplicateGroups(
       Dedup.minhashNearDups(t(s, dir, "documents"), "text", "doc_id",
         k = 5, numHashes = 16, bands = 4, threshold = 0.5))
+
+  val d05_dup_groups: Q = (s, dir) => d05Groups(s, dir)
 
   // the transitive-closure CTE chain shared by d05 and c02: near-dup
   // pairs → undirected edges → reachability → (id, group_id)
@@ -2070,6 +2076,93 @@ object Corpus {
   val d05_sql: String =
     s"""WITH RECURSIVE $dupGroupCtes
        |SELECT id, group_id FROM groups""".stripMargin
+
+  /** q154: leakage-safe train/val/test split — the splitter a
+    * training-data pipeline must run INSTEAD of a naive per-document
+    * hash split: near-duplicates straddling train and test leak the
+    * test set into training (the classic eval-inflation bug), so the
+    * split key is the d05 DUPLICATE GROUP ([[d05Groups]] — one
+    * statement of "what counts as a duplicate", two consumers):
+    * every member of a group lands in the same split by
+    * construction. Assignment is the t45/t28 hash-order rule —
+    * bucket = hash64(group) mod 100, train < 80 ≤ val < 90 ≤ test —
+    * a pure function of the data, no RNG, bit-replayable, and any
+    * worker can compute its own shard. The report carries the AUDIT
+    * that motivates the operator: `leaky_groups_grouped` (groups
+    * straddling splits under the group key — 0 by construction,
+    * asserted by spec) next to `leaky_groups_naive` (the same count
+    * under the naive per-document split — positive on any corpus
+    * with planted duplicates), plus per-split doc/group counts and
+    * the q124 membership checksum.
+    *
+    * Scale shape: the group frame is d05's (banded MinHash, never
+    * all-pairs); assignment is a narrow projection + one left join
+    * on the 8-byte id; the report is one map-side-combined
+    * groupBy(split) plus two broadcast 1-row audit folds (the q135
+    * report shape).
+    */
+  val q154_leakage_safe_split: Q = (s, dir) => {
+    import graft.functions.KmvSketch
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val g = d05Groups(s, dir)
+    val assigned = docs
+      .join(g, docs("doc_id") === g("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("group_id"), col("doc_id")).as("__gid"))
+      .select(col("doc_id"), col("__gid"),
+        pmod(KmvSketch.hash64(col("__gid").cast("string")), lit(100L))
+          .as("__gb"),
+        pmod(KmvSketch.hash64(col("doc_id").cast("string")), lit(100L))
+          .as("__nb"),
+        KmvSketch.hash64(col("doc_id").cast("string")).as("__h"))
+      .select(col("doc_id"), col("__gid"), col("__h"),
+        when(col("__gb") < 80L, "train").when(col("__gb") < 90L, "val")
+          .otherwise("test").as("split"),
+        when(col("__nb") < 80L, "train").when(col("__nb") < 90L, "val")
+          .otherwise("test").as("__naive"))
+      .localCheckpoint(true) // the split report AND two audit folds
+    def leaks(c: String, out: String) = assigned
+      .groupBy(col("__gid")).agg(countDistinct(col(c)).as("__ns"))
+      .where(col("__ns") > 1L).agg(count(lit(1)).as(out))
+    assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__gid")).as("n_groups"),
+        expr("bit_xor(__h)").as("member_checksum"))
+      .crossJoin(broadcast(leaks("split", "leaky_groups_grouped")))
+      .crossJoin(broadcast(leaks("__naive", "leaky_groups_naive")))
+  }
+
+  def q154_sql: String =
+    s"""WITH RECURSIVE $dupGroupCtes,
+       |asg AS (SELECT d.doc_id,
+       |    COALESCE(g.group_id, d.doc_id) AS gid
+       |  FROM documents d LEFT JOIN groups g ON g.id = d.doc_id),
+       |b AS (SELECT doc_id, gid,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |      AS h,
+       |    CASE WHEN ('0x' || substr(md5(CAST(gid AS VARCHAR)), 1, 15))
+       |                ::BIGINT % 100 < 80 THEN 'train'
+       |         WHEN ('0x' || substr(md5(CAST(gid AS VARCHAR)), 1, 15))
+       |                ::BIGINT % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+       |                ::BIGINT % 100 < 80 THEN 'train'
+       |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+       |                ::BIGINT % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS naive
+       |  FROM asg),
+       |lg AS (SELECT CAST(COUNT(*) AS BIGINT) AS leaky_groups_grouped
+       |  FROM (SELECT gid FROM b GROUP BY gid
+       |        HAVING COUNT(DISTINCT split) > 1)),
+       |ln2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS leaky_groups_naive
+       |  FROM (SELECT gid FROM b GROUP BY gid
+       |        HAVING COUNT(DISTINCT naive) > 1))
+       |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(DISTINCT gid) AS BIGINT) AS n_groups,
+       |  CAST(bit_xor(h) AS BIGINT) AS member_checksum,
+       |  leaky_groups_grouped, leaky_groups_naive
+       |FROM b CROSS JOIN lg CROSS JOIN ln2
+       |GROUP BY split, leaky_groups_grouped, leaky_groups_naive""".stripMargin
 
   /** Sliding-window document chunking — the context-length splitter of
     * an LLM training pipeline: each document becomes ⌈(n−size)/stride⌉+1
@@ -8630,6 +8723,7 @@ object Corpus {
     "d04_embedding_neardups" -> d04_embedding_neardups,
     "d16_embedding_neardups_lsh" -> d16_embedding_neardups_lsh,
     "d05_dup_groups"        -> d05_dup_groups,
+    "q154_leakage_safe_split" -> q154_leakage_safe_split,
     "d06_jaccard_neardups"  -> d06_jaccard_neardups,
     "d07_decontamination"   -> d07_decontamination,
     "d08_repeated_spans"    -> d08_repeated_spans,
@@ -8749,6 +8843,7 @@ object Corpus {
     "d04_embedding_neardups" -> d04_sql,
     "d16_embedding_neardups_lsh" -> d16_sql,
     "d05_dup_groups"        -> d05_sql,
+    "q154_leakage_safe_split" -> q154_sql,
     "d06_jaccard_neardups"  -> d06_sql,
     "d07_decontamination"   -> d07_sql,
     "d08_repeated_spans"    -> d08_sql,

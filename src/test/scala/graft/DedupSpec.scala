@@ -309,4 +309,24 @@ class DedupSpec extends SparkSpec {
       s"sf0.01 embeddings fixture now has $n vectors; update the " +
         "d16_sql fallback's documented size")
   }
+
+  test("q154: the group-aware split never leaks a duplicate group; the naive split does") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val out = SparkEntry.queries("q154_leakage_safe_split")(spark, dir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+    assert(out.keySet === Set("train", "val", "test"))
+    // the operator's defining invariant: a duplicate group NEVER
+    // straddles splits under the group key
+    assert(out.values.forall(_._3 == 0L), s"grouped split leaked: $out")
+    // ... while the naive per-document split leaks on the planted
+    // duplicate groups — the audit that motivates the operator
+    assert(out.values.head._4 > 0L, "fixture should make naive leak")
+    // partition: sizes sum to the corpus, all splits populated
+    val corpus = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(out.values.map(_._1).sum === corpus)
+    assert(out.values.forall(_._1 > 0L))
+  }
 }

@@ -156,6 +156,10 @@ class PlanLintSpec extends SparkSpec {
       // (the q138 domain-bounded grid), plus two broadcast 1-row
       // totals crosses — never row×row
       "q151_t_closeness",
+      // q154: the 3-row split report crosses TWO broadcast 1-row
+      // leak-audit folds (each a fully aggregated count) — the q135
+      // report shape, never row×row
+      "q154_leakage_safe_split",
       // q152: the catalog-bounded slice frame crosses TWO broadcast
       // 1-row folds (pooled rates + the max-rate slice, the latter
       // picked by an anti-join over the slice-domain-bounded
