@@ -573,7 +573,60 @@ object GraphQueries {
        |FROM h$KcRounds f JOIN h0 ON h0.node = f.node""".stripMargin
   }
 
+  private val SpRounds = 16
+
+  /** g13: weighted shortest paths from the 5 smallest nodes of the
+    * support≥2 co-purchase graph — the DISTANCE face g04's reach
+    * counts lack (crawl-depth budgeting, link-proximity features).
+    * Edge cost is the integer 10⁶ div support (stronger co-purchase
+    * = cheaper hop), distances exact BIGINTs through the synchronous
+    * Bellman–Ford relaxation ([[GraphOps.shortestPaths]]); the oracle
+    * unrolls EXACTLY [[SpRounds]] relaxation rounds as materialized
+    * CTEs (the g02 contract — measured convergence 4/11 rounds at the
+    * two oracle scales, spec-asserted), so the hash match certifies
+    * the whole recurrence. Unreachable pairs carry no row.
+    */
+  val g13_shortest_paths: Q = (s, dir) => {
+    val ew = GraphOps.copurchaseEdgesWeighted(t(s, dir, "lineitem"), MinSupport)
+      .where(col("src") < col("dst")) // one orientation; mirrored inside
+      .select(col("src"), col("dst"),
+        expr("1000000L div w").as("cost"))
+    val probes = ew.select(col("src").as("probe"))
+      .unionAll(ew.select(col("dst").as("probe")))
+      .distinct().orderBy(col("probe")).limit(5)
+    GraphOps.shortestPaths(ew, probes, SpRounds)
+      .select(col("probe"), col("node").as("part_key"),
+        col("dist").as("dist_u"))
+  }
+
+  val g13_sql: String = {
+    val rounds = (1 to SpRounds).map { i =>
+      s"""sp$i AS MATERIALIZED (SELECT probe, node,
+         |    CAST(MIN(dist) AS BIGINT) AS dist FROM (
+         |  SELECT p.probe, e.dst AS node, p.dist + e.cost AS dist
+         |  FROM wedge e JOIN sp${i - 1} p ON p.node = e.src
+         |  UNION ALL
+         |  SELECT probe, node, dist FROM sp${i - 1})
+         |  GROUP BY probe, node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesSql,
+       |wc AS (SELECT a.p AS src, b2.p AS dst,
+       |    CAST(1000000 // COUNT(*) AS BIGINT) AS cost
+       |  FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |wedge AS MATERIALIZED (SELECT src, dst, cost FROM wc
+       |  UNION ALL SELECT dst, src, cost FROM wc),
+       |pr AS (SELECT DISTINCT src AS probe FROM wedge
+       |       ORDER BY probe LIMIT 5),
+       |sp0 AS (SELECT probe, probe AS node, CAST(0 AS BIGINT) AS dist
+       |        FROM pr),
+       |$rounds
+       |SELECT probe, node AS part_key, dist AS dist_u
+       |FROM sp$SpRounds""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "g13_shortest_paths" -> g13_shortest_paths,
     "g12_kcore" -> g12_kcore,
     "g11_scc" -> g11_scc,
     "g10_hits" -> g10_hits,
@@ -588,6 +641,7 @@ object GraphQueries {
     "g05_hyperball"   -> g05_hyperball)
 
   val oracles: Map[String, String] = Map(
+    "g13_shortest_paths" -> g13_sql,
     "g12_kcore" -> g12_sql,
     "g11_scc" -> g11_sql,
     "g10_hits" -> g10_sql,

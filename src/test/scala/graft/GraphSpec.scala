@@ -387,6 +387,60 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("shortestPaths: planted weighted graph matches driver-side Dijkstra; the cheap detour beats the direct hop") {
+    import spark.implicits._
+    // direct 1→3 costs 10; the detour 1→2→3 costs 3+4=7 — a BFS/hop
+    // frontier would keep 10, Bellman–Ford must settle 7
+    val ew = Seq((1L, 2L, 3L), (2L, 3L, 4L), (1L, 3L, 10L),
+      (3L, 4L, 1L), (5L, 6L, 2L)) // {5,6} unreachable from 1
+      .toDF("src", "dst", "cost")
+    val probes = Seq(1L).toDF("probe")
+    val got = GraphOps.shortestPaths(ew, probes, maxRounds = 16)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 3L, 3L -> 7L, 4L -> 8L))
+    // driver-side Dijkstra cross-check
+    def dijkstra(es: Seq[(Long, Long, Long)], s0: Long): Map[Long, Long] = {
+      val adj = es.flatMap(e => Seq((e._1, (e._2, e._3)), (e._2, (e._1, e._3))))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val dist = scala.collection.mutable.Map(s0 -> 0L)
+      val pq = scala.collection.mutable.PriorityQueue((0L, s0))(
+        Ordering.by(-_._1))
+      while (pq.nonEmpty) {
+        val (d, u) = pq.dequeue()
+        if (d == dist(u))
+          adj.getOrElse(u, Seq()).foreach { case (v, c) =>
+            if (dist.getOrElse(v, Long.MaxValue) > d + c) {
+              dist(v) = d + c; pq.enqueue((d + c, v))
+            }
+          }
+      }
+      dist.toMap
+    }
+    assert(got === dijkstra(Seq((1L, 2L, 3L), (2L, 3L, 4L), (1L, 3L, 10L),
+      (3L, 4L, 1L), (5L, 6L, 2L)), 1L))
+  }
+
+  test("shortestPaths relaxation converges inside the g13 round cap on both oracle fixtures") {
+    // the oracle unrolls exactly SpRounds=16 rounds (measured: 4 at
+    // sf0.001, 11 at sf0.01) — one extra round must change nothing
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val ew = GraphOps.copurchaseEdgesWeighted(
+          Tables(spark, dir, "lineitem"), minOrders = 2)
+        .where(col("src") < col("dst"))
+        .select(col("src"), col("dst"), expr("1000000L div w").as("cost"))
+        .localCheckpoint(true)
+      val probes = ew.select(col("src").as("probe"))
+        .unionAll(ew.select(col("dst").as("probe")))
+        .distinct().orderBy(col("probe")).limit(5)
+        .localCheckpoint(true)
+      val a = GraphOps.shortestPaths(ew, probes, maxRounds = 16)
+      val b = GraphOps.shortestPaths(ew, probes, maxRounds = 17)
+      assert(a.count() === b.count(), dir)
+      assert(a.as("a").join(b.as("b"), Seq("probe", "node"))
+        .where(col("a.dist") =!= col("b.dist")).count() == 0, dir)
+    }
+  }
+
   test("scc: planted digraph with known components (cycles, chains, a low-label outside ancestor)") {
     // node 0 feeds the {5,6} cycle from OUTSIDE it — forward-min of
     // 5/6 is 0 but backward-min is 5, so that SCC cannot settle in
