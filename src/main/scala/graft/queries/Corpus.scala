@@ -2101,11 +2101,16 @@ object Corpus {
     * groupBy(split) plus two broadcast 1-row audit folds (the q135
     * report shape).
     */
-  val q154_leakage_safe_split: Q = (s, dir) => {
+  /** q154's per-document split assignment (doc_id, __gid, __h, split,
+    * __naive) — factored so q155's memorization audit runs over the
+    * SAME split q154 reports (one statement of the split rule, two
+    * consumers).
+    */
+  private[graft] def q154Assigned(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.KmvSketch
     val docs = t(s, dir, "documents").select(col("doc_id"))
     val g = d05Groups(s, dir)
-    val assigned = docs
+    docs
       .join(g, docs("doc_id") === g("id"), "left")
       .select(col("doc_id"),
         coalesce(col("group_id"), col("doc_id")).as("__gid"))
@@ -2121,6 +2126,10 @@ object Corpus {
         when(col("__nb") < 80L, "train").when(col("__nb") < 90L, "val")
           .otherwise("test").as("__naive"))
       .localCheckpoint(true) // the split report AND two audit folds
+  }
+
+  val q154_leakage_safe_split: Q = (s, dir) => {
+    val assigned = q154Assigned(s, dir)
     def leaks(c: String, out: String) = assigned
       .groupBy(col("__gid")).agg(countDistinct(col(c)).as("__ns"))
       .where(col("__ns") > 1L).agg(count(lit(1)).as(out))
@@ -2132,8 +2141,12 @@ object Corpus {
       .crossJoin(broadcast(leaks("__naive", "leaky_groups_naive")))
   }
 
-  def q154_sql: String =
-    s"""WITH RECURSIVE $dupGroupCtes,
+  /** The split-assignment CTE chain (dup groups -> gid -> hash
+    * buckets -> split/naive labels, ending in `b`) — shared by the
+    * q154 oracle and q155's memorization audit.
+    */
+  private def q154SplitSqlCtes: String =
+    s"""$dupGroupCtes,
        |asg AS (SELECT d.doc_id,
        |    COALESCE(g.group_id, d.doc_id) AS gid
        |  FROM documents d LEFT JOIN groups g ON g.id = d.doc_id),
@@ -2150,7 +2163,10 @@ object Corpus {
        |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
        |                ::BIGINT % 100 < 90 THEN 'val'
        |         ELSE 'test' END AS naive
-       |  FROM asg),
+       |  FROM asg)""".stripMargin
+
+  def q154_sql: String =
+    s"""WITH RECURSIVE $q154SplitSqlCtes,
        |lg AS (SELECT CAST(COUNT(*) AS BIGINT) AS leaky_groups_grouped
        |  FROM (SELECT gid FROM b GROUP BY gid
        |        HAVING COUNT(DISTINCT split) > 1)),
@@ -2163,6 +2179,79 @@ object Corpus {
        |  leaky_groups_grouped, leaky_groups_naive
        |FROM b CROSS JOIN lg CROSS JOIN ln2
        |GROUP BY split, leaky_groups_grouped, leaky_groups_naive""".stripMargin
+
+  /** q155: n-gram memorization audit over the q154 split — the check
+    * an eval team runs AFTER leakage-safe splitting: group-aware
+    * assignment guarantees no near-duplicate straddles train/test,
+    * but SUB-near-dup n-gram sharing (quotes, boilerplate, common
+    * phrases) still lets the model "see" test text at train time.
+    * Per TEST-split document: how many of its distinct 5-gram
+    * shingles (the d07 decontamination rule — one shingle definition,
+    * shared) also occur anywhere in the TRAIN split, and the seen
+    * share — the memorization-risk score that decides whether an
+    * eval number can be trusted. Composes two shipped operators
+    * under one oracle: [[q154Assigned]]'s split and d07's shingle
+    * algebra.
+    *
+    * Scale shape: one shingle explode per split side, the train side
+    * collapsed to a DISTINCT shingle set (vocabulary-bounded), one
+    * left-semi join on the shingle string, one map-side-combined
+    * per-doc count; seen_share is a single division of exact BIGINTs.
+    */
+  val q155_memorization_audit: Q = (s, dir) => {
+    val asg = q154Assigned(s, dir).select(col("doc_id"), col("split"))
+    // ONE shingle explode over the corpus, materialized — the train
+    // and test sides both read this compact (doc_id, split, n, tok)
+    // stream; left lazy, each side would replay the corpus-scale
+    // explode (at 100 TB this materialization IS the shingle index a
+    // decontamination pipeline persists)
+    val exploded = t(s, dir, "documents")
+      .select(col("doc_id"),
+        array_distinct(TextAnalysis.shingles(col("text"), 5)).as("__sh"))
+      .join(asg, "doc_id")
+      .where(col("split").isin("train", "test"))
+      .select(col("doc_id"), col("split"),
+        size(col("__sh")).cast("long").as("n_shingles"),
+        explode_outer(col("__sh")).as("tok"))
+      .where(col("tok").isNotNull)
+      .localCheckpoint(true)
+    val trainSh = exploded.where(col("split") === "train")
+      .select(col("tok")).distinct()
+    val test = exploded.where(col("split") === "test")
+    val seen = test.join(trainSh, Seq("tok"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_seen"))
+    test.groupBy(col("doc_id"))
+      .agg(first(col("n_shingles")).as("n_shingles"))
+      .join(seen, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        (coalesce(col("n_seen"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double")).as("seen_share"))
+  }
+
+  def q155_sql: String =
+    s"""WITH RECURSIVE $q154SplitSqlCtes,
+       |tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |shg AS (SELECT tk.doc_id, b.split,
+       |  list_distinct(CASE WHEN len(toks) < 5
+       |       THEN [array_to_string(toks, ' ')]
+       |       ELSE list_transform(generate_series(1, len(toks) - 4),
+       |                           i -> array_to_string(toks[i:i+4], ' '))
+       |       END) AS sh
+       | FROM tk JOIN b USING (doc_id)),
+       |trn AS (SELECT DISTINCT unnest(sh) AS tok FROM shg
+       |        WHERE split = 'train'),
+       |tst AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+       |        unnest(sh) AS tok
+       |  FROM shg WHERE split = 'test'),
+       |sn AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_seen
+       |  FROM tst JOIN trn USING (tok) GROUP BY doc_id)
+       |SELECT t.doc_id, MIN(t.n_shingles) AS n_shingles,
+       |  CAST(COALESCE(MIN(sn.n_seen), 0) AS BIGINT) AS n_seen,
+       |  CAST(COALESCE(MIN(sn.n_seen), 0) AS DOUBLE)
+       |    / CAST(MIN(t.n_shingles) AS DOUBLE) AS seen_share
+       |FROM tst t LEFT JOIN sn USING (doc_id)
+       |GROUP BY t.doc_id""".stripMargin
 
   /** Sliding-window document chunking — the context-length splitter of
     * an LLM training pipeline: each document becomes ⌈(n−size)/stride⌉+1
@@ -8724,6 +8813,7 @@ object Corpus {
     "d16_embedding_neardups_lsh" -> d16_embedding_neardups_lsh,
     "d05_dup_groups"        -> d05_dup_groups,
     "q154_leakage_safe_split" -> q154_leakage_safe_split,
+    "q155_memorization_audit" -> q155_memorization_audit,
     "d06_jaccard_neardups"  -> d06_jaccard_neardups,
     "d07_decontamination"   -> d07_decontamination,
     "d08_repeated_spans"    -> d08_repeated_spans,
@@ -8844,6 +8934,7 @@ object Corpus {
     "d16_embedding_neardups_lsh" -> d16_sql,
     "d05_dup_groups"        -> d05_sql,
     "q154_leakage_safe_split" -> q154_sql,
+    "q155_memorization_audit" -> q155_sql,
     "d06_jaccard_neardups"  -> d06_sql,
     "d07_decontamination"   -> d07_sql,
     "d08_repeated_spans"    -> d08_sql,

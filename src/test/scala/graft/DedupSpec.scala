@@ -329,4 +329,24 @@ class DedupSpec extends SparkSpec {
     assert(out.values.map(_._1).sum === corpus)
     assert(out.values.forall(_._1 > 0L))
   }
+
+  test("q155: one audit row per test doc, shares in [0,1], and the group-aware split keeps residual overlap small") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val rows = SparkEntry.queries("q155_memorization_audit")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val testN = SparkEntry.queries("q154_leakage_safe_split")(spark, dir)
+      .where(col("split") === "test").head().getLong(1)
+    assert(rows.length.toLong === testN) // one row per test doc
+    rows.foreach { case (id, n, seen, share) =>
+      assert(n > 0L && seen >= 0L && seen <= n, s"doc $id")
+      assert(share >= 0.0 && share <= 1.0, s"doc $id share $share")
+      assert(share === seen.toDouble / n, s"doc $id share algebra")
+    }
+    // the WHOLE point: after group-aware splitting, no test doc is a
+    // near-verbatim copy of training text (a leaked near-dup would
+    // read ~1.0; the fixture's residual boilerplate overlap is tiny)
+    assert(rows.map(_._4).max < 0.5, "a test doc looks memorized")
+  }
 }
