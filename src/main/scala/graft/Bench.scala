@@ -170,9 +170,16 @@ object Bench {
           // noise_suspect channel for every round it shipped
           val sfOk = "\"sf\":\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt)
             .forall(_.group(1) == sfDir)
+          // parse ONLY the flat "queries" object: the full artifact now
+          // also carries the host block (per-query steal_pct map), and
+          // an unscoped name:number scan over a merged bench_total.json
+          // would install steal PERCENTAGES as time FLOORS, corrupting
+          // the 2×-floor channel
+          val qObj = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r
+            .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
           if (sfOk)
             "\"([A-Za-z0-9_]+)\":\\s*([0-9]+\\.?[0-9]*)".r
-              .findAllMatchIn(txt)
+              .findAllMatchIn(qObj)
               .map(m => m.group(1) -> m.group(2).toDouble).toMap
           else Map.empty
         } else Map.empty

@@ -643,6 +643,13 @@ object GraphOps {
     * lives in GraphSpec); both caps FAIL LOUDLY when exceeded — the
     * BhMaxM discipline — rather than return a wrong partition.
     *
+    * A trim prepass runs first: nodes with zero in- or out-degree lie
+    * on no cycle, so they are peeled iteratively as singleton SCCs
+    * (Tarjan's "trivial SCC" observation) before any propagation —
+    * on real digraphs the acyclic tail is most of the graph, and a
+    * peel round costs two semi-joins instead of a settle round's
+    * full fixpoint.
+    *
     * Scale shape: state is (node, f, b) BIGINTs; each propagation
     * round is two keyed joins + one map-side-combined min aggregate
     * (batched `innerStride` rounds per materialization to amortize
@@ -664,6 +671,40 @@ object GraphOps {
       .localCheckpoint(true)
     var result = nodes.select(col("node"), col("node").as("scc_id"))
       .where(lit(false)).localCheckpoint(true)
+    // Trim prepass: a node with zero in-degree or zero out-degree in
+    // the active subgraph lies on no cycle — it is its own singleton
+    // SCC (label = itself = its min member, matching the settle
+    // loop's labeling). Peel such nodes iteratively (each peel can
+    // expose new trivial nodes) BEFORE the settle loop: on real link
+    // graphs the acyclic tail is the bulk of the node set, and one
+    // peel round is two semi-joins vs the settle loop's O(diameter)
+    // propagation. The cap only stops peeling — leftovers settle
+    // correctly in the main loop — so it never needs to fail loudly.
+    var nNodes = nodes.count()
+    var trim = 0
+    var peeled = true
+    while (peeled && trim < 24 && nNodes > 0L) {
+      trim += 1
+      val cyclic = active.select(col("src").as("node")).distinct()
+        .join(active.select(col("dst").as("node")).distinct(),
+          Seq("node"), "left_semi")
+      val remain = nodes.join(cyclic, Seq("node"), "left_semi")
+        .localCheckpoint(true)
+      val nRemain = remain.count()
+      if (nRemain == nNodes) peeled = false
+      else {
+        val trivial = nodes.join(remain, Seq("node"), "left_anti")
+        result = result.unionAll(
+          trivial.select(col("node"), col("node").as("scc_id")))
+        nodes = remain
+        active = active
+          .join(remain.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(remain.select(col("node").as("dst")), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst"))
+          .localCheckpoint(true)
+        nNodes = nRemain
+      }
+    }
     var outer = 0
     while (nodes.limit(1).count() > 0) {
       outer += 1

@@ -4,10 +4,11 @@ import org.apache.avro.Schema
 import org.apache.avro.file.{DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.avro.mapred.FsInput
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
 
 /** Avro container-file source/sink over the Hadoop filesystem API —
   * the remaining common interchange format after parquet / CSV / ORC /
@@ -57,11 +58,17 @@ object AvroTables {
     * target directory (idempotent re-run). Returns files written.
     */
   def writeOrders(df: DataFrame, dir: String): Seq[String] = {
-    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val sc = df.sparkSession.sparkContext
+    val conf = sc.hadoopConfiguration
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     if (fs.exists(root)) fs.delete(root, true)
     fs.mkdirs(root)
+    // the driver's live Configuration is not Serializable, but its
+    // contents are: ship them via SerializableConfiguration so executor
+    // tasks see the session's fs settings (S3A credentials, defaultFS)
+    // instead of a blank default conf
+    val bconf = new SerializableConfiguration(conf)
     df.selectExpr("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderdate_us")
       .rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -69,13 +76,17 @@ object AvroTables {
         else {
           val schema = new Schema.Parser().parse(OrdersSchemaJson)
           val out = new Path(root, f"part-$pid%05d.avro")
-          // executors build a fresh Configuration: the driver's conf
-          // object is not serializable into this closure, and the
-          // default conf resolves the same local/HDFS scheme
-          val efs = out.getFileSystem(new Configuration())
+          // task-commit protocol: stream into a per-attempt temp name,
+          // rename to the final name only on success — a failed or
+          // speculative attempt can never leave a truncated part file
+          // under the final name, and the last successful rename wins
+          val attempt = Option(TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
+          val tmp = new Path(root, f".part-$pid%05d.avro.$attempt%d.tmp")
+          val efs = out.getFileSystem(bconf.value)
           val w = new DataFileWriter[GenericRecord](
             new GenericDatumWriter[GenericRecord](schema))
-          w.create(schema, efs.create(out, true))
+          w.create(schema, efs.create(tmp, true))
           var n = 0L
           it.foreach { r =>
             val rec = new GenericData.Record(schema)
@@ -88,6 +99,9 @@ object AvroTables {
             n += 1
           }
           w.close()
+          if (efs.exists(out)) efs.delete(out, false)
+          if (!efs.rename(tmp, out))
+            throw new java.io.IOException(s"avro commit rename failed: $tmp -> $out")
           Iterator(out.toString)
         }
       }.collect().toSeq
@@ -100,14 +114,18 @@ object AvroTables {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
-    val files = fs.globStatus(new Path(root, "part-*.avro"))
+    // Hadoop globStatus returns null (not empty) when the parent dir
+    // does not exist — a never-written path reads as an empty frame
+    val files = Option(fs.globStatus(new Path(root, "part-*.avro")))
+      .getOrElse(Array.empty)
       .map(_.getPath.toString).sorted.toSeq
+    val bconf = new SerializableConfiguration(conf)
     val rows = spark.sparkContext
       .parallelize(files, math.max(files.size, 1))
       .flatMap { f =>
         val schema = new Schema.Parser().parse(OrdersSchemaJson)
         val p = new Path(f)
-        val in = new FsInput(p, new Configuration())
+        val in = new FsInput(p, bconf.value)
         val rd = new DataFileReader[GenericRecord](in,
           new GenericDatumReader[GenericRecord](schema))
         new Iterator[Row] {

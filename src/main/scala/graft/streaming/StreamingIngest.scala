@@ -518,12 +518,69 @@ object StreamingIngest {
     if (!fs.exists(root)) None
     else fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
+      // COMMITTED generations only: every writer drops `_SUCCESS` in
+      // the gen dir as its LAST act (Spark's parquet committer for
+      // direct gen-dir tables; [[commitGeneration]] for sub-table
+      // layouts), so a marker-less dir is a mid-write crash remnant —
+      // resolving it by name alone would hand every external read-side
+      // a silently-truncated snapshot between the crash and the replay
+      .filter(s => fs.exists(
+        new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
       .flatMap(s => s.getPath.getName.stripPrefix("gen-").toLongOption
         .map(id => (id, s.getPath.toString)))
       .filter(_._1 < below)
       .sortBy(_._1)
       .lastOption.map(_._2)
   }
+
+  /** Brackets one generation's table writes with the generation-level
+    * `_SUCCESS` commit marker: deleted first (so a replayed batch's
+    * rewrite UN-commits the dir for the rewrite's duration, exactly
+    * like Spark's own overwrite of a direct-parquet generation),
+    * created empty after the last table lands. [[priorGeneration]]
+    * resolves only marker-bearing dirs, so a read-side arriving
+    * between a mid-write crash and the stream's replay resolves the
+    * newest fully-committed parent instead of a truncated snapshot —
+    * the retire-then-swap discipline [[compactStore]] follows, applied
+    * to generation commits. One exists + one create per trigger.
+    */
+  private def commitGeneration(
+      spark: SparkSession, genDir: String)(writes: => Unit): Unit = {
+    val p = new org.apache.hadoop.fs.Path(genDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+    if (fs.exists(marker)) fs.delete(marker, false)
+    writes
+    fs.create(marker, true).close()
+  }
+
+  /** Time-travel read over any generation store: the path of the
+    * newest COMMITTED generation with id ≤ `id`, or None if that
+    * horizon has no committed generation (never started, or already
+    * GC'd). Since every generation is a full folded snapshot, this IS
+    * the store's state as of batch `id` — pass the exact batch id for
+    * a point lookup, `Long.MaxValue` for the current snapshot.
+    *
+    * GC interaction ([[pruneGenerations]]): pruning keeps the newest
+    * `keep` generations, so `keep` is the time-travel horizon — reads
+    * at ids older than the `keep`-th-newest generation return the
+    * oldest retained snapshot BELOW them or None. A retained
+    * generation is immutable (writers only ever touch `gen-<own id>`),
+    * so an as-of read is byte-identical no matter how many newer
+    * batches land after it (spec-asserted in StreamingSpec).
+    */
+  def asOfGeneration(
+      spark: SparkSession, root: String, id: Long): Option[String] =
+    priorGeneration(spark, root,
+      if (id == Long.MaxValue) Long.MaxValue else id + 1)
+
+  /** [[asOfGeneration]] typed for the [[scdApplyStream]] dimension
+    * (and any other direct-parquet generation store): the dimension
+    * frame as of batch `id`.
+    */
+  def scdDimensionAsOf(
+      spark: SparkSession, dimRoot: String, id: Long): Option[DataFrame] =
+    asOfGeneration(spark, dimRoot, id).map(p => spark.read.parquet(p))
 
   // ---- streaming corpus-stats maintenance (the t33 fold, continuous) ----
 
@@ -564,8 +621,12 @@ object StreamingIngest {
             case None =>
               graft.text.CorpusStats.merge(Seq(dfPart), Seq(totPart))
           }
-          dfAll.write.mode("overwrite").parquet(s"$statsRoot/gen-$batchId/df")
-          totAll.write.mode("overwrite").parquet(s"$statsRoot/gen-$batchId/tot")
+          commitGeneration(spark, s"$statsRoot/gen-$batchId") {
+            dfAll.write.mode("overwrite")
+              .parquet(s"$statsRoot/gen-$batchId/df")
+            totAll.write.mode("overwrite")
+              .parquet(s"$statsRoot/gen-$batchId/tot")
+          }
           ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -685,8 +746,10 @@ object StreamingIngest {
                 .agg(sum(col("n_trans")).as("n_trans"))
             case None => part
           }
-          merged.write.mode("overwrite")
-            .parquet(s"$matrixRoot/gen-$batchId/matrix")
+          commitGeneration(spark, s"$matrixRoot/gen-$batchId") {
+            merged.write.mode("overwrite")
+              .parquet(s"$matrixRoot/gen-$batchId/matrix")
+          }
           ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -746,8 +809,10 @@ object StreamingIngest {
                 .agg(sum(col("n")).as("n"))
             case None => part
           }
-          merged.write.mode("overwrite")
-            .parquet(s"$statsRoot/gen-$batchId/daily")
+          commitGeneration(spark, s"$statsRoot/gen-$batchId") {
+            merged.write.mode("overwrite")
+              .parquet(s"$statsRoot/gen-$batchId/daily")
+          }
           ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -796,8 +861,10 @@ object StreamingIngest {
                   sum(col("n_cur")).as("n_cur"))
             case None => part
           }
-          merged.write.mode("overwrite")
-            .parquet(s"$statsRoot/gen-$batchId/bins")
+          commitGeneration(spark, s"$statsRoot/gen-$batchId") {
+            merged.write.mode("overwrite")
+              .parquet(s"$statsRoot/gen-$batchId/bins")
+          }
           ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -845,8 +912,10 @@ object StreamingIngest {
                   sum(col("__cc")).as("__cc"))
             case None => part
           }
-          merged.write.mode("overwrite")
-            .parquet(s"$statsRoot/gen-$batchId/vals")
+          commitGeneration(spark, s"$statsRoot/gen-$batchId") {
+            merged.write.mode("overwrite")
+              .parquet(s"$statsRoot/gen-$batchId/vals")
+          }
           ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -891,8 +960,10 @@ object StreamingIngest {
                   sum(col("__cc")).as("__cc"))
             case None => part
           }
-          merged.write.mode("overwrite")
-            .parquet(s"$statsRoot/gen-$batchId/svals")
+          commitGeneration(spark, s"$statsRoot/gen-$batchId") {
+            merged.write.mode("overwrite")
+              .parquet(s"$statsRoot/gen-$batchId/svals")
+          }
           ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -956,8 +1027,10 @@ object StreamingIngest {
                 spark.read.parquet(s"$p/surv").unionByName(part))
             case None => part
           }
-          merged.write.mode("overwrite")
-            .parquet(s"$statsRoot/gen-$batchId/surv")
+          commitGeneration(spark, s"$statsRoot/gen-$batchId") {
+            merged.write.mode("overwrite")
+              .parquet(s"$statsRoot/gen-$batchId/surv")
+          }
           ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -1025,8 +1098,10 @@ object StreamingIngest {
                   "left_anti"))
             case None => part
           }
-          merged.write.mode("overwrite")
-            .parquet(s"$statsRoot/gen-$batchId/docs")
+          commitGeneration(spark, s"$statsRoot/gen-$batchId") {
+            merged.write.mode("overwrite")
+              .parquet(s"$statsRoot/gen-$batchId/docs")
+          }
           ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -1066,8 +1141,10 @@ object StreamingIngest {
                   "left_anti"))
             case None => part
           }
-          merged.write.mode("overwrite")
-            .parquet(s"$statsRoot/gen-$batchId/vecs")
+          commitGeneration(spark, s"$statsRoot/gen-$batchId") {
+            merged.write.mode("overwrite")
+              .parquet(s"$statsRoot/gen-$batchId/vecs")
+          }
           ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -1189,8 +1266,10 @@ object StreamingIngest {
               spark.read.parquet(s"$p/turns").unionByName(part)
             case None => part
           }
-          merged.write.mode("overwrite")
-            .parquet(s"$statsRoot/gen-$batchId/turns")
+          commitGeneration(spark, s"$statsRoot/gen-$batchId") {
+            merged.write.mode("overwrite")
+              .parquet(s"$statsRoot/gen-$batchId/turns")
+          }
           ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -1247,8 +1326,10 @@ object StreamingIngest {
                 spark.read.parquet(s"$p/layout").unionByName(part))
             case None => part
           }
-          merged.write.mode("overwrite")
-            .parquet(s"$statsRoot/gen-$batchId/layout")
+          commitGeneration(spark, s"$statsRoot/gen-$batchId") {
+            merged.write.mode("overwrite")
+              .parquet(s"$statsRoot/gen-$batchId/layout")
+          }
           ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -1296,8 +1377,10 @@ object StreamingIngest {
                 spark.read.parquet(s"$p/mass").unionByName(part))
             case None => part
           }
-          merged.write.mode("overwrite")
-            .parquet(s"$statsRoot/gen-$batchId/mass")
+          commitGeneration(spark, s"$statsRoot/gen-$batchId") {
+            merged.write.mode("overwrite")
+              .parquet(s"$statsRoot/gen-$batchId/mass")
+          }
           ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -1346,8 +1429,10 @@ object StreamingIngest {
                   sum(col("s2")).as("s2"))
             case None => part
           }
-          merged.write.mode("overwrite")
-            .parquet(s"$statsRoot/gen-$batchId/ab")
+          commitGeneration(spark, s"$statsRoot/gen-$batchId") {
+            merged.write.mode("overwrite")
+              .parquet(s"$statsRoot/gen-$batchId/ab")
+          }
           ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -1399,8 +1484,10 @@ object StreamingIngest {
                   sum(col("s2")).as("s2"))
             case None => part
           }
-          merged.write.mode("overwrite")
-            .parquet(s"$statsRoot/gen-$batchId/anova")
+          commitGeneration(spark, s"$statsRoot/gen-$batchId") {
+            merged.write.mode("overwrite")
+              .parquet(s"$statsRoot/gen-$batchId/anova")
+          }
           ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -1442,8 +1529,10 @@ object StreamingIngest {
                 .agg(sum(col("c")).as("c"))
             case None => part
           }
-          merged.write.mode("overwrite")
-            .parquet(s"$statsRoot/gen-$batchId/kw")
+          commitGeneration(spark, s"$statsRoot/gen-$batchId") {
+            merged.write.mode("overwrite")
+              .parquet(s"$statsRoot/gen-$batchId/kw")
+          }
           ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -1497,8 +1586,10 @@ object StreamingIngest {
                 .agg(sum(col("n")).as("n"))
             case None => part
           }
-          merged.write.mode("overwrite")
-            .parquet(s"$statsRoot/gen-$batchId/mk")
+          commitGeneration(spark, s"$statsRoot/gen-$batchId") {
+            merged.write.mode("overwrite")
+              .parquet(s"$statsRoot/gen-$batchId/mk")
+          }
           ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -1542,8 +1633,10 @@ object StreamingIngest {
                 .agg(sum(col("c")).as("c"))
             case None => part
           }
-          merged.write.mode("overwrite")
-            .parquet(s"$statsRoot/gen-$batchId/tf")
+          commitGeneration(spark, s"$statsRoot/gen-$batchId") {
+            merged.write.mode("overwrite")
+              .parquet(s"$statsRoot/gen-$batchId/tf")
+          }
           ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -1586,8 +1679,10 @@ object StreamingIngest {
                   sum(col("s_pos")).as("s_pos"))
             case None => part
           }
-          merged.write.mode("overwrite")
-            .parquet(s"$statsRoot/gen-$batchId/fleiss")
+          commitGeneration(spark, s"$statsRoot/gen-$batchId") {
+            merged.write.mode("overwrite")
+              .parquet(s"$statsRoot/gen-$batchId/fleiss")
+          }
           ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -1629,8 +1724,10 @@ object StreamingIngest {
                   sum(col("n_cur")).as("n_cur"))
             case None => part
           }
-          merged.write.mode("overwrite")
-            .parquet(s"$statsRoot/gen-$batchId/cat")
+          commitGeneration(spark, s"$statsRoot/gen-$batchId") {
+            merged.write.mode("overwrite")
+              .parquet(s"$statsRoot/gen-$batchId/cat")
+          }
           ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -1674,8 +1771,10 @@ object StreamingIngest {
                   sum(col("tokens_lost")).as("tokens_lost"))
             case None => part
           }
-          merged.write.mode("overwrite")
-            .parquet(s"$statsRoot/gen-$batchId/trunc")
+          commitGeneration(spark, s"$statsRoot/gen-$batchId") {
+            merged.write.mode("overwrite")
+              .parquet(s"$statsRoot/gen-$batchId/trunc")
+          }
           ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -1759,6 +1858,10 @@ object StreamingIngest {
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
+      // same commit gate as priorGeneration: admission generations are
+      // direct parquet writes, so Spark's committer owns the marker
+      .filter(s => fs.exists(
+        new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
       .flatMap(s => s.getPath.getName.stripPrefix("gen-").toLongOption
         .map(id => (id, s.getPath.toString)))
       .filter(_._1 < below)
@@ -1914,8 +2017,10 @@ object StreamingIngest {
                 .agg(sum(col("support")).as("support"))
             case None => part
           }
-          merged.write.mode("overwrite")
-            .parquet(s"$edgesRoot/gen-$batchId/edges")
+          commitGeneration(spark, s"$edgesRoot/gen-$batchId") {
+            merged.write.mode("overwrite")
+              .parquet(s"$edgesRoot/gen-$batchId/edges")
+          }
           ()
       }
       .option("checkpointLocation", checkpointDir)

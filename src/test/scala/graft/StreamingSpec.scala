@@ -1017,6 +1017,90 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap === before)
   }
 
+  test("generation read-sides skip a marker-less (mid-write crash) generation and resolve the committed parent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_gen_commit").toString
+
+    // direct-parquet store (scd dimension): Spark's committer owns the marker
+    val dimRoot = s"$base/dim"
+    val s1 = MemoryStream[(Long, String, Int)]
+    val q1 = StreamingIngest.scdApplyStream(
+      s1.toDF().toDF("k", "attr", "ts"), dimRoot, "k", "attr", "ts", s"$base/ckpt1")
+    Seq(Seq((1L, "A", 10)), Seq((1L, "B", 20))).foreach { b =>
+      s1.addData(b: _*); q1.processAllAvailable()
+    }
+    q1.stop()
+    assert(new java.io.File(s"$dimRoot/gen-0/_SUCCESS").exists)
+    assert(new java.io.File(s"$dimRoot/gen-1/_SUCCESS").exists)
+    val committed = StreamingIngest.currentScdDimension(spark, dimRoot).get
+      .collect().map(_.toSeq).toSet
+    // plant a NEWER generation crashed mid-write: parquet rows present,
+    // _SUCCESS absent — the exact on-disk state between a crash and the
+    // stream's replay. The read-side must resolve gen-1, never this.
+    Seq((1L, "JUNK", 99, 99, 99)).toDF("k", "attr", "ts", "valid_from", "valid_to")
+      .write.parquet(s"$dimRoot/gen-7")
+    assert(new java.io.File(s"$dimRoot/gen-7/_SUCCESS").delete())
+    assert(StreamingIngest.currentScdDimension(spark, dimRoot).get
+      .collect().map(_.toSeq).toSet === committed)
+
+    // sub-table store (corpus stats): commitGeneration owns the marker.
+    // Crash window here is BETWEEN table writes: first table committed,
+    // second never started, no generation-level marker.
+    val statsRoot = s"$base/stats"
+    val s2 = MemoryStream[(Long, String)]
+    val q2 = StreamingIngest.corpusStatsStream(
+      s2.toDF().toDF("doc_id", "text"), statsRoot, s"$base/ckpt2")
+    Seq(Seq((1L, "a b"), (2L, "b c")), Seq((3L, "c d"))).foreach { b =>
+      s2.addData(b: _*); q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(new java.io.File(s"$statsRoot/gen-0/_SUCCESS").exists)
+    assert(new java.io.File(s"$statsRoot/gen-1/_SUCCESS").exists)
+    val (dfC, totC) = StreamingIngest.currentCorpusStats(spark, statsRoot).get
+    val dfBefore = dfC.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val totBefore = totC.collect().map(_.toSeq).toSet
+    Seq(("junk", 9L)).toDF("term", "df").write.parquet(s"$statsRoot/gen-9/df")
+    val (dfG, totG) = StreamingIngest.currentCorpusStats(spark, statsRoot).get
+    assert(dfG.collect().map(r => (r.getString(0), r.getLong(1))).toSet === dfBefore)
+    assert(totG.collect().map(_.toSeq).toSet === totBefore)
+  }
+
+  test("asOfGeneration: historical snapshots read identically after newer batches land; prune sets the horizon") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_gen_asof").toString
+    val root = s"$base/matrix"; val ckpt = s"$base/ckpt"
+    def ev(u: Long, et: String, m: Int, id: Long) =
+      StreamingIngest.TypedEvent(u, et, new java.sql.Timestamp((1000 + m) * 60000L), id)
+    val stream = MemoryStream[StreamingIngest.TypedEvent]
+    val q = StreamingIngest.transitionMatrixStream(stream.toDS(), root, ckpt)
+    def readAt(p: String) = spark.read.parquet(s"$p/matrix").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    Seq(Seq(ev(1L, "a", 0, 1L), ev(1L, "b", 1, 2L)), Seq(ev(1L, "c", 2, 3L)))
+      .foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    // capture the gen-1 snapshot NOW, then land two more batches on top
+    val p1 = StreamingIngest.asOfGeneration(spark, root, 1L).get
+    assert(p1.endsWith("gen-1"))
+    val snap1 = readAt(p1)
+    Seq(Seq(ev(1L, "a", 3, 4L)), Seq(ev(1L, "b", 4, 5L)))
+      .foreach { b => stream.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    // retained generations are immutable: the as-of read is unchanged
+    assert(StreamingIngest.asOfGeneration(spark, root, 1L).get === p1)
+    assert(readAt(p1) === snap1)
+    // as-of resolves the newest committed generation AT OR BELOW the id
+    assert(StreamingIngest.asOfGeneration(spark, root, 0L).get.endsWith("gen-0"))
+    assert(StreamingIngest.asOfGeneration(spark, root, 10L).get.endsWith("gen-3"))
+    assert(StreamingIngest.asOfGeneration(spark, root, Long.MaxValue).get
+      .endsWith("gen-3"))
+    // GC interaction: the prune keep-window IS the time-travel horizon
+    assert(StreamingIngest.pruneGenerations(spark, root, keep = 2) === 2)
+    assert(StreamingIngest.asOfGeneration(spark, root, 1L) === None)
+    assert(StreamingIngest.asOfGeneration(spark, root, 2L).get.endsWith("gen-2"))
+    assert(StreamingIngest.asOfGeneration(spark, root, 10L).get.endsWith("gen-3"))
+  }
+
   test("cusumStream: folded daily generations derive exactly q89, out-of-order batches included") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
