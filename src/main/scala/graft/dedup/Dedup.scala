@@ -875,4 +875,131 @@ object Dedup {
       .where(col("edit_distance") <= d)
       .select(col("id_a"), col("id_b"), col("edit_distance"))
   }
+
+  // ------------------------------------- maximal exact-substring dedup
+
+  /** Maximal cross-document duplicated substrings ≥ `L` tokens — the
+    * exact-substring dedup operator of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better": remove every
+    * substring of ≥ 50 tokens that repeats across the corpus), the
+    * span-EMITTING complement of d08's span counter. Lee et al. build
+    * a suffix array; the distributed equivalent is anchor-extension
+    * over fixed-length grams: a shared substring of M ≥ L tokens
+    * between two documents is EXACTLY a run of consecutive matching
+    * L-gram anchors on one alignment diagonal (pa − pb constant), so
+    *
+    *   1. explode each document into (position, md5(L-gram)) anchors
+    *      — one row per token, 32-byte keys into every shuffle (the
+    *      d08 discipline, span text never travels);
+    *   2. pair anchors within a hash bucket (doc_a < doc_b) — the
+    *      Σ|bucket|² candidate bound of the MinHash family, never
+    *      corpus²;
+    *   3. merge consecutive positions per (pair, diagonal) with the
+    *      gaps-and-islands window (pa − row_number), each island one
+    *      maximal match: length = run + L − 1, unextendable on either
+    *      side because the adjacent anchor did not match;
+    *   4. re-attach the span text once per OUTPUT row by slicing the
+    *      winning document's token array.
+    *
+    * Returns (doc_a, doc_b, a_start, b_start, n_tokens, span) with
+    * 1-based token offsets — per (pair, alignment) maximal, the exact
+    * span inventory a pipeline cuts out of its training text.
+    */
+  def maximalMatches(docs: DataFrame, textCol: String, idCol: String,
+      L: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val n = size(col("__toks"))
+    val anchors = toks.select(col("doc_id"),
+        posexplode(
+          when(n >= L, transform(sequence(lit(1), n - (L - 1)),
+            i => md5(concat_ws(" ", slice(col("__toks"), i, lit(L))))))
+            .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+        col("col").as("h"))
+    val m = anchors.as("x").join(anchors.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.p").as("pa"), col("y.p").as("pb"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    val spans = m.withColumn("diag", col("pa") - col("pb"))
+      .withColumn("isl", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("isl"))
+      .agg(min(col("pa")).as("a_start"), min(col("pb")).as("b_start"),
+        (count(lit(1)) + (L - 1)).as("n_tokens"))
+    spans
+      .join(toks.select(col("doc_id").as("doc_a"), col("__toks")), Seq("doc_a"))
+      .select(col("doc_a"), col("doc_b"), col("a_start"), col("b_start"),
+        col("n_tokens"),
+        concat_ws(" ",
+          slice(col("__toks"), col("a_start").cast("int"),
+            col("n_tokens").cast("int"))).as("span"))
+  }
+
+  /** Apply the [[maximalMatches]] inventory: CUT every duplicated
+    * substring occurrence except one — the second half of Lee et al.
+    * 2022's ExactSubstr recipe (find maximal ≥ L-token cross-document
+    * duplicates, then keep one occurrence corpus-wide and delete the
+    * rest from the training text).
+    *
+    * Keep policy (deterministic): the occurrence in the LOWEST doc id
+    * survives. Every d17 row is oriented doc_a < doc_b, so the cut
+    * list is exactly the doc_b-side intervals — for a span shared by
+    * docs A < B < C the pairs (A,B), (A,C), (B,C) cut B once and C
+    * twice (idempotent: overlaps union), leaving A's copy alone.
+    * Intra-document repetition is out of scope by construction (d17
+    * pairs distinct documents), matching the cross-document semantics
+    * of the paper's corpus-level dedup.
+    *
+    * Mechanics: per document, union the cut intervals with the
+    * running-max-end islands window (ordered by start; a new island
+    * starts where start > max end seen so far), then rebuild the text
+    * keeping every token position outside all merged intervals — one
+    * window + one aggregate over the SPAN inventory (tiny vs the
+    * corpus) and one narrow projection over the documents.
+    *
+    * Returns (doc_id, n_tokens, n_removed, n_spans_cut, clean_text)
+    * for EVERY document (uncut docs pass through, n_removed = 0).
+    */
+  def cutMaximalMatches(docs: DataFrame, textCol: String, idCol: String,
+      L: Int): DataFrame = {
+    val cuts = maximalMatches(docs, textCol, idCol, L)
+      .select(col("doc_b").as("doc_id"), col("b_start").as("s"),
+        (col("b_start") + col("n_tokens")).as("e")) // [s, e)
+      .distinct()
+    val wPrev = Window.partitionBy(col("doc_id"))
+      .orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id"))
+      .orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val merged = cuts
+      .withColumn("__new",
+        when(col("s") > coalesce(max(col("e")).over(wPrev), lit(Long.MinValue)),
+          1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(wRun))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val iv = merged.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("__iv"),
+        count(lit(1)).as("n_spans_cut"))
+    docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .join(iv, Seq("doc_id"), "left")
+      .withColumn("__kept",
+        when(col("__iv").isNull, col("__toks"))
+          .otherwise(expr(
+            """transform(
+              |  filter(transform(__toks, (t, i) -> struct(t AS t, i + 1 AS p)),
+              |         x -> NOT exists(__iv,
+              |                v -> x.p >= v.s AND x.p < v.e)),
+              |  y -> y.t)""".stripMargin)))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long")
+          .as("n_removed"),
+        coalesce(col("n_spans_cut"), lit(0L)).as("n_spans_cut"),
+        concat_ws(" ", col("__kept")).as("clean_text"))
+  }
 }

@@ -26,7 +26,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * be decoded because word boundaries are gone).
   */
 case class BpeSubwords(child: Expression, merges: graft.text.Bpe.Merges,
-    marked: Boolean = false)
+    marked: Boolean = false, byteLevel: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -46,7 +46,9 @@ case class BpeSubwords(child: Expression, merges: graft.text.Bpe.Merges,
     while (i < n) {
       val w = input.getUTF8String(i)
       if (w != null) {
-        val subs = merges.encodeWord(w.toString)
+        val subs =
+          if (byteLevel) merges.encodeBytes(w.toString)
+          else merges.encodeWord(w.toString)
         var j = 0
         while (j < subs.length) {
           val sub =
@@ -82,4 +84,12 @@ object BpeSubwords {
   def marked(tokens: Column, merges: graft.text.Bpe.Merges): Column =
     Bridge.column(
       BpeSubwords(Bridge.expression(tokens), merges, marked = true))
+
+  /** Byte-level ([UNK]-free) marked stream — t52's decodable
+    * encoding: hex-pair base alphabet via [[graft.text.Bpe.Merges
+    * .encodeBytes]], continuation "@@" markers as in [[marked]].
+    */
+  def markedBytes(tokens: Column, merges: graft.text.Bpe.Merges): Column =
+    Bridge.column(BpeSubwords(Bridge.expression(tokens), merges,
+      marked = true, byteLevel = true))
 }

@@ -821,6 +821,135 @@ object Corpus {
        |    = COALESCE(a.orig, '') AS roundtrip_ok
        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  // ----------------------------------------- t52 byte-fallback BPE
+
+  private val byteBpeModels =
+    scala.collection.concurrent.TrieMap[String, graft.text.Bpe.Merges]()
+
+  private def byteBpeMergesPath(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${graft.ingest.FixtureTables.root}/bytebpe_merges_$key.parquet"
+  }
+
+  private def byteBpeModel(s: SparkSession, dir: String): graft.text.Bpe.Merges =
+    byteBpeModels.getOrElseUpdate(dir, {
+      // same bounded fit sample as t37 (freq desc, token asc, 4096)
+      val vocab = t(s, dir, "documents")
+        .select(explode_outer(TextAnalysis.tokens(col("text"))).as("token"))
+        .where(col("token").isNotNull)
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token").asc)
+        .limit(4096)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val m = graft.text.Bpe.trainBytes(vocab, nMerges = 48)
+      import s.implicits._
+      m.lefts.indices.map(i => (i, m.lefts(i), m.rights(i)))
+        .toDF("rank", "lft", "rgt")
+        .coalesce(1).write.mode("overwrite").parquet(byteBpeMergesPath(dir))
+      m
+    })
+
+  /** t52: byte-fallback BPE — the GPT-2-style BYTE-LEVEL alphabet
+    * (Radford et al. 2019) that closes the tokenizer family's realism
+    * gap for non-ASCII text: t37/t42's char-seeded BPE can only emit
+    * symbols built from characters it trained on, while the byte
+    * alphabet decomposes ANY string into one of 256 base symbols — no
+    * [UNK] exists by construction. Symbols are uppercase UTF-8
+    * hex pairs (`hex(encode(token))` split in twos — the same bytes
+    * GPT-2 remaps to printable chars, spelled engine-portably), the
+    * merge rule is t37's verbatim ([[graft.text.Bpe.trainBytes]] /
+    * `encodeBytes` reuse the one merge loop), and the output is t42's
+    * round-trip contract: continuation-marked stream, decode =
+    * strip markers → un-hex → UTF-8, `roundtrip_ok` per document.
+    * BpeSpec's scalacheck property proves encode∘decode = id for
+    * arbitrary token arrays INCLUDING multi-byte UTF-8 — the case the
+    * char-level family documents as its blind spot.
+    *
+    * Same scale shape as t37/t42: driver fit on the bounded frequency
+    * sample, one narrow codegen projection over the corpus, no
+    * shuffle. The oracle re-seeds the shared recursive-CTE replay
+    * from hex pairs and decodes with `from_hex` — a hash match
+    * certifies segmentation, marking, and the byte-level decode.
+    */
+  val t52_byte_bpe_roundtrip: Q = (s, dir) => {
+    val m = byteBpeModel(s, dir)
+    t(s, dir, "documents").transform(spreadScan)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+      .withColumn("__marked",
+        graft.functions.BpeSubwords.markedBytes(col("__toks"), m))
+      .withColumn("__stream", concat_ws(" ", col("__marked")))
+      .withColumn("__dechex", expr("replace(__stream, '@@ ', '')"))
+      .withColumn("__dec", expr(
+        "array_join(transform(split(__dechex, ' '), " +
+          "h -> decode(unhex(h), 'UTF-8')), ' ')"))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(col("__marked")).cast("long").as("n_subwords"),
+        (size(col("__marked")) - size(col("__toks"))).cast("long")
+          .as("n_continuations"),
+        md5(col("__dec")).as("decoded_md5"),
+        (col("__dec") === concat_ws(" ", col("__toks"))).as("roundtrip_ok"))
+  }
+
+  def t52_sql: String =
+    s"""WITH RECURSIVE
+       |mg AS (SELECT rank, lft, rgt
+       |       FROM read_parquet('${byteBpeMergesPath(oracleSfDir)}/*.parquet')),
+       |$tokposSqlCtes,
+       |enc AS (
+       |  SELECT token,
+       |    list_transform(generate_series(1, length(hex(encode(token))) // 2),
+       |      i -> substr(hex(encode(token)), 2 * i - 1, 2)) AS syms,
+       |    0 AS iter
+       |  FROM vocab
+       |  UNION ALL
+       |  SELECT token,
+       |    list_concat(list_concat(list_slice(syms, 1, bp - 1),
+       |        [syms[bp] || syms[bp + 1]]),
+       |      list_slice(syms, bp + 2, len(syms))) AS syms,
+       |    iter + 1 AS iter
+       |  FROM (
+       |    SELECT x.token, x.syms, x.iter, x.i AS bp,
+       |      ROW_NUMBER() OVER (PARTITION BY x.token, x.iter
+       |                         ORDER BY m.rank, x.i) AS rn
+       |    FROM (
+       |      SELECT e.token, e.syms, e.iter,
+       |        unnest(generate_series(1, len(e.syms) - 1)) AS i
+       |      FROM enc e
+       |    ) x
+       |    JOIN mg m ON m.lft = x.syms[x.i] AND m.rgt = x.syms[x.i + 1]
+       |  ) WHERE rn = 1
+       |),
+       |fin AS (SELECT token, syms FROM (
+       |  SELECT token, syms, ROW_NUMBER() OVER (PARTITION BY token
+       |      ORDER BY iter DESC) AS rn FROM enc) WHERE rn = 1),
+       |mk AS (SELECT token, CAST(len(syms) AS BIGINT) AS nsub,
+       |    CASE WHEN len(syms) <= 1 THEN array_to_string(syms, ' ')
+       |         ELSE array_to_string(list_transform(
+       |                syms[1:len(syms) - 1], x -> x || '@@'), ' ')
+       |              || ' ' || syms[len(syms)] END AS mkstr
+       |  FROM fin),
+       |agg AS (SELECT tp.doc_id,
+       |    COUNT(*) AS n_tokens,
+       |    CAST(SUM(k.nsub) AS BIGINT) AS n_subwords,
+       |    string_agg(k.mkstr, ' ' ORDER BY tp.pos) AS stream,
+       |    string_agg(tp.token, ' ' ORDER BY tp.pos) AS orig
+       |  FROM tokpos tp JOIN mk k ON k.token = tp.token
+       |  GROUP BY tp.doc_id),
+       |dec AS (SELECT doc_id, n_tokens, n_subwords, orig,
+       |    array_to_string(list_transform(
+       |      string_split(replace(stream, '@@ ', ''), ' '),
+       |      h -> decode(from_hex(h))), ' ') AS decoded
+       |  FROM agg)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(a.n_subwords, 0) AS BIGINT) AS n_subwords,
+       |  CAST(COALESCE(a.n_subwords, 0) - COALESCE(a.n_tokens, 0)
+       |    AS BIGINT) AS n_continuations,
+       |  md5(COALESCE(a.decoded, '')) AS decoded_md5,
+       |  COALESCE(a.decoded, '') = COALESCE(a.orig, '') AS roundtrip_ok
+       |FROM documents d LEFT JOIN dec a USING (doc_id)""".stripMargin
+
   // ------------------------------------------------- t43 unigram-LM
 
   private val unigramModels =
@@ -2193,10 +2322,14 @@ object Corpus {
     * under one oracle: [[q154Assigned]]'s split and d07's shingle
     * algebra.
     *
-    * Scale shape: one shingle explode per split side, the train side
-    * collapsed to a DISTINCT shingle set (vocabulary-bounded), one
-    * left-semi join on the shingle string, one map-side-combined
-    * per-doc count; seen_share is a single division of exact BIGINTs.
+    * Scale shape: ONE shingle explode, md5-hashed BEFORE the
+    * materialization (d08/t26 discipline — the checkpoint, the train
+    * DISTINCT, and the left-semi join all carry 32-byte keys, never
+    * multi-word shingle text; the audit only counts matches, it never
+    * emits a shingle, so hashing changes nothing downstream), the
+    * train side collapsed to a vocabulary-bounded distinct set, one
+    * map-side-combined per-doc count; seen_share is a single division
+    * of exact BIGINTs.
     */
   val q155_memorization_audit: Q = (s, dir) => {
     val asg = q154Assigned(s, dir).select(col("doc_id"), col("split"))
@@ -2212,8 +2345,10 @@ object Corpus {
       .where(col("split").isin("train", "test"))
       .select(col("doc_id"), col("split"),
         size(col("__sh")).cast("long").as("n_shingles"),
-        explode_outer(col("__sh")).as("tok"))
-      .where(col("tok").isNotNull)
+        explode_outer(col("__sh")).as("__tok"))
+      .where(col("__tok").isNotNull)
+      .select(col("doc_id"), col("split"), col("n_shingles"),
+        md5(col("__tok")).as("tok"))
       .localCheckpoint(true)
     val trainSh = exploded.where(col("split") === "train")
       .select(col("tok")).distinct()
@@ -2789,6 +2924,110 @@ object Corpus {
        |SELECT md5(span) AS span_hash, COUNT(DISTINCT doc_id) AS n_docs,
        |  COUNT(*) AS n_total, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
        |FROM sh GROUP BY md5(span) HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin
+
+  /** d17: maximal exact-substring dedup
+    * ([[graft.dedup.Dedup.maximalMatches]], the Lee et al. 2022
+    * operator) — every maximal cross-document duplicated substring of
+    * ≥ 20 tokens, with both documents' 1-based token offsets and the
+    * span text itself. d08 COUNTS fixed-length repeated spans; this
+    * EMITS the maximal spans a pipeline actually cuts: consecutive
+    * matching 20-gram anchors merge per (pair, diagonal) into one
+    * unextendable match. The oracle replays the anchor→diagonal→island
+    * recurrence over raw gram strings (no hashing — an independent
+    * equality), and DedupSpec verifies spans character-exact on
+    * planted duplicates. Scale: md5 anchors into every shuffle,
+    * Σ|bucket|² pair bound, islands windowed per (pair, diagonal) —
+    * never a document cross product.
+    */
+  val d17_maximal_spans: Q = (s, dir) =>
+    Dedup.maximalMatches(t(s, dir, "documents"), "text", "doc_id", L = 20)
+
+  /** The d17 anchor→diagonal→island CTE chain (token table `tk` →
+    * maximal-match inventory `agg`) — spliced by the d17 oracle AND
+    * d18's cut replay, exactly as the Spark side shares
+    * [[graft.dedup.Dedup.maximalMatches]].
+    */
+  private def d17CoreSqlCtes: String =
+    s"""tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |posi AS (SELECT doc_id, toks,
+       |    unnest(CASE WHEN len(toks) >= 20
+       |           THEN generate_series(1, len(toks) - 19)
+       |           ELSE [] END) AS i
+       |  FROM tk),
+       |pos AS (SELECT doc_id, CAST(i AS BIGINT) AS p,
+       |    array_to_string(toks[i:i+19], ' ') AS gram
+       |  FROM posi),
+       |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.p AS pa, b.p AS pb
+       |  FROM pos a JOIN pos b ON a.gram = b.gram
+       |  WHERE a.doc_id < b.doc_id),
+       |r AS (SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+       |    pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+       |                            ORDER BY pa) AS isl
+       |  FROM m),
+       |agg AS (SELECT doc_a, doc_b, MIN(pa) AS a_start, MIN(pb) AS b_start,
+       |    CAST(COUNT(*) + 19 AS BIGINT) AS n_tokens
+       |  FROM r GROUP BY doc_a, doc_b, diag, isl)""".stripMargin
+
+  def d17_sql: String =
+    s"""WITH $d17CoreSqlCtes
+       |SELECT agg.doc_a, agg.doc_b, agg.a_start, agg.b_start, agg.n_tokens,
+       |  array_to_string(tk.toks[agg.a_start : agg.a_start + agg.n_tokens - 1],
+       |                  ' ') AS span
+       |FROM agg JOIN tk ON tk.doc_id = agg.doc_a""".stripMargin
+
+  /** d18: exact-substring CUT ([[graft.dedup.Dedup.cutMaximalMatches]])
+    * — the second half of Lee et al. 2022's recipe: apply d17's
+    * maximal-match inventory by deleting every duplicated ≥ 20-token
+    * occurrence except the one in the lowest doc id. Cut intervals
+    * (the doc_b side of every d17 row) union per document through the
+    * running-max-end islands window; the text rebuilds keeping every
+    * token position outside the merged intervals. Every document
+    * comes back (uncut ones pass through with n_removed = 0), so the
+    * output IS the post-dedup training corpus plus its audit counts.
+    * The oracle replays the shared [[d17CoreSqlCtes]] inventory, the
+    * same interval union, and the same positional cut in DuckDB list
+    * algebra — a hash match certifies the surgery token-for-token.
+    */
+  val d18_exact_substring_cut: Q = (s, dir) =>
+    Dedup.cutMaximalMatches(t(s, dir, "documents"), "text", "doc_id", L = 20)
+
+  def d18_sql: String =
+    s"""WITH $d17CoreSqlCtes,
+       |cuts AS (SELECT DISTINCT doc_b AS doc_id, b_start AS s,
+       |    b_start + n_tokens AS e
+       |  FROM agg),
+       |isl2 AS (SELECT doc_id, s, e,
+       |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+       |           ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+       |           AND 1 PRECEDING), -9223372036854775808) THEN 1 ELSE 0
+       |    END AS nw
+       |  FROM cuts),
+       |isl3 AS (SELECT doc_id, s, e,
+       |    SUM(nw) OVER (PARTITION BY doc_id ORDER BY s, e
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+       |  FROM isl2),
+       |mrg AS (SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+       |  FROM isl3 GROUP BY doc_id, isl),
+       |iv AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS iv,
+       |    CAST(COUNT(*) AS BIGINT) AS n_spans_cut
+       |  FROM mrg GROUP BY doc_id),
+       |ct AS (SELECT tk.doc_id, tk.toks, iv.iv, iv.n_spans_cut,
+       |    CASE WHEN iv.iv IS NULL THEN toks
+       |         ELSE list_transform(
+       |           list_filter(generate_series(1, len(toks)),
+       |             p -> len(list_filter(iv.iv,
+       |                    v -> p >= v.s AND p < v.e)) = 0),
+       |           p -> toks[p]) END AS kept
+       |  FROM tk LEFT JOIN iv USING (doc_id))
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+       |  COALESCE(n_spans_cut, 0) AS n_spans_cut,
+       |  -- a fully-cut document keeps zero tokens: DuckDB's
+       |  -- array_to_string yields NULL on the empty list, Spark's
+       |  -- concat_ws yields '' — pin the empty string
+       |  COALESCE(array_to_string(kept, ' '), '') AS clean_text
+       |FROM ct""".stripMargin
 
   /** Incremental batch-vs-corpus near-dup admission: every tenth doc
     * plays the incoming batch, the rest the standing corpus. Same
@@ -7720,6 +7959,105 @@ object Corpus {
        |FROM hx LEFT JOIN hh USING (query_id)""".stripMargin
   }
 
+  private val graphAnnIndexes =
+    scala.collection.concurrent.TrieMap[String, graft.similarity.GraphAnn.Index]()
+
+  private def graphAnnPath(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${graft.ingest.FixtureTables.root}/graphann_$key"
+  }
+
+  /** The s25 graph-ANN serving index — built once per dir from the
+    * SAME LSH fit as s15 (one fit, many consumers — the s03/s19
+    * discipline) at serving out-degree 8, and dumped (graph edges +
+    * entry points) so the oracle replays the walk over this run's
+    * exact persisted index, the s03 dump-then-replay protocol.
+    */
+  private def s25Index(s: SparkSession, dir: String): graft.similarity.GraphAnn.Index =
+    graphAnnIndexes.getOrElseUpdate(dir, {
+      val built = graft.similarity.GraphAnn.build(
+        lshKnnIndex(s, dir)._2, degree = 8, nEntries = 4)
+      built.graph.coalesce(1).write.mode("overwrite")
+        .parquet(s"${graphAnnPath(dir)}/graph.parquet")
+      built.entries.coalesce(1).write.mode("overwrite")
+        .parquet(s"${graphAnnPath(dir)}/entry.parquet")
+      built
+    })
+
+  /** s25: graph-ANN beam serving ([[graft.similarity.GraphAnn]]) —
+    * greedy beam search over the persisted s15-family kNN graph, the
+    * NSW/HNSW search shape production vector stores default to and
+    * the one family (next to LSH s02, IVF s03, PQ s17/s18) this
+    * engine lacked. Entry = persisted approximate medoids; 6 hops of
+    * expand-along-edges → score → merge → beam-32 cut (HNSW's ef —
+    * wider than the answer so the walk has exploration slack), then
+    * the final top-10, every cut by (cos DESC, id ASC) through
+    * [[graft.plans.TopKPerKey]]. Fixed hop count keeps the recurrence
+    * exactly unrollable: the oracle replays all 6 hops as chained SQL
+    * CTEs over the DUMPED graph + entries, so the hash certifies the
+    * walk itself hop by hop. Per-hop cost is beam-bounded (≤
+    * |Q|·beam·outDegree scored rows, spec-asserted on the hop
+    * candidate frames), independent of corpus size; recall@10 vs s01
+    * brute force is spec-gated ≥ 0.85.
+    */
+  val s25_graph_ann: Q = (s, dir) => {
+    val idx = s25Index(s, dir)
+    graft.similarity.GraphAnn.search(idx,
+        t(s, dir, "embeddings").where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, beam = 32, hops = 6)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  def s25_sql: String = {
+    // the search-side cosine with explicit (q.qv, b.v) aliases — the
+    // same zero-norm-guarded sequential form as cosSql
+    val cosQB =
+      """CASE WHEN list_sum(list_transform(q.qv, x -> x * x)) = 0
+        |       OR list_sum(list_transform(b.v, x -> x * x)) = 0 THEN 0.0
+        |     ELSE list_sum(list_transform(generate_series(1, 64), i -> q.qv[i] * b.v[i])) /
+        |          (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+        |           * sqrt(list_sum(list_transform(b.v, x -> x * x)))) END"""
+        .stripMargin
+    // hop i unrolled: expand beam(i-1) along dumped edges, score, set-
+    // union with the beam (exact-duplicate rows collapse — the same
+    // idempotent merge as the Spark side's distinct), cut to top-10
+    val hops = (1 to 6).map { i =>
+      s"""cand$i AS (SELECT DISTINCT b.query_id, g.dst AS node
+         | FROM beam${i - 1} b JOIN g ON g.src = b.node),
+         |sc$i AS (SELECT c.query_id, c.node, $cosQB AS cos
+         | FROM cand$i c JOIN e b ON b.vec_id = c.node
+         |               JOIN q ON q.query_id = c.query_id
+         | WHERE c.node <> c.query_id),
+         |u$i AS (SELECT query_id, node, cos FROM beam${i - 1}
+         |        UNION SELECT query_id, node, cos FROM sc$i),
+         |beam$i AS (SELECT query_id, node, cos FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, node ASC) AS rn FROM u$i) WHERE rn <= 32)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+       |g AS (SELECT src, dst
+       | FROM read_parquet('${graphAnnPath(oracleSfDir)}/graph.parquet/*.parquet')),
+       |ent AS (SELECT node
+       | FROM read_parquet('${graphAnnPath(oracleSfDir)}/entry.parquet/*.parquet')),
+       |sc0 AS (SELECT q.query_id, ent.node, $cosQB AS cos
+       | FROM q CROSS JOIN ent JOIN e b ON b.vec_id = ent.node
+       | WHERE ent.node <> q.query_id),
+       |beam0 AS (SELECT query_id, node, cos FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, node ASC) AS rn FROM sc0) WHERE rn <= 32),
+       |$hops,
+       |fin AS (SELECT query_id, node, cos,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id
+       |                     ORDER BY cos DESC, node ASC) AS rank
+       | FROM beam6)
+       |SELECT query_id, node AS neighbor_id, ROUND(cos, 6) AS cosine, rank
+       |FROM fin WHERE rank <= 10""".stripMargin
+  }
+
   /** s19: ANN recall@k — the index-quality eval every serving stack
     * runs before trusting an approximate index: per probe query, how
     * much of the EXACT cosine top-10 (the s01 baseline) does the s03
@@ -8779,6 +9117,7 @@ object Corpus {
     "t42_bpe_roundtrip"     -> t42_bpe_roundtrip,
     "t43_unigram_encode"    -> t43_unigram_encode,
     "t51_wordpiece_encode"  -> t51_wordpiece_encode,
+    "t52_byte_bpe_roundtrip" -> t52_byte_bpe_roundtrip,
     "t44_bestfit_pack"      -> t44_bestfit_pack,
     "t45_epoch_shuffle"     -> t45_epoch_shuffle,
     "t46_tokenizer_eval"    -> t46_tokenizer_eval,
@@ -8805,6 +9144,7 @@ object Corpus {
     "s22_cluster_eval"      -> s22_cluster_eval,
     "s23_pca_whitening"     -> s23_pca_whitening,
     "s24_pca_recall"        -> s24_pca_recall,
+    "s25_graph_ann"         -> s25_graph_ann,
     "q152_fairness_report"  -> q152_fairness_report,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
@@ -8824,6 +9164,8 @@ object Corpus {
     "d13_winnow_copydetect" -> d13_winnow_copydetect,
     "d14_edit_join"         -> d14_edit_join,
     "d15_jw_join"           -> d15_jw_join,
+    "d17_maximal_spans"     -> d17_maximal_spans,
+    "d18_exact_substring_cut" -> d18_exact_substring_cut,
     "s01_cosine_topk"       -> s01_cosine_topk,
     "s02_lsh_ann_topk"      -> s02_lsh_ann_topk,
     "s04_label_centroids"   -> s04_label_centroids,
@@ -8900,6 +9242,7 @@ object Corpus {
     "t42_bpe_roundtrip"     -> t42_sql,
     "t43_unigram_encode"    -> t43_sql,
     "t51_wordpiece_encode"  -> t51_sql,
+    "t52_byte_bpe_roundtrip" -> t52_sql,
     "t44_bestfit_pack"      -> t44_sql,
     "t45_epoch_shuffle"     -> t45_sql,
     "t46_tokenizer_eval"    -> t46_sql,
@@ -8926,6 +9269,7 @@ object Corpus {
     "s22_cluster_eval"      -> s22_sql,
     "s23_pca_whitening"     -> s23_sql,
     "s24_pca_recall"        -> s24_sql,
+    "s25_graph_ann"         -> s25_sql,
     "q152_fairness_report"  -> q152_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,
@@ -8945,6 +9289,8 @@ object Corpus {
     "d13_winnow_copydetect" -> d13_sql,
     "d14_edit_join"         -> d14_sql,
     "d15_jw_join"           -> d15_sql,
+    "d17_maximal_spans"     -> d17_sql,
+    "d18_exact_substring_cut" -> d18_sql,
     "s01_cosine_topk"       -> s01_sql,
     "s02_lsh_ann_topk"      -> s02_sql,
     "s03_ivf_topk"          -> s03_sql,

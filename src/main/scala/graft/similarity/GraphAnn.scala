@@ -1,0 +1,151 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph-based ANN serving — greedy beam search over a persisted kNN
+  * graph, the NSW/HNSW-family search shape production vector stores
+  * default to (Malkov & Yashunin 2018's layer-0 walk; the reference
+  * engine has no vector surface at all — this extends the engine's
+  * LLM-pipeline family alongside LSH (s02), IVF (s03) and PQ (s17)).
+  *
+  * An index is {kNN graph, entry points}: the graph is the s15
+  * artifact re-cut at serving out-degree (bucket self-join candidates
+  * = Σ|bucket|² — never corpus² — ranked by the codegen cosine through
+  * [[graft.plans.TopKPerKey]]'s bounded map-side heaps), and the entry
+  * points are the approximate medoids (nearest corpus vectors to the
+  * per-dimension mean) every graph-ANN index persists alongside its
+  * edges so a search starts somewhere central rather than random.
+  *
+  * Search is BATCHED beam search — all queries walk simultaneously:
+  * each hop expands the current beam along graph edges (one graph
+  * scan with the beam broadcast — ≤ |Q|·k probe keys), scores the
+  * candidates (one corpus scan with ≤ |Q|·k·degree broadcast
+  * candidate ids), merges into the beam, and keeps the per-query
+  * top-k. A FIXED hop count (no data-dependent convergence test)
+  * keeps the recurrence exactly replayable: hopping past convergence
+  * re-derives the same beam (the merge is idempotent), so overshoot
+  * is harmless and the whole search unrolls into pure SQL for the
+  * oracle. Per-hop work is beam-bounded — |Q|·k·degree scored rows,
+  * independent of corpus size — which is the property that makes the
+  * walk serve at 100 TB; on a cluster the persisted graph/corpus
+  * would additionally be bucketed by id so the broadcast-probe joins
+  * prune to the touched buckets (the s02 `searchPruned` move).
+  *
+  * Determinism: all scoring through the sequential-sum codegen cosine
+  * (bit-reproducible, DuckDB-replayable), every cut ordered by
+  * (cos DESC, node ASC), duplicate candidates collapse by exact row
+  * equality — so the beam contents are a pure function of the index,
+  * byte-for-byte across engines.
+  */
+object GraphAnn {
+
+  /** A serving index: `graph(src, dst)` with out-degree ≤ the build
+    * degree, `entries(node)` — the persisted start points — and the
+    * id→vector corpus the walk scores against.
+    */
+  final case class Index(graph: DataFrame, entries: DataFrame, corpus: DataFrame)
+
+  /** Build the serving index from a fitted [[Similarity.LshIndex]]
+    * (one LSH fit shared with s15 — the s03/s19 one-fit-many-consumers
+    * discipline). `degree` is the serving out-degree: higher than
+    * s15's analytic top-3 because walk connectivity, not edge economy,
+    * decides recall.
+    */
+  def build(idx: Similarity.LshIndex, degree: Int = 8,
+      nEntries: Int = 4): Index = {
+    val b = idx.buckets
+    val cand = b.select(col("bucket"), col("neighbor_id").as("src"))
+      .join(b.select(col("bucket"), col("neighbor_id").as("dst")), Seq("bucket"))
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val va = idx.corpus.select(col("neighbor_id").as("src"), col("__cv").as("__va"))
+    val vb = idx.corpus.select(col("neighbor_id").as("dst"), col("__cv").as("__vb"))
+    val scored = cand.join(va, Seq("src")).join(vb, Seq("dst"))
+      .select(col("src"), col("dst"),
+        Similarity.cosine(col("__va"), col("__vb")).as("cos"))
+    val fwd = graft.plans.TopKPerKey(scored, Seq("src"),
+      Seq(col("cos").desc, col("dst").asc), degree)
+    // symmetrize, then re-cut to 2·degree: a pure kNN DIgraph is
+    // poorly navigable (a point can be in many nodes' top-k yet have
+    // its own edges point elsewhere — walks get trapped); NSW/HNSW
+    // add every edge's reverse and prune back to a max degree, which
+    // is exactly this union + second TopKPerKey cut (cos is symmetric,
+    // so the reversed edge reuses the already-computed score)
+    val undirected = fwd
+      .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst"),
+        col("cos")))
+      .distinct()
+    val graph = graft.plans.TopKPerKey(undirected, Seq("src"),
+        Seq(col("cos").desc, col("dst").asc), 2 * degree)
+      .select(col("src"), col("dst"))
+      .localCheckpoint(true) // every search hop iterates over it
+    // entry points: nearest corpus vectors to the per-dim mean — an
+    // O(n·dim) aggregate + one global top-nEntries (TakeOrdered, no
+    // full sort). The 64-double mean is the only driver-side value.
+    val mean = idx.corpus
+      .select(posexplode(col("__cv").cast("array<double>")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(avg(col("x")).as("m"))
+      .orderBy(col("i")).collect().map(_.getDouble(1))
+    val entries = idx.corpus
+      .select(col("neighbor_id").as("node"),
+        Similarity.cosine(col("__cv"), array(mean.map(lit(_)): _*)).as("__c"))
+      .orderBy(col("__c").desc, col("node").asc)
+      .limit(nEntries)
+      .select(col("node"))
+      .localCheckpoint(true)
+    Index(graph, entries,
+      idx.corpus.select(col("neighbor_id").as("node"), col("__cv")))
+  }
+
+  /** Greedy beam search: per query, seed the beam with the entry
+    * points, then `hops` rounds of expand-score-merge-cut over a beam
+    * of width `beam` (HNSW's ef — wider than k, because the walk
+    * needs exploration slack beyond the answer size), finally cut to
+    * the top-k. Returns (query_id, neighbor_id, cosine, rank).
+    * `onHop` receives each hop's candidate frame (specs assert the
+    * |Q|·beam·outDegree bound on it).
+    */
+  def search(idx: Index, queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, k: Int = 10, beam: Int = 32, hops: Int = 6,
+      onHop: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
+    val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).cast("array<double>").as("__qv")))
+    val cvec = idx.corpus
+    // score a (query_id, node) candidate frame: corpus streams past
+    // the broadcast candidates — no corpus shuffle, ever
+    def score(cand: DataFrame): DataFrame =
+      cvec.join(broadcast(cand), Seq("node"))
+        .join(q, Seq("query_id"))
+        .where(col("node") =!= col("query_id"))
+        .select(col("query_id"), col("node"),
+          Similarity.cosine(col("__qv"), col("__cv")).as("cos"))
+    def topB(df: DataFrame): DataFrame =
+      graft.plans.TopKPerKey(df, Seq("query_id"),
+        Seq(col("cos").desc, col("node").asc), beam)
+    var beamDf = topB(score(
+        q.select(col("query_id")).crossJoin(broadcast(idx.entries))))
+      .localCheckpoint(true)
+    var h = 0
+    while (h < hops) {
+      h += 1
+      val cand = idx.graph.join(
+          broadcast(beamDf.select(col("query_id"), col("node").as("src"))),
+          Seq("src"))
+        .select(col("query_id"), col("dst").as("node"))
+        .distinct()
+      onHop(h, cand)
+      // merge is idempotent: a re-derived beam row is an exact
+      // duplicate (same deterministic cos bits), collapsed by distinct
+      beamDf = topB(beamDf.unionByName(score(cand)).distinct())
+        .localCheckpoint(true)
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("node").asc)
+    beamDf.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("node").as("neighbor_id"),
+        col("cos").as("cosine"), col("rank"))
+  }
+}

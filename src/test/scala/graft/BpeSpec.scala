@@ -105,6 +105,60 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("t52 byte-level encode ∘ decode = id for arbitrary streams INCLUDING multi-byte UTF-8, any table") {
+    // the byte-fallback contract: hex-pair base alphabet means no
+    // input is out-of-alphabet — accents, CJK, emoji (surrogate
+    // pairs), and tokens wholly unseen at train time all decode back
+    // byte-exactly. 200 seeded-random (vocab, merges, stream) triples.
+    val rng = new scala.util.Random(1234)
+    val pieces = Seq("a", "b", "é", "ß", "漢", "字", "🙂", "ё", "ن")
+    def word(): String =
+      (0 until (1 + rng.nextInt(6))).map(_ => pieces(rng.nextInt(pieces.length))).mkString
+    (0 until 200).foreach { trial =>
+      val vocab = Seq.fill(1 + rng.nextInt(10))(word())
+        .map(w => (w, (1 + rng.nextInt(5)).toLong))
+      val m = Bpe.trainBytes(vocab, nMerges = rng.nextInt(24))
+      val toks = Seq.fill(rng.nextInt(12))(word())
+      // no [UNK]: EVERY word segments into hex symbols that
+      // reassemble to its exact UTF-8 bytes
+      toks.foreach { w =>
+        val subs = m.encodeBytes(w)
+        val bytes = subs.mkString.grouped(2)
+          .map(Integer.parseInt(_, 16).toByte).toArray
+        assert(new String(bytes, "UTF-8") == w,
+          s"trial $trial: byte segmentation lossy for $w")
+      }
+      // the t52 stream decode rule (mark, join, strip, un-hex)
+      val marked = toks.flatMap { w =>
+        val subs = m.encodeBytes(w)
+        subs.zipWithIndex.map { case (s, i) =>
+          if (i < subs.length - 1) s + "@@" else s
+        }
+      }
+      val decoded = marked.mkString(" ").replace("@@ ", "")
+        .split(" ", -1).map { h =>
+          if (h.isEmpty) ""
+          else new String(
+            h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray, "UTF-8")
+        }.mkString(" ")
+      assert(decoded == toks.mkString(" "),
+        s"trial $trial: byte round-trip broke for $toks via $marked")
+    }
+  }
+
+  test("t52 round-trip verdict holds corpus-wide on the shipped fixture") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val out = graft.SparkEntry.queries("t52_byte_bpe_roundtrip")(spark, dir)
+    assert(out.where(!col("roundtrip_ok")).count() == 0,
+      "the byte alphabet must round-trip every document")
+    assert(out.where(col("n_continuations") < 0).count() == 0)
+    // byte-level fertility floor: every subword is ≥ 1 byte, so
+    // n_subwords ≥ n_tokens with equality only when every token
+    // merged to a single symbol
+    assert(out.where(col("n_subwords") < col("n_tokens")).count() == 0)
+  }
+
   test("t42 round-trip verdict holds corpus-wide on the shipped fixture") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/documents.parquet").exists())

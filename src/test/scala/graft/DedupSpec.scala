@@ -349,4 +349,82 @@ class DedupSpec extends SparkSpec {
     // read ~1.0; the fixture's residual boilerplate overlap is tiny)
     assert(rows.map(_._4).max < 0.5, "a test doc looks memorized")
   }
+
+  test("d17 maximalMatches: planted duplicates come back character-exact, maximal, and nothing else") {
+    import spark.implicits._
+    def words(prefix: String, n: Int): Seq[String] =
+      (1 to n).map(i => s"$prefix$i")
+    val shared = words("dup", 25)       // a 25-token shared run
+    val shorter = words("low", 19)      // below L=20: must NOT match
+    val docs = Seq(
+      // doc 1: prefix(3) + shared(25) + suffix(4) → shared at p=4
+      (1L, (words("a", 3) ++ shared ++ words("z", 4)).mkString(" ")),
+      // doc 2: prefix(5) + shared(25) → shared at p=6
+      (2L, (words("b", 5) ++ shared).mkString(" ")),
+      // docs 3/4 share only 19 tokens — under L, no output
+      (3L, (words("c", 2) ++ shorter).mkString(" ")),
+      (4L, (shorter ++ words("d", 2)).mkString(" ")),
+      // doc 5: unrelated
+      (5L, words("e", 40).mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.maximalMatches(docs, "text", "doc_id", L = 20)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    // exactly ONE maximal match: docs (1,2), the full 25-token run —
+    // not its 6 constituent 20-grams, and nothing from the 19-token
+    // or unrelated plants
+    assert(got.toSeq === Seq((1L, 2L, 4L, 6L, 25L, shared.mkString(" "))))
+
+    // extension asymmetry: make doc 2's copy continue one token past
+    // doc 1's — the match must not grow beyond what BOTH share
+    val docs2 = Seq(
+      (1L, (words("a", 3) ++ shared ++ words("z", 4)).mkString(" ")),
+      (2L, (words("b", 5) ++ shared ++ words("q", 1)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got2 = Dedup.maximalMatches(docs2, "text", "doc_id", L = 20).collect()
+    assert(got2.length === 1 && got2(0).getLong(4) === 25L)
+
+    // a doc repeating the span twice pairs on TWO diagonals — one
+    // maximal match per alignment, both character-exact
+    val docs3 = Seq(
+      (1L, shared.mkString(" ")),
+      (2L, (shared ++ words("m", 2) ++ shared).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got3 = Dedup.maximalMatches(docs3, "text", "doc_id", L = 20)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getString(5))).sortBy(_._2)
+    assert(got3.toSeq === Seq(
+      (1L, 1L, 25L, shared.mkString(" ")),
+      (1L, 28L, 25L, shared.mkString(" "))))
+  }
+
+  test("d18 cutMaximalMatches: lowest doc keeps its copy, every other occurrence is cut, overlaps union") {
+    import spark.implicits._
+    def words(prefix: String, n: Int): Seq[String] =
+      (1 to n).map(i => s"$prefix$i")
+    val shared = words("dup", 25)
+    val docs = Seq(
+      // doc 1 owns the span (lowest id): untouched
+      (1L, (words("a", 3) ++ shared ++ words("z", 4)).mkString(" ")),
+      // doc 2: one copy → cut, neighbors survive
+      (2L, (words("b", 5) ++ shared ++ words("y", 2)).mkString(" ")),
+      // doc 3: TWO copies (two alignments vs both docs above; the
+      // intervals overlap nothing — both cut)
+      (3L, (shared ++ words("m", 2) ++ shared).mkString(" ")),
+      // doc 4: untouched bystander
+      (4L, words("e", 30).mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.cutMaximalMatches(docs, "text", "doc_id", L = 20)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    assert(got(1L) === ((32L, 0L, 0L,
+      (words("a", 3) ++ shared ++ words("z", 4)).mkString(" "))))
+    assert(got(2L) === ((32L, 25L, 1L,
+      (words("b", 5) ++ words("y", 2)).mkString(" "))))
+    // both 25-token copies cut (two merged intervals); the 2-token
+    // bridge between them is inside no ≥20 match and survives
+    assert(got(3L) === ((52L, 50L, 2L, "m1 m2")))
+    assert(got(4L) === ((30L, 0L, 0L, words("e", 30).mkString(" "))))
+  }
 }

@@ -165,7 +165,12 @@ class PlanLintSpec extends SparkSpec {
       // picked by an anti-join over the slice-domain-bounded
       // aggregate — ≤|sources|² comparisons) — the q135 report shape
       // (plus t38's inherited broadcast bias lookup)
-      "q152_fairness_report")
+      "q152_fairness_report",
+      // s25: the fixed 5-row broadcast probe set crosses the 4-row
+      // persisted entry table to seed the beam (|Q|·|entries| rows —
+      // the s01 broadcast-probe shape); every later hop is a keyed
+      // broadcast join bounded by |Q|·beam·degree
+      "s25_graph_ann")
 
   // queries allowed to window >minRows rows on a <minKeys-value key —
   // empty by design; adding here requires an in-source justification

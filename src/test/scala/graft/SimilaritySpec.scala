@@ -346,6 +346,44 @@ class SimilaritySpec extends SparkSpec {
     assert(lshRecall >= 0.85, f"LSH recall regressed: $lshRecall%.3f < 0.85")
   }
 
+  test("s25 graph-ANN beam serving: recall@10 gated vs brute force; every hop's candidate frame is beam-bounded") {
+    import graft.similarity.GraphAnn
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val probes = e.where(col("vec_id") < 5)
+    // the s15-family fit at the adaptive plane count for this corpus
+    val lsh = Similarity.LshIndex.build(e, "vec_id", "embedding",
+      dim = 64, planes = 5, tables = 32)
+    val idx = GraphAnn.build(lsh, degree = 8, nEntries = 4)
+    // serving out-degree bounded by construction (2·degree after the
+    // NSW symmetrize-and-prune)
+    val maxDeg = idx.graph.groupBy(col("src")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(maxDeg <= 16, s"graph out-degree $maxDeg exceeds 2x build degree")
+    val nQ = probes.count()
+    val hopCounts = scala.collection.mutable.ListBuffer[(Int, Long)]()
+    val got = GraphAnn.search(idx, probes, "vec_id", "embedding",
+      k = 10, beam = 32, hops = 6,
+      onHop = (h, cand) => hopCounts += ((h, cand.count())))
+    val exact = Similarity.bruteForceTopK(
+      probes, e, "vec_id", "embedding", "vec_id", "embedding", k = 10)
+    val recall = Similarity.recallAtK(exact, got)
+    info(f"graph-ANN recall@10 = $recall%.3f")
+    println(f"[recall] s25_graph_ann=$recall%.3f")
+    assert(recall >= 0.85, f"graph-ANN recall regressed: $recall%.3f < 0.85")
+    // THE scale property: each hop expands ≤ |Q| · beam · outDegree
+    // candidates no matter how large the corpus is
+    assert(hopCounts.size === 6)
+    hopCounts.foreach { case (h, n) =>
+      assert(n <= nQ * 32 * 16, s"hop $h candidate frame not beam-bounded: $n")
+    }
+    // ≤ k ranked rows per query, rank dense from 1
+    assert(got.groupBy(col("query_id")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0) <= 10)
+    assert(got.where(col("rank") === 1).count() === nQ)
+  }
+
   test("filtered ANN: predicate pre-filters candidates, keeps k results, recall holds") {
     val dir = "/root/testdata/sf0.01"
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
