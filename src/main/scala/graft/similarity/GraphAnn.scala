@@ -41,11 +41,48 @@ import org.apache.spark.sql.functions._
   */
 object GraphAnn {
 
-  /** A serving index: `graph(src, dst)` with out-degree ≤ the build
-    * degree, `entries(node)` — the persisted start points — and the
-    * id→vector corpus the walk scores against.
+  /** A serving index: `graph(src, dst)` with out-degree ≤ 2× the
+    * build degree (post-symmetrize), `entries(node)` — the persisted
+    * start points — and the id→vector corpus the walk scores against.
+    * `srcBuckets` is set on a store-backed index ([[read]]) and names
+    * the `src_bkt` partition fan-out [[searchPruned]] prunes on.
     */
-  final case class Index(graph: DataFrame, entries: DataFrame, corpus: DataFrame)
+  final case class Index(graph: DataFrame, entries: DataFrame,
+      corpus: DataFrame, srcBuckets: Option[Int] = None)
+
+  /** Persist an index: graph partitioned by `src_bkt = src mod
+    * nBuckets` — the storage layout that lets a pruned search's
+    * per-hop scan touch only the directories its beam actually
+    * probes (the IvfIndex `ivf_list=` / LshIndex `bucket_pfx=`
+    * move applied to graph adjacency) — plus entries, corpus, and a
+    * one-row params sidecar so a re-open can never run under a
+    * mismatched bucket count.
+    */
+  def write(idx: Index, path: String, nBuckets: Int = 64): Unit = {
+    idx.graph.withColumn("src_bkt", pmod(col("src"), lit(nBuckets)))
+      .write.mode("overwrite").partitionBy("src_bkt")
+      .parquet(s"$path/graph")
+    idx.entries.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/entries")
+    idx.corpus.write.mode("overwrite").parquet(s"$path/corpus")
+    val spark = idx.graph.sparkSession
+    import spark.implicits._
+    Seq(nBuckets).toDF("n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Re-open a persisted index. The graph frame keeps its `src_bkt`
+    * column (partition pruning needs it); the bucket count comes from
+    * the store's sidecar, never the call site.
+    */
+  def read(spark: org.apache.spark.sql.SparkSession, path: String): Index = {
+    val n = spark.read.parquet(s"$path/params").head().getInt(0)
+    Index(
+      spark.read.parquet(s"$path/graph"),
+      spark.read.parquet(s"$path/entries"),
+      spark.read.parquet(s"$path/corpus"),
+      srcBuckets = Some(n))
+  }
 
   /** Build the serving index from a fitted [[Similarity.LshIndex]]
     * (one LSH fit shared with s15 — the s03/s19 one-fit-many-consumers
@@ -109,7 +146,44 @@ object GraphAnn {
     */
   def search(idx: Index, queries: DataFrame, queryIdCol: String,
       queryVecCol: String, k: Int = 10, beam: Int = 32, hops: Int = 6,
+      onHop: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame =
+    searchImpl(idx, queries, queryIdCol, queryVecCol, k, beam, hops, onHop,
+      beamSrc => idx.graph
+        .join(broadcast(beamSrc), Seq("src"))
+        .select(col("query_id"), col("dst").as("node"))
+        .distinct())
+
+  /** [[search]] against a STORE-BACKED index ([[write]]/[[read]]) —
+    * the IvfIndex `searchPruned` move for graph adjacency: each hop
+    * first collects the beam's distinct source ids (driver-bounded by
+    * |Q|·beam — never corpus-scale) and statically filters the stored
+    * graph on their `src_bkt` partitions + the ids themselves, so the
+    * per-hop scan reads only the adjacency directories the walk
+    * actually probes. Results are identical to [[search]]
+    * (spec-asserted, with scan metrics proving the pruning).
+    */
+  def searchPruned(idx: Index, queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, k: Int = 10, beam: Int = 32, hops: Int = 6,
       onHop: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
+    val n = idx.srcBuckets.getOrElse(throw new IllegalArgumentException(
+      "searchPruned needs a store-backed index (GraphAnn.read)"))
+    searchImpl(idx, queries, queryIdCol, queryVecCol, k, beam, hops, onHop,
+      beamSrc => {
+        val srcs = beamSrc.select(col("src")).distinct()
+          .collect().map(_.getLong(0)) // ≤ |Q|·beam rows by construction
+        val bkts = srcs.map(s => ((s % n) + n) % n).distinct
+        idx.graph
+          .where(col("src_bkt").isin(bkts: _*) && col("src").isin(srcs: _*))
+          .join(broadcast(beamSrc), Seq("src"))
+          .select(col("query_id"), col("dst").as("node"))
+          .distinct()
+      })
+  }
+
+  private def searchImpl(idx: Index, queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, k: Int, beam: Int, hops: Int,
+      onHop: (Int, DataFrame) => Unit,
+      expand: DataFrame => DataFrame): DataFrame = {
     val q = broadcast(queries.select(col(queryIdCol).as("query_id"),
       col(queryVecCol).cast("array<double>").as("__qv")))
     val cvec = idx.corpus
@@ -130,11 +204,8 @@ object GraphAnn {
     var h = 0
     while (h < hops) {
       h += 1
-      val cand = idx.graph.join(
-          broadcast(beamDf.select(col("query_id"), col("node").as("src"))),
-          Seq("src"))
-        .select(col("query_id"), col("dst").as("node"))
-        .distinct()
+      val cand = expand(
+        beamDf.select(col("query_id"), col("node").as("src")))
       onHop(h, cand)
       // merge is idempotent: a re-derived beam row is an exact
       // duplicate (same deterministic cos bits), collapsed by distinct

@@ -384,6 +384,62 @@ class SimilaritySpec extends SparkSpec {
     assert(got.where(col("rank") === 1).count() === nQ)
   }
 
+  test("GraphAnn write/read: the stored index serves identical walks and hops prune graph partitions") {
+    import graft.similarity.GraphAnn
+    val rng = new scala.util.Random(7)
+    val corpus = (0L until 400L).map { i =>
+      (i, Array.fill(16)(rng.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 3)
+    val lsh = Similarity.LshIndex.build(corpus, "vec_id", "embedding",
+      dim = 16, planes = 6, tables = 8)
+    try {
+      val idx = GraphAnn.build(lsh, degree = 6, nEntries = 4)
+      def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val mem = res(GraphAnn.search(idx, queries, "vec_id", "embedding",
+        k = 5, beam = 8, hops = 3))
+      val path = java.nio.file.Files.createTempDirectory("graft_gann").toString
+      GraphAnn.write(idx, path)
+      val bktDirs = new java.io.File(s"$path/graph").listFiles()
+        .filter(_.getName.startsWith("src_bkt=")).map(_.getName).toSet
+      assert(bktDirs.size > 1, s"expected multiple src buckets, got $bktDirs")
+      // no bucket count at the call site: the sidecar is the source
+      val restored = GraphAnn.read(spark, path)
+      assert(restored.srcBuckets === Some(64))
+      // plain search over the store equals the in-memory walk
+      assert(res(GraphAnn.search(restored, queries, "vec_id", "embedding",
+        k = 5, beam = 8, hops = 3)) === mem)
+      // pruned serving: identical results, and each hop's graph scan
+      // reads only the probed src_bkt directories (≤ |Q|·beam probes
+      // = 24 ids, far under the 64-bucket fan-out)
+      val cands = scala.collection.mutable.ListBuffer[
+        org.apache.spark.sql.DataFrame]()
+      assert(res(GraphAnn.searchPruned(restored, queries, "vec_id",
+        "embedding", k = 5, beam = 8, hops = 3,
+        onHop = (_, c) => cands += c)) === mem)
+      assert(cands.size === 3)
+      val lastHop = cands.last
+      lastHop.collect() // execute THIS plan so its scan owns the metrics
+      val scans = scala.collection.mutable.ListBuffer[
+        org.apache.spark.sql.execution.FileSourceScanExec]()
+      def go(n: org.apache.spark.sql.execution.SparkPlan): Unit = n match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          go(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => go(q.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => scans += f
+        case other => other.children.foreach(go)
+      }
+      go(lastHop.queryExecution.executedPlan)
+      val graphScan = scans.find(_.relation.location.rootPaths
+          .exists(_.toString.contains("/graph")))
+        .getOrElse(fail("no graph scan in the pruned hop plan"))
+      val readPartitions = graphScan.metrics("numPartitions").value
+      assert(readPartitions < bktDirs.size.toLong,
+        s"hop scan read $readPartitions of ${bktDirs.size} buckets — no pruning")
+    } finally { lsh.buckets.unpersist(false); lsh.corpus.unpersist(false); () }
+  }
+
   test("filtered ANN: predicate pre-filters candidates, keeps k results, recall holds") {
     val dir = "/root/testdata/sf0.01"
     assume(new java.io.File(s"$dir/embeddings.parquet").exists())
