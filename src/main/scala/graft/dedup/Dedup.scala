@@ -878,6 +878,17 @@ object Dedup {
 
   // ------------------------------------- maximal exact-substring dedup
 
+  /** The md5 L-gram anchor array of a token-array column — ONE
+    * definition of "this document's ≥ L-token span fingerprints",
+    * shared by [[maximalMatches]]/[[cutMaximalMatches]] and the
+    * streaming exact-substring admission (two docs share an anchor
+    * IFF they share ≥ L consecutive tokens). Empty below L tokens.
+    */
+  def spanAnchors(toks: Column, L: Int): Column =
+    when(size(toks) >= L, transform(sequence(lit(1), size(toks) - (L - 1)),
+      i => md5(concat_ws(" ", slice(toks, i, lit(L))))))
+      .otherwise(array().cast("array<string>"))
+
   /** Maximal cross-document duplicated substrings ≥ `L` tokens — the
     * exact-substring dedup operator of Lee et al. 2022 ("Deduplicating
     * Training Data Makes Language Models Better": remove every
@@ -909,12 +920,8 @@ object Dedup {
       L: Int): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("__toks"))
-    val n = size(col("__toks"))
     val anchors = toks.select(col("doc_id"),
-        posexplode(
-          when(n >= L, transform(sequence(lit(1), n - (L - 1)),
-            i => md5(concat_ws(" ", slice(col("__toks"), i, lit(L))))))
-            .otherwise(array().cast("array<string>"))))
+        posexplode(spanAnchors(col("__toks"), L)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
         col("col").as("h"))
     val m = anchors.as("x").join(anchors.as("y"),

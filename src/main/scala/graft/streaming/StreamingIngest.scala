@@ -1858,8 +1858,9 @@ object StreamingIngest {
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
-      // same commit gate as priorGeneration: admission generations are
-      // direct parquet writes, so Spark's committer owns the marker
+      // same commit gate as priorGeneration: near-dup admission gens
+      // are direct parquet writes (Spark's committer owns the marker);
+      // exact-substr admission gens commit via commitGeneration
       .filter(s => fs.exists(
         new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
       .flatMap(s => s.getPath.getName.stripPrefix("gen-").toLongOption
@@ -1867,6 +1868,90 @@ object StreamingIngest {
       .filter(_._1 < below)
       .sortBy(_._1)
       .map(_._2)
+  }
+
+  /** Streaming exact-substring decontamination — the continuous face
+    * of the d17/d18 batch pair (Lee et al. 2022), completing find →
+    * cut → ADMIT-AS-YOU-INGEST: each micro-batch of (doc_id, text) is
+    *
+    *   1. SELF-deduped: a doc sharing any L-gram anchor with a
+    *      smaller-id doc in the same batch drops (the greedy
+    *      smallest-id-survives rule of [[streamingNearDupAdmission]]);
+    *   2. admission-filtered against the standing corpus's ANCHOR
+    *      INDEX — sharing an anchor is exactly sharing ≥ L
+    *      consecutive tokens (d17's match predicate at threshold L,
+    *      reduced to set membership because admission needs
+    *      existence, not the maximal extent), so one left-semi join
+    *      on 32-byte keys replaces any text comparison;
+    *   3. admitted docs land as `gen-<id>/docs` with their DISTINCT
+    *      anchors beside them as `gen-<id>/anchors` — the persisted
+    *      shingle index, so the standing corpus is NEVER re-exploded:
+    *      per-trigger cost is O(|batch| anchors) + one keyed probe,
+    *      independent of corpus history. Rejected docs contribute NO
+    *      anchors (the index describes what the corpus contains, not
+    *      what it has seen).
+    *
+    * Commit/replay contract: the two tables land under one
+    * [[commitGeneration]] marker; a replayed batch reads only
+    * generations strictly below its own id and re-derives the
+    * identical result (anchors are content hashes). The admitted
+    * corpus carries the d17 invariant BY CONSTRUCTION: no two
+    * admitted documents share ≥ L consecutive tokens (spec-asserted
+    * with a maximalMatches sweep over the union).
+    */
+  def exactSubstrAdmissionStream(
+      incoming: DataFrame, // streaming (doc_id, text)
+      corpusRoot: String,
+      checkpointDir: String,
+      L: Int = 20): StreamingQuery =
+    incoming.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          val spark = batch.sparkSession
+          val b = batch.toDF().select(col("doc_id"), col("text"))
+            .withColumn("__anch", array_distinct(
+              graft.dedup.Dedup.spanAnchors(
+                graft.text.TextAnalysis.tokens(col("text")), L)))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val ex = b.select(col("doc_id"), explode(col("__anch")).as("h"))
+          val selfDrop = ex
+            .join(ex.groupBy(col("h")).agg(min(col("doc_id")).as("__min")),
+              Seq("h"))
+            .where(col("doc_id") > col("__min"))
+            .select(col("doc_id")).distinct()
+          val gens = generations(spark, corpusRoot, batchId)
+          val corpusHit =
+            if (gens.isEmpty) selfDrop.limit(0)
+            else ex
+              .join(spark.read.parquet(gens.map(p => s"$p/anchors"): _*),
+                Seq("h"), "left_semi")
+              .select(col("doc_id")).distinct()
+          val dropped = selfDrop.unionByName(corpusHit).distinct()
+          val admitted = b.join(dropped, Seq("doc_id"), "left_anti")
+          commitGeneration(spark, s"$corpusRoot/gen-$batchId") {
+            admitted.select(col("doc_id"), col("text"))
+              .write.mode("overwrite")
+              .parquet(s"$corpusRoot/gen-$batchId/docs")
+            admitted.select(explode(col("__anch")).as("h")).distinct()
+              .write.mode("overwrite")
+              .parquet(s"$corpusRoot/gen-$batchId/anchors")
+          }
+          b.unpersist(false)
+          ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .start()
+
+  /** The span-clean admitted corpus across all committed generations
+    * of [[exactSubstrAdmissionStream]], or None before any exist.
+    */
+  def admittedCleanCorpus(
+      spark: SparkSession, corpusRoot: String): Option[DataFrame] = {
+    val gens = generations(spark, corpusRoot, Long.MaxValue)
+    if (gens.isEmpty) None
+    else Some(spark.read.parquet(gens.map(p => s"$p/docs"): _*))
   }
 
   def streamingTopKPerKey(

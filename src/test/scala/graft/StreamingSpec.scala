@@ -1773,6 +1773,57 @@ class StreamingSpec extends SparkSpec {
       && new java.io.File(s"$root/gen-1").exists)
   }
 
+  test("exactSubstrAdmissionStream: anchor share = 20-token span; admitted corpus stays span-clean; rejects leave no trace") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft_substr_stream").toString
+    val root = s"$base/corpus"; val ckpt = s"$base/ckpt"
+    def words(p: String, n: Int): Seq[String] = (1 to n).map(i => s"$p$i")
+    val span = words("dup", 22)
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingIngest.exactSubstrAdmissionStream(
+      stream.toDF().toDF("doc_id", "text"), root, ckpt, L = 20)
+    stream.addData(
+      (1L, (words("a", 3) ++ span ++ words("z", 3)).mkString(" ")), // admit
+      // shares the 22-token span with the smaller-id doc 1 → self-drop
+      // (its OWN 25-token q-tail must leave no trace in the index)
+      (2L, (words("b", 2) ++ span ++ words("q", 25)).mkString(" ")),
+      (3L, words("n", 25).mkString(" ")))                           // admit
+    q.processAllAvailable()
+    stream.addData(
+      // a 20-token PREFIX of the span — one shared anchor with the
+      // standing corpus is enough → reject
+      (10L, (words("x", 2) ++ span.take(20) ++ words("w", 3)).mkString(" ")),
+      // doc 2's rejected tail verbatim: rejected docs contributed no
+      // anchors, so this is novel to the index → admit
+      (11L, words("q", 25).mkString(" ")),
+      (12L, words("m", 30).mkString(" ")),                          // admit
+      (13L, words("s", 10).mkString(" ")))  // under L: anchor-free → admit
+    q.processAllAvailable()
+    q.stop()
+    val admitted = StreamingIngest.admittedCleanCorpus(spark, root).get
+    assert(admitted.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 3L, 11L, 12L, 13L))
+    // the invariant the stream maintains BY CONSTRUCTION: no two
+    // admitted documents share >= 20 consecutive tokens
+    assert(graft.dedup.Dedup.maximalMatches(
+      admitted, "text", "doc_id", L = 20).count() === 0L)
+    // two-table generations committed under the marker protocol
+    assert(new java.io.File(s"$root/gen-0/_SUCCESS").exists
+      && new java.io.File(s"$root/gen-1/_SUCCESS").exists
+      && new java.io.File(s"$root/gen-1/anchors").exists)
+    // the q-tail anchors arrived only with ADMITTED doc 11 (gen-1),
+    // proving gen-0 recorded nothing for the rejected doc 2
+    val g0 = spark.read.parquet(s"$root/gen-0/anchors").count()
+    val a1 = spark.read.parquet(s"$root/gen-0/docs")
+      .withColumn("__n", org.apache.spark.sql.functions.size(
+        graft.dedup.Dedup.spanAnchors(
+          graft.text.TextAnalysis.tokens(col("text")), 20)))
+      .agg(org.apache.spark.sql.functions.sum(col("__n"))).head().getLong(0)
+    assert(g0 === a1, "gen-0 anchor index must describe exactly its admitted docs")
+  }
+
   test("copurchaseEdgeStream: folded support equals the batch co-purchase graph") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
