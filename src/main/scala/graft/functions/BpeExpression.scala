@@ -92,4 +92,11 @@ object BpeSubwords {
   def markedBytes(tokens: Column, merges: graft.text.Bpe.Merges): Column =
     Bridge.column(BpeSubwords(Bridge.expression(tokens), merges,
       marked = true, byteLevel = true))
+
+  /** Unmarked byte-level stream (t46's mass counting — marker-free,
+    * like [[apply]] for the char alphabet).
+    */
+  def bytes(tokens: Column, merges: graft.text.Bpe.Merges): Column =
+    Bridge.column(BpeSubwords(Bridge.expression(tokens), merges,
+      byteLevel = true))
 }

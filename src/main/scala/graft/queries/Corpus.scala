@@ -891,12 +891,18 @@ object Corpus {
         (col("__dec") === concat_ws(" ", col("__toks"))).as("roundtrip_ok"))
   }
 
-  def t52_sql: String =
-    s"""WITH RECURSIVE
-       |mg AS (SELECT rank, lft, rgt
+  /** The byte-BPE segmentation CTE chain (dumped merge table →
+    * hex-pair seed → recursive leftmost-lowest-rank merges → final
+    * states), with CALLER-CHOSEN CTE names so one definition serves
+    * both the t52 oracle (as mg/enc/fin, alone in its statement) and
+    * the t46 four-way scorecard (as bmg/benc/bfin, beside the
+    * char-BPE/unigram/WordPiece chains). Requires `vocab` in scope.
+    */
+  private def byteBpeSegSqlCtes(mg: String, enc: String,
+      fin: String): String =
+    s"""$mg AS (SELECT rank, lft, rgt
        |       FROM read_parquet('${byteBpeMergesPath(oracleSfDir)}/*.parquet')),
-       |$tokposSqlCtes,
-       |enc AS (
+       |$enc AS (
        |  SELECT token,
        |    list_transform(generate_series(1, length(hex(encode(token))) // 2),
        |      i -> substr(hex(encode(token)), 2 * i - 1, 2)) AS syms,
@@ -915,14 +921,19 @@ object Corpus {
        |    FROM (
        |      SELECT e.token, e.syms, e.iter,
        |        unnest(generate_series(1, len(e.syms) - 1)) AS i
-       |      FROM enc e
+       |      FROM $enc e
        |    ) x
-       |    JOIN mg m ON m.lft = x.syms[x.i] AND m.rgt = x.syms[x.i + 1]
+       |    JOIN $mg m ON m.lft = x.syms[x.i] AND m.rgt = x.syms[x.i + 1]
        |  ) WHERE rn = 1
        |),
-       |fin AS (SELECT token, syms FROM (
+       |$fin AS (SELECT token, syms FROM (
        |  SELECT token, syms, ROW_NUMBER() OVER (PARTITION BY token
-       |      ORDER BY iter DESC) AS rn FROM enc) WHERE rn = 1),
+       |      ORDER BY iter DESC) AS rn FROM $enc) WHERE rn = 1)""".stripMargin
+
+  def t52_sql: String =
+    s"""WITH RECURSIVE
+       |$tokposSqlCtes,
+       |${byteBpeSegSqlCtes("mg", "enc", "fin")},
        |mk AS (SELECT token, CAST(len(syms) AS BIGINT) AS nsub,
        |    CASE WHEN len(syms) <= 1 THEN array_to_string(syms, ' ')
        |         ELSE array_to_string(list_transform(
@@ -1237,8 +1248,11 @@ object Corpus {
        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
   /** t46: per-language tokenizer scorecard — the EVALUATION that the
-    * tokenizer family (t37/t42 BPE, t43 unigram-LM, t51 WordPiece —
-    * a THREE-way comparison since round 15) exists to feed:
+    * tokenizer family (t37/t42 BPE, t43 unigram-LM, t51 WordPiece,
+    * t52 byte-BPE — a FOUR-way comparison since round 16; the byte
+    * column is where non-Latin scripts pay their real fertility tax,
+    * since every non-ASCII char costs ≥ 2 base symbols) exists to
+    * feed:
     * a multilingual training mix is budgeted in TOKENS, so a
     * tokenizer that fragments one language more than another silently
     * shifts the mix (the "fertility tax" — the standard cross-lingual
@@ -1266,7 +1280,8 @@ object Corpus {
   private[graft] def tokenizerEvalPartial(docs: DataFrame,
       bm: graft.text.Bpe.Merges,
       um: graft.text.Unigram.Model,
-      wm: graft.text.WordPiece.Vocab): DataFrame =
+      wm: graft.text.WordPiece.Vocab,
+      ym: graft.text.Bpe.Merges): DataFrame =
     docs.transform(spreadScan)
       .withColumn("__toks", TextAnalysis.tokens(col("text")))
       .select(col("lang"),
@@ -1277,14 +1292,17 @@ object Corpus {
         size(graft.functions.UnigramEncode(col("__toks"), um)
           .getField("pieces")).cast("long").as("__uni"),
         size(graft.functions.WordPieceEncode(col("__toks"), wm))
-          .cast("long").as("__wp"))
+          .cast("long").as("__wp"),
+        size(graft.functions.BpeSubwords.bytes(col("__toks"), ym))
+          .cast("long").as("__bb"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("__chars")).as("n_chars"),
         sum(col("__words")).as("n_words"),
         sum(col("__bpe")).as("n_bpe_subwords"),
         sum(col("__uni")).as("n_unigram_pieces"),
-        sum(col("__wp")).as("n_wordpiece_pieces"))
+        sum(col("__wp")).as("n_wordpiece_pieces"),
+        sum(col("__bb")).as("n_byte_bpe_subwords"))
 
   private[graft] def foldTokenizerEval(parts: DataFrame): DataFrame =
     parts.groupBy(col("lang")).agg(
@@ -1293,7 +1311,8 @@ object Corpus {
       sum(col("n_words")).as("n_words"),
       sum(col("n_bpe_subwords")).as("n_bpe_subwords"),
       sum(col("n_unigram_pieces")).as("n_unigram_pieces"),
-      sum(col("n_wordpiece_pieces")).as("n_wordpiece_pieces"))
+      sum(col("n_wordpiece_pieces")).as("n_wordpiece_pieces"),
+      sum(col("n_byte_bpe_subwords")).as("n_byte_bpe_subwords"))
 
   /** The scorecard tail over a folded mass frame — shared verbatim by
     * the batch query and the streaming monitor's read side, so the
@@ -1306,24 +1325,28 @@ object Corpus {
         .otherwise(num.cast("double") / den.cast("double"))
     mass.select(col("lang"), col("n_docs"), col("n_chars"), col("n_words"),
       col("n_bpe_subwords"), col("n_unigram_pieces"),
-      col("n_wordpiece_pieces"),
+      col("n_wordpiece_pieces"), col("n_byte_bpe_subwords"),
       ratio(col("n_bpe_subwords"), col("n_words")).as("fertility_bpe"),
       ratio(col("n_unigram_pieces"), col("n_words"))
         .as("fertility_unigram"),
       ratio(col("n_wordpiece_pieces"), col("n_words"))
         .as("fertility_wordpiece"),
+      ratio(col("n_byte_bpe_subwords"), col("n_words"))
+        .as("fertility_byte_bpe"),
       ratio(col("n_chars"), col("n_bpe_subwords"))
         .as("chars_per_bpe_subword"),
       ratio(col("n_chars"), col("n_unigram_pieces"))
         .as("chars_per_unigram_piece"),
       ratio(col("n_chars"), col("n_wordpiece_pieces"))
-        .as("chars_per_wordpiece_piece"))
+        .as("chars_per_wordpiece_piece"),
+      ratio(col("n_chars"), col("n_byte_bpe_subwords"))
+        .as("chars_per_byte_bpe_subword"))
   }
 
   val t46_tokenizer_eval: Q = (s, dir) =>
     tokenizerEvalReport(tokenizerEvalPartial(
       t(s, dir, "documents"), bpeModel(s, dir), unigramModel(s, dir),
-      wordPieceModel(s, dir)))
+      wordPieceModel(s, dir), byteBpeModel(s, dir)))
 
   def t46_sql: String = {
     def ratio(num: String, den: String): String =
@@ -1331,38 +1354,45 @@ object Corpus {
     s"""$bpeSegPrefixSql,
        |$unigramVitSqlCtes,
        |$wordPieceSqlCtes,
+       |${byteBpeSegSqlCtes("bmg", "benc", "bfin")},
        |per AS (SELECT tp.doc_id,
        |    COUNT(*) AS nw,
        |    CAST(SUM(len(f.syms)) AS BIGINT) AS nb,
        |    CAST(SUM(len(string_split(u.pieces, ' '))) AS BIGINT) AS nu,
-       |    CAST(SUM(len(w.pieces)) AS BIGINT) AS np
+       |    CAST(SUM(len(w.pieces)) AS BIGINT) AS np,
+       |    CAST(SUM(len(y.syms)) AS BIGINT) AS ny
        |  FROM tokpos tp
        |  JOIN fin f ON f.token = tp.token
        |  JOIN ufin u ON u.token = tp.token
        |  JOIN wfin w ON w.token = tp.token
+       |  JOIN bfin y ON y.token = tp.token
        |  GROUP BY tp.doc_id),
        |dd AS (SELECT d.lang,
        |    CAST(length(d.text) AS BIGINT) AS chars,
        |    CAST(COALESCE(p.nw, 0) AS BIGINT) AS nw,
        |    CAST(COALESCE(p.nb, 0) AS BIGINT) AS nb,
        |    CAST(COALESCE(p.nu, 0) AS BIGINT) AS nu,
-       |    CAST(COALESCE(p.np, 0) AS BIGINT) AS np
+       |    CAST(COALESCE(p.np, 0) AS BIGINT) AS np,
+       |    CAST(COALESCE(p.ny, 0) AS BIGINT) AS ny
        |  FROM documents d LEFT JOIN per p USING (doc_id)),
        |g AS (SELECT lang, COUNT(*) AS n_docs,
        |    CAST(SUM(chars) AS BIGINT) AS n_chars,
        |    CAST(SUM(nw) AS BIGINT) AS n_words,
        |    CAST(SUM(nb) AS BIGINT) AS n_bpe_subwords,
        |    CAST(SUM(nu) AS BIGINT) AS n_unigram_pieces,
-       |    CAST(SUM(np) AS BIGINT) AS n_wordpiece_pieces
+       |    CAST(SUM(np) AS BIGINT) AS n_wordpiece_pieces,
+       |    CAST(SUM(ny) AS BIGINT) AS n_byte_bpe_subwords
        |  FROM dd GROUP BY lang)
        |SELECT lang, n_docs, n_chars, n_words, n_bpe_subwords,
-       |  n_unigram_pieces, n_wordpiece_pieces,
+       |  n_unigram_pieces, n_wordpiece_pieces, n_byte_bpe_subwords,
        |  ${ratio("n_bpe_subwords", "n_words")} AS fertility_bpe,
        |  ${ratio("n_unigram_pieces", "n_words")} AS fertility_unigram,
        |  ${ratio("n_wordpiece_pieces", "n_words")} AS fertility_wordpiece,
+       |  ${ratio("n_byte_bpe_subwords", "n_words")} AS fertility_byte_bpe,
        |  ${ratio("n_chars", "n_bpe_subwords")} AS chars_per_bpe_subword,
        |  ${ratio("n_chars", "n_unigram_pieces")} AS chars_per_unigram_piece,
-       |  ${ratio("n_chars", "n_wordpiece_pieces")} AS chars_per_wordpiece_piece
+       |  ${ratio("n_chars", "n_wordpiece_pieces")} AS chars_per_wordpiece_piece,
+       |  ${ratio("n_chars", "n_byte_bpe_subwords")} AS chars_per_byte_bpe_subword
        |FROM g""".stripMargin
   }
 

@@ -1362,6 +1362,7 @@ object StreamingIngest {
       bm: graft.text.Bpe.Merges,
       um: graft.text.Unigram.Model,
       wm: graft.text.WordPiece.Vocab,
+      ym: graft.text.Bpe.Merges, // byte-level table (t52's alphabet)
       statsRoot: String,
       checkpointDir: String): StreamingQuery =
     docs.writeStream
@@ -1370,7 +1371,7 @@ object StreamingIngest {
             batchId: Long) =>
           val spark = batch.sparkSession
           val part = graft.queries.Corpus.tokenizerEvalPartial(
-            batch.toDF(), bm, um, wm)
+            batch.toDF(), bm, um, wm, ym)
           val merged = priorGeneration(spark, statsRoot, batchId) match {
             case Some(p) =>
               graft.queries.Corpus.foldTokenizerEval(

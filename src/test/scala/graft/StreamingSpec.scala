@@ -1718,10 +1718,12 @@ class StreamingSpec extends SparkSpec {
     val um = graft.text.Unigram.train(vocab,
       vocabSize = 128, maxPieceLen = 6, iters = 2)
     val wm = graft.text.WordPiece.train(vocab, nMerges = 16)
+    val ym = graft.text.Bpe.trainBytes(vocab, nMerges = 16)
     val shuffled = new scala.util.Random(41).shuffle(docs)
     val stream = MemoryStream[(Long, String, String)]
     val q = StreamingIngest.tokenizerEvalStream(
-      stream.toDF().toDF("doc_id", "text", "lang"), bm, um, wm, root, ckpt)
+      stream.toDF().toDF("doc_id", "text", "lang"), bm, um, wm, ym,
+      root, ckpt)
     shuffled.grouped(30).foreach { chunk =>
       stream.addData(chunk: _*)
       q.processAllAvailable()
@@ -1732,7 +1734,7 @@ class StreamingSpec extends SparkSpec {
     val streamed = rows(StreamingIngest.currentTokenizerEval(spark, root).get)
     val batch = rows(graft.queries.Corpus.tokenizerEvalReport(
       graft.queries.Corpus.tokenizerEvalPartial(
-        docs.toDF("doc_id", "text", "lang"), bm, um, wm)))
+        docs.toDF("doc_id", "text", "lang"), bm, um, wm, ym)))
     assert(streamed === batch)
     assert(streamed.map(_.getString(0)) == langs.sorted)
     // the scorecard is non-degenerate: real subword mass accumulated
