@@ -659,6 +659,15 @@ object StreamingIngest {
     if (!fs.exists(rootPath)) return 0
     val gens = fs.listStatus(rootPath).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-"))
+      // prune counts and deletes COMMITTED generations only: a
+      // marker-less dir is a mid-write crash remnant the restarted
+      // stream is about to overwrite — it must neither consume a slot
+      // of the keep window (with keep = 1, a remnant above the only
+      // committed generation would otherwise get "kept" while the
+      // committed one is deleted — data loss) nor be deleted out from
+      // under the replay that owns it
+      .filter(s => fs.exists(
+        new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
       .flatMap(s => s.getPath.getName.stripPrefix("gen-").toLongOption
         .map(id => (id, s.getPath)))
       .sortBy(_._1)

@@ -1099,6 +1099,18 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingIngest.asOfGeneration(spark, root, 1L) === None)
     assert(StreamingIngest.asOfGeneration(spark, root, 2L).get.endsWith("gen-2"))
     assert(StreamingIngest.asOfGeneration(spark, root, 10L).get.endsWith("gen-3"))
+    // prune vs crash remnants: a marker-less gen dir must neither
+    // consume a keep slot (keep=1 would otherwise delete the only
+    // committed generation in favor of the remnant) nor be deleted
+    // out from under the replay that owns it
+    val remnant = new java.io.File(s"$root/gen-9/matrix")
+    assert(remnant.mkdirs())
+    assert(StreamingIngest.pruneGenerations(spark, root, keep = 1) === 1)
+    assert(StreamingIngest.asOfGeneration(spark, root, Long.MaxValue).get
+      .endsWith("gen-3"), "the committed newest generation must survive")
+    assert(readAt(StreamingIngest.asOfGeneration(spark, root, 10L).get)
+      .nonEmpty)
+    assert(remnant.exists, "the replaying stream owns the remnant")
   }
 
   test("cusumStream: folded daily generations derive exactly q89, out-of-order batches included") {
