@@ -406,7 +406,23 @@ object ScaleGrowth {
       "q134_vocab_richness", "q135_ks_drift",
       //  - q136: kappa — scan + one 4-cell exact contingency agg (the
       //    q120 fixed-cardinality regime, flattest shape there is)
-      "q136_cohens_kappa")
+      "q136_cohens_kappa",
+      // round 16 additions:
+      //  - d17: maximal exact-substring matches — 20-gram anchor
+      //    explode grows 10×; the per-replica salt (shared within a
+      //    replica, inserted identically in every doc) preserves
+      //    within-replica span matches while breaking cross-replica
+      //    ones, so anchor-bucket pair density stays per-replica —
+      //    Σ|bucket|² must ride linearly, the d06/d08 regime
+      //  - d18: the cut applied on top of d17 — adds the interval
+      //    union (span-inventory-sized) and one narrow rebuild
+      //    projection over 10× documents
+      //  - s25: graph-ANN beam serving — the per-dir index build
+      //    amortizes into the warm-up (the s14 pattern), so the timed
+      //    path is the 6-hop walk: per-hop work is beam-bounded
+      //    compute over one graph scan + one corpus scan that grow
+      //    10× — the exponent prices the scans, not the walk
+      "d17_maximal_spans", "d18_exact_substring_cut", "s25_graph_ann")
       .filter(q => onlyPrefixes.forall(_.exists(q.startsWith)))
     // queries measured on the disjoint-copy graph dirs (see above)
     val graphDirQs = Set("g01_pagerank", "g02_components", "g03_triangles",
