@@ -8040,7 +8040,14 @@ object Corpus {
         col("rank").cast("long").as("rank"))
   }
 
-  def s25_sql: String = {
+  /** The unrolled beam-walk oracle, parameterized over the dumped
+    * index, the corpus/query predicates, and the (beam, hops, k)
+    * geometry — one recurrence definition for the s25 serving oracle
+    * AND the s26 insert oracle (whose "found neighbors" ARE this walk
+    * at k = the insert degree over the pre-insert graph).
+    */
+  private def graphAnnWalkSql(fixDir: String, corpusPred: String,
+      queryPred: String, beam: Int, hops: Int, k: Int): String = {
     // the search-side cosine with explicit (q.qv, b.v) aliases — the
     // same zero-norm-guarded sequential form as cosSql
     val cosQB =
@@ -8052,8 +8059,8 @@ object Corpus {
         .stripMargin
     // hop i unrolled: expand beam(i-1) along dumped edges, score, set-
     // union with the beam (exact-duplicate rows collapse — the same
-    // idempotent merge as the Spark side's distinct), cut to top-10
-    val hops = (1 to 6).map { i =>
+    // idempotent merge as the Spark side's distinct), cut to the beam
+    val hopCtes = (1 to hops).map { i =>
       s"""cand$i AS (SELECT DISTINCT b.query_id, g.dst AS node
          | FROM beam${i - 1} b JOIN g ON g.src = b.node),
          |sc$i AS (SELECT c.query_id, c.node, $cosQB AS cos
@@ -8064,29 +8071,93 @@ object Corpus {
          |        UNION SELECT query_id, node, cos FROM sc$i),
          |beam$i AS (SELECT query_id, node, cos FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |    ORDER BY cos DESC, node ASC) AS rn FROM u$i) WHERE rn <= 32)"""
+         |    ORDER BY cos DESC, node ASC) AS rn FROM u$i) WHERE rn <= $beam)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |e AS (SELECT vec_id, v FROM e0 WHERE $corpusPred),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e0 WHERE $queryPred),
        |g AS (SELECT src, dst
-       | FROM read_parquet('${graphAnnPath(oracleSfDir)}/graph.parquet/*.parquet')),
+       | FROM read_parquet('$fixDir/graph.parquet/*.parquet')),
        |ent AS (SELECT node
-       | FROM read_parquet('${graphAnnPath(oracleSfDir)}/entry.parquet/*.parquet')),
+       | FROM read_parquet('$fixDir/entry.parquet/*.parquet')),
        |sc0 AS (SELECT q.query_id, ent.node, $cosQB AS cos
        | FROM q CROSS JOIN ent JOIN e b ON b.vec_id = ent.node
        | WHERE ent.node <> q.query_id),
        |beam0 AS (SELECT query_id, node, cos FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-       |    ORDER BY cos DESC, node ASC) AS rn FROM sc0) WHERE rn <= 32),
-       |$hops,
+       |    ORDER BY cos DESC, node ASC) AS rn FROM sc0) WHERE rn <= $beam),
+       |$hopCtes,
        |fin AS (SELECT query_id, node, cos,
        |  ROW_NUMBER() OVER (PARTITION BY query_id
        |                     ORDER BY cos DESC, node ASC) AS rank
-       | FROM beam6)
+       | FROM beam$hops)
        |SELECT query_id, node AS neighbor_id, ROUND(cos, 6) AS cosine, rank
-       |FROM fin WHERE rank <= 10""".stripMargin
+       |FROM fin WHERE rank <= $k""".stripMargin
   }
+
+  def s25_sql: String =
+    graphAnnWalkSql(graphAnnPath(oracleSfDir), corpusPred = "TRUE",
+      queryPred = "vec_id < 5", beam = 32, hops = 6, k = 10)
+
+  private val graphAnnRestIndexes =
+    scala.collection.concurrent.TrieMap[String, graft.similarity.GraphAnn.Index]()
+
+  private def graphAnnRestPath(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${graft.ingest.FixtureTables.root}/graphann_rest_$key"
+  }
+
+  /** The s26 PRE-INSERT index: built over the corpus MINUS the delta
+    * decile (vec_id % 10 ≠ 0), dumped so the oracle replays the
+    * insert walk over this exact graph. Its own LSH fit (adaptive
+    * planes over the rest count — the lshKnnIndex policy).
+    */
+  private def s26Index(s: SparkSession, dir: String): graft.similarity.GraphAnn.Index =
+    graphAnnRestIndexes.getOrElseUpdate(dir, {
+      val rest = t(s, dir, "embeddings")
+        .where(pmod(col("vec_id"), lit(10)) =!= 0)
+      val planes = math.max(4,
+        math.ceil(math.log(rest.count() / 30.0) / math.log(2.0)).toInt)
+      val built = graft.similarity.GraphAnn.build(
+        graft.similarity.Similarity.LshIndex.build(
+          rest, "vec_id", "embedding", dim = 64, planes = planes, tables = 32),
+        degree = 8, nEntries = 4)
+      built.graph.coalesce(1).write.mode("overwrite")
+        .parquet(s"${graphAnnRestPath(dir)}/graph.parquet")
+      built.entries.coalesce(1).write.mode("overwrite")
+        .parquet(s"${graphAnnRestPath(dir)}/entry.parquet")
+      built
+    })
+
+  /** s26: graph-ANN INSERT ([[graft.similarity.GraphAnn.insert]]) —
+    * the index-maintenance face s25 alone lacks, the s13 delta-append
+    * move for the graph family: every tenth vector plays the arriving
+    * delta, the index is built on the rest, and each delta vector
+    * beam-searches the pre-insert graph for the top-16 neighbors it
+    * connects to (both directions; new↔new edges deferred to rebuild,
+    * classic batch NSW). The emitted rows ARE the insert's edge
+    * selection — (new id, neighbor, cosine, rank ≤ 16) — so the
+    * oracle replaying the same unrolled walk over the DUMPED
+    * pre-insert graph certifies the maintenance recurrence itself;
+    * SimilaritySpec proves the index-level behavior (inserted nodes
+    * retrievable at cos 1.0 by their own vectors, bidirectional
+    * edges, corpus growth).
+    */
+  val s26_graph_ann_insert: Q = (s, dir) => {
+    val idx = s26Index(s, dir)
+    graft.similarity.GraphAnn.search(idx,
+        t(s, dir, "embeddings").where(pmod(col("vec_id"), lit(10)) === 0),
+        "vec_id", "embedding", k = 16, beam = 32, hops = 6)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  def s26_sql: String =
+    graphAnnWalkSql(graphAnnRestPath(oracleSfDir),
+      corpusPred = "vec_id % 10 <> 0", queryPred = "vec_id % 10 = 0",
+      beam = 32, hops = 6, k = 16)
 
   /** s19: ANN recall@k — the index-quality eval every serving stack
     * runs before trusting an approximate index: per probe query, how
@@ -9175,6 +9246,7 @@ object Corpus {
     "s23_pca_whitening"     -> s23_pca_whitening,
     "s24_pca_recall"        -> s24_pca_recall,
     "s25_graph_ann"         -> s25_graph_ann,
+    "s26_graph_ann_insert"  -> s26_graph_ann_insert,
     "q152_fairness_report"  -> q152_fairness_report,
     "d01_exact_dedup"       -> d01_exact_dedup,
     "d02_minhash_neardups"  -> d02_minhash_neardups,
@@ -9300,6 +9372,7 @@ object Corpus {
     "s23_pca_whitening"     -> s23_sql,
     "s24_pca_recall"        -> s24_sql,
     "s25_graph_ann"         -> s25_sql,
+    "s26_graph_ann_insert"  -> s26_sql,
     "q152_fairness_report"  -> q152_sql,
     "d01_exact_dedup"       -> d01_sql,
     "d02_minhash_neardups"  -> d02_sql,

@@ -136,6 +136,35 @@ object GraphAnn {
       idx.corpus.select(col("neighbor_id").as("node"), col("__cv")))
   }
 
+  /** NSW insert — the index-maintenance face [[build]] alone lacks
+    * (the s13 delta-append move for the graph family): each new
+    * vector beam-searches the EXISTING index for its top-`degree`
+    * neighbors and connects BOTH ways (new→found and found→new).
+    * Like classic batch NSW insertion, new↔new edges within one
+    * delta batch are not created (every search runs against the
+    * pre-insert graph — which is also what keeps the recurrence
+    * exactly replayable), and found-side degrees are not re-pruned —
+    * periodic rebuild/compaction restores the degree bound, the s14
+    * compaction story. Deterministic: the found set is a [[search]]
+    * cut ordered (cos DESC, id ASC).
+    */
+  def insert(idx: Index, delta: DataFrame, idCol: String, vecCol: String,
+      degree: Int = 16, beam: Int = 32, hops: Int = 6): Index = {
+    val found = search(idx, delta, idCol, vecCol, k = degree, beam, hops)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    val graph = idx.graph.select(col("src"), col("dst"))
+      .unionByName(found)
+      .unionByName(found.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    // no cast: __cv keeps the corpus's own element type (cosine casts
+    // at scoring time), so the union stays schema-exact
+    val corpus = idx.corpus.unionByName(
+        delta.select(col(idCol).as("node"), col(vecCol).as("__cv")))
+      .localCheckpoint(true)
+    Index(graph, idx.entries, corpus, idx.srcBuckets)
+  }
+
   /** Greedy beam search: per query, seed the beam with the entry
     * points, then `hops` rounds of expand-score-merge-cut over a beam
     * of width `beam` (HNSW's ef — wider than k, because the walk

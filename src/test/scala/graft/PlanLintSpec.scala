@@ -170,7 +170,11 @@ class PlanLintSpec extends SparkSpec {
       // persisted entry table to seed the beam (|Q|·|entries| rows —
       // the s01 broadcast-probe shape); every later hop is a keyed
       // broadcast join bounded by |Q|·beam·degree
-      "s25_graph_ann")
+      "s25_graph_ann",
+      // s26: the same walk seeded for the delta decile — the probe
+      // side is the arriving batch (bounded per trigger at any
+      // corpus scale), entries stay the 4-row persisted table
+      "s26_graph_ann_insert")
 
   // queries allowed to window >minRows rows on a <minKeys-value key —
   // empty by design; adding here requires an in-source justification

@@ -384,6 +384,47 @@ class SimilaritySpec extends SparkSpec {
     assert(got.where(col("rank") === 1).count() === nQ)
   }
 
+  test("GraphAnn.insert: delta vectors become retrievable, edges go both ways, pre-insert graph is untouched") {
+    import graft.similarity.GraphAnn
+    val rng = new scala.util.Random(11)
+    val all = (0L until 400L).map { i =>
+      (i, Array.fill(16)(rng.nextGaussian().toFloat))
+    }
+    val rest = all.filter(_._1 % 10 != 0).toDF("vec_id", "embedding")
+    val delta = all.filter(_._1 % 10 == 0).toDF("vec_id", "embedding")
+    val lsh = Similarity.LshIndex.build(rest, "vec_id", "embedding",
+      dim = 16, planes = 6, tables = 8)
+    try {
+      val idx = GraphAnn.build(lsh, degree = 6, nEntries = 4)
+      val preEdges = idx.graph.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val post = GraphAnn.insert(idx, delta, "vec_id", "embedding",
+        degree = 12, beam = 24, hops = 4)
+      // corpus grew by exactly the delta
+      assert(post.corpus.count() === idx.corpus.count() + 40L)
+      // every inserted node is connected, out AND in, degree ≤ 12
+      val deg = post.graph.where(col("src") % 10 === 0)
+        .groupBy(col("src")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(deg.size === 40 && deg.values.forall(d => d >= 1L && d <= 12L))
+      val postEdges = post.graph.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(preEdges.subsetOf(postEdges), "pre-insert adjacency must survive")
+      val newFwd = postEdges.filter(e => e._1 % 10 == 0)
+      assert(newFwd.forall(e => postEdges.contains((e._2, e._1))),
+        "every new edge must have its reverse")
+      // retrievability: probing the POST-insert index with an inserted
+      // vector's exact bits (fresh probe id) returns that node at
+      // cosine 1.0, rank 1
+      val probeVec = all.find(_._1 == 130L).get._2
+      val probe = Seq((-1L, probeVec)).toDF("vec_id", "embedding")
+      val hit = GraphAnn.search(post, probe, "vec_id", "embedding",
+        k = 3, beam = 24, hops = 4).where(col("rank") === 1).head()
+      assert(hit.getLong(1) === 130L && hit.getDouble(2) > 0.999999,
+        s"inserted node not retrieved: $hit")
+    } finally { lsh.buckets.unpersist(false); lsh.corpus.unpersist(false); () }
+  }
+
   test("GraphAnn write/read: the stored index serves identical walks and hops prune graph partitions") {
     import graft.similarity.GraphAnn
     val rng = new scala.util.Random(7)
