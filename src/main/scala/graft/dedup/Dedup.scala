@@ -904,7 +904,10 @@ object Dedup {
     *      d08 discipline, span text never travels);
     *   2. pair anchors within a hash bucket (doc_a < doc_b) — the
     *      Σ|bucket|² candidate bound of the MinHash family, never
-    *      corpus²;
+    *      corpus²; buckets hotter than `spark.graft.dedup.hotAnchorDf`
+    *      documents take a salted join (guide §2.5) so no single
+    *      shuffle key materializes a B²/2 pair set — output-identical,
+    *      see the inline note;
     *   3. merge consecutive positions per (pair, diagonal) with the
     *      gaps-and-islands window (pa − row_number), each island one
     *      maximal match: length = run + L − 1, unextendable on either
@@ -918,16 +921,58 @@ object Dedup {
     */
   def maximalMatches(docs: DataFrame, textCol: String, idCol: String,
       L: Int): DataFrame = {
+    val spark = docs.sparkSession
+    // Hot-anchor skew guard (r16 verdict "What's wrong #1"): an anchor
+    // occurring in B documents produces B(B-1)/2 pair rows on ONE md5
+    // shuffle key — at pretraining scale boilerplate (license headers,
+    // nav chrome) puts single anchors in 10⁵-10⁶ documents, a hot-key
+    // quadratic blowup AQE's skew-join split cannot touch (it can't
+    // split one key). The guard is OUTPUT-IDENTICAL (no df-cap — a cap
+    // would change what the query computes): anchors are routed by
+    // their document frequency, computed in one map-side-combined
+    // aggregate and re-attached on the same h-keyed shuffle. Anchors
+    // with df ≤ hotAnchorDf self-join as before (one equi key, bounded
+    // per-key fan-out); hotter anchors take the SALTED pair join of
+    // guide §2.5 — the x side keyed by pmod(xxhash64(doc_id), salts),
+    // the y side exploded across all salt values — so one hot anchor's
+    // B²/2 pairs spread over `salts` shuffle keys instead of one. Each
+    // anchor hash is entirely cold or entirely hot (df is a function
+    // of h), so every pair is produced exactly once and the union is
+    // byte-identical to the unguarded join. No broadcast anywhere: at
+    // corpus scale even the HOT set can exceed driver memory, so both
+    // routes stay shuffle joins.
+    val hotDf = spark.conf.getOption("spark.graft.dedup.hotAnchorDf")
+      .map(_.toInt).getOrElse(1024)
+    val salts = spark.conf.getOption("spark.graft.dedup.hotAnchorSalts")
+      .map(_.toInt).getOrElse(32)
     val toks = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("__toks"))
     val anchors = toks.select(col("doc_id"),
         posexplode(spanAnchors(col("__toks"), L)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
         col("col").as("h"))
-    val m = anchors.as("x").join(anchors.as("y"),
-        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+    val df = anchors.groupBy(col("h"))
+      .agg(count(lit(1)).as("__df"))
+    val routed = anchors.join(df, Seq("h"))
+    val cold = routed.where(col("__df") <= hotDf)
+      .select(col("h"), col("doc_id"), col("p"))
+    val hot = routed.where(col("__df") > hotDf)
+      .select(col("h"), col("doc_id"), col("p"))
+    val coldPairs = cold.as("x").join(cold.as("y"),
+      col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+    val hotX = hot.withColumn("__salt",
+      pmod(xxhash64(col("doc_id")), lit(salts.toLong)))
+    val hotY = hot.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1L))))
+    val hotPairs = hotX.as("x").join(hotY.as("y"),
+      col("x.h") === col("y.h") && col("x.__salt") === col("y.__salt") &&
+        col("x.doc_id") < col("y.doc_id"))
+    val m = coldPairs
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.p").as("pa"), col("y.p").as("pb"))
+      .unionAll(hotPairs
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.p").as("pa"), col("y.p").as("pb")))
     val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
       .orderBy(col("pa"))
     val spans = m.withColumn("diag", col("pa") - col("pb"))
@@ -959,22 +1004,49 @@ object Dedup {
     * pairs distinct documents), matching the cross-document semantics
     * of the paper's corpus-level dedup.
     *
-    * Mechanics: per document, union the cut intervals with the
-    * running-max-end islands window (ordered by start; a new island
-    * starts where start > max end seen so far), then rebuild the text
-    * keeping every token position outside all merged intervals — one
-    * window + one aggregate over the SPAN inventory (tiny vs the
-    * corpus) and one narrow projection over the documents.
+    * Mechanics — NO pairwise join anywhere (r17 re-plan, guide §2.3
+    * "aggregate before you shuffle"): a token position of doc D lies
+    * inside some [[maximalMatches]] doc_b interval IFF it is within
+    * the L-token window of an anchor of D whose md5 also occurs in a
+    * LOWER-id document — a maximal run's doc_b interval is exactly the
+    * union of its member anchors' [p, p+L) windows, and every such
+    * anchor pairs with the run's doc_a < D. So the cut list needs only
+    * MIN(doc_id) per anchor hash (one map-side-combined aggregate) and
+    * one h-keyed membership join back to the anchors: every anchor
+    * occurrence in a doc above its hash's minimum contributes the
+    * interval [p, p+L). The interval union below then reproduces the
+    * d17-derived cut set byte-for-byte — the same covered-position
+    * set has the same maximal contiguous runs — while the former
+    * anchors⋈anchors pair join (B²/2 rows on one shuffle key for an
+    * anchor shared by B documents) is gone from the cut path entirely.
+    *
+    * Per document, the cut intervals union through the running-max-end
+    * islands window (ordered by start; a new island starts where
+    * start > max end seen so far); the text rebuilds by subtracting
+    * the covered positions from the position range with one hash-set
+    * `array_except` — O(n_tokens + n_covered) per document, replacing
+    * an O(n_tokens × n_intervals) per-token `exists` scan that went
+    * quadratic on heavily-duplicated documents.
     *
     * Returns (doc_id, n_tokens, n_removed, n_spans_cut, clean_text)
     * for EVERY document (uncut docs pass through, n_removed = 0).
     */
   def cutMaximalMatches(docs: DataFrame, textCol: String, idCol: String,
       L: Int): DataFrame = {
-    val cuts = maximalMatches(docs, textCol, idCol, L)
-      .select(col("doc_b").as("doc_id"), col("b_start").as("s"),
-        (col("b_start") + col("n_tokens")).as("e")) // [s, e)
-      .distinct()
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val anchors = toks.select(col("doc_id"),
+        posexplode(spanAnchors(col("__toks"), L)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+        col("col").as("h"))
+    val minDoc = anchors.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("__min_doc"))
+    // one row per (doc_id, p) by construction (posexplode of a
+    // position array), so no distinct is needed before the union
+    val cuts = anchors.join(minDoc, Seq("h"))
+      .where(col("doc_id") > col("__min_doc"))
+      .select(col("doc_id"), col("p").as("s"),
+        (col("p") + lit(L.toLong)).as("e")) // [s, e)
     val wPrev = Window.partitionBy(col("doc_id"))
       .orderBy(col("s"), col("e"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -991,17 +1063,23 @@ object Dedup {
     val iv = merged.groupBy(col("doc_id"))
       .agg(collect_list(struct(col("s"), col("e"))).as("__iv"),
         count(lit(1)).as("n_spans_cut"))
-    docs.select(col(idCol).as("doc_id"),
-        TextAnalysis.tokens(col(textCol)).as("__toks"))
+    // kept = positions 1..n minus the covered positions, via one
+    // hash-set array_except (order-preserving over the first array;
+    // positions are unique, so its dedup is a no-op) — O(n + m) per
+    // document where the r16 per-token exists() scan paid O(n · m).
+    // The otherwise-branch only runs for documents that HAVE cut
+    // intervals, which requires ≥ L tokens, so sequence(1, n) never
+    // sees n = 0 (where Spark's default step would descend).
+    toks
       .join(iv, Seq("doc_id"), "left")
       .withColumn("__kept",
         when(col("__iv").isNull, col("__toks"))
           .otherwise(expr(
             """transform(
-              |  filter(transform(__toks, (t, i) -> struct(t AS t, i + 1 AS p)),
-              |         x -> NOT exists(__iv,
-              |                v -> x.p >= v.s AND x.p < v.e)),
-              |  y -> y.t)""".stripMargin)))
+              |  array_except(
+              |    sequence(1L, cast(size(__toks) AS bigint)),
+              |    flatten(transform(__iv, v -> sequence(v.s, v.e - 1)))),
+              |  p -> element_at(__toks, cast(p AS int)))""".stripMargin)))
       .select(col("doc_id"),
         size(col("__toks")).cast("long").as("n_tokens"),
         (size(col("__toks")) - size(col("__kept"))).cast("long")

@@ -6872,9 +6872,19 @@ object Corpus {
     val aud = MultiModal.audioFingerprints(MultiModal.audioCorpus(s, n = 400))
       .withColumnRenamed("fp", "h")
     val vid = MultiModal.videoFrameDHashes(MultiModal.videoCorpus(s, n = 200))
-    img.coalesce(1).write.mode("overwrite").parquet(s"$c04Root/image.parquet")
-    aud.coalesce(1).write.mode("overwrite").parquet(s"$c04Root/audio.parquet")
-    vid.coalesce(1).write.mode("overwrite").parquet(s"$c04Root/video.parquet")
+    // guide §2.6: the three decode-and-dump jobs (and below, the three
+    // per-kind dup-group fixpoints) are INDEPENDENT — submit them from
+    // a small pool so one kind's straggler tail back-fills with the
+    // next kind's tasks instead of idling the executor slots. Results
+    // are unchanged (each job writes/derives its own kind); only the
+    // driver-side sequencing goes away.
+    concurrently(s, "c04 hash dump",
+      () => img.coalesce(1).write.mode("overwrite")
+        .parquet(s"$c04Root/image.parquet"),
+      () => aud.coalesce(1).write.mode("overwrite")
+        .parquet(s"$c04Root/audio.parquet"),
+      () => vid.coalesce(1).write.mode("overwrite")
+        .parquet(s"$c04Root/video.parquet"))
     def manifest(kind: String, ids: org.apache.spark.sql.DataFrame,
         pairs: org.apache.spark.sql.DataFrame) = {
       val comps = graft.graph.GraphOps.connectedComponents(
@@ -6894,13 +6904,38 @@ object Corpus {
     val imgH = s.read.parquet(s"$c04Root/image.parquet")
     val audH = s.read.parquet(s"$c04Root/audio.parquet")
     val vidH = s.read.parquet(s"$c04Root/video.parquet")
-    manifest("image", imgH.select(col("media_id")),
-        MultiModal.bandedHammingPairs(imgH, maxDist = 3))
-      .unionAll(manifest("audio", audH.select(col("media_id")),
-        MultiModal.bandedHammingPairs(audH, maxDist = 3)))
-      .unionAll(manifest("video",
+    val Seq(mi, ma, mv) = concurrently(s, "c04 dup groups",
+      () => manifest("image", imgH.select(col("media_id")),
+        MultiModal.bandedHammingPairs(imgH, maxDist = 3)),
+      () => manifest("audio", audH.select(col("media_id")),
+        MultiModal.bandedHammingPairs(audH, maxDist = 3)),
+      () => manifest("video",
         vidH.select(col("media_id")).distinct(),
         MultiModal.videoNearDupPairs(vidH)))
+    mi.unionAll(ma).unionAll(mv)
+  }
+
+  /** Run independent per-kind job chains concurrently (guide §2.6 —
+    * "overlap independent jobs"): each thunk runs on its own driver
+    * thread with a thread-local job description, so the scheduler
+    * back-fills one chain's straggler tail with the next chain's
+    * tasks. Returns the thunks' results in input order; any failure
+    * propagates. Used by the media capstones whose three kinds
+    * (image/audio/video) decode and group independently.
+    */
+  private def concurrently[T](s: SparkSession, what: String,
+      thunks: (() => T)*): Seq[T] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(thunks.zipWithIndex.map {
+        case (t, i) => scala.concurrent.Future {
+          s.sparkContext.setJobDescription(s"$what [$i]")
+          try t() finally s.sparkContext.setJobDescription(null)
+        }
+      }), scala.concurrent.duration.Duration.Inf).toSeq
+    finally { pool.shutdown() }
   }
 
   def c04_sql: String = {
@@ -7007,9 +7042,15 @@ object Corpus {
       .join(sized(audC), "media_id")
     val vid = MultiModal.videoFrameDHashes(vidC)
       .join(sized(vidC), "media_id")
-    img.coalesce(1).write.mode("overwrite").parquet(s"$c11Root/image.parquet")
-    aud.coalesce(1).write.mode("overwrite").parquet(s"$c11Root/audio.parquet")
-    vid.coalesce(1).write.mode("overwrite").parquet(s"$c11Root/video.parquet")
+    // guide §2.6 — the three decode-and-dump chains are independent;
+    // overlap them (see [[concurrently]], same as c04)
+    concurrently(s, "c11 hash dump",
+      () => img.coalesce(1).write.mode("overwrite")
+        .parquet(s"$c11Root/image.parquet"),
+      () => aud.coalesce(1).write.mode("overwrite")
+        .parquet(s"$c11Root/audio.parquet"),
+      () => vid.coalesce(1).write.mode("overwrite")
+        .parquet(s"$c11Root/video.parquet"))
     val imgH = s.read.parquet(s"$c11Root/image.parquet")
     val audH = s.read.parquet(s"$c11Root/audio.parquet")
     val vidH = s.read.parquet(s"$c11Root/video.parquet")
@@ -7023,24 +7064,27 @@ object Corpus {
         .where(col("node").isNull || col("media_id") === col("label"))
         .select(ids("media_id"), col("htok"), col("nbytes"))
     }
-    val keptImg = kept(
-      imgH.select(col("media_id"), col("h").as("htok"), col("nbytes")),
-      MultiModal.bandedHammingPairs(imgH, maxDist = 3))
-      .select(lit("image").as("kind"), col("media_id"), col("htok"),
-        col("nbytes"))
-    val keptAud = kept(
-      audH.select(col("media_id"), col("h").as("htok"), col("nbytes")),
-      MultiModal.bandedHammingPairs(audH, maxDist = 3))
-      .select(lit("audio").as("kind"), col("media_id"), col("htok"),
-        col("nbytes"))
-    // a video's content token folds its frame hashes (order-free XOR)
-    val keptVid = kept(
-      vidH.groupBy(col("media_id"))
-        .agg(expr("bit_xor(dhash)").as("htok"),
-          first(col("nbytes")).as("nbytes")),
-      MultiModal.videoNearDupPairs(vidH))
-      .select(lit("video").as("kind"), col("media_id"), col("htok"),
-        col("nbytes"))
+    // the three per-kind dup-group fixpoints are independent — overlap
+    // them too (§2.6); a video's content token folds its frame hashes
+    // (order-free XOR)
+    val Seq(keptImg, keptAud, keptVid) = concurrently(s, "c11 dup groups",
+      () => kept(
+        imgH.select(col("media_id"), col("h").as("htok"), col("nbytes")),
+        MultiModal.bandedHammingPairs(imgH, maxDist = 3))
+        .select(lit("image").as("kind"), col("media_id"), col("htok"),
+          col("nbytes")),
+      () => kept(
+        audH.select(col("media_id"), col("h").as("htok"), col("nbytes")),
+        MultiModal.bandedHammingPairs(audH, maxDist = 3))
+        .select(lit("audio").as("kind"), col("media_id"), col("htok"),
+          col("nbytes")),
+      () => kept(
+        vidH.groupBy(col("media_id"))
+          .agg(expr("bit_xor(dhash)").as("htok"),
+            first(col("nbytes")).as("nbytes")),
+        MultiModal.videoNearDupPairs(vidH))
+        .select(lit("video").as("kind"), col("media_id"), col("htok"),
+          col("nbytes")))
     import graft.functions.KmvSketch
     val shaped = keptImg.unionByName(keptAud).unionByName(keptVid)
       .select(

@@ -162,7 +162,14 @@ object GraphAnn {
     val corpus = idx.corpus.unionByName(
         delta.select(col(idCol).as("node"), col(vecCol).as("__cv")))
       .localCheckpoint(true)
-    Index(graph, idx.entries, corpus, idx.srcBuckets)
+    // srcBuckets = None, NOT idx.srcBuckets: the unioned in-memory
+    // graph was selected down to (src, dst) — no src_bkt column, no
+    // partition layout — so propagating a store-backed index's bucket
+    // count would send searchPruned filtering on a column that no
+    // longer exists (AnalysisException at the first hop). A post-insert
+    // index serves through [[search]]; re-[[write]] it to regain the
+    // pruned path.
+    Index(graph, idx.entries, corpus, srcBuckets = None)
   }
 
   /** Greedy beam search: per query, seed the beam with the entry

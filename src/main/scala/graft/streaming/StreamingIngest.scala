@@ -523,7 +523,13 @@ object StreamingIngest {
       // direct gen-dir tables; [[commitGeneration]] for sub-table
       // layouts), so a marker-less dir is a mid-write crash remnant —
       // resolving it by name alone would hand every external read-side
-      // a silently-truncated snapshot between the crash and the replay
+      // a silently-truncated snapshot between the crash and the replay.
+      // Sub-table generations written BEFORE the gen-level marker
+      // existed are adopted by [[backfillGenerationMarkers]] — a
+      // read-time fallback to per-table markers is deliberately NOT
+      // done here, because mid-crash dirs (one committed table, the
+      // next never started) are indistinguishable from legacy commits
+      // without the expected table list.
       .filter(s => fs.exists(
         new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
       .flatMap(s => s.getPath.getName.stripPrefix("gen-").toLongOption
@@ -552,6 +558,44 @@ object StreamingIngest {
     if (fs.exists(marker)) fs.delete(marker, false)
     writes
     fs.create(marker, true).close()
+  }
+
+  /** One-time upgrade migration for SUB-TABLE generation stores
+    * (corpus stats and any layout committed via [[commitGeneration]]):
+    * generations written before the gen-level `_SUCCESS` marker
+    * existed carry only per-table markers, so after the upgrade the
+    * strict read-side sees the store as empty (fold state silently
+    * restarts) and [[pruneGenerations]] never reclaims the old dirs.
+    * This backfills the gen-level marker onto every `gen-*` dir where
+    * ALL of the named `tables` subdirectories exist and each carries
+    * its own `_SUCCESS` — the expected-table list is what makes the
+    * adoption sound: a mid-write crash remnant (first table committed,
+    * next never started) is missing a named table and stays
+    * uncommitted, which a table-blind "all present subdirs committed"
+    * rule could not guarantee. Idempotent; returns the number of
+    * generations adopted. Run once per store before the first
+    * post-upgrade read (e.g. `backfillGenerationMarkers(spark, root,
+    * Seq("df", "tot"))` for a corpus-stats store).
+    */
+  def backfillGenerationMarkers(spark: SparkSession, root: String,
+      tables: Seq[String]): Int = {
+    require(tables.nonEmpty, "expected sub-table names must be given")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return 0
+    fs.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen-")
+        && s.getPath.getName.stripPrefix("gen-").toLongOption.isDefined)
+      .filterNot(s => fs.exists(
+        new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .filter(s => tables.forall(tbl => fs.exists(
+        new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(s.getPath, tbl), "_SUCCESS"))))
+      .map { s =>
+        fs.create(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS"),
+          true).close()
+        1
+      }.sum
   }
 
   /** Time-travel read over any generation store: the path of the
@@ -665,7 +709,10 @@ object StreamingIngest {
       // of the keep window (with keep = 1, a remnant above the only
       // committed generation would otherwise get "kept" while the
       // committed one is deleted — data loss) nor be deleted out from
-      // under the replay that owns it
+      // under the replay that owns it. Pre-marker sub-table
+      // generations are adopted (gen marker backfilled) by the
+      // explicit [[backfillGenerationMarkers]] migration, after which
+      // they count here like any other committed generation.
       .filter(s => fs.exists(
         new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
       .flatMap(s => s.getPath.getName.stripPrefix("gen-").toLongOption

@@ -427,4 +427,72 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) === ((52L, 50L, 2L, "m1 m2")))
     assert(got(4L) === ((30L, 0L, 0L, words("e", 30).mkString(" "))))
   }
+
+  test("d17 hot-anchor guard: a span shared across 60 docs routes through the salted join with identical output") {
+    import spark.implicits._
+    def words(prefix: String, n: Int): Seq[String] =
+      (1 to n).map(i => s"$prefix$i")
+    val shared = words("hot", 22) // 3 anchors per doc at L=20, df = 60
+    val docsHot = (1 to 60).map(i =>
+      (i.toLong,
+        (words(s"u${i}x", 3) ++ shared ++ words(s"v${i}x", 2)).mkString(" ")))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSeq.sortBy(t => (t._1, t._2))
+    // cold route: default df threshold (1024) far above 60
+    val cold = rows(Dedup.maximalMatches(docsHot, "text", "doc_id", L = 20))
+    // hot route: force the threshold below 60 so every shared anchor
+    // takes the salted pair join — output must be byte-identical
+    spark.conf.set("spark.graft.dedup.hotAnchorDf", "8")
+    spark.conf.set("spark.graft.dedup.hotAnchorSalts", "5")
+    val hot =
+      try rows(Dedup.maximalMatches(docsHot, "text", "doc_id", L = 20))
+      finally {
+        spark.conf.unset("spark.graft.dedup.hotAnchorDf")
+        spark.conf.unset("spark.graft.dedup.hotAnchorSalts")
+      }
+    assert(hot === cold)
+    // all 60·59/2 pairs present, each the full 22-token run at p=4/4
+    assert(cold.map(t => (t._1, t._2)).toSet ===
+      (for { a <- 1 to 60; b <- (a + 1) to 60 } yield (a.toLong, b.toLong)).toSet)
+    assert(cold.forall(t =>
+      t._3 === 4L && t._4 === 4L && t._5 === 22L &&
+        t._6 === shared.mkString(" ")))
+  }
+
+  test("d18 cut path carries no pair-shaped join (per-anchor min-doc rule)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, LessThan}
+    val plan = Dedup.cutMaximalMatches(docs, "text", "doc_id", L = 20)
+      .queryExecution.optimizedPlan
+    val pairShaped = plan.collect { case j: Join => j }.exists(
+      _.condition.exists(c => c.find {
+        case LessThan(a: Attribute, b: Attribute) => a.name == b.name
+        case _ => false
+      }.isDefined))
+    assert(!pairShaped,
+      "d18's cut path re-grew an anchors-to-anchors pair join")
+  }
+
+  test("d18 cut: hundreds of disjoint intervals in one doc rebuild exactly (array_except cut path)") {
+    import spark.implicits._
+    def words(prefix: String, n: Int): Seq[String] =
+      (1 to n).map(i => s"$prefix$i")
+    val nSpans = 250
+    val spans = (1 to nSpans).map(k => words(s"s${k}q", 20))
+    // doc 1 owns every span; doc 2 repeats all of them behind its own
+    // unique separators → 250 disjoint cut intervals in ONE document
+    val low = spans.zipWithIndex.flatMap { case (sp, k) => sp :+ s"gap${k}a" }
+    val hi = spans.zipWithIndex.flatMap { case (sp, k) => sp :+ s"gap${k}b" }
+    val two = Seq((1L, low.mkString(" ")), (2L, hi.mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.cutMaximalMatches(two, "text", "doc_id", L = 20)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    assert(got(1L) === ((nSpans * 21L, 0L, 0L, low.mkString(" "))))
+    assert(got(2L) === ((nSpans * 21L, nSpans * 20L, nSpans.toLong,
+      (0 until nSpans).map(k => s"gap${k}b").mkString(" "))))
+  }
 }

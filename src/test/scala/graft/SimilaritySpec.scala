@@ -425,6 +425,43 @@ class SimilaritySpec extends SparkSpec {
     } finally { lsh.buckets.unpersist(false); lsh.corpus.unpersist(false); () }
   }
 
+  test("GraphAnn.insert on a store-backed index: pruned serving is refused loudly, plain search works") {
+    import graft.similarity.GraphAnn
+    val rng = new scala.util.Random(23)
+    val all = (0L until 300L).map { i =>
+      (i, Array.fill(16)(rng.nextGaussian().toFloat))
+    }
+    val rest = all.filter(_._1 % 10 != 0).toDF("vec_id", "embedding")
+    val delta = all.filter(_._1 % 10 == 0).toDF("vec_id", "embedding")
+    val lsh = Similarity.LshIndex.build(rest, "vec_id", "embedding",
+      dim = 16, planes = 6, tables = 8)
+    try {
+      val idx = GraphAnn.build(lsh, degree = 6, nEntries = 4)
+      val path = java.nio.file.Files.createTempDirectory("graft_gann_ins").toString
+      GraphAnn.write(idx, path)
+      val restored = GraphAnn.read(spark, path)
+      assert(restored.srcBuckets === Some(64))
+      val post = GraphAnn.insert(restored, delta, "vec_id", "embedding",
+        degree = 12, beam = 24, hops = 4)
+      // the unioned in-memory graph has no src_bkt layout any more:
+      // srcBuckets must NOT propagate (it used to, sending searchPruned
+      // filtering on a dropped column — AnalysisException mid-walk)
+      assert(post.srcBuckets === None)
+      val probeVec = all.find(_._1 == 150L).get._2
+      val probe = Seq((-1L, probeVec)).toDF("vec_id", "embedding")
+      val hit = GraphAnn.search(post, probe, "vec_id", "embedding",
+        k = 3, beam = 24, hops = 4).where(col("rank") === 1).head()
+      assert(hit.getLong(1) === 150L && hit.getDouble(2) > 0.999999)
+      // pruned serving on a post-insert index is refused with the
+      // documented contract error, not a runtime analysis failure
+      val e = intercept[IllegalArgumentException] {
+        GraphAnn.searchPruned(post, probe, "vec_id", "embedding",
+          k = 3, beam = 24, hops = 4)
+      }
+      assert(e.getMessage.contains("store-backed"))
+    } finally { lsh.buckets.unpersist(false); lsh.corpus.unpersist(false); () }
+  }
+
   test("GraphAnn write/read: the stored index serves identical walks and hops prune graph partitions") {
     import graft.similarity.GraphAnn
     val rng = new scala.util.Random(7)

@@ -1066,6 +1066,35 @@ class StreamingSpec extends SparkSpec {
     assert(totG.collect().map(_.toSeq).toSet === totBefore)
   }
 
+  test("backfillGenerationMarkers adopts complete legacy sub-table generations, never crash remnants") {
+    val base = Files.createTempDirectory("graft_gen_backfill").toString
+    val root = s"$base/stats"
+    // legacy COMPLETE generation: df + tot each parquet-committed
+    // (per-table _SUCCESS), no gen-level marker — the pre-r16 layout
+    Seq(("a", 2L)).toDF("term", "df").write.parquet(s"$root/gen-0/df")
+    Seq((2L, 4L)).toDF("n_docs", "sum_dl").write.parquet(s"$root/gen-0/tot")
+    assert(!new java.io.File(s"$root/gen-0/_SUCCESS").exists)
+    // crash remnant: ONE table committed, the other never started —
+    // must NOT be adopted
+    Seq(("junk", 9L)).toDF("term", "df").write.parquet(s"$root/gen-5/df")
+    // strict read-side sees neither before the migration
+    assert(StreamingIngest.currentCorpusStats(spark, root) === None)
+    val adopted = StreamingIngest.backfillGenerationMarkers(
+      spark, root, Seq("df", "tot"))
+    assert(adopted === 1)
+    assert(new java.io.File(s"$root/gen-0/_SUCCESS").exists)
+    assert(!new java.io.File(s"$root/gen-5/_SUCCESS").exists)
+    // idempotent
+    assert(StreamingIngest.backfillGenerationMarkers(
+      spark, root, Seq("df", "tot")) === 0)
+    // the adopted generation now serves reads and counts for GC
+    val (dfG, totG) = StreamingIngest.currentCorpusStats(spark, root).get
+    assert(dfG.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      === Set(("a", 2L)))
+    assert(totG.collect().map(_.toSeq).toSet === Set(Seq(2L, 4L)))
+    assert(StreamingIngest.pruneGenerations(spark, root, keep = 1) === 0)
+  }
+
   test("asOfGeneration: historical snapshots read identically after newer batches land; prune sets the horizon") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
