@@ -953,7 +953,16 @@ object Dedup {
         col("col").as("h"))
     val df = anchors.groupBy(col("h"))
       .agg(count(lit(1)).as("__df"))
+    // materialized ONCE (localCheckpoint — the q155 shingle-index
+    // discipline: at 100 TB this frame IS the anchor index an
+    // exact-substring pipeline persists): the routed frame feeds FOUR
+    // pair-join sides (cold×2, hot×2), and left lazy each side would
+    // replay the corpus scan + tokenize + md5 explode + df join —
+    // measured 9 document scans / 10 aggregates in the un-materialized
+    // plan vs 1 each here
     val routed = anchors.join(df, Seq("h"))
+      .select(col("h"), col("doc_id"), col("p"), col("__df"))
+      .localCheckpoint(true)
     val cold = routed.where(col("__df") <= hotDf)
       .select(col("h"), col("doc_id"), col("p"))
     val hot = routed.where(col("__df") > hotDf)
@@ -1035,10 +1044,14 @@ object Dedup {
       L: Int): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("__toks"))
+    // materialized once (see maximalMatches): read by the MIN(doc_id)
+    // aggregate AND the membership join — lazy, the corpus-scale
+    // tokenize + md5 explode would run twice
     val anchors = toks.select(col("doc_id"),
         posexplode(spanAnchors(col("__toks"), L)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
         col("col").as("h"))
+      .localCheckpoint(true)
     val minDoc = anchors.groupBy(col("h"))
       .agg(min(col("doc_id")).as("__min_doc"))
     // one row per (doc_id, p) by construction (posexplode of a

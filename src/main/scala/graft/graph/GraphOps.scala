@@ -136,21 +136,15 @@ object GraphOps {
       .join(nodeSet.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
       .select(col("src"), col("dst"), col("w"))
       .localCheckpoint(true)
-    // out-weight is STATIC across iterations — attach it to the edge
-    // frame once (guide §2.4: two operations keyed the same way share
-    // one exchange) so each iteration pays ONE src-keyed join
-    // (edges⋈ranks) instead of two (edges⋈ranks⋈deg). Arithmetic per
-    // edge is unchanged, so ranks stay bit-identical.
-    val ew = e
-      .join(e.groupBy(col("src")).agg(sum(col("w")).as("outw")), "src")
-      .select(col("src"), col("dst"), col("w"), col("outw"))
+    val deg = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
       .localCheckpoint(true)
     val baseU = lit(PrScale * 15L / 100L / n) // 0.15/n in e-12 units
     var ranks = nodeSet.select(col("node"), lit(PrScale / n).as("rank_u"))
     var i = 0
     while (i < iters) {
-      val contribs = ew
+      val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
         .select(col("dst"),
           expr("(rank_u * 85L * w) div (outw * 100L)").as("contrib"))
       // a zero row per node replaces a nodes LEFT JOIN: same sums,
@@ -187,10 +181,7 @@ object GraphOps {
       .join(nodeSet.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
       .join(nodeSet.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
       .localCheckpoint(true)
-    // static out-weight attached once — see pageRankWeighted
-    val ew = e
-      .join(e.groupBy(col("src")).agg(sum(col("w")).as("outw")), "src")
-      .select(col("src"), col("dst"), col("w"), col("outw"))
+    val deg = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
       .localCheckpoint(true)
     val base = seedSet
       .select(col("node"), lit(PrScale * 15L / 100L / nSeeds).as("base_u"))
@@ -202,8 +193,9 @@ object GraphOps {
           .otherwise(lit(0L)).as("rank_u"))
     var i = 0
     while (i < iters) {
-      val contribs = ew
+      val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
         .select(col("dst"),
           expr("(rank_u * 85L * w) div (outw * 100L)").as("contrib"))
       ranks = contribs.select(col("dst").as("node"), col("contrib"))
