@@ -933,9 +933,10 @@ object Dedup {
     // aggregate and re-attached on the same h-keyed shuffle. Anchors
     // with df ≤ hotAnchorDf self-join as before (one equi key, bounded
     // per-key fan-out); hotter anchors take the SALTED pair join of
-    // guide §2.5 — the x side keyed by pmod(xxhash64(doc_id), salts),
-    // the y side exploded across all salt values — so one hot anchor's
-    // B²/2 pairs spread over `salts` shuffle keys instead of one. Each
+    // guide §2.5 — the x side keyed by pmod(xxhash64(doc_id), nSalt),
+    // the y side exploded across all nSalt values, where nSalt GROWS
+    // with the hash's heat (ceil(df / hotAnchorDf), capped) — so one
+    // hot anchor's B²/2 pairs spread over ~B/hotDf shuffle keys. Each
     // anchor hash is entirely cold or entirely hot (df is a function
     // of h), so every pair is produced exactly once and the union is
     // byte-identical to the unguarded join. No broadcast anywhere: at
@@ -943,36 +944,64 @@ object Dedup {
     // routes stay shuffle joins.
     val hotDf = spark.conf.getOption("spark.graft.dedup.hotAnchorDf")
       .map(_.toInt).getOrElse(1024)
-    val salts = spark.conf.getOption("spark.graft.dedup.hotAnchorSalts")
-      .map(_.toInt).getOrElse(32)
+    // r18: hotAnchorSalts is now the CAP on the per-hash salt count —
+    // the actual count scales with the measured anchor heat (see the
+    // routing below), so one constant no longer has to fit every df.
+    val saltCap = spark.conf.getOption("spark.graft.dedup.hotAnchorSalts")
+      .map(_.toInt).getOrElse(1 << 20)
+    // misconfiguration guard: pmod(x, 0) is NULL under non-ANSI SQL,
+    // which would silently drop every hot-anchor pair from the output
+    require(hotDf > 0,
+      s"spark.graft.dedup.hotAnchorDf must be positive, got $hotDf")
+    require(saltCap > 0,
+      s"spark.graft.dedup.hotAnchorSalts must be positive, got $saltCap")
     val toks = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("__toks"))
     val anchors = toks.select(col("doc_id"),
         posexplode(spanAnchors(col("__toks"), L)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
         col("col").as("h"))
-    val df = anchors.groupBy(col("h"))
-      .agg(count(lit(1)).as("__df"))
-    // materialized ONCE (localCheckpoint — the q155 shingle-index
+    // Per-hash anchor heat as an h-partitioned window count (guide
+    // §2.4): the r17 groupBy + membership join paid a second anchor
+    // shuffle; the window computes the same count inside the ONE h
+    // exchange the routed frame needs anyway. NOTE __df counts anchor
+    // OCCURRENCES, not distinct documents — for routing that is the
+    // right load measure (per-key join fan-out is occurrence²), and
+    // it only selects the route, never the output.
+    // Materialized ONCE (localCheckpoint — the q155 shingle-index
     // discipline: at 100 TB this frame IS the anchor index an
-    // exact-substring pipeline persists): the routed frame feeds FOUR
-    // pair-join sides (cold×2, hot×2), and left lazy each side would
-    // replay the corpus scan + tokenize + md5 explode + df join —
-    // measured 9 document scans / 10 aggregates in the un-materialized
-    // plan vs 1 each here
-    val routed = anchors.join(df, Seq("h"))
-      .select(col("h"), col("doc_id"), col("p"), col("__df"))
+    // exact-substring pipeline persists; non-reliable executor-local
+    // storage spills to disk but is lost on executor failure — a
+    // cluster deployment wants a persisted index or reliable
+    // checkpoint here): the routed frame feeds FOUR pair-join sides
+    // (cold×2, hot×2), and left lazy each side would replay the
+    // corpus scan + tokenize + md5 explode — measured 9 document
+    // scans / 10 aggregates in the un-materialized plan vs 1 each.
+    val routed = anchors
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .localCheckpoint(true)
     val cold = routed.where(col("__df") <= hotDf)
       .select(col("h"), col("doc_id"), col("p"))
     val hot = routed.where(col("__df") > hotDf)
-      .select(col("h"), col("doc_id"), col("p"))
+      .select(col("h"), col("doc_id"), col("p"), col("__df"))
     val coldPairs = cold.as("x").join(cold.as("y"),
       col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+    // Adaptive salt count (r17 verdict: a FIXED divisor still lands
+    // B²/salts pairs on one key at B ≫ hotDf): per-hash salts =
+    // ceil(__df / hotDf) capped at saltCap, so every (h, salt) key
+    // carries ≤ ~hotDf anchor rows on the x side at ANY heat. __df is
+    // a function of h, so both join sides derive the SAME salt count
+    // for a hash: x carries exactly one salt, y is replicated across
+    // all of that hash's salts — each pair produced exactly once,
+    // byte-identical to the unsalted join.
+    val nSalt = least(
+      floor((col("__df") + lit(hotDf.toLong - 1L)) / lit(hotDf.toLong))
+        .cast("long"),
+      lit(saltCap.toLong))
     val hotX = hot.withColumn("__salt",
-      pmod(xxhash64(col("doc_id")), lit(salts.toLong)))
+      pmod(xxhash64(col("doc_id")), nSalt))
     val hotY = hot.withColumn("__salt",
-      explode(sequence(lit(0L), lit(salts.toLong - 1L))))
+      explode(sequence(lit(0L), nSalt - lit(1L))))
     val hotPairs = hotX.as("x").join(hotY.as("y"),
       col("x.h") === col("y.h") && col("x.__salt") === col("y.__salt") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -1020,8 +1049,9 @@ object Dedup {
     * LOWER-id document — a maximal run's doc_b interval is exactly the
     * union of its member anchors' [p, p+L) windows, and every such
     * anchor pairs with the run's doc_a < D. So the cut list needs only
-    * MIN(doc_id) per anchor hash (one map-side-combined aggregate) and
-    * one h-keyed membership join back to the anchors: every anchor
+    * MIN(doc_id) per anchor hash — an h-partitioned window inside the
+    * single h exchange (r18: the former aggregate + membership join
+    * re-shuffled the anchors a second time): every anchor
     * occurrence in a doc above its hash's minimum contributes the
     * interval [p, p+L). The interval union below then reproduces the
     * d17-derived cut set byte-for-byte — the same covered-position
@@ -1044,19 +1074,22 @@ object Dedup {
       L: Int): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("__toks"))
-    // materialized once (see maximalMatches): read by the MIN(doc_id)
-    // aggregate AND the membership join — lazy, the corpus-scale
-    // tokenize + md5 explode would run twice
     val anchors = toks.select(col("doc_id"),
         posexplode(spanAnchors(col("__toks"), L)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
         col("col").as("h"))
-      .localCheckpoint(true)
-    val minDoc = anchors.groupBy(col("h"))
-      .agg(min(col("doc_id")).as("__min_doc"))
-    // one row per (doc_id, p) by construction (posexplode of a
-    // position array), so no distinct is needed before the union
-    val cuts = anchors.join(minDoc, Seq("h"))
+    // MIN(doc_id) per anchor hash as an h-partitioned window (guide
+    // §2.4: two operations keyed the same way share one exchange) —
+    // the r17 groupBy + membership join re-shuffled the anchor set a
+    // second time and forced a localCheckpoint (the frame fed two
+    // consumers); the window computes the same per-h minimum inside
+    // the ONE h exchange, the anchors are consumed once, and the
+    // O(corpus-tokens) executor-pinned checkpoint is gone entirely.
+    // One row per (doc_id, p) by construction (posexplode of a
+    // position array), so no distinct is needed before the union.
+    val cuts = anchors
+      .withColumn("__min_doc",
+        min(col("doc_id")).over(Window.partitionBy(col("h"))))
       .where(col("doc_id") > col("__min_doc"))
       .select(col("doc_id"), col("p").as("s"),
         (col("p") + lit(L.toLong)).as("e")) // [s, e)

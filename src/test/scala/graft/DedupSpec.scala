@@ -461,6 +461,66 @@ class DedupSpec extends SparkSpec {
         t._6 === shared.mkString(" ")))
   }
 
+  test("d17 adaptive salting: two heat tiers derive different salt counts with identical output") {
+    import spark.implicits._
+    def words(prefix: String, n: Int): Seq[String] =
+      (1 to n).map(i => s"$prefix$i")
+    // tier 1: a span shared across 60 docs (per-anchor df = 60);
+    // tier 2: a DIFFERENT span shared across 20 docs (df = 20). At
+    // hotDf = 8 and an uncapping saltCap, the routing derives
+    // ceil(60/8) = 8 salts for tier 1 and ceil(20/8) = 3 for tier 2 —
+    // both must still produce the exact cold-route pair inventory.
+    val hotSpan = words("hot", 22)
+    val warmSpan = words("wrm", 22)
+    val docs = ((1 to 60).map(i =>
+        (i.toLong,
+          (words(s"u${i}x", 3) ++ hotSpan ++ words(s"v${i}x", 2))
+            .mkString(" "))) ++
+      (101 to 120).map(i =>
+        (i.toLong,
+          (words(s"u${i}x", 2) ++ warmSpan ++ words(s"v${i}x", 3))
+            .mkString(" "))))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSeq.sortBy(t => (t._1, t._2))
+    val cold = rows(Dedup.maximalMatches(docs, "text", "doc_id", L = 20))
+    spark.conf.set("spark.graft.dedup.hotAnchorDf", "8")
+    spark.conf.set("spark.graft.dedup.hotAnchorSalts", "1024")
+    val hot =
+      try rows(Dedup.maximalMatches(docs, "text", "doc_id", L = 20))
+      finally {
+        spark.conf.unset("spark.graft.dedup.hotAnchorDf")
+        spark.conf.unset("spark.graft.dedup.hotAnchorSalts")
+      }
+    assert(hot === cold)
+    // every cross-document pair inside each tier, none across tiers
+    assert(cold.map(t => (t._1, t._2)).toSet ===
+      ((for { a <- 1 to 60; b <- (a + 1) to 60 }
+        yield (a.toLong, b.toLong)) ++
+       (for { a <- 101 to 120; b <- (a + 1) to 120 }
+         yield (a.toLong, b.toLong))).toSet)
+  }
+
+  test("d17/d18 misconfigured salt/df guards reject instead of silently dropping pairs") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    spark.conf.set("spark.graft.dedup.hotAnchorSalts", "0")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.maximalMatches(docs, "text", "doc_id", L = 2)
+      }
+      assert(e.getMessage.contains("hotAnchorSalts"))
+    } finally spark.conf.unset("spark.graft.dedup.hotAnchorSalts")
+    spark.conf.set("spark.graft.dedup.hotAnchorDf", "-1")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.maximalMatches(docs, "text", "doc_id", L = 2)
+      }
+      assert(e.getMessage.contains("hotAnchorDf"))
+    } finally spark.conf.unset("spark.graft.dedup.hotAnchorDf")
+  }
+
   test("d18 cut path carries no pair-shaped join (per-anchor min-doc rule)") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     import org.apache.spark.sql.catalyst.expressions.{Attribute, LessThan}
