@@ -883,11 +883,17 @@ object Dedup {
     * shared by [[maximalMatches]]/[[cutMaximalMatches]] and the
     * streaming exact-substring admission (two docs share an anchor
     * IFF they share ≥ L consecutive tokens). Empty below L tokens.
+    * BINARY(16) (`unhex` of the md5 hex), not the 32-char hex string
+    * (guide §2.2: shuffle fewer bytes — anchors dominate the dedup
+    * shuffles at one row per corpus token, and the unhex is a
+    * bijection so every grouping/join on the key is unchanged).
+    * Anchor stores written before r18 hold the hex STRING form; the
+    * streaming admission read path unhexes them on load.
     */
   def spanAnchors(toks: Column, L: Int): Column =
     when(size(toks) >= L, transform(sequence(lit(1), size(toks) - (L - 1)),
-      i => md5(concat_ws(" ", slice(toks, i, lit(L))))))
-      .otherwise(array().cast("array<string>"))
+      i => unhex(md5(concat_ws(" ", slice(toks, i, lit(L)))))))
+      .otherwise(array().cast("array<binary>"))
 
   /** Maximal cross-document duplicated substrings ≥ `L` tokens — the
     * exact-substring dedup operator of Lee et al. 2022 ("Deduplicating
@@ -900,7 +906,7 @@ object Dedup {
     * L-gram anchors on one alignment diagonal (pa − pb constant), so
     *
     *   1. explode each document into (position, md5(L-gram)) anchors
-    *      — one row per token, 32-byte keys into every shuffle (the
+    *      — one row per token, 16-byte binary keys into every shuffle (the
     *      d08 discipline, span text never travels);
     *   2. pair anchors within a hash bucket (doc_a < doc_b) — the
     *      Σ|bucket|² candidate bound of the MinHash family, never

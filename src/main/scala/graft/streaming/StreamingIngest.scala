@@ -1939,7 +1939,7 @@ object StreamingIngest {
     *      consecutive tokens (d17's match predicate at threshold L,
     *      reduced to set membership because admission needs
     *      existence, not the maximal extent), so one left-semi join
-    *      on 32-byte keys replaces any text comparison;
+    *      on 16-byte keys replaces any text comparison;
     *   3. admitted docs land as `gen-<id>/docs` with their DISTINCT
     *      anchors beside them as `gen-<id>/anchors` — the persisted
     *      shingle index, so the standing corpus is NEVER re-exploded:
@@ -1978,12 +1978,25 @@ object StreamingIngest {
             .where(col("doc_id") > col("__min"))
             .select(col("doc_id")).distinct()
           val gens = generations(spark, corpusRoot, batchId)
+          // store upgrade (r18): anchors are BINARY(16) md5 since the
+          // spanAnchors key shrink; generations written by older
+          // builds hold the 32-char hex STRING form. Normalize each
+          // generation on load (unhex is the exact inverse of the old
+          // key), so mixed-era stores keep probing correctly without
+          // a rewrite.
           val corpusHit =
             if (gens.isEmpty) selfDrop.limit(0)
-            else ex
-              .join(spark.read.parquet(gens.map(p => s"$p/anchors"): _*),
-                Seq("h"), "left_semi")
-              .select(col("doc_id")).distinct()
+            else {
+              val anchorIdx = gens.map { p =>
+                val a = spark.read.parquet(s"$p/anchors")
+                if (a.schema("h").dataType ==
+                    org.apache.spark.sql.types.StringType)
+                  a.select(unhex(col("h")).as("h"))
+                else a.select(col("h"))
+              }.reduce(_ unionAll _)
+              ex.join(anchorIdx, Seq("h"), "left_semi")
+                .select(col("doc_id")).distinct()
+            }
           val dropped = selfDrop.unionByName(corpusHit).distinct()
           val admitted = b.join(dropped, Seq("doc_id"), "left_anti")
           commitGeneration(spark, s"$corpusRoot/gen-$batchId") {

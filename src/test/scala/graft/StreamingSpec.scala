@@ -1867,6 +1867,48 @@ class StreamingSpec extends SparkSpec {
     assert(g0 === a1, "gen-0 anchor index must describe exactly its admitted docs")
   }
 
+  test("exactSubstrAdmissionStream: pre-r18 hex-string anchor generations still gate admission (BINARY key migration)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, explode, hex, lower}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_substr_migr").toString
+    val root = s"$base/corpus"; val ckpt = s"$base/ckpt"
+    def words(p: String, n: Int): Seq[String] = (1 to n).map(i => s"$p$i")
+    val span = words("old", 22)
+    val oldDoc = (1L, (words("a", 2) ++ span ++ words("z", 2)).mkString(" "))
+    // hand-write a generation in the OLD on-disk format: anchors as
+    // 32-char lowercase hex STRINGs (what pre-r18 builds persisted),
+    // committed under the same gen-level marker protocol. Only id
+    // ORDER matters to the probe (an upgraded store's generations sit
+    // below the resumed stream's next batch id); MemoryStream restarts
+    // batch ids at 0, so the pre-existing generation gets id -1.
+    Seq(oldDoc).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$root/gen--1/docs")
+    Seq(oldDoc).toDF("doc_id", "text")
+      .select(explode(graft.dedup.Dedup.spanAnchors(
+        graft.text.TextAnalysis.tokens(col("text")), 20)).as("hb"))
+      .select(lower(hex(col("hb"))).as("h")).distinct()
+      .write.mode("overwrite").parquet(s"$root/gen--1/anchors")
+    new java.io.File(s"$root/gen--1/_SUCCESS").createNewFile()
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingIngest.exactSubstrAdmissionStream(
+      stream.toDF().toDF("doc_id", "text"), root, ckpt, L = 20)
+    stream.addData(
+      // shares the span with the hex-era gen-0 doc → must reject
+      (10L, (words("x", 2) ++ span ++ words("y", 2)).mkString(" ")),
+      (11L, words("n", 25).mkString(" ")))                        // novel
+    q.processAllAvailable()
+    q.stop()
+    val admitted = StreamingIngest.admittedCleanCorpus(spark, root).get
+    assert(admitted.select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 11L))
+    // the new generation persists BINARY(16) keys
+    val newSchema = spark.read.parquet(s"$root/gen-0/anchors").schema
+    assert(newSchema("h").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+  }
+
   test("copurchaseEdgeStream: folded support equals the batch co-purchase graph") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
