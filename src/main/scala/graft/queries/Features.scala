@@ -1571,34 +1571,53 @@ object Features {
     val features = Seq( // (report name, column, rank bucket step)
       ("l_quantity", 8.0), ("l_discount", 0.01))
     // the label's rank frame is feature-independent: build it ONCE
-    // (rank2Frame localCheckpoints, so both branches reuse the
-    // materialized frame instead of re-ranking the label per feature)
     val ry = rank2Frame(
       li.select(col("l_extendedprice").as("__y")), "__y",
       bucketStep = 1024.0).withColumnRenamed("__r2", "__b")
-    val branches = features.map { case (x, step) =>
-      val pairs = li.select(col(x).as("__x"),
-        col("l_extendedprice").as("__y"))
-      val ranked = pairs
-        .join(rank2Frame(pairs, "__x", step)
-          .withColumnRenamed("__r2", "__a"), "__x")
-        .join(ry, "__y")
-      val m = ranked.agg(
-        count(lit(1)).as("n_pairs"),
-        d(sum(col("__a").cast(d19))).as("__sa"),
-        d(sum(col("__b").cast(d19))).as("__sb"),
-        d(sum(col("__a").cast(d19) * col("__b").cast(d19))).as("__sab"),
-        d(sum(col("__a").cast(d19) * col("__a").cast(d19))).as("__saa"),
-        d(sum(col("__b").cast(d19) * col("__b").cast(d19))).as("__sbb"))
-      val n = col("n_pairs").cast("double")
-      val cov = n * col("__sab") - col("__sa") * col("__sb")
-      val vx = n * col("__saa") - col("__sa") * col("__sa")
-      val vy = n * col("__sbb") - col("__sb") * col("__sb")
-      m.select(lit(x).as("feature"), col("n_pairs"),
+    // ONE ranked corpus pass for ALL features (r17 verdict: the former
+    // per-feature branches each re-ran the corpus-sized y-rank join
+    // and re-scanned lineitem — a corpus-key shuffle and a scan per
+    // feature). The label rank attaches once; each feature's rank
+    // frame LEFT-attaches (a NULL feature value matches no rank row —
+    // exactly the rows the former per-branch inner join dropped, so
+    // the per-feature row set is unchanged); both features' sums fold
+    // into one conditional aggregate. The sums are exact DECIMAL —
+    // order-independent — so every output is bit-identical to the
+    // per-branch formulation, and the oracle still replays the
+    // per-branch SQL.
+    val base = li.select(
+      col("l_extendedprice").as("__y") +:
+        features.zipWithIndex.map { case ((x, _), i) =>
+          col(x).as(s"__x$i") }: _*)
+    val joined = features.zipWithIndex.foldLeft(base.join(ry, "__y")) {
+      case (acc, ((x, step), i)) =>
+        acc.join(
+          rank2Frame(li.select(col(x).as(s"__x$i")), s"__x$i", step)
+            .withColumnRenamed("__r2", s"__a$i"),
+          Seq(s"__x$i"), "left")
+    }
+    val aggs = features.indices.flatMap { i =>
+      val a = col(s"__a$i").cast(d19)
+      val b = col("__b").cast(d19)
+      Seq(count(col(s"__a$i")).as(s"__n$i"),
+        d(sum(a)).as(s"__sa$i"),
+        d(sum(when(col(s"__a$i").isNotNull, b))).as(s"__sb$i"),
+        d(sum(a * b)).as(s"__sab$i"),
+        d(sum(a * a)).as(s"__saa$i"),
+        d(sum(when(col(s"__a$i").isNotNull, b * b))).as(s"__sbb$i"))
+    }
+    val m = joined.agg(aggs.head, aggs.tail: _*)
+    val rows = features.zipWithIndex.map { case ((x, _), i) =>
+      val n = col(s"__n$i").cast("double")
+      val cov = n * col(s"__sab$i") - col(s"__sa$i") * col(s"__sb$i")
+      val vx = n * col(s"__saa$i") - col(s"__sa$i") * col(s"__sa$i")
+      val vy = n * col(s"__sbb$i") - col(s"__sb$i") * col(s"__sb$i")
+      struct(lit(x).as("feature"), col(s"__n$i").as("n_pairs"),
         when(vx <= 0 || vy <= 0, lit(null).cast("double"))
           .otherwise(cov / sqrt(vx * vy)).as("rho"))
     }
-    branches.reduce(_ unionByName _)
+    m.select(explode(array(rows: _*)).as("__r"))
+      .select(col("__r.feature"), col("__r.n_pairs"), col("__r.rho"))
   }
 
   private def q131BranchSql(x: String): String =
