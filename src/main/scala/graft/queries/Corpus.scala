@@ -5965,19 +5965,28 @@ object Corpus {
     * doc store with zero new state).
     */
   private[graft] def c10SignalsOf(docs: DataFrame): DataFrame = {
-    val tail = tertileBuckets(t29PerDocOf(docs))
-      .select(col("doc_id"), (col("bucket") === "tail").as("__tail"))
+    // the tail-share and overlap signals both run eager checkpoint
+    // jobs at CONSTRUCTION time (tertileBuckets pins the scored frame
+    // and its distribution; the fingerprint frame feeds two
+    // consumers) — build them concurrently (guide §2.6, the c04/c11
+    // recipe) so those independent corpus passes overlap instead of
+    // serializing on the driver; the stop/mixed signals are lazy and
+    // evaluate inside the final joined job as before
+    val Seq(tail, fps) = concurrently[DataFrame](
+      docs.sparkSession, "c10 signal scans",
+      () => tertileBuckets(t29PerDocOf(docs))
+        .select(col("doc_id"), (col("bucket") === "tail").as("__tail")),
+      () => docs
+        .select(col("source"),
+          TextAnalysis.fingerprint(col("text"), k = 8).as("__fp"))
+        .distinct()
+        .localCheckpoint(true)) // the share fold AND the per-source agg
     val stop = docs
       .withColumn("__toks", TextAnalysis.tokens(col("text")))
       .select(col("doc_id"),
         stopRuleLabel(col("__toks")).as("__hs"))
     val mixed = t31Of(docs)
       .select(col("doc_id"), col("is_mixed"))
-    val fps = docs
-      .select(col("source"),
-        TextAnalysis.fingerprint(col("text"), k = 8).as("__fp"))
-      .distinct()
-      .localCheckpoint(true) // the share fold AND the per-source agg
     val shared = fps.groupBy(col("__fp"))
       .agg(count_distinct(col("source")).as("__ns"))
     val ov = fps.join(shared, Seq("__fp"))
@@ -6928,14 +6937,27 @@ object Corpus {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
-    try scala.concurrent.Await.result(
-      scala.concurrent.Future.sequence(thunks.zipWithIndex.map {
-        case (t, i) => scala.concurrent.Future {
-          s.sparkContext.setJobDescription(s"$what [$i]")
-          try t() finally s.sparkContext.setJobDescription(null)
+    // each thunk runs under its own job GROUP (not just a
+    // description) so a sibling's failure can cancel the others'
+    // in-flight jobs — without this, Await.result rethrows while the
+    // surviving threads keep running (and writing) to completion
+    val groups = thunks.indices.map(i => s"$what [$i]")
+    try {
+      val futs = thunks.zipWithIndex.map { case (t, i) =>
+        scala.concurrent.Future {
+          s.sparkContext.setJobGroup(groups(i), groups(i),
+            interruptOnCancel = true)
+          try t() finally s.sparkContext.clearJobGroup()
         }
-      }), scala.concurrent.duration.Duration.Inf).toSeq
-    finally { pool.shutdown() }
+      }
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration.Inf).toSeq
+      catch { case e: Throwable =>
+        groups.foreach(s.sparkContext.cancelJobGroup)
+        throw e
+      }
+    } finally { pool.shutdown() }
   }
 
   def c04_sql: String = {

@@ -43,7 +43,7 @@ object PlanAudit {
             println(s"$n run$i: ${(System.nanoTime() - t0) / 1e9}s")
           }
         }
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
         println(s"$n PLAN FAILED: ${e.getMessage}")
       }
     }
