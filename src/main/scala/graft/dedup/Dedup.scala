@@ -425,8 +425,16 @@ object Dedup {
         .select(col(s"${side}_id"),
           array_distinct(TextAnalysis.shingles(col("__text"), k)).as("__sh"))
         .select(col(s"${side}_id"), size(col("__sh")).as(s"${side}_n"),
-          explode_outer(col("__sh")).as("tok"))
-        .where(col("tok").isNotNull)
+          explode_outer(col("__sh")).as("__tok"))
+        .where(col("__tok").isNotNull)
+        // join on the BINARY(16) md5, not the raw k-gram TEXT (r18 —
+        // the d08 "span text never travels" discipline applied to the
+        // overlap join): the shuffle key drops from ~k words to 16
+        // bytes; md5 identity is the same equality every dedup
+        // operator keys on, and the oracle replays raw-text equality
+        // as the independent gate
+        .select(col(s"${side}_id"), col(s"${side}_n"),
+          unhex(md5(col("__tok"))).as("tok"))
     val t = exploded(train, "train")
     val b = exploded(bench, "bench")
     t.join(b, Seq("tok"))

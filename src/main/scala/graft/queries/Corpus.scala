@@ -2378,7 +2378,10 @@ object Corpus {
         explode_outer(col("__sh")).as("__tok"))
       .where(col("__tok").isNotNull)
       .select(col("doc_id"), col("split"), col("n_shingles"),
-        md5(col("__tok")).as("tok"))
+        // BINARY(16), not the 32-char hex (r18, the spanAnchors key
+        // shrink): the key never reaches the output, and the
+        // checkpoint + distinct + semi-join all halve their payload
+        unhex(md5(col("__tok"))).as("tok"))
       .localCheckpoint(true)
     val trainSh = exploded.where(col("split") === "train")
       .select(col("tok")).distinct()
@@ -4004,16 +4007,21 @@ object Corpus {
     * shuffles, all map-side combined, nothing ever n².
     */
   val t26_source_novelty: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
     val sh = t(s, dir, "documents")
       .transform(spreadScan)
       .select(col("source"), explode_outer(array_distinct(
         TextAnalysis.shingles(col("text"), 5))).as("__sh"))
       .where(col("__sh").isNotNull)
-      .select(col("source"), md5(col("__sh")).as("__h"))
+      // BINARY(16) key (r18): internal only, never output
+      .select(col("source"), unhex(md5(col("__sh"))).as("__h"))
       .distinct()
-    val spread = sh.groupBy(col("__h"))
-      .agg(count(lit(1)).as("__ns")) // rows are distinct (source, h)
-    sh.join(spread, Seq("__h"))
+    // per-hash source spread as an h-partitioned window count (r18,
+    // the d17/d18 move): the former groupBy + self-join re-shuffled
+    // the distinct (source, h) frame a second time and recomputed its
+    // lineage for the join's probe side; the window computes the same
+    // count (rows are distinct (source, h)) in one exchange
+    sh.withColumn("__ns", count(lit(1)).over(Window.partitionBy(col("__h"))))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("__ns") === 1, 1L).otherwise(0L)).as("n_exclusive"))
